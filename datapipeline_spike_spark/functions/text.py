@@ -1,0 +1,116 @@
+"""Text-analysis expressions (SURVEY.md §2.11 — north-star extension).
+
+Everything here is built-in-function based (JVM-side) and deliberately
+SQL-expressible so the DuckDB oracle can replay it: tokenization is a
+regex split, hashing is md5 (identical hex output in Spark and DuckDB),
+language ID is a stopword-ratio heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "token_count",
+    "avg_token_len",
+    "punct_ratio",
+    "digit_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "fingerprint_md5",
+    "shingles",
+]
+
+# Tiny per-language stopword inventories for the n-gram/stopword language
+# heuristic. Public common-word lists; kept minimal so the oracle SQL can
+# inline them.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+}
+
+
+def normalize_text(c: Column | str) -> Column:
+    """lowercase, collapse whitespace, strip — canonical form for
+    fingerprinting and dedup."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace/punctuation tokenizer -> array<string> (empty strings
+    filtered). The BPE-ish variant is the same split on a finer regex."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def avg_token_len(c: Column | str) -> Column:
+    t = tokens(c)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0.0), lambda a, s: a + F.length(s)) / F.size(t),
+    ).otherwise(F.lit(None))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(None))
+
+
+def digit_ratio(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    digits = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(n > 0, digits / n).otherwise(F.lit(None))
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    t = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(t, lambda tok: F.array_contains(sw, tok)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(None))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite document-quality score in [0,1] — the text analogue of
+    the reference's calculateQualityScore (reference/README.md:490-492,
+    formula unspecified there; engine definition documented here):
+    0.4*length_score + 0.3*stopword_score + 0.3*(1 - punct_ratio),
+    where length_score saturates at 200 tokens and stopword_score
+    saturates at a 10% English stopword ratio."""
+    tc = token_count(c).cast("double")
+    length_score = F.least(tc / F.lit(200.0), F.lit(1.0))
+    sw_score = F.least(F.coalesce(stopword_ratio(c), F.lit(0.0)) / F.lit(0.10), F.lit(1.0))
+    p_score = F.lit(1.0) - F.coalesce(punct_ratio(c), F.lit(0.0))
+    return 0.4 * length_score + 0.3 * sw_score + 0.3 * p_score
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    md5 yields identical lowercase hex in Spark and DuckDB, making exact
+    dedup oracle-checkable."""
+    return F.md5(normalize_text(c))
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as strings ('w1 w2 w3'), distinct — the unit set
+    for MinHash / Jaccard near-dup detection."""
+    t = tokens(c)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))

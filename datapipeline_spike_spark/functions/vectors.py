@@ -1,0 +1,47 @@
+"""Embedding/vector expressions (SURVEY.md §2.11 similarity search).
+
+Built-in higher-order functions (``zip_with`` + ``aggregate``) keep the
+dot product JVM-side and codegen-eligible — no Python in the hot path.
+A Pandas-UDF batch-matrix variant exists in
+:mod:`datapipeline_spike_spark.operators.similarity` for wide top-k
+scans where BLAS beats per-row HOF loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine", "l2_normalize"]
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = _as_col(a)
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either norm is zero."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(None))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    a = _as_col(a)
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda v: v.cast("double") / n)).otherwise(F.lit(None))
