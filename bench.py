@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect, no result materialization cost)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datapipeline_spike_spark.plans import REGISTRY  # noqa: E402
+from datapipeline_spike_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "vibration_features",      # flagship windowed feature extraction
+    "downsample_1h",
+    "pricing_summary",         # TPC-H Q1 shape
+    "revenue_by_segment",      # 3-way join
+    "order_size_histogram",    # outer join + two-level agg
+    "top_orders_per_customer", # window top-k
+    "purchase_asof_signup",    # as-of join
+    "sessionization",          # lag + cumsum sessions
+    "dedup_latest_state",
+    "doc_fingerprint_dedup",   # exact dedup
+    "minhash_lsh_candidates",  # LSH banding
+    "simhash_signatures",
+    "embedding_topk_cosine",   # similarity search
+    "text_quality_profile",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_session("bench")
+    # JVM/codegen warmup on a trivial action so query 1 isn't charged for it
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].spark
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Join operators Spark lacks as single primitives (SURVEY.md §2.3):
+as-of join and range/band join, composed from built-ins.
+
+Scale notes (100 TB posture):
+- The as-of join uses the union + last-non-null-window trick, NOT a
+  theta join: a theta join ``r.ts <= l.ts`` is quadratic per key, while
+  the union trick is one shuffle on the key + one sort per partition —
+  the same cost class as a sort-merge join. This is the form that
+  survives 1000 executors.
+- The band join broadcasts the (small) band table: Catalyst turns it
+  into BroadcastNestedLoopJoin; never use it for two large sides —
+  bucketize the range key instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = (),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` keys.
+
+    Reference need: "latest calibration before reading ts" /
+    Redis latest-state-per-id lookups (reference/README.md:280-289).
+
+    Implementation: union both sides with a side marker, sort within
+    each key by (ts, side, tiebreak) — right rows sort BEFORE left rows
+    at equal ts so `<=` semantics hold — then propagate the last
+    non-null right value with ``F.last(..., ignorenulls=True)`` over an
+    unbounded-preceding window, and keep only left rows.
+    """
+    on = list(on)
+    value_cols = list(value_cols) or [c for c in right.columns if c not in (*on, right_ts)]
+
+    lsel = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    rsel = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lsel.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    order = [F.col("_ts"), F.col("_side")]
+    if tiebreak:
+        order.append(F.coalesce(F.col("_lrow." + tiebreak), F.lit(None)))
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    unioned = lsel.unionByName(rsel)
+    filled = unioned.select(
+        *on,
+        "_side",
+        "_lrow",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    out = filled.filter(F.col("_side") == 1).select(
+        F.col("_lrow.*"), *[F.col(f"asof_{c}") for c in value_cols], "asof_ts"
+    )
+    return out
+
+
+def band_join(
+    left: DataFrame, bands: DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi"
+) -> DataFrame:
+    """Range/band join: attach the band whose [lo, hi] interval contains
+    ``value_col``. ``bands`` must be small (broadcast)."""
+    cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) <= bands[hi_col])
+    return left.join(F.broadcast(bands), cond, "left")

@@ -1,0 +1,85 @@
+"""Quality/outlier operators (SURVEY.md §2.2 P2, §2.4 A10-A13).
+
+The reference names ``checkOutliers`` / ``calculateOutlierScore`` /
+``calculateQualityScore`` / ``checkCompleteness`` / ``checkConsistency``
+(reference/README.md:434-499) but gives no bodies; the engine's
+documented definitions (SURVEY.md §7.4.1):
+
+- outlier_z  = (value - mean) / stddev over the record's status group
+- is_valid   = |z| <= z_threshold (default 3.0)
+- outlier_score = min(|z| / 10, 1.0)
+- completeness  = fraction of required columns non-null
+- consistency   = boolean cross-field sanity check
+- quality score = 0.5*completeness + 0.3*(1-outlier_score) + 0.2*consistency
+
+All are plain column expressions (SQL-expressible for the oracle).
+Group statistics are computed with a broadcast join of a tiny aggregate,
+not a window over the full table — at 100 TB the per-group stats frame
+is KB-sized while an OVER() window would re-shuffle every row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_group_zscore(
+    df: DataFrame, value: str = "value", group: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """Attach mean/stddev of ``value`` per group and the z-score."""
+    group = list(group)
+    stats = df.groupBy(*group).agg(
+        F.avg(value).alias("_mean"), F.stddev_samp(value).alias("_std")
+    )
+    joined = df.join(F.broadcast(stats), on=group, how="left")
+    z = F.when(
+        F.col("_std") > 0, (F.col(value) - F.col("_mean")) / F.col("_std")
+    ).otherwise(F.lit(None))
+    return joined.withColumn("z", z)
+
+
+def outlier_gate(
+    df: DataFrame,
+    value: str = "value",
+    group: Sequence[str] = ("event_type",),
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """P2 validity filter: drop records with |z| > threshold, attaching
+    outlier_check struct first (reference/README.md:434-449 — invalid
+    records are dropped before further processing)."""
+    scored = with_group_zscore(df, value, group)
+    scored = scored.withColumn(
+        "outlier_check",
+        F.struct(
+            (F.abs(F.col("z")) <= z_threshold).alias("is_valid"),
+            F.least(F.abs(F.col("z")) / 10, F.lit(1.0)).alias("outlier_score"),
+        ),
+    )
+    return scored.filter(F.col("outlier_check.is_valid")).drop("_mean", "_std")
+
+
+def completeness(required: Sequence[str]) -> Column:
+    """A10: fraction of required fields present (reference/README.md:491-493)."""
+    n = len(required)
+    present = sum((F.col(c).isNotNull().cast("int") for c in required), F.lit(0))
+    return present / F.lit(float(n))
+
+
+def consistency(*checks: Column) -> Column:
+    """A11: conjunction of cross-field sanity checks (reference/README.md:494)."""
+    out = F.lit(True)
+    for c in checks:
+        out = out & c
+    return out.cast("boolean")
+
+
+def quality_score(completeness_c: Column, outlier_score_c: Column, consistency_c: Column) -> Column:
+    """A12 composite score (engine-defined weights, SURVEY §7.4.1)."""
+    return (
+        0.5 * completeness_c
+        + 0.3 * (F.lit(1.0) - outlier_score_c)
+        + 0.2 * consistency_c.cast("double")
+    )

@@ -1,0 +1,42 @@
+"""Sessionization and stream-dedup operators (SURVEY.md §2.9 ST8/ST9,
+batch twins). The streaming forms (``F.session_window``,
+``dropDuplicatesWithinWatermark``) live in streaming/pipeline.py and
+share these column expressions; the batch forms here are what the
+DuckDB oracle can replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Assign a session id per key: a new session starts when the gap
+    from the previous event exceeds ``gap_minutes``. Classic lag +
+    cumulative-sum — one shuffle on the key, sort within partition
+    (same cost class at 100 TB as any keyed window)."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    gap_s = gap_minutes * 60
+    prev = F.lag(ts).over(w)
+    new_session = (
+        prev.isNull()
+        | ((F.col(ts).cast("long") - prev.cast("long")) > gap_s)
+    ).cast("int")
+    return df.withColumn("session_seq", F.sum(new_session).over(w))
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], ts: str = "ts", tiebreak: str = "event_id"
+) -> DataFrame:
+    """Keep the latest row per key (ST9 dedup / Redis latest-state
+    semantics, reference/README.md:280-289): row_number over desc
+    (ts, tiebreak) == 1. Deterministic given a unique tiebreak."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts).desc(), F.col(tiebreak).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Two strategies:
+
+- ``brute_force_topk``: exact cosine top-k of a SMALL query set against
+  the full corpus. The query side is broadcast; the corpus is scanned
+  once, map-side, and per-query top-k is a window over (query, rounded
+  score). Scales linearly in corpus size x |queries| — the right
+  baseline up to a few hundred queries at 100 TB.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets
+  (sign of dot with R fixed pseudo-random planes); candidates are only
+  corpus rows sharing the query's bucket (plus optional multi-probe).
+  Turns the scan into a bucket-pruned lookup, trading recall for a
+  ~2^n_planes fan-in reduction.
+
+Dot products use JVM-side higher-order functions (zip_with/aggregate),
+not Python UDFs. A Pandas-UDF BLAS variant is justified only when
+queries are numerous enough to amortize Arrow transfer; the HOF form
+keeps whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector. Ranking uses the
+    ROUNDED score (+ id tiebreak) so results are engine-portable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_decimals).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _plane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (no numpy RNG so the test
+    fixture and any SQL replay can regenerate it): values in [-1, 1)
+    from a splitmix-style integer hash."""
+    vals = []
+    x = seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+    for _ in range(dim):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        vals.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket_assign(
+    df: DataFrame, dim: int, n_planes: int = 4, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id (0..2^n_planes-1):
+    bit p = sign(v . plane_p). Map-only, codegen-eligible."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _plane(dim, p + 1)])
+        bit = (dot(v, plane) >= 0).cast("int")
+        bucket = bucket + (bit * (1 << p))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+    The bucket equi-join replaces the cross join — this is what makes
+    100 TB similarity search tractable. ``multiprobe=1`` additionally
+    probes every bucket at Hamming distance 1 from the query's (the
+    standard recall fix for sign-LSH: near neighbors that straddle one
+    hyperplane are recovered at (n_planes+1)x candidate cost, still
+    exponentially cheaper than the full scan)."""
+    cb = lsh_bucket_assign(corpus, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "bucket",
+    )
+    qb = lsh_bucket_assign(queries, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "bucket",
+    )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+        qb = qb.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -4,3 +4,6 @@ SURVEY.md §2 is registered here as (Spark callable, DuckDB oracle SQL).
 
 from datapipeline_spike_spark.plans.registry import REGISTRY, EngineQuery, register  # noqa: F401
 from datapipeline_spike_spark.plans import catalog  # noqa: F401  (populates REGISTRY)
+from datapipeline_spike_spark.plans import catalog_relational  # noqa: F401
+from datapipeline_spike_spark.plans import catalog_events  # noqa: F401
+from datapipeline_spike_spark.plans import catalog_extensions  # noqa: F401

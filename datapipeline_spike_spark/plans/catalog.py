@@ -29,7 +29,7 @@ R = 6  # rounding decimals applied on BOTH engine and oracle sides
 @register(
     "vibration_features",
     oracle=f"""
-    SELECT date_trunc('day', ts)                        AS window_start,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)     AS window_start,
            event_type                                   AS status_code,
            count(*)                                     AS n_samples,
            round(sqrt(avg(value * value)), {R})         AS rms,

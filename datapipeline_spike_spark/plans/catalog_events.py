@@ -1,0 +1,275 @@
+"""Event-stream operator queries (SURVEY.md §2.2 P2, §2.4 A10-A13,
+§2.8 JSON, §2.9 ST8/ST9 batch twins, §2.3 as-of) over the ``events``
+table (≙ the reference's vibration record stream, FIXTURES.md §B).
+
+Each is the batch twin of a streaming assembly in streaming/pipeline.py
+— same column expressions, checkable by the DuckDB oracle (SURVEY §7.4.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.operators.joins import asof_join
+from datapipeline_spike_spark.operators.quality import (
+    completeness,
+    consistency,
+    quality_score,
+    with_group_zscore,
+)
+from datapipeline_spike_spark.operators.sessions import latest_per_key, sessionize
+from datapipeline_spike_spark.plans.registry import load, register
+
+R = 6
+
+
+@register(
+    "dedup_latest_state",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="ST9 / Redis latest-state-per-key semantics "
+    "(reference/README.md:280-289): keep the newest record per "
+    "(machine, status) key. Streaming twin: dropDuplicatesWithinWatermark.",
+    tags=("dedup", "window"),
+)
+def q_dedup_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return latest_per_key(ev, ["user_id", "event_type"], "ts", "event_id").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events
+    FROM sessions GROUP BY 1, 2
+    """,
+    doc="ST8 session windows, batch twin (gap = 30 min): lag + cumulative "
+    "sum — one shuffle on the key. Streaming twin: F.session_window.",
+    tags=("session", "window"),
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+        .groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "outlier_gate",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS s
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type AS status_code,
+           count(*) AS n_valid,
+           round(max(abs((e.value - st.m) / st.s)), {R}) AS max_abs_z,
+           round(avg(e.value), {R}) AS mean_valid_value
+    FROM events e JOIN stats st ON st.event_type = e.event_type
+    WHERE st.s > 0 AND abs((e.value - st.m) / st.s) <= 3.0
+    GROUP BY 1
+    """,
+    doc="P2 validity gate + A13 outlier score (engine-defined |z|<=3 on "
+    "per-status stats, SURVEY §7.4.1; reference/README.md:434-449 drops "
+    "invalid records). Stats join is a broadcast of a 5-row aggregate — "
+    "no window over the full stream.",
+    tags=("quality", "filter"),
+)
+def q_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    scored = with_group_zscore(ev, "value", ["event_type"]).filter(
+        (F.col("_std") > 0) & (F.abs(F.col("z")) <= 3.0)
+    )
+    return scored.groupBy(F.col("event_type").alias("status_code")).agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.round(F.max(F.abs(F.col("z"))), R).alias("max_abs_z"),
+        F.round(F.avg("value"), R).alias("mean_valid_value"),
+    )
+
+
+@register(
+    "quality_metrics",
+    oracle=f"""
+    SELECT event_type AS status_code,
+           round(avg((CAST(value IS NOT NULL AS INT) + CAST(props IS NOT NULL AS INT)
+                 + CAST(ts IS NOT NULL AS INT)) / 3.0), {R})          AS avg_completeness,
+           CAST(sum(CASE WHEN value >= 0 AND value <= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_consistent,
+           round(avg(0.5 * ((CAST(value IS NOT NULL AS INT) + CAST(props IS NOT NULL AS INT)
+                 + CAST(ts IS NOT NULL AS INT)) / 3.0)
+                 + 0.3 * (1.0 - least(abs(value) / 1000.0, 1.0))
+                 + 0.2 * CAST(value >= 0 AND value <= 1000000 AS INT)), {R})
+                                                                      AS avg_quality_score
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A10 completeness + A11 consistency + A12 composite quality "
+    "score (engine-defined formulas, SURVEY §7.4.1; reference/"
+    "README.md:488-498 quality stage). Pure column arithmetic.",
+    tags=("quality", "aggregate"),
+)
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    comp = completeness(["value", "props", "ts"])
+    cons = consistency((F.col("value") >= 0) & (F.col("value") <= 1_000_000))
+    # outlier proxy bounded [0,1] without group stats: |value|/1000 capped
+    out_score = F.least(F.abs(F.col("value")) / 1000.0, F.lit(1.0))
+    q = quality_score(comp, out_score, cons)
+    return ev.groupBy(F.col("event_type").alias("status_code")).agg(
+        F.round(F.avg(comp), R).alias("avg_completeness"),
+        F.sum(cons.cast("int")).cast("bigint").alias("n_consistent"),
+        F.round(F.avg(q), R).alias("avg_quality_score"),
+    )
+
+
+@register(
+    "json_props_profile",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="S9 JSON wire handling: per-path extraction (reference "
+    "JSONPath column mapping, FeatureEngineeringApproaches.md:134-147) "
+    "via get_json_object, typed cast, profile aggregation.",
+    tags=("json",),
+)
+def q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "daily_status_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot (wide daily status matrix — the Grafana-facing OLAP "
+    "serving shape, reference/TechSpikeDataPipeline.md:66-68). Spark "
+    ".pivot with explicit value list avoids an extra distinct pass.",
+    tags=("pivot", "aggregate"),
+)
+def q_daily_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent cells; oracle's CASE-sum yields 0
+    return out.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                 for c in ("click", "view", "purchase", "error", "signup")]
+    )
+
+
+@register(
+    "machine_stream_union",
+    oracle="""
+    SELECT event_type AS status_code, count(*) AS n,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_m01
+    FROM events
+    GROUP BY 1
+    """,
+    doc="§2.7 machine-stream merge (bosch-merged-data topic, "
+    "FeatureEngineeringApproaches.md:152): two per-machine streams "
+    "unioned by name then profiled — unionByName is a zero-shuffle "
+    "concatenation of partitions.",
+    tags=("setop", "union"),
+)
+def q_machine_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m01 = ev.filter(F.col("user_id") % 2 == 0).withColumn("machine", F.lit("M01"))
+    m02 = ev.filter(F.col("user_id") % 2 == 1).withColumn("machine", F.lit("M02"))
+    merged = m01.unionByName(m02)
+    return merged.groupBy(F.col("event_type").alias("status_code")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("machine") == "M01").cast("int")).cast("bigint").alias("n_m01"),
+    )
+
+
+@register(
+    "purchase_asof_signup",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(s.ts) FROM events s
+            WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+              AND s.ts <= p.ts) AS asof_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join (SURVEY §2.3): each purchase matched to the latest "
+    "prior signup of the same user. Engine uses the union + "
+    "last-non-null window form (one shuffle + sort, linear — NOT the "
+    "quadratic theta join the correlated-subquery oracle runs).",
+    tags=("join", "asof", "window"),
+)
+def q_purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_join(purchases, signups, on=["user_id"], value_cols=[], tiebreak="event_id")
+    return out.select("event_id", "user_id", "ts", "asof_ts")
+
+
+@register(
+    "rolling_baseline",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), {R}) AS rolling_mean,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_window
+    FROM events
+    """,
+    doc="A13's rolling outlier baseline (SURVEY §2.5): trailing 10-row "
+    "mean per machine — the frame the streaming outlier score reads.",
+    tags=("window",),
+)
+def q_rolling_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), R).alias("rolling_mean"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )

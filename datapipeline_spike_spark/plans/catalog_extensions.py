@@ -1,0 +1,320 @@
+"""North-star extension queries (SURVEY.md §2.11; BASELINE.json):
+text analysis, dedup families, similarity search, multimodal metadata —
+over ``documents``/``embeddings``.
+
+Oracle portability techniques:
+- all hashing is md5/sha256 (identical lowercase hex in both engines);
+  numeric hashes = first 8 md5 hex chars as base-16 (< 2^32, exact);
+- MinHash values are lexicographic minima of hex STRINGS (portable
+  compare, no modular arithmetic drift);
+- similarity ranks are computed on ROUNDED scores with id tiebreaks;
+- the synthetic corpus has no real near-duplicates (max 3-shingle
+  Jaccard ~= 0.03), so pair queries use low candidate thresholds; the
+  recall/precision semantics are proven on planted near-dups in
+  tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.functions import text as Tx
+from datapipeline_spike_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash16,
+)
+from datapipeline_spike_spark.operators.similarity import brute_force_topk
+from datapipeline_spike_spark.plans.registry import load, register
+
+R = 6
+
+# DuckDB token expression mirroring functions.text.tokens()
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t != '')"
+# DuckDB 3-shingle expression mirroring functions.text.shingles(k=3)
+_SQL_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) "
+    "ELSE [] END"
+)
+
+
+def _sql_stopword_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in Tx.STOPWORDS[lang]) + "]"
+
+
+@register(
+    "doc_fingerprint_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on the normalized-text md5 "
+    "fingerprint — one shuffle, the 100 TB-safe exact form.",
+    tags=("dedup", "text"),
+)
+def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                 / len(toks), {R}) AS avg_token_len,
+           round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                 * 1.0 / length(text), {R}) AS punct_ratio,
+           round(len(list_filter(toks, x -> list_contains({_sql_stopword_list("en")}, x)))
+                 * 1.0 / len(toks), {R}) AS stopword_ratio,
+           round(0.4 * least(len(toks) / 200.0, 1.0)
+               + 0.3 * least((len(list_filter(toks, x -> list_contains({_sql_stopword_list("en")}, x)))
+                              * 1.0 / len(toks)) / 0.10, 1.0)
+               + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                              * 1.0 / length(text)), {R}) AS quality_score
+    FROM t WHERE len(toks) > 0
+    """,
+    doc="Text quality scoring (token counting, punctuation/stopword "
+    "ratios, composite score) — all JVM-side expressions; the "
+    "training-data filtering stage of an LLM pipeline.",
+    tags=("text",),
+)
+def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(Tx.token_count("text") > 0)
+    return d.select(
+        "doc_id",
+        Tx.token_count("text").alias("n_tokens"),
+        F.round(Tx.avg_token_len("text"), R).alias("avg_token_len"),
+        F.round(Tx.punct_ratio("text"), R).alias("punct_ratio"),
+        F.round(Tx.stopword_ratio("text"), R).alias("stopword_ratio"),
+        F.round(Tx.quality_score("text"), R).alias("quality_score"),
+    )
+
+
+@register(
+    "language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains({_sql_stopword_list("en")}, x))) AS en_hits,
+             len(list_filter(toks, x -> list_contains({_sql_stopword_list("de")}, x))) AS de_hits,
+             len(list_filter(toks, x -> list_contains({_sql_stopword_list("fr")}, x))) AS fr_hits
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+           en_hits, de_hits, fr_hits
+    FROM hits
+    """,
+    doc="Language ID via stopword-hit argmax (n-gram heuristic family); "
+    "deterministic tie order en > de > fr on both sides.",
+    tags=("text", "langid"),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = Tx.tokens("text")
+
+    def hits(lang: str):
+        sw = F.array(*[F.lit(w) for w in Tx.STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    d = d.select(
+        "doc_id",
+        "lang",
+        hits("en").alias("en_hits"),
+        hits("de").alias("de_hits"),
+        hits("fr").alias("fr_hits"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")),
+            F.lit("en"),
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"), "en_hits", "de_hits", "fr_hits")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS sh
+      FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 150)
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), {R}) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.01
+    """,
+    doc="Exact 3-shingle Jaccard verifier over language-blocked pairs "
+    "(bounded id range; at scale this runs only on LSH candidates).",
+    tags=("dedup", "text"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = jaccard_pairs(d, threshold=0.01)
+    return out.select("doc_id_a", "doc_id_b", F.round("jaccard", R).alias("jaccard"))
+
+
+def _sql_minhash(i: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ), sig AS (
+      SELECT doc_id,
+             {", ".join(f"{_sql_minhash(i)} AS mh{i}" for i in range(8))}
+      FROM t WHERE len(sh) > 0
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_val FROM sig"
+        for b in range(4)
+      )}
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="MinHash-LSH candidate generation WITHOUT a cross join: 8 "
+    "md5-minima -> 4 bands of 2 -> shuffle on band value -> pairs only "
+    "within buckets. P(candidate) ~= 1-(1-J^2)^4. The scale path for "
+    "near-dup dedup at 100 TB.",
+    tags=("dedup", "lsh"),
+)
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+def _sql_simhash() -> str:
+    hashes = (
+        "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN len(list_filter(h, x -> (x >> {i}) & 1 = 1)) * 2 >= len(h) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    hh AS (SELECT doc_id, {hashes} AS h FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+    FROM hh
+    """
+
+
+@register(
+    "simhash_signatures",
+    oracle=_sql_simhash(),
+    doc="16-bit SimHash per document (map-only signature; near-dups "
+    "share signatures / small Hamming distance). Token hashes are the "
+    "first 8 md5 hex chars as uint32 — portable to the oracle.",
+    tags=("dedup", "simhash"),
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(Tx.token_count("text") > 0)
+    return simhash16(d).select("doc_id", "simhash")
+
+
+@register(
+    "embedding_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.qv, c.cv), {R}) AS cos_sim
+      FROM c, q WHERE c.neighbor_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-k (ANN baseline): broadcast query set, "
+    "single corpus scan, JVM-side zip_with/aggregate dot products, "
+    "ranking on rounded scores. LSH-bucketed variant = "
+    "operators.similarity.lsh_bucket_topk (tested for recall).",
+    tags=("similarity", "embedding"),
+)
+def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_aggregate(
+               list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), {R}) AS avg_norm,
+           round(avg(list_aggregate(embedding::DOUBLE[], 'sum')
+               / len(embedding)), {R}) AS avg_component_mean
+    FROM embeddings
+    GROUP BY 1
+    """,
+    doc="Per-label embedding statistics via array HOFs (A1-family math "
+    "on float vectors; FIXTURES.md §B).",
+    tags=("embedding", "aggregate"),
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.vectors import l2_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    comp_mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(l2_norm(v)), R).alias("avg_norm"),
+        F.round(F.avg(comp_mean), R).alias("avg_component_mean"),
+    )
+
+
+@register(
+    "multimodal_shard_meta",
+    oracle="""
+    SELECT substr(sha256(text), 1, 2) AS shard,
+           count(*) AS n_blobs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Multimodal-column plumbing (binary payload + typed metadata, "
+    "SURVEY §2.11): documents' text stands in for an opaque blob; "
+    "content-hash sharding + size accounting is exactly the layout "
+    "pass an image/audio lake write uses. Decode stubs live in "
+    "sources/multimodal.py (mapInPandas, tested).",
+    tags=("multimodal",),
+)
+def q_multimodal_shard_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.groupBy(F.substring(F.sha2("text", 256), 1, 2).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.octet_length(payload)).cast("bigint").alias("total_bytes"),
+        F.max(F.octet_length(payload)).cast("bigint").alias("max_bytes"),
+    )

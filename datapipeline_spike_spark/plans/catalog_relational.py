@@ -1,0 +1,448 @@
+"""Relational query surface (SURVEY.md §2.3 joins, §2.4 aggregations,
+§2.5 window functions, §2.6 sorts/top-k, §2.7 set ops, §2.8 scalar
+functions) over the driver's TPC-H-ish tables.
+
+The reference itself has no relational joins (§2.3: its only multi-stream
+combination is a schema union), but the engine ships the full surface the
+harness exercises. Every query aliases columns identically to its oracle
+and rounds float aggregates: 6 decimals for small-group statistics,
+0-2 decimals for whole-table sums of large doubles (naive-summation
+error across different reduction orders can reach ~1e-5 on 1e9-scale
+sums — integer-ish rounding keeps both engines on the same hash).
+
+Determinism rules: every window/top-k orders by a unique tiebreak key;
+rank comparisons happen on ROUNDED values on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.operators.joins import band_join
+from datapipeline_spike_spark.plans.registry import load, register
+
+R = 6
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 0)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 0)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shape pricing summary: the canonical partial+final hash "
+    "aggregation (Catalyst splits map-side/final automatically).",
+    tags=("aggregate",),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 0).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 0).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment                                            AS segment,
+           count(DISTINCT o.o_orderkey)                              AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0)     AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="Three-way equi join (fact-to-fact sort-merge + dimension "
+    "broadcast under AQE) with distinct aggregation.",
+    tags=("join", "aggregate"),
+)
+def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "customers_per_region",
+    oracle="""
+    SELECT r.r_name AS region, count(*) AS n_customers,
+           round(avg(c.c_acctbal), 6) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1
+    """,
+    doc="Snowflake dimension chain with explicit broadcast of both dims "
+    "(SURVEY §2.3 broadcast row): zero shuffle on the dims.",
+    tags=("join", "broadcast"),
+)
+def q_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    doc="Left-semi join (EXISTS).",
+    tags=("join", "semi"),
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+    doc="Left-anti join (NOT EXISTS with a pushed-down predicate on the "
+    "right side) + broadcast dim: customers with no urgent orders.",
+    tags=("join", "anti"),
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "order_size_histogram",
+    oracle="""
+    SELECT n_items, count(*) AS n_orders
+    FROM (
+      SELECT o.o_orderkey, count(l.l_orderkey) AS n_items
+      FROM orders o
+      LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    )
+    GROUP BY n_items
+    """,
+    doc="Left-outer join preserving empty orders, two-level aggregation "
+    "(TPC-H Q13 shape).",
+    tags=("join", "outer", "aggregate"),
+)
+def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy(o.o_orderkey)
+        .agg(F.count(l.l_orderkey).alias("n_items"))
+    )
+    return per_order.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "part_size_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('tiny', 0, 10), ('small', 11, 20), ('medium', 21, 30),
+             ('large', 31, 40), ('huge', 41, 100)
+    )
+    SELECT b.band, count(*) AS n_parts, round(avg(p.p_retailprice), 6) AS avg_price
+    FROM part p JOIN bands b ON p.p_size >= b.lo AND p.p_size <= b.hi
+    GROUP BY 1
+    """,
+    doc="Range/band join via broadcast nested-loop (SURVEY §2.3 theta "
+    "row); the band table is tiny by construction — the only join shape "
+    "where BNLJ is the right plan.",
+    tags=("join", "range"),
+)
+def q_part_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    bands = p.sparkSession.createDataFrame(
+        [("tiny", 0, 10), ("small", 11, 20), ("medium", 21, 30), ("large", 31, 40), ("huge", 41, 100)],
+        "band string, lo int, hi int",
+    )
+    joined = band_join(p, bands, "p_size").filter(F.col("band").isNotNull())
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-k per group: row_number window with a unique tiebreak "
+    "(SURVEY §2.6). AQE prunes the shuffle to |groups| partitions.",
+    tags=("window", "topk"),
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "customer_order_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+    doc="Running aggregate + lag over an ordered per-key frame (SURVEY "
+    "§2.5): quality trending / per-machine history shape.",
+    tags=("window",),
+)
+def q_customer_order_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(run), 4).alias("running_spend"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "lineitem_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical subtotals (SURVEY §2.4 grouping sets surface).",
+    tags=("aggregate", "rollup"),
+)
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "orders_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 0) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Full cube over two dimensions.",
+    tags=("aggregate", "cube"),
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 0).alias("total")
+    )
+
+
+@register(
+    "top_lineitems_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (no full sort "
+    "— per-partition heaps + driver merge; the plan that survives 100 TB).",
+    tags=("sort", "topk"),
+)
+def q_top_lineitems_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+@register(
+    "segment_symmetric_difference",
+    oracle="""
+    SELECT c_custkey FROM (
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      EXCEPT
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    )
+    """,
+    doc="Set operations (SURVEY §2.7): union/intersect/except composed "
+    "into a symmetric difference.",
+    tags=("setop",),
+)
+def q_segment_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct().exceptAll(a.intersect(b))
+
+
+@register(
+    "supplier_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Multi-distinct aggregation (expand + two-phase agg in Spark). "
+    "approx_count_distinct ships too but is checked rows-only "
+    "(HLL sketches differ across engines by design).",
+    tags=("aggregate", "distinct"),
+)
+def q_supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "quantity_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Exact interpolated percentiles: Spark percentile() matches "
+    "DuckDB quantile_cont (both linear interpolation). "
+    "percentile_approx is the 100 TB path; checked rows-only.",
+    tags=("aggregate", "percentile"),
+)
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("price_p90"),
+    )
+
+
+@register(
+    "order_scalar_lab",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority)                              AS pri_upper,
+           substr(o_orderpriority, 1, 1)                       AS pri_code,
+           concat(o_orderstatus, '-', o_orderpriority)         AS status_tag,
+           length(o_orderpriority)                             AS pri_len,
+           CAST(year(o_orderdate) AS INT)                      AS order_year,
+           CAST(month(o_orderdate) AS INT)                     AS order_month,
+           o_orderdate + INTERVAL 30 DAY                       AS due_date,
+           round(abs(o_totalprice - 100000.0), 2)              AS price_dev,
+           round(sqrt(o_totalprice), 6)                        AS price_sqrt,
+           round(ln(o_totalprice), 6)                          AS price_ln,
+           CAST(floor(o_totalprice / 10000) AS BIGINT)         AS price_bucket
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="Scalar function surface (SURVEY §2.8): string/date/math on a "
+    "bounded deterministic subset; all whole-stage-codegen built-ins.",
+    tags=("scalar",),
+)
+def q_order_scalar_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("price_dev"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.floor(F.col("o_totalprice") / 10000).cast("bigint").alias("price_bucket"),
+    )

@@ -74,5 +74,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer division: float division of ~1e18 ns loses microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -1,0 +1,147 @@
+"""Streaming pipeline assemblies (SURVEY.md §2.9, §3.1-3.2).
+
+Every aggregate here reuses the SAME column expressions as the batch
+catalog (functions.features) — the batch/streaming twin rule (SURVEY
+§7.4.5): correctness is proven in batch by the DuckDB oracle, and the
+streaming form only adds watermark/window/state mechanics, which the
+streaming tests cover with file-source -> memory-sink runs.
+
+State & fault tolerance (ST3-ST5): checkpointed state store,
+at-least-once sinks + keyed dedup, retry counters in the DLQ record
+(reference retry/DLQ policy, README.md:98-104, 372-388).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.functions import features as feat
+
+WATERMARK = "2 minutes"  # ST2: 2x the 1-minute feature window (SURVEY §2.9)
+
+
+def vibration_feature_stream(
+    records: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("machine",),
+    value_col: str = "value",
+    window: str = "1 minute",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """ST1/A9: tumbling feature window over the record stream — the
+    streaming twin of the 'vibration_features' catalog query. Append
+    output mode: a window closes (and emits exactly once) when the
+    watermark passes its end."""
+    return (
+        records.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            feat.rms_agg(value_col).alias("rms"),
+            feat.peak_agg(value_col).alias("peak"),
+            feat.peak_to_peak_agg(value_col).alias("peak_to_peak"),
+            feat.crest_factor_agg(value_col).alias("crest_factor"),
+            feat.kurtosis_agg(value_col).alias("kurtosis"),
+        )
+        .select(F.col("w.start").alias("window_start"), *key_cols, "n_samples",
+                "rms", "peak", "peak_to_peak", "crest_factor", "kurtosis")
+    )
+
+
+def downsample_stream(
+    records: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("machine",),
+    value_col: str = "value",
+    window: str = "1 second",
+) -> DataFrame:
+    """ST1/A8: the 10-points -> 1 RMS record/s reduction
+    (reference/TechSpikeDataPipeline.md:50-53)."""
+    return (
+        records.withWatermark(ts_col, WATERMARK)
+        .groupBy(F.window(ts_col, window).alias("w"), *key_cols)
+        .agg(feat.rms_agg(value_col).alias("rms"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("second"), *key_cols, "rms", "n")
+    )
+
+
+def dedup_stream(records: DataFrame, id_col: str = "event_id", ts_col: str = "ts") -> DataFrame:
+    """ST9 keyed dedup within the watermark horizon (exactly-once aid;
+    reference keyed produce + idempotence, README.md:266-270)."""
+    return records.withWatermark(ts_col, WATERMARK).dropDuplicatesWithinWatermark([id_col])
+
+
+def session_stream(
+    records: DataFrame, key: str = "user_id", ts_col: str = "ts", gap: str = "30 minutes"
+) -> DataFrame:
+    """ST8 session windows (gap-based), streaming twin of the
+    'sessionization' catalog query."""
+    return (
+        records.withWatermark(ts_col, gap)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def fanout_with_dlq(
+    processed_path: str,
+    dlq_path: str,
+    validity_filter,
+    max_retries: int = 5,
+):
+    """S5/S6/ST5 foreachBatch fan-out: valid rows -> processed sink;
+    failures -> DLQ records ``{original_message, error_count,
+    last_error_time}`` (reference/README.md:382-388). Sink writes are
+    retried with exponential backoff up to max_retries
+    (reference/README.md:98-100); the micro-batch only commits when the
+    write succeeds or lands in the DLQ, preserving at-least-once."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        valid = batch_df.filter(validity_filter)
+        invalid = batch_df.filter(~validity_filter)
+        delay, attempt = 1.0, 0
+        while True:
+            try:
+                valid.write.mode("append").parquet(processed_path)
+                break
+            except Exception:  # noqa: BLE001
+                attempt += 1
+                if attempt >= max_retries:
+                    invalid = batch_df  # whole batch to DLQ
+                    break
+                time.sleep(delay)
+                delay *= 2
+        if invalid.isEmpty():
+            return
+        dlq = invalid.select(
+            F.to_json(F.struct(*[c for c in invalid.columns])).alias("original_message"),
+            F.lit(attempt).alias("error_count"),
+            F.current_timestamp().alias("last_error_time"),
+        )
+        dlq.write.mode("append").parquet(dlq_path)
+
+    return handle
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test helper: drive a streaming frame to a memory sink
+    synchronously (processAllAvailable) and return the query handle."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

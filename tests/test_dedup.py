@@ -1,0 +1,74 @@
+"""Dedup family semantics on PLANTED duplicates (the driver corpus has
+none — max 3-shingle Jaccard ~0.03 — so recall must be proven here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash16,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one token changed -> high jaccard
+FAR = (
+    "completely different subject matter about database engines and "
+    "distributed query processing with shuffles joins and aggregations"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),          # exact dup of 0
+        (2, "  " + BASE.upper() + "  ", "en"),  # normalizes to dup of 0
+        (3, NEAR, "en"),          # near-dup of 0
+        (4, FAR, "en"),
+        (5, "tiny", "en"),        # < 3 tokens -> empty shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups_normalized_copies(docs):
+    out = exact_dedup(docs).collect()
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert by_canon[0] == 3  # 0, 1, 2 share a fingerprint
+    assert by_canon[3] == 1 and by_canon[4] == 1
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 3)] > 0.7  # single-token edit
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_recalls_near_dup(docs):
+    cand = {(r["doc_id_a"], r["doc_id_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in cand  # exact dup: all bands collide
+    assert (0, 3) in cand  # near-dup: J~0.87 -> P(miss) ~ (1-J^2)^4 < 3%
+    assert (0, 4) not in cand
+
+
+def test_simhash_equal_for_dups_far_for_distinct(docs):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash16(docs).select("doc_id", "simhash").collect()}
+    assert sims[0] == sims[1] == sims[2]
+    ham_near = bin(sims[0] ^ sims[3]).count("1")
+    ham_far = bin(sims[0] ^ sims[4]).count("1")
+    assert ham_near <= 4
+    assert ham_far > ham_near
+    assert sims[5] is not None  # single token still hashes
+
+
+def test_empty_shingles_excluded_from_pairs(docs):
+    pairs = jaccard_pairs(docs, threshold=0.0).select("doc_id_a", "doc_id_b").collect()
+    ids = {x for r in pairs for x in (r["doc_id_a"], r["doc_id_b"])}
+    assert 5 not in ids

@@ -1,0 +1,98 @@
+"""As-of join, sessionization, quality gate, similarity (exact + LSH
+recall), band join — semantics checked against small hand-computable
+fixtures and brute-force references."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.operators.joins import asof_join, band_join
+from datapipeline_spike_spark.operators.quality import outlier_gate
+from datapipeline_spike_spark.operators.sessions import latest_per_key, sessionize
+from datapipeline_spike_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_picks_latest_prior(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(30), "p2"), (2, _ts(5), "p3")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 100.0), (1, _ts(20), 200.0), (1, _ts(40), 300.0), (3, _ts(0), 9.0)],
+        "user_id long, ts timestamp, cal double",
+    )
+    out = {r["tag"]: r for r in asof_join(left, right, on=["user_id"], value_cols=["cal"]).collect()}
+    assert out["p1"]["asof_cal"] == 100.0   # only ts=0 precedes minute 10
+    assert out["p2"]["asof_cal"] == 200.0   # ts=20 is latest <= 30
+    assert out["p3"]["asof_cal"] is None    # user 2 has no right rows
+
+
+def test_asof_join_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, _ts(10), "p")], "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts(10), 7.0)], "user_id long, ts timestamp, cal double")
+    row = asof_join(left, right, on=["user_id"], value_cols=["cal"]).collect()[0]
+    assert row["asof_cal"] == 7.0  # <= semantics: equal ts counts
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [(1, _ts(0), 1), (1, _ts(10), 2), (1, dt.datetime(2024, 1, 1, 1, 0), 3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert out[1] == out[2] == 1
+    assert out[3] == 2  # 50-minute gap > 30 min
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "a", _ts(5), 10), (1, "a", _ts(5), 11), (1, "a", _ts(1), 99)],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    out = latest_per_key(df, ["user_id", "event_type"]).collect()
+    assert len(out) == 1 and out[0]["event_id"] == 11  # same ts -> higher id wins
+
+
+def test_outlier_gate_drops_spikes(spark):
+    vals = [float(v) for v in (1, 2, 1, 2, 1, 2, 1, 2, 1000)]
+    df = spark.createDataFrame([("g", v) for v in vals], "event_type string, value double")
+    out = outlier_gate(df, "value", ["event_type"], z_threshold=2.0)
+    kept = [r["value"] for r in out.collect()]
+    assert 1000.0 not in kept and len(kept) == 8
+    assert all(r >= 0 for r in kept)
+
+
+def test_band_join_assigns_containing_interval(spark):
+    left = spark.createDataFrame([(5,), (15,), (99,)], "v int")
+    bands = spark.createDataFrame(
+        [("lo", 0, 9), ("mid", 10, 19)], "band string, lo int, hi int"
+    )
+    out = {r["v"]: r["band"] for r in band_join(left, bands, "v").collect()}
+    assert out[5] == "lo" and out[15] == "mid" and out[99] is None
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from datapipeline_spike_spark.plans.registry import load
+
+    return load(spark, sf_dir, "embeddings")
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_bucket_topk(emb, queries, dim=64, k=5, n_planes=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 3 hyperplanes ~ 8 buckets: same-bucket probability for near
+    # neighbors is high; random-split worst case still recovers > 30%
+    assert recall > 0.3, f"LSH recall {recall}"
+    # exact top-1 must be the true argmax cosine
+    top1 = exact.filter(F.col("rank") == 1).count()
+    assert top1 == 10

@@ -1,0 +1,73 @@
+"""Parquet lake (S7/S10) and multimodal plumbing (§2.11)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.plans.registry import load
+from datapipeline_spike_spark.sources.multimodal import decode_media, media_from_documents
+from datapipeline_spike_spark.sources.parquet_lake import quality_routed_write, read_zone
+
+
+def test_lake_partitioned_write_and_pruned_read(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="lake_")
+    try:
+        ev = load(spark, sf_dir, "events").withColumn(
+            "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
+        )
+        paths = quality_routed_write(ev, root, quality_col="value", threshold=10.0)
+        raw = read_zone(spark, root, "raw")
+        proc = read_zone(spark, root, "processed")
+        assert raw.count() == ev.count()                      # raw keeps everything
+        assert proc.count() == ev.filter("value >= 10.0").count()
+        assert os.path.exists(os.path.join(paths["raw"], "_zone_metadata.json"))
+        # hive layout -> partition pruning: filtered read touches one machine dir
+        pruned = raw.filter((F.col("machine") == "M0") & (F.col("month") == 1))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert pruned.count() > 0
+        assert "machine" in plan  # partition filters present in scan
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(50)
+    media = media_from_documents(docs)
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 32 <= r["width"] < 640 and 32 <= r["height"] < 640
+        assert 1 <= r["n_frames"] <= 16
+        assert len(r["feature"]) == 8 and all(0 <= x <= 1 for x in r["feature"])
+        assert r["n_bytes"] > 0
+    # determinism: same payload -> same decode
+    again = {r["media_id"]: r["feature"] for r in decode_media(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_spectral_parity_and_dominant_bin(spark):
+    import math
+
+    from datapipeline_spike_spark.functions.features import arr_energy
+    from datapipeline_spike_spark.functions.spectral import (
+        dominant_frequency_bin,
+        spectral_energy_fft,
+    )
+
+    # pure tone: 8 cycles over 64 samples -> dominant rfft bin = 8
+    n, cycles = 64, 8
+    tone = [math.sin(2 * math.pi * cycles * i / n) for i in range(n)]
+    df = spark.createDataFrame([(tone,)], "arr array<double>")
+    row = df.select(
+        dominant_frequency_bin("arr").alias("bin"),
+        spectral_energy_fft("arr").alias("e_fft"),
+        arr_energy("arr").alias("e_time"),
+    ).collect()[0]
+    assert row["bin"] == float(cycles)
+    assert abs(row["e_fft"] - row["e_time"]) < 1e-6  # Parseval twin

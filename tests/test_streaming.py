@@ -1,0 +1,121 @@
+"""Structured Streaming assemblies (ST1-ST9): file-source micro-batches
+driven synchronously into memory sinks; streaming results must equal
+their batch twins (the twin rule, SURVEY §7.4.5)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.plans.registry import load
+from datapipeline_spike_spark.streaming.pipeline import (
+    dedup_stream,
+    downsample_stream,
+    fanout_with_dlq,
+    run_to_memory,
+    session_stream,
+    vibration_feature_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Events re-materialized with a plain microsecond timestamp so the
+    streaming file source needs no legacy nanos conf."""
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    load(spark, sf_dir, "events").withColumn(
+        "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
+    ).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def test_feature_stream_matches_batch_twin(spark, events_dir, events_stream):
+    stream = vibration_feature_stream(
+        events_stream, ts_col="ts", key_cols=("machine",), value_col="value", window="1 day"
+    )
+    q = run_to_memory(stream, "feat_stream")
+    try:
+        got = {
+            (r["window_start"], r["machine"]): (r["n_samples"], round(r["rms"], 6))
+            for r in spark.sql("SELECT * FROM feat_stream").collect()
+        }
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy(F.window("ts", "1 day").alias("w"), "machine")
+            .agg(F.count(F.lit(1)).alias("n"), F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms"))
+            .select(F.col("w.start").alias("ws"), "machine", "n", "rms")
+        )
+        want = {(r["ws"], r["machine"]): (r["n"], round(r["rms"], 6)) for r in batch.collect()}
+        # append mode drops windows not yet closed by the watermark (the
+        # final day); every emitted window must match the batch result
+        assert len(got) >= len(want) - 2
+        for k, v in got.items():
+            assert want[k] == v
+    finally:
+        q.stop()
+
+
+def test_downsample_stream_runs(spark, events_stream):
+    q = run_to_memory(downsample_stream(events_stream, window="1 hour"), "down_stream")
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM down_stream").collect()[0]["n"]
+        assert n > 0
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_drops_duplicate_ids(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    doubled_dir = tempfile.mkdtemp(prefix="stream_dup_")
+    try:
+        df = spark.read.parquet(events_dir).limit(500)
+        df.union(df).write.mode("overwrite").parquet(doubled_dir)
+        stream = spark.readStream.schema(schema).parquet(doubled_dir)
+        q = run_to_memory(dedup_stream(stream), "dedup_stream")
+        try:
+            n = spark.sql("SELECT count(DISTINCT event_id) AS d, count(*) AS n FROM dedup_stream").collect()[0]
+            assert n["n"] == n["d"] == 500
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(doubled_dir, ignore_errors=True)
+
+
+def test_session_stream_runs(spark, events_stream):
+    q = run_to_memory(session_stream(events_stream), "sess_stream")
+    try:
+        rows = spark.sql("SELECT * FROM sess_stream").collect()
+        assert all(r["session_end"] > r["session_start"] for r in rows)
+    finally:
+        q.stop()
+
+
+def test_fanout_dlq_routes_invalid(spark, events_dir):
+    out_root = tempfile.mkdtemp(prefix="fanout_")
+    processed, dlq = f"{out_root}/processed", f"{out_root}/dlq"
+    try:
+        schema = spark.read.parquet(events_dir).schema
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        handler = fanout_with_dlq(processed, dlq, F.col("value") <= 100.0)
+        q = stream.writeStream.foreachBatch(handler).start()
+        q.processAllAvailable()
+        q.stop()
+        total = spark.read.parquet(events_dir).count()
+        n_ok = spark.read.parquet(processed).count()
+        dlq_df = spark.read.parquet(dlq)
+        n_dlq = dlq_df.count()
+        assert n_ok + n_dlq == total and n_dlq > 0
+        sample = dlq_df.select("original_message", "error_count", "last_error_time").first()
+        assert '"value"' in sample["original_message"] and sample["error_count"] == 0
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
