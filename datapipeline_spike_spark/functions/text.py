@@ -43,9 +43,12 @@ def normalize_text(c: Column | str) -> Column:
 
 def tokens(c: Column | str) -> Column:
     """Whitespace/punctuation tokenizer -> array<string> (empty strings
-    filtered). The BPE-ish variant is the same split on a finer regex."""
+    removed). The BPE-ish variant is the same split on a finer regex.
+    array_remove instead of a filter() lambda: higher-order functions
+    are interpreted (CodegenFallback) and break whole-stage codegen,
+    while array_remove stays compiled."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
+    return F.array_remove(F.split(F.lower(c), r"[^a-z0-9']+"), "")
 
 
 def token_count(c: Column | str) -> Column:
@@ -104,13 +107,23 @@ def fingerprint_md5(c: Column | str) -> Column:
 
 def shingles(c: Column | str, k: int = 3) -> Column:
     """Word k-shingles as strings ('w1 w2 w3'), distinct — the unit set
-    for MinHash / Jaccard near-dup detection."""
-    t = tokens(c)
-    n = F.size(t)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    return F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    for MinHash / Jaccard near-dup detection.
+
+    The token array is bound as a LAMBDA VARIABLE (via a one-element
+    array transform) before the sliding-window transform runs.
+    Interpreted higher-order functions re-evaluate any outer expression
+    referenced in the lambda body once per element — referencing the
+    split() directly turns shingling quadratic (regex split per shingle
+    index, ~50x slower on real documents)."""
+
+    def _sh(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+        return F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(c)), _sh), 1)

@@ -5,18 +5,23 @@ Scale design (100 TB): every variant avoids the quadratic all-pairs
 comparison —
 
 - exact: hash-groupBy on a fingerprint (one shuffle).
-- MinHash/LSH: signature per doc (map-only), explode to (band, value)
-  pairs, shuffle on band value, pairs only WITHIN buckets. Collision
-  probability per band = J^r; tune bands x rows-per-band to the target
-  Jaccard threshold.
+- MinHash/LSH: explode shingles, hash each shingle ONCE, min-aggregate
+  into the signature (map-side partial agg shrinks the shuffle to ~1
+  row/doc), then pairs only WITHIN band buckets — never a self-join,
+  never a cross join. Collision probability per band = J^r; tune
+  bands x rows-per-band to the target Jaccard threshold.
 - SimHash: 16/64-bit signature (map-only); near-dup = equal signature
   (or small Hamming distance within LSH buckets of signature chunks).
 - n-gram Jaccard: exact verifier applied ONLY to LSH candidate pairs
   (here also exposed standalone over a bounded id range for the oracle).
 
 Hashing is md5-based so the DuckDB oracle can replay it bit-for-bit:
-md5 hex strings compare identically in both engines; numeric hashes are
-the first 8 hex chars cast via base-16 (< 2^32, exact in BIGINT).
+md5 hex strings compare identically in both engines. The 8 MinHash
+functions are the four 8-hex-char (32-bit) words of md5(shingle) plus
+the four words of md5('x|' || shingle) — 2 digest calls per shingle
+instead of 8, and every expression stays inside whole-stage codegen
+(lambda higher-order functions are interpreted in Spark, so the
+per-salt array_min(transform(...)) formulation is ~20x slower).
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datapipeline_spike_spark.functions.text import fingerprint_md5, shingles
+from datapipeline_spike_spark.scale import fan_out
 
 N_HASHES = 8
 BAND_ROWS = 2  # hashes per band -> N_HASHES/BAND_ROWS bands
@@ -40,21 +46,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_hex(shingle_col: Column, salt: int) -> Column:
-    """One MinHash value = lexicographic min of salted md5 hex over the
-    shingle set. String min is engine-portable (ASCII hex compare)."""
-    return F.array_min(
-        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s)))
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(id_col, minhash_0..n-1) — one row per doc with a non-empty
+    shingle set. Explode + min-aggregate rather than per-salt
+    array_min(transform(...)): the HOF form re-evaluates the interpreted
+    shingle expression once per hash function, while here shingling runs
+    once per doc and the md5/substring/min pipeline is whole-stage
+    codegen. The groupBy shuffles ~1 row per doc (map-side partial min),
+    so the exploded shingle rows never cross the wire."""
+    if n_hashes > 8:
+        raise ValueError("n_hashes > 8 needs more digest salts")
+    exploded = fan_out(df).select(
+        F.col(id_col), F.explode(shingles(text_col, k=3)).alias("shingle")
     )
-
-
-def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES) -> DataFrame:
-    """Attach minhash_0..n-1 columns (map-only, no shuffle)."""
-    sh = shingles(text_col, k=3)
-    out = df.withColumn("_sh", sh)
-    for i in range(n_hashes):
-        out = out.withColumn(f"minhash_{i}", minhash_hex(F.col("_sh"), i))
-    return out.drop("_sh")
+    h1 = F.md5("shingle")
+    h2 = F.md5(F.concat(F.lit("x|"), F.col("shingle")))
+    words = [F.substring(h, 1 + 8 * i, 8) for h in (h1, h2) for i in range(4)]
+    return exploded.groupBy(id_col).agg(
+        *[F.min(w).alias(f"minhash_{i}") for i, w in enumerate(words[:n_hashes])]
+    )
 
 
 def lsh_candidate_pairs(
@@ -64,13 +79,14 @@ def lsh_candidate_pairs(
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
-    """MinHash-LSH candidate generation WITHOUT a cross join:
-    signature -> (band_idx, band_val) rows -> self-join within band
-    buckets only. Returns distinct (doc_id_a, doc_id_b) with
-    n_shared_bands. Docs with empty shingle sets can't collide."""
-    sig = minhash_signature(df, text_col, n_hashes).filter(
-        F.col("minhash_0").isNotNull()
-    )
+    """MinHash-LSH candidate generation WITHOUT a cross join or
+    self-join: signature -> (band_idx, band_val) rows -> groupBy band
+    bucket -> emit i<j pairs inside each bucket array. Returns distinct
+    (doc_id_a, doc_id_b) with n_shared_bands. Docs with empty shingle
+    sets can't collide. Scale note: a pathological bucket (e.g. massive
+    boilerplate cluster) makes the pair blowup explicit in one task —
+    run exact_dedup first so buckets hold distinct near-dups only."""
+    sig = minhash_signature(df, text_col, id_col, n_hashes)
     n_bands = n_hashes // band_rows
     bands = sig.select(
         F.col(id_col),
@@ -90,43 +106,56 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_id_a"), F.col(f"b.{id_col}").alias("doc_id_b")
-        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    return pairs
 
 
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over the token multiset (map-only). Bit i is set
     when more token-hashes have bit i set than cleared. Hash = first 8
-    md5 hex chars as uint32 (portable to the SQL oracle)."""
+    md5 hex chars as uint32 (portable to the SQL oracle).
+
+    The token-hash array is bound once as a lambda variable (same
+    single-element-array trick as functions.text.shingles) — naming it
+    with withColumn gets collapse-inlined into all 17 uses and the
+    interpreted HOF would recompute md5-per-token for each."""
     from datapipeline_spike_spark.functions.text import tokens
 
+    df = fan_out(df)
     hashes = F.transform(
         tokens(text_col), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
-    df = df.withColumn("_h", hashes)
-    n = F.size("_h")
-    bit_terms = []
-    for i in range(16):
-        ones = F.size(F.filter(F.col("_h"), lambda h: h.bitwiseAND(F.lit(1 << i)) != 0))
-        bit_terms.append(F.when(ones * 2 >= n, F.lit(1 << i)).otherwise(F.lit(0)))
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim + t
-    return df.withColumn(
-        "simhash", F.when(n > 0, sim.cast("bigint")).otherwise(F.lit(None))
-    ).drop("_h")
+
+    def _sim(h: Column) -> Column:
+        n = F.size(h)
+        bit_terms = []
+        for i in range(16):
+            ones = F.size(F.filter(h, lambda x: x.bitwiseAND(F.lit(1 << i)) != 0))
+            bit_terms.append(F.when(ones * 2 >= n, F.lit(1 << i)).otherwise(F.lit(0)))
+        sim = bit_terms[0]
+        for t in bit_terms[1:]:
+            sim = sim + t
+        return F.when(n > 0, sim.cast("bigint")).otherwise(F.lit(None).cast("bigint"))
+
+    return df.withColumn("simhash", F.element_at(F.transform(F.array(hashes), _sim), 1))
 
 
 def jaccard_pairs(
@@ -141,7 +170,7 @@ def jaccard_pairs(
     lang here). This is the VERIFIER stage: at scale it runs on LSH
     candidates, never on the full cross product; standalone use must be
     bounded by the caller (the catalog restricts the id range)."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.col(group_col) if group_col else F.lit(1).alias("g"), shingles(text_col, k).alias("sh")
     ).filter(F.size("sh") > 0)
     a, b = sh.alias("a"), sh.alias("b")

@@ -28,6 +28,7 @@ from datapipeline_spike_spark.operators.dedup import (
 )
 from datapipeline_spike_spark.operators.similarity import brute_force_topk
 from datapipeline_spike_spark.plans.registry import load, register
+from datapipeline_spike_spark.scale import fan_out
 
 R = 6
 
@@ -87,7 +88,7 @@ def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(Tx.token_count("text") > 0)
+    d = fan_out(load(spark, sf_dir, "documents")).filter(Tx.token_count("text") > 0)
     return d.select(
         "doc_id",
         Tx.token_count("text").alias("n_tokens"),
@@ -120,7 +121,7 @@ def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "langid"),
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     toks = Tx.tokens("text")
 
     def hits(lang: str):
@@ -169,20 +170,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id_a", "doc_id_b", F.round("jaccard", R).alias("jaccard"))
 
 
-def _sql_minhash(i: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
-
-
 @register(
     "minhash_lsh_candidates",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, {_SQL_SHINGLES} AS sh
       FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM t
+    ), hx AS (
+      SELECT doc_id, md5(s) AS h1, md5('x|' || s) AS h2 FROM ex
     ), sig AS (
       SELECT doc_id,
-             {", ".join(f"{_sql_minhash(i)} AS mh{i}" for i in range(8))}
-      FROM t WHERE len(sh) > 0
+             {", ".join(f"min(substr(h1, {1 + 8 * i}, 8)) AS mh{i}" for i in range(4))},
+             {", ".join(f"min(substr(h2, {1 + 8 * i}, 8)) AS mh{i + 4}" for i in range(4))}
+      FROM hx GROUP BY doc_id
     ), bands AS (
       {" UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_val FROM sig"
@@ -195,10 +197,12 @@ def _sql_minhash(i: int) -> str:
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """,
-    doc="MinHash-LSH candidate generation WITHOUT a cross join: 8 "
-    "md5-minima -> 4 bands of 2 -> shuffle on band value -> pairs only "
-    "within buckets. P(candidate) ~= 1-(1-J^2)^4. The scale path for "
-    "near-dup dedup at 100 TB.",
+    doc="MinHash-LSH candidate generation WITHOUT a cross join or "
+    "self-join: 8 minhashes (the 32-bit hex words of two md5 digests "
+    "per shingle, min-aggregated) -> 4 bands of 2 -> shuffle on band "
+    "value -> i<j pairs emitted inside each bucket array. "
+    "P(candidate) ~= 1-(1-J^2)^4. The scale path for near-dup dedup "
+    "at 100 TB.",
     tags=("dedup", "lsh"),
 )
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
