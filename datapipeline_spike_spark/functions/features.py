@@ -107,10 +107,17 @@ def arr_kurtosis(c: Column | str) -> Column:
     choice and what the DuckDB oracle's kurtosis_pop returns)."""
     c = _as_col(c)
     n = F.size(c)
-    mean = _sum_pow(c, 1) / n
-    m2 = F.aggregate(c, F.lit(0.0), lambda a, v: a + F.pow(v.cast("double") - mean, F.lit(2))) / n
-    m4 = F.aggregate(c, F.lit(0.0), lambda a, v: a + F.pow(v.cast("double") - mean, F.lit(4))) / n
-    return _guarded(c, F.when(m2 > 0, m4 / F.pow(m2, F.lit(2)) - 3).otherwise(F.lit(None)))
+
+    def _kurt(mean: Column) -> Column:
+        # mean is a bound lambda variable: referencing the raw aggregate
+        # expression inside the m2/m4 lambdas would re-evaluate it per
+        # element (interpreted HOFs inline outer expressions), turning
+        # the two-pass moment computation O(n^2).
+        m2 = F.aggregate(c, F.lit(0.0), lambda a, v: a + F.pow(v.cast("double") - mean, F.lit(2))) / n
+        m4 = F.aggregate(c, F.lit(0.0), lambda a, v: a + F.pow(v.cast("double") - mean, F.lit(4))) / n
+        return F.when(m2 > 0, m4 / F.pow(m2, F.lit(2)) - 3).otherwise(F.lit(None))
+
+    return _guarded(c, F.element_at(F.transform(F.array(_sum_pow(c, 1) / n), _kurt), 1))
 
 
 def arr_energy(c: Column | str) -> Column:

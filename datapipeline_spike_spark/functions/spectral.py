@@ -56,17 +56,24 @@ def spectral_energy_fft(batch: pd.Series) -> pd.Series:
     return batch.map(one)
 
 
-def pca_reduce_groups(df, group_cols, feature_cols, k=2):
+def pca_reduce_groups(df, group_cols, feature_cols, k=2, carry_cols=()):
     """Per-group PCA via applyInPandas (reference 'reduced_features'):
     projects each row onto the group's top-k principal components.
-    Deterministic: components' dominant loading forced positive.
+    Deterministic: components' dominant loading forced positive, and the
+    principal axes derive from X^T X, which is invariant to the
+    (nondeterministic) row order Spark hands each group in.
+
+    ``carry_cols`` pass through untouched (e.g. a window timestamp that
+    identifies rows but must not enter the feature matrix).
 
     Scale note: each group must fit in one executor's memory (the
     reference's groups are per-machine-minute — tiny); global PCA at
     100 TB would use a distributed Gram-matrix accumulation instead.
     """
+    carry_cols = list(carry_cols)
     out_schema = T.StructType(
         [df.schema[c] for c in group_cols]
+        + [df.schema[c] for c in carry_cols]
         + [df.schema[c] for c in feature_cols]
         + [T.StructField(f"pc{i+1}", T.DoubleType()) for i in range(k)]
     )
@@ -83,7 +90,7 @@ def pca_reduce_groups(df, group_cols, feature_cols, k=2):
             if comps[i, j] < 0:
                 comps[i] = -comps[i]
         proj = xc @ comps.T
-        res = pdf[list(group_cols) + list(feature_cols)].copy()
+        res = pdf[list(group_cols) + carry_cols + list(feature_cols)].copy()
         for i in range(k):
             res[f"pc{i+1}"] = proj[:, i] if i < comps.shape[0] else np.nan
         return res

@@ -43,5 +43,11 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 def l2_normalize(a: Column | str) -> Column:
     a = _as_col(a)
-    n = l2_norm(a)
-    return F.when(n > 0, F.transform(a, lambda v: v.cast("double") / n)).otherwise(F.lit(None))
+
+    def _scale(n: Column) -> Column:
+        # n bound as a lambda variable — referencing the l2_norm
+        # expression inside the transform lambda would recompute the
+        # full-array norm once per element (O(d^2) per row).
+        return F.when(n > 0, F.transform(a, lambda v: v.cast("double") / n)).otherwise(F.lit(None))
+
+    return F.element_at(F.transform(F.array(l2_norm(a)), _scale), 1)

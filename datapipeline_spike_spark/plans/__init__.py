@@ -7,3 +7,4 @@ from datapipeline_spike_spark.plans import catalog  # noqa: F401  (populates REG
 from datapipeline_spike_spark.plans import catalog_relational  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_events  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_extensions  # noqa: F401
+from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401

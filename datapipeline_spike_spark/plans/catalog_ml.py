@@ -1,0 +1,185 @@
+"""ML-adjacent catalog queries: frequency-domain features (SURVEY.md
+§2.4 A6/A7), per-group PCA dimensionality reduction (§4 "reduced
+features", reference/README.md:472-483), and the LSH-bucketed ANN scale
+path for similarity search (§2.11).
+
+Oracle notes:
+- ``spectral_energy`` is the engine's one FFT-vs-SQL differential test:
+  Spark computes mean signal power through a full FFT (sum|X|^2 / n^2,
+  Parseval) in an Arrow pandas UDF, while the DuckDB oracle computes the
+  time-domain avg(value^2) — agreement to 4 decimals proves the
+  frequency-domain convention is calibrated.
+- ``dominant_frequency`` and ``pca_reduce`` have NO oracle (argmax of an
+  FFT magnitude and an SVD are not SQL-expressible) — the driver records
+  the weaker rows-only check, per the contract.
+- ``ann_lsh_bucket`` IS fully oracle-checked: the deterministic
+  splitmix-generated hyperplanes are inlined into the SQL as literals,
+  so DuckDB replays bucket assignment, multi-probe, and ranking exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.functions.spectral import (
+    dominant_frequency_bin,
+    pca_reduce_groups,
+    spectral_energy_fft,
+)
+from datapipeline_spike_spark.operators.similarity import _plane, lsh_bucket_topk
+from datapipeline_spike_spark.plans.catalog import q_vibration_features
+from datapipeline_spike_spark.plans.registry import load, register
+
+R = 6
+EMB_DIM = 64
+N_PLANES = 4
+
+
+def _windowed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (day, status) sample batches: values sorted by (ts, value) so
+    order-sensitive frequency-domain features are deterministic. This is
+    the batch stand-in for the reference's 60-sample collection window
+    (reference/TechSpikeDataPipeline.md:55-65). collect_list is bounded
+    by the window size — the 100 TB failure mode (unbounded group) can't
+    occur by construction."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("samples"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type").alias("status_code"),
+            F.transform("samples", lambda s: s["value"]).alias("vals"),
+        )
+    )
+
+
+@register(
+    "spectral_energy",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type                               AS status_code,
+           count(*)                                 AS n_samples,
+           round(avg(value * value), 4)             AS mean_power
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="""A7 calculateSpectralEnergy (reference/README.md:465) as a
+    differential test: Spark runs the FULL FFT per window batch
+    (pandas UDF, Arrow) and reports mean power sum|X|^2/n^2; the oracle
+    computes time-domain avg(v^2). Parseval says they're equal — a
+    4-decimal hash match calibrates the engine's FFT conventions
+    against a non-FFT reference implementation.""",
+    tags=("spectral", "pandas_udf", "window"),
+)
+def q_spectral_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _windowed_samples(spark, sf_dir)
+    return w.select(
+        "window_start",
+        "status_code",
+        F.size("vals").cast("long").alias("n_samples"),
+        F.round(spectral_energy_fft("vals") / F.size("vals"), 4).alias("mean_power"),
+    )
+
+
+@register(
+    "dominant_frequency",
+    oracle=None,  # argmax|rfft| is not SQL-expressible -> rows-only check
+    doc="""A6 calculateDominantFrequency (reference/README.md:464):
+    bin of max |rfft| magnitude, DC excluded, per (day, status) window
+    batch; multiply by fs/n for Hz. Arrow pandas UDF over the sorted
+    sample array (SURVEY.md §7.4 item 3 pins the conventions).""",
+    tags=("spectral", "pandas_udf", "window", "rows-only"),
+)
+def q_dominant_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _windowed_samples(spark, sf_dir)
+    return w.select(
+        "window_start",
+        "status_code",
+        F.size("vals").cast("long").alias("n_samples"),
+        dominant_frequency_bin("vals").alias("dominant_bin"),
+    )
+
+
+@register(
+    "pca_reduce",
+    oracle=None,  # SVD is not SQL-expressible -> rows-only check
+    doc="""Dimensionality reduction (reference/README.md:472-483
+    reduced_features, 'PCA to 3 components'): per-status PCA over the
+    5 windowed vibration features, projecting each window onto the top-2
+    principal axes. applyInPandas group-map; deterministic sign
+    normalization (functions/spectral.py). Input features are the
+    oracle-checked vibration_features output, so only the SVD itself is
+    uncheckable.""",
+    tags=("ml", "pca", "rows-only"),
+)
+def q_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = q_vibration_features(spark, sf_dir).na.drop(
+        subset=["rms", "peak", "peak_to_peak", "crest_factor", "kurtosis"]
+    )
+    return pca_reduce_groups(
+        feats,
+        group_cols=["status_code"],
+        feature_cols=["rms", "peak", "peak_to_peak", "crest_factor", "kurtosis"],
+        k=2,
+        carry_cols=["window_start"],
+    )
+
+
+def _sql_plane_literal(seed: int) -> str:
+    return "[" + ", ".join(repr(x) for x in _plane(EMB_DIM, seed)) + "]"
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_inner_product({vec_expr}, {_sql_plane_literal(p + 1)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+
+@register(
+    "ann_lsh_bucket",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ), q0 AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ), qb AS (
+      SELECT query_id, qv,
+             unnest([bucket, {", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))}]) AS bucket
+      FROM q0
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), {R}) AS cos_sim
+      FROM cb JOIN qb USING (bucket)
+      WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="""ANN scale path (SURVEY.md §2.11): random-hyperplane LSH
+    buckets + Hamming-1 multi-probe replace the brute-force cross join —
+    candidates come from a bucket equi-join, a ~2^planes fan-in
+    reduction. Hyperplanes are splitmix-hash generated (no RNG state),
+    inlined into the oracle SQL as literals so DuckDB replays the exact
+    bucketing; brute-force recall is proven in tests.""",
+    tags=("similarity", "embedding", "lsh"),
+)
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=EMB_DIM, k=5, n_planes=N_PLANES
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )

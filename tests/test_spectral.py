@@ -1,0 +1,113 @@
+"""Frequency-domain features, PCA reduction, and LSH-ANN semantics.
+
+The FFT conventions (rfft, DC-excluded argmax, Parseval energy) are
+pinned in functions/spectral.py; these tests verify them against numpy
+ground truth and prove ANN recall that the driver's rows-only check
+can't see.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.functions.features import arr_energy
+from datapipeline_spike_spark.functions.spectral import (
+    dominant_frequency_bin,
+    pca_reduce_groups,
+    spectral_energy_fft,
+)
+from datapipeline_spike_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+
+
+def test_parseval_fft_energy_equals_time_domain(spark):
+    """sum|FFT|^2 / n == sum v^2 — the documented A7 convention."""
+    arrays = [
+        [float(v) for v in (9, 19, -68, -29, 27, 74, -35, -11, 23, 3)],
+        [1.0, -1.0, 1.0, -1.0],
+        [5.0],
+    ]
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(arrays)], "id long, v array<double>")
+    rows = df.select(
+        "id",
+        spectral_energy_fft("v").alias("fft_energy"),
+        arr_energy("v").alias("time_energy"),
+    ).collect()
+    for r in rows:
+        assert r["fft_energy"] == pytest.approx(r["time_energy"], rel=1e-9)
+
+
+def test_dominant_frequency_finds_planted_sine(spark):
+    n, bin_true = 64, 5
+    t = np.arange(n)
+    sine = np.sin(2 * math.pi * bin_true * t / n)
+    noise = 0.01 * np.cos(2 * math.pi * 11 * t / n)
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in sine + noise]), (1, [1.0]), (2, None)],
+        "id long, v array<double>",
+    )
+    got = {r["id"]: r["b"] for r in df.select("id", dominant_frequency_bin("v").alias("b")).collect()}
+    assert got[0] == float(bin_true)
+    assert got[1] is None  # too short for a non-DC bin
+    assert got[2] is None
+
+
+def test_pca_projects_onto_dominant_axis(spark):
+    # points on a line y = 2x (+ tiny z noise): pc1 captures ~all variance
+    rows = [("g", float(x), 2.0 * x, 0.001 * (x % 3)) for x in range(-5, 6)]
+    df = spark.createDataFrame(rows, "grp string, f1 double, f2 double, f3 double")
+    out = pca_reduce_groups(df, ["grp"], ["f1", "f2", "f3"], k=2).toPandas()
+    assert len(out) == 11
+    var1, var2 = out["pc1"].var(), out["pc2"].var()
+    assert var1 > 100 * var2
+    # projection of the centered line onto pc1 keeps spacing sqrt(5)*dx
+    spread = sorted(out["pc1"])
+    diffs = np.diff(spread)
+    assert np.allclose(diffs, diffs[0], atol=1e-3)
+
+
+def test_pca_carry_cols_pass_through(spark):
+    rows = [("g", i, float(i), float(2 * i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, tag long, f1 double, f2 double")
+    out = pca_reduce_groups(df, ["grp"], ["f1", "f2"], k=1, carry_cols=["tag"]).toPandas()
+    assert sorted(out["tag"]) == [0, 1, 2, 3]
+    assert list(out.columns) == ["grp", "tag", "f1", "f2", "pc1"]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant: vec 40 = exact copy of vec 0; vec 41 = tiny perturbation of vec 1
+    rows.append((40, [float(x) for x in base[0]]))
+    rows.append((41, [float(x) for x in base[1] + 0.001 * rng.normal(size=16).astype("float32")]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact_neighbors(vectors):
+    out = brute_force_topk(vectors, vectors.filter(F.col("vec_id") < 2), k=3)
+    top = {r["query_id"]: r["neighbor_id"] for r in out.filter(F.col("rank") == 1).collect()}
+    assert top[0] == 40  # exact copy is rank 1
+    assert top[1] == 41  # near-copy is rank 1
+
+
+def test_lsh_bucket_recalls_identical_and_near_vectors(vectors):
+    out = lsh_bucket_topk(
+        vectors, vectors.filter(F.col("vec_id") < 2), dim=16, k=3, n_planes=4
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    # an identical vector lands in the identical bucket — guaranteed recall
+    assert (0, 40) in got
+    # near-duplicate straddles at most one hyperplane w.h.p.; multiprobe
+    # (Hamming-1) recovers it
+    assert (1, 41) in got
+    # ranks are 1..k per query with no self-pairs
+    for r in out.collect():
+        assert 1 <= r["rank"] <= 3 and r["neighbor_id"] != r["query_id"]
