@@ -83,6 +83,37 @@ def lsh_bucket_assign(
     return df.withColumn("bucket", bucket)
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (SURVEY.md §2.11): the
+    pair analogue of ``lsh_bucket_topk`` — candidate pairs come from a
+    bucket equi self-join (i<j), then the exact cosine filter keeps
+    pairs >= threshold. Recall bound: a pair is missed only when the two
+    vectors straddle >=1 of the n_planes hyperplanes; for truly
+    near-identical vectors P(straddle) -> 0. At 100 TB the bucket join
+    shuffles on the bucket key; use more planes to shrink buckets (at
+    recall cost) or run exact dedup first to collapse identical rows."""
+    b = lsh_bucket_assign(corpus, dim, n_planes, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "bucket"
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

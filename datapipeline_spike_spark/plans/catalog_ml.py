@@ -27,7 +27,11 @@ from datapipeline_spike_spark.functions.spectral import (
     pca_reduce_groups,
     spectral_energy_fft,
 )
-from datapipeline_spike_spark.operators.similarity import _plane, lsh_bucket_topk
+from datapipeline_spike_spark.operators.similarity import (
+    _plane,
+    cosine_neardup_pairs,
+    lsh_bucket_topk,
+)
 from datapipeline_spike_spark.plans.catalog import q_vibration_features
 from datapipeline_spike_spark.plans.registry import load, register
 
@@ -182,4 +186,35 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+NEARDUP_THRESHOLD = 0.4  # synthetic corpus has no true dups; 0.4 keeps the tail
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, c.v), {R}) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_cosine_similarity(a.v, c.v), {R}) >= {NEARDUP_THRESHOLD}
+    """,
+    doc="""Embedding-cosine near-dup detection (SURVEY.md §2.11 dedup
+    family): LSH bucket equi self-join generates candidate pairs (never
+    a cross join), exact cosine verifies. Same inlined-hyperplane oracle
+    replay as ann_lsh_bucket. Threshold 0.4 because the synthetic corpus
+    plants no true duplicates (max same-bucket cosine ~0.49); planted
+    near-dup recall is proven in tests/test_spectral.py.""",
+    tags=("dedup", "embedding", "lsh"),
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(
+        emb, dim=EMB_DIM, threshold=NEARDUP_THRESHOLD, n_planes=N_PLANES
     )

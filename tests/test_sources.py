@@ -71,3 +71,39 @@ def test_spectral_parity_and_dominant_bin(spark):
     ).collect()[0]
     assert row["bin"] == float(cycles)
     assert abs(row["e_fft"] - row["e_time"]) < 1e-6  # Parseval twin
+
+
+def test_warehouse_bucketed_table_roundtrip(spark, sf_dir):
+    """S8: bucketed managed table — bucket spec recorded, rows intact,
+    and a groupBy on the bucket key plans without an exchange."""
+    import tempfile
+
+    from datapipeline_spike_spark.sources.warehouse import write_bucketed_table
+
+    root = tempfile.mkdtemp(prefix="warehouse_")
+    try:
+        feats = (
+            load(spark, sf_dir, "events")
+            .limit(2000)
+            .select(F.col("ts").alias("SourceTimestamp"), "event_type", "value")
+        )
+        expected = feats.count()
+        write_bucketed_table(feats, "wh_features", f"{root}/wh_features", n_buckets=8)
+        back = spark.table("wh_features")
+        assert back.count() == expected > 0
+        ddl = spark.sql("DESCRIBE EXTENDED wh_features").toPandas()
+        meta = dict(zip(ddl["col_name"], ddl["data_type"]))
+        assert meta.get("Num Buckets") == "8"
+        assert "SourceTimestamp" in meta.get("Bucket Columns", "")
+        # bucketed scan feeds the aggregation pre-shuffled: no Exchange
+        agg_plan = (
+            back.groupBy("SourceTimestamp")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wh_features")
+        shutil.rmtree(root, ignore_errors=True)

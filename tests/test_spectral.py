@@ -111,3 +111,14 @@ def test_lsh_bucket_recalls_identical_and_near_vectors(vectors):
     # ranks are 1..k per query with no self-pairs
     for r in out.collect():
         assert 1 <= r["rank"] <= 3 and r["neighbor_id"] != r["query_id"]
+
+
+def test_cosine_neardup_finds_planted_pairs(vectors):
+    from datapipeline_spike_spark.operators.similarity import cosine_neardup_pairs
+
+    out = cosine_neardup_pairs(vectors, dim=16, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+    assert got[(0, 40)] == 1.0  # identical vectors share a bucket by construction
+    assert (1, 41) in got and got[(1, 41)] > 0.99
+    # threshold filters unrelated random pairs out
+    assert all(k in {(0, 40), (1, 41)} for k in got)

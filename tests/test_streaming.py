@@ -119,3 +119,45 @@ def test_fanout_dlq_routes_invalid(spark, events_dir):
         assert '"value"' in sample["original_message"] and sample["error_count"] == 0
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+def test_stateful_tracking_matches_batch_counts(spark, events_dir):
+    """ST4: GroupState counters across micro-batches equal batch
+    aggregation; state persists between batches (update mode keeps the
+    LAST row per key the latest cumulative truth)."""
+    from datapipeline_spike_spark.streaming.state import track_processing_state
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(events_dir)
+    tracked = track_processing_state(stream, key_col="machine", invalid_above=100.0)
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import pandas as pd
+
+        got = spark.sql("SELECT * FROM state_stream").toPandas()
+        # last emission per key = cumulative totals
+        final = got.groupby("key").last()
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy("machine")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("value") > 100.0).cast("long")).alias("bad"),
+                F.max("ts").alias("last_ts"),
+            )
+            .toPandas()
+            .set_index("machine")
+        )
+        for m in batch.index:
+            assert final.loc[m, "n_records"] == batch.loc[m, "n"]
+            assert final.loc[m, "n_invalid"] == batch.loc[m, "bad"]
+            assert pd.Timestamp(final.loc[m, "last_ts"]) == pd.Timestamp(batch.loc[m, "last_ts"])
+        assert set(final["state"]) <= {"processing", "degraded"}
+    finally:
+        q.stop()
