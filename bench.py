@@ -30,7 +30,10 @@ HEADLINE = [
     "doc_fingerprint_dedup",   # exact dedup
     "minhash_lsh_candidates",  # LSH banding
     "simhash_signatures",
+    "dedup_corpus_assignment", # end-to-end dedup incl. connected components
     "embedding_topk_cosine",   # similarity search
+    "ann_lsh_bucket",          # LSH-bucketed ANN + multiprobe
+    "spectral_energy",         # FFT pandas-udf path
     "text_quality_profile",
 ]
 

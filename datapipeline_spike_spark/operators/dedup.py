@@ -128,6 +128,107 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation: every vertex
+    starts labeled with its own id; each round it takes the min of its
+    own and its neighbors' labels; converges in O(component diameter)
+    rounds. Returns (id, component).
+
+    Scale notes: each round is one shuffle (join + groupBy-min);
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't re-run rounds 1..N-1. Diameters of near-dup clusters are
+    tiny (dups of dups), so the loop is effectively 2-4 rounds; for
+    adversarial graphs use the large-star/small-star variant
+    (alternating min-propagation that contracts paths exponentially).
+    The driver only ever collects a 1-row convergence count."""
+    # materialize both loop inputs ONCE: without this every round's join
+    # re-executes the full upstream pipeline that produced the edges
+    # (LSH + verification) — O(rounds) recompute of the expensive part
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neigh = sym.join(labels, sym["d"] == labels["id"]).select(
+            F.col("s").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """END-TO-END corpus dedup — the full 100 TB pipeline in one call:
+
+    1. exact collapse: md5-fingerprint groupBy maps every doc to its
+       group-minimum representative (identical docs never reach LSH, so
+       boilerplate clusters can't blow up a band bucket);
+    2. MinHash-LSH candidate pairs among representatives only;
+    3. exact n-gram Jaccard verification of candidates (>= threshold);
+    4. connected components over verified edges (transitive closure:
+       A~B~C merge even when A!~C);
+    5. every doc mapped through exact-rep -> component minimum.
+
+    Returns (id_col, canonical_id). Docs with no duplicates map to
+    themselves."""
+    base = fan_out(df).select(F.col(id_col), F.col(text_col))
+    fp = base.withColumn("fingerprint", fingerprint_md5(text_col))
+    rep_map = fp.join(
+        fp.groupBy("fingerprint").agg(F.min(id_col).alias("exact_rep")), "fingerprint"
+    ).select(id_col, "exact_rep")
+    # three consumers (LSH candidates, shingle verification, component
+    # vertices) — persist so the scan+fingerprint+join runs once; spills
+    # to disk rather than pinning memory at corpus scale
+    reps = base.join(
+        rep_map.filter(F.col(id_col) == F.col("exact_rep")).select(id_col), id_col
+    ).persist()
+    cand = lsh_candidate_pairs(reps, text_col, id_col, n_hashes, band_rows)
+    sh = reps.select(F.col(id_col).alias("sid"), shingles(text_col, k=3).alias("sh"))
+    sha = sh.select(F.col("sid").alias("aid"), F.col("sh").alias("a_sh"))
+    shb = sh.select(F.col("sid").alias("bid"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    edges = (
+        cand.join(sha, cand["doc_id_a"] == sha["aid"])
+        .join(shb, cand["doc_id_b"] == shb["bid"])
+        .filter((inter.cast("double") / union) >= jaccard_threshold)
+        .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    )
+    comp = connected_components(edges, reps.select(F.col(id_col).alias("id")))
+    return rep_map.join(comp, rep_map["exact_rep"] == comp["id"]).select(
+        F.col(id_col), F.col("comp").alias("canonical_id")
+    )
+
+
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over the token multiset (map-only). Bit i is set
     when more token-hashes have bit i set than cleared. Hash = first 8

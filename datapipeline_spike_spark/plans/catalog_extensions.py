@@ -8,10 +8,10 @@ Oracle portability techniques:
 - MinHash values are lexicographic minima of hex STRINGS (portable
   compare, no modular arithmetic drift);
 - similarity ranks are computed on ROUNDED scores with id tiebreaks;
-- the synthetic corpus has no real near-duplicates (max 3-shingle
-  Jaccard ~= 0.03), so pair queries use low candidate thresholds; the
-  recall/precision semantics are proven on planted near-dups in
-  tests/test_dedup.py.
+- the documents corpus plants real near-duplicate clusters (top
+  candidate-pair 3-shingle Jaccard ~0.99, including transitive chains),
+  so the LSH/Jaccard/component queries exercise true merges; planted
+  edge-case recall is additionally proven in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -207,6 +207,74 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_corpus_assignment",
+    oracle=f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    ), rep AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS exact_rep FROM fp
+    ), reps AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN rep r ON d.doc_id = r.doc_id AND r.doc_id = r.exact_rep
+    ), t AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM reps)
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM t
+    ), hx AS (
+      SELECT doc_id, md5(s) AS h1, md5('x|' || s) AS h2 FROM ex
+    ), sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(substr(h1, {1 + 8 * i}, 8)) AS mh{i}" for i in range(4))},
+             {", ".join(f"min(substr(h2, {1 + 8 * i}, 8)) AS mh{i + 4}" for i in range(4))}
+      FROM hx GROUP BY doc_id
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_val FROM sig"
+        for b in range(4)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT c.ida, c.idb FROM cand c
+      JOIN t ta ON ta.doc_id = c.ida
+      JOIN t tb ON tb.doc_id = c.idb
+      WHERE len(list_intersect(ta.sh, tb.sh)) * 1.0
+            / len(list_distinct(ta.sh || tb.sh)) >= 0.8
+    ), esym AS (
+      SELECT ida AS s, idb AS d FROM edges
+      UNION ALL SELECT idb, ida FROM edges
+    ), closure AS (
+      SELECT doc_id AS a, doc_id AS b FROM reps
+      UNION
+      SELECT c.a, e.d FROM closure c JOIN esym e ON c.b = e.s
+    ), comp AS (
+      SELECT a AS id, min(b) AS comp FROM closure GROUP BY a
+    )
+    SELECT r.doc_id AS doc_id, c.comp AS canonical_id
+    FROM rep r JOIN comp c ON r.exact_rep = c.id
+    """,
+    doc="""END-TO-END dedup pipeline as one oracle-checked query: exact
+    fingerprint collapse -> MinHash-LSH candidates among representatives
+    -> 3-shingle Jaccard >= 0.8 verification -> connected components
+    (min-label propagation on Spark; recursive-CTE transitive closure in
+    the DuckDB replay) -> every document assigned its canonical id.
+    Transitive merges (A~B~C with A!~C) are exercised by the corpus's
+    planted chains. The Spark loop shuffles once per round, truncates
+    lineage via localCheckpoint, and collects only a 1-row convergence
+    probe.""",
+    tags=("dedup", "lsh", "components", "pipeline"),
+)
+def q_dedup_corpus_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.dedup import dedup_corpus
+
+    return dedup_corpus(load(spark, sf_dir, "documents"), jaccard_threshold=0.8)
 
 
 def _sql_simhash() -> str:

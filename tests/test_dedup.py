@@ -72,3 +72,25 @@ def test_empty_shingles_excluded_from_pairs(docs):
     pairs = jaccard_pairs(docs, threshold=0.0).select("doc_id_a", "doc_id_b").collect()
     ids = {x for r in pairs for x in (r["doc_id_a"], r["doc_id_b"])}
     assert 5 not in ids
+
+
+def test_connected_components_merges_chains(spark):
+    from datapipeline_spike_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)], "id long")
+    comp = {r["id"]: r["comp"] for r in connected_components(edges, verts).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1   # chain merges transitively
+    assert comp[7] == comp[8] == 7
+    assert comp[9] == 9                          # isolated vertex maps to itself
+
+
+def test_dedup_corpus_end_to_end(spark, docs):
+    """Exact copies collapse without LSH; near-dups merge via verified
+    edges; unrelated and tiny docs stay their own canonicals."""
+    from datapipeline_spike_spark.operators.dedup import dedup_corpus
+
+    out = {r["doc_id"]: r["canonical_id"] for r in dedup_corpus(docs, jaccard_threshold=0.7).collect()}
+    assert out[0] == out[1] == out[2] == 0  # exact + normalized copies
+    assert out[3] == 0                      # near-dup joins the cluster
+    assert out[4] == 4 and out[5] == 5      # unrelated and <3-token docs

@@ -1,0 +1,113 @@
+"""Property-based tests (SURVEY.md §5.2 item 3, Hypothesis): feature
+invariants, null/empty semantics, dedup idempotence, shingle algebra.
+Each example batches many generated rows into ONE DataFrame so a
+property run costs one Spark job, not one per case."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.functions import features as feat
+from datapipeline_spike_spark.functions.text import shingles, tokens
+from datapipeline_spike_spark.operators.dedup import exact_dedup
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+arrays = st.lists(
+    st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=40),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(batches=arrays)
+@PROP
+def test_feature_invariants(spark, batches):
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(batches)], "i long, arr array<int>")
+    rows = df.select(
+        "i",
+        feat.arr_rms("arr").alias("rms"),
+        feat.arr_peak("arr").alias("peak"),
+        feat.arr_peak_to_peak("arr").alias("p2p"),
+        feat.arr_crest_factor("arr").alias("crest"),
+        feat.arr_kurtosis("arr").alias("kurt"),
+        feat.arr_energy("arr").alias("energy"),
+        feat.arr_mean("arr").alias("mean"),
+    ).collect()
+    for r in rows:
+        a = batches[r["i"]]
+        n = len(a)
+        assert r["rms"] >= 0
+        assert r["peak"] >= abs(r["mean"]) - 1e-9      # max|v| >= |mean|
+        assert r["peak"] + 1e-9 >= r["rms"]            # max|v| >= rms
+        assert r["p2p"] >= 0
+        assert r["energy"] == pytest.approx(n * r["rms"] ** 2, rel=1e-9)
+        if r["crest"] is not None:
+            assert r["crest"] >= 1 - 1e-12
+        if r["kurt"] is not None:
+            assert r["kurt"] >= -2 - 1e-9              # population excess lower bound
+        # cross-check against a pure-python mirror
+        rms_py = math.sqrt(sum(v * v for v in a) / n)
+        assert r["rms"] == pytest.approx(rms_py, rel=1e-12)
+
+
+def test_null_and_empty_propagation(spark):
+    df = spark.createDataFrame([([],), (None,)], "arr array<int>")
+    rows = df.select(
+        feat.arr_rms("arr").alias("rms"),
+        feat.arr_peak("arr").alias("peak"),
+        feat.arr_kurtosis("arr").alias("kurt"),
+        feat.arr_energy("arr").alias("energy"),
+    ).collect()
+    for r in rows:
+        assert all(v is None for v in r)
+
+
+texts = st.lists(
+    st.text(alphabet="abc XYZ0'.,!", min_size=0, max_size=60),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=texts)
+@PROP
+def test_shingle_algebra(spark, docs):
+    """|shingles| <= max(0, n_tokens - k + 1); every shingle has k
+    tokens; <k-token docs shingle to empty."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i long, text string")
+    rows = df.select(
+        "i", F.size(tokens("text")).alias("nt"), shingles("text", 3).alias("sh")
+    ).collect()
+    for r in rows:
+        if r["nt"] < 3:
+            assert r["sh"] == []
+        else:
+            assert 1 <= len(r["sh"]) <= r["nt"] - 2
+            assert all(len(s.split(" ")) == 3 for s in r["sh"])
+            assert len(set(r["sh"])) == len(r["sh"])  # distinct
+
+
+@given(docs=texts)
+@PROP
+def test_exact_dedup_partitions_the_corpus(spark, docs):
+    """Group sizes sum to the corpus size; canonical ids are group
+    minima; re-deduplicating the canonical set is the identity."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    assert sum(r["n_copies"] for r in out) == len(docs)
+    canon = {r["canonical_id"] for r in out}
+    assert len(canon) == len(out)
+    survivors = df.filter(F.col("doc_id").isin(canon))
+    again = exact_dedup(survivors).collect()
+    assert len(again) == len(out)
+    assert all(r["n_copies"] == 1 for r in again)
