@@ -44,6 +44,15 @@ def main() -> None:
     spark = get_session("bench")
     # JVM/codegen warmup on a trivial action so query 1 isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python-worker + Arrow warmup so the first pandas-UDF query isn't
+    # charged for the worker fork
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.functions.spectral import spectral_energy_fft
+
+    spark.range(100).select(
+        spectral_energy_fft(F.array(F.col("id").cast("double")))
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

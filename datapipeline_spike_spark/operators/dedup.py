@@ -159,23 +159,21 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
+    # labels only ever decrease, so sum(comp) is strictly monotone until
+    # convergence — a scan of the just-checkpointed frame detects the
+    # fixed point without the join a row-diff would need
+    total = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iterations):
         neigh = sym.join(labels, sym["d"] == labels["id"]).select(
             F.col("s").alias("id"), F.col("comp")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neigh).groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_total = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_total == total:
             break
+        total = new_total
     return labels
 
 
@@ -200,11 +198,17 @@ def dedup_corpus(
 
     Returns (id_col, canonical_id). Docs with no duplicates map to
     themselves."""
+    from pyspark.sql import Window
+
     base = fan_out(df).select(F.col(id_col), F.col(text_col))
-    fp = base.withColumn("fingerprint", fingerprint_md5(text_col))
-    rep_map = fp.join(
-        fp.groupBy("fingerprint").agg(F.min(id_col).alias("exact_rep")), "fingerprint"
-    ).select(id_col, "exact_rep")
+    # min-over-fingerprint-partition: one shuffle, no self-join (a join
+    # against groupBy(min) would scan + fingerprint the corpus twice)
+    rep_map = base.select(
+        F.col(id_col),
+        F.min(id_col)
+        .over(Window.partitionBy(fingerprint_md5(text_col)))
+        .alias("exact_rep"),
+    )
     # three consumers (LSH candidates, shingle verification, component
     # vertices) — persist so the scan+fingerprint+join runs once; spills
     # to disk rather than pinning memory at corpus scale
@@ -224,6 +228,9 @@ def dedup_corpus(
         .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     )
     comp = connected_components(edges, reps.select(F.col(id_col).alias("id")))
+    # comp is eagerly checkpointed (as is the edge set), so nothing
+    # downstream re-reads reps — release the cache now
+    reps.unpersist()
     return rep_map.join(comp, rep_map["exact_rep"] == comp["id"]).select(
         F.col(id_col), F.col("comp").alias("canonical_id")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_norm
+from datapipeline_spike_spark.scale import fan_out
 
 
 def brute_force_topk(
@@ -40,7 +41,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     scored = (
@@ -99,7 +100,7 @@ def cosine_neardup_pairs(
     near-identical vectors P(straddle) -> 0. At 100 TB the bucket join
     shuffles on the bucket key; use more planes to shrink buckets (at
     recall cost) or run exact dedup first to collapse identical rows."""
-    b = lsh_bucket_assign(corpus, dim, n_planes, vec_col).select(
+    b = lsh_bucket_assign(fan_out(corpus), dim, n_planes, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "bucket"
     )
     a, c = b.alias("a"), b.alias("c")
@@ -131,7 +132,7 @@ def lsh_bucket_topk(
     standard recall fix for sign-LSH: near neighbors that straddle one
     hyperplane are recovered at (n_planes+1)x candidate cost, still
     exponentially cheaper than the full scan)."""
-    cb = lsh_bucket_assign(corpus, dim, n_planes, vec_col).select(
+    cb = lsh_bucket_assign(fan_out(corpus), dim, n_planes, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         "bucket",
