@@ -84,6 +84,78 @@ def lsh_bucket_assign(
     return df.withColumn("bucket", bucket)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: the inverted-file counterpart of ``lsh_bucket_topk``.
+
+    Index build (driver-side, tiny): the coarse quantizer is the
+    ``n_centroids`` lowest-id corpus vectors — deterministic and
+    RNG-free so the DuckDB oracle can replay it; production would train
+    k-means centroids (pyspark.ml KMeans) and persist them with the
+    index. Centroids are inlined as literals, so corpus assignment is
+    MAP-ONLY (each row picks argmax cosine over 16 literal vectors —
+    no shuffle, unlike a join+window assignment which would shuffle
+    corpus x centroids rows). Queries probe their ``n_probe`` nearest
+    inverted lists; candidates come from the list equi-join.
+
+    Ties broken (higher cos, then lower centroid id) on 6-dp-rounded
+    scores — identical on both engines."""
+    cents = sorted(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .filter(F.col(id_col) < n_centroids)
+        .collect(),
+        key=lambda r: r[0],
+    )
+
+    def nearest(v):  # array<struct<cos, negid>>; lexicographic max = best
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(cosine(v, F.array(*[F.lit(x) for x in c[1]])), 6).alias("cos"),
+                        F.lit(-c[0]).alias("negid"),
+                    )
+                    for c in cents
+                ]
+            )
+        )
+
+    cv = F.col(vec_col).cast("array<double>")
+    assign = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("cv"),
+        (-F.element_at(nearest(cv), len(cents))["negid"]).alias("cent_id"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        cv.alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(nearest(cv), len(cents) - n_probe + 1, n_probe),
+                lambda s: -s["negid"],
+            )
+        ).alias("cent_id"),
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     dim: int,

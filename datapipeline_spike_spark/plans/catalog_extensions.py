@@ -210,6 +210,71 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_frequencies",
+    oracle=f"""
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest({_SQL_TOKS}) AS t FROM documents)
+    GROUP BY 1
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    doc="""Corpus token counting (SURVEY §2.11 text analysis): explode
+    the whitespace/punct tokenizer, count, global top-50 with a
+    deterministic (count desc, token) tie-break. The shuffle carries
+    (token, partial-count) pairs — map-side combine keeps it bounded by
+    vocabulary size, not corpus size.""",
+    tags=("text", "aggregate"),
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(Tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne), keeps h*31+v in exact int64
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0 THEN
+             list_reduce(
+               list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % {ROLLING_MOD}
+             ) % {ROLLING_MOD}
+           END AS rolling_hash
+    FROM t
+    """,
+    doc="""Document fingerprinting via polynomial rolling hash (SURVEY
+    §2.11 text analysis): h = (h*31 + hash(token)) mod 2^31-1 folded
+    left over the token stream — order-sensitive (reordered docs get
+    different prints, unlike the bag-of-shingles MinHash). Token hashes
+    are the first 8 md5 hex chars as uint32; all arithmetic stays exact
+    in int64 on both engines. Map-only, no shuffle.""",
+    tags=("text", "fingerprint"),
+)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = Tx.tokens("text")
+    h = F.aggregate(
+        F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % ROLLING_MOD,
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.size(toks) > 0, h).otherwise(F.lit(None).cast("long")).alias("rolling_hash"),
+    )
+
+
+@register(
     "dedup_corpus_assignment",
     oracle=f"""
     WITH RECURSIVE fp AS (

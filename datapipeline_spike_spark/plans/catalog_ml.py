@@ -30,6 +30,7 @@ from datapipeline_spike_spark.functions.spectral import (
 from datapipeline_spike_spark.operators.similarity import (
     _plane,
     cosine_neardup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from datapipeline_spike_spark.plans.catalog import q_vibration_features
@@ -183,6 +184,60 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     out = lsh_bucket_topk(
         emb, emb.filter(F.col("vec_id") < 5), dim=EMB_DIM, k=5, n_planes=N_PLANES
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_IVF_RANKED = """
+    SELECT vec_id, v, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, cvec), 6) DESC, cent_id) AS rnk
+    FROM e CROSS JOIN c
+"""
+
+
+@register(
+    "ann_ivf_flat",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), assign AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cent_id
+      FROM ({_IVF_RANKED}) WHERE rnk = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cent_id
+      FROM ({_IVF_RANKED.replace("FROM e CROSS JOIN c", "FROM (SELECT * FROM e WHERE vec_id < 5) e CROSS JOIN c")})
+      WHERE rnk <= 2
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), {R}) AS cos_sim
+      FROM assign JOIN probes USING (cent_id)
+      WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="""ANN scale path #2 (SURVEY §2.11): IVF-flat — inverted lists
+    under a deterministic coarse quantizer (the 16 lowest-id vectors;
+    production trains k-means and persists the index). Corpus
+    assignment is map-only against inlined centroid literals (no
+    shuffle); queries probe their 2 nearest lists. Fully oracle-checked:
+    DuckDB recomputes the quantizer, the assignment argmax, multiprobe,
+    and ranking with identical rounded-cosine tie-breaks.""",
+    tags=("similarity", "embedding", "ivf"),
+)
+def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=2
     )
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")

@@ -122,3 +122,17 @@ def test_cosine_neardup_finds_planted_pairs(vectors):
     assert (1, 41) in got and got[(1, 41)] > 0.99
     # threshold filters unrelated random pairs out
     assert all(k in {(0, 40), (1, 41)} for k in got)
+
+
+def test_ivf_topk_recalls_identical_vector(vectors):
+    from datapipeline_spike_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(vectors, vectors.filter(F.col("vec_id") < 2), k=3, n_centroids=8, n_probe=2)
+    rows = out.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # identical vector shares the query's centroid assignment exactly
+    assert (0, 40) in got
+    top = {r["query_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    assert top[0] == 40
+    for r in rows:
+        assert 1 <= r["rank"] <= 3 and r["neighbor_id"] != r["query_id"]
