@@ -22,3 +22,33 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    salt_buckets: int = 8,
+    left_unique_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant large-x-large equi-join: the left side gets a
+    DETERMINISTIC salt (hash of a unique column — rand() would break
+    retries and oracle replay), the right side is replicated once per
+    salt value, and the join key becomes (keys + salt). A hot key's rows
+    now spread over ``salt_buckets`` reducers instead of one straggler
+    task holding the whole key.
+
+    Use when AQE's skew-join splitting can't help (e.g. the hot key's
+    build side also overflows); cost = right side replicated
+    ``salt_buckets``x, so keep the factor small. For broadcast-able
+    right sides just use ``F.broadcast`` — salting is pointless there.
+    """
+    from pyspark.sql import functions as F
+
+    uniq = left_unique_col or left.columns[0]
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(uniq)), F.lit(salt_buckets)))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return l.join(r, [*keys, "_salt"], how).drop("_salt")

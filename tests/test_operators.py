@@ -96,3 +96,23 @@ def test_lsh_topk_recall_vs_bruteforce(emb):
     # exact top-1 must be the true argmax cosine
     top1 = exact.filter(F.col("rank") == 1).count()
     assert top1 == 10
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew-resistant join returns exactly the plain join's rows; the
+    deterministic salt makes it replayable."""
+    from datapipeline_spike_spark.scale import salted_join
+
+    # hot key: 900 of 1000 left rows share key 7
+    left = spark.createDataFrame(
+        [(i, 7 if i < 900 else i % 50, float(i)) for i in range(1000)],
+        "row_id long, k long, v double",
+    )
+    right = spark.createDataFrame([(k, f"dim_{k}") for k in range(50)], "k long, attr string")
+    got = salted_join(left, right, ["k"], salt_buckets=8, left_unique_col="row_id")
+    want = left.join(right, "k")
+    assert got.count() == want.count() == 1000
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # determinism: same result twice
+    again = salted_join(left, right, ["k"], salt_buckets=8, left_unique_col="row_id")
+    assert again.exceptAll(got).count() == 0

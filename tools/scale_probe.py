@@ -1,0 +1,135 @@
+"""Scale probe: amplify the sf0.1 testdata in-memory (union with key
+shifts — testdata itself is read-only) and measure how the headline
+operators scale with input size. Evidence for the 100 TB design claims:
+if an operator's runtime grows super-linearly between 1x and Nx, its
+plan has a hidden bottleneck (driver collect, unbounded state,
+quadratic join) — linear growth means the shape survives scale-up.
+
+Usage: python tools/scale_probe.py [amplification] (default 8)
+Prints one JSON line per probe with rows, seconds, and rows/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datapipeline_spike_spark.functions import features as feat  # noqa: E402
+from datapipeline_spike_spark.operators.dedup import lsh_candidate_pairs  # noqa: E402
+from datapipeline_spike_spark.plans.registry import load  # noqa: E402
+from datapipeline_spike_spark.session import get_session  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def amplify_events(spark, n: int):
+    """n disjoint copies: user ids and event ids shifted per copy so key
+    cardinality scales with data (no artificial mega-hot-keys)."""
+    ev = load(spark, SF_DIR, "events")
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+def amplify_documents(spark, n: int):
+    """Copies must be textually INDEPENDENT: a suffix tag leaves ~all
+    shingles shared, which makes every doc a near-dup of its n-1
+    siblings and sends LSH candidate pairs quadratic BY CONSTRUCTION
+    (the algorithm's documented behavior on dup-dense corpora, not a
+    scaling property). A per-copy letter rotation rewrites most tokens,
+    so copies don't collide and the probe measures honest scaling."""
+    d = load(spark, SF_DIR, "documents")
+    a1, a2 = "etaoinshrd", "lucmfywgpb"
+
+    def mutate(i):
+        if i == 0:
+            return F.col("text")
+        # two independent rotations -> 81 distinct rewrites (one alone
+        # repeats every 9 copies, silently reintroducing exact dups)
+        r1, r2 = i % 9 + 1, i // 9 + 1
+        out = F.translate(F.col("text"), a1, a1[r1:] + a1[:r1])
+        return F.translate(out, a2, a2[r2:] + a2[:r2])
+
+    copies = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            mutate(i).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+def probe(name: str, df_builder, action=lambda d: d.write.format("noop").mode("overwrite").save()):
+    t0 = time.perf_counter()
+    df = df_builder()
+    action(df)
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_session("scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    for amp in (1, n):
+        ev = amplify_events(spark, amp).localCheckpoint(eager=True)
+        rows = ev.count()
+
+        secs = probe(
+            "vibration_features",
+            lambda: ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
+                feat.rms_agg("value").alias("rms"),
+                feat.peak_agg("value").alias("peak"),
+                feat.kurtosis_agg("value").alias("kurt"),
+            ),
+        )
+        print(json.dumps({"probe": "windowed_features", "amp": amp, "rows": rows,
+                          "sec": secs, "rows_per_sec": int(rows / secs)}), flush=True)
+
+        secs = probe(
+            "sessionization",
+            lambda: ev.withColumn(
+                "prev", F.lag("ts").over(
+                    __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                    .partitionBy("user_id").orderBy("ts", "event_id")
+                )
+            ).filter(F.col("prev").isNotNull()),
+        )
+        print(json.dumps({"probe": "keyed_window", "amp": amp, "rows": rows,
+                          "sec": secs, "rows_per_sec": int(rows / secs)}), flush=True)
+        ev.unpersist()
+
+        docs = amplify_documents(spark, amp).localCheckpoint(eager=True)
+        drows = docs.count()
+        secs = probe("lsh", lambda: lsh_candidate_pairs(docs))
+        print(json.dumps({"probe": "minhash_lsh", "amp": amp, "rows": drows,
+                          "sec": secs, "rows_per_sec": int(drows / secs)}), flush=True)
+        docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()
