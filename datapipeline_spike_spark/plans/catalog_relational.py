@@ -446,3 +446,31 @@ def q_order_scalar_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("o_totalprice"), 6).alias("price_ln"),
         F.floor(F.col("o_totalprice") / 10000).cast("bigint").alias("price_bucket"),
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       count(*)                          AS n,
+       round(sum(o_totalprice), 2)       AS total_price,
+       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+       CAST(grouping(o_orderstatus) AS INT)   AS g_status
+FROM {table}
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_orderstatus), ())
+"""
+
+
+@register(
+    "orders_grouping_sets",
+    oracle=_GROUPING_SETS_SQL.format(table="orders"),
+    doc="""Explicit GROUPING SETS (SURVEY §2.4 general aggregation
+    surface, completing rollup/cube) exercised through the spark.sql
+    entry point — the engine's SQL API is first-class, not just the
+    DataFrame DSL. grouping() markers disambiguate NULL group values
+    from NULL data. One shuffle; Catalyst expands the sets into a
+    single Expand+Aggregate.""",
+    tags=("aggregate", "sql-api", "grouping-sets"),
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="orders_gs_v"))

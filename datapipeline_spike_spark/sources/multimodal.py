@@ -83,6 +83,85 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("scale", T.FloatType()),
+        T.StructField("letterbox", T.BooleanType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Aspect-preserving resize plan over decoded media: computes the
+    scale factor and whether letterboxing is needed per item. The pixel
+    transform itself is the stubbed step (no imaging libs here); the
+    geometry math, Arrow batching, and schema are the real contract a
+    PIL/cv2 `im.resize` drop-in would use."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (target_w / pdf["width"]).combine(target_h / pdf["height"], min)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "scale": scale.astype("float32"),
+                    "letterbox": (pdf["width"] * target_h != pdf["height"] * target_w),
+                }
+            )
+
+    return decoded.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_frames(decoded: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling for video media: 1-to-many mapInPandas — each
+    video row fans out to one row per kept frame (indices 0, n, 2n...).
+    The per-frame feature is the stubbed decode feature salted by frame
+    index; a real pipeline decodes the frame bytes here. Output row
+    count is sum(ceil(n_frames/every_n)) over videos — bounded and
+    predictable, no unbounded explode."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video"]
+            if not len(vids):
+                continue
+            rows = []
+            for r in vids.itertuples(index=False):
+                for idx in range(0, int(r.n_frames), every_n):
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": idx,
+                            "n_frames": int(r.n_frames),
+                            "feature": [min(1.0, f + idx / 100.0) for f in r.feature],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture: text bytes as
     the opaque payload (FIXTURES.md §B — stands in for image/audio)."""

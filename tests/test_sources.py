@@ -107,3 +107,30 @@ def test_warehouse_bucketed_table_roundtrip(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS wh_features")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_media,
+        media_from_documents,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(60)
+    decoded = decode_media(media_from_documents(docs))
+    resized = resize_media(decoded, 224, 224).collect()
+    assert len(resized) == 60
+    for r in resized:
+        assert r["scale"] == pytest.approx(min(224 / r["width"], 224 / r["height"]), rel=1e-6)
+        # letterbox iff the aspect ratio differs from the target's
+        assert r["letterbox"] == (r["width"] * 224 != r["height"] * 224)
+
+    frames = sample_frames(decoded, every_n=4)
+    rows = frames.collect()
+    vids = {r["media_id"]: r["n_frames"] for r in decoded.filter("media_type = 'video'").collect()}
+    expected = sum(-(-n // 4) for n in vids.values())  # ceil(n/4) per video
+    assert len(rows) == expected
+    for r in rows:
+        assert r["media_id"] in vids and r["frame_idx"] % 4 == 0
+        assert r["frame_idx"] < r["n_frames"]

@@ -161,3 +161,40 @@ def test_stateful_tracking_matches_batch_counts(spark, events_dir):
         assert set(final["state"]) <= {"processing", "degraded"}
     finally:
         q.stop()
+
+
+def test_rate_source_simulated_opcua_stream(spark):
+    """S2: the OPC UA device feed simulated by the rate source — an
+    UNBOUNDED stream (unlike the file-source tests) driven for a few
+    seconds; update-mode windows emit while the stream runs."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "400").load()
+    records = rate.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("M"), (F.col("value") % 2).cast("string")).alias("machine"),
+        (F.col("value") % 100).cast("double").alias("value"),
+    )
+    feats = vibration_feature_stream(
+        records, ts_col="ts", key_cols=("machine",), value_col="value", window="1 second"
+    )
+    q = (
+        feats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_stream")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        rows = []
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM rate_stream").collect()
+            if len(rows) >= 2:
+                break
+        assert len(rows) >= 2
+        for r in rows:
+            assert r["machine"] in ("M0", "M1")
+            assert r["rms"] is not None and r["rms"] >= 0
+    finally:
+        q.stop()
