@@ -474,3 +474,51 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_
 def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
     return spark.sql(_GROUPING_SETS_SQL.format(table="orders_gs_v"))
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey                                            AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)   AS revenue,
+           o.o_orderdate                                           AS orderdate,
+           o.o_orderpriority                                       AS orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    doc="""TPC-H Q3 shape (shipping priority): selective filters on all
+    three tables pushed to the parquet scans, customer side broadcast,
+    revenue aggregation, global top-10 (TakeOrderedAndProject — no full
+    sort). Deterministic tie-break on orderkey. The canonical
+    'filter-join-agg-topk' plan the optimizer must get right at scale.""",
+    tags=("join", "aggregate", "topk", "tpch"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1995-03-15"
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )

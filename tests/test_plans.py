@@ -1,0 +1,68 @@
+"""Physical-plan assertions: lock in the scale properties the engine
+claims (COVERAGE.md ledger) so a refactor can't silently regress them.
+These read executedPlan strings — brittle on Spark upgrades by design:
+a failure here means 're-audit the plan', which is the point.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return REGISTRY[name].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """pricing_summary filters l_shipdate; the predicate must reach the
+    scan (row-group pruning at 100 TB), not sit in a post-scan Filter
+    only."""
+    plan = _plan(spark, "pricing_summary")
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """revenue_by_segment joins customer->orders->lineitem; dims must
+    broadcast (no sort-merge shuffle of the fact table against a
+    KB-sized dimension)."""
+    plan = _plan(spark, "revenue_by_segment")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_shape_broadcasts_and_takeordered(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # global top-k must be TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_single_aggregation_exchange(spark):
+    """vibration_features is one groupBy: exactly one shuffle, with
+    map-side partial aggregation before it."""
+    plan = _plan(spark, "vibration_features")
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan  # HashAggregate(... partial_...)
+
+
+def test_column_pruning_projects_needed_columns_only(spark):
+    """status_route_counts touches event_type/value; the scan schema
+    must not include props (a wide JSON column)."""
+    df = REGISTRY["status_route_counts"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln or "Scan parquet" in ln)
+    assert "props" not in scan
+
+
+def test_lsh_has_no_cartesian_or_smj(spark):
+    """The dedup path must never plan a cartesian product."""
+    for name in ("minhash_lsh_candidates", "embedding_neardup_pairs"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
