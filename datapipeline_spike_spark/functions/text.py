@@ -55,6 +55,19 @@ def token_count(c: Column | str) -> Column:
     return F.size(tokens(c))
 
 
+BPEISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpeish_tokens(c: Column | str) -> Column:
+    """Finer-grained tokenizer (the 'BPE-ish regex' of SURVEY §2.11):
+    letter runs, digit runs, and individual punctuation marks are
+    separate tokens — approximating how a subword vocabulary splits
+    mixed text, without needing a trained merges table. RE2-compatible
+    pattern so the DuckDB oracle uses it verbatim."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(F.lower(c), F.lit(BPEISH_PATTERN), 0)
+
+
 def avg_token_len(c: Column | str) -> Column:
     t = tokens(c)
     return F.when(

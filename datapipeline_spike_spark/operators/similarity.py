@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_norm
+from datapipeline_spike_spark.functions.vectors import cosine, dot
 from datapipeline_spike_spark.scale import fan_out
 
 

@@ -16,7 +16,7 @@ Oracle portability techniques:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_spike_spark.functions import text as Tx
@@ -233,6 +233,30 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(50)
+    )
+
+
+@register(
+    "token_counting_methods",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{Tx.BPEISH_PATTERN}')) AS n_bpeish_tokens
+    FROM documents
+    """,
+    doc="""Token counting both ways (SURVEY §2.11: 'whitespace + a
+    BPE-ish regex'): the whitespace/punct word tokenizer vs the
+    finer-grained letter-run/digit-run/punctuation-mark tokenizer that
+    approximates subword splitting. Map-only; identical RE2-safe
+    pattern on both engines.""",
+    tags=("text", "tokens"),
+)
+def q_token_counting_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.size(Tx.tokens("text")).alias("n_ws_tokens"),
+        F.size(Tx.bpeish_tokens("text")).alias("n_bpeish_tokens"),
     )
 
 

@@ -13,8 +13,6 @@ at-least-once sinks + keyed dedup, retry counters in the DLQ record
 
 from __future__ import annotations
 
-import json
-import os
 import time
 
 from pyspark.sql import DataFrame
