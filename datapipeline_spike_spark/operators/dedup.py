@@ -266,6 +266,43 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", F.element_at(F.transform(F.array(hashes), _sim), 1))
 
 
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 1) -> DataFrame:
+    """SimHash near-dup pairs via chunk banding (the SimHash analogue
+    of MinHash banding): split the 16-bit signature into two 8-bit
+    chunks — by pigeonhole, Hamming distance <= 1 guarantees at least
+    one chunk is identical — bucket-join on (chunk_idx, chunk_value),
+    then verify bit_count(xor) <= max_hamming exactly. No cross join;
+    candidate volume is bounded by chunk-bucket sizes."""
+    sig = simhash16(df, text_col).filter(F.col("simhash").isNotNull()).select(id_col, "simhash")
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("ci"), (F.col("simhash") % 256).alias("cv")),
+                F.struct(F.lit(1).alias("ci"), (F.col("simhash") / 256).cast("long").alias("cv")),
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.ci", "c.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

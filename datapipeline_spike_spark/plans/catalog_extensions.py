@@ -366,21 +366,23 @@ def q_dedup_corpus_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(load(spark, sf_dir, "documents"), jaccard_threshold=0.8)
 
 
-def _sql_simhash() -> str:
-    hashes = (
-        "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
-    )
-    bit_terms = " + ".join(
-        f"(CASE WHEN len(list_filter(h, x -> (x >> {i}) & 1 = 1)) * 2 >= len(h) "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i in range(16)
-    )
-    return f"""
+_SQL_SIMHASH_HASHES = (
+    "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+)
+_SQL_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN len(list_filter(h, x -> (x >> {i}) & 1 = 1)) * 2 >= len(h) "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+_SQL_SIMHASH_CTES = f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    hh AS (SELECT doc_id, {hashes} AS h FROM t WHERE len(toks) > 0)
-    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
-    FROM hh
-    """
+    hh AS (SELECT doc_id, {_SQL_SIMHASH_HASHES} AS h FROM t WHERE len(toks) > 0),
+    sims AS (SELECT doc_id, CAST({_SQL_SIMHASH_BITS} AS BIGINT) AS simhash FROM hh)
+"""
+
+
+def _sql_simhash() -> str:
+    return f"{_SQL_SIMHASH_CTES} SELECT doc_id, simhash FROM sims"
 
 
 @register(
@@ -394,6 +396,38 @@ def _sql_simhash() -> str:
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(Tx.token_count("text") > 0)
     return simhash16(d).select("doc_id", "simhash")
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""
+    {_SQL_SIMHASH_CTES}
+    , chunks AS (
+      SELECT doc_id, simhash, 0 AS ci, simhash % 256 AS cv FROM sims
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS ci, simhash // 256 AS cv FROM sims
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=_sql_simhash_pairs(),
+    doc="""SimHash near-dup pairing via chunk banding: two 8-bit chunks
+    of the 16-bit signature — pigeonhole guarantees Hamming<=1 pairs
+    share a chunk — bucket-join on chunk value, exact bit_count(xor)
+    verification. The SimHash counterpart of MinHash band buckets;
+    never a cross join.""",
+    tags=("dedup", "simhash"),
+)
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=1)
 
 
 @register(

@@ -94,3 +94,12 @@ def test_dedup_corpus_end_to_end(spark, docs):
     assert out[0] == out[1] == out[2] == 0  # exact + normalized copies
     assert out[3] == 0                      # near-dup joins the cluster
     assert out[4] == 4 and out[5] == 5      # unrelated and <3-token docs
+
+
+def test_simhash_neardup_pairs_band_and_verify(docs):
+    from datapipeline_spike_spark.operators.dedup import simhash_neardup_pairs
+
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in simhash_neardup_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 0  # exact dups: identical signature
+    assert pairs[(0, 2)] == 0  # normalization-equal
+    assert (0, 4) not in pairs  # unrelated doc beyond hamming 1
