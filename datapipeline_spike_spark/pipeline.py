@@ -118,7 +118,7 @@ def records_from_events(events: DataFrame) -> DataFrame:
     into a batch array replicated across axes with deterministic
     per-axis offsets (testdata has one channel; the reference has
     three). Sorting keys the arrays deterministically."""
-    ev = events.withColumn(
+    ev = events.filter(F.col("value").isNotNull()).withColumn(
         "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
     )
     grouped = ev.groupBy(

@@ -106,6 +106,49 @@ def q_downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "record_envelope_flat",
+    oracle=f"""
+    SELECT date_trunc('hour', ts)                         AS SourceTimestamp,
+           'M' || CAST(user_id % 2 AS VARCHAR)            AS machine,
+           round(sqrt(avg(value * value)), {R})           AS vibration_x_rms,
+           round(max(abs(value)), {R})                    AS vibration_x_peak,
+           round(kurtosis_pop(value), {R})                AS vibration_x_kurtosis,
+           round(sqrt(avg((value + 1) * (value + 1))), {R}) AS vibration_y_rms,
+           round(max(abs(value + 1)), {R})                AS vibration_y_peak,
+           round(kurtosis_pop(value + 1), {R})            AS vibration_y_kurtosis,
+           round(sqrt(avg(4 * value * value)), {R})       AS vibration_z_rms,
+           round(max(abs(2 * value)), {R})                AS vibration_z_peak,
+           round(kurtosis_pop(2 * value), {R})            AS vibration_z_kurtosis
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="""Entry-point A + B end-to-end under the driver's gate: record
+    synthesis (per machine-hour triaxial batches) -> the full nested
+    enrichment envelope (pipeline.enrich_records, gate disabled so all
+    groups surface) -> warehouse flattening to the 9-feature OLAP row
+    (reference/FeatureEngineeringApproaches.md:93-110). The oracle
+    recomputes every per-axis statistic directly from the scalar events
+    (y = x+1, z = 2x synthesis transforms are replayed in SQL), so the
+    whole array-HOF feature path is hash-verified, not just counted.""",
+    tags=("pipeline", "envelope", "flagship"),
+)
+def q_record_envelope_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.pipeline import (
+        enrich_records,
+        flatten_envelope,
+        records_from_events,
+    )
+
+    recs = records_from_events(load(spark, sf_dir, "events"))
+    flat = flatten_envelope(enrich_records(recs, drop_invalid=False))
+    feature_cols = [c for c in flat.columns if c.startswith("vibration_")]
+    return flat.select(
+        "SourceTimestamp", "machine", *[F.round(F.col(c), R).alias(c) for c in feature_cols]
+    )
+
+
+@register(
     "status_route_counts",
     oracle="""
     SELECT event_type AS status_code,
