@@ -19,6 +19,7 @@ from datapipeline_spike_spark.session import get_session  # noqa: E402
 
 HEADLINE = [
     "vibration_features",      # flagship windowed feature extraction
+    "record_envelope_flat",    # full record pipeline: batches -> envelope -> OLAP row
     "downsample_1h",
     "pricing_summary",         # TPC-H Q1 shape
     "revenue_by_segment",      # 3-way join
