@@ -159,10 +159,23 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
-    # labels only ever decrease, so sum(comp) is strictly monotone until
-    # convergence — a scan of the just-checkpointed frame detects the
-    # fixed point without the join a row-diff would need
-    total = labels.agg(F.sum("comp")).collect()[0][0]
+    # Structural fixed-point probe: labels only ever decrease, so the
+    # label assignment changed iff any (id, comp) pair changed — detected
+    # by an order-insensitive xxhash64 xor-fold over the checkpointed
+    # frame. Works for ANY id type (string doc ids, hashes) where a
+    # sum(comp) probe returns NULL on non-numeric ids and would silently
+    # stop after one round (and can overflow on long ids). Still a 1-row
+    # collect per round, no extra join.
+    def _label_digest(frame: DataFrame) -> int:
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            # BIT_XOR aggregate via expr: order-insensitive, collision
+            # probability 2^-64 per round — fine for a convergence probe
+            F.expr("bit_xor(xxhash64(id, comp))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    digest = _label_digest(labels)
     for _ in range(max_iterations):
         neigh = sym.join(labels, sym["d"] == labels["id"]).select(
             F.col("s").alias("id"), F.col("comp")
@@ -170,10 +183,10 @@ def connected_components(
         labels = (
             labels.unionByName(neigh).groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        new_total = labels.agg(F.sum("comp")).collect()[0][0]
-        if new_total == total:
+        new_digest = _label_digest(labels)
+        if new_digest == digest:
             break
-        total = new_total
+        digest = new_digest
     return labels
 
 
@@ -241,6 +254,12 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     when more token-hashes have bit i set than cleared. Hash = first 8
     md5 hex chars as uint32 (portable to the SQL oracle).
 
+    KEPT ONLY as the small-signature comparison baseline (tests prove
+    64-bit banding shrinks bucket sizes): 2^16 signatures over a
+    billion-doc corpus put ~n/256 docs in every 8-bit chunk bucket —
+    the banded join degenerates toward quadratic. Production path =
+    :func:`simhash64`.
+
     The token-hash array is bound once as a lambda variable (same
     single-element-array trick as functions.text.shingles) — naming it
     with withColumn gets collapse-inlined into all 17 uses and the
@@ -266,26 +285,112 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", F.element_at(F.transform(F.array(hashes), _sim), 1))
 
 
-def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 1) -> DataFrame:
-    """SimHash near-dup pairs via chunk banding (the SimHash analogue
-    of MinHash banding): split the 16-bit signature into two 8-bit
-    chunks — by pigeonhole, Hamming distance <= 1 guarantees at least
-    one chunk is identical — bucket-join on (chunk_idx, chunk_value),
-    then verify bit_count(xor) <= max_hamming exactly. No cross join;
-    candidate volume is bounded by chunk-bucket sizes."""
-    sig = simhash16(df, text_col).filter(F.col("simhash").isNotNull()).select(id_col, "simhash")
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 16-bit chunks -> pigeonhole recall for Hamming <= 3
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (the standard near-dup signature width) as four
+    16-bit chunks. Bit j of chunk c is set when at least half the
+    token-hashes have it set; token hash bits come from the four 32-bit
+    hex words of md5(token) (word c feeds chunk c), so the DuckDB
+    oracle replays the signature exactly.
+
+    Scale design mirrors minhash_signature: explode tokens -> project
+    the 4 md5 words ONCE per token -> 64 conditional-sum aggregates.
+    Catalyst's partial aggregation combines map-side, so the shuffle
+    carries ~1 row (65 ints) per doc, never the token stream; everything
+    stays in whole-stage codegen (no interpreted HOF lambdas). Docs with
+    zero tokens produce no row.
+
+    Returns (id_col, simhash_chunks array<int> low-chunk-first,
+    simhash_hex 16-char big-endian hex)."""
+    from datapipeline_spike_spark.functions.text import tokens
+
+    ex = fan_out(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
+    h = F.md5("tk")
+    words = ex.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(h, 1 + 8 * c, 8), 16, 10).cast("long").alias(f"w{c}")
+            for c in range(SIMHASH_CHUNKS)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in range(SIMHASH_CHUNKS):
+        for r in range(16):
+            aggs.append(
+                F.sum(F.shiftright(F.col(f"w{c}"), r).bitwiseAND(F.lit(1))).alias(f"o_{c}_{r}")
+            )
+    counts = words.groupBy(id_col).agg(*aggs)
+    chunks = []
+    for c in range(SIMHASH_CHUNKS):
+        bits = [
+            F.when(F.col(f"o_{c}_{r}") * 2 >= F.col("n"), F.lit(1 << r)).otherwise(F.lit(0))
+            for r in range(16)
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        chunks.append(acc.cast("int").alias(f"c{c}"))
+    sig = counts.select(F.col(id_col), *chunks)
+    hexs = F.concat(
+        *[F.format_string("%04x", F.col(f"c{c}")) for c in reversed(range(SIMHASH_CHUNKS))]
+    )
+    return sig.select(
+        id_col,
+        F.array(*[F.col(f"c{c}") for c in range(SIMHASH_CHUNKS)]).alias("simhash_chunks"),
+        hexs.alias("simhash_hex"),
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk banding (the SimHash analogue of
+    MinHash banding): the 64-bit signature splits into 4 x 16-bit chunks
+    — by pigeonhole, Hamming distance <= 3 guarantees at least one chunk
+    is identical — bucket-join on (chunk_idx, chunk_value), then verify
+    the exact 64-bit Hamming distance. No cross join; candidate volume
+    is bounded by 16-bit chunk-bucket sizes (~n/65536 per bucket vs the
+    old 16-bit signature's ~n/256 — the difference between a banded join
+    and a quadratic one at corpus scale)."""
+    if not 0 <= max_hamming <= SIMHASH_CHUNKS - 1:
+        # with k chunks, a pair at Hamming k can differ in every chunk
+        # and never share a bucket — silently losing qualifying pairs
+        raise ValueError(
+            f"max_hamming={max_hamming}: {SIMHASH_CHUNKS}-chunk banding "
+            f"only guarantees recall for Hamming <= {SIMHASH_CHUNKS - 1}"
+        )
+    sig = simhash64(df, text_col, id_col)
     chunks = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col("simhash_chunks"),
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("ci"), (F.col("simhash") % 256).alias("cv")),
-                F.struct(F.lit(1).alias("ci"), (F.col("simhash") / 256).cast("long").alias("cv")),
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.element_at("simhash_chunks", c + 1).alias("cv"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.ci", "c.cv")
+    ).select(id_col, "simhash_chunks", "c.ci", "c.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a.simhash_chunks"),
+            F.col("b.simhash_chunks"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.join(
             b,

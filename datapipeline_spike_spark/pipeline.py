@@ -1,33 +1,109 @@
 """Entry-point A — the reference's main record path, assembled
 (SURVEY.md §3.1): triaxial sample-batch records -> validity gate ->
-time-domain + frequency-domain features -> quality metrics -> the
-nested enrichment envelope of reference/README.md:501-539.
+time-domain + frequency-domain features -> PCA reduced features ->
+quality metrics -> the nested enrichment envelope of
+reference/README.md:501-539, field-for-field:
+
+    raw_data / outlier_check / features.{time_domain,frequency_domain}
+    / reduced_features.principal_components (3 values,
+    reference/README.md:472-483,529) / quality_metrics (which carries
+    processing_version + processing_timestamp inside it,
+    reference/README.md:535-537).
 
 One Column-expression chain shared by batch and streaming (the twin
 rule, SURVEY §7.4.5): ``enrich_records`` works identically on a static
 DataFrame and a streaming one, because every stage is a stateless
 projection/filter. All per-record math runs on the embedded sample
-arrays with higher-order functions — no explode, no shuffle; the only
-Python is the FFT pandas UDF for the frequency features.
+arrays with higher-order functions — no explode, no shuffle. The ONLY
+Python is the FFT pandas UDF behind ``include_frequency_domain``; the
+OLAP flatten path disables it, so the warehouse projection plans zero
+EvalPython nodes (three per-axis Arrow round-trips saved — Catalyst
+cannot prune a Python UDF out of an unused struct field).
 
 Engine-defined formulas (reference leaves the bodies unspecified,
 SURVEY §7.4.1): validity = per-record crest-factor sanity (an impulsive
 spike makes peak >> rms) plus non-empty batches; outlier_score =
 min(max_axis_crest / 10, 1); quality = 0.5*completeness +
-0.3*(1-outlier_score) + 0.2*consistency.
+0.3*(1-outlier_score) + 0.2*consistency; applyPCA = projection of the
+per-record feature vector onto 3 fixed orthonormal axes (a pretrained
+quantizer — the reference's applyPCA body is a one-line call with no
+training procedure, README.md:477). Features are quantized to their
+wire precision before projection so the reduced features are
+bit-reproducible across engines (and DuckDB-oracle-checkable).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datapipeline_spike_spark.functions import features as feat
 from datapipeline_spike_spark.functions.spectral import dominant_frequency_bin
+from datapipeline_spike_spark.operators.similarity import _plane
 
 AXES = ("x", "y", "z")
 PROCESSING_VERSION = "1.0"
 CREST_VALID_MAX = 6.0  # |crest| above this flags an impulsive outlier record
+N_OPERATIONS = 14  # OP01..OP14 (reference/TechSpikeDataPipeline.md:87-94)
+PCA_K = 3  # reference/README.md:529 — 3 principal components
+# per-axis quantized feature vector feeding the PCA projection:
+# (rms, peak, peak_to_peak, crest_factor, kurtosis, mean_power) x 3 axes
+PCA_DIM = 18
+
+
+def _pca_loadings(k: int = PCA_K, dim: int = PCA_DIM) -> list[list[float]]:
+    """The engine's 'pretrained' PCA axes: splitmix-hash pseudo-random
+    vectors orthonormalized by QR, dominant loading forced positive.
+    Deterministic at import (no RNG state) so the DuckDB oracle inlines
+    the identical literals and replays the projection bit-for-bit."""
+    raw = np.array([_plane(dim, seed=101 + i) for i in range(k)], dtype=np.float64)
+    q, _ = np.linalg.qr(raw.T)  # columns are orthonormal
+    comps = q.T[:k].copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return [[float(x) for x in row] for row in comps]
+
+
+PCA_LOADINGS = _pca_loadings()
+
+def _quantized_axis_features(batch_col: str) -> list[Column]:
+    """The per-axis PCA input slice, rounded to wire precision (6dp;
+    kurtosis 4dp — two-pass HOF moments vs a streaming kurtosis differ
+    ~1e-6 on tiny groups). The spectral slot is mean power, computed as
+    the SQUARE OF THE QUANTIZED RMS (equal to avg(v^2) by definition,
+    i.e. the Parseval spectral energy / n): squaring an already-rounded
+    double is bit-identical in any engine, where re-summing v^2 in a
+    different order flips rounding boundaries. NULL features (empty
+    batch, zero variance) NULL the whole projection via standard SQL
+    null propagation — identically in the oracle."""
+    rms_q = F.round(feat.arr_rms(batch_col), 6)
+    return [
+        rms_q,
+        F.round(feat.arr_peak(batch_col), 6),
+        F.round(feat.arr_peak_to_peak(batch_col), 6),
+        F.round(feat.arr_crest_factor(batch_col), 6),
+        F.round(feat.arr_kurtosis(batch_col), 4),
+        F.round(rms_q * rms_q, 2),
+    ]
+
+
+def principal_components(batches: dict[str, str]) -> Column:
+    """array<double> of PCA_K projections of the quantized 18-dim
+    feature vector onto PCA_LOADINGS. Left-associated multiply-add so
+    the oracle's SQL evaluates the identical IEEE-754 op sequence."""
+    feats: list[Column] = []
+    for a in AXES:
+        feats.extend(_quantized_axis_features(batches[a]))
+    pcs = []
+    for loading in PCA_LOADINGS:
+        acc = F.lit(loading[0]) * feats[0]
+        for w, f in zip(loading[1:], feats[1:]):
+            acc = acc + F.lit(w) * f
+        pcs.append(F.round(acc, 4))
+    return F.array(*pcs)
 
 
 def _axis_time_domain(batch_col: str) -> Column:
@@ -47,14 +123,25 @@ def _axis_freq_domain(batch_col: str) -> Column:
     )
 
 
-def enrich_records(records: DataFrame, drop_invalid: bool = True) -> DataFrame:
-    """records: one row per machine-second with ``vibration_{x,y,z}_batch``
-    array columns, ``ts``, ``machine``, ``status_code``. Returns the
-    nested envelope (reference/README.md:501-539): raw_data,
-    outlier_check, features.{time_domain,frequency_domain},
-    quality_metrics, metadata. Invalid records are dropped when
+def enrich_records(
+    records: DataFrame,
+    drop_invalid: bool = True,
+    include_frequency_domain: bool = True,
+) -> DataFrame:
+    """records: one row per machine-window with ``vibration_{x,y,z}_batch``
+    array columns, ``ts``, ``machine`` (optionally ``operation``),
+    ``status_code``. Returns the nested envelope
+    (reference/README.md:501-539). Invalid records are dropped when
     ``drop_invalid`` (the reference stops them at the gate,
-    README.md:74-79)."""
+    README.md:74-79).
+
+    ``include_frequency_domain=False`` omits ``features.frequency_domain``
+    — the only pandas-UDF (ArrowEvalPython) expression in the envelope —
+    for consumers that never read it (the OLAP flatten path): the
+    frequency struct is not prunable by Catalyst once planned, so opting
+    out is the difference between a codegen-only stage and three
+    per-axis Python round-trips. ``reduced_features`` stays in both
+    modes (its spectral input is the HOF energy twin, not the FFT)."""
     batches = {a: f"vibration_{a}_batch" for a in AXES}
 
     crest = {a: feat.arr_crest_factor(c) for a, c in batches.items()}
@@ -78,9 +165,21 @@ def enrich_records(records: DataFrame, drop_invalid: bool = True) -> DataFrame:
         + 0.2 * consistency.cast("double")
     )
 
+    features_fields = [
+        F.struct(*[_axis_time_domain(batches[a]).alias(a) for a in AXES]).alias(
+            "time_domain"
+        )
+    ]
+    if include_frequency_domain:
+        features_fields.append(
+            F.struct(*[_axis_freq_domain(batches[a]).alias(a) for a in AXES]).alias(
+                "frequency_domain"
+            )
+        )
+
+    key_cols = [c for c in ("ts", "machine", "operation") if c in records.columns]
     out = records.select(
-        "ts",
-        "machine",
+        *key_cols,
         F.struct(
             *[F.col(c).alias(c) for c in batches.values()],
             F.col("status_code").alias("status_code"),
@@ -89,40 +188,52 @@ def enrich_records(records: DataFrame, drop_invalid: bool = True) -> DataFrame:
             is_valid.alias("is_valid"),
             F.round(outlier_score, 6).alias("outlier_score"),
         ).alias("outlier_check"),
+        F.struct(*features_fields).alias("features"),
         F.struct(
-            F.struct(*[_axis_time_domain(batches[a]).alias(a) for a in AXES]).alias(
-                "time_domain"
-            ),
-            F.struct(*[_axis_freq_domain(batches[a]).alias(a) for a in AXES]).alias(
-                "frequency_domain"
-            ),
-        ).alias("features"),
+            principal_components(batches).alias("principal_components"),
+        ).alias("reduced_features"),
         F.struct(
+            F.round(quality, 6).alias("data_quality_score"),
             F.round(completeness, 6).alias("completeness"),
             consistency.alias("consistency"),
-            F.round(quality, 6).alias("data_quality_score"),
-        ).alias("quality_metrics"),
-        F.struct(
-            F.current_timestamp().alias("processed_at"),
             F.lit(PROCESSING_VERSION).alias("processing_version"),
-        ).alias("metadata"),
+            F.current_timestamp().alias("processing_timestamp"),
+        ).alias("quality_metrics"),
     )
     if drop_invalid:
         out = out.filter(F.col("outlier_check.is_valid"))
     return out
 
 
+def operation_code(status_col: str = "event_type") -> Column:
+    """Synthesized operation id OP01..OP14 (the reference's per-machine
+    operation files, TechSpikeDataPipeline.md:87-94): a deterministic
+    md5-word hash of the status/event column, portable to the SQL oracle
+    as ('0x' || substr(md5(c),1,8))::BIGINT % 14 + 1."""
+    word = F.conv(F.substring(F.md5(F.col(status_col)), 1, 8), 16, 10).cast("long")
+    return F.concat(
+        F.lit("OP"), F.lpad(((word % N_OPERATIONS) + 1).cast("string"), 2, "0")
+    )
+
+
 def records_from_events(events: DataFrame) -> DataFrame:
     """Synthesize reference-shaped triaxial records from the driver's
-    scalar ``events`` stream: per (machine, second) the values collect
-    into a batch array replicated across axes with deterministic
+    scalar ``events`` stream: per (machine, operation, hour) the values
+    collect into a batch array replicated across axes with deterministic
     per-axis offsets (testdata has one channel; the reference has
-    three). Sorting keys the arrays deterministically."""
-    ev = events.filter(F.col("value").isNotNull()).withColumn(
-        "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
+    three). Sorting keys the arrays deterministically. ``operation`` is
+    synthesized from the event type (the OLAP grain is per
+    machine/operation window, reference/TechSpikeDataPipeline.md:96-100,
+    FeatureEngineeringApproaches.md:97)."""
+    ev = (
+        events.filter(F.col("value").isNotNull())
+        .withColumn(
+            "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
+        )
+        .withColumn("operation", operation_code("event_type"))
     )
     grouped = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("ts"), "machine"
+        F.date_trunc("hour", "ts").alias("ts"), "machine", "operation"
     ).agg(
         F.array_sort(F.collect_list(F.struct("event_id", "value"))).alias("vs"),
         F.max("event_type").alias("status_code"),
@@ -131,6 +242,7 @@ def records_from_events(events: DataFrame) -> DataFrame:
     return grouped.select(
         "ts",
         "machine",
+        "operation",
         vals.alias("vibration_x_batch"),
         F.transform(vals, lambda v: v + 1.0).alias("vibration_y_batch"),
         F.transform(vals, lambda v: v * 2.0).alias("vibration_z_batch"),
@@ -140,9 +252,12 @@ def records_from_events(events: DataFrame) -> DataFrame:
 
 def flatten_envelope(enriched: DataFrame) -> DataFrame:
     """The warehouse projection (entry-point B shape): nested envelope ->
-    the flat 9-feature row of the OLAP table
+    the flat 9-feature row of the OLAP table at its per
+    machine/operation grain
     (reference/FeatureEngineeringApproaches.md:93-110)."""
     cols = [F.col("ts").alias("SourceTimestamp"), "machine"]
+    if "operation" in enriched.columns:
+        cols.append(F.col("operation"))
     for a in AXES:
         for stat in ("rms", "peak", "kurtosis"):
             cols.append(

@@ -105,28 +105,70 @@ def q_downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# operation synthesis replayed in SQL (pipeline.operation_code): a
+# deterministic md5-word hash of the event type -> OP01..OP14
+_SQL_OPERATION = (
+    "'OP' || lpad(CAST(CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) "
+    "% 14 + 1 AS VARCHAR), 2, '0')"
+)
+
+
+# Per-axis synthesis transforms (records_from_events: y = x+1, z = 2x)
+# and their group means from the `m` CTE below
+_AXIS_SQL = (("x", "v", "mx"), ("y", "v + 1", "my"), ("z", "2 * v", "mz"))
+
+# Grouped-record base + per-group means, shared by the envelope oracles.
+# The means CTE exists because the engine's arr_kurtosis is a TWO-PASS
+# population excess kurtosis (exact mean, then centered moments) — a
+# streaming kurtosis_pop differs by up to ~5e-4 on the small per-operation
+# groups, which 4dp rounding cannot absorb.
+_SQL_ENVELOPE_BASE = f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts)              AS SourceTimestamp,
+             'M' || CAST(user_id % 2 AS VARCHAR) AS machine,
+             {_SQL_OPERATION}                    AS operation,
+             value                               AS v
+      FROM events
+      WHERE value IS NOT NULL
+    ), m AS (
+      SELECT SourceTimestamp, machine, operation,
+             avg(v) AS mx, avg(v + 1) AS my, avg(2 * v) AS mz
+      FROM b GROUP BY 1, 2, 3
+    )
+"""
+
+
+def _sql_kurt(t: str, m: str) -> str:
+    """Two-pass m4/m2^2 - 3 (NULL on zero variance), mirroring
+    functions.features.arr_kurtosis exactly."""
+    return (
+        f"CASE WHEN avg(pow(({t}) - {m}, 2)) > 0 THEN "
+        f"avg(pow(({t}) - {m}, 4)) / pow(avg(pow(({t}) - {m}, 2)), 2) - 3 END"
+    )
+
+
+_SQL_FLAT_FEATURES = ", ".join(
+    f"round(sqrt(avg(({t}) * ({t}))), {R}) AS vibration_{a}_rms, "
+    f"round(max(abs({t})), {R}) AS vibration_{a}_peak, "
+    f"round({_sql_kurt(t, m)}, 4) AS vibration_{a}_kurtosis"
+    for a, t, m in _AXIS_SQL
+)
+
+
 @register(
     "record_envelope_flat",
     oracle=f"""
-    SELECT date_trunc('hour', ts)                         AS SourceTimestamp,
-           'M' || CAST(user_id % 2 AS VARCHAR)            AS machine,
-           round(sqrt(avg(value * value)), {R})           AS vibration_x_rms,
-           round(max(abs(value)), {R})                    AS vibration_x_peak,
-           round(kurtosis_pop(value), 4)                  AS vibration_x_kurtosis,
-           round(sqrt(avg((value + 1) * (value + 1))), {R}) AS vibration_y_rms,
-           round(max(abs(value + 1)), {R})                AS vibration_y_peak,
-           round(kurtosis_pop(value + 1), 4)              AS vibration_y_kurtosis,
-           round(sqrt(avg(4 * value * value)), {R})       AS vibration_z_rms,
-           round(max(abs(2 * value)), {R})                AS vibration_z_peak,
-           round(kurtosis_pop(2 * value), 4)              AS vibration_z_kurtosis
-    FROM events
-    WHERE value IS NOT NULL
-    GROUP BY 1, 2
+    {_SQL_ENVELOPE_BASE}
+    SELECT b.SourceTimestamp, b.machine, b.operation, {_SQL_FLAT_FEATURES}
+    FROM b JOIN m USING (SourceTimestamp, machine, operation)
+    GROUP BY 1, 2, 3
     """,
     doc="""Entry-point A + B end-to-end under the driver's gate: record
-    synthesis (per machine-hour triaxial batches) -> the full nested
+    synthesis (per machine/operation/hour triaxial batches — the OLAP
+    grain of reference/TechSpikeDataPipeline.md:96-100) -> the nested
     enrichment envelope (pipeline.enrich_records, gate disabled so all
-    groups surface) -> warehouse flattening to the 9-feature OLAP row
+    groups surface, frequency domain OFF so the plan contains zero
+    EvalPython nodes) -> warehouse flattening to the flat OLAP row
     (reference/FeatureEngineeringApproaches.md:93-110). The oracle
     recomputes every per-axis statistic directly from the scalar events
     (y = x+1, z = 2x synthesis transforms are replayed in SQL), so the
@@ -141,7 +183,9 @@ def q_record_envelope_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     recs = records_from_events(load(spark, sf_dir, "events"))
-    flat = flatten_envelope(enrich_records(recs, drop_invalid=False))
+    flat = flatten_envelope(
+        enrich_records(recs, drop_invalid=False, include_frequency_domain=False)
+    )
     feature_cols = [c for c in flat.columns if c.startswith("vibration_")]
     # kurtosis rounds to 4dp: the two-pass HOF moments and DuckDB's
     # streaming kurtosis_pop differ by ~1e-6 on tiny groups, which flips
@@ -149,10 +193,78 @@ def q_record_envelope_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select(
         "SourceTimestamp",
         "machine",
+        "operation",
         *[
             F.round(F.col(c), 4 if c.endswith("kurtosis") else R).alias(c)
             for c in feature_cols
         ],
+    )
+
+
+def _sql_envelope_pca() -> str:
+    """DuckDB replay of pipeline.principal_components: the 18 quantized
+    per-axis features (y = x+1, z = 2x synthesis transforms), dotted
+    with the inlined PCA_LOADINGS literals in the same left-associated
+    order Spark evaluates."""
+    from datapipeline_spike_spark.pipeline import PCA_LOADINGS
+
+    def axis_feats(t: str, m: str) -> list[str]:
+        rms_q = f"round(sqrt(avg(({t}) * ({t}))), 6)"
+        return [
+            rms_q,
+            f"round(max(abs({t})), 6)",
+            f"round(max({t}) - min({t}), 6)",
+            f"round(max(abs({t})) / sqrt(avg(({t}) * ({t}))), 6)",
+            f"round({_sql_kurt(t, m)}, 4)",
+            # mean power = quantized-rms squared (pipeline note: bit-stable
+            # across engines, unlike re-summing v^2 in scan order)
+            f"round(({rms_q}) * ({rms_q}), 2)",
+        ]
+
+    feats = [e for _, t, m in _AXIS_SQL for e in axis_feats(t, m)]
+    fcols = ", ".join(f"{e} AS f{i}" for i, e in enumerate(feats))
+    pcs = ", ".join(
+        "round(" + " + ".join(f"({w!r}) * f{j}" for j, w in enumerate(load)) + f", 4) AS pc{i + 1}"
+        for i, load in enumerate(PCA_LOADINGS)
+    )
+    return f"""
+    {_SQL_ENVELOPE_BASE}, g AS (
+      SELECT b.SourceTimestamp, b.machine, b.operation, {fcols}
+      FROM b JOIN m USING (SourceTimestamp, machine, operation)
+      GROUP BY 1, 2, 3
+    )
+    SELECT SourceTimestamp, machine, operation, {pcs} FROM g
+    """
+
+
+@register(
+    "envelope_reduced_features",
+    oracle=_sql_envelope_pca(),
+    doc="""The reference's Dimensionality Reduction node
+    (reference/README.md:472-483): every envelope carries
+    reduced_features.principal_components — 3 values
+    (reference/README.md:529) — here projected from the quantized
+    18-dim per-record feature vector onto fixed orthonormal axes
+    (pipeline.PCA_LOADINGS; the reference's applyPCA body is
+    unspecified, so the engine documents a pretrained-projection
+    convention that stays fully SQL-expressible). The oracle inlines
+    the identical loading literals and replays the quantization + dot
+    products bit-for-bit — the one envelope field r1 could not
+    hash-check (the applyInPandas SVD) is now oracle-green by design;
+    the data-driven SVD variant remains as pca_reduce.""",
+    tags=("pipeline", "envelope", "ml"),
+)
+def q_envelope_reduced_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.pipeline import enrich_records, records_from_events
+
+    recs = records_from_events(load(spark, sf_dir, "events"))
+    env = enrich_records(recs, drop_invalid=False, include_frequency_domain=False)
+    pcs = F.col("reduced_features.principal_components")
+    return env.select(
+        F.col("ts").alias("SourceTimestamp"),
+        "machine",
+        "operation",
+        *[F.element_at(pcs, i + 1).alias(f"pc{i + 1}") for i in range(3)],
     )
 
 

@@ -24,7 +24,6 @@ from datapipeline_spike_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
-    simhash16,
 )
 from datapipeline_spike_spark.operators.similarity import brute_force_topk
 from datapipeline_spike_spark.plans.registry import load, register
@@ -366,68 +365,86 @@ def q_dedup_corpus_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(load(spark, sf_dir, "documents"), jaccard_threshold=0.8)
 
 
-_SQL_SIMHASH_HASHES = (
-    "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+# 64-bit SimHash replay (operators.dedup.simhash64): the four 32-bit hex
+# words of md5(token) feed four 16-bit signature chunks; bit r of chunk c
+# is a majority vote over (word_c >> r) & 1.
+_SQL_SIMHASH_WORDS = ", ".join(
+    f"CAST(('0x' || substr(h, {1 + 8 * c}, 8)) AS BIGINT) AS w{c}" for c in range(4)
 )
-_SQL_SIMHASH_BITS = " + ".join(
-    f"(CASE WHEN len(list_filter(h, x -> (x >> {i}) & 1 = 1)) * 2 >= len(h) "
-    f"THEN {1 << i} ELSE 0 END)"
-    for i in range(16)
+_SQL_SIMHASH_ONES = ", ".join(
+    f"sum((w{c} >> {r}) & 1) AS o_{c}_{r}" for c in range(4) for r in range(16)
+)
+_SQL_SIMHASH_CHUNKS = ", ".join(
+    "CAST("
+    + " + ".join(f"(CASE WHEN o_{c}_{r} * 2 >= n THEN {1 << r} ELSE 0 END)" for r in range(16))
+    + f" AS INT) AS c{c}"
+    for c in range(4)
 )
 _SQL_SIMHASH_CTES = f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    hh AS (SELECT doc_id, {_SQL_SIMHASH_HASHES} AS h FROM t WHERE len(toks) > 0),
-    sims AS (SELECT doc_id, CAST({_SQL_SIMHASH_BITS} AS BIGINT) AS simhash FROM hh)
+    ex AS (SELECT doc_id, md5(unnest(toks)) AS h FROM t),
+    w AS (SELECT doc_id, {_SQL_SIMHASH_WORDS} FROM ex),
+    o AS (SELECT doc_id, count(*) AS n, {_SQL_SIMHASH_ONES} FROM w GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SQL_SIMHASH_CHUNKS} FROM o)
 """
-
-
-def _sql_simhash() -> str:
-    return f"{_SQL_SIMHASH_CTES} SELECT doc_id, simhash FROM sims"
 
 
 @register(
     "simhash_signatures",
-    oracle=_sql_simhash(),
-    doc="16-bit SimHash per document (map-only signature; near-dups "
-    "share signatures / small Hamming distance). Token hashes are the "
-    "first 8 md5 hex chars as uint32 — portable to the oracle.",
+    oracle=f"""
+    {_SQL_SIMHASH_CTES}
+    SELECT doc_id, printf('%04x%04x%04x%04x', c3, c2, c1, c0) AS simhash_hex
+    FROM sig
+    """,
+    doc="""64-bit SimHash per document (4 x 16-bit chunks; near-dups
+    share signatures / small Hamming distance). Token hash bits are the
+    four 32-bit md5 hex words — portable to the oracle, which replays
+    the majority vote bit-for-bit. Explode + 64 conditional-sum
+    aggregates: map-side partial agg shrinks the shuffle to ~1 row/doc,
+    whole-stage codegen throughout (no interpreted HOF).""",
     tags=("dedup", "simhash"),
 )
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.dedup import simhash64
+
     d = load(spark, sf_dir, "documents").filter(Tx.token_count("text") > 0)
-    return simhash16(d).select("doc_id", "simhash")
+    return simhash64(d).select("doc_id", "simhash_hex")
 
 
-def _sql_simhash_pairs() -> str:
-    return f"""
-    {_SQL_SIMHASH_CTES}
-    , chunks AS (
-      SELECT doc_id, simhash, 0 AS ci, simhash % 256 AS cv FROM sims
-      UNION ALL
-      SELECT doc_id, simhash, 1 AS ci, simhash // 256 AS cv FROM sims
-    )
-    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM chunks a JOIN chunks b
-      ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
-    """
+_SQL_SIMHASH_HAMMING = " + ".join(
+    f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4)
+)
 
 
 @register(
     "simhash_neardup_pairs",
-    oracle=_sql_simhash_pairs(),
-    doc="""SimHash near-dup pairing via chunk banding: two 8-bit chunks
-    of the 16-bit signature — pigeonhole guarantees Hamming<=1 pairs
-    share a chunk — bucket-join on chunk value, exact bit_count(xor)
-    verification. The SimHash counterpart of MinHash band buckets;
-    never a cross join.""",
+    oracle=f"""
+    {_SQL_SIMHASH_CTES}
+    , chunks AS (
+      SELECT doc_id, c0, c1, c2, c3,
+             unnest([0, 1, 2, 3]) AS ci, unnest([c0, c1, c2, c3]) AS cv
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST({_SQL_SIMHASH_HAMMING} AS INT) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    WHERE {_SQL_SIMHASH_HAMMING} <= 3
+    """,
+    doc="""SimHash near-dup pairing via chunk banding: four 16-bit
+    chunks of the 64-bit signature — pigeonhole guarantees Hamming<=3
+    pairs share a chunk — bucket-join on (chunk_idx, chunk_value),
+    exact 64-bit Hamming verification. The SimHash counterpart of
+    MinHash band buckets; never a cross join, and 16-bit chunk buckets
+    hold ~n/65536 docs (vs ~n/256 for the old 16-bit signature's 8-bit
+    chunks — the difference between banded and quadratic at corpus
+    scale).""",
     tags=("dedup", "simhash"),
 )
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.operators.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=1)
+    return simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @register(

@@ -43,9 +43,22 @@ def salted_join(
     build side also overflows); cost = right side replicated
     ``salt_buckets``x, so keep the factor small. For broadcast-able
     right sides just use ``F.broadcast`` — salting is pointless there.
+
+    Only left-preserving join types are allowed: the right side is
+    replicated once per salt bucket, so right/full (or right-semi/anti)
+    joins would emit every unmatched right row ``salt_buckets`` times.
+    Salt the other side instead (swap the operands) for those.
     """
     from pyspark.sql import functions as F
 
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): right side is replicated per salt "
+            "bucket; only left-preserving joins are valid — swap operands "
+            "for right/full variants"
+        )
     uniq = left_unique_col or left.columns[0]
     l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(uniq)), F.lit(salt_buckets)))
     r = right.withColumn(

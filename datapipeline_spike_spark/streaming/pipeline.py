@@ -106,8 +106,13 @@ def fanout_with_dlq(
     write succeeds or lands in the DLQ, preserving at-least-once."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        valid = batch_df.filter(validity_filter)
-        invalid = batch_df.filter(~validity_filter)
+        # null-safe split: a NULL predicate (e.g. a null field inside the
+        # validity expression) fails BOTH filter(p) and filter(~p) — the
+        # row would silently vanish from both sinks, breaking the
+        # at-least-once + DLQ guarantee. NULL routes to the DLQ.
+        pred = F.coalesce(validity_filter, F.lit(False))
+        valid = batch_df.filter(pred)
+        invalid = batch_df.filter(~pred)
         delay, attempt = 1.0, 0
         while True:
             try:

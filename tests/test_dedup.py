@@ -11,6 +11,7 @@ from datapipeline_spike_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     simhash16,
+    simhash64,
 )
 
 BASE = (
@@ -58,14 +59,21 @@ def test_minhash_lsh_recalls_near_dup(docs):
     assert (0, 4) not in cand
 
 
+def _sig64(chunks):
+    return sum(c << (16 * i) for i, c in enumerate(chunks))
+
+
 def test_simhash_equal_for_dups_far_for_distinct(docs):
-    sims = {r["doc_id"]: r["simhash"] for r in simhash16(docs).select("doc_id", "simhash").collect()}
-    assert sims[0] == sims[1] == sims[2]
+    rows = simhash64(docs).collect()
+    sims = {r["doc_id"]: _sig64(r["simhash_chunks"]) for r in rows}
+    hexes = {r["doc_id"]: r["simhash_hex"] for r in rows}
+    assert sims[0] == sims[1] == sims[2]  # exact + normalized dups
+    assert hexes[0] == f"{sims[0]:016x}"  # hex encoding is the big-endian u64
     ham_near = bin(sims[0] ^ sims[3]).count("1")
     ham_far = bin(sims[0] ^ sims[4]).count("1")
-    assert ham_near <= 4
+    assert ham_near <= 12  # one-token edit stays close in 64-bit space
     assert ham_far > ham_near
-    assert sims[5] is not None  # single token still hashes
+    assert 5 in sims  # single token still hashes
 
 
 def test_empty_shingles_excluded_from_pairs(docs):
@@ -85,6 +93,23 @@ def test_connected_components_merges_chains(spark):
     assert comp[9] == 9                          # isolated vertex maps to itself
 
 
+def test_connected_components_string_ids_deep_chain(spark):
+    """Generic vertex ids: doc ids/hashes are commonly strings, where a
+    numeric-sum convergence probe returns NULL every round and silently
+    stops after one propagation (wrong components for diameter > 1).
+    The digest probe must keep iterating until the a-b-c-d chain fully
+    contracts."""
+    from datapipeline_spike_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    verts = spark.createDataFrame([(x,) for x in "abcdez"], "id string")
+    comp = {r["id"]: r["comp"] for r in connected_components(edges, verts).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == comp["e"] == "a"
+    assert comp["z"] == "z"
+
+
 def test_dedup_corpus_end_to_end(spark, docs):
     """Exact copies collapse without LSH; near-dups merge via verified
     edges; unrelated and tiny docs stay their own canonicals."""
@@ -102,4 +127,59 @@ def test_simhash_neardup_pairs_band_and_verify(docs):
     pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in simhash_neardup_pairs(docs).collect()}
     assert pairs[(0, 1)] == 0  # exact dups: identical signature
     assert pairs[(0, 2)] == 0  # normalization-equal
-    assert (0, 4) not in pairs  # unrelated doc beyond hamming 1
+    assert (0, 4) not in pairs  # unrelated doc beyond hamming 3
+    # pigeonhole bound: 4 chunks only guarantee recall through Hamming 3
+    with pytest.raises(ValueError, match="Hamming"):
+        simhash_neardup_pairs(docs, max_hamming=4)
+
+
+def test_simhash64_buckets_shrink_vs_16bit(spark, sf_dir):
+    """The scale argument for the 64-bit signature, measured: on the
+    driver corpus, 16-bit chunk buckets (256 values/band) collapse many
+    distinct docs together, while the 64-bit signature's 16-bit chunks
+    keep buckets near-singleton. Candidate volume (sum over buckets of
+    C(size, 2)) must shrink strictly."""
+    from datapipeline_spike_spark.plans.registry import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    s16 = simhash16(docs).filter(F.col("simhash").isNotNull())
+    b16 = (
+        s16.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("ci"), (F.col("simhash") % 256).alias("cv")),
+                    F.struct(F.lit(1).alias("ci"), (F.col("simhash") / 256).cast("long").alias("cv")),
+                )
+            ).alias("c")
+        )
+        .groupBy("c.ci", "c.cv")
+        .count()
+    )
+    s64 = simhash64(docs)
+    b64 = (
+        s64.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("ci"), F.element_at("simhash_chunks", c + 1).alias("cv"))
+                        for c in range(4)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.ci", "c.cv")
+        .count()
+    )
+
+    def stats(b):
+        row = b.agg(
+            F.max("count").alias("mx"),
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+        ).collect()[0]
+        return row["mx"], row["pairs"]
+
+    max16, pairs16 = stats(b16)
+    max64, pairs64 = stats(b64)
+    assert max64 <= max16
+    assert pairs64 < pairs16  # banded-join candidate volume strictly shrinks

@@ -115,4 +115,10 @@ def test_salted_join_matches_plain_join(spark):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     # determinism: same result twice
     again = salted_join(left, right, ["k"], salt_buckets=8, left_unique_col="row_id")
+    import pytest
+
+    # right-preserving joins would duplicate unmatched right rows once
+    # per salt bucket — rejected
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(left, right, ["k"], how="right")
     assert again.exceptAll(got).count() == 0

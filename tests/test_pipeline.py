@@ -16,15 +16,34 @@ from datapipeline_spike_spark.pipeline import (
 from datapipeline_spike_spark.plans.registry import load
 
 
+def _fields(struct_type):
+    return [f.name for f in struct_type.fields]
+
+
 def test_envelope_matches_reference_shape_and_math(spark, sf_dir):
     records = records_from_events(load(spark, sf_dir, "events"))
     enriched = enrich_records(records, drop_invalid=False)
 
-    # reference/README.md:501-539 envelope shape
-    names = set(enriched.schema.names)
-    assert {"raw_data", "outlier_check", "features", "quality_metrics", "metadata"} <= names
+    # reference/README.md:501-539 envelope, field-for-field in order
+    schema = enriched.schema
+    names = schema.names
+    assert names[-5:] == [
+        "raw_data", "outlier_check", "features", "reduced_features", "quality_metrics"
+    ]
+    assert _fields(schema["outlier_check"].dataType) == ["is_valid", "outlier_score"]
+    assert _fields(schema["features"].dataType) == ["time_domain", "frequency_domain"]
+    assert _fields(schema["reduced_features"].dataType) == ["principal_components"]
+    # processing metadata lives INSIDE quality_metrics (README.md:535-537)
+    assert _fields(schema["quality_metrics"].dataType) == [
+        "data_quality_score", "completeness", "consistency",
+        "processing_version", "processing_timestamp",
+    ]
+
     row = enriched.filter(F.col("outlier_check.is_valid")).first()
-    assert row["metadata"]["processing_version"] == "1.0"
+    assert row["quality_metrics"]["processing_version"] == "1.0"
+    assert row["quality_metrics"]["processing_timestamp"] is not None
+    # 3 principal components (README.md:529)
+    assert len(row["reduced_features"]["principal_components"]) == 3
     assert set(row["features"]["time_domain"].asDict()) == {"x", "y", "z"}
 
     # nested math equals the flat feature library on the same arrays
@@ -66,7 +85,9 @@ def test_flatten_envelope_is_warehouse_row(spark, sf_dir):
     records = records_from_events(load(spark, sf_dir, "events"))
     flat = flatten_envelope(enrich_records(records))
     cols = flat.columns
-    assert cols[:2] == ["SourceTimestamp", "machine"]
+    # warehouse grain is per machine/operation window
+    # (reference/FeatureEngineeringApproaches.md:93-110)
+    assert cols[:3] == ["SourceTimestamp", "machine", "operation"]
     assert len([c for c in cols if c.startswith("vibration_")]) == 9  # x/y/z x rms/peak/kurtosis
     assert flat.count() > 0
 

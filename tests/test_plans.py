@@ -60,6 +60,16 @@ def test_column_pruning_projects_needed_columns_only(spark):
     assert "props" not in scan
 
 
+def test_envelope_flatten_plans_no_python_udf(spark):
+    """The OLAP flatten path opts out of the frequency domain, so the
+    executed plan must contain NO Python evaluation node — r1's #3 bench
+    query paid three per-axis Arrow round-trips for columns it never
+    returned (Catalyst cannot prune a planned pandas UDF)."""
+    for name in ("record_envelope_flat", "envelope_reduced_features"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name  # Arrow/BatchEvalPython
+
+
 def test_lsh_has_no_cartesian_or_smj(spark):
     """The dedup path must never plan a cartesian product."""
     for name in ("minhash_lsh_candidates", "embedding_neardup_pairs"):

@@ -121,6 +121,29 @@ def test_fanout_dlq_routes_invalid(spark, events_dir):
         shutil.rmtree(out_root, ignore_errors=True)
 
 
+def test_fanout_dlq_null_predicate_routes_to_dlq(spark):
+    """A row whose validity predicate evaluates to NULL must land in the
+    DLQ, not vanish from both sinks (at-least-once: every record is
+    either processed or dead-lettered)."""
+    out_root = tempfile.mkdtemp(prefix="fanout_null_")
+    src, processed, dlq = f"{out_root}/src", f"{out_root}/processed", f"{out_root}/dlq"
+    try:
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 500.0)], "id long, value double"
+        ).write.parquet(src)
+        stream = spark.readStream.schema("id long, value double").parquet(src)
+        handler = fanout_with_dlq(processed, dlq, F.col("value") <= 100.0)
+        q = stream.writeStream.foreachBatch(handler).start()
+        q.processAllAvailable()
+        q.stop()
+        assert spark.read.parquet(processed).count() == 1
+        dlq_rows = spark.read.parquet(dlq).collect()
+        assert len(dlq_rows) == 2  # the invalid row AND the null-predicate row
+        assert any('"id":2' in r["original_message"] for r in dlq_rows)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
 def test_stateful_tracking_matches_batch_counts(spark, events_dir):
     """ST4: GroupState counters across micro-batches equal batch
     aggregation; state persists between batches (update mode keeps the
