@@ -41,42 +41,93 @@ EMB_DIM = 64
 N_PLANES = 4
 
 
+SPECTRAL_MAX_SAMPLES = 4096  # hard cap on samples fed to the FFT per window
+
+
 def _windowed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (day, status) sample batches: values sorted by (ts, value) so
     order-sensitive frequency-domain features are deterministic. This is
     the batch stand-in for the reference's 60-sample collection window
-    (reference/TechSpikeDataPipeline.md:55-65). collect_list is bounded
-    by the window size — the 100 TB failure mode (unbounded group) can't
-    occur by construction."""
+    (reference/TechSpikeDataPipeline.md:55-65).
+
+    Group payload is O(SPECTRAL_MAX_SAMPLES), NOT O(scale factor): rows
+    are ranked within the window (sort-based window function — streams,
+    never materializes the group) and only the first cap survive to
+    ``collect_list``, so the aggregation buffer feeding the FFT UDF is
+    bounded even when the testdata's day-wide stand-in windows grow
+    linearly with data volume (the reference's real 60-sample windows
+    never hit the cap). Truncation is flagged: ``n_raw_samples`` carries
+    the pre-cap group size for consumers to compare with ``n_samples``.
+    The row_number and the groupBy share partition keys, so Catalyst
+    plans ONE exchange for both."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from pyspark.sql import Window
+
+    # project the day key FIRST so the window and the groupBy key on the
+    # same attribute — partitioning carries through and Catalyst plans a
+    # single exchange (partitioning by the raw date_trunc expression
+    # inside partitionBy creates an internal projection the aggregate
+    # can't reuse)
+    base = ev.select(F.date_trunc("day", "ts").alias("d"), "event_type", "ts", "value")
+    w = Window.partitionBy("d", "event_type")
+    ranked = base.select(
+        "d",
+        "event_type",
+        "ts",
+        "value",
+        F.row_number().over(w.orderBy("ts", "value")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_raw"),
+    ).filter(F.col("rn") <= SPECTRAL_MAX_SAMPLES)
     return (
-        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("samples"))
+        ranked.groupBy("d", "event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("samples"),
+            F.max("n_raw").alias("n_raw_samples"),
+        )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("d").alias("window_start"),
             F.col("event_type").alias("status_code"),
             F.transform("samples", lambda s: s["value"]).alias("vals"),
+            F.col("n_raw_samples").cast("long").alias("n_raw_samples"),
         )
     )
 
 
+# DuckDB replay of _windowed_samples' cap: rank rows inside each (day,
+# status) window by (ts, value), keep the first SPECTRAL_MAX_SAMPLES,
+# carry the pre-cap size
+_SQL_CAPPED_WINDOW = f"""
+    WITH r AS (
+      SELECT date_trunc('day', ts) AS d, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts, value) AS rn,
+             count(*)   OVER (PARTITION BY date_trunc('day', ts), event_type) AS n_raw
+      FROM events
+      WHERE value IS NOT NULL
+    )
+"""
+
+
 @register(
     "spectral_energy",
-    oracle="""
-    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
-           event_type                               AS status_code,
-           count(*)                                 AS n_samples,
-           round(avg(value * value), 2)             AS mean_power
-    FROM events
-    WHERE value IS NOT NULL
+    oracle=f"""
+    {_SQL_CAPPED_WINDOW}
+    SELECT CAST(d AS TIMESTAMP)         AS window_start,
+           event_type                   AS status_code,
+           count(*)                     AS n_samples,
+           CAST(max(n_raw) AS BIGINT)   AS n_raw_samples,
+           round(avg(value * value), 2) AS mean_power
+    FROM r
+    WHERE rn <= {SPECTRAL_MAX_SAMPLES}
     GROUP BY 1, 2
     """,
     doc="""A7 calculateSpectralEnergy (reference/README.md:465) as a
     differential test: Spark runs the FULL FFT per window batch
     (pandas UDF, Arrow) and reports mean power sum|X|^2/n^2; the oracle
-    computes time-domain avg(v^2). Parseval says they're equal — a
-    4-decimal hash match calibrates the engine's FFT conventions
-    against a non-FFT reference implementation.""",
+    computes time-domain avg(v^2) over the SAME capped sample slice.
+    Parseval says they're equal — a hash match calibrates the engine's
+    FFT conventions against a non-FFT reference implementation.
+    n_samples (used) vs n_raw_samples (pre-cap) flags truncation.""",
     tags=("spectral", "pandas_udf", "window"),
 )
 def q_spectral_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +136,7 @@ def q_spectral_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start",
         "status_code",
         F.size("vals").cast("long").alias("n_samples"),
+        "n_raw_samples",
         # 2dp: FFT round-trip error (~1e-9 relative) flips 4dp rounding
         # boundaries on small windows; 2dp keeps ~6 significant figures
         F.round(spectral_energy_fft("vals") / F.size("vals"), 2).alias("mean_power"),
@@ -96,17 +148,26 @@ def q_spectral_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # argmax|rfft| is not SQL-expressible -> rows-only check
     doc="""A6 calculateDominantFrequency (reference/README.md:464):
     bin of max |rfft| magnitude, DC excluded, per (day, status) window
-    batch; multiply by fs/n for Hz. Arrow pandas UDF over the sorted
-    sample array (SURVEY.md §7.4 item 3 pins the conventions).""",
+    batch; multiply by fs/n for Hz. Arrow pandas UDF over the sorted,
+    size-capped sample array (SURVEY.md §7.4 item 3 pins the
+    conventions). The FFT bin itself is rows-only, but the output
+    carries SQL-checkable companions (n_samples, n_raw_samples, the
+    time-domain spectral energy twin) whose values the spectral_energy
+    oracle covers on the identical slice; the exact expected bin is
+    asserted by the planted-tone tests in tests/test_spectral.py.""",
     tags=("spectral", "pandas_udf", "window", "rows-only"),
 )
 def q_dominant_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.features import arr_energy
+
     w = _windowed_samples(spark, sf_dir)
     return w.select(
         "window_start",
         "status_code",
         F.size("vals").cast("long").alias("n_samples"),
+        "n_raw_samples",
         dominant_frequency_bin("vals").alias("dominant_bin"),
+        F.round(arr_energy("vals") / F.size("vals"), 2).alias("mean_power_td"),
     )
 
 
@@ -114,12 +175,13 @@ def q_dominant_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pca_reduce",
     oracle=None,  # SVD is not SQL-expressible -> rows-only check
     doc="""Dimensionality reduction (reference/README.md:472-483
-    reduced_features, 'PCA to 3 components'): per-status PCA over the
-    5 windowed vibration features, projecting each window onto the top-2
-    principal axes. applyInPandas group-map; deterministic sign
-    normalization (functions/spectral.py). Input features are the
-    oracle-checked vibration_features output, so only the SVD itself is
-    uncheckable.""",
+    reduced_features, 'PCA to 3 components' per README.md:529):
+    per-status PCA over the 5 windowed vibration features, projecting
+    each window onto the top-3 principal axes. applyInPandas group-map;
+    deterministic sign normalization (functions/spectral.py). Input
+    features are the oracle-checked vibration_features output, so only
+    the SVD itself is uncheckable; the envelope's fixed-axis projection
+    twin (envelope_reduced_features) IS fully oracle-checked.""",
     tags=("ml", "pca", "rows-only"),
 )
 def q_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +192,7 @@ def q_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats,
         group_cols=["status_code"],
         feature_cols=["rms", "peak", "peak_to_peak", "crest_factor", "kurtosis"],
-        k=2,
+        k=3,
         carry_cols=["window_start"],
     )
 

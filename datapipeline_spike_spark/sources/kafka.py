@@ -27,6 +27,9 @@ TOPIC_DLQ = "cnc.raw.dlq"
 MAX_RETRIES = 5  # reference/README.md:98-100
 
 
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:{spark_version}"
+
+
 def kafka_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.Class.forName(  # noqa: SLF001
@@ -35,6 +38,40 @@ def kafka_available(spark: SparkSession) -> bool:
         return True
     except Exception:  # noqa: BLE001
         return False
+
+
+def require_kafka(spark: SparkSession) -> None:
+    """Jar gate: the sandbox has no network (vendoring the connector was
+    attempted and is impossible — see COVERAGE.md S3'), so builders fail
+    fast with the exact deployment invocation instead of an opaque
+    ClassNotFoundException from deep inside the source resolution."""
+    if not kafka_available(spark):
+        pkg = KAFKA_PACKAGE.format(spark_version=spark.version)
+        raise RuntimeError(
+            "kafka connector not on the classpath; launch with "
+            f"spark-submit --packages {pkg} (or add the jar to spark.jars)"
+        )
+
+
+def parse_kafka_records(raw: DataFrame, value_schema: T.StructType) -> DataFrame:
+    """The S3/S9 wire projection, separated from the source so it is
+    batch-testable without the connector: kafka's (key, value, timestamp)
+    binary columns -> typed record columns via from_json."""
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("rec"),
+        "timestamp",
+    ).select("key", "rec.*", F.col("timestamp").alias("kafka_ts"))
+
+
+def kafka_payload(df: DataFrame, key_col: str = "id") -> DataFrame:
+    """The S4/S9 produce projection (inverse of parse_kafka_records):
+    JSON-serialize the row, key by record id (reference keyed produce,
+    README.md:264-270). Batch-testable without the connector."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
+    )
 
 
 def read_raw_stream(
@@ -47,6 +84,7 @@ def read_raw_stream(
 ) -> DataFrame:
     """S3 consumer: kafka -> typed columns via from_json. Batch sizing
     (reference BATCH_SIZE=100) maps to maxOffsetsPerTrigger (ST6)."""
+    require_kafka(spark)
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
@@ -55,12 +93,7 @@ def read_raw_stream(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load()
-    return raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("rec"),
-        "timestamp",
-    ).select("key", "rec.*", F.col("timestamp").alias("kafka_ts"))
+    return parse_kafka_records(reader.load(), value_schema)
 
 
 def to_kafka_sink(
@@ -70,14 +103,11 @@ def to_kafka_sink(
     key_col: str = "id",
     checkpoint: str | None = None,
 ):
-    """S4 producer: JSON-serialize the row, key by record id
-    (reference keyed produce, README.md:264-270)."""
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
-    )
+    """S4 producer sink over :func:`kafka_payload`."""
+    require_kafka(df.sparkSession)
     writer = (
-        payload.writeStream.format("kafka")
+        kafka_payload(df, key_col)
+        .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("topic", topic)
     )

@@ -62,6 +62,20 @@ def test_envelope_matches_reference_shape_and_math(spark, sf_dir):
     )
 
 
+def test_envelope_pca_loadings_are_orthonormal():
+    """The fixed 'pretrained' projection axes must be an orthonormal set
+    (a genuine rotation/projection, not arbitrary weights) and stable
+    across imports (the oracle inlines them as literals)."""
+    import numpy as np
+
+    from datapipeline_spike_spark.pipeline import PCA_DIM, PCA_K, PCA_LOADINGS, _pca_loadings
+
+    m = np.array(PCA_LOADINGS)
+    assert m.shape == (PCA_K, PCA_DIM)
+    assert np.allclose(m @ m.T, np.eye(PCA_K), atol=1e-12)
+    assert _pca_loadings() == PCA_LOADINGS  # deterministic regeneration
+
+
 def test_invalid_records_dropped_at_gate(spark):
     rows = [
         ("2024-01-01 00:00:00", "M0", [1.0, -1.0, 1.0, -1.0], [1.0] * 4, [2.0] * 4, "Good"),

@@ -60,6 +60,15 @@ def test_column_pruning_projects_needed_columns_only(spark):
     assert "props" not in scan
 
 
+def test_spectral_window_single_exchange(spark):
+    """The capped window builder ranks and aggregates on the SAME
+    attribute, so the row_number window and the collect_list agg share
+    one exchange (a second shuffle of the full event stream would double
+    the query's wire cost at scale)."""
+    plan = _plan(spark, "spectral_energy")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_envelope_flatten_plans_no_python_udf(spark):
     """The OLAP flatten path opts out of the frequency domain, so the
     executed plan must contain NO Python evaluation node — r1's #3 bench

@@ -58,6 +58,36 @@ def test_dominant_frequency_finds_planted_sine(spark):
     assert got[2] is None
 
 
+def test_windowed_samples_cap_bounds_group_payload(spark, tmp_path):
+    """An oversized (day, status) group must be truncated to
+    SPECTRAL_MAX_SAMPLES before collect_list (the 100 TB memory-bomb
+    guard): n_samples == cap, n_raw_samples == true size, and the FFT
+    consumed exactly the first cap rows in (ts, value) order."""
+    import pandas as pd
+
+    from datapipeline_spike_spark.plans.catalog_ml import (
+        SPECTRAL_MAX_SAMPLES,
+        q_spectral_energy,
+    )
+
+    n = SPECTRAL_MAX_SAMPLES + 904
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime("2024-03-01") + pd.to_timedelta(range(n), unit="s"),
+            "event_type": "status_a",
+            "value": [float((i * 37) % 100 - 50) for i in range(n)],
+            "user_id": 1,
+            "event_id": range(n),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = q_spectral_energy(spark, str(tmp_path)).collect()[0]
+    assert row["n_samples"] == SPECTRAL_MAX_SAMPLES
+    assert row["n_raw_samples"] == n  # truncation is flagged, not silent
+    head = pdf.sort_values(["ts", "value"]).head(SPECTRAL_MAX_SAMPLES)["value"]
+    assert row["mean_power"] == pytest.approx((head**2).mean(), abs=0.01)
+
+
 def test_pca_projects_onto_dominant_axis(spark):
     # points on a line y = 2x (+ tiny z noise): pc1 captures ~all variance
     rows = [("g", float(x), 2.0 * x, 0.001 * (x % 3)) for x in range(-5, 6)]
