@@ -69,34 +69,10 @@ def _pca_loadings(k: int = PCA_K, dim: int = PCA_DIM) -> list[list[float]]:
 
 PCA_LOADINGS = _pca_loadings()
 
-def _quantized_axis_features(batch_col: str) -> list[Column]:
-    """The per-axis PCA input slice, rounded to wire precision (6dp;
-    kurtosis 4dp — two-pass HOF moments vs a streaming kurtosis differ
-    ~1e-6 on tiny groups). The spectral slot is mean power, computed as
-    the SQUARE OF THE QUANTIZED RMS (equal to avg(v^2) by definition,
-    i.e. the Parseval spectral energy / n): squaring an already-rounded
-    double is bit-identical in any engine, where re-summing v^2 in a
-    different order flips rounding boundaries. NULL features (empty
-    batch, zero variance) NULL the whole projection via standard SQL
-    null propagation — identically in the oracle."""
-    rms_q = F.round(feat.arr_rms(batch_col), 6)
-    return [
-        rms_q,
-        F.round(feat.arr_peak(batch_col), 6),
-        F.round(feat.arr_peak_to_peak(batch_col), 6),
-        F.round(feat.arr_crest_factor(batch_col), 6),
-        F.round(feat.arr_kurtosis(batch_col), 4),
-        F.round(rms_q * rms_q, 2),
-    ]
-
-
-def principal_components(batches: dict[str, str]) -> Column:
-    """array<double> of PCA_K projections of the quantized 18-dim
+def principal_components(feats: list[Column]) -> Column:
+    """array<double> of PCA_K projections of the quantized PCA_DIM
     feature vector onto PCA_LOADINGS. Left-associated multiply-add so
     the oracle's SQL evaluates the identical IEEE-754 op sequence."""
-    feats: list[Column] = []
-    for a in AXES:
-        feats.extend(_quantized_axis_features(batches[a]))
     pcs = []
     for loading in PCA_LOADINGS:
         acc = F.lit(loading[0]) * feats[0]
@@ -104,23 +80,6 @@ def principal_components(batches: dict[str, str]) -> Column:
             acc = acc + F.lit(w) * f
         pcs.append(F.round(acc, 4))
     return F.array(*pcs)
-
-
-def _axis_time_domain(batch_col: str) -> Column:
-    return F.struct(
-        feat.arr_rms(batch_col).alias("rms"),
-        feat.arr_peak(batch_col).alias("peak"),
-        feat.arr_peak_to_peak(batch_col).alias("peak_to_peak"),
-        feat.arr_crest_factor(batch_col).alias("crest_factor"),
-        feat.arr_kurtosis(batch_col).alias("kurtosis"),
-    )
-
-
-def _axis_freq_domain(batch_col: str) -> Column:
-    return F.struct(
-        dominant_frequency_bin(F.col(batch_col).cast("array<double>")).alias("dominant_bin"),
-        feat.arr_energy(batch_col).alias("spectral_energy"),
-    )
 
 
 def enrich_records(
@@ -141,11 +100,39 @@ def enrich_records(
     frequency struct is not prunable by Catalyst once planned, so opting
     out is the difference between a codegen-only stage and three
     per-axis Python round-trips. ``reduced_features`` stays in both
-    modes (its spectral input is the HOF energy twin, not the FFT)."""
-    batches = {a: f"vibration_{a}_batch" for a in AXES}
+    modes (its spectral input is the HOF energy twin, not the FFT).
 
-    crest = {a: feat.arr_crest_factor(c) for a, c in batches.items()}
-    max_crest = F.greatest(*[F.coalesce(c, F.lit(0.0)) for c in crest.values()])
+    Plan shape: the expensive per-axis array statistics are hoisted
+    into a FLAT projection first and the envelope structs assemble from
+    those columns in a second projection. Flat columns prune reliably
+    (Catalyst does not trim unused fields out of a created struct, so
+    the single-projection form made a downstream rms/peak/kurtosis
+    flatten still pay for crest/peak_to_peak), each statistic is
+    computed exactly once (crest reuses the hoisted rms and peak
+    instead of re-deriving both), and CollapseProject leaves the split
+    alone because the hoisted aliases are non-trivial and multiply
+    referenced."""
+    batches = {a: f"vibration_{a}_batch" for a in AXES}
+    key_cols = [c for c in ("ts", "machine", "operation") if c in records.columns]
+
+    stat_cols: list[Column] = []
+    for a, c in batches.items():
+        stat_cols += [
+            feat.arr_rms(c).alias(f"_rms_{a}"),
+            feat.arr_peak(c).alias(f"_peak_{a}"),
+            feat.arr_peak_to_peak(c).alias(f"_p2p_{a}"),
+            feat.arr_kurtosis(c).alias(f"_kurt_{a}"),
+        ]
+        if include_frequency_domain:
+            stat_cols.append(feat.arr_energy(c).alias(f"_energy_{a}"))
+    stats = records.select(
+        *key_cols, *batches.values(), "status_code", *stat_cols
+    )
+
+    def crest(a: str) -> Column:
+        return F.when(F.col(f"_rms_{a}") > 0, F.col(f"_peak_{a}") / F.col(f"_rms_{a}"))
+
+    max_crest = F.greatest(*[F.coalesce(crest(a), F.lit(0.0)) for a in AXES])
     nonempty = [F.size(F.coalesce(F.col(c), F.array())) > 0 for c in batches.values()]
     is_valid = nonempty[0] & nonempty[1] & nonempty[2] & (max_crest <= CREST_VALID_MAX)
     outlier_score = F.least(max_crest / 10.0, F.lit(1.0))
@@ -165,20 +152,54 @@ def enrich_records(
         + 0.2 * consistency.cast("double")
     )
 
-    features_fields = [
-        F.struct(*[_axis_time_domain(batches[a]).alias(a) for a in AXES]).alias(
-            "time_domain"
+    def axis_time_domain(a: str) -> Column:
+        return F.struct(
+            F.col(f"_rms_{a}").alias("rms"),
+            F.col(f"_peak_{a}").alias("peak"),
+            F.col(f"_p2p_{a}").alias("peak_to_peak"),
+            crest(a).alias("crest_factor"),
+            F.col(f"_kurt_{a}").alias("kurtosis"),
         )
+
+    def axis_freq_domain(a: str) -> Column:
+        return F.struct(
+            dominant_frequency_bin(
+                F.col(batches[a]).cast("array<double>")
+            ).alias("dominant_bin"),
+            F.col(f"_energy_{a}").alias("spectral_energy"),
+        )
+
+    features_fields = [
+        F.struct(*[axis_time_domain(a).alias(a) for a in AXES]).alias("time_domain")
     ]
     if include_frequency_domain:
         features_fields.append(
-            F.struct(*[_axis_freq_domain(batches[a]).alias(a) for a in AXES]).alias(
+            F.struct(*[axis_freq_domain(a).alias(a) for a in AXES]).alias(
                 "frequency_domain"
             )
         )
 
-    key_cols = [c for c in ("ts", "machine", "operation") if c in records.columns]
-    out = records.select(
+    # quantized PCA input (wire precision: 6dp; kurtosis 4dp — two-pass
+    # HOF moments vs a streaming kurtosis differ ~1e-6 on tiny groups).
+    # The spectral slot is mean power = SQUARE OF THE QUANTIZED RMS
+    # (equal to avg(v^2) = Parseval energy / n): squaring an
+    # already-rounded double is bit-identical in any engine, where
+    # re-summing v^2 in a different order flips rounding boundaries.
+    # NULL features (empty batch, zero variance) NULL the projection via
+    # standard SQL null propagation — identically in the oracle.
+    pca_feats: list[Column] = []
+    for a in AXES:
+        rms_q = F.round(F.col(f"_rms_{a}"), 6)
+        pca_feats += [
+            rms_q,
+            F.round(F.col(f"_peak_{a}"), 6),
+            F.round(F.col(f"_p2p_{a}"), 6),
+            F.round(crest(a), 6),
+            F.round(F.col(f"_kurt_{a}"), 4),
+            F.round(rms_q * rms_q, 2),
+        ]
+
+    out = stats.select(
         *key_cols,
         F.struct(
             *[F.col(c).alias(c) for c in batches.values()],
@@ -190,7 +211,7 @@ def enrich_records(
         ).alias("outlier_check"),
         F.struct(*features_fields).alias("features"),
         F.struct(
-            principal_components(batches).alias("principal_components"),
+            principal_components(pca_feats).alias("principal_components"),
         ).alias("reduced_features"),
         F.struct(
             F.round(quality, 6).alias("data_quality_score"),
