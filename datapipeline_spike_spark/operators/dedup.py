@@ -190,6 +190,95 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): each round rewires every node toward the minimum
+    of its neighborhood, contracting path lengths EXPONENTIALLY —
+    O(log^2 n) rounds on any graph vs min-label propagation's
+    O(diameter). This is the adversarial-graph fallback for
+    :func:`connected_components`: near-dup clusters are shallow (dups of
+    dups), so min-label's 2-4 cheap rounds win there, but a chained
+    corpus (translation chains, quote threads) can have long paths where
+    per-round cost x diameter explodes.
+
+    large-star: for each node u with m = min(N(u) + {u}), connect every
+    LARGER neighbor v > u to m. small-star: orient edges toward the
+    larger endpoint, connect every smaller neighbor (and u itself) to
+    the minimum. Both are one window-min + projection — no collect_list,
+    no driver state; convergence is the same 1-row digest probe as
+    min-label. Returns (id, component)."""
+    u, v = F.col("u"), F.col("v")
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .filter(u != v)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    def digest(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    d = digest(und)
+    for _ in range(max_iterations):
+        # large-star: m = min over {u} ∪ N(u); larger neighbors hook to m
+        wu = Window.partitionBy("u")
+        m = F.least(F.min("v").over(wu), u)
+        ls = (
+            und.withColumn("m", m)
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        und = (
+            ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: orient toward the larger endpoint; the larger node
+        # and its smaller neighbors all hook to the neighborhood minimum
+        oriented = und.filter(u > v)
+        wo = Window.partitionBy("u")
+        mo = F.min("v").over(wo)
+        ss_child = (
+            oriented.withColumn("m", mo)
+            .filter(v != F.col("m"))
+            .select(v.alias("u"), F.col("m").alias("v"))
+        )
+        ss_self = (
+            oriented.withColumn("m", mo).select(u, F.col("m").alias("v")).distinct()
+        )
+        ss = ss_child.union(ss_self).filter(F.col("u") != F.col("v"))
+        und = (
+            ss.union(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nd = digest(und)
+        if nd == d:
+            break
+        d = nd
+    # converged: stars centered at each component minimum
+    parents = und.filter(u > v).groupBy("u").agg(F.min("v").alias("parent"))
+    verts = vertices.select(F.col(id_col).alias("id"))
+    return verts.join(parents, verts["id"] == parents["u"], "left").select(
+        "id", F.coalesce(F.col("parent"), F.col("id")).alias("comp")
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -197,6 +286,7 @@ def dedup_corpus(
     jaccard_threshold: float = 0.8,
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    component_algorithm: str = "min_label",
 ) -> DataFrame:
     """END-TO-END corpus dedup — the full 100 TB pipeline in one call:
 
@@ -209,8 +299,16 @@ def dedup_corpus(
        A~B~C merge even when A!~C);
     5. every doc mapped through exact-rep -> component minimum.
 
+    ``component_algorithm``: "min_label" (default; O(diameter) rounds,
+    cheapest per round — right for shallow near-dup clusters) or "star"
+    (alternating large/small-star, O(log^2 n) rounds — right for
+    long-chained corpora). Both return identical assignments
+    (differential-tested).
+
     Returns (id_col, canonical_id). Docs with no duplicates map to
     themselves."""
+    if component_algorithm not in ("min_label", "star"):
+        raise ValueError(f"unknown component_algorithm: {component_algorithm!r}")
     from pyspark.sql import Window
 
     base = fan_out(df).select(F.col(id_col), F.col(text_col))
@@ -240,7 +338,8 @@ def dedup_corpus(
         .filter((inter.cast("double") / union) >= jaccard_threshold)
         .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     )
-    comp = connected_components(edges, reps.select(F.col(id_col).alias("id")))
+    cc = connected_components if component_algorithm == "min_label" else connected_components_star
+    comp = cc(edges, reps.select(F.col(id_col).alias("id")))
     # comp is eagerly checkpointed (as is the edge set), so nothing
     # downstream re-reads reps — release the cache now
     reps.unpersist()

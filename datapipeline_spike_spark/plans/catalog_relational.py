@@ -522,3 +522,69 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "orderkey")
         .limit(10)
     )
+
+
+_LATE_SHIPMENT_SQL = """
+    SELECT o.o_orderpriority AS orderpriority,
+           count(*)          AS order_count
+    FROM {orders} o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+      AND EXISTS (
+            SELECT 1 FROM {lineitem} l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+    GROUP BY 1
+"""
+
+
+@register(
+    "late_shipment_priority",
+    oracle=_LATE_SHIPMENT_SQL.format(orders="orders", lineitem="lineitem"),
+    doc="""TPC-H Q4 shape (order priority checking) through the SQL
+    entry point: a correlated EXISTS subquery with a non-equi
+    correlated predicate (shipment later than orderdate + 60 days).
+    Catalyst must DECORRELATE this into a left-semi join — never a
+    per-row subquery execution — with the date filter pushed to the
+    orders scan; tests/test_plans.py asserts the semi-join shape. The
+    driver's lineitem lacks commit/receipt dates, so lateness is
+    defined against o_orderdate (documented deviation, same plan
+    shape).""",
+    tags=("join", "subquery", "sql-api", "tpch"),
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4_v")
+    return spark.sql(
+        _LATE_SHIPMENT_SQL.format(orders="orders_q4_v", lineitem="lineitem_q4_v")
+    )
+
+
+_SMALL_QTY_SQL = """
+    SELECT count(*)                               AS n_small,
+           round(sum(l.l_extendedprice) / 7.0, 0) AS avg_yearly
+    FROM {lineitem} l
+    WHERE l.l_quantity < 0.5 * (
+            SELECT avg(l2.l_quantity) FROM {lineitem} l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+"""
+
+
+@register(
+    "small_quantity_revenue",
+    oracle=_SMALL_QTY_SQL.format(lineitem="lineitem"),
+    doc="""TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    SCALAR subquery — each lineitem compares its quantity against the
+    per-part average. Catalyst decorrelates to one per-part aggregate
+    joined back to the fact table (two scans + one shuffle each), not a
+    per-row lookup. Hash-safe across engines because quantities are
+    integer-valued doubles: their sums are exact in fp regardless of
+    reduction order, so 0.5*avg is bit-identical on both sides; the
+    price sum rounds to integer dollars.""",
+    tags=("join", "subquery", "aggregate", "sql-api", "tpch"),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17_v")
+    return spark.sql(_SMALL_QTY_SQL.format(lineitem="lineitem_q17_v"))

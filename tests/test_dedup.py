@@ -110,6 +110,42 @@ def test_connected_components_string_ids_deep_chain(spark):
     assert comp["z"] == "z"
 
 
+def test_star_components_contract_long_paths(spark):
+    """The alternating large/small-star variant must solve graphs whose
+    DIAMETER exceeds any reasonable min-label round budget: a 64-node
+    path converges in O(log^2 n) rounds (min-label would need 63)."""
+    from datapipeline_spike_spark.operators.dedup import connected_components_star
+
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n + 2)], "id long")
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(edges, verts, max_iterations=12).collect()
+    }
+    assert all(comp[i] == 0 for i in range(n)), comp
+    assert comp[n] == n and comp[n + 1] == n + 1  # isolated vertices
+
+
+def test_star_components_agree_with_min_label(spark):
+    """Differential check on a multi-component graph (string ids too):
+    both algorithms must produce identical component assignments."""
+    from datapipeline_spike_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "a"), ("g", "h"), ("h", "g")],
+        "src string, dst string",
+    )
+    verts = spark.createDataFrame([(x,) for x in "abcdefghi"], "id string")
+    star = {r["id"]: r["comp"] for r in connected_components_star(edges, verts).collect()}
+    label = {r["id"]: r["comp"] for r in connected_components(edges, verts).collect()}
+    assert star == label
+    assert star["f"] == "a" and star["i"] == "i"
+
+
 def test_dedup_corpus_end_to_end(spark, docs):
     """Exact copies collapse without LSH; near-dups merge via verified
     edges; unrelated and tiny docs stay their own canonicals."""
@@ -119,6 +155,11 @@ def test_dedup_corpus_end_to_end(spark, docs):
     assert out[0] == out[1] == out[2] == 0  # exact + normalized copies
     assert out[3] == 0                      # near-dup joins the cluster
     assert out[4] == 4 and out[5] == 5      # unrelated and <3-token docs
+    star = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_corpus(docs, jaccard_threshold=0.7, component_algorithm="star").collect()
+    }
+    assert star == out  # both component algorithms agree end-to-end
 
 
 def test_simhash_neardup_pairs_band_and_verify(docs):

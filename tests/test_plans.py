@@ -60,6 +60,24 @@ def test_column_pruning_projects_needed_columns_only(spark):
     assert "props" not in scan
 
 
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS (Q4 shape) must plan as a semi join, never
+    a per-row subquery or nested loop over the fact table."""
+    plan = _plan(spark, "late_shipment_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    """The correlated scalar subquery (Q17 shape) must plan as one
+    per-part aggregate joined back — two scans, no repeated subquery."""
+    plan = _plan(spark, "small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the decorrelated per-part average appears as a partial aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_spectral_window_single_exchange(spark):
     """The capped window builder ranks and aggregates on the SAME
     attribute, so the row_number window and the collect_list agg share
