@@ -156,6 +156,79 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+KMEANS_SCALE = 1 << 20  # fixed-point grid for order-insensitive centroid sums
+
+
+def kmeans_quantizer(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means — the production coarse
+    quantizer for IVF (the r1 index used lowest-id vectors as a
+    placeholder). Returns (cent_id, cvec, n_assigned) after ``iters``
+    full assign+update rounds.
+
+    Cross-engine determinism (the whole point — an RNG-seeded or
+    float-summed k-means could never hash-match a SQL replay):
+    - init: the k lowest-id corpus vectors (RNG-free);
+    - assign: argmax of 6dp-ROUNDED cosine with centroid-id tiebreak
+      (broadcast join of k rows against the corpus — map-only);
+    - update: component sums in FIXED-POINT — each component quantizes
+      to round(x * 2^20) as int64, and integer addition is associative,
+      so the per-dimension sum is identical under ANY reduction order
+      (a double sum differs in the last bits per partitioning and a
+      rounding boundary would eventually flip); the centroid component
+      is sum / (n * 2^20) — one exact division.
+
+    Scale posture: assignment is a broadcast join (no shuffle of the
+    corpus); the update shuffles (cent_id, dim) partial sums — map-side
+    combine caps the wire volume at k x dim rows per map partition,
+    independent of corpus size. Empty centroids drop out (both engines
+    drop them identically)."""
+    emb = fan_out(corpus).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = emb.join(F.broadcast(cents)).select(
+            "vid",
+            "v",
+            "cent_id",
+            F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("cos"),
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cent_id"))
+        assigned = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vid", "v", "cent_id")
+        )
+        fixed = assigned.select(
+            "cent_id",
+            F.posexplode(
+                F.transform(
+                    "v", lambda x: F.round(x * KMEANS_SCALE, 0).cast("long")
+                )
+            ).alias("pos", "q"),
+        )
+        sums = fixed.groupBy("cent_id", "pos").agg(
+            F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cents = sums.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda t: t["s"] / (t["n"] * float(KMEANS_SCALE)),
+            ).alias("cvec"),
+            F.max("n").alias("n_assigned"),
+        )
+    return cents
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     dim: int,

@@ -308,6 +308,80 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans(k: int, iters: int, scale: int) -> str:
+    """DuckDB replay of operators.similarity.kmeans_quantizer: the same
+    lowest-id init, rounded-cosine assignment, and fixed-point centroid
+    update, unrolled over the iterations as a CTE chain."""
+    sql = f"""
+    WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vid AS cent_id, v AS cvec FROM e WHERE vid < {k})"""
+    prev = "c0"
+    for t in range(iters):
+        sql += f"""
+    , sc{t} AS (
+      SELECT e.vid, e.v, c.cent_id,
+             round(list_cosine_similarity(e.v, c.cvec), 6) AS cos
+      FROM e CROSS JOIN {prev} c
+    ), a{t} AS (
+      SELECT vid, v, cent_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cent_id) AS rnk
+        FROM sc{t}
+      ) WHERE rnk = 1
+    ), s{t} AS (
+      SELECT cent_id, pos, sum(q) AS s, count(*) AS n
+      FROM (
+        SELECT cent_id,
+               unnest(range(0, len(v))) AS pos,
+               unnest(list_transform(v, x -> CAST(round(x * {scale}) AS BIGINT))) AS q
+        FROM a{t}
+      )
+      GROUP BY 1, 2
+    ), c{t + 1} AS (
+      SELECT cent_id,
+             array_agg(s / (n * {scale}.0) ORDER BY pos) AS cvec,
+             max(n) AS n_assigned
+      FROM s{t} GROUP BY 1
+    )"""
+        prev = f"c{t + 1}"
+    return sql + f"""
+    SELECT cent_id, CAST(pos AS INT) AS pos, round(comp, 6) AS component,
+           CAST(n_assigned AS BIGINT) AS n_assigned
+    FROM (SELECT cent_id, n_assigned,
+                 unnest(range(0, len(cvec))) AS pos,
+                 unnest(cvec) AS comp
+          FROM {prev})
+    """
+
+
+@register(
+    "kmeans_centroids",
+    oracle=_sql_kmeans(k=16, iters=2, scale=1 << 20),
+    doc="""Distributed Lloyd's k-means over the embedding corpus — the
+    PRODUCTION coarse quantizer for IVF (ann_ivf_flat's lowest-id
+    quantizer is the index-bootstrap placeholder). Fully oracle-checked
+    end-to-end across 2 assign+update rounds, which iterative ML
+    almost never is: init is RNG-free (k lowest-id vectors), assignment
+    ranks 6dp-rounded cosines with id tiebreaks, and the centroid
+    update sums components in FIXED-POINT int64 (order-insensitive —
+    float sums differ per reduction order and would eventually flip a
+    rounding boundary). Assignment is a broadcast join (no corpus
+    shuffle); the update's map-side combine caps shuffle volume at
+    k x dim rows per partition regardless of corpus size.""",
+    tags=("ml", "kmeans", "embedding", "iterative"),
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import kmeans_quantizer
+
+    cents = kmeans_quantizer(load(spark, sf_dir, "embeddings"), k=16, iters=2)
+    return cents.select(
+        "cent_id",
+        F.posexplode("cvec").alias("pos", "comp"),
+        F.col("n_assigned").cast("bigint").alias("n_assigned"),
+    ).select(
+        "cent_id", "pos", F.round("comp", 6).alias("component"), "n_assigned"
+    )
+
+
 NEARDUP_THRESHOLD = 0.4  # synthetic corpus has no true dups; 0.4 keeps the tail
 
 

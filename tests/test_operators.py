@@ -122,3 +122,32 @@ def test_salted_join_matches_plain_join(spark):
     with pytest.raises(ValueError, match="left-preserving"):
         salted_join(left, right, ["k"], how="right")
     assert again.exceptAll(got).count() == 0
+
+
+def test_kmeans_quantizer_improves_over_init(spark, sf_dir):
+    """Lloyd's invariant: mean assigned cosine (similarity analogue of
+    inertia) must not get worse from the init quantizer to the trained
+    one, and assignment counts must cover the corpus."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.functions.vectors import cosine
+    from datapipeline_spike_spark.operators.similarity import kmeans_quantizer
+    from datapipeline_spike_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    n_total = emb.count()
+
+    def mean_best_cos(cents):
+        scored = emb.join(F.broadcast(cents)).select(
+            "vid", cosine(F.col("v"), F.col("cvec")).alias("cos")
+        )
+        best = scored.groupBy("vid").agg(F.max("cos").alias("best"))
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    init = emb.filter(F.col("vid") < 16).select(F.col("vid").alias("cent_id"), F.col("v").alias("cvec"))
+    trained = kmeans_quantizer(load(spark, sf_dir, "embeddings"), k=16, iters=2)
+    assert trained.agg(F.sum("n_assigned")).collect()[0][0] == n_total
+    assert trained.count() <= 16
+    assert mean_best_cos(trained.select("cent_id", "cvec")) >= mean_best_cos(init) - 1e-9
