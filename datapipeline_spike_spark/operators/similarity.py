@@ -92,6 +92,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: the inverted-file counterpart of ``lsh_bucket_topk``.
 
@@ -106,13 +107,23 @@ def ivf_topk(
     inverted lists; candidates come from the list equi-join.
 
     Ties broken (higher cos, then lower centroid id) on 6-dp-rounded
-    scores — identical on both engines."""
-    cents = sorted(
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .filter(F.col(id_col) < n_centroids)
-        .collect(),
-        key=lambda r: r[0],
-    )
+    scores — identical on both engines.
+
+    ``centroids``: optional trained quantizer (cent_id, cvec) — e.g.
+    :func:`kmeans_quantizer` output — replacing the lowest-id bootstrap.
+    Same bounded collect (k rows) and literal inlining either way."""
+    if centroids is not None:
+        cents = sorted(
+            ((r["cent_id"], r["cvec"]) for r in centroids.collect()),
+            key=lambda r: r[0],
+        )
+    else:
+        cents = sorted(
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .filter(F.col(id_col) < n_centroids)
+            .collect(),
+            key=lambda r: r[0],
+        )
 
     def nearest(v):  # array<struct<cos, negid>>; lexicographic max = best
         return F.array_sort(

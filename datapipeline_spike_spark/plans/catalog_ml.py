@@ -308,10 +308,11 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans(k: int, iters: int, scale: int) -> str:
+def _sql_kmeans_ctes(k: int, iters: int, scale: int) -> tuple[str, str]:
     """DuckDB replay of operators.similarity.kmeans_quantizer: the same
     lowest-id init, rounded-cosine assignment, and fixed-point centroid
-    update, unrolled over the iterations as a CTE chain."""
+    update, unrolled over the iterations as a CTE chain. Returns
+    (cte_sql, final_centroid_cte_name)."""
     sql = f"""
     WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vid AS cent_id, v AS cvec FROM e WHERE vid < {k})"""
@@ -343,7 +344,12 @@ def _sql_kmeans(k: int, iters: int, scale: int) -> str:
       FROM s{t} GROUP BY 1
     )"""
         prev = f"c{t + 1}"
-    return sql + f"""
+    return sql, prev
+
+
+def _sql_kmeans(k: int, iters: int, scale: int) -> str:
+    ctes, prev = _sql_kmeans_ctes(k, iters, scale)
+    return ctes + f"""
     SELECT cent_id, CAST(pos AS INT) AS pos, round(comp, 6) AS component,
            CAST(n_assigned AS BIGINT) AS n_assigned
     FROM (SELECT cent_id, n_assigned,
@@ -379,6 +385,68 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_assigned").cast("bigint").alias("n_assigned"),
     ).select(
         "cent_id", "pos", F.round("comp", 6).alias("component"), "n_assigned"
+    )
+
+
+def _sql_ann_ivf_kmeans() -> str:
+    """Trained-quantizer IVF replay: the kmeans CTE chain feeds the same
+    assign/probe/score/rank pipeline ann_ivf_flat uses."""
+    ctes, cfin = _sql_kmeans_ctes(k=16, iters=2, scale=1 << 20)
+    ranked = f"""
+      SELECT vid, v, cent_id,
+             row_number() OVER (PARTITION BY vid
+                 ORDER BY round(list_cosine_similarity(v, cvec), {R}) DESC, cent_id) AS rnk
+      FROM e CROSS JOIN {cfin}
+    """
+    probes_ranked = ranked.replace(
+        f"FROM e CROSS JOIN {cfin}",
+        f"FROM (SELECT * FROM e WHERE vid < 5) e CROSS JOIN {cfin}",
+    )
+    return ctes + f"""
+    , assign AS (
+      SELECT vid AS neighbor_id, v AS cv, cent_id FROM ({ranked}) WHERE rnk = 1
+    ), probes AS (
+      SELECT vid AS query_id, v AS qv, cent_id FROM ({probes_ranked}) WHERE rnk <= 2
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), {R}) AS cos_sim
+      FROM assign JOIN probes USING (cent_id)
+      WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=_sql_ann_ivf_kmeans(),
+    doc="""IVF ANN under the TRAINED k-means quantizer — the production
+    index shape end-to-end: Lloyd's training (2 rounds, fixed-point
+    updates), map-only corpus assignment against the trained centroid
+    literals (16-row bounded collect, same pattern as ann_ivf_flat),
+    2-list multiprobe, rounded-cosine ranking. The oracle replays
+    EVERYTHING — quantizer training included — in one CTE chain, so the
+    whole index lifecycle is hash-checked, not just the search.""",
+    tags=("similarity", "embedding", "ivf", "kmeans"),
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import kmeans_quantizer
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_quantizer(emb, k=16, iters=2)
+    out = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=2,
+        centroids=cents.select("cent_id", "cvec"),
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     )
 
 

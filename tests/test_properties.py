@@ -111,3 +111,67 @@ def test_exact_dedup_partitions_the_corpus(spark, docs):
     again = exact_dedup(survivors).collect()
     assert len(again) == len(out)
     assert all(r["n_copies"] == 1 for r in again)
+
+
+texts = st.lists(
+    st.text(alphabet="abcdefg hij", min_size=1, max_size=120).filter(str.strip),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(docs=texts)
+@PROP
+def test_simhash64_bag_of_tokens_properties(spark, docs):
+    """SimHash is a function of the token MULTISET: permuting tokens
+    changes nothing; identical docs share signatures; any emitted
+    signature splits into 4 chunks that reassemble to the hex form."""
+    from datapipeline_spike_spark.operators.dedup import simhash64
+
+    rows = []
+    for i, t in enumerate(docs):
+        toks = t.split()
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(reversed(toks))))  # permuted twin
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in simhash64(df).collect()}
+    for i in range(len(docs)):
+        a, b = got.get(2 * i), got.get(2 * i + 1)
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        assert a["simhash_chunks"] == b["simhash_chunks"]  # permutation-invariant
+        assert all(0 <= c < (1 << 16) for c in a["simhash_chunks"])
+        u64 = sum(c << (16 * k) for k, c in enumerate(a["simhash_chunks"]))
+        assert a["simhash_hex"] == f"{u64:016x}"
+
+
+@given(docs=texts)
+@PROP
+def test_rolling_hash_is_order_sensitive_simhash_is_not(spark, docs):
+    """The fingerprint family's documented contrast: the polynomial
+    rolling hash distinguishes reordered docs (order-sensitive), while
+    SimHash does not — both computed on the same permuted twins."""
+    from datapipeline_spike_spark.functions.text import tokens as _toks
+
+    ROLLING_MOD = 2_147_483_647
+    rows = []
+    for i, t in enumerate(docs):
+        toks = t.split()
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(reversed(toks))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h = F.aggregate(
+        F.transform(_toks("text"), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % ROLLING_MOD,
+    )
+    got = {r["doc_id"]: r["h"] for r in df.select("doc_id", h.alias("h")).collect()}
+    # per-doc mod-2^31 collisions are possible, but not for every doc:
+    # some reversal-distinct doc must get a different fingerprint
+    distinct_pairs = [
+        i for i, t in enumerate(docs)
+        if t.split() != list(reversed(t.split()))
+    ]
+    if distinct_pairs:
+        assert any(got[2 * i] != got[2 * i + 1] for i in distinct_pairs)

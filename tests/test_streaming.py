@@ -221,3 +221,41 @@ def test_rate_source_simulated_opcua_stream(spark):
             assert r["rms"] is not None and r["rms"] >= 0
     finally:
         q.stop()
+
+
+def test_rocksdb_state_store_runs_windowed_state(spark, events_dir):
+    """100 TB posture for streaming state: the in-memory (HDFS-backed)
+    default provider caps state at executor heap; RocksDB spills to
+    local disk. Prove the bundled provider actually runs our windowed
+    aggregation and produces the same result as the batch twin."""
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        schema = spark.read.parquet(events_dir).schema
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        q = run_to_memory(
+            vibration_feature_stream(stream, window="1 day"), "rocksdb_features"
+        )
+        try:
+            got = spark.sql(
+                "SELECT count(*) AS n, sum(n_samples) AS s FROM rocksdb_features"
+            ).collect()[0]
+        finally:
+            q.stop()
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy(F.window("ts", "1 day"), "machine")
+            .count()
+        )
+        # append mode drops windows the watermark hasn't closed (the
+        # final day per machine) — same allowance as the batch-twin test
+        n_batch = batch.count()
+        assert 0 < n_batch - 2 <= got["n"] <= n_batch
+        assert 0 < got["s"] <= spark.read.parquet(events_dir).count()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
