@@ -103,3 +103,24 @@ def test_lsh_has_no_cartesian_or_smj(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lake_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """100 TB lake posture: a fact-dim join where the dim filter is only
+    knowable at runtime must inject a dynamic partition pruning subquery
+    into the fact scan — without DPP the join reads every machine
+    partition and filters after the fact."""
+    from datapipeline_spike_spark.plans.registry import load
+    from datapipeline_spike_spark.sources.parquet_lake import read_zone, write_zone
+
+    events = load(spark, SF, "events").withColumn(
+        "machine", F.concat(F.lit("M"), (F.col("user_id") % 8).cast("string"))
+    )
+    write_zone(events, str(tmp_path), "raw")
+    fact = read_zone(spark, str(tmp_path), "raw")
+    dim = spark.createDataFrame(
+        [("M0", "line_a"), ("M1", "line_b")], "machine string, line string"
+    ).filter(F.col("line") == "line_a")
+    joined = fact.join(F.broadcast(dim), "machine").groupBy("machine").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

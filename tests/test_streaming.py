@@ -259,3 +259,47 @@ def test_rocksdb_state_store_runs_windowed_state(spark, events_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_checkpoint_restart_is_exactly_once(spark, events_dir):
+    """ST3: stop a checkpointed query mid-stream, restart it over the
+    same checkpoint with MORE data present — the sink must end up with
+    every input row exactly once (offsets resume, nothing replays)."""
+    root = tempfile.mkdtemp(prefix="ckpt_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    try:
+        base = spark.read.parquet(events_dir).select("event_id", "ts", "value").limit(600)
+        a = base.filter(F.col("event_id") % 3 == 0)
+        b = base.filter(F.col("event_id") % 3 != 0)
+        a.write.mode("overwrite").parquet(src)
+
+        def start():
+            stream = (
+                spark.readStream.schema("event_id long, ts timestamp, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            return (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        n_first = spark.read.parquet(sink).count()
+        assert n_first == a.count()
+
+        b.write.mode("append").parquet(src)  # arrives while the query is DOWN
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+
+        out = spark.read.parquet(sink)
+        assert out.count() == base.count()  # nothing lost, nothing duplicated
+        assert out.select("event_id").distinct().count() == base.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
