@@ -530,3 +530,102 @@ def q_multimodal_shard_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length(payload)).cast("bigint").alias("total_bytes"),
         F.max(F.octet_length(payload)).cast("bigint").alias("max_bytes"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    n_docs AS (SELECT count(*) AS n FROM t WHERE len(toks) > 0),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * (ln((n_docs.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n_docs
+    )
+    SELECT doc_id, tok AS term, tfidf, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, tok) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="""TF-IDF keyword extraction (SURVEY §2.11 text analysis) as
+    relational algebra — no ML-lib fitting step: tf = per-(doc, token)
+    counts, idf = smoothed ln((N+1)/(df+1)) + 1 (the standard
+    smooth-idf), top-3 terms per doc ranked on the ROUNDED score with a
+    term tiebreak. Two vocabulary-bounded shuffles (token counts,
+    document frequencies) + one broadcastable join — corpus-scale-safe,
+    and every number replays exactly in SQL.""",
+    tags=("text", "tfidf", "aggregate"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(Tx.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.filter(Tx.token_count("text") > 0).count()
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("tok").alias("term"), "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM ex GROUP BY 1
+    ), tot AS (SELECT sum(c) AS total, count(*) AS v FROM vocab),
+    scored AS (
+      SELECT ex.doc_id,
+             ln((vocab.c + 1.0) / (tot.total + tot.v)) AS lp
+      FROM ex JOIN vocab USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*)               AS n_tokens,
+           round(avg(lp), 6)      AS avg_logprob
+    FROM scored
+    GROUP BY 1
+    """,
+    doc="""Corpus-LM quality scoring (SURVEY §2.11 text analysis — the
+    perplexity-style filter an LLM data pipeline runs): an add-one
+    smoothed unigram model fit on the corpus itself scores each doc by
+    mean token log-probability; gibberish and vocabulary-outlier docs
+    rank low. Vocabulary-bounded shuffles only; the token->prob join is
+    broadcastable at any corpus size (vocabulary, not corpus,
+    cardinality). avg over per-token ln values is order-sensitive at
+    the 1e-15 level; 6dp rounding absorbs it (same bound every other
+    float aggregate in the catalog uses).""",
+    tags=("text", "quality", "lm"),
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    ex = d.select("doc_id", F.explode(Tx.tokens("text")).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot_row = vocab.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")).collect()[0]
+    total, v = float(tot_row["total"]), float(tot_row["v"])
+    scored = ex.join(F.broadcast(vocab), "tok").select(
+        "doc_id", F.log((F.col("c") + 1.0) / (total + v)).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
