@@ -55,12 +55,21 @@ def main() -> None:
         spectral_energy_fft(F.array(F.col("id").cast("double")))
     ).collect()
 
+    # steady-state measurement: run each query twice and report the
+    # SECOND time. The first run pays one-off costs that are not query
+    # cost (codegen compilation, parquet footer reads, JVM JIT warmup,
+    # Python-worker forks) and this host's wall-times swing 2-4x
+    # run-to-run — the second run is the reproducible number a cluster
+    # would see in steady state.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].spark
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = round(time.perf_counter() - t0, 3)
+        timings[name] = best
 
     total = round(sum(timings.values()), 3)
     print(

@@ -313,13 +313,16 @@ def dedup_corpus(
 
     base = fan_out(df).select(F.col(id_col), F.col(text_col))
     # min-over-fingerprint-partition: one shuffle, no self-join (a join
-    # against groupBy(min) would scan + fingerprint the corpus twice)
+    # against groupBy(min) would scan + fingerprint the corpus twice).
+    # Materialized once (two consumers: the reps filter and the final
+    # assignment join would otherwise EACH re-scan + re-fingerprint the
+    # corpus); 2 ids/doc, lineage-free so no unpersist bookkeeping.
     rep_map = base.select(
         F.col(id_col),
         F.min(id_col)
         .over(Window.partitionBy(fingerprint_md5(text_col)))
         .alias("exact_rep"),
-    )
+    ).localCheckpoint(eager=True)
     # three consumers (LSH candidates, shingle verification, component
     # vertices) — persist so the scan+fingerprint+join runs once; spills
     # to disk rather than pinning memory at corpus scale
@@ -339,12 +342,23 @@ def dedup_corpus(
         .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     )
     cc = connected_components if component_algorithm == "min_label" else connected_components_star
-    comp = cc(edges, reps.select(F.col(id_col).alias("id")))
+    # iterate ONLY over vertices that touch an edge: isolated reps are
+    # their own component by definition, so the label frames shrink from
+    # |reps| to |edge endpoints| — at corpus scale that is the difference
+    # between per-round shuffles of the whole corpus and of the (small)
+    # near-dup subgraph
+    edge_verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = cc(edges, edge_verts)
     # comp is eagerly checkpointed (as is the edge set), so nothing
     # downstream re-reads reps — release the cache now
     reps.unpersist()
-    return rep_map.join(comp, rep_map["exact_rep"] == comp["id"]).select(
-        F.col(id_col), F.col("comp").alias("canonical_id")
+    return rep_map.join(comp, rep_map["exact_rep"] == comp["id"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("comp"), F.col("exact_rep")).alias("canonical_id"),
     )
 
 

@@ -288,3 +288,36 @@ def q_status_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("value") > 10, 1).otherwise(0)).alias("n_high"),
     )
+
+
+@register(
+    "sliding_window_load",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) - INTERVAL (o) DAY AS TIMESTAMP) AS window_start,
+           count(*)                    AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(avg(value), 6)        AS mean_value
+    FROM (SELECT ts, user_id, value, unnest([0, 1]) AS o FROM events)
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="""Sliding (overlapping) windows — the hop-window surface ST1's
+    tumbling form doesn't cover: 2-day windows sliding by 1 day, so
+    every event lands in exactly 2 windows. Spark's window() expands
+    each row into its covering windows before the aggregation (an
+    Expand, not a self-join); the oracle replays the expansion as an
+    unnested 0/1 day offset. Distinct-user load per window rides along
+    to exercise count(DISTINCT) under the expansion.""",
+    tags=("aggregate", "window", "sliding"),
+)
+def q_sliding_window_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.avg("value"), R).alias("mean_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "n_users", "mean_value")
+    )
