@@ -57,6 +57,64 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def brute_force_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Arrow/BLAS variant of :func:`brute_force_topk` — the path that
+    wins when the query set is large enough to amortize Arrow transfer
+    (the HOF form evaluates |corpus| x |queries| interpreted lambda dot
+    products; this computes ONE numpy matmul per Arrow batch).
+
+    The query matrix is closure-captured (bounded, documented collect —
+    same contract as the broadcast in the HOF form). Each mapInPandas
+    batch emits only its PARTIAL top-k per query (argpartition), so the
+    Arrow return traffic is k x |queries| rows per batch, never the
+    full score matrix; a final window rank merges partials. Scores are
+    rounded like the HOF form, so results agree modulo rounded-score
+    ties."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect(),
+        key=lambda r: r[0],
+    )
+    qids = np.array([r[0] for r in qrows])
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_nid"].to_numpy()
+            c = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = cn @ qn.T  # batch x queries
+            top = min(k + 1, sims.shape[0])  # +1 absorbs the self row
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            rows = {
+                "query_id": np.repeat(qids, top),
+                "neighbor_id": ids[idx].T.ravel(),
+                "cos_sim": np.round(np.take_along_axis(sims, idx, axis=0).T.ravel(), round_decimals),
+            }
+            yield pd.DataFrame(rows)
+
+    prepared = fan_out(corpus).select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    partial = prepared.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _plane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (no numpy RNG so the test
     fixture and any SQL replay can regenerate it): values in [-1, 1)

@@ -151,3 +151,23 @@ def test_kmeans_quantizer_improves_over_init(spark, sf_dir):
     assert trained.agg(F.sum("n_assigned")).collect()[0][0] == n_total
     assert trained.count() <= 16
     assert mean_best_cos(trained.select("cent_id", "cvec")) >= mean_best_cos(init) - 1e-9
+
+
+def test_blas_topk_matches_hof_topk(emb):
+    """The Arrow/BLAS brute-force variant must return the same neighbor
+    sets and (rounded) scores as the HOF form — same semantics, faster
+    path for large query sets."""
+    from datapipeline_spike_spark.operators.similarity import brute_force_topk_blas
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    hof = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    blas = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk_blas(emb, queries, k=5).collect()
+    }
+    assert set(hof) == set(blas)
+    for key, v in hof.items():
+        assert abs(blas[key] - v) < 1e-9
