@@ -629,3 +629,51 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+@register(
+    "leakage_safe_split",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, min(doc_id) OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ) AS exact_rep
+      FROM documents
+    )
+    SELECT doc_id, exact_rep,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(exact_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(exact_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8
+                THEN 'val' ELSE 'test' END AS split
+    FROM fp
+    """,
+    doc="""Leakage-safe train/val/test assignment (SURVEY §2.11 — the
+    split stage of a training-data pipeline): the split is a
+    deterministic hash of the document's CANONICAL (exact-dup group)
+    id, not its own id, so copies of the same text can never straddle
+    train and test — the contamination a naive random split introduces.
+    Hash-based (not RNG sampleBy) on purpose: reruns, backfills, and
+    the SQL oracle all reproduce the identical assignment. 80/10/10 via
+    md5-word mod 10; map-only over the fingerprint window (one
+    shuffle).""",
+    tags=("text", "split", "dedup"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.functions.text import fingerprint_md5
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    rep = F.min("doc_id").over(Window.partitionBy(fingerprint_md5("text")))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("exact_rep").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", rep.alias("exact_rep")).select(
+        "doc_id", "exact_rep", split.alias("split")
+    )

@@ -224,3 +224,26 @@ def test_simhash64_buckets_shrink_vs_16bit(spark, sf_dir):
     max64, pairs64 = stats(b64)
     assert max64 <= max16
     assert pairs64 < pairs16  # banded-join candidate volume strictly shrinks
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark, docs, sf_dir):
+    """Copies of the same text must land in the SAME split (that is the
+    leakage guarantee), assignment must be deterministic, and the hash
+    buckets must produce a roughly 80/10/10 partition on a real corpus."""
+    import tempfile
+
+    from datapipeline_spike_spark.plans.catalog_extensions import q_leakage_safe_split
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        rows = {r["doc_id"]: r for r in q_leakage_safe_split(spark, d).collect()}
+        assert rows[0]["split"] == rows[1]["split"] == rows[2]["split"]
+        assert rows[0]["exact_rep"] == rows[1]["exact_rep"] == rows[2]["exact_rep"] == 0
+        again = {r["doc_id"]: r["split"] for r in q_leakage_safe_split(spark, d).collect()}
+        assert again == {k: v["split"] for k, v in rows.items()}
+
+    splits = q_leakage_safe_split(spark, sf_dir).groupBy("split").count().collect()
+    frac = {r["split"]: r["count"] for r in splits}
+    total = sum(frac.values())
+    assert 0.6 < frac.get("train", 0) / total < 0.95
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
