@@ -171,3 +171,18 @@ def test_blas_topk_matches_hof_topk(emb):
     assert set(hof) == set(blas)
     for key, v in hof.items():
         assert abs(blas[key] - v) < 1e-9
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The sketch path for count(DISTINCT) at scale: HLL++ must land
+    within its configured relative error of the exact count (the exact
+    form shuffles every distinct value; the sketch shuffles a bounded
+    buffer per group)."""
+    from datapipeline_spike_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06  # 3 sigma
