@@ -208,7 +208,9 @@ def test_rate_source_simulated_opcua_stream(spark):
     try:
         import time
 
-        deadline = time.time() + 20
+        # generous: this is wall-clock-sensitive and the host stalls
+        # multi-second under concurrent load (observed flake at 20s)
+        deadline = time.time() + 60
         rows = []
         while time.time() < deadline:
             time.sleep(1)
