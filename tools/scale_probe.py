@@ -130,6 +130,45 @@ def main() -> None:
                           "sec": secs, "rows_per_sec": int(drows / secs)}), flush=True)
         docs.unpersist()
 
+        # skewed join: 90% of left rows share ONE key. The salted form
+        # spreads the hot key over 8 reducers; compare against the plain
+        # join with AQE skew handling. Wall-times on this host are noisy
+        # — the point is that salting stays in the same range (no
+        # replication blowup) while guaranteeing no single-task straggler
+        # regardless of AQE's heuristics.
+        from datapipeline_spike_spark.scale import salted_join
+
+        n_left = 400_000 * amp
+        left = (
+            spark.range(n_left)
+            .select(
+                F.col("id").alias("row_id"),
+                F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 1000).alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        right = (
+            spark.range(1000)
+            .select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("attr"))
+            .localCheckpoint(eager=True)
+        )
+        # defeat broadcast so the join actually shuffles (the skew case)
+        nobc = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+        for kk, vv in nobc.items():
+            spark.conf.set(kk, vv)
+        try:
+            secs_plain = probe("skew_plain", lambda: left.join(right, "k").groupBy("attr").count())
+            secs_salted = probe(
+                "skew_salted",
+                lambda: salted_join(left, right, ["k"], salt_buckets=8,
+                                    left_unique_col="row_id").groupBy("attr").count(),
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        print(json.dumps({"probe": "skew_join", "amp": amp, "rows": n_left,
+                          "plain_sec": secs_plain, "salted_sec": secs_salted}), flush=True)
+
 
 if __name__ == "__main__":
     main()
