@@ -80,6 +80,7 @@ def brute_force_topk_blas(
     import numpy as np
     import pandas as pd
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
     qrows = sorted(
         queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect(),
         key=lambda r: r[0],
@@ -109,7 +110,7 @@ def brute_force_topk_blas(
         F.col(id_col).alias("_nid"), F.col(vec_col).cast("array<double>").alias("_cv")
     )
     partial = prepared.mapInPandas(
-        score, schema="query_id long, neighbor_id long, cos_sim double"
+        score, schema=f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -182,6 +183,10 @@ def ivf_topk(
             .collect(),
             key=lambda r: r[0],
         )
+    # A trained quantizer drops empty centroids, so len(cents) can fall
+    # below the requested probe count; a non-positive slice start would
+    # fail at runtime.
+    n_probe = min(n_probe, len(cents))
 
     def nearest(v):  # array<struct<cos, negid>>; lexicographic max = best
         return F.array_sort(
@@ -263,7 +268,6 @@ def kmeans_quantizer(
     cents = emb.filter(F.col("vid") < k).select(
         F.col("vid").alias("cent_id"), F.col("v").alias("cvec")
     )
-    assigned = None
     for _ in range(iters):
         scored = emb.join(F.broadcast(cents)).select(
             "vid",

@@ -8,3 +8,48 @@ from datapipeline_spike_spark.plans import catalog_relational  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_events  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_extensions  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
+
+# The driver's per-round correctness harness samples the FIRST 50
+# registry entries, so raw registration order (module import order, new
+# queries appended at the tail) silently starves the newest queries of
+# driver verification. Rotate: queries that have never received a
+# driver CORRECTNESS row register first; the longest-stable relational
+# classics (driver-green in both r1 and r2) rotate to the tail.
+_VERIFY_FIRST = (
+    "unigram_logprob_score",
+    "leakage_safe_split",
+    "spectral_energy",
+    "dominant_frequency",
+    "pca_reduce",
+    "ann_lsh_bucket",
+    "ann_ivf_flat",
+    "kmeans_centroids",
+    "ann_ivf_kmeans",
+    "embedding_neardup_pairs",
+)
+_STABLE_TAIL = (
+    "pricing_summary",
+    "revenue_by_segment",
+    "customers_per_region",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_size_histogram",
+    "part_size_bands",
+    "top_orders_per_customer",
+    "customer_order_running",
+    "lineitem_rollup",
+    "orders_cube",
+    "top_lineitems_global",
+)
+
+
+def _reorder() -> None:
+    head = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    tail = [n for n in _STABLE_TAIL if n in REGISTRY]
+    mid = [n for n in REGISTRY if n not in _VERIFY_FIRST and n not in _STABLE_TAIL]
+    snapshot = {n: REGISTRY[n] for n in head + mid + tail}
+    REGISTRY.clear()
+    REGISTRY.update(snapshot)
+
+
+_reorder()

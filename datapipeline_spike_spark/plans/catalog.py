@@ -214,7 +214,10 @@ def _sql_envelope_pca() -> str:
             rms_q,
             f"round(max(abs({t})), 6)",
             f"round(max({t}) - min({t}), 6)",
-            f"round(max(abs({t})) / sqrt(avg(({t}) * ({t}))), 6)",
+            # zero-rms guard mirrors pipeline.crest (NULL, not inf/NaN,
+            # on an all-zero window)
+            f"round(CASE WHEN sqrt(avg(({t}) * ({t}))) > 0 "
+            f"THEN max(abs({t})) / sqrt(avg(({t}) * ({t}))) END, 6)",
             f"round({_sql_kurt(t, m)}, 4)",
             # mean power = quantized-rms squared (pipeline note: bit-stable
             # across engines, unlike re-summing v^2 in scan order)
