@@ -237,7 +237,25 @@ def operation_code(status_col: str = "event_type") -> Column:
     )
 
 
-def records_from_events(events: DataFrame) -> DataFrame:
+ENVELOPE_MAX_SAMPLES = 4096  # hard cap on per-group batch array length
+
+
+def events_base(events: DataFrame) -> DataFrame:
+    """The shared record-synthesis projection: non-null scalar events
+    with derived ``machine`` (user parity) and ``operation``
+    (md5-word hash of the event type, OP01..OP14)."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .withColumn(
+            "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
+        )
+        .withColumn("operation", operation_code("event_type"))
+    )
+
+
+def records_from_events(
+    events: DataFrame, max_samples: int = ENVELOPE_MAX_SAMPLES
+) -> DataFrame:
     """Synthesize reference-shaped triaxial records from the driver's
     scalar ``events`` stream: per (machine, operation, hour) the values
     collect into a batch array replicated across axes with deterministic
@@ -245,17 +263,34 @@ def records_from_events(events: DataFrame) -> DataFrame:
     three). Sorting keys the arrays deterministically. ``operation`` is
     synthesized from the event type (the OLAP grain is per
     machine/operation window, reference/TechSpikeDataPipeline.md:96-100,
-    FeatureEngineeringApproaches.md:97)."""
-    ev = (
-        events.filter(F.col("value").isNotNull())
-        .withColumn(
-            "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
-        )
-        .withColumn("operation", operation_code("event_type"))
+    FeatureEngineeringApproaches.md:97).
+
+    Group payload is O(``max_samples``), NOT O(scale factor): rows are
+    ranked inside each group by event id (sort-based window — streams,
+    never materializes the group) and only the first ``max_samples``
+    survive to ``collect_list``, the same treatment the spectral path
+    applies (catalog_ml.SPECTRAL_MAX_SAMPLES). The reference's real
+    60-sample windows never hit the cap; the testdata's hour-wide
+    stand-in groups grow linearly with scale factor and would otherwise
+    be a per-group memory bomb at 100x. The window and the groupBy key
+    on the same projected attributes, so Catalyst plans ONE exchange.
+    Consumers that need only the flat OLAP aggregates should use
+    :func:`flat_features_from_events` instead — no arrays at all."""
+    from pyspark.sql import Window
+
+    base = events_base(events).select(
+        F.date_trunc("hour", "ts").alias("ts"),
+        "machine",
+        "operation",
+        "event_id",
+        "value",
+        "event_type",
     )
-    grouped = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("ts"), "machine", "operation"
-    ).agg(
+    w = Window.partitionBy("ts", "machine", "operation")
+    ranked = base.withColumn(
+        "rn", F.row_number().over(w.orderBy("event_id"))
+    ).filter(F.col("rn") <= max_samples)
+    grouped = ranked.groupBy("ts", "machine", "operation").agg(
         F.array_sort(F.collect_list(F.struct("event_id", "value"))).alias("vs"),
         F.max("event_type").alias("status_code"),
     )
@@ -269,6 +304,60 @@ def records_from_events(events: DataFrame) -> DataFrame:
         F.transform(vals, lambda v: v * 2.0).alias("vibration_z_batch"),
         "status_code",
     )
+
+
+def flat_features_from_events(events: DataFrame) -> DataFrame:
+    """Entry-point B at scale: the flat 9-feature OLAP row
+    (reference/FeatureEngineeringApproaches.md:93-110) computed by
+    direct scalar aggregation over the event stream — no batch arrays
+    are materialized: the flat warehouse row needs none (only the
+    envelope presentation does — that path is
+    :func:`records_from_events` + :func:`enrich_records`,
+    payload-capped at ENVELOPE_MAX_SAMPLES).
+
+    Kurtosis is the two-pass population excess m4/m2^2 - 3 (exact group
+    mean first, then centered moments — raw-moment expansion cancels
+    catastrophically on near-constant groups, where a 1-ulp input
+    difference between engines amplifies past 4dp rounding; centered
+    sums are cancellation-free, so cross-engine drift stays ~1e-15
+    relative). The per-group means come from window aggregates keyed on
+    the SAME projected attributes as the groupBy, so Catalyst plans ONE
+    exchange for both passes; the window buffer is a spillable row
+    buffer, unlike a ``collect_list`` array value, so group size cannot
+    OOM an executor."""
+    from pyspark.sql import Window
+
+    base = events_base(events).select(
+        F.date_trunc("hour", "ts").alias("SourceTimestamp"),
+        "machine",
+        "operation",
+        F.col("value").alias("v"),
+    )
+    w = Window.partitionBy("SourceTimestamp", "machine", "operation")
+    withm = base.select(
+        "*",
+        F.avg("v").over(w).alias("_m_x"),
+        F.avg(F.col("v") + 1.0).over(w).alias("_m_y"),
+        F.avg(F.col("v") * 2.0).over(w).alias("_m_z"),
+    )
+    axes = {
+        "x": F.col("v"),
+        "y": F.col("v") + 1.0,
+        "z": F.col("v") * 2.0,
+    }
+    aggs: list[Column] = []
+    for a, t in axes.items():
+        d = t - F.col(f"_m_{a}")
+        m2 = F.avg(F.pow(d, 2))
+        m4 = F.avg(F.pow(d, 4))
+        aggs += [
+            F.round(F.sqrt(F.avg(t * t)), 6).alias(f"vibration_{a}_rms"),
+            F.round(F.max(F.abs(t)), 6).alias(f"vibration_{a}_peak"),
+            F.round(
+                F.when(m2 > 0, m4 / F.pow(m2, 2) - 3.0), 4
+            ).alias(f"vibration_{a}_kurtosis"),
+        ]
+    return withm.groupBy("SourceTimestamp", "machine", "operation").agg(*aggs)
 
 
 def flatten_envelope(enriched: DataFrame) -> DataFrame:

@@ -122,20 +122,38 @@ _AXIS_SQL = (("x", "v", "mx"), ("y", "v + 1", "my"), ("z", "2 * v", "mz"))
 # population excess kurtosis (exact mean, then centered moments) — a
 # streaming kurtosis_pop differs by up to ~5e-4 on the small per-operation
 # groups, which 4dp rounding cannot absorb.
-_SQL_ENVELOPE_BASE = f"""
-    WITH b AS (
+# The rn <= cap filter replays records_from_events' payload cap: rows
+# rank by event_id inside each group and only the first
+# ENVELOPE_MAX_SAMPLES feed the batch arrays (never binds at test scale
+# factors; bounds the per-group state at 100x).
+def _sql_envelope_base() -> str:
+    from datapipeline_spike_spark.pipeline import ENVELOPE_MAX_SAMPLES
+
+    return f"""
+    WITH b0 AS (
       SELECT date_trunc('hour', ts)              AS SourceTimestamp,
              'M' || CAST(user_id % 2 AS VARCHAR) AS machine,
              {_SQL_OPERATION}                    AS operation,
+             event_id,
              value                               AS v
       FROM events
       WHERE value IS NOT NULL
+    ), b AS (
+      SELECT SourceTimestamp, machine, operation, v FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY SourceTimestamp, machine, operation
+          ORDER BY event_id) AS rn
+        FROM b0
+      ) WHERE rn <= {ENVELOPE_MAX_SAMPLES}
     ), m AS (
       SELECT SourceTimestamp, machine, operation,
              avg(v) AS mx, avg(v + 1) AS my, avg(2 * v) AS mz
       FROM b GROUP BY 1, 2, 3
     )
 """
+
+
+_SQL_ENVELOPE_BASE = _sql_envelope_base()
 
 
 def _sql_kurt(t: str, m: str) -> str:
@@ -155,50 +173,53 @@ _SQL_FLAT_FEATURES = ", ".join(
 )
 
 
-@register(
-    "record_envelope_flat",
-    oracle=f"""
-    {_SQL_ENVELOPE_BASE}
+def _sql_flat_direct() -> str:
+    """DuckDB replay of pipeline.flat_features_from_events: UNCAPPED
+    base (the flat OLAP row aggregates the full stream; the payload cap
+    exists only for the array-building envelope path) + per-group means
+    CTE + two-pass centered kurtosis — the same numerically-stable
+    shape the capped envelope oracle uses."""
+    return f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts)              AS SourceTimestamp,
+             'M' || CAST(user_id % 2 AS VARCHAR) AS machine,
+             {_SQL_OPERATION}                    AS operation,
+             value                               AS v
+      FROM events
+      WHERE value IS NOT NULL
+    ), m AS (
+      SELECT SourceTimestamp, machine, operation,
+             avg(v) AS mx, avg(v + 1) AS my, avg(2 * v) AS mz
+      FROM b GROUP BY 1, 2, 3
+    )
     SELECT b.SourceTimestamp, b.machine, b.operation, {_SQL_FLAT_FEATURES}
     FROM b JOIN m USING (SourceTimestamp, machine, operation)
     GROUP BY 1, 2, 3
-    """,
-    doc="""Entry-point A + B end-to-end under the driver's gate: record
-    synthesis (per machine/operation/hour triaxial batches — the OLAP
-    grain of reference/TechSpikeDataPipeline.md:96-100) -> the nested
-    enrichment envelope (pipeline.enrich_records, gate disabled so all
-    groups surface, frequency domain OFF so the plan contains zero
-    EvalPython nodes) -> warehouse flattening to the flat OLAP row
-    (reference/FeatureEngineeringApproaches.md:93-110). The oracle
-    recomputes every per-axis statistic directly from the scalar events
-    (y = x+1, z = 2x synthesis transforms are replayed in SQL), so the
-    whole array-HOF feature path is hash-verified, not just counted.""",
+    """
+
+
+@register(
+    "record_envelope_flat",
+    oracle=_sql_flat_direct(),
+    doc="""Entry-point B at its 100 TB shape: the flat 9-feature OLAP
+    row (reference/FeatureEngineeringApproaches.md:93-110) at the
+    machine/operation/hour grain of
+    reference/TechSpikeDataPipeline.md:96-100, computed by DIRECT
+    scalar aggregation over the event stream — one exchange, map-side
+    partial aggregation, whole-stage codegen, O(1) state per group
+    (pipeline.flat_features_from_events; through round 2 this query
+    collected per-group batch arrays first, an O(group-size) payload
+    the flat row never needed — the array-building envelope path
+    remains, payload-capped, under envelope_reduced_features). The
+    oracle recomputes every statistic from the scalar events (y = x+1,
+    z = 2x axis synthesis replayed in SQL); kurtosis derives from
+    9dp-quantized scaled raw moments identically on both engines.""",
     tags=("pipeline", "envelope", "flagship"),
 )
 def q_record_envelope_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datapipeline_spike_spark.pipeline import (
-        enrich_records,
-        flatten_envelope,
-        records_from_events,
-    )
+    from datapipeline_spike_spark.pipeline import flat_features_from_events
 
-    recs = records_from_events(load(spark, sf_dir, "events"))
-    flat = flatten_envelope(
-        enrich_records(recs, drop_invalid=False, include_frequency_domain=False)
-    )
-    feature_cols = [c for c in flat.columns if c.startswith("vibration_")]
-    # kurtosis rounds to 4dp: the two-pass HOF moments and DuckDB's
-    # streaming kurtosis_pop differ by ~1e-6 on tiny groups, which flips
-    # 6dp rounding boundaries at sf0.001
-    return flat.select(
-        "SourceTimestamp",
-        "machine",
-        "operation",
-        *[
-            F.round(F.col(c), 4 if c.endswith("kurtosis") else R).alias(c)
-            for c in feature_cols
-        ],
-    )
+    return flat_features_from_events(load(spark, sf_dir, "events"))
 
 
 def _sql_envelope_pca() -> str:

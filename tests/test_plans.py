@@ -97,6 +97,42 @@ def test_envelope_flatten_plans_no_python_udf(spark):
         assert "EvalPython" not in plan, name  # Arrow/BatchEvalPython
 
 
+def test_flat_olap_row_plans_one_exchange_no_arrays(spark):
+    """record_envelope_flat is the warehouse OLAP row computed by direct
+    scalar aggregation: exactly one shuffle (window means + groupBy key
+    on the same projected attributes) and NO collect_list — the r2 form
+    materialized an O(group-size) batch array per group, a per-group
+    memory bomb at 100x scale factor."""
+    plan = _plan(spark, "record_envelope_flat")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "collect_list" not in plan
+
+
+def test_envelope_record_synthesis_caps_group_payload(spark):
+    """The array-building envelope path bounds its per-group payload:
+    with max_samples=2 every batch array is exactly 2 long (rank by
+    event_id, lowest ids kept) even though source groups are larger, and
+    the rank window shares the groupBy's single exchange."""
+    from datapipeline_spike_spark.pipeline import records_from_events
+    from datapipeline_spike_spark.plans.registry import load
+
+    events = load(spark, SF, "events")
+    capped = records_from_events(events, max_samples=2)
+    sizes = capped.select(
+        F.min(F.size("vibration_x_batch")).alias("lo"),
+        F.max(F.size("vibration_x_batch")).alias("hi"),
+    ).first()
+    uncapped_hi = (
+        records_from_events(events)
+        .select(F.max(F.size("vibration_x_batch")))
+        .first()[0]
+    )
+    assert uncapped_hi > 2  # the cap actually binds on this data
+    assert sizes["hi"] == 2
+    plan = records_from_events(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_lsh_has_no_cartesian_or_smj(spark):
     """The dedup path must never plan a cartesian product."""
     for name in ("minhash_lsh_candidates", "embedding_neardup_pairs"):
