@@ -46,6 +46,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 8,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment (SURVEY §2.11): the split
+    is a deterministic md5-word hash of the document's CANONICAL
+    (exact-dup group) id, not its own id, so copies of the same text
+    can never straddle train and test — the contamination a naive
+    random split introduces. Hash-based (not RNG sampleBy) on purpose:
+    reruns, backfills, and a SQL replay reproduce the identical
+    assignment. train/val/test = ``train_pct``/1/(9-train_pct) tenths.
+    One shuffle (min-over-fingerprint window); map-only after.
+    Returns (id_col, exact_rep, split)."""
+    from pyspark.sql import Window
+
+    rep = F.min(id_col).over(Window.partitionBy(fingerprint_md5(text_col)))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("exact_rep").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket == train_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col), rep.alias("exact_rep")).select(
+        id_col, "exact_rep", split.alias("split")
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from datapipeline_spike_spark.functions import text as Tx
 from datapipeline_spike_spark.operators.dedup import (
     exact_dedup,
-    jaccard_pairs,
     lsh_candidate_pairs,
 )
 from datapipeline_spike_spark.operators.similarity import brute_force_topk
@@ -145,34 +144,11 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", pred.alias("pred_lang"), "en_hits", "de_hits", "fr_hits")
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang, {_SQL_SHINGLES} AS sh
-      FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 150)
-    )
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           round(len(list_intersect(a.sh, b.sh)) * 1.0
-                 / len(list_distinct(a.sh || b.sh)), {R}) AS jaccard
-    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(a.sh) > 0 AND len(b.sh) > 0
-      AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.01
-    """,
-    doc="Exact 3-shingle Jaccard verifier over language-blocked pairs "
-    "(bounded id range; at scale this runs only on LSH candidates).",
-    tags=("dedup", "text"),
-)
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    out = jaccard_pairs(d, threshold=0.01)
-    return out.select("doc_id_a", "doc_id_b", F.round("jaccard", R).alias("jaccard"))
-
-
-@register(
-    "minhash_lsh_candidates",
-    oracle=f"""
-    WITH t AS (
+# MinHash-band candidate pairs, shared by the minhash_lsh_candidates
+# oracle and the ngram_jaccard_pairs verifier oracle (the production
+# topology runs the verifier ONLY on LSH candidates)
+_SQL_LSH_CANDS = f"""
+    t AS (
       SELECT doc_id, {_SQL_SHINGLES} AS sh
       FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
     ), ex AS (
@@ -189,12 +165,65 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_val FROM sig"
         for b in range(4)
       )}
+    ), cand AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           count(*) AS n_shared_bands
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SQL_LSH_CANDS}
+    SELECT doc_id_a, doc_id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), {R}) AS jaccard
+    FROM cand
+    JOIN t a ON a.doc_id = cand.doc_id_a
+    JOIN t b ON b.doc_id = cand.doc_id_b
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.5
+    """,
+    doc="""Exact 3-shingle Jaccard verification over the MinHash-LSH
+    candidate pairs — the PRODUCTION verifier topology (dedup_corpus
+    stages 2-3): no blocked self-join, no bounded demo id range; the
+    only pairs scored are the ones the banded LSH emits, so the
+    verifier's cost is O(candidates), not O(n^2). Threshold 0.5 keeps
+    true near-dups and drops band collisions.""",
+    tags=("dedup", "text", "lsh"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.text import shingles
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    cand = lsh_candidate_pairs(d)
+    sh = d.select(F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(
+            sh.select(F.col("sid").alias("aid"), F.col("sh").alias("a_sh")),
+            cand["doc_id_a"] == F.col("aid"),
+        )
+        .join(
+            sh.select(F.col("sid").alias("bid"), F.col("sh").alias("b_sh")),
+            cand["doc_id_b"] == F.col("bid"),
+        )
+        .filter(jac >= 0.5)
+        .select("doc_id_a", "doc_id_b", F.round(jac, R).alias("jaccard"))
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SQL_LSH_CANDS}
+    SELECT doc_id_a, doc_id_b, n_shared_bands FROM cand
     """,
     doc="MinHash-LSH candidate generation WITHOUT a cross join or "
     "self-join: 8 minhashes (the 32-bit hex words of two md5 digests "
@@ -690,21 +719,6 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "split", "dedup"),
 )
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from datapipeline_spike_spark.operators.dedup import leakage_safe_split
 
-    from datapipeline_spike_spark.functions.text import fingerprint_md5
-
-    d = fan_out(load(spark, sf_dir, "documents"))
-    rep = F.min("doc_id").over(Window.partitionBy(fingerprint_md5("text")))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("exact_rep").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10
-    )
-    split = (
-        F.when(bucket < 8, F.lit("train"))
-        .when(bucket == 8, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return d.select("doc_id", rep.alias("exact_rep")).select(
-        "doc_id", "exact_rep", split.alias("split")
-    )
+    return leakage_safe_split(fan_out(load(spark, sf_dir, "documents")))

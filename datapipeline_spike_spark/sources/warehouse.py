@@ -19,6 +19,8 @@ a Routine Load job (ibid:113-153). Spark-native mapping:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Spark SQL rendering of the reference DDL
 # (reference/FeatureEngineeringApproaches.md:93-110) — columns 1:1, types
@@ -72,4 +74,71 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .option("path", path)
         .saveAsTable(name)
+    )
+
+
+# Wire shape of one merged-topic record (the Routine Load input,
+# reference/FeatureEngineeringApproaches.md:155-194): per-axis sample
+# batch arrays + source timestamp + machine/operation labels.
+RECORD_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("SourceTimestamp", T.TimestampType()),
+        T.StructField("machine", T.StringType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("VibrationXBatch", T.ArrayType(T.DoubleType())),
+        T.StructField("VibrationYBatch", T.ArrayType(T.DoubleType())),
+        T.StructField("VibrationZBatch", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def routine_load_features(parsed: DataFrame) -> DataFrame:
+    """The Routine Load COLUMNS clause as a Spark projection
+    (reference/FeatureEngineeringApproaches.md:229-238): the 9 features
+    are computed DURING load from the batch arrays — StarRocks'
+    ``sqrt(array_avg(array_map(x -> x*x, arr)))`` family maps 1:1 onto
+    the engine's HOF feature expressions (functions.features), so the
+    load-transform and the query path share one implementation. Input
+    is the parsed wire record (RECORD_WIRE_SCHEMA columns)."""
+    from datapipeline_spike_spark.functions import features as feat
+
+    axes = {"x": "VibrationXBatch", "y": "VibrationYBatch", "z": "VibrationZBatch"}
+    cols = [F.col("SourceTimestamp"), F.col("machine"), F.col("operation")]
+    cols += [feat.arr_rms(c).alias(f"vibration_{a}_rms") for a, c in axes.items()]
+    cols += [feat.arr_peak(c).alias(f"vibration_{a}_peak") for a, c in axes.items()]
+    cols += [feat.arr_kurtosis(c).alias(f"vibration_{a}_kurtosis") for a, c in axes.items()]
+    return parsed.select(*cols)
+
+
+def start_routine_load(
+    feature_stream: DataFrame,
+    name: str,
+    path: str,
+    checkpoint: str,
+    bucket_col: str = "SourceTimestamp",
+    n_buckets: int = 8,
+):
+    """S8's continuous-load analogue: a Structured Streaming query that
+    appends each micro-batch into the hash-bucketed feature table —
+    StarRocks' Routine Load loop (consume -> transform -> distributed
+    write, reference/FeatureEngineeringApproaches.md:113-153) becomes
+    checkpointed micro-batches. ``foreachBatch`` is the mechanism
+    because a bucketed ``saveAsTable`` append is a batch-writer feature;
+    each batch lands bucket-aligned, so downstream joins/aggs on the
+    bucket key stay exchange-free. Returns the started query handle."""
+
+    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", path)
+            .saveAsTable(name)
+        )
+
+    return (
+        feature_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(append_batch)
+        .start()
     )

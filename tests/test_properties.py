@@ -120,6 +120,58 @@ texts = st.lists(
 )
 
 
+@given(docs=texts, copies=st.lists(st.integers(min_value=1, max_value=4), min_size=2, max_size=10))
+@PROP
+def test_leakage_split_never_straddles_dup_groups(spark, docs, copies):
+    """The leakage invariant: every copy of the same (normalized) text
+    lands in the SAME split — no exact-dup group straddles train/test —
+    and exact_rep is the group-minimum doc id. Assignment is a pure
+    function of the canonical id (rerun-stable)."""
+    from datapipeline_spike_spark.functions.text import fingerprint_md5
+    from datapipeline_spike_spark.operators.dedup import leakage_safe_split
+
+    rows, did = [], 0
+    for t, c in zip(docs, copies):
+        for _ in range(c):
+            rows.append((did, t))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df)
+    joined = df.select("doc_id", fingerprint_md5("text").alias("fp")).join(
+        out, "doc_id"
+    ).collect()
+    by_fp: dict[str, list] = {}
+    for r in joined:
+        by_fp.setdefault(r["fp"], []).append(r)
+    for grp in by_fp.values():
+        assert len({r["split"] for r in grp}) == 1  # never straddles
+        rep = min(r["doc_id"] for r in grp)
+        assert all(r["exact_rep"] == rep for r in grp)
+    # rerun stability: identical assignment
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(df).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in joined)
+
+
+def test_leakage_split_proportions_hold(spark):
+    """80/10/10 within binomial tolerance over 3000 distinct docs
+    (std of the train share at n=3000 is ~0.7pp; 3pp is ~4 sigma)."""
+    from datapipeline_spike_spark.operators.dedup import leakage_safe_split
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document body "), F.col("id").cast("string")).alias("text"),
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in leakage_safe_split(df).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(counts.values())
+    assert n == 3000
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.03
+    assert abs(counts["test"] / n - 0.1) < 0.03
+
+
 @given(docs=texts)
 @PROP
 def test_simhash64_bag_of_tokens_properties(spark, docs):

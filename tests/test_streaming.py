@@ -336,6 +336,98 @@ def test_sliding_window_stream_matches_batch_twin(spark, events_dir, events_stre
         q.stop()
 
 
+def test_routine_load_stream_into_bucketed_table(spark, sf_dir):
+    """S8 end-to-end (entry-point B, the Routine Load analogue,
+    reference/FeatureEngineeringApproaches.md:113-153, 200-258): a
+    kafka-shaped JSON stream runs through the S3 wire projection
+    (from_json), the COLUMNS-clause feature select, and a checkpointed
+    foreachBatch append into the hash-bucketed warehouse table. Asserts
+    the table's bucket spec survived the streaming write, an agg on the
+    bucket key stays exchange-free, and rows match the batch twin."""
+    import tempfile
+
+    from datapipeline_spike_spark.pipeline import records_from_events
+    from datapipeline_spike_spark.sources.kafka import kafka_payload, parse_kafka_records
+    from datapipeline_spike_spark.sources.warehouse import (
+        RECORD_WIRE_SCHEMA,
+        routine_load_features,
+        start_routine_load,
+    )
+
+    root = tempfile.mkdtemp(prefix="routine_load_")
+    table = "wh_routine_features"
+    try:
+        # merged-topic fixture: triaxial records -> kafka (key, value)
+        # JSON lines, as S4 would produce them
+        records = records_from_events(load(spark, sf_dir, "events")).select(
+            F.col("ts").alias("SourceTimestamp"),
+            "machine",
+            "operation",
+            F.col("vibration_x_batch").alias("VibrationXBatch"),
+            F.col("vibration_y_batch").alias("VibrationYBatch"),
+            F.col("vibration_z_batch").alias("VibrationZBatch"),
+        )
+        kafka_payload(records, key_col="machine").write.mode("overwrite").json(
+            f"{root}/topic"
+        )
+
+        wire = spark.readStream.schema("key string, value string").json(f"{root}/topic")
+        # kafka wire columns: binary key/value + broker timestamp
+        shaped = wire.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.current_timestamp().alias("timestamp"),
+        )
+        parsed = parse_kafka_records(shaped, RECORD_WIRE_SCHEMA)
+        feats = routine_load_features(parsed)
+        q = start_routine_load(
+            feats, table, f"{root}/{table}", checkpoint=f"{root}/ckpt"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        back = spark.table(table)
+        twin = routine_load_features(
+            parse_kafka_records(
+                spark.read.schema("key string, value string")
+                .json(f"{root}/topic")
+                .select(
+                    F.col("key").cast("binary").alias("key"),
+                    F.col("value").cast("binary").alias("value"),
+                    F.current_timestamp().alias("timestamp"),
+                ),
+                RECORD_WIRE_SCHEMA,
+            )
+        )
+        assert back.count() == twin.count() > 0
+        key = ["SourceTimestamp", "machine", "operation"]
+        got = {
+            tuple(r[k] for k in key): round(r["vibration_x_rms"], 6)
+            for r in back.collect()
+        }
+        want = {
+            tuple(r[k] for k in key): round(r["vibration_x_rms"], 6)
+            for r in twin.collect()
+        }
+        assert got == want
+
+        ddl = spark.sql(f"DESCRIBE EXTENDED {table}").toPandas()
+        meta = dict(zip(ddl["col_name"], ddl["data_type"]))
+        assert meta.get("Num Buckets") == "8"
+        assert "SourceTimestamp" in meta.get("Bucket Columns", "")
+        agg_plan = (
+            back.groupBy("SourceTimestamp")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_available_now_trigger_drains_and_stops(spark, events_dir):
     """Trigger.AvailableNow: the batch-replay mode — process everything
     currently available (respecting per-batch limits) then stop on its
