@@ -60,18 +60,22 @@ def main() -> None:
     # cost (codegen compilation, parquet footer reads, JVM JIT warmup,
     # Python-worker forks) and this host's wall-times swing 2-4x
     # run-to-run — the second run is the reproducible number a cluster
-    # would see in steady state.
+    # would see in steady state. Both runs are reported ("runs") so the
+    # host's noise floor is visible next to the headline number.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].spark
-        best = None
+        pair = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = round(time.perf_counter() - t0, 3)
-        timings[name] = best
+            pair.append(round(time.perf_counter() - t0, 3))
+        runs[name] = pair
+        timings[name] = pair[-1]
 
     total = round(sum(timings.values()), 3)
+    spreads = [max(p) / min(p) for p in runs.values() if min(p) > 0]
     print(
         json.dumps(
             {
@@ -79,6 +83,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "max_run_spread": round(max(spreads), 2),
                 "sf": sf,
             }
         )

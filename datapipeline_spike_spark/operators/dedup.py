@@ -160,6 +160,15 @@ def lsh_candidate_pairs(
     )
 
 
+class ComponentsNotConverged(RuntimeError):
+    """Min-label propagation exhausted its round budget: some component
+    has diameter > max_iterations, and the labels returned at the cap
+    would be the min over a max_iterations-hop neighborhood — silently
+    WRONG for the deeper components. Callers catch this to fall back to
+    :func:`connected_components_star` (O(log^2 n) rounds on any graph),
+    which is what ``dedup_corpus(component_algorithm="auto")`` does."""
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -179,7 +188,13 @@ def connected_components(
     tiny (dups of dups), so the loop is effectively 2-4 rounds; for
     adversarial graphs use the large-star/small-star variant
     (alternating min-propagation that contracts paths exponentially).
-    The driver only ever collects a 1-row convergence count."""
+    The driver only ever collects a 1-row convergence count.
+
+    Raises :class:`ComponentsNotConverged` when the round budget runs
+    out before the fixed point — a capped result is not an
+    approximation, it is wrong for every component deeper than the cap
+    (the 10x scale probe caught exactly this: amplification bridged
+    near-dup chains into >20-hop paths)."""
     # materialize both loop inputs ONCE: without this every round's join
     # re-executes the full upstream pipeline that produced the edges
     # (LSH + verification) — O(rounds) recompute of the expensive part
@@ -217,9 +232,13 @@ def connected_components(
         ).localCheckpoint(eager=True)
         new_digest = _label_digest(labels)
         if new_digest == digest:
-            break
+            return labels
         digest = new_digest
-    return labels
+    raise ComponentsNotConverged(
+        f"min-label propagation did not converge in {max_iterations} rounds "
+        "(component diameter exceeds the budget); use "
+        "connected_components_star or dedup_corpus(component_algorithm='auto')"
+    )
 
 
 def connected_components_star(
@@ -265,6 +284,7 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     d = digest(und)
+    converged = False
     for _ in range(max_iterations):
         # large-star: m = min over {u} ∪ N(u); larger neighbors hook to m
         wu = Window.partitionBy("u")
@@ -301,8 +321,13 @@ def connected_components_star(
         )
         nd = digest(und)
         if nd == d:
+            converged = True
             break
         d = nd
+    if not converged:
+        raise ComponentsNotConverged(
+            f"star contraction did not converge in {max_iterations} rounds"
+        )
     # converged: stars centered at each component minimum
     parents = und.filter(u > v).groupBy("u").agg(F.min("v").alias("parent"))
     verts = vertices.select(F.col(id_col).alias("id"))
@@ -318,7 +343,7 @@ def dedup_corpus(
     jaccard_threshold: float = 0.8,
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
-    component_algorithm: str = "min_label",
+    component_algorithm: str = "auto",
 ) -> DataFrame:
     """END-TO-END corpus dedup — the full 100 TB pipeline in one call:
 
@@ -331,15 +356,19 @@ def dedup_corpus(
        A~B~C merge even when A!~C);
     5. every doc mapped through exact-rep -> component minimum.
 
-    ``component_algorithm``: "min_label" (default; O(diameter) rounds,
-    cheapest per round — right for shallow near-dup clusters) or "star"
-    (alternating large/small-star, O(log^2 n) rounds — right for
-    long-chained corpora). Both return identical assignments
+    ``component_algorithm``: "auto" (default) runs min-label with a
+    small round budget — shallow near-dup clusters (the common case)
+    converge in 2-4 cheap rounds — and falls back to the star
+    contraction when the budget runs out, so adversarial diameters cost
+    O(log^2 n) rounds instead of O(diameter) (the 10x scale probe
+    showed amplified corpora bridging chains past any fixed min-label
+    budget: 24x wall-time, then a silently-capped result). "min_label"
+    and "star" force one algorithm. All return identical assignments
     (differential-tested).
 
     Returns (id_col, canonical_id). Docs with no duplicates map to
     themselves."""
-    if component_algorithm not in ("min_label", "star"):
+    if component_algorithm not in ("auto", "min_label", "star"):
         raise ValueError(f"unknown component_algorithm: {component_algorithm!r}")
     from pyspark.sql import Window
 
@@ -373,7 +402,6 @@ def dedup_corpus(
         .filter((inter.cast("double") / union) >= jaccard_threshold)
         .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     )
-    cc = connected_components if component_algorithm == "min_label" else connected_components_star
     # iterate ONLY over vertices that touch an edge: isolated reps are
     # their own component by definition, so the label frames shrink from
     # |reps| to |edge endpoints| — at corpus scale that is the difference
@@ -384,7 +412,15 @@ def dedup_corpus(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    comp = cc(edges, edge_verts)
+    if component_algorithm == "star":
+        comp = connected_components_star(edges, edge_verts)
+    elif component_algorithm == "min_label":
+        comp = connected_components(edges, edge_verts)
+    else:  # auto: cheap-path budget, exponential-contraction fallback
+        try:
+            comp = connected_components(edges, edge_verts, max_iterations=6)
+        except ComponentsNotConverged:
+            comp = connected_components_star(edges, edge_verts)
     # comp is eagerly checkpointed (as is the edge set), so nothing
     # downstream re-reads reps — release the cache now
     reps.unpersist()

@@ -110,6 +110,46 @@ def test_connected_components_string_ids_deep_chain(spark):
     assert comp["z"] == "z"
 
 
+def test_min_label_raises_instead_of_capping(spark):
+    """A capped min-label result is not approximate, it is WRONG for
+    components deeper than the budget (the 10x scale probe caught a
+    bridged corpus hitting the cap silently). The loop must raise so
+    callers fall back to the star contraction."""
+    import pytest
+
+    from datapipeline_spike_spark.operators.dedup import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(15)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(16)], "id long")
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(edges, verts, max_iterations=4)
+
+
+def test_dedup_corpus_auto_falls_back_on_deep_chains(spark):
+    """component_algorithm='auto' must survive a transitive near-dup
+    chain much deeper than the min-label budget: 40 docs where each
+    differs from the next by one token (every adjacent Jaccard high,
+    ends unrelated) — min-label at budget 6 cannot converge, the star
+    fallback must, and the whole chain collapses to canonical 0."""
+    from datapipeline_spike_spark.operators.dedup import dedup_corpus
+
+    base = [f"tok{j}" for j in range(52)]
+    rows = []
+    for i in range(40):
+        # 12-token sliding window: adjacent Jaccard ~0.8, so every
+        # adjacent pair is an LSH candidate (verified by construction)
+        rows.append((i, " ".join(base[i : i + 12])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_corpus(docs, jaccard_threshold=0.3).collect()
+    }
+    assert all(out[i] == 0 for i in range(40)), out
+
+
 def test_star_components_contract_long_paths(spark):
     """The alternating large/small-star variant must solve graphs whose
     DIAMETER exceeds any reasonable min-label round budget: a 64-node

@@ -5,7 +5,9 @@ if an operator's runtime grows super-linearly between 1x and Nx, its
 plan has a hidden bottleneck (driver collect, unbounded state,
 quadratic join) — linear growth means the shape survives scale-up.
 
-Usage: python tools/scale_probe.py [amplification] (default 8)
+Usage:
+  python tools/scale_probe.py [amplification]       # core probes (default 8)
+  python tools/scale_probe.py dedup [amplification] # dedup/ANN stress (default 10)
 Prints one JSON line per probe with rows, seconds, and rows/sec.
 """
 
@@ -90,10 +92,100 @@ def probe(name: str, df_builder, action=lambda d: d.write.format("noop").mode("o
     return round(time.perf_counter() - t0, 2)
 
 
+def amplify_embeddings(spark, n: int):
+    """n copies with ids shifted and the vector ROTATED by the copy
+    index: rotation preserves the norm, produces genuinely distinct
+    vectors (identical copies would make every row a near-dup of its
+    siblings — quadratic pair volume by construction, not a scaling
+    property), and costs one slice+concat per row."""
+    e = load(spark, SF_DIR, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+
+    def rot(i):
+        k = i % dim
+        if k == 0:
+            return F.col("embedding")
+        return F.concat(
+            F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+        )
+
+    copies = [
+        e.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            rot(i).alias("embedding"),
+            "label",
+        )
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+def dedup_ann_stress(spark, amp: int) -> None:
+    """VERDICT r2 task 5: the dedup/ANN family at sf0.1 x ``amp``
+    documents/embeddings, with per-stage row counts — the evidence that
+    the banded/bucketed designs scale linearly (no quadratic candidate
+    blowup, no bucket-skew surprise)."""
+    from datapipeline_spike_spark.operators.dedup import (
+        dedup_corpus,
+        exact_dedup,
+        simhash_neardup_pairs,
+    )
+    from datapipeline_spike_spark.operators.similarity import ivf_topk, kmeans_quantizer
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        drows = docs.count()
+
+        reps = exact_dedup(docs).count()
+        cands = lsh_candidate_pairs(docs).count()
+        t0 = time.perf_counter()
+        assigned = dedup_corpus(docs).count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "dedup_corpus", "amp": a, "docs": drows,
+            "exact_groups": reps, "lsh_candidates": cands,
+            "assignments": assigned, "sec": secs,
+            "docs_per_sec": int(drows / secs),
+        }), flush=True)
+
+        t0 = time.perf_counter()
+        sim_pairs = simhash_neardup_pairs(docs).count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "simhash_neardup", "amp": a, "docs": drows,
+            "pairs": sim_pairs, "sec": secs, "docs_per_sec": int(drows / secs),
+        }), flush=True)
+        docs.unpersist()
+
+        emb = amplify_embeddings(spark, a).localCheckpoint(eager=True)
+        erows = emb.count()
+        queries = emb.filter(F.col("vec_id") < 5)
+        t0 = time.perf_counter()
+        cents = kmeans_quantizer(emb, k=16, iters=2)
+        topk = ivf_topk(
+            emb, queries, k=5, n_probe=2, centroids=cents.select("cent_id", "cvec")
+        ).count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "ann_ivf_kmeans", "amp": a, "vectors": erows,
+            "topk_rows": topk, "sec": secs, "vecs_per_sec": int(erows / secs),
+        }), flush=True)
+        emb.unpersist()
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:]]
+    mode = "dedup" if "dedup" in args else "core"
+    nums = [int(a) for a in args if a.isdigit()]
+    n = nums[0] if nums else (10 if mode == "dedup" else 8)
     spark = get_session("scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if mode == "dedup":
+        dedup_ann_stress(spark, n)
+        return
 
     for amp in (1, n):
         ev = amplify_events(spark, amp).localCheckpoint(eager=True)
