@@ -102,6 +102,40 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_audio_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """Pure-stdlib audio container parse -> (format, n_channels,
+    sample_rate, bits_per_sample), or None when unrecognized. WAV/RIFF:
+    walk the chunks from offset 12 until 'fmt ' (little-endian fields
+    at +10/+12/+22 into the chunk body per the RIFF spec)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if tag == b"fmt " and i + 8 + 16 <= len(payload):
+            channels, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+            (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
+            return "wav", channels, rate, bits
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def synthetic_wav(
+    n_channels: int = 1, sample_rate: int = 16000, bits: int = 16, n_samples: int = 8
+) -> bytes:
+    """A complete, valid PCM WAV (RIFF + fmt + data of silence) built
+    with stdlib only."""
+    block = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, bits
+    )
+    data = b"\x00" * (n_samples * block)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synthetic_png(width: int, height: int) -> bytes:
     """A complete, valid 8-bit grayscale PNG of the given dimensions
     (signature + IHDR + zlib IDAT of zero scanlines + IEND), built with

@@ -92,6 +92,36 @@ def session_stream(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | tuple[str, str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "30 minutes",
+    watermark: str = WATERMARK,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-range constraint
+    (the raw-vs-processed correlation path of the reference's fan-out,
+    README.md:141-149, done as a keyed join instead of NiFi's parallel
+    consumption): matches ``left.key == right.key`` where the right
+    event lands within [left_ts, left_ts + max_lag]. Both sides carry
+    watermarks and the range condition bounds the join STATE — Spark
+    evicts buffered rows once the watermark passes their joinable
+    window, so state is O(rate x lag), not unbounded (an unconstrained
+    stream-stream join would buffer both streams forever)."""
+    lk, rk = (key, key) if isinstance(key, str) else key
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[lk] == rw[rk])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def fanout_with_dlq(
     processed_path: str,
     dlq_path: str,

@@ -79,6 +79,23 @@ def test_image_header_parse_stdlib():
     assert parse_image_header(b"") is None
 
 
+def test_audio_header_parse_stdlib():
+    from datapipeline_spike_spark.sources.multimodal import (
+        parse_audio_header,
+        synthetic_wav,
+    )
+
+    for ch, rate, bits in ((1, 16000, 16), (2, 44100, 16), (6, 48000, 24)):
+        wav = synthetic_wav(ch, rate, bits)
+        assert parse_audio_header(wav) == ("wav", ch, rate, bits)
+    # a LIST chunk before fmt must be skipped (word-aligned walk)
+    wav = synthetic_wav()
+    padded = wav[:12] + b"LIST\x05\x00\x00\x00INFOx\x00" + wav[12:]
+    assert parse_audio_header(padded) == ("wav", 1, 16000, 16)
+    assert parse_audio_header(b"RIFFxxxxAVI ") is None
+    assert parse_audio_header(b"plain text") is None
+
+
 def test_decode_media_uses_real_headers_for_images(spark, sf_dir):
     from datapipeline_spike_spark.sources.multimodal import (
         image_media_from_documents,

@@ -336,6 +336,43 @@ def test_sliding_window_stream_matches_batch_twin(spark, events_dir, events_stre
         q.stop()
 
 
+def test_stream_stream_join_matches_batch_twin(spark, events_dir):
+    """Watermarked stream-stream join (the ST surface tumbling windows
+    don't cover): raw events joined against a 10-minute-delayed
+    processed twin within a 30-minute tolerance. Every raw row must
+    find exactly its delayed twin (delay < tolerance), matching the
+    batch join row-for-row; the time-range condition is what bounds the
+    join state at scale."""
+    from datapipeline_spike_spark.streaming.pipeline import stream_stream_join
+
+    schema = spark.read.parquet(events_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .select("event_id", "ts", "value")
+    )
+    processed = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .select(
+            F.col("event_id").alias("p_id"),
+            (F.col("ts") + F.expr("INTERVAL 10 minutes")).alias("p_ts"),
+            (F.col("value") * 2).alias("p_value"),
+        )
+    )
+    joined = stream_stream_join(
+        raw, processed, key=("event_id", "p_id"), left_ts="ts", right_ts="p_ts"
+    ).select("event_id", "value", "p_value")
+    q = run_to_memory(joined, "ss_join")
+    try:
+        got = spark.sql("SELECT * FROM ss_join").collect()
+        n_events = spark.read.parquet(events_dir).count()
+        assert len(got) == n_events  # each row matches exactly its twin
+        assert all(r["p_value"] == r["value"] * 2 for r in got if r["value"] is not None)
+    finally:
+        q.stop()
+
+
 def test_routine_load_stream_into_bucketed_table(spark, sf_dir):
     """S8 end-to-end (entry-point B, the Routine Load analogue,
     reference/FeatureEngineeringApproaches.md:113-153, 200-258): a
