@@ -118,9 +118,10 @@ def fingerprint_md5(c: Column | str) -> Column:
     return F.md5(normalize_text(c))
 
 
-def shingles(c: Column | str, k: int = 3) -> Column:
-    """Word k-shingles as strings ('w1 w2 w3'), distinct — the unit set
-    for MinHash / Jaccard near-dup detection.
+def ngrams(c: Column | str, k: int = 3) -> Column:
+    """All word k-grams as strings ('w1 w2 w3'), in document order WITH
+    duplicates — the multiset form repetition metrics need (a doc that
+    repeats one bigram 50 times must count it 50 times).
 
     The token array is bound as a LAMBDA VARIABLE (via a one-element
     array transform) before the sliding-window transform runs.
@@ -129,14 +130,19 @@ def shingles(c: Column | str, k: int = 3) -> Column:
     split() directly turns shingling quadratic (regex split per shingle
     index, ~50x slower on real documents)."""
 
-    def _sh(t: Column) -> Column:
+    def _ng(t: Column) -> Column:
         n = F.size(t)
         idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
         return F.when(
             n >= k,
-            F.array_distinct(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
-            ),
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k))),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(tokens(c)), _sh), 1)
+    return F.element_at(F.transform(F.array(tokens(c)), _ng), 1)
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as strings ('w1 w2 w3'), distinct — the unit set
+    for MinHash / Jaccard near-dup detection. See ngrams() for the
+    lambda-binding trick; this is its set projection."""
+    return F.array_distinct(ngrams(c, k))

@@ -16,6 +16,9 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 # driver CORRECTNESS row register first; the longest-stable relational
 # classics (driver-green in both r1 and r2) rotate to the tail.
 _VERIFY_FIRST = (
+    "benchmark_contamination",
+    "repetition_profile",
+    "stratified_sample",
     "unigram_logprob_score",
     "leakage_safe_split",
     "spectral_energy",
@@ -40,6 +43,8 @@ _STABLE_TAIL = (
     "lineitem_rollup",
     "orders_cube",
     "top_lineitems_global",
+    "segment_symmetric_difference",
+    "supplier_distinct_parts",
 )
 
 

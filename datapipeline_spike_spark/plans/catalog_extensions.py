@@ -722,3 +722,209 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.operators.dedup import leakage_safe_split
 
     return leakage_safe_split(fan_out(load(spark, sf_dir, "documents")))
+
+
+# --- benchmark contamination -------------------------------------------------
+
+_CONTAM_K = 5  # n-gram width; 13 in production English pipelines, 5 here
+# because the synthetic 31-word vocabulary makes >=6-grams unique per doc
+_CONTAM_MOD = 7  # benchmark set = doc_id % 7 == 0 (deterministic stand-in)
+
+# DuckDB k-shingle expression for _CONTAM_K (same shape as _SQL_SHINGLES)
+_SQL_SHINGLES_K = (
+    f"CASE WHEN len(toks) >= {_CONTAM_K} THEN list_distinct(list_transform("
+    f"range(1, len(toks) - {_CONTAM_K - 2}), i -> array_to_string(toks[i:i+{_CONTAM_K - 1}], ' '))) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES_K} AS ngs FROM t),
+    bench AS (
+      SELECT DISTINCT unnest(ngs) AS ng FROM sh WHERE doc_id % {_CONTAM_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, len(ngs) AS n_ngrams, unnest(ngs) AS ng
+      FROM sh WHERE doc_id % {_CONTAM_MOD} != 0
+    )
+    SELECT corpus.doc_id,
+           n_ngrams,
+           count(*) AS n_contaminated,
+           round(count(*) * 1.0 / n_ngrams, {R}) AS contamination_ratio
+    FROM corpus JOIN bench USING (ng)
+    GROUP BY corpus.doc_id, n_ngrams
+    """,
+    doc=f"""Benchmark-contamination detection (SURVEY §2.11 — the
+    decontamination stage of an LLM data pipeline): flag corpus
+    documents sharing any {_CONTAM_K}-gram with a held-out benchmark
+    set, the n-gram-collision method used to scrub eval sets from
+    training corpora. The benchmark here is the deterministic
+    doc_id % {_CONTAM_MOD} == 0 subset (no external eval files in the
+    sandbox); its distinct n-gram set is BROADCAST — benchmark n-gram
+    cardinality is eval-suite-sized, never corpus-sized, so the join
+    stays map-side at 100 TB and the only shuffle is the per-doc count
+    aggregation. One scan of the corpus: per-doc n-gram totals are
+    computed map-side (size before explode), not via a second pass.""",
+    tags=("text", "dedup", "contamination"),
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", Tx.shingles("text", k=_CONTAM_K).alias("ngs"))
+    bench = (
+        sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select(F.explode("ngs").alias("ng"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0).select(
+        "doc_id", F.size("ngs").alias("n_ngrams"), F.explode("ngs").alias("ng")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.round(F.count(F.lit(1)) / F.col("n_ngrams"), R).alias("contamination_ratio"),
+        )
+        .select("doc_id", "n_ngrams", "n_contaminated", "contamination_ratio")
+    )
+
+
+# --- repetition / diversity profile ------------------------------------------
+
+# DuckDB non-distinct bigram expression mirroring functions.text.ngrams(k=2)
+_SQL_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN list_transform("
+    "range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "repetition_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+    tstats AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types, max(c) AS top_tok
+      FROM tc GROUP BY 1
+    ),
+    bx AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM t),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bx GROUP BY 1, 2),
+    bstats AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg FROM bc GROUP BY 1
+    )
+    SELECT tstats.doc_id,
+           n_tokens,
+           round(n_types * 1.0 / n_tokens, {R}) AS type_token_ratio,
+           round(top_tok * 1.0 / n_tokens, {R}) AS top_token_frac,
+           round(top_bg * 1.0 / n_bigrams, {R}) AS top_bigram_frac,
+           (round(top_tok * 1.0 / n_tokens, {R}) > 0.30
+            OR round(top_bg * 1.0 / n_bigrams, {R}) > 0.18) AS repetitive
+    FROM tstats JOIN bstats ON tstats.doc_id = bstats.doc_id
+    WHERE n_tokens > 0 AND n_bigrams > 0
+    """,
+    doc="""Repetition / diversity profiling (SURVEY §2.11 — the
+    Gopher-style repetition filters of an LLM data pipeline, after the
+    published "fraction of characters in most-common n-gram" family):
+    per-doc type-token ratio, most-common-token fraction, and
+    most-common-bigram fraction, with a repetitive flag at the
+    published-style thresholds (0.30 top-token, 0.18 top-bigram —
+    compared on the ROUNDED values so the flag is engine-portable).
+    Two explode->count aggregations (token grain and bigram grain)
+    joined on doc_id; both shuffles are (doc, term)-keyed — bounded by
+    corpus token count, no global state, scale-linear. The bigram
+    stream uses the non-distinct ngrams() generator: a doc repeating
+    one bigram 50 times must count it 50 times, which the MinHash
+    shingle set (distinct) deliberately hides.""",
+    tags=("text", "quality"),
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(Tx.tokens("text")).alias("tok"))
+    tstats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    bigr = d.select("doc_id", F.explode(Tx.ngrams("text", k=2)).alias("bg"))
+    bstats = (
+        bigr.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg"))
+    )
+    ttf = F.round(F.col("top_tok") / F.col("n_tokens"), R)
+    tbf = F.round(F.col("top_bg") / F.col("n_bigrams"), R)
+    return (
+        tstats.join(bstats, "doc_id")
+        .filter((F.col("n_tokens") > 0) & (F.col("n_bigrams") > 0))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_types") / F.col("n_tokens"), R).alias("type_token_ratio"),
+            ttf.alias("top_token_frac"),
+            tbf.alias("top_bigram_frac"),
+            ((ttf > 0.30) | (tbf > 0.18)).alias("repetitive"),
+        )
+    )
+
+
+# --- deterministic stratified sampling (corpus mixing) ------------------------
+
+# Target mixture: upsample non-English, downsample odd-numbered sources.
+# Arbitrary but fixed weights — the query demonstrates the mechanism; the
+# operator takes any per-row rate expression.
+_SQL_RATE = (
+    "(CASE WHEN lang = 'en' THEN 0.45 ELSE 0.95 END) * "
+    "(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1.0 ELSE 0.6 END)"
+)
+_SQL_U01 = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0"
+)
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           round({_SQL_RATE}, {R}) AS target_rate,
+           round({_SQL_U01}, {R})  AS sample_u,
+           ({_SQL_U01}) < ({_SQL_RATE}) AS kept
+    FROM documents
+    """,
+    doc="""Deterministic stratified sampling (SURVEY §2.11 — the data
+    mixing stage of a training pipeline): every row gets a uniform
+    [0,1) draw from md5(doc_id) and a per-stratum target rate (CASE
+    over lang x source), kept iff u < rate. Content-hash draws, not
+    RNG: reruns, backfills, and the DuckDB oracle reproduce the exact
+    decision per row independent of partitioning — df.sample() can
+    guarantee neither. Map-only (zero shuffles, zero state); the
+    unrounded u and rate are compared (u = k/2^32 is exact in binary
+    floating point, so the comparison is engine-portable).""",
+    tags=("text", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.sampling import hash_u01, stratified_sample
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    rate = F.when(F.col("lang") == "en", 0.45).otherwise(0.95) * F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, 1.0
+    ).otherwise(0.6)
+    tagged = stratified_sample(d, "doc_id", rate, keep_all=True)
+    return tagged.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(rate, R).alias("target_rate"),
+        F.round(hash_u01("doc_id"), R).alias("sample_u"),
+        "kept",
+    )

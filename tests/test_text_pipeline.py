@@ -1,0 +1,121 @@
+"""Round-3 text-pipeline extensions: deterministic stratified sampling,
+repetition profiling (non-distinct ngrams), benchmark contamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.functions import text as Tx
+from datapipeline_spike_spark.operators.sampling import hash_u01, stratified_sample
+
+
+def test_ngrams_keep_duplicates_shingles_do_not(spark):
+    df = spark.createDataFrame([("a b a b a b",)], ["text"])
+    row = df.select(
+        Tx.ngrams("text", k=2).alias("ng"), Tx.shingles("text", k=2).alias("sh")
+    ).collect()[0]
+    assert row["ng"] == ["a b", "b a", "a b", "b a", "a b"]
+    assert sorted(row["sh"]) == ["a b", "b a"]
+
+
+def test_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("only",), ("",)], ["text"])
+    rows = df.select(Tx.ngrams("text", k=2).alias("ng")).collect()
+    assert all(r["ng"] == [] for r in rows)
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark, sf_dir):
+    from datapipeline_spike_spark.plans.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(0.5)
+    a = {r["doc_id"] for r in stratified_sample(d, "doc_id", rate).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(d.repartition(13), "doc_id", rate).collect()
+    }
+    assert a == b  # decision depends on the key alone, not layout
+    n = d.count()
+    assert 0.35 * n < len(a) < 0.65 * n  # uniform draw actually thins
+
+
+def test_stratified_sample_respects_per_stratum_rate(spark, sf_dir):
+    from datapipeline_spike_spark.plans.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("doc_id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    kept = stratified_sample(d, "doc_id", rate).select("doc_id").collect()
+    assert len(kept) > 0
+    assert all(r["doc_id"] % 2 == 0 for r in kept)
+
+
+def test_hash_u01_range(spark, sf_dir):
+    from datapipeline_spike_spark.plans.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    row = d.agg(
+        F.min(hash_u01("doc_id")).alias("lo"), F.max(hash_u01("doc_id")).alias("hi")
+    ).collect()[0]
+    assert 0.0 <= row["lo"] and row["hi"] < 1.0
+
+
+def test_repetition_profile_flags_planted_repeater(spark, tmp_path, sf_dir):
+    """A doc that is one bigram stamped 50 times must be flagged; a
+    diverse doc must not."""
+    import shutil
+
+    from datapipeline_spike_spark.plans import REGISTRY
+
+    src = f"{sf_dir}/documents.parquet"
+    spot = str(tmp_path / "docs")
+    base = spark.read.parquet(src).limit(0)
+    planted = spark.createDataFrame(
+        [
+            (900001, "spam ham " * 50, "en", "srcX", 400),
+            (900002, " ".join(f"w{i}" for i in range(100)), "en", "srcX", 400),
+        ],
+        schema=base.schema,
+    )
+    planted.write.mode("overwrite").parquet(f"{spot}/documents.parquet")
+    try:
+        out = {
+            r["doc_id"]: r
+            for r in REGISTRY["repetition_profile"].spark(spark, spot).collect()
+        }
+        assert out[900001]["repetitive"] is True
+        assert out[900001]["top_bigram_frac"] > 0.4
+        assert out[900002]["repetitive"] is False
+        assert abs(out[900002]["type_token_ratio"] - 1.0) < 1e-9
+    finally:
+        shutil.rmtree(spot, ignore_errors=True)
+
+
+def test_benchmark_contamination_detects_planted_overlap(spark, tmp_path, sf_dir):
+    """Doc 15 copies a 6-token span from benchmark doc 7 (7 % 7 == 0);
+    doc 16 shares nothing. Only doc 15 may be reported (15 and 16 are
+    not multiples of 7, so both are corpus-side)."""
+    import shutil
+
+    from datapipeline_spike_spark.plans import REGISTRY
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (7, bench_text, "en", "srcB", 40),
+            (15, "intro words beta gamma delta epsilon zeta eta outro", "en", "srcC", 40),
+            (16, "one two three four five six seven eight nine ten", "en", "srcC", 40),
+        ],
+        schema=base.schema,
+    )
+    spot = str(tmp_path / "docs2")
+    docs.write.mode("overwrite").parquet(f"{spot}/documents.parquet")
+    try:
+        out = {
+            r["doc_id"]: r
+            for r in REGISTRY["benchmark_contamination"].spark(spark, spot).collect()
+        }
+        assert set(out) == {15}
+        assert out[15]["n_contaminated"] == 2  # two shared 5-grams in the span
+    finally:
+        shutil.rmtree(spot, ignore_errors=True)
