@@ -333,6 +333,49 @@ def cosine_neardup_pairs(
     )
 
 
+def embedding_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) dedup end-to-end: LSH-bucketed cosine
+    near-dup edges (:func:`cosine_neardup_pairs` — bucket equi-join,
+    never all-pairs) -> connected components (transitive closure: a~b~c
+    merge even when a!~c, the paraphrase-chain case textual dedup
+    misses) -> every vector assigned the component-minimum canonical id;
+    isolated vectors map to themselves.
+
+    Component strategy mirrors ``dedup_corpus(component_algorithm=
+    "auto")``: min-label with a small round budget for the shallow
+    common case, star contraction (O(log^2 n) rounds) when a chained
+    corpus blows past it. Only edge endpoints iterate — the per-round
+    shuffles are near-dup-subgraph-sized, not corpus-sized."""
+    from datapipeline_spike_spark.operators.dedup import (
+        ComponentsNotConverged,
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = cosine_neardup_pairs(corpus, dim, threshold, n_planes, id_col, vec_col).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edge_verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    try:
+        comp = connected_components(edges, edge_verts, max_iterations=6)
+    except ComponentsNotConverged:
+        comp = connected_components_star(edges, edge_verts)
+    return corpus.select(F.col(id_col)).join(comp, F.col(id_col) == F.col("id"), "left").select(
+        F.col(id_col), F.coalesce(F.col("comp"), F.col(id_col)).alias("canonical_id")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -19,6 +19,7 @@ _VERIFY_FIRST = (
     "benchmark_contamination",
     "repetition_profile",
     "stratified_sample",
+    "embedding_dedup_assignment",
     "unigram_logprob_score",
     "leakage_safe_split",
     "spectral_energy",
@@ -45,6 +46,7 @@ _STABLE_TAIL = (
     "top_lineitems_global",
     "segment_symmetric_difference",
     "supplier_distinct_parts",
+    "quantity_quantiles",
 )
 
 

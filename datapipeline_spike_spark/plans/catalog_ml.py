@@ -479,3 +479,43 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(
         emb, dim=EMB_DIM, threshold=NEARDUP_THRESHOLD, n_planes=N_PLANES
     )
+
+
+@register(
+    "embedding_dedup_assignment",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ), edges AS (
+      SELECT a.vec_id AS s, c.vec_id AS d
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE round(list_cosine_similarity(a.v, c.v), {R}) >= {NEARDUP_THRESHOLD}
+    ), esym AS (
+      SELECT s, d FROM edges UNION ALL SELECT d, s FROM edges
+    ), closure AS (
+      SELECT vec_id AS a, vec_id AS b FROM embeddings
+      UNION
+      SELECT c.a, e.d FROM closure c JOIN esym e ON c.b = e.s
+    )
+    SELECT a AS vec_id, min(b) AS canonical_id FROM closure GROUP BY a
+    """,
+    doc="""Semantic dedup end-to-end (SURVEY §2.11 dedup family — the
+    embedding-space sibling of dedup_corpus_assignment): LSH-bucket
+    cosine edges -> connected components -> canonical id per vector,
+    transitive merges included (paraphrase chains a~b~c where a!~c —
+    invisible to textual MinHash when wording fully diverges). The
+    DuckDB replay is a recursive-CTE transitive closure over the same
+    inlined-hyperplane bucket edges, so the whole pipeline is
+    hash-checked. Component rounds iterate over edge endpoints only;
+    auto min-label/star fallback as in dedup_corpus.""",
+    tags=("dedup", "embedding", "lsh", "components", "pipeline"),
+)
+def q_embedding_dedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import embedding_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_dedup(
+        emb, dim=EMB_DIM, threshold=NEARDUP_THRESHOLD, n_planes=N_PLANES
+    )

@@ -186,3 +186,27 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06  # 3 sigma
+
+
+def test_embedding_dedup_transitive_merge(spark):
+    """Chain a~b (cos .5), b~c (cos .5), a!~c (cos -.5) at threshold
+    0.4: all three must land in one component (transitive closure), the
+    isolated vector in its own. n_planes=0 = single bucket, so the test
+    exercises the component logic, not LSH recall."""
+    import math
+
+    from datapipeline_spike_spark.operators.similarity import embedding_dedup
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    df = spark.createDataFrame(
+        [(1, at(0)), (2, at(60)), (3, at(120)), (9, at(250))],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r["canonical_id"]
+        for r in embedding_dedup(df, dim=2, threshold=0.4, n_planes=0).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}
