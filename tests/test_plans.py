@@ -160,3 +160,26 @@ def test_lake_join_uses_dynamic_partition_pruning(spark, tmp_path):
     joined = fact.join(F.broadcast(dim), "machine").groupBy("machine").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_contamination_broadcasts_benchmark_ngrams(spark):
+    """benchmark_contamination joins corpus n-grams against the
+    benchmark n-gram set: the benchmark side must broadcast (eval-suite
+    cardinality, never corpus cardinality) — a sort-merge shuffle of
+    the corpus explode against it would dominate at 100 TB."""
+    plan = _plan(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """stratified_sample is pure per-row decision logic: zero shuffles
+    beyond the (possible) fan_out repartition of an under-split scan —
+    no aggregation, no join, no window."""
+    plan = _plan(spark, "stratified_sample")
+    # fan_out may inject one round-robin Exchange on the tiny scan; any
+    # OTHER exchange means the sampler stopped being oblivious
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
