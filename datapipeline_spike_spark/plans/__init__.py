@@ -20,6 +20,7 @@ _VERIFY_FIRST = (
     "repetition_profile",
     "stratified_sample",
     "embedding_dedup_assignment",
+    "video_header_meta",
     "unigram_logprob_score",
     "leakage_safe_split",
     "spectral_energy",
@@ -47,6 +48,7 @@ _STABLE_TAIL = (
     "segment_symmetric_difference",
     "supplier_distinct_parts",
     "quantity_quantiles",
+    "order_scalar_lab",
 )
 
 

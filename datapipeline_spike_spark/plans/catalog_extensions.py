@@ -593,6 +593,42 @@ def q_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_header_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'mp4' AS media_format,
+           CAST(64 + doc_id % 128 AS INT)        AS width,
+           CAST(48 + (doc_id // 2) % 96 AS INT)  AS height,
+           CAST(500 + (doc_id % 100) * 40 AS BIGINT) AS duration_ms,
+           CAST(greatest(1, (500 + (doc_id % 100) * 40) * 25 // 1000) AS INT)
+             AS n_frames
+    FROM documents
+    """,
+    doc="""Multimodal VIDEO decode, metadata tier, END TO END on real
+    bytes (SURVEY §2.11): per document a complete synthetic MP4
+    (ftyp + moov[mvhd + trak[tkhd]], spec-layout v0 boxes) is built
+    whose dimensions/duration are a function of doc_id, then
+    sources.multimodal.parse_video_header walks the BINARY BOX
+    STRUCTURE with pure stdlib struct — mvhd timescale/duration, tkhd
+    16.16 fixed-point dimensions. n_frames is the documented
+    25-fps-nominal estimate (sample tables are the full-decode tier).
+    The oracle recomputes everything from doc_id, so a hash match
+    proves the encode -> box-walk round-trip.""",
+    tags=("multimodal", "video", "pandas_udf"),
+)
+def q_video_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_media,
+        video_media_from_documents,
+    )
+
+    media = video_media_from_documents(fan_out(load(spark, sf_dir, "documents")))
+    return decode_media(media).select(
+        "media_id", "media_format", "width", "height", "duration_ms", "n_frames"
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

@@ -49,9 +49,16 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),  # video containers only
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+# Frame-count convention for the metadata tier: MP4 sample tables are
+# not walked (that is full decode), so n_frames is estimated at a
+# nominal 25 fps from the mvhd duration — documented, deterministic,
+# and replaced by the real stts count when a full decoder is wired in.
+NOMINAL_VIDEO_FPS = 25
 
 REAL_PIXEL_DECODERS_AVAILABLE = False  # no PIL/cv2/librosa in this environment
 
@@ -121,6 +128,118 @@ def parse_audio_header(payload: bytes) -> tuple[str, int, int, int] | None:
     return None
 
 
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO BMFF box in
+    buf[start:end]. Handles 64-bit largesize (size==1) and to-end
+    (size==0) boxes; stops on malformed sizes rather than raising."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", buf[i : i + 4])
+        typ = buf[i + 4 : i + 8]
+        if size == 0:  # box extends to end of enclosing container
+            yield typ, i + 8, end
+            return
+        if size == 1:  # 64-bit largesize follows the type
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+            if size < 16 or i + size > end:
+                return
+            yield typ, i + 16, i + size
+            i += size
+            continue
+        if size < 8 or i + size > end:
+            return
+        yield typ, i + 8, i + size
+        i += size
+
+
+def parse_video_header(payload: bytes) -> tuple[str, int | None, int | None, int, int] | None:
+    """Pure-stdlib MP4 (ISO BMFF) container parse -> (format, width,
+    height, duration_ms, n_tracks), or None when unrecognized. Walks
+    the top-level boxes to ``moov``, reads ``mvhd`` (timescale +
+    duration, v0 and v1 layouts) and the first ``tkhd`` carrying
+    nonzero 16.16 fixed-point presentation dimensions; counts ``trak``
+    children. Sample tables (frame counts) are deliberately not walked
+    — that is the full-decode tier."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    width = height = None
+    timescale = duration = None
+    n_tracks = 0
+    for typ, bs, be in _walk_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for ctyp, cs, ce in _walk_boxes(payload, bs, be):
+            if ctyp == b"mvhd" and ce - cs >= 20:
+                ver = payload[cs]
+                if ver == 1 and ce - cs >= 32:
+                    (timescale,) = struct.unpack(">I", payload[cs + 20 : cs + 24])
+                    (duration,) = struct.unpack(">Q", payload[cs + 24 : cs + 32])
+                else:
+                    timescale, duration = struct.unpack(">II", payload[cs + 12 : cs + 20])
+            elif ctyp == b"trak":
+                n_tracks += 1
+                for ttyp, ts_, te in _walk_boxes(payload, cs, ce):
+                    if ttyp == b"tkhd" and width is None and te - ts_ >= 8:
+                        off = 88 if payload[ts_] == 1 else 76
+                        if te - ts_ >= off + 8:
+                            w16, h16 = struct.unpack(
+                                ">II", payload[ts_ + off : ts_ + off + 8]
+                            )
+                            if w16 or h16:
+                                width, height = w16 >> 16, h16 >> 16
+    if not timescale:
+        return None
+    duration_ms = int(duration or 0) * 1000 // timescale
+    return "mp4", width, height, duration_ms, n_tracks
+
+
+_MP4_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def synthetic_mp4(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """A complete, valid MP4 skeleton (ftyp + moov[mvhd + trak[tkhd]])
+    built with stdlib only — spec-layout v0 boxes (100-byte mvhd body,
+    84-byte tkhd body, unity matrix), no media data. Real bytes for
+    exercising the header parser."""
+    duration = duration_ms * timescale // 1000
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd_body = (
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation / modification time
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + _MP4_MATRIX
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_ID
+    )
+    tkhd_body = (
+        struct.pack(">I", 0x00000007)  # version 0 + (enabled|in_movie|in_preview)
+        + struct.pack(">II", 0, 0)  # creation / modification time
+        + struct.pack(">I", 1)  # track_ID
+        + b"\x00" * 4  # reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alternate, volume, reserved
+        + _MP4_MATRIX
+        + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed point
+    )
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_body))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_body) + trak)
+    return ftyp + moov
+
+
 def synthetic_wav(
     n_channels: int = 1, sample_rate: int = 16000, bits: int = 16, n_samples: int = 8
 ) -> bytes:
@@ -187,13 +306,26 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     other payloads fall back to the deterministic hash fake (the
     full-pixel tier production would route to PIL/cv2/librosa)."""
 
-    def decode_one(payload: bytes) -> tuple[str | None, int, int, int, list[float]]:
-        header = parse_image_header(payload)
-        if header is not None:
-            fmt, w, h = header
-            feat_src = hashlib.sha256(payload).digest()
-            return fmt, w, h, 1, [b / 255.0 for b in feat_src[:8]]
-        return (None, *_fake_decode(payload))
+    def decode_one(
+        payload: bytes,
+    ) -> tuple[str | None, int | None, int | None, int, int | None, list[float]]:
+        feat = [b / 255.0 for b in hashlib.sha256(payload).digest()[:8]]
+        image = parse_image_header(payload)
+        if image is not None:
+            fmt, w, h = image
+            return fmt, w, h, 1, None, feat
+        video = parse_video_header(payload)
+        if video is not None:
+            fmt, w, h, dur_ms, _ = video
+            n_frames = max(1, dur_ms * NOMINAL_VIDEO_FPS // 1000)
+            return fmt, w, h, n_frames, dur_ms, feat
+        audio = parse_audio_header(payload)
+        if audio is not None:
+            # dimensions are meaningless for audio; rate/bits live on
+            # parse_audio_header for callers that want them
+            return audio[0], None, None, 1, None, feat
+        w, h, n_frames, feat = _fake_decode(payload)
+        return None, w, h, n_frames, None, feat
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -204,10 +336,13 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "media_type": pdf["media_type"],
                     "media_format": decoded.map(lambda t: t[0]),
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "width": decoded.map(lambda t: t[1]).astype("int32"),
-                    "height": decoded.map(lambda t: t[2]).astype("int32"),
+                    "width": pd.array(decoded.map(lambda t: t[1]), dtype="Int32"),
+                    "height": pd.array(decoded.map(lambda t: t[2]), dtype="Int32"),
                     "n_frames": decoded.map(lambda t: t[3]).astype("int32"),
-                    "feature": decoded.map(lambda t: t[4]),
+                    "duration_ms": pd.array(
+                        decoded.map(lambda t: t[4]), dtype="Int64"
+                    ),
+                    "feature": decoded.map(lambda t: t[5]),
                 }
             )
             yield out
@@ -237,6 +372,32 @@ def image_media_from_documents(docs: DataFrame) -> DataFrame:
                         for d, (_, w, h) in zip(pdf["doc_id"], fmt_w_h)
                     ],
                     "media_type": fmt_w_h.map(lambda t: "image"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def video_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Real MP4 bytes for the corpus: per document a complete synthetic
+    container whose dimensions and duration derive deterministically
+    from doc_id (same oracle-replayable pattern as
+    :func:`image_media_from_documents`)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synthetic_mp4(
+                            64 + d % 128, 48 + (d // 2) % 96, 500 + (d % 100) * 40
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "video",
                 }
             )
 

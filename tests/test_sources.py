@@ -96,6 +96,30 @@ def test_audio_header_parse_stdlib():
     assert parse_audio_header(b"plain text") is None
 
 
+def test_video_header_parse_stdlib():
+    import struct
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        parse_video_header,
+        synthetic_mp4,
+    )
+
+    for w, h, dur in ((64, 48, 500), (1920, 1080, 600000), (191, 143, 4460)):
+        assert parse_video_header(synthetic_mp4(w, h, dur)) == ("mp4", w, h, dur, 1)
+    # a free box between ftyp and moov must be walked over
+    mp4 = synthetic_mp4(100, 50, 2000)
+    ftyp_end = 8 + struct.unpack(">I", mp4[:4])[0] - 8
+    free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    padded = mp4[:ftyp_end] + free + mp4[ftyp_end:]
+    assert parse_video_header(padded) == ("mp4", 100, 50, 2000, 1)
+    # timescale != 1000 rescales to ms (90 kHz is the MPEG clock)
+    assert parse_video_header(synthetic_mp4(64, 48, 1500, timescale=90000))[3] == 1500
+    # truncated/malformed boxes: no crash, no parse
+    assert parse_video_header(mp4[:20]) is None
+    assert parse_video_header(b"plain text payload") is None
+    assert parse_video_header(b"") is None
+
+
 def test_decode_media_uses_real_headers_for_images(spark, sf_dir):
     from datapipeline_spike_spark.sources.multimodal import (
         image_media_from_documents,
