@@ -1,0 +1,78 @@
+"""Distributed synopsis sketches.
+
+HLL++ already ships with Spark (``approx_count_distinct``; asserted
+within tolerance in tests/test_operators.py). This module adds the
+sketches that are USEFUL PRECISELY BECAUSE they are deterministic:
+a KMV (k-minimum-values) bottom-k synopsis over md5-hashed values.
+
+Why KMV next to HLL at 100 TB:
+- the synopsis is a mergeable k-row set — partial bottom-k per Arrow
+  batch, union, global bottom-k — so the shuffle is k x partitions
+  rows, never the data;
+- it is exactly reproducible (content hash, no RNG, no engine-specific
+  register layout), so a DuckDB oracle can replay the estimate to the
+  last bit — HLL sketches never replay across engines;
+- the same bottom-k set doubles as a deterministic uniform sample of
+  the distinct values (the classic KMV/bottom-k duality).
+
+Estimator: with u_(k) = the k-th smallest hash mapped into [0, 1),
+D-hat = (k - 1) / u_(k)  (Bar-Yossef et al., the standard KMV form).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TWO_32 = 4294967296.0
+
+
+def hash_u01_expr(col: Column | str) -> Column:
+    """md5-derived uniform [0,1) draw — same portable construction as
+    operators.sampling.hash_u01 (first 8 md5 hex chars / 2^32)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(_TWO_32)
+
+
+def kmv_bottom_k(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """The KMV synopsis: the k smallest DISTINCT hash draws of ``col``,
+    one row each, column ``u``.
+
+    Scale shape: a per-Arrow-batch partial bottom-k inside
+    ``mapInPandas`` (the same partial-top-k trick as
+    similarity.brute_force_topk_blas) cuts each partition's output to
+    <= k rows per batch; only those survivors hit the single final sort
+    — the wire carries O(k x batches), never the corpus. The final
+    global bottom-k is a LIMIT k over a k-bounded input, not a full
+    sort of the data."""
+    hashed = df.select(hash_u01_expr(col).alias("u"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"u": pdf["u"].drop_duplicates().nsmallest(k)})
+
+    survivors = hashed.mapInPandas(partial, schema="u double")
+    # distinct before the limit: the same value appearing in two batches
+    # must occupy one slot, not two (KMV is over distinct values)
+    return survivors.distinct().orderBy("u").limit(k)
+
+
+def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """One-row frame: (k, kmv_estimate) where the estimate is
+    (k-1)/u_(k) over the bottom-k synopsis — or the exact synopsis size
+    when fewer than k distinct values exist (the under-full regime is
+    exact by construction). Exactly reproducible across engines and
+    runs — the property HLL can't offer."""
+    synopsis = kmv_bottom_k(df, col, k)
+    n = F.count(F.lit(1))
+    return synopsis.agg(
+        n.alias("k"),
+        F.when(n < k, n.cast("double"))
+        .otherwise((n - F.lit(1.0)) / F.max("u"))
+        .alias("kmv_estimate"),
+    )

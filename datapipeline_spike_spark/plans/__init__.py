@@ -21,6 +21,7 @@ _VERIFY_FIRST = (
     "stratified_sample",
     "embedding_dedup_assignment",
     "video_header_meta",
+    "kmv_distinct_ngrams",
     "unigram_logprob_score",
     "leakage_safe_split",
     "spectral_energy",
@@ -49,6 +50,7 @@ _STABLE_TAIL = (
     "supplier_distinct_parts",
     "quantity_quantiles",
     "order_scalar_lab",
+    "orders_grouping_sets",
 )
 
 

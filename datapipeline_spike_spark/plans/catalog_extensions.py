@@ -760,6 +760,62 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(fan_out(load(spark, sf_dir, "documents")))
 
 
+# --- KMV distinct-count synopsis ----------------------------------------------
+
+_KMV_K = 64
+# DuckDB twin of operators.sketches.hash_u01_expr
+_SQL_KMV_U = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) / 4294967296.0"
+
+
+@register(
+    "kmv_distinct_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+    g AS (SELECT DISTINCT unnest({_SQL_SHINGLES}) AS s FROM t),
+    bot AS (
+      SELECT DISTINCT {_SQL_KMV_U} AS u FROM g ORDER BY u LIMIT {_KMV_K}
+    ),
+    agg AS (
+      SELECT count(*) AS n_syn, max(u) AS uk FROM bot
+    ),
+    exact AS (SELECT count(*) AS exact_distinct FROM g)
+    SELECT {_KMV_K} AS k,
+           exact_distinct,
+           round(CASE WHEN n_syn < {_KMV_K} THEN n_syn * 1.0
+                      ELSE (n_syn - 1.0) / uk END, {R}) AS kmv_estimate,
+           round(abs((CASE WHEN n_syn < {_KMV_K} THEN n_syn * 1.0
+                           ELSE (n_syn - 1.0) / uk END) - exact_distinct)
+                 / exact_distinct, {R}) AS rel_error
+    FROM agg CROSS JOIN exact
+    """,
+    doc="""KMV (k-minimum-values) distinct-count synopsis vs the exact
+    count, over the corpus 3-gram vocabulary (SURVEY §2.11 sketch
+    family, next to the HLL++ tolerance test): bottom-64 md5 draws,
+    estimate (k-1)/u_(k), exact in the under-full regime. Unlike HLL
+    the synopsis is DETERMINISTIC — the DuckDB oracle replays the
+    estimate to the last bit, and the same bottom-k set doubles as a
+    uniform distinct-value sample. Scale shape: per-Arrow-batch partial
+    bottom-k caps the wire at k x batches rows (plan: one LIMIT over
+    k-bounded survivors, never a full sort of the vocabulary).""",
+    tags=("text", "sketch", "aggregate"),
+)
+def q_kmv_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.sketches import kmv_distinct_estimate
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    grams = d.select(F.explode(Tx.shingles("text", k=3)).alias("s"))
+    exact = grams.distinct().count()  # 1-row scalar fetch, same as tfidf's n_docs
+    est = kmv_distinct_estimate(grams, "s", k=_KMV_K)
+    return est.select(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        F.lit(exact).cast("bigint").alias("exact_distinct"),
+        F.round("kmv_estimate", R).alias("kmv_estimate"),
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.lit(float(exact))) / F.lit(float(exact)), R
+        ).alias("rel_error"),
+    )
+
+
 # --- benchmark contamination -------------------------------------------------
 
 _CONTAM_K = 5  # n-gram width; 13 in production English pipelines, 5 here

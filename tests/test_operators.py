@@ -210,3 +210,27 @@ def test_embedding_dedup_transitive_merge(spark):
         for r in embedding_dedup(df, dim=2, threshold=0.4, n_planes=0).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_kmv_estimate_accuracy_and_partition_invariance(spark):
+    """KMV over 20k known-distinct values: the (k-1)/u_(k) estimate
+    must land within the sketch's error envelope (~1/sqrt(k)), and the
+    synopsis — hence the estimate — must not depend on partitioning."""
+    from datapipeline_spike_spark.operators.sketches import kmv_distinct_estimate
+
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("v"))
+    est = kmv_distinct_estimate(df, "v", k=64).collect()[0]
+    assert est["k"] == 64
+    assert abs(est["kmv_estimate"] - 20_000) / 20_000 < 0.5  # 4x the 1-sigma bound
+    est2 = kmv_distinct_estimate(df.repartition(17), "v", k=64).collect()[0]
+    assert est2["kmv_estimate"] == est["kmv_estimate"]
+
+
+def test_kmv_underfull_regime_is_exact(spark):
+    from datapipeline_spike_spark.operators.sketches import kmv_distinct_estimate
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    # duplicates must not add synopsis slots
+    est = kmv_distinct_estimate(df.union(df), "v", k=64).collect()[0]
+    assert est["k"] == 10
+    assert est["kmv_estimate"] == 10.0
