@@ -356,15 +356,17 @@ def dedup_corpus(
        A~B~C merge even when A!~C);
     5. every doc mapped through exact-rep -> component minimum.
 
-    ``component_algorithm``: "auto" (default) runs min-label with a
-    small round budget — shallow near-dup clusters (the common case)
-    converge in 2-4 cheap rounds — and falls back to the star
-    contraction when the budget runs out, so adversarial diameters cost
-    O(log^2 n) rounds instead of O(diameter) (the 10x scale probe
-    showed amplified corpora bridging chains past any fixed min-label
-    budget: 24x wall-time, then a silently-capped result). "min_label"
-    and "star" force one algorithm. All return identical assignments
-    (differential-tested).
+    ``component_algorithm``: "auto" (default) uses the star contraction
+    directly. It was originally min-label-with-budget + star fallback
+    on the assumption that shallow graphs favor min-label's cheaper
+    rounds, but measurement said otherwise at EVERY scale (steady-state,
+    local[32]): sf0.01 star 3.0 s vs min-label 3.9 s; sf0.1 5.3 vs 7.5;
+    10x-amplified 93 vs 314 (min-label additionally blowing its round
+    budget there — O(diameter) rounds on bridged chains). Star's
+    window-min rounds contract paths exponentially AND cost no more per
+    round, so the budget-then-fallback dance only added a wasted budget
+    (~100 s at 10x). "min_label" and "star" force one algorithm; all
+    return identical assignments (differential-tested).
 
     Returns (id_col, canonical_id). Docs with no duplicates map to
     themselves."""
@@ -412,15 +414,10 @@ def dedup_corpus(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    if component_algorithm == "star":
-        comp = connected_components_star(edges, edge_verts)
-    elif component_algorithm == "min_label":
+    if component_algorithm == "min_label":
         comp = connected_components(edges, edge_verts)
-    else:  # auto: cheap-path budget, exponential-contraction fallback
-        try:
-            comp = connected_components(edges, edge_verts, max_iterations=6)
-        except ComponentsNotConverged:
-            comp = connected_components_star(edges, edge_verts)
+    else:  # star and auto: exponential contraction, measured fastest everywhere
+        comp = connected_components_star(edges, edge_verts)
     # comp is eagerly checkpointed (as is the edge set), so nothing
     # downstream re-reads reps — release the cache now
     reps.unpersist()

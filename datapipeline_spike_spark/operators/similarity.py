@@ -349,15 +349,11 @@ def embedding_dedup(
     isolated vectors map to themselves.
 
     Component strategy mirrors ``dedup_corpus(component_algorithm=
-    "auto")``: min-label with a small round budget for the shallow
-    common case, star contraction (O(log^2 n) rounds) when a chained
-    corpus blows past it. Only edge endpoints iterate — the per-round
-    shuffles are near-dup-subgraph-sized, not corpus-sized."""
-    from datapipeline_spike_spark.operators.dedup import (
-        ComponentsNotConverged,
-        connected_components,
-        connected_components_star,
-    )
+    "auto")``: star contraction (O(log^2 n) rounds), measured no slower
+    than min-label even on shallow graphs and decisively faster on
+    chained ones. Only edge endpoints iterate — the per-round shuffles
+    are near-dup-subgraph-sized, not corpus-sized."""
+    from datapipeline_spike_spark.operators.dedup import connected_components_star
 
     edges = cosine_neardup_pairs(corpus, dim, threshold, n_planes, id_col, vec_col).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -367,10 +363,7 @@ def embedding_dedup(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    try:
-        comp = connected_components(edges, edge_verts, max_iterations=6)
-    except ComponentsNotConverged:
-        comp = connected_components_star(edges, edge_verts)
+    comp = connected_components_star(edges, edge_verts)
     return corpus.select(F.col(id_col)).join(comp, F.col(id_col) == F.col("id"), "left").select(
         F.col(id_col), F.coalesce(F.col("comp"), F.col(id_col)).alias("canonical_id")
     )
