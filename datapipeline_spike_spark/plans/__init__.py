@@ -22,6 +22,7 @@ _VERIFY_FIRST = (
     "embedding_dedup_assignment",
     "video_header_meta",
     "kmv_distinct_ngrams",
+    "table_profile",
     "unigram_logprob_score",
     "leakage_safe_split",
     "spectral_energy",
@@ -51,6 +52,7 @@ _STABLE_TAIL = (
     "quantity_quantiles",
     "order_scalar_lab",
     "orders_grouping_sets",
+    "daily_status_pivot",
 )
 
 

@@ -588,3 +588,55 @@ _SMALL_QTY_SQL = """
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17_v")
     return spark.sql(_SMALL_QTY_SQL.format(lineitem="lineitem_q17_v"))
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "table_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           count(*) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           round(min({c}), 6) AS min_val,
+           round(max({c}), 6) AS max_val,
+           round(avg({c}), 6) AS avg_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    doc="""Per-column table profiling (the data-quality monitoring op a
+    pipeline runs before/after every load): null counts, exact distinct
+    cardinality, min/max/mean for each measure column of lineitem — ONE
+    scan producing one 1-row aggregate, unpivoted to a row per column
+    with stack(). Multiple count-distincts plan as a single expand +
+    aggregate (no per-column re-scans; the oracle's UNION ALL form
+    scans 4x, the engine does not). At 100 TB this is the shape that
+    matters: profile cost == one pass over the table.""",
+    tags=("aggregate", "profiling"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.round(F.min(c), 6).alias(f"{c}_min"),
+            F.round(F.max(c), 6).alias(f"{c}_max"),
+            F.round(F.avg(c), 6).alias(f"{c}_avg"),
+        ]
+    row = li.agg(*aggs)
+    stack = (
+        f"stack({len(_PROFILE_COLS)}, "
+        + ", ".join(
+            f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max, {c}_avg"
+            for c in _PROFILE_COLS
+        )
+        + ") as (col_name, n_nulls, n_distinct, min_val, max_val, avg_val)"
+    )
+    return row.select(F.expr(stack), "n_rows").select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val", "avg_val"
+    )
