@@ -62,6 +62,44 @@ def kmv_bottom_k(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     return survivors.distinct().orderBy("u").limit(k)
 
 
+def heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """All values of ``col`` with frequency > n/k, with EXACT counts —
+    the two-pass frequent-items scheme that keeps the sketch's bounded
+    memory AND a deterministic, oracle-checkable output:
+
+    - **Pass 1 (candidates, bounded)**: within each Arrow batch, keep
+      values with batch frequency > batch_size/k. Pigeonhole soundness:
+      a value with global frequency > n/k must exceed the threshold in
+      at least one batch (if f_b <= n_b/k in every batch, summing gives
+      f <= n/k) — so no true heavy hitter is ever missed, and each
+      batch emits < k candidate rows, the Misra-Gries memory bound.
+    - **Pass 2 (exact)**: semi-join the corpus to the (tiny, broadcast)
+      candidate set, count exactly, filter > n/k.
+
+    Unlike one-pass Misra-Gries, whose approximate counts depend on
+    partition layout, the output here is partition-invariant: the
+    candidate set may vary with layout, but it always contains every
+    true heavy hitter, and the exact recount + threshold make the final
+    rows a pure function of the data. Returns (value, freq) with
+    ``value`` named after ``col``."""
+    n = df.count()  # 1-row scalar; the threshold needs the exact total
+    threshold = n / k
+
+    def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = pdf[col].value_counts()
+            keep = counts[counts > len(pdf) / k]
+            yield pd.DataFrame({col: keep.index})
+
+    cand = df.select(col).mapInPandas(candidates, schema=df.select(col).schema).distinct()
+    return (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > threshold)
+    )
+
+
 def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """One-row frame: (k, kmv_estimate) where the estimate is
     (k-1)/u_(k) over the bottom-k synopsis — or the exact synopsis size

@@ -23,6 +23,7 @@ _VERIFY_FIRST = (
     "video_header_meta",
     "kmv_distinct_ngrams",
     "table_profile",
+    "heavy_hitter_tokens",
     "unigram_logprob_score",
     "leakage_safe_split",
     "spectral_energy",
@@ -53,6 +54,7 @@ _STABLE_TAIL = (
     "order_scalar_lab",
     "orders_grouping_sets",
     "daily_status_pivot",
+    "json_props_profile",
 )
 
 

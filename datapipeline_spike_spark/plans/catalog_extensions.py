@@ -816,6 +816,38 @@ def q_kmv_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_K = 40
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH ex AS (SELECT unnest({_SQL_TOKS}) AS tok FROM documents),
+    tot AS (SELECT count(*) AS n FROM ex)
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM ex CROSS JOIN tot
+    GROUP BY tok, tot.n
+    HAVING count(*) > tot.n / {_HH_K}.0
+    """,
+    doc=f"""Frequent-items detection with sketch-bounded memory and
+    EXACT output (SURVEY §2.4 sketch family): every token with corpus
+    frequency > n/{_HH_K}. Pass 1 keeps per-Arrow-batch values above
+    the batch-local n_b/{_HH_K} threshold (< {_HH_K} candidate rows per
+    batch by pigeonhole — the Misra-Gries memory bound — and provably
+    no true heavy hitter missed); pass 2 recounts the tiny broadcast
+    candidate set exactly. Output is partition-invariant even though
+    the intermediate candidate set is not — the determinism one-pass MG
+    can't offer, which is what makes it hash-checkable.""",
+    tags=("text", "sketch", "aggregate"),
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.sketches import heavy_hitters
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    ex = d.select(F.explode(Tx.tokens("text")).alias("tok"))
+    return heavy_hitters(ex, "tok", k=_HH_K)
+
+
 # --- benchmark contamination -------------------------------------------------
 
 _CONTAM_K = 5  # n-gram width; 13 in production English pipelines, 5 here

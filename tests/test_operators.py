@@ -234,3 +234,23 @@ def test_kmv_underfull_regime_is_exact(spark):
     est = kmv_distinct_estimate(df.union(df), "v", k=64).collect()[0]
     assert est["k"] == 10
     assert est["kmv_estimate"] == 10.0
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """Two-pass frequent items: output must be EXACTLY the values with
+    freq > n/k (with exact counts), regardless of partition layout —
+    the candidate pass may vary, the result may not."""
+    from datapipeline_spike_spark.operators.sketches import heavy_hitters
+
+    # 1000 rows: 'hot' x 400, 'warm' x 90, 51 cold values x 10
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 90
+        + [(f"cold{i}",) for i in range(51) for _ in range(10)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    for frame in (df, df.repartition(23)):
+        out = {r["v"]: r["freq"] for r in heavy_hitters(frame, "v", k=10).collect()}
+        assert out == {"hot": 400}  # threshold 100: warm (90) excluded
+        out2 = {r["v"]: r["freq"] for r in heavy_hitters(frame, "v", k=12).collect()}
+        assert out2 == {"hot": 400, "warm": 90}  # threshold ~83.3
