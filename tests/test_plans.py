@@ -183,3 +183,20 @@ def test_stratified_sample_is_map_only(spark):
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_heavy_hitters_candidate_join_is_broadcast_semi(spark):
+    """Pass 2 of the frequent-items scheme must plan as a broadcast
+    LEFT SEMI against the tiny candidate set — a sort-merge shuffle of
+    the token stream would throw away the sketch's whole point."""
+    plan = _plan(spark, "heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_final_bottom_k_is_take_ordered(spark):
+    """The KMV synopsis's global bottom-k must be TakeOrderedAndProject
+    over the per-batch survivors, never a full sort of the hash
+    stream."""
+    plan = _plan(spark, "kmv_distinct_ngrams")
+    assert "TakeOrderedAndProject" in plan
