@@ -146,3 +146,35 @@ def shingles(c: Column | str, k: int = 3) -> Column:
     for MinHash / Jaccard near-dup detection. See ngrams() for the
     lambda-binding trick; this is its set projection."""
     return F.array_distinct(ngrams(c, k))
+
+
+def token_chunks(c: Column | str, chunk_size: int = 64, stride: int = 48) -> Column:
+    """Overlapping fixed-size token windows — the context-window prep
+    stage of a training pipeline: array<struct<chunk_idx int, chunk_text
+    string, chunk_tokens int>>, windows starting at 0, stride, 2*stride
+    ... (< n), each chunk_size tokens (the last one short). stride <
+    chunk_size gives chunk_size - stride tokens of overlap so no span
+    is split across a boundary without context. Same lambda-binding
+    trick as ngrams(): the token array is bound once, not re-split per
+    chunk."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+
+    def _ch(t: Column) -> Column:
+        n = F.size(t)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        return F.when(
+            n > 0,
+            F.transform(
+                F.filter(starts, lambda s: s < n),
+                lambda s, i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.concat_ws(" ", F.slice(t, s + 1, chunk_size)).alias("chunk_text"),
+                    F.least(n - s, F.lit(chunk_size)).cast("int").alias("chunk_tokens"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<chunk_idx:int,chunk_text:string,chunk_tokens:int>>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens(c)), _ch), 1)

@@ -24,6 +24,7 @@ _VERIFY_FIRST = (
     "kmv_distinct_ngrams",
     "table_profile",
     "heavy_hitter_tokens",
+    "document_chunks",
     "unigram_logprob_score",
     "leakage_safe_split",
     "spectral_energy",
@@ -55,6 +56,7 @@ _STABLE_TAIL = (
     "orders_grouping_sets",
     "daily_status_pivot",
     "json_props_profile",
+    "machine_stream_union",
 )
 
 

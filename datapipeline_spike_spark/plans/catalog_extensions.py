@@ -816,6 +816,48 @@ def q_kmv_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 64
+_STRIDE = 48
+
+
+@register(
+    "document_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_STRIDE})) AS s
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(toks[s:s+{_CHUNK - 1}], ' ') AS chunk_text,
+           CAST(least(len(toks) - s + 1, {_CHUNK}) AS INT) AS chunk_tokens
+    FROM st
+    """,
+    doc=f"""Document chunking (SURVEY §2.11 — the context-window prep
+    stage of a training pipeline): overlapping {_CHUNK}-token windows at
+    stride {_STRIDE} ({_CHUNK - _STRIDE} tokens of overlap so no span
+    loses its context at a boundary), the last window short. Map-only:
+    tokenize once (lambda-bound, no re-split per chunk), build the
+    window structs per row, explode — output rows are bounded by
+    ceil(n_tokens/stride) per doc, a constant factor of the input, not
+    a blowup. The 1-to-many shape every downstream tokenizer-sharding
+    stage consumes.""",
+    tags=("text", "chunking"),
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents")).filter(Tx.token_count("text") > 0)
+    ch = d.select(
+        "doc_id", F.explode(Tx.token_chunks("text", _CHUNK, _STRIDE)).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
+
+
 _HH_K = 40
 
 

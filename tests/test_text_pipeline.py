@@ -119,3 +119,24 @@ def test_benchmark_contamination_detects_planted_overlap(spark, tmp_path, sf_dir
         assert out[15]["n_contaminated"] == 2  # two shared 5-grams in the span
     finally:
         shutil.rmtree(spot, ignore_errors=True)
+
+
+def test_token_chunks_overlap_and_tail(spark):
+    """100 tokens at chunk 64 / stride 48: windows at 0 (64 tokens),
+    48 (52), 96 (4) — overlapping spans repeat their 16-token context,
+    the tail stays short, nothing is dropped."""
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(text,)], ["text"])
+    chunks = df.select(F.explode(Tx.token_chunks("text", 64, 48)).alias("c")).collect()
+    got = [(r["c"]["chunk_idx"], r["c"]["chunk_tokens"]) for r in chunks]
+    assert got == [(0, 64), (1, 52), (2, 4)]
+    first, second = chunks[0]["c"]["chunk_text"].split(), chunks[1]["c"]["chunk_text"].split()
+    assert first[48:] == second[:16]  # the 16-token overlap is verbatim
+    assert first[0] == "w0" and second[0] == "w48"
+
+
+def test_token_chunks_short_and_empty(spark):
+    df = spark.createDataFrame([("only two",), ("",)], ["text"])
+    rows = df.select(Tx.token_chunks("text", 64, 48).alias("ch")).collect()
+    assert [(c["chunk_idx"], c["chunk_tokens"]) for c in rows[0]["ch"]] == [(0, 2)]
+    assert rows[1]["ch"] == []
