@@ -618,3 +618,57 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def segment_dedup_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+    boilerplate_df: int = 3,
+) -> DataFrame:
+    """Sub-document (segment-level) duplication profile — the CCNet /
+    RefinedWeb line-dedup stage generalized to token segments (the
+    corpus here has no newlines, so the "line" is a non-overlapping
+    ``seg_tokens``-token window from ``functions.text.token_chunks``).
+
+    Per document: how many of its segments appear verbatim elsewhere
+    (``n_shared`` — document frequency > 1) and how many are
+    boilerplate (document frequency >= ``boilerplate_df``) — the
+    signal used to strip headers/footers/navigation that exact
+    whole-doc dedup cannot see.
+
+    Scale shape: explode to segment grain, md5 each segment,
+    count-distinct docs per segment hash (shuffle keyed by segment
+    hash — bounded by corpus token count / seg_tokens), join back and
+    re-aggregate to doc grain. No self-join, no cross product; both
+    shuffles are linear in corpus size.
+    """
+    from datapipeline_spike_spark.functions.text import token_chunks
+
+    seg = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(token_chunks(text_col, seg_tokens, seg_tokens)).alias("c"),
+        )
+        .select(F.col(id_col), F.md5(F.col("c.chunk_text")).alias("seg_hash"))
+    )
+    freq = seg.groupBy("seg_hash").agg(
+        F.countDistinct(id_col).alias("seg_df")
+    )
+    shared = F.when(F.col("seg_df") > 1, 1).otherwise(0)
+    boiler = F.when(F.col("seg_df") >= boilerplate_df, 1).otherwise(0)
+    return (
+        seg.join(freq, "seg_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            F.sum(boiler).cast("long").alias("n_boilerplate"),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.round(F.col("n_shared") / F.col("n_segments"), 6),
+        )
+    )

@@ -16,6 +16,10 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 # driver CORRECTNESS row register first; the longest-stable relational
 # classics (driver-green in both r1 and r2) rotate to the tail.
 _VERIFY_FIRST = (
+    "pii_redaction",
+    "segment_dedup_profile",
+    "context_pack_stats",
+    "image_header_meta",
     "benchmark_contamination",
     "repetition_profile",
     "stratified_sample",
@@ -37,6 +41,9 @@ _VERIFY_FIRST = (
     "embedding_neardup_pairs",
 )
 _STABLE_TAIL = (
+    "embedding_label_stats",
+    "multimodal_shard_meta",
+    "tfidf_top_terms",
     "pricing_summary",
     "revenue_by_segment",
     "customers_per_region",

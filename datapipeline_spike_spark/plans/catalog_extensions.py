@@ -1094,3 +1094,203 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hash_u01("doc_id"), R).alias("sample_u"),
         "kept",
     )
+
+
+# --- PII redaction ------------------------------------------------------------
+
+# The synthetic corpus carries no organic PII, so the query plants it
+# with a deterministic, SQL-portable augmentation (same expression
+# string evaluated by Spark SQL and DuckDB — both support || and CASE),
+# keyed on doc_id so density varies across the corpus. The redaction
+# itself is exercised for real: counts, the clean flag, and the md5 of
+# the fully-redacted text are all hash-compared.
+_SQL_PII_AUG = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' reach me at dev.lead+ops@corp-data.example.com today' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 3 THEN ' cc qa_bot@eval.example.org' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' origin host 10.42.7.13 peer 192.168.0.254' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' taxpayer 123-45-6789 on file' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' hotline 555-867-5309 ext 12' ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from datapipeline_spike_spark.operators.redaction import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    return f"""
+    WITH aug AS (SELECT doc_id, {_SQL_PII_AUG} AS text FROM documents),
+    c AS (
+      SELECT doc_id, text,
+           {counts},
+           md5({red}) AS redacted_fp
+      FROM aug
+    )
+    SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+           {total} AS n_pii,
+           ({total}) = 0 AS clean,
+           redacted_fp
+    FROM c
+    """
+
+
+@register(
+    "pii_redaction",
+    oracle=_pii_oracle(),
+    doc="""PII detection + redaction (SURVEY §2.11 — the scrubbing
+    stage of a training-data pipeline): per-doc counts of email / IPv4
+    / SSN-shaped / phone-shaped matches, a clean flag, and the md5 of
+    the text after all four redaction passes. Patterns restricted to
+    the Java-regex / RE2 common subset so every decision is replayable
+    by the oracle. Map-only whole-stage-codegen expressions — zero
+    Python, zero shuffle; at 100 TB this is scan-speed work. The
+    corpus has no organic PII, so a deterministic doc_id-keyed
+    augmentation (same SQL string on both engines) plants it.""",
+    tags=("text", "quality", "redaction"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.redaction import redact_pii
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_SQL_PII_AUG).alias("text")
+    )
+    return redact_pii(d).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_ssn",
+        "n_phone",
+        "n_pii",
+        "clean",
+        F.md5("redacted_text").alias("redacted_fp"),
+    )
+
+
+# --- sub-document segment dedup ----------------------------------------------
+
+_SEG = 8  # tokens per non-overlapping segment ("line" stand-in)
+_BOILER_DF = 3  # doc-frequency threshold for the boilerplate flag
+
+
+@register(
+    "segment_dedup_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_SEG})) AS s
+      FROM t WHERE len(toks) > 0
+    ),
+    seg AS (
+      SELECT doc_id, md5(array_to_string(toks[s:s+{_SEG - 1}], ' ')) AS seg_hash
+      FROM st
+    ),
+    freq AS (SELECT seg_hash, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY 1)
+    SELECT seg.doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN seg_df >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           round(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), {R})
+             AS shared_ratio
+    FROM seg JOIN freq USING (seg_hash)
+    GROUP BY seg.doc_id
+    """,
+    doc=f"""Sub-document duplication profile (SURVEY §2.11 — the CCNet /
+    RefinedWeb line-dedup stage; the corpus has no newlines so the
+    "line" is a non-overlapping {_SEG}-token segment): per doc, how
+    many segments appear verbatim in other documents (doc frequency >
+    1) and how many are boilerplate (df >= {_BOILER_DF}). Catches the
+    shared headers/footers/templates whole-doc dedup can't see — the
+    planted near-duplicate clusters light up n_shared. Explode to
+    segment grain -> md5 -> count-distinct docs per segment hash ->
+    join back: two linear shuffles, no self-join, scale-safe.""",
+    tags=("text", "dedup"),
+)
+def q_segment_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.dedup import segment_dedup_profile
+
+    return segment_dedup_profile(
+        load(spark, sf_dir, "documents"), seg_tokens=_SEG, boilerplate_df=_BOILER_DF
+    )
+
+
+# --- token-budget sequence packing -------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 16
+
+
+@register(
+    "context_pack_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_CHUNK})) AS s
+      FROM t WHERE len(toks) > 0
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST((s - 1) // {_CHUNK} AS INT) AS chunk_idx,
+             CAST(least(len(toks) - s + 1, {_CHUNK}) AS INT) AS chunk_tokens,
+             CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard
+      FROM st
+    ),
+    p AS (
+      SELECT shard, doc_id, chunk_tokens,
+             sum(chunk_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - chunk_tokens AS strt
+      FROM ch
+    )
+    SELECT shard,
+           CAST(strt // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(chunk_tokens) AS BIGINT) AS started_tokens,
+           CAST(sum(CASE WHEN strt + chunk_tokens - 1
+                          >= (strt // {_PACK_BUDGET} + 1) * {_PACK_BUDGET}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+    FROM p
+    GROUP BY shard, CAST(strt // {_PACK_BUDGET} AS BIGINT)
+    """,
+    doc=f"""Token-budget sequence packing (SURVEY §2.11 — concat-and-
+    chop, the packing rule GPT-style pretraining uses): non-overlapping
+    {_CHUNK}-token chunks laid end-to-end within each of
+    {_PACK_SHARDS} doc_id-hash shards, chopped every {_PACK_BUDGET}
+    tokens; per (shard, sequence): chunks started, distinct docs,
+    tokens started, and chunks straddling a chop point. One window
+    cumulative sum PARTITIONED BY shard — per-task state is a single
+    running total per shard, no global order, no driver state; shards
+    are the parallelism knob at 100 TB. (No-split first-fit is
+    inherently sequential per bin and CANNOT distribute this way —
+    that's why production packers accept straddle.)""",
+    tags=("text", "chunking", "packing"),
+)
+def q_context_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.packing import pack_sequences
+
+    d = fan_out(load(spark, sf_dir, "documents")).filter(Tx.token_count("text") > 0)
+    ch = (
+        d.select("doc_id", F.explode(Tx.token_chunks("text", _CHUNK, _CHUNK)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+        )
+        .withColumn("shard", (F.col("doc_id") % _PACK_SHARDS).cast("int"))
+    )
+    packed = pack_sequences(ch, budget=_PACK_BUDGET)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("started_tokens"),
+        F.sum(F.when(F.col("straddle"), 1).otherwise(0)).cast("long").alias("n_straddle"),
+    )
