@@ -200,3 +200,35 @@ def test_kmv_final_bottom_k_is_take_ordered(spark):
     stream."""
     plan = _plan(spark, "kmv_distinct_ngrams")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pii_redaction_is_map_only_codegen(spark):
+    """PII redaction is per-row regex work: zero shuffles beyond the
+    fan_out repartition, zero Python nodes — the whole pass must stay
+    inside whole-stage codegen to run at scan speed at 100 TB."""
+    plan = _plan(spark, "pii_redaction")
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_context_pack_window_and_agg_share_one_exchange(spark):
+    """Packing = one shard-partitioned window cumsum + a (shard, seq)
+    aggregation. The groupBy keys are a superset of the window
+    partition key, so Catalyst must reuse the shard hash partitioning:
+    fan_out + exactly one more exchange, and no global (single
+    partition) window."""
+    plan = _plan(spark, "context_pack_stats")
+    assert plan.count("Exchange") <= 2
+    assert "SinglePartition" not in plan
+
+
+def test_segment_dedup_joins_without_cartesian_or_smj(spark):
+    """Segment doc-frequency joins segment rows back to per-segment
+    counts on seg_hash: a hash join co-partitioned on the same key —
+    never a cartesian, and no sort-merge on the md5 key needed at this
+    size (AQE picks the broadcast/shuffled-hash form)."""
+    plan = _plan(spark, "segment_dedup_profile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
