@@ -62,33 +62,42 @@ def main() -> None:
     # run-to-run — the second run is the reproducible number a cluster
     # would see in steady state. Both runs are reported ("runs") so the
     # host's noise floor is visible next to the headline number.
+    # Per-query failure isolation: one broken query must never zero the
+    # whole round's bench (round-3 lesson — sessionization raised, rc=1,
+    # BENCH_r03 had no numbers at all). Errors are recorded per query
+    # and the JSON line is ALWAYS emitted with the surviving totals.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].spark
         pair = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            pair.append(round(time.perf_counter() - t0, 3))
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                pair.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         runs[name] = pair
         timings[name] = pair[-1]
 
     total = round(sum(timings.values()), 3)
     spreads = [max(p) / min(p) for p in runs.values() if min(p) > 0]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "max_run_spread": round(max(spreads), 2),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "max_run_spread": round(max(spreads), 2) if spreads else None,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

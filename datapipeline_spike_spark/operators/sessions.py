@@ -25,9 +25,15 @@ def sessionize(
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     gap_s = gap_minutes * 60
     prev = F.lag(ts).over(w)
+    # two-step cast: TIMESTAMP_NTZ has no direct cast to BIGINT, but
+    # NTZ->TIMESTAMP->BIGINT works and is an identity chain for an
+    # already-zoned TIMESTAMP — tolerant of either load-boundary type
+    def _epoch_s(c):  # noqa: ANN001, ANN202
+        return c.cast("timestamp").cast("long")
+
     new_session = (
         prev.isNull()
-        | ((F.col(ts).cast("long") - prev.cast("long")) > gap_s)
+        | ((_epoch_s(F.col(ts)) - _epoch_s(prev)) > gap_s)
     ).cast("int")
     return df.withColumn("session_seq", F.sum(new_session).over(w))
 

@@ -12,35 +12,15 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
 # queries appended at the tail) silently starves the newest queries of
-# driver verification. Rotate: queries that have never received a
-# driver CORRECTNESS row register first; the longest-stable relational
-# classics (driver-green in both r1 and r2) rotate to the tail.
+# driver verification. Rotate each round: (1) queries repaired this
+# round, (2) queries not sampled last round (the r2-only tail — none
+# may go 2 rounds unverified), (3) new queries; the most recently
+# driver-green block rotates to the tail.
 _VERIFY_FIRST = (
-    "pii_redaction",
-    "segment_dedup_profile",
-    "context_pack_stats",
-    "image_header_meta",
-    "benchmark_contamination",
+    # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
+    "sessionization",
     "repetition_profile",
-    "stratified_sample",
-    "embedding_dedup_assignment",
-    "video_header_meta",
-    "kmv_distinct_ngrams",
-    "table_profile",
-    "heavy_hitter_tokens",
-    "document_chunks",
-    "unigram_logprob_score",
-    "leakage_safe_split",
-    "spectral_energy",
-    "dominant_frequency",
-    "pca_reduce",
-    "ann_lsh_bucket",
-    "ann_ivf_flat",
-    "kmeans_centroids",
-    "ann_ivf_kmeans",
-    "embedding_neardup_pairs",
-)
-_STABLE_TAIL = (
+    # green in r2 but rotated out of the r3 sample — re-verify now
     "embedding_label_stats",
     "multimodal_shard_meta",
     "tfidf_top_terms",
@@ -64,6 +44,32 @@ _STABLE_TAIL = (
     "daily_status_pivot",
     "json_props_profile",
     "machine_stream_union",
+)
+# Green in the r3 driver sample; rotate to the tail so the 50-query
+# window covers the head + mid first.
+_STABLE_TAIL = (
+    "pii_redaction",
+    "segment_dedup_profile",
+    "context_pack_stats",
+    "image_header_meta",
+    "benchmark_contamination",
+    "stratified_sample",
+    "embedding_dedup_assignment",
+    "video_header_meta",
+    "kmv_distinct_ngrams",
+    "table_profile",
+    "heavy_hitter_tokens",
+    "document_chunks",
+    "unigram_logprob_score",
+    "leakage_safe_split",
+    "spectral_energy",
+    "dominant_frequency",
+    "pca_reduce",
+    "ann_lsh_bucket",
+    "ann_ivf_flat",
+    "kmeans_centroids",
+    "ann_ivf_kmeans",
+    "embedding_neardup_pairs",
 )
 
 

@@ -35,7 +35,8 @@ R = 6  # rounding decimals applied on BOTH engine and oracle sides
            round(sqrt(avg(value * value)), {R})         AS rms,
            round(max(abs(value)), {R})                  AS peak,
            round(max(value) - min(value), {R})          AS peak_to_peak,
-           round(max(abs(value)) / sqrt(avg(value * value)), {R}) AS crest_factor,
+           round(CASE WHEN sqrt(avg(value * value)) > 0
+                 THEN max(abs(value)) / sqrt(avg(value * value)) END, {R}) AS crest_factor,
            round(kurtosis_pop(value), {R})              AS kurtosis
     FROM events
     WHERE value IS NOT NULL

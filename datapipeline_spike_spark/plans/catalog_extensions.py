@@ -975,7 +975,10 @@ _SQL_BIGRAMS = (
     ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
     tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
     tstats AS (
-      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types, max(c) AS top_tok
+      -- CAST: DuckDB sum(BIGINT) widens to HUGEINT; Spark emits bigint.
+      -- Values are identical but the driver's hash is type-sensitive.
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types, max(c) AS top_tok
       FROM tc GROUP BY 1
     ),
     bx AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM t),
@@ -1062,7 +1065,7 @@ _SQL_U01 = (
     "stratified_sample",
     oracle=f"""
     SELECT doc_id, lang, source,
-           round({_SQL_RATE}, {R}) AS target_rate,
+           CAST(round({_SQL_RATE}, {R}) AS DOUBLE) AS target_rate,
            round({_SQL_U01}, {R})  AS sample_u,
            ({_SQL_U01}) < ({_SQL_RATE}) AS kept
     FROM documents
