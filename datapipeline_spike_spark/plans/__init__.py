@@ -17,6 +17,10 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 # may go 2 rounds unverified), (3) new queries; the most recently
 # driver-green block rotates to the tail.
 _VERIFY_FIRST = (
+    # new in round 4 — never driver-verified
+    "minhash_jaccard_estimate",
+    "corpus_mixture_plan",
+    "ann_recall_at_k",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -1297,3 +1297,192 @@ def q_context_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_tokens").cast("long").alias("started_tokens"),
         F.sum(F.when(F.col("straddle"), 1).otherwise(0)).cast("long").alias("n_straddle"),
     )
+
+
+# --- MinHash signature fidelity ----------------------------------------------
+
+_MH_EQ = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH {_SQL_LSH_CANDS}
+    SELECT cand.doc_id_a, cand.doc_id_b,
+           CAST({_MH_EQ} AS INT) AS n_agree,
+           round(({_MH_EQ}) / 8.0, {R}) AS est_jaccard,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), {R}) AS exact_jaccard,
+           round(abs(({_MH_EQ}) / 8.0
+                     - len(list_intersect(a.sh, b.sh)) * 1.0
+                       / len(list_distinct(a.sh || b.sh))), {R}) AS abs_err
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.doc_id_a
+    JOIN sig sb ON sb.doc_id = cand.doc_id_b
+    JOIN t a ON a.doc_id = cand.doc_id_a
+    JOIN t b ON b.doc_id = cand.doc_id_b
+    """,
+    doc="""MinHash signature fidelity audit (SURVEY §2.11 dedup QA — the
+    'measure, don't guess' check for the LSH stack): for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching minhash slots / 8 — the unbiased MinHash estimator) next
+    to the EXACT 3-shingle Jaccard and the absolute error. This is how
+    an operator owner validates that 8 hashes and 4x2 banding are
+    adequate before trusting the candidate feed at 100 TB — scored on
+    candidate pairs only (O(candidates), never all-pairs); signatures
+    and shingle sets both come from one scan each, joined by doc id.""",
+    tags=("dedup", "lsh", "quality"),
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.text import shingles
+    from datapipeline_spike_spark.operators.dedup import minhash_signature
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    cand = lsh_candidate_pairs(d).select("doc_id_a", "doc_id_b")
+    sig = minhash_signature(d)
+    sh = d.select(F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh"))
+    agree = sum(
+        (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int") for i in range(8)
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    exact = inter.cast("double") / union
+    est = agree / F.lit(8.0)
+    return (
+        cand.join(
+            sig.select(
+                F.col("doc_id").alias("aid"),
+                *[F.col(f"minhash_{i}").alias(f"a_mh{i}") for i in range(8)],
+            ),
+            cand["doc_id_a"] == F.col("aid"),
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("bid"),
+                *[F.col(f"minhash_{i}").alias(f"b_mh{i}") for i in range(8)],
+            ),
+            cand["doc_id_b"] == F.col("bid"),
+        )
+        .join(
+            sh.select(F.col("sid").alias("said"), F.col("sh").alias("a_sh")),
+            cand["doc_id_a"] == F.col("said"),
+        )
+        .join(
+            sh.select(F.col("sid").alias("sbid"), F.col("sh").alias("b_sh")),
+            cand["doc_id_b"] == F.col("sbid"),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            agree.cast("int").alias("n_agree"),
+            F.round(est, R).alias("est_jaccard"),
+            F.round(exact, R).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), R).alias("abs_err"),
+        )
+    )
+
+
+# --- token-budget corpus mixing ----------------------------------------------
+
+# Target language mixture for the training-corpus plan: zh deliberately
+# over-weighted past its corpus share so the rate cap (and the resulting
+# token deficit) is exercised, not just dead code.
+_MIX_WEIGHTS = {"en": 0.2, "es": 0.2, "zh": 0.4}  # de/fr default 0.1
+_MIX_BUDGET_FRAC = 0.6  # total token budget as a fraction of corpus tokens
+
+_SQL_MIX_W = (
+    "CAST(CASE lang WHEN 'en' THEN 0.2 WHEN 'es' THEN 0.2 "
+    "WHEN 'zh' THEN 0.4 ELSE 0.1 END AS DOUBLE)"
+)
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, len({_SQL_TOKS}) AS tk FROM documents
+    ), bl AS (
+      SELECT lang, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(tk) AS BIGINT) AS total_tokens FROM d
+    ), plan AS (
+      SELECT lang, n_docs, n_tokens, {_SQL_MIX_W.replace("lang", "bl.lang")} AS weight,
+             least(CAST(1.0 AS DOUBLE),
+                   CAST({_MIX_BUDGET_FRAC} AS DOUBLE)
+                   * {_SQL_MIX_W.replace("lang", "bl.lang")}
+                   * total_tokens / n_tokens) AS rate
+      FROM bl, tot
+    ), kept AS (
+      SELECT lang, count(*) AS n_kept_docs, CAST(sum(tk) AS BIGINT) AS kept_tokens
+      FROM d JOIN plan USING (lang)
+      WHERE {_SQL_U01} < rate
+      GROUP BY 1
+    )
+    SELECT plan.lang, n_docs, n_tokens, weight,
+           round(rate, {R}) AS sampling_rate,
+           coalesce(n_kept_docs, 0) AS n_kept_docs,
+           coalesce(kept_tokens, 0) AS kept_tokens
+    FROM plan LEFT JOIN kept ON plan.lang = kept.lang
+    """,
+    doc=f"""Token-budget corpus mixing (SURVEY §2.11 — the data-mixing
+    stage of LLM pretraining, after the published domain-weight
+    recipes): given target language weights {_MIX_WEIGHTS} (others 0.1)
+    and a total budget of {_MIX_BUDGET_FRAC:.0%} of corpus tokens,
+    derive each language's sampling rate (capped at 1.0 — zh is
+    over-weighted past its share, so its rate caps and the plan shows
+    the token deficit), then apply the deterministic md5-hash draw
+    per document and report ACHIEVED kept docs/tokens next to the
+    plan. Two lang-grain aggregations plus a 5-row broadcast join back
+    to the corpus — linear, rerun-stable, no RNG state; the rate math
+    is forced to DOUBLE on both engines (DuckDB decimal literals would
+    otherwise diverge bitwise from Spark doubles).""",
+    tags=("text", "sampling", "mixing"),
+)
+def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.sampling import hash_u01
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", Tx.token_count("text").alias("tk")
+    )
+    by_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tk").cast("long").alias("n_tokens")
+    )
+    total = d.agg(F.sum("tk").cast("long").alias("total_tokens"))
+    weight = (
+        F.when(F.col("lang") == "en", 0.2)
+        .when(F.col("lang") == "es", 0.2)
+        .when(F.col("lang") == "zh", 0.4)
+        .otherwise(0.1)
+        .cast("double")
+    )
+    plan = by_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        F.least(
+            F.lit(1.0),
+            F.lit(_MIX_BUDGET_FRAC) * weight * F.col("total_tokens") / F.col("n_tokens"),
+        ).alias("rate"),
+    )
+    kept = (
+        d.join(F.broadcast(plan.select("lang", "rate")), "lang")
+        .filter(hash_u01("doc_id") < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_docs"),
+            F.sum("tk").cast("long").alias("kept_tokens"),
+        )
+    )
+    return plan.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.round("rate", R).alias("sampling_rate"),
+        F.coalesce("n_kept_docs", F.lit(0)).alias("n_kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )

@@ -519,3 +519,102 @@ def q_embedding_dedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup(
         emb, dim=EMB_DIM, threshold=NEARDUP_THRESHOLD, n_planes=N_PLANES
     )
+
+
+# --- ANN quality audit --------------------------------------------------------
+
+_SQL_BF_TOP5 = f"""
+    bfq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    bf_scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), {R}) AS cos_sim
+      FROM bfc, bfq WHERE neighbor_id != query_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM bf_scored)
+      WHERE rnk <= 5
+    )
+"""
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH {_SQL_BF_TOP5},
+    cb AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ), q0 AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ), qb AS (
+      SELECT query_id, qv,
+             unnest([bucket, {", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))}]) AS bucket
+      FROM q0
+    ), lsh_scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), {R}) AS cos_sim
+      FROM cb JOIN qb USING (bucket)
+      WHERE neighbor_id != query_id
+    ), lsh AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM lsh_scored)
+      WHERE rnk <= 5
+    )
+    SELECT bf.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), {R}) AS recall_at_k
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY 1
+    """,
+    doc="""ANN recall@k audit (SURVEY §2.11 similarity QA — 'measure,
+    don't guess' for the approximate path): per query, how many of the
+    exact brute-force cosine top-5 the LSH-bucket+multiprobe variant
+    recovers. This is the number an operator owner watches when tuning
+    n_planes/multiprobe before trusting LSH at 100 TB; the exact side
+    is the documented bounded baseline (broadcast query set, one corpus
+    scan), the approximate side is the production bucket equi-join, and
+    the comparison itself is a tiny (5 x k)-row join. Both sides reuse
+    the registered operators — deterministic hyperplanes inlined into
+    the oracle so DuckDB replays bucketing, multiprobe, ranking, and
+    the recall arithmetic exactly.""",
+    tags=("similarity", "embedding", "lsh", "quality"),
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = (
+        lsh_bucket_topk(emb, qs, dim=EMB_DIM, k=5, n_planes=N_PLANES)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        # approx side is k x |queries| rows — broadcast it so the recall
+        # join never shuffles (an SMJ on two tiny top-k frames)
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * F.lit(1.0) / F.count(F.lit(1)),
+                R,
+            ).alias("recall_at_k"),
+        )
+    )

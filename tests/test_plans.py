@@ -232,3 +232,32 @@ def test_segment_dedup_joins_without_cartesian_or_smj(spark):
     plan = _plan(spark, "segment_dedup_profile")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_mixture_rate_join_is_broadcast(spark):
+    """corpus_mixture_plan joins the 5-row (lang, rate) plan back to the
+    corpus for the keep decision — that join must broadcast, never
+    shuffle the corpus against a handful of rows."""
+    plan = _plan(spark, "corpus_mixture_plan")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_has_no_cartesian_beyond_baseline(spark):
+    """ann_recall_at_k: the LSH side must join on the bucket key; the
+    only nested-loop join allowed is the documented brute-force baseline
+    (broadcast query side)."""
+    plan = _plan(spark, "ann_recall_at_k")
+    assert "SortMergeJoin" not in plan
+    # brute-force baseline is a BroadcastNestedLoopJoin (5 query rows);
+    # anything non-broadcast would be an all-pairs regression
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_estimate_verifies_candidates_only(spark):
+    """minhash_jaccard_estimate must score LSH candidates only — no
+    self cross join of documents; signature/shingle joins broadcast or
+    hash on doc id."""
+    plan = _plan(spark, "minhash_jaccard_estimate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
