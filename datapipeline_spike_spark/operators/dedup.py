@@ -104,23 +104,18 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+def band_values(
+    sig: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
-    """MinHash-LSH candidate generation WITHOUT a cross join or
-    self-join: signature -> (band_idx, band_val) rows -> groupBy band
-    bucket -> emit i<j pairs inside each bucket array. Returns distinct
-    (doc_id_a, doc_id_b) with n_shared_bands. Docs with empty shingle
-    sets can't collide. Scale note: a pathological bucket (e.g. massive
-    boilerplate cluster) makes the pair blowup explicit in one task —
-    run exact_dedup first so buckets hold distinct near-dups only."""
-    sig = minhash_signature(df, text_col, id_col, n_hashes)
+    """(id, band_idx, band_val) rows from a minhash signature frame —
+    the banding step shared by the symmetric candidate generator and
+    the asymmetric incremental-ingest join. Map-only explode of
+    n_hashes/band_rows band digests per doc."""
     n_bands = n_hashes // band_rows
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -138,6 +133,24 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_val")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """MinHash-LSH candidate generation WITHOUT a cross join or
+    self-join: signature -> (band_idx, band_val) rows -> groupBy band
+    bucket -> emit i<j pairs inside each bucket array. Returns distinct
+    (doc_id_a, doc_id_b) with n_shared_bands. Docs with empty shingle
+    sets can't collide. Scale note: a pathological bucket (e.g. massive
+    boilerplate cluster) makes the pair blowup explicit in one task —
+    run exact_dedup first so buckets hold distinct near-dups only."""
+    sig = minhash_signature(df, text_col, id_col, n_hashes)
+    bands = band_values(sig, id_col, n_hashes, band_rows)
     buckets = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -670,5 +683,82 @@ def segment_dedup_profile(
         .withColumn(
             "shared_ratio",
             F.round(F.col("n_shared") / F.col("n_segments"), 6),
+        )
+    )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Incremental-ingest dedup: classify every INCOMING doc against the
+    EXISTING corpus — the daily-crawl-vs-lake topology, where re-running
+    corpus-wide dedup per batch would rescan 100 TB to admit a few GB.
+
+    Asymmetric by construction:
+    - exact: incoming fingerprints equi-join the existing fingerprint
+      index (one groupBy of the existing side builds it; in production
+      it is precomputed and stored with the lake).
+    - near: incoming band values equi-join the existing band index —
+      candidates are (incoming x existing) band collisions only, never
+      incoming x incoming or existing x existing; each candidate is
+      verified with exact shingle Jaccard.
+    The joins shuffle on fingerprint/band value; the incoming side is
+    batch-sized, so at scale both indexes are bucketed by their key and
+    the batch join is a fraction of one corpus scan.
+
+    Returns one row per incoming doc: (id_col, status, match_id) with
+    status in {'exact_dup', 'near_dup', 'new'}; match_id = the minimum
+    matching existing id (exact takes precedence), NULL for 'new'."""
+    from datapipeline_spike_spark.functions.text import fingerprint_md5, shingles
+
+    inc = incoming.select(F.col(id_col), F.col(text_col))
+    ex = existing.select(F.col(id_col), F.col(text_col))
+    # exact tier: fingerprint index of the existing corpus
+    ex_fp = (
+        ex.select(fingerprint_md5(text_col).alias("f"), F.col(id_col))
+        .groupBy("f")
+        .agg(F.min(id_col).alias("exact_match"))
+    )
+    inc_fp = inc.select(F.col(id_col), fingerprint_md5(text_col).alias("f"))
+    exact = inc_fp.join(ex_fp, "f", "left").select(id_col, "exact_match")
+    # near tier: asymmetric band join (incoming bands x existing bands)
+    bands_ex = band_values(
+        minhash_signature(ex, text_col, id_col, n_hashes), id_col, n_hashes, band_rows
+    ).select(F.col(id_col).alias("ex_id"), "band_idx", "band_val")
+    bands_inc = band_values(
+        minhash_signature(inc, text_col, id_col, n_hashes), id_col, n_hashes, band_rows
+    ).select(F.col(id_col).alias("inc_id"), "band_idx", "band_val")
+    cand = (
+        bands_inc.join(bands_ex, ["band_idx", "band_val"])
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    sh = shingles(text_col, k=3)
+    sh_inc = inc.select(F.col(id_col).alias("inc_id"), sh.alias("inc_sh"))
+    sh_ex = ex.select(F.col(id_col).alias("ex_id"), sh.alias("ex_sh"))
+    inter = F.size(F.array_intersect(F.col("inc_sh"), F.col("ex_sh")))
+    union = F.size(F.array_union(F.col("inc_sh"), F.col("ex_sh")))
+    near = (
+        cand.join(sh_inc, "inc_id")
+        .join(sh_ex, "ex_id")
+        .filter((inter.cast("double") / union) >= jaccard_threshold)
+        .groupBy("inc_id")
+        .agg(F.min("ex_id").alias("near_match"))
+    )
+    return (
+        exact.join(near, exact[id_col] == near["inc_id"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce(F.col("exact_match"), F.col("near_match")).alias("match_id"),
         )
     )

@@ -21,6 +21,8 @@ _VERIFY_FIRST = (
     "minhash_jaccard_estimate",
     "corpus_mixture_plan",
     "ann_recall_at_k",
+    "audio_header_meta",
+    "incremental_ingest_dedup",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

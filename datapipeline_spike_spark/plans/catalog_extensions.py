@@ -629,6 +629,52 @@ def q_video_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_header_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'wav' AS media_format,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+                AS INT) AS bits_per_sample,
+           CAST(8 + doc_id % 50 AS BIGINT) AS n_samples,
+           CAST((8 + doc_id % 50) * 1000
+                // CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    doc="""Multimodal AUDIO decode, metadata tier, END TO END on real
+    bytes (SURVEY §2.11, completing the image/video/audio triple): per
+    document a complete PCM WAV (RIFF + fmt + data) is built whose
+    channels/rate/bits/samples derive from doc_id, then
+    sources.multimodal.parse_audio_meta walks the RIFF CHUNKS with pure
+    stdlib struct — fmt fields plus the data-chunk sample count;
+    duration_ms = samples * 1000 // rate in integer math. The oracle
+    recomputes everything from doc_id, so a hash match proves the
+    encode -> chunk-walk round-trip. Waveform decode (resample, loudness)
+    is the env-stubbed tier, same contract as image pixels.""",
+    tags=("multimodal", "audio", "pandas_udf"),
+)
+def q_audio_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_media_from_documents,
+        decode_audio,
+    )
+
+    media = audio_media_from_documents(fan_out(load(spark, sf_dir, "documents")))
+    return decode_audio(media).select(
+        "media_id",
+        "media_format",
+        "n_channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -1296,6 +1342,69 @@ def q_context_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("chunk_tokens").cast("long").alias("started_tokens"),
         F.sum(F.when(F.col("straddle"), 1).otherwise(0)).cast("long").alias("n_straddle"),
+    )
+
+
+# --- incremental-ingest dedup -------------------------------------------------
+
+_SQL_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "incremental_ingest_dedup",
+    oracle=f"""
+    WITH {_SQL_LSH_CANDS},
+    fp AS (SELECT doc_id, {_SQL_FP} AS f FROM documents),
+    ex_fp AS (
+      SELECT f, min(doc_id) AS exact_match FROM fp WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    inc AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1),
+    exact AS (
+      SELECT inc.doc_id, ex_fp.exact_match FROM inc LEFT JOIN ex_fp USING (f)
+    ),
+    candx AS (
+      SELECT DISTINCT bi.doc_id AS inc_id, be.doc_id AS ex_id
+      FROM bands bi JOIN bands be
+        ON bi.band_idx = be.band_idx AND bi.band_val = be.band_val
+      WHERE bi.doc_id % 2 = 1 AND be.doc_id % 2 = 0
+    ),
+    near AS (
+      SELECT inc_id, min(ex_id) AS near_match
+      FROM candx
+      JOIN t a ON a.doc_id = candx.inc_id
+      JOIN t b ON b.doc_id = candx.ex_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(a.sh || b.sh)) >= 0.5
+      GROUP BY 1
+    )
+    SELECT exact.doc_id,
+           CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN near_match IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           coalesce(exact_match, near_match) AS match_id
+    FROM exact LEFT JOIN near ON exact.doc_id = near.inc_id
+    """,
+    doc="""Incremental-ingest dedup (SURVEY §2.11 — the daily-crawl-vs-
+    lake topology): classify each INCOMING doc (odd doc_id here) against
+    the EXISTING corpus (even doc_id) as exact_dup / near_dup / new with
+    the minimum matching existing id. Asymmetric by construction
+    (operators/dedup.incremental_dedup): incoming fingerprints and band
+    values equi-join the existing indexes — candidates are (incoming x
+    existing) collisions only, never either side against itself, so
+    admitting a batch costs a batch-sized join against bucketed indexes
+    instead of a corpus-wide re-dedup. A doc's MinHash signature depends
+    only on its own shingles, so the oracle replays the split from the
+    corpus-wide signature CTE filtered by parity — bitwise the same
+    bands the per-side Spark operator computes.""",
+    tags=("dedup", "lsh", "streaming"),
+)
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.dedup import incremental_dedup
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
     )
 
 

@@ -287,3 +287,37 @@ def test_leakage_safe_split_keeps_dup_groups_together(spark, docs, sf_dir):
     total = sum(frac.values())
     assert 0.6 < frac.get("train", 0) / total < 0.95
     assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+
+
+def test_incremental_dedup_classifies_against_existing_only(spark):
+    """incremental_dedup: incoming docs classify vs the EXISTING corpus
+    — exact beats near, near requires the Jaccard gate, unrelated and
+    incoming-x-incoming dups come back 'new'."""
+    from datapipeline_spike_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(0, BASE), (2, FAR)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (11, BASE),              # exact dup of existing 0
+            (13, NEAR),              # near dup of existing 0
+            (15, "nothing alike here at all just some other words"),
+            (17, "incoming only duplicate text that repeats in the batch"),
+            (19, "incoming only duplicate text that repeats in the batch"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(existing, incoming).collect()
+    }
+    assert got[11] == ("exact_dup", 0)
+    assert got[13] == ("near_dup", 0)
+    assert got[15] == ("new", None)
+    # incoming-x-incoming dups are NOT the incremental question: both
+    # classify against existing only (a subsequent batch-local exact
+    # dedup handles them)
+    assert got[17] == ("new", None)
+    assert got[19] == ("new", None)
+    assert len(got) == 5

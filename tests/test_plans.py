@@ -261,3 +261,12 @@ def test_minhash_estimate_verifies_candidates_only(spark):
     plan = _plan(spark, "minhash_jaccard_estimate")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_joins_are_bounded(spark):
+    """incremental_ingest_dedup: candidates come from fingerprint/band
+    equi-joins — an all-pairs (cartesian/BNLJ) incoming x existing scan
+    would defeat the entire incremental design."""
+    plan = _plan(spark, "incremental_ingest_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

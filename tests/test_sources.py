@@ -264,3 +264,39 @@ def test_kafka_jar_gate_names_the_deployment_package(spark):
         K.read_raw_stream(spark, "localhost:9092", value_schema=None)
     with _pytest.raises(RuntimeError, match="--packages"):
         K.to_kafka_sink(spark.range(1), "localhost:9092")
+
+
+def test_audio_meta_roundtrip_with_data_chunk():
+    """parse_audio_meta recovers fmt fields AND the data-chunk sample
+    count from complete PCM files, including word-aligned odd chunks."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        parse_audio_meta,
+        synthetic_wav,
+    )
+
+    for ch, rate, bits, n in [(1, 8000, 8, 9), (2, 44100, 24, 50), (1, 16000, 16, 8)]:
+        wav = synthetic_wav(ch, rate, bits, n)
+        assert parse_audio_meta(wav) == ("wav", ch, rate, bits, n)
+    assert parse_audio_meta(b"RIFFxxxxNOPE") is None
+    assert parse_audio_meta(b"ID3\x03") is None
+
+
+def test_decode_audio_mapinpandas(spark):
+    """decode_audio end-to-end over the synthetic builder: every doc's
+    WAV parses back to the doc_id-derived parameters."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_media_from_documents,
+        decode_audio,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {r["media_id"]: r for r in decode_audio(audio_media_from_documents(docs)).collect()}
+    assert len(out) == 12
+    for i in range(12):
+        r = out[i]
+        assert r["media_format"] == "wav"
+        assert r["n_channels"] == 1 + i % 2
+        assert r["sample_rate"] == (8000, 16000, 22050, 44100)[i % 4]
+        assert r["bits_per_sample"] == (8, 16, 24)[i % 3]
+        assert r["n_samples"] == 8 + i % 50
+        assert r["duration_ms"] == (8 + i % 50) * 1000 // (8000, 16000, 22050, 44100)[i % 4]
