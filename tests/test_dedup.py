@@ -321,3 +321,39 @@ def test_incremental_dedup_classifies_against_existing_only(spark):
     assert got[17] == ("new", None)
     assert got[19] == ("new", None)
     assert len(got) == 5
+
+
+def test_driver_components_match_star(spark):
+    """The size-gated driver union-find must produce IDENTICAL component
+    labels to the distributed star contraction — chains, cycles, string
+    ids, isolated vertices."""
+    from datapipeline_spike_spark.operators.dedup import (
+        connected_components_driver,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "p")],
+        "src string, dst string",
+    )
+    verts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("p",), ("q",), ("lone",)],
+        "id string",
+    )
+    drv = {r["id"]: r["comp"] for r in connected_components_driver(edges, verts).collect()}
+    star = {r["id"]: r["comp"] for r in connected_components_star(edges, verts).collect()}
+    assert drv == star
+    assert drv["lone"] == "lone" and drv["c"] == "a" and drv["y"] == "x"
+
+
+def test_dedup_corpus_driver_and_star_agree(docs):
+    """dedup_corpus(auto) now routes small edge sets to the driver
+    union-find; assignments must match the forced-star run exactly."""
+    from datapipeline_spike_spark.operators.dedup import dedup_corpus
+
+    auto = {r["doc_id"]: r["canonical_id"]
+            for r in dedup_corpus(docs, component_algorithm="auto").collect()}
+    star = {r["doc_id"]: r["canonical_id"]
+            for r in dedup_corpus(docs, component_algorithm="star").collect()}
+    assert auto == star
+    assert auto[1] == 0 and auto[2] == 0  # exact dups collapse
