@@ -270,3 +270,26 @@ def test_incremental_dedup_joins_are_bounded(spark):
     plan = _plan(spark, "incremental_ingest_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_audit_headline_queries_clean(spark):
+    """Broad-net plan linter over the bench headline set: no cartesian
+    products, no nested-loop joins, no row-at-a-time Python UDFs, no
+    surprise Python stages outside the documented allowlists
+    (tools/plan_audit.py runs the same rules over the full registry)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import BNLJ_OK, CARTESIAN_OK, PANDAS_NODES, PANDAS_OK
+
+    import bench
+
+    for name in bench.HEADLINE:
+        plan = REGISTRY[name].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        if name not in CARTESIAN_OK:
+            assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in PANDAS_OK:
+            assert not any(n in plan for n in PANDAS_NODES), name

@@ -1,0 +1,91 @@
+"""Repo-wide physical-plan linter: .explain() every registry query and
+flag scale anti-patterns. tests/test_plans.py pins specific plan shapes
+for chosen queries; this tool is the broad net — a refactor that slips a
+cartesian product, a row-at-a-time Python UDF, or an unexpected
+nested-loop join into ANY of the 78 queries fails the audit.
+
+Rules (per executedPlan string):
+- CartesianProduct: forbidden except documented allowlist.
+- BroadcastNestedLoopJoin: forbidden except allowlist (broadcast
+  brute-force baselines where the broadcast side is a handful of rows).
+- BatchEvalPython (row-at-a-time Python UDF): forbidden everywhere —
+  the engine's UDF tier discipline (SURVEY §2.10) allows only
+  Arrow-batched forms.
+- ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas: allowed only
+  for queries that declare a pandas path (tag or allowlist) — a JVM-only
+  query sprouting a Python stage is a perf regression.
+
+Usage: python tools/plan_audit.py [query ...]   (default: all)
+Exit status: number of violations.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from datapipeline_spike_spark.plans import REGISTRY  # noqa: E402
+from datapipeline_spike_spark.session import get_session  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> reason, reviewed deliberately; keep this list SHORT and justified
+CARTESIAN_OK: dict[str, str] = {}
+BNLJ_OK = {
+    "embedding_topk_cosine": "documented brute-force baseline: broadcast 5-row query set",
+    "ann_recall_at_k": "exact side of the recall audit: same broadcast 5-row baseline",
+    "corpus_mixture_plan": "broadcast 1-row corpus-total against the 5-row lang plan",
+    "part_size_bands": "the SURVEY §2.3 theta/band-join row: broadcast tiny band table",
+    "kmeans_centroids": "assignment joins the corpus to <=k broadcast centroid rows",
+}
+# queries whose operators legitimately run Python (Arrow-batched only)
+PANDAS_OK = {
+    "spectral_energy": "FFT (numpy.rfft) — no JVM builtin",
+    "dominant_frequency": "FFT argmax — no JVM builtin",
+    "pca_reduce": "per-group SVD — no JVM builtin",
+    "image_header_meta": "binary container parsing (struct) via mapInPandas",
+    "video_header_meta": "binary container parsing (struct) via mapInPandas",
+    "audio_header_meta": "binary container parsing (struct) via mapInPandas",
+    "kmv_distinct_ngrams": "per-batch partial bottom-k sketch (documented wire shape)",
+    "heavy_hitter_tokens": "per-batch pigeonhole candidate pass (Misra-Gries bound)",
+}
+
+PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def main() -> int:
+    spark = get_session("plan-audit")
+    only = set(sys.argv[1:])
+    violations = 0
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            plan = (
+                q.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: query failed to plan: {type(e).__name__}: {e}")
+            violations += 1
+            continue
+        problems = []
+        if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+            problems.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            problems.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            problems.append("BatchEvalPython (row-at-a-time UDF)")
+        if any(n in plan for n in PANDAS_NODES) and name not in PANDAS_OK:
+            problems.append("unexpected Python stage (Arrow) in a JVM-only query")
+        if problems:
+            violations += 1
+            print(f"VIOLATION {name}: " + "; ".join(problems))
+        else:
+            print(f"ok        {name}")
+    print(f"\nplan audit: {violations} violations / {len(only) or len(REGISTRY)} queries")
+    return violations
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
