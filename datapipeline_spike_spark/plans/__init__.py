@@ -23,6 +23,7 @@ _VERIFY_FIRST = (
     "ann_recall_at_k",
     "audio_header_meta",
     "incremental_ingest_dedup",
+    "quality_filter_decision",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -1595,3 +1595,127 @@ def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept_docs", F.lit(0)).alias("n_kept_docs"),
         F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
     )
+
+
+# --- composite quality filter -------------------------------------------------
+
+# C4/Gopher-class rule thresholds (documented engine constants; the
+# published pipelines use the same rule SHAPES with corpus-tuned values)
+_QF_MIN_TOKENS = 15
+_QF_MEAN_LEN_LO, _QF_MEAN_LEN_HI = 2.0, 12.0
+_QF_MAX_SYMBOL_RATIO = 0.10
+_QF_MIN_DISTINCT_RATIO = 0.30
+
+_SQL_QF_SYMS = "len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+
+
+@register(
+    "quality_filter_decision",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               round(list_aggregate(list_transform(toks, tk -> len(tk)), 'sum')
+                     * 1.0 / len(toks), {R}) END AS mean_token_len,
+             CASE WHEN len(text) > 0 THEN
+               round({_SQL_QF_SYMS} * 1.0 / len(text), {R}) END AS symbol_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               round(len(list_distinct(toks)) * 1.0 / len(toks), {R}) END
+               AS distinct_ratio,
+             CASE WHEN lang = 'en' THEN len(list_intersect(toks, {_sql_stopword_list("en")})) > 0
+                  WHEN lang = 'de' THEN len(list_intersect(toks, {_sql_stopword_list("de")})) > 0
+                  WHEN lang = 'fr' THEN len(list_intersect(toks, {_sql_stopword_list("fr")})) > 0
+             END AS has_stopword
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, mean_token_len, symbol_ratio, distinct_ratio,
+           has_stopword,
+           CASE WHEN n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
+                WHEN mean_token_len < {_QF_MEAN_LEN_LO}
+                  OR mean_token_len > {_QF_MEAN_LEN_HI} THEN 'word_length'
+                WHEN symbol_ratio > {_QF_MAX_SYMBOL_RATIO} THEN 'symbol_heavy'
+                WHEN distinct_ratio < {_QF_MIN_DISTINCT_RATIO} THEN 'repetitive'
+                WHEN has_stopword = false THEN 'no_stopwords'
+           END AS reject_reason,
+           (CASE WHEN n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
+                WHEN mean_token_len < {_QF_MEAN_LEN_LO}
+                  OR mean_token_len > {_QF_MEAN_LEN_HI} THEN 'word_length'
+                WHEN symbol_ratio > {_QF_MAX_SYMBOL_RATIO} THEN 'symbol_heavy'
+                WHEN distinct_ratio < {_QF_MIN_DISTINCT_RATIO} THEN 'repetitive'
+                WHEN has_stopword = false THEN 'no_stopwords'
+           END) IS NULL AS keep
+    FROM m
+    """,
+    doc=f"""Composite quality filter decision (SURVEY §2.11 — the
+    C4/Gopher-class rule stage every pretraining pipeline runs before
+    dedup): per document the rule inputs (token count, mean token
+    length, symbol ratio, distinct-token ratio, stopword presence for
+    languages with a list) plus the FIRST failing rule as reject_reason
+    and the keep verdict. Thresholds are documented engine constants
+    (min {_QF_MIN_TOKENS} tokens, mean length
+    [{_QF_MEAN_LEN_LO}, {_QF_MEAN_LEN_HI}], symbol ratio <=
+    {_QF_MAX_SYMBOL_RATIO}, distinct ratio >= {_QF_MIN_DISTINCT_RATIO}).
+    Entirely MAP-ONLY — one corpus scan, zero shuffles (the distinct
+    ratio uses array_distinct on the doc's own tokens, not a corpus
+    aggregate), so at 100 TB this is scan-bound and embarrassingly
+    parallel; the flags it emits are the standard pre-dedup routing
+    columns. Rules are evaluated on 6dp-rounded ratios so the decision
+    replays identically in SQL.""",
+    tags=("text", "quality", "filter"),
+)
+def q_quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    # project toks once as a flat alias: multiply-referenced non-trivial
+    # aliases survive CollapseProject, so the tokenizer runs once per row
+    base = d.select("doc_id", "lang", "text", Tx.tokens("text").alias("toks"))
+    n_tokens = F.size("toks")
+    tok_len_sum = F.aggregate(
+        F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.when(
+        n_tokens > 0, F.round(tok_len_sum * F.lit(1.0) / n_tokens, R)
+    )
+    n_chars = F.length("text")
+    syms = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", ""))
+    symbol_ratio = F.when(n_chars > 0, F.round(syms * F.lit(1.0) / n_chars, R))
+    distinct_ratio = F.when(
+        n_tokens > 0,
+        F.round(F.size(F.array_distinct("toks")) * F.lit(1.0) / n_tokens, R),
+    )
+    sw = {
+        lang: F.arrays_overlap(
+            "toks", F.array(*[F.lit(w) for w in Tx.STOPWORDS[lang]])
+        )
+        for lang in ("en", "de", "fr")
+    }
+    has_stopword = (
+        F.when(F.col("lang") == "en", sw["en"])
+        .when(F.col("lang") == "de", sw["de"])
+        .when(F.col("lang") == "fr", sw["fr"])
+    )
+    m = base.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        has_stopword.alias("has_stopword"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < _QF_MIN_TOKENS, "too_short")
+        .when(
+            (F.col("mean_token_len") < _QF_MEAN_LEN_LO)
+            | (F.col("mean_token_len") > _QF_MEAN_LEN_HI),
+            "word_length",
+        )
+        .when(F.col("symbol_ratio") > _QF_MAX_SYMBOL_RATIO, "symbol_heavy")
+        .when(F.col("distinct_ratio") < _QF_MIN_DISTINCT_RATIO, "repetitive")
+        .when(F.col("has_stopword") == False, "no_stopwords")  # noqa: E712
+    )
+    return m.select(
+        "*", reason.alias("reject_reason"), reason.isNull().alias("keep")
+    )

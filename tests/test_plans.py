@@ -293,3 +293,15 @@ def test_plan_audit_headline_queries_clean(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
         if name not in PANDAS_OK:
             assert not any(n in plan for n in PANDAS_NODES), name
+
+
+def test_quality_filter_is_map_only(spark):
+    """quality_filter_decision must be one scan, zero exchanges — every
+    rule input derives from the row itself (the distinct ratio uses the
+    doc's own token array, never a corpus aggregate)."""
+    plan = _plan(spark, "quality_filter_decision")
+    import re as _re
+    # fan_out may add one round-robin repartition on single-split scans;
+    # no hash/range exchange (= no shuffle) is the invariant
+    assert not _re.search(r"Exchange (hash|range)partitioning", plan)
+    assert "EvalPython" not in plan
