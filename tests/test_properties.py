@@ -227,3 +227,39 @@ def test_rolling_hash_is_order_sensitive_simhash_is_not(spark, docs):
     ]
     if distinct_pairs:
         assert any(got[2 * i] != got[2 * i + 1] for i in distinct_pairs)
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=edge_lists)
+@PROP
+def test_driver_union_find_matches_transitive_closure(spark, edges):
+    """connected_components_driver labels every endpoint with the true
+    component minimum — checked against an independent brute-force
+    closure (repeated relaxation to fixed point) in plain Python."""
+    from datapipeline_spike_spark.operators.dedup import connected_components_driver
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # brute-force reference: iterate label relaxation to fixed point
+    verts = sorted({v for e in edges for v in e})
+    label = {v: v for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["comp"] for r in connected_components_driver(edf).collect()}
+    assert got == label
