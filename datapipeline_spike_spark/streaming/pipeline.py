@@ -178,3 +178,57 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def ingest_with_dedup(
+    lake_path: str,
+    admitted_path: str,
+    rejected_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+):
+    """foreachBatch admission control for a document stream — the
+    streaming deployment of ``operators.dedup.incremental_dedup``
+    (continuous-crawl-vs-lake): each micro-batch classifies against the
+    CURRENT lake (exact fingerprint + LSH-band index equi-joins, batch-
+    sized cost), admitted docs append to the lake so later batches
+    dedup against them, rejected docs land in an audit sink with their
+    status and matched lake id.
+
+    At-least-once note: if the batch retries after the lake append,
+    rerun rows classify as exact_dup of themselves and route to the
+    rejected sink instead of duplicating the lake — admission is
+    idempotent on the lake side (the reason classification runs against
+    the lake, not a cached index)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from datapipeline_spike_spark.operators.dedup import incremental_dedup
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            lake = spark.read.parquet(lake_path)
+        except AnalysisException:  # first batch: empty lake
+            lake = None
+        if lake is None:
+            verdict = batch_df.select(
+                F.col(id_col),
+                F.lit("new").alias("status"),
+                F.lit(None).cast(batch_df.schema[id_col].dataType).alias("match_id"),
+            )
+        else:
+            verdict = incremental_dedup(
+                lake, batch_df, text_col, id_col, jaccard_threshold
+            )
+        admitted = batch_df.join(
+            verdict.filter(F.col("status") == "new").select(id_col), id_col
+        )
+        rejected = batch_df.join(
+            verdict.filter(F.col("status") != "new"), id_col
+        ).select(id_col, text_col, "status", "match_id")
+        admitted.write.mode("append").parquet(lake_path)
+        admitted.select(id_col).write.mode("append").parquet(admitted_path)
+        rejected.write.mode("append").parquet(rejected_path)
+
+    return handle
