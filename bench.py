@@ -17,6 +17,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datapipeline_spike_spark.plans import REGISTRY  # noqa: E402
 from datapipeline_spike_spark.session import get_session  # noqa: E402
 
+# Secondary set: timed and reported under "extras" but NOT in the
+# headline total — the headline list is frozen so round-over-round
+# totals stay comparable.
+EXTRAS = [
+    "incremental_ingest_dedup",
+    "quality_filter_decision",
+    "ann_recall_at_k",
+    "minhash_jaccard_estimate",
+    "corpus_mixture_plan",
+    "audio_header_meta",
+]
+
 HEADLINE = [
     "vibration_features",      # flagship windowed feature extraction
     "record_envelope_flat",    # full record pipeline: batches -> envelope -> OLAP row
@@ -84,6 +96,22 @@ def main() -> None:
         runs[name] = pair
         timings[name] = pair[-1]
 
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        if name not in REGISTRY:
+            continue
+        fn = REGISTRY[name].spark
+        try:
+            pair = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                pair.append(round(time.perf_counter() - t0, 3))
+            extras[name] = pair[-1]
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     spreads = [max(p) / min(p) for p in runs.values() if min(p) > 0]
     out = {
@@ -92,6 +120,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": runs,
+        "extras": extras,
         "max_run_spread": round(max(spreads), 2) if spreads else None,
         "sf": sf,
     }

@@ -1516,7 +1516,8 @@ _SQL_MIX_W = (
       SELECT lang, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
       FROM d GROUP BY 1
     ), tot AS (
-      SELECT CAST(sum(tk) AS BIGINT) AS total_tokens FROM d
+      -- total from the 5-row lang aggregate, NOT a second corpus scan
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM bl
     ), plan AS (
       SELECT lang, n_docs, n_tokens, {_SQL_MIX_W.replace("lang", "bl.lang")} AS weight,
              least(CAST(1.0 AS DOUBLE),
@@ -1559,7 +1560,9 @@ def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_lang = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tk").cast("long").alias("n_tokens")
     )
-    total = d.agg(F.sum("tk").cast("long").alias("total_tokens"))
+    # grand total from the 5-row lang aggregate — deriving it with a
+    # second d.agg() would re-scan and re-tokenize the whole corpus
+    total = by_lang.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
     weight = (
         F.when(F.col("lang") == "en", 0.2)
         .when(F.col("lang") == "es", 0.2)
