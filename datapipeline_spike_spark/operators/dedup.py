@@ -763,50 +763,86 @@ def segment_dedup_profile(
     )
 
 
+def build_dedup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Derive the persisted dedup index of a corpus: (fp, bands,
+    shingles) frames, each one linear scan of ``df``.
+
+    - fp: (f, doc_id) — normalized-text md5 fingerprints (exact tier).
+    - bands: (ex_id, band_idx, band_val) — MinHash LSH band digests
+      (near-tier candidate generation).
+    - shingles: (ex_id, ex_sh) — 3-shingle sets (near-tier Jaccard
+      verification, so candidates never require re-reading the corpus).
+
+    Production stores these next to the lake (bucketed by f / band_val /
+    ex_id) and APPENDS the index rows of each admitted batch — the whole
+    point of incremental dedup is that no later batch ever re-derives
+    them from the full corpus (see ``streaming.pipeline.ingest_with_dedup``)."""
+    from datapipeline_spike_spark.functions.text import fingerprint_md5, shingles
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    fp = base.select(fingerprint_md5(text_col).alias("f"), F.col(id_col))
+    bands = band_values(
+        minhash_signature(base, text_col, id_col, n_hashes), id_col, n_hashes, band_rows
+    ).select(F.col(id_col).alias("ex_id"), "band_idx", "band_val")
+    sh = base.select(F.col(id_col).alias("ex_id"), shingles(text_col, k=3).alias("ex_sh"))
+    return fp, bands, sh
+
+
 def incremental_dedup(
-    existing: DataFrame,
+    existing: DataFrame | None,
     incoming: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: classify every INCOMING doc against the
     EXISTING corpus — the daily-crawl-vs-lake topology, where re-running
     corpus-wide dedup per batch would rescan 100 TB to admit a few GB.
 
+    ``index``: the corpus's persisted (fp, bands, shingles) frames from
+    :func:`build_dedup_index`. Pass it in steady state — classification
+    then touches ONLY the index (no scan, tokenize, or hash of the
+    existing corpus; that cost was paid once at admission time). With
+    ``index=None`` the index is derived inline from ``existing`` (the
+    cold-start / one-shot path).
+
     Asymmetric by construction:
-    - exact: incoming fingerprints equi-join the existing fingerprint
-      index (one groupBy of the existing side builds it; in production
-      it is precomputed and stored with the lake).
-    - near: incoming band values equi-join the existing band index —
-      candidates are (incoming x existing) band collisions only, never
-      incoming x incoming or existing x existing; each candidate is
-      verified with exact shingle Jaccard.
+    - exact: incoming fingerprints equi-join the fingerprint index.
+    - near: incoming band values equi-join the band index — candidates
+      are (incoming x existing) band collisions only, never either side
+      against itself; each candidate is verified with exact shingle
+      Jaccard against the stored shingle sets.
     The joins shuffle on fingerprint/band value; the incoming side is
-    batch-sized, so at scale both indexes are bucketed by their key and
-    the batch join is a fraction of one corpus scan.
+    batch-sized, so at scale (indexes bucketed by their join key) the
+    per-batch cost is index-lookup-shaped, not corpus-shaped.
 
     Returns one row per incoming doc: (id_col, status, match_id) with
     status in {'exact_dup', 'near_dup', 'new'}; match_id = the minimum
     matching existing id (exact takes precedence), NULL for 'new'."""
     from datapipeline_spike_spark.functions.text import fingerprint_md5, shingles
 
+    if index is None:
+        if existing is None:
+            raise ValueError("need either an existing corpus or a prebuilt index")
+        index = build_dedup_index(existing, text_col, id_col, n_hashes, band_rows)
+    fp, bands_ex, sh_ex = index
+
     inc = incoming.select(F.col(id_col), F.col(text_col))
-    ex = existing.select(F.col(id_col), F.col(text_col))
-    # exact tier: fingerprint index of the existing corpus
-    ex_fp = (
-        ex.select(fingerprint_md5(text_col).alias("f"), F.col(id_col))
-        .groupBy("f")
-        .agg(F.min(id_col).alias("exact_match"))
-    )
+    # exact tier: min-id per fingerprint at query time (index-sized agg,
+    # keeps the stored index append-only)
+    ex_fp = fp.groupBy("f").agg(F.min(id_col).alias("exact_match"))
     inc_fp = inc.select(F.col(id_col), fingerprint_md5(text_col).alias("f"))
     exact = inc_fp.join(ex_fp, "f", "left").select(id_col, "exact_match")
-    # near tier: asymmetric band join (incoming bands x existing bands)
-    bands_ex = band_values(
-        minhash_signature(ex, text_col, id_col, n_hashes), id_col, n_hashes, band_rows
-    ).select(F.col(id_col).alias("ex_id"), "band_idx", "band_val")
+    # near tier: asymmetric band join (incoming bands x stored bands)
     bands_inc = band_values(
         minhash_signature(inc, text_col, id_col, n_hashes), id_col, n_hashes, band_rows
     ).select(F.col(id_col).alias("inc_id"), "band_idx", "band_val")
@@ -815,9 +851,9 @@ def incremental_dedup(
         .select("inc_id", "ex_id")
         .distinct()
     )
-    sh = shingles(text_col, k=3)
-    sh_inc = inc.select(F.col(id_col).alias("inc_id"), sh.alias("inc_sh"))
-    sh_ex = ex.select(F.col(id_col).alias("ex_id"), sh.alias("ex_sh"))
+    sh_inc = inc.select(
+        F.col(id_col).alias("inc_id"), shingles(text_col, k=3).alias("inc_sh")
+    )
     inter = F.size(F.array_intersect(F.col("inc_sh"), F.col("ex_sh")))
     union = F.size(F.array_union(F.col("inc_sh"), F.col("ex_sh")))
     near = (

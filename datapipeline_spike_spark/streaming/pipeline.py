@@ -187,31 +187,47 @@ def ingest_with_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
+    index_root: str | None = None,
 ):
     """foreachBatch admission control for a document stream — the
     streaming deployment of ``operators.dedup.incremental_dedup``
     (continuous-crawl-vs-lake): each micro-batch classifies against the
-    CURRENT lake (exact fingerprint + LSH-band index equi-joins, batch-
-    sized cost), admitted docs append to the lake so later batches
-    dedup against them, rejected docs land in an audit sink with their
-    status and matched lake id.
+    lake's PERSISTED dedup index (exact fingerprint + LSH-band + shingle
+    frames under ``index_root``, default ``{lake_path}_index``), admitted
+    docs append to the lake AND their index rows append to the index —
+    so no batch ever re-scans or re-hashes the lake; per-batch cost is
+    batch-sized joins against the stored index. Rejected docs land in an
+    audit sink with their status and matched lake id.
 
-    At-least-once note: if the batch retries after the lake append,
-    rerun rows classify as exact_dup of themselves and route to the
-    rejected sink instead of duplicating the lake — admission is
-    idempotent on the lake side (the reason classification runs against
-    the lake, not a cached index)."""
+    At-least-once note: if the batch retries after its appends, rerun
+    rows classify as exact_dup of their own earlier admission and route
+    to the rejected sink instead of duplicating the lake — admission is
+    idempotent because the index already contains them."""
     from pyspark.sql.utils import AnalysisException
 
-    from datapipeline_spike_spark.operators.dedup import incremental_dedup
+    from datapipeline_spike_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    idx_root = index_root or f"{lake_path}_index"
+    fp_path, bands_path, sh_path = (
+        f"{idx_root}/fp",
+        f"{idx_root}/bands",
+        f"{idx_root}/shingles",
+    )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
-            lake = spark.read.parquet(lake_path)
-        except AnalysisException:  # first batch: empty lake
-            lake = None
-        if lake is None:
+            index = (
+                spark.read.parquet(fp_path),
+                spark.read.parquet(bands_path),
+                spark.read.parquet(sh_path),
+            )
+        except AnalysisException:  # first batch: empty lake, no index yet
+            index = None
+        if index is None:
             verdict = batch_df.select(
                 F.col(id_col),
                 F.lit("new").alias("status"),
@@ -219,7 +235,7 @@ def ingest_with_dedup(
             )
         else:
             verdict = incremental_dedup(
-                lake, batch_df, text_col, id_col, jaccard_threshold
+                None, batch_df, text_col, id_col, jaccard_threshold, index=index
             )
         admitted = batch_df.join(
             verdict.filter(F.col("status") == "new").select(id_col), id_col
@@ -228,6 +244,13 @@ def ingest_with_dedup(
             verdict.filter(F.col("status") != "new"), id_col
         ).select(id_col, text_col, "status", "match_id")
         admitted.write.mode("append").parquet(lake_path)
+        # index rows for the admitted docs only — derived from the
+        # batch, appended once; later batches join these instead of
+        # ever touching the lake again
+        fp, bands, sh = build_dedup_index(admitted, text_col, id_col)
+        fp.write.mode("append").parquet(fp_path)
+        bands.write.mode("append").parquet(bands_path)
+        sh.write.mode("append").parquet(sh_path)
         admitted.select(id_col).write.mode("append").parquet(admitted_path)
         rejected.write.mode("append").parquet(rejected_path)
 

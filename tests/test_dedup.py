@@ -357,3 +357,30 @@ def test_dedup_corpus_driver_and_star_agree(docs):
             for r in dedup_corpus(docs, component_algorithm="star").collect()}
     assert auto == star
     assert auto[1] == 0 and auto[2] == 0  # exact dups collapse
+
+
+def test_incremental_dedup_prebuilt_index_matches_inline(spark):
+    """The prebuilt-index path (steady state: classification touches
+    only the stored index) must classify identically to the inline
+    cold-start path."""
+    from datapipeline_spike_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    existing = spark.createDataFrame([(0, BASE), (2, FAR)], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(11, BASE), (13, NEAR), (15, "totally unrelated words about gardening tools")],
+        "doc_id long, text string",
+    )
+    inline = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(existing, incoming).collect()
+    }
+    idx = build_dedup_index(existing)
+    via_index = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(None, incoming, index=idx).collect()
+    }
+    assert inline == via_index
+    assert via_index[11] == ("exact_dup", 0)

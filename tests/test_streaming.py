@@ -606,6 +606,10 @@ def test_streaming_ingest_dedup_admission(spark):
             for r in spark.read.parquet(rej).collect()
         }
         lake_ids = {r["doc_id"] for r in spark.read.parquet(lake).collect()}
+        # the persisted index grew with admissions (classification joins
+        # it instead of re-hashing the lake)
+        idx_fp_ids = {r["doc_id"] for r in spark.read.parquet(f"{lake}_index/fp").collect()}
+        assert idx_fp_ids == lake_ids
         # file order within one source listing is deterministic
         # (alphabetical), but both batches may also land in ONE trigger;
         # assert the invariants that hold either way
