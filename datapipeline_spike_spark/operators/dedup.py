@@ -141,6 +141,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation WITHOUT a cross join or
     self-join: signature -> (band_idx, band_val) rows -> groupBy band
@@ -148,8 +149,13 @@ def lsh_candidate_pairs(
     (doc_id_a, doc_id_b) with n_shared_bands. Docs with empty shingle
     sets can't collide. Scale note: a pathological bucket (e.g. massive
     boilerplate cluster) makes the pair blowup explicit in one task —
-    run exact_dedup first so buckets hold distinct near-dups only."""
-    sig = minhash_signature(df, text_col, id_col, n_hashes)
+    run exact_dedup first so buckets hold distinct near-dups only.
+
+    ``sig``: precomputed :func:`minhash_signature` frame — pass it when
+    the caller also consumes the signatures (e.g. the agreement
+    estimator), so shingling + hashing run once, not twice."""
+    if sig is None:
+        sig = minhash_signature(df, text_col, id_col, n_hashes)
     bands = band_values(sig, id_col, n_hashes, band_rows)
     buckets = (
         bands.groupBy("band_idx", "band_val")

@@ -1449,8 +1449,15 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.operators.dedup import minhash_signature
 
     d = fan_out(load(spark, sf_dir, "documents"))
-    cand = lsh_candidate_pairs(d).select("doc_id_a", "doc_id_b")
-    sig = minhash_signature(d)
+    # the signature frame feeds the banding AND both agreement joins;
+    # Catalyst compiles each consumer's subtree independently (no
+    # ReusedExchange), so without the checkpoint the explode+md5 stream
+    # would run 3x. Post-groupBy the frame is ~1 row/doc — materializing
+    # it is cheap at any scale (the pre-shuffle shingle stream, by
+    # contrast, is corpus-token-sized and cheaper to recompute than to
+    # materialize, so the two exact-Jaccard sides stay lineage-backed).
+    sig = minhash_signature(d).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(d, sig=sig).select("doc_id_a", "doc_id_b")
     sh = d.select(F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh"))
     agree = sum(
         (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int") for i in range(8)
