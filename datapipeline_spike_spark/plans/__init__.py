@@ -24,6 +24,7 @@ _VERIFY_FIRST = (
     "audio_header_meta",
     "incremental_ingest_dedup",
     "quality_filter_decision",
+    "customer_value_ranks",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -640,3 +640,59 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(F.expr(stack), "n_rows").select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val", "avg_val"
     )
+
+
+@register(
+    "customer_value_ranks",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             round(sum(o.o_totalprice), 2) AS total_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_custkey, total_spend,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume,
+           CAST(ntile(10) OVER w AS INT)   AS decile,
+           first_value(c_custkey) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY total_spend DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS segment_top_custkey
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spend, c_custkey)
+    """,
+    doc="""Analytic-function coverage rounding out SURVEY §2.5:
+    percent_rank / cume_dist / ntile / first_value in one pass — per
+    market segment, each customer's spend percentile, cumulative
+    distribution, decile, and the segment's top customer. Deterministic
+    tie-breaks (spend, custkey) on every window so both engines rank
+    identically; the aggregate and all four analytics share ONE
+    partition key, so the whole query is one join + one shuffle + one
+    sort per partition.""",
+    tags=("window", "analytic"),
+)
+def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("total_spend", "c_custkey")
+    w_top = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("total_spend").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return spend.select(
+        "c_mktsegment",
+        "c_custkey",
+        "total_spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.first("c_custkey").over(w_top).alias("segment_top_custkey"),
+    )
