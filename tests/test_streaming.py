@@ -622,3 +622,45 @@ def test_streaming_ingest_dedup_admission(spark):
         assert admitted.isdisjoint(set(rejected))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_static_ann_candidate_join(spark):
+    """Stream-STATIC join (the retrieval topology): a stream of query
+    vectors equi-joins the static LSH-bucketed corpus on the bucket key
+    — candidates per query match the batch twin exactly. The static
+    side is loaded once, never re-shuffled per micro-batch beyond the
+    join's requirement; this is how an online ANN candidate feed runs
+    on Spark."""
+    from datapipeline_spike_spark.operators.similarity import lsh_bucket_assign
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load(spark, sf, "embeddings")
+    static_side = lsh_bucket_assign(corpus, dim=64, n_planes=4).select(
+        F.col("vec_id").alias("neighbor_id"), "bucket"
+    )
+    qdir = tempfile.mkdtemp(prefix="annq_")
+    try:
+        queries = corpus.filter(F.col("vec_id") < 5)
+        lsh_bucket_assign(queries, dim=64, n_planes=4).select(
+            F.col("vec_id").alias("query_id"), "bucket"
+        ).write.mode("overwrite").parquet(qdir)
+        qstream = spark.readStream.schema("query_id long, bucket int").parquet(qdir)
+        joined = qstream.join(static_side, "bucket").select("query_id", "neighbor_id")
+        q = run_to_memory(joined, "ann_stream")
+        try:
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in spark.sql("SELECT * FROM ann_stream").collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            (r["query_id"], r["neighbor_id"])
+            for r in spark.read.parquet(qdir)
+            .join(static_side, "bucket")
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
