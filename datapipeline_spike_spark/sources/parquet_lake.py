@@ -75,3 +75,55 @@ def read_zone(spark: SparkSession, lake_root: str, zone: str) -> DataFrame:
     """Partition-pruned read: filters on machine/year/month never touch
     non-matching directories."""
     return spark.read.parquet(os.path.join(lake_root, zone))
+
+
+def compact_zone(
+    spark: SparkSession,
+    lake_root: str,
+    zone: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+) -> dict[str, dict[str, int]]:
+    """Small-file compaction — the lake maintenance job every streaming
+    ingest needs: micro-batch appends leave each partition with many
+    KB-sized files, and at 100 TB the resulting open/seek/footer costs
+    dominate scans long before data volume does.
+
+    Per hive partition directory: if it holds >= ``min_files_to_compact``
+    data files, rewrite it as ``ceil(bytes / target_file_bytes)`` files.
+    The rewrite goes to a temp directory first and swaps in with two
+    renames (local/HDFS semantics; an object-store deployment would
+    commit via manifest instead — same topology, different commit
+    primitive). Readers of OTHER partitions are never touched: this is
+    a per-partition operation, safe to run partition-parallel and
+    incremental.
+
+    Returns {partition_rel_path: {"files_before": n, "files_after": m}}.
+    """
+    import math
+    import shutil
+
+    zone_root = os.path.join(lake_root, zone)
+    report: dict[str, dict[str, int]] = {}
+    for dirpath, _dirnames, filenames in os.walk(zone_root):
+        data_files = [f for f in filenames if f.endswith(".parquet")]
+        if len(data_files) < min_files_to_compact:
+            continue
+        total = sum(os.path.getsize(os.path.join(dirpath, f)) for f in data_files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(data_files):
+            continue  # already at or below target granularity
+        rel = os.path.relpath(dirpath, zone_root)
+        tmp = dirpath + "._compacting"
+        # partition columns are encoded in the directory name, not the
+        # files — read/write the directory alone, no partition discovery
+        spark.read.parquet(dirpath).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        old = dirpath + "._old"
+        os.rename(dirpath, old)
+        os.rename(tmp, dirpath)
+        shutil.rmtree(old)
+        n_after = len(
+            [f for f in os.listdir(dirpath) if f.endswith(".parquet")]
+        )
+        report[rel] = {"files_before": len(data_files), "files_after": n_after}
+    return report

@@ -300,3 +300,40 @@ def test_decode_audio_mapinpandas(spark):
         assert r["bits_per_sample"] == (8, 16, 24)[i % 3]
         assert r["n_samples"] == 8 + i % 50
         assert r["duration_ms"] == (8 + i % 50) * 1000 // (8000, 16000, 22050, 44100)[i % 4]
+
+
+def test_lake_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """compact_zone: many micro-batch appends -> few right-sized files
+    per partition, identical data, other partitions untouched."""
+    from datapipeline_spike_spark.sources.parquet_lake import (
+        compact_zone,
+        read_zone,
+        write_zone,
+    )
+
+    root = str(tmp_path / "lake")
+    base = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
+    )
+    # simulate 6 micro-batch appends (each append = >=1 file/partition)
+    for i in range(6):
+        write_zone(base.filter(F.col("event_id") % 6 == i), root, "processed")
+    # materialize BEFORE compaction: a lazy frame would hold the old
+    # file listing and fail after the swap
+    rows_before = sorted(
+        map(tuple, read_zone(spark, root, "processed").collect())
+    )
+    import glob
+
+    files_before = len(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
+    report = compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
+    assert report, "at least one partition should compact"
+    files_after = len(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
+    assert files_after < files_before
+    rows_after = sorted(
+        map(tuple, read_zone(spark, root, "processed").collect())
+    )
+    # value-level identity, not just counts
+    assert rows_after == rows_before
+    for rel, r in report.items():
+        assert r["files_after"] < r["files_before"]
