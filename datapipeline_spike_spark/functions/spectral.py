@@ -96,3 +96,20 @@ def pca_reduce_groups(df, group_cols, feature_cols, k=2, carry_cols=()):
         return res
 
     return df.groupBy(*group_cols).applyInPandas(fit_project, schema=out_schema)
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def dft_bin_magnitudes(batch: pd.Series) -> pd.Series:
+    """|rfft| magnitudes at bins 1..32 (DC excluded) of each sample
+    array — the bounded-bin slice of the full FFT that a SQL oracle can
+    replay with direct DFT trigonometric sums (sqrt((sum v*cos)^2 +
+    (sum v*sin)^2) per bin). NULL for arrays of <= 64 samples (keeps
+    every emitted bin strictly below Nyquist)."""
+
+    def one(arr):
+        if arr is None or len(arr) <= 64:
+            return None
+        mag = np.abs(np.fft.rfft(np.asarray(arr, dtype=np.float64)))
+        return [float(x) for x in mag[1:33]]
+
+    return batch.map(one)

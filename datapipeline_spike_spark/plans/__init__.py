@@ -25,6 +25,7 @@ _VERIFY_FIRST = (
     "incremental_ingest_dedup",
     "quality_filter_decision",
     "customer_value_ranks",
+    "dominant_frequency_verified",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -618,3 +618,81 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "dominant_frequency_verified",
+    oracle=f"""
+    {_SQL_CAPPED_WINDOW}, sz AS (
+      SELECT d, event_type, count(*) AS N
+      FROM r WHERE rn <= {SPECTRAL_MAX_SAMPLES}
+      GROUP BY 1, 2
+      HAVING count(*) > 64
+    ), m AS (
+      SELECT r.d, r.event_type, sz.N, k.k,
+             sqrt(pow(sum(value * cos(2 * pi() * k.k * (rn - 1) / sz.N)), 2)
+                + pow(sum(value * sin(2 * pi() * k.k * (rn - 1) / sz.N)), 2))
+               AS mag
+      FROM r
+      JOIN sz ON sz.d = r.d AND sz.event_type = r.event_type
+      CROSS JOIN (SELECT unnest(range(1, 33)) AS k) k
+      WHERE rn <= {SPECTRAL_MAX_SAMPLES}
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(d AS TIMESTAMP) AS window_start,
+           event_type           AS status_code,
+           CAST(N AS BIGINT)    AS n_samples,
+           CAST(k AS INT)       AS dominant_bin,
+           mag2                 AS dominant_mag
+    FROM (
+      SELECT d, event_type, N, k, round(mag, 2) AS mag2,
+             row_number() OVER (PARTITION BY d, event_type
+                                ORDER BY round(mag, 2) DESC, k) AS rnk
+      FROM m
+    ) WHERE rnk = 1
+    """,
+    doc=f"""A6 dominant frequency, ORACLE-VERIFIED (the companion to the
+    rows-only full-resolution form): Spark runs the FULL numpy rfft per
+    capped window and takes the argmax over bins 1..32; DuckDB replays
+    those same 32 magnitudes by DIRECT DFT — sqrt((sum v*cos(2*pi*k*n/N))^2
+    + (sum v*sin(...))^2) via a 32-row range join — and ranks them
+    identically (2dp-rounded magnitude, lowest-bin tiebreak). A hash
+    match is an FFT-vs-naive-DFT differential: it proves the engine's
+    FFT windowing, ordering, cap ({SPECTRAL_MAX_SAMPLES}), and bin
+    conventions end-to-end, not just row counts — the same move that
+    made spectral_energy verifiable via Parseval. Windows of <= 64
+    samples are excluded so every emitted bin is below Nyquist. The
+    full-resolution argmax (all N/2 bins) remains 'dominant_frequency'
+    (rows-only): a SQL replay of thousands of bins per window would be
+    O(N * bins) in the oracle, and 32 low bins already pin the
+    conventions.""",
+    tags=("spectral", "pandas_udf", "window"),
+)
+def q_dominant_frequency_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.spectral import dft_bin_magnitudes
+
+    w = _windowed_samples(spark, sf_dir)
+    mags = dft_bin_magnitudes("vals")
+    ranked = F.transform(
+        mags,
+        lambda m, i: F.struct(
+            F.round(m, 2).alias("mag"), (-(i + F.lit(1))).cast("int").alias("negbin")
+        ),
+    )
+    best = F.array_max(ranked)  # lexicographic: max mag, then min bin
+    return (
+        w.filter(F.size("vals") > 64)
+        .select(
+            "window_start",
+            "status_code",
+            F.size("vals").cast("long").alias("n_samples"),
+            best.alias("b"),
+        )
+        .select(
+            "window_start",
+            "status_code",
+            "n_samples",
+            (-F.col("b.negbin")).cast("int").alias("dominant_bin"),
+            F.col("b.mag").alias("dominant_mag"),
+        )
+    )

@@ -166,3 +166,23 @@ def test_ivf_topk_recalls_identical_vector(vectors):
     assert top[0] == 40
     for r in rows:
         assert 1 <= r["rank"] <= 3 and r["neighbor_id"] != r["query_id"]
+
+
+def test_dft_bin_magnitudes_planted_tone(spark):
+    """dft_bin_magnitudes: a pure tone at bin k concentrates magnitude
+    N*amp/2 at index k-1 of the 32-bin slice; short arrays are NULL."""
+    import math
+
+    from datapipeline_spike_spark.functions.spectral import dft_bin_magnitudes
+
+    n, k, amp = 256, 7, 3.0
+    tone = [amp * math.sin(2 * math.pi * k * i / n) for i in range(n)]
+    df = spark.createDataFrame(
+        [(1, tone), (2, [1.0] * 10)], "id long, vals array<double>"
+    )
+    rows = {r["id"]: r["m"] for r in df.select("id", dft_bin_magnitudes("vals").alias("m")).collect()}
+    mags = rows[1]
+    assert len(mags) == 32
+    assert max(range(32), key=lambda i: mags[i]) == k - 1
+    assert abs(mags[k - 1] - n * amp / 2) < 1e-6
+    assert rows[2] is None  # <= 64 samples
