@@ -43,6 +43,7 @@ BNLJ_OK = {
 PANDAS_OK = {
     "spectral_energy": "FFT (numpy.rfft) — no JVM builtin",
     "dominant_frequency": "FFT argmax — no JVM builtin",
+    "dominant_frequency_verified": "FFT over 32 bins — no JVM builtin (oracle replays by direct DFT)",
     "pca_reduce": "per-group SVD — no JVM builtin",
     "image_header_meta": "binary container parsing (struct) via mapInPandas",
     "video_header_meta": "binary container parsing (struct) via mapInPandas",
