@@ -26,6 +26,7 @@ _VERIFY_FIRST = (
     "quality_filter_decision",
     "customer_value_ranks",
     "dominant_frequency_verified",
+    "ivf_recall_at_k",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -696,3 +696,74 @@ def q_dominant_frequency_verified(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("b.mag").alias("dominant_mag"),
         )
     )
+
+
+@register(
+    "ivf_recall_at_k",
+    oracle=f"""
+    WITH {_SQL_BF_TOP5},
+    c AS (
+      SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), assign AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cent_id
+      FROM ({_IVF_RANKED}) WHERE rnk = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cent_id
+      FROM ({_IVF_RANKED.replace("FROM e CROSS JOIN c", "FROM (SELECT * FROM e WHERE vec_id < 5) e CROSS JOIN c")})
+      WHERE rnk <= 2
+    ), ivf_scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), {R}) AS cos_sim
+      FROM assign JOIN probes USING (cent_id)
+      WHERE neighbor_id != query_id
+    ), ivf AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM ivf_scored)
+      WHERE rnk <= 5
+    )
+    SELECT bf.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), {R}) AS recall_at_k
+    FROM bf LEFT JOIN ivf
+      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY 1
+    """,
+    doc="""ANN recall@k for the IVF-flat index — the companion of
+    ann_recall_at_k (LSH): per query, how many of the exact brute-force
+    top-5 the 16-list/2-probe IVF recovers. Together the two recall
+    audits let an operator owner choose between the index families with
+    measured numbers instead of folklore; both sides replay in one
+    oracle CTE chain, and the tiny top-k comparison join is broadcast.""",
+    tags=("similarity", "embedding", "ivf", "quality"),
+)
+def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = (
+        ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * F.lit(1.0) / F.count(F.lit(1)),
+                R,
+            ).alias("recall_at_k"),
+        )
+    )
