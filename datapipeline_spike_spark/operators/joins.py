@@ -85,34 +85,3 @@ def band_join(
     ``value_col``. ``bands`` must be small (broadcast)."""
     cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) <= bands[hi_col])
     return left.join(F.broadcast(bands), cond, "left")
-
-
-def salted_join(
-    skewed: DataFrame,
-    other: DataFrame,
-    on: str,
-    n_salts: int = 16,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-mitigated equi-join: explode the hot keys manually when AQE
-    can't (``spark.sql.adaptive.skewJoin`` only rewrites sort-merge
-    joins between two shuffled BATCH sides — stream-static joins,
-    broadcast-disqualified mid-size dims, and cached inputs miss it).
-
-    ``skewed`` rows get a deterministic salt in [0, n_salts) hashed from
-    the whole row (xxhash64 of all columns — NOT random: reruns and
-    retried tasks must salt identically or a retry duplicates/loses
-    rows); ``other`` is replicated n_salts times with every salt value.
-    The join key becomes (key, salt), so one hot key's rows spread over
-    n_salts shuffle partitions instead of one straggler task, at the
-    documented cost of an n_salts x replication of the other side —
-    use for a MID-SIZE other side (too big to broadcast, small enough
-    to replicate); a broadcast join already solves the small case.
-
-    Returns the joined frame without the salt column."""
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns])) % n_salts).cast("int")
-    s = skewed.withColumn("_salt", salt)
-    o = other.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-    return s.join(o, [on, "_salt"], how).drop("_salt")

@@ -254,38 +254,3 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
         assert out == {"hot": 400}  # threshold 100: warm (90) excluded
         out2 = {r["v"]: r["freq"] for r in heavy_hitters(frame, "v", k=12).collect()}
         assert out2 == {"hot": 400, "warm": 90}  # threshold ~83.3
-
-
-def test_salted_join_matches_plain_join(spark):
-    """salted_join: same rows as the unsalted equi-join (the salt is an
-    internal spreading device), deterministic across reruns."""
-    from datapipeline_spike_spark.operators.joins import salted_join
-
-    # one pathologically hot key (90% of rows) + a tail
-    skewed = spark.createDataFrame(
-        [(1 if i < 90 else i, float(i)) for i in range(100)], "k long, v double"
-    )
-    dim = spark.createDataFrame(
-        [(i, f"d{i}") for i in range(100)], "k long, label string"
-    )
-    got = salted_join(skewed, dim, "k", n_salts=8)
-    want = skewed.join(dim, "k")
-    assert got.count() == want.count() == 100
-    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
-    # rerun-stable (deterministic salts): identical result set
-    again = salted_join(skewed, dim, "k", n_salts=8)
-    assert got.exceptAll(again).isEmpty()
-
-
-def test_salted_join_spreads_hot_key(spark):
-    """The hot key's rows must land in multiple salt groups — the whole
-    point of the transform."""
-    from pyspark.sql import functions as F
-    from datapipeline_spike_spark.operators.joins import salted_join  # noqa: F401
-
-    skewed = spark.createDataFrame(
-        [(1, float(i)) for i in range(200)], "k long, v double"
-    )
-    salt = (F.abs(F.xxhash64("k", "v")) % 8).cast("int")
-    n_groups = skewed.select(salt.alias("s")).distinct().count()
-    assert n_groups >= 6  # 200 distinct rows over 8 salts: all/most used
