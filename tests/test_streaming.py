@@ -664,3 +664,40 @@ def test_stream_static_ann_candidate_join(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(qdir, ignore_errors=True)
+
+
+def test_session_stream_matches_batch_sessionize(spark, events_dir):
+    """ST8 parity: F.session_window (streaming, 30-min gap) must carve
+    the SAME sessions as the batch lag+cumsum sessionize — same session
+    count and same per-session event counts per user, for every session
+    the watermark has closed."""
+    from datapipeline_spike_spark.operators.sessions import sessionize
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = run_to_memory(session_stream(stream, key="user_id"), "sess_parity")
+    try:
+        got = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_parity").collect()
+        }
+        batch = (
+            sessionize(
+                spark.read.parquet(events_dir), "user_id", "ts", gap_minutes=30
+            )
+            .groupBy("user_id", "session_seq")
+            .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n"))
+        )
+        want = {
+            (r["user_id"], r["session_start"]): r["n"] for r in batch.collect()
+        }
+        # append mode withholds sessions the watermark hasn't closed
+        # (each user's last session) — every EMITTED session must match
+        # the batch answer exactly
+        assert len(got) > 0
+        n_users = len({k[0] for k in want})
+        assert len(got) >= len(want) - n_users
+        for k, v in got.items():
+            assert want[k] == v, k
+    finally:
+        q.stop()
