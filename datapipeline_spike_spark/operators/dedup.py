@@ -843,11 +843,18 @@ def incremental_dedup(
     fp, bands_ex, sh_ex = index
 
     inc = incoming.select(F.col(id_col), F.col(text_col))
-    # exact tier: min-id per fingerprint at query time (index-sized agg,
-    # keeps the stored index append-only)
-    ex_fp = fp.groupBy("f").agg(F.min(id_col).alias("exact_match"))
+    # exact tier: JOIN first, aggregate after — pre-aggregating the
+    # index (fp.groupBy(f).min) would shuffle the ENTIRE index every
+    # batch; joining the batch's fingerprints against the (bucketed)
+    # index and taking min over the MATCHED rows only keeps the
+    # aggregation batch-sized. Identical result: min existing id among
+    # docs sharing the fingerprint, NULL when unmatched.
     inc_fp = inc.select(F.col(id_col), fingerprint_md5(text_col).alias("f"))
-    exact = inc_fp.join(ex_fp, "f", "left").select(id_col, "exact_match")
+    exact = (
+        inc_fp.join(fp.withColumnRenamed(id_col, "_ex_id"), "f", "left")
+        .groupBy(id_col)
+        .agg(F.min("_ex_id").alias("exact_match"))
+    )
     # near tier: asymmetric band join (incoming bands x stored bands)
     bands_inc = band_values(
         minhash_signature(inc, text_col, id_col, n_hashes), id_col, n_hashes, band_rows
