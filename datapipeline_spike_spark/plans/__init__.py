@@ -27,6 +27,7 @@ _VERIFY_FIRST = (
     "customer_value_ranks",
     "dominant_frequency_verified",
     "ivf_recall_at_k",
+    "fixed_size_sample",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -1729,3 +1729,52 @@ def q_quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "*", reason.alias("reject_reason"), reason.isNull().alias("keep")
     )
+
+
+_RESERVOIR_R = 40  # docs per stratum
+
+
+@register(
+    "fixed_size_sample",
+    oracle=f"""
+    SELECT lang, doc_id, sample_u, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT lang, doc_id,
+             round({_SQL_U01}, {R}) AS sample_u,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_U01}, doc_id
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= {_RESERVOIR_R}
+    """,
+    doc=f"""Fixed-SIZE deterministic stratified sampling (SURVEY §2.11 —
+    eval/holdout-set construction, the companion of the rate-based
+    stratified_sample): exactly min({_RESERVOIR_R}, n) documents per
+    language, selected as the lowest md5-hash draws — a deterministic
+    reservoir. Hash-ordered selection means the sample is STABLE under
+    corpus growth in expectation-preserving fashion (a new doc displaces
+    at most one member, the classic bottom-k property KMV relies on) and
+    identical across reruns/backfills, which RNG reservoir sampling is
+    not. One window over the stratum key; at 100 TB this is the same
+    cost class as any per-key top-k (sort-based window, streams).""",
+    tags=("text", "sampling"),
+)
+def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.operators.sampling import hash_u01
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    u = hash_u01("doc_id")
+    w = Window.partitionBy("lang").orderBy(u, "doc_id")
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            F.round(u, R).alias("sample_u"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _RESERVOIR_R)
+        .select("lang", "doc_id", "sample_u", F.col("rnk").cast("int").alias("rnk"))
+    )
