@@ -28,6 +28,7 @@ _VERIFY_FIRST = (
     "dominant_frequency_verified",
     "ivf_recall_at_k",
     "fixed_size_sample",
+    "source_quality_rollup",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

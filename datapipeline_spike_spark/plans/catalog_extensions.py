@@ -1778,3 +1778,83 @@ def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RESERVOIR_R)
         .select("lang", "doc_id", "sample_u", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "source_quality_rollup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks,
+             {_SQL_FP} AS f
+      FROM documents
+    ), flags AS (
+      SELECT doc_id, source, len(toks) AS n_tokens, f,
+             (len(toks) >= {_QF_MIN_TOKENS}
+              AND len(list_distinct(toks)) * 1.0
+                  / greatest(len(toks), 1) >= {_QF_MIN_DISTINCT_RATIO}) AS keeps
+      FROM t
+    ), dups AS (
+      SELECT doc_id, source, n_tokens, keeps,
+             (min(doc_id) OVER (PARTITION BY f)) < doc_id AS is_dup
+      FROM flags
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(n_tokens), {R}) AS mean_tokens,
+           round(sum(CASE WHEN keeps THEN 1 ELSE 0 END) * 1.0 / count(*), {R})
+             AS keep_rate,
+           round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), {R})
+             AS dup_rate
+    FROM dups
+    GROUP BY 1
+    """,
+    doc=f"""Per-source corpus health rollup (SURVEY §2.11 — the report a
+    data team reads before adjusting crawl/mixture decisions): for every
+    source, document and token counts, the keep rate under the core
+    quality rules (min {_QF_MIN_TOKENS} tokens, distinct-token ratio >=
+    {_QF_MIN_DISTINCT_RATIO}), and the exact-duplicate rate (non-minimal
+    member of a fingerprint group). Composes the filter and dedup
+    signals at the SOURCE grain: one scan + one fingerprint window + one
+    source-grain aggregation — two linear shuffles, no joins, no
+    corpus-squared anything.""",
+    tags=("text", "quality", "dedup"),
+)
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.functions.text import fingerprint_md5
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        "source",
+        Tx.tokens("text").alias("toks"),
+        fingerprint_md5("text").alias("f"),
+    )
+    n_tokens = F.size("toks")
+    keeps = (n_tokens >= _QF_MIN_TOKENS) & (
+        F.size(F.array_distinct("toks")) * F.lit(1.0)
+        / F.greatest(n_tokens, F.lit(1))
+        >= _QF_MIN_DISTINCT_RATIO
+    )
+    flags = base.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), "f", keeps.alias("keeps")
+    )
+    is_dup = F.min("doc_id").over(Window.partitionBy("f")) < F.col("doc_id")
+    dups = flags.select("source", "n_tokens", "keeps", is_dup.alias("is_dup"))
+    return dups.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("n_tokens"), R).alias("mean_tokens"),
+        F.round(
+            F.sum(F.when(F.col("keeps"), 1).otherwise(0)) * F.lit(1.0)
+            / F.count(F.lit(1)),
+            R,
+        ).alias("keep_rate"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) * F.lit(1.0)
+            / F.count(F.lit(1)),
+            R,
+        ).alias("dup_rate"),
+    )
