@@ -29,6 +29,7 @@ _VERIFY_FIRST = (
     "ivf_recall_at_k",
     "fixed_size_sample",
     "source_quality_rollup",
+    "candidate_edit_distance",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -1858,3 +1858,67 @@ def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             R,
         ).alias("dup_rate"),
     )
+
+
+_EDIT_PREFIX = 64  # chars of normalized prefix compared per candidate pair
+
+
+@register(
+    "candidate_edit_distance",
+    oracle=f"""
+    WITH {_SQL_LSH_CANDS},
+    norm AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    1, {_EDIT_PREFIX}) AS p
+      FROM documents
+    )
+    SELECT cand.doc_id_a, cand.doc_id_b,
+           CAST(levenshtein(a.p, b.p) AS INT) AS prefix_edit_dist,
+           round(1.0 - levenshtein(a.p, b.p) * 1.0
+                 / greatest(len(a.p), len(b.p), 1), {R}) AS prefix_similarity
+    FROM cand
+    JOIN norm a ON a.doc_id = cand.doc_id_a
+    JOIN norm b ON b.doc_id = cand.doc_id_b
+    """,
+    doc=f"""Edit-distance verifier over LSH candidate pairs (SURVEY §2.8
+    string family + §2.11 dedup QA): Levenshtein distance and normalized
+    similarity of the {_EDIT_PREFIX}-char normalized prefixes — the
+    third independent verifier signal next to shingle Jaccard and
+    MinHash agreement (character-level edits catch near-dups that
+    token-level measures smear, e.g. hyphenation or diacritic drift).
+    Bounded by construction twice over: O(candidates) pairs only, and
+    the O(len^2) DP runs on fixed {_EDIT_PREFIX}-char prefixes, never
+    whole documents — full-text Levenshtein at corpus scale is
+    quadratic-per-pair and deliberately NOT offered.""",
+    tags=("dedup", "text", "string"),
+)
+def q_candidate_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.text import normalize_text
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    cand = lsh_candidate_pairs(d).select("doc_id_a", "doc_id_b")
+    norm = d.select(
+        F.col("doc_id").alias("nid"),
+        F.substring(normalize_text("text"), 1, _EDIT_PREFIX).alias("p"),
+    )
+    dist = F.levenshtein(F.col("a_p"), F.col("b_p"))
+    sim = F.lit(1.0) - dist * F.lit(1.0) / F.greatest(
+        F.length("a_p"), F.length("b_p"), F.lit(1)
+    )
+    return (
+        cand.join(
+            norm.select(F.col("nid").alias("aid"), F.col("p").alias("a_p")),
+            cand["doc_id_a"] == F.col("aid"),
+        )
+        .join(
+            norm.select(F.col("nid").alias("bid"), F.col("p").alias("b_p")),
+            cand["doc_id_b"] == F.col("bid"),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            dist.cast("int").alias("prefix_edit_dist"),
+            F.round(sim, R).alias("prefix_similarity"),
+        )
+    )
