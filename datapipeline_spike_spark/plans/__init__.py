@@ -30,6 +30,7 @@ _VERIFY_FIRST = (
     "fixed_size_sample",
     "source_quality_rollup",
     "candidate_edit_distance",
+    "lineitem_scalar_lab",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

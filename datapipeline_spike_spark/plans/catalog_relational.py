@@ -696,3 +696,62 @@ def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).cast("int").alias("decile"),
         F.first("c_custkey").over(w_top).alias("segment_top_custkey"),
     )
+
+
+@register(
+    "lineitem_scalar_lab",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS INT) AS ship_day_no,
+           last_day(CAST(l_shipdate AS DATE))                   AS ship_month_end,
+           CAST(date_trunc('week', l_shipdate) AS TIMESTAMP)    AS ship_week,
+           CAST(weekofyear(l_shipdate) AS INT)                  AS ship_iso_week,
+           lpad(CAST(l_linenumber AS VARCHAR), 3, '0')          AS line_code,
+           translate(l_returnflag, 'ARN', 'arn')                AS flag_lower,
+           repeat(l_linestatus, 2)                              AS status_twice,
+           reverse(concat(l_returnflag, l_linestatus))          AS tag_rev,
+           regexp_extract(concat('L-', CAST(l_linenumber AS VARCHAR)),
+                          '([0-9]+)', 1)                        AS line_digits,
+           nullif(l_returnflag, 'N')                            AS flag_or_null,
+           greatest(l_quantity, l_discount * 100)               AS qty_vs_disc,
+           round(pow(l_quantity, 2), 2)                         AS qty_sq,
+           round(exp(l_discount), 6)                            AS disc_exp,
+           round(atan2(l_quantity, l_extendedprice), 6)         AS price_angle
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    doc="""Scalar surface, part 2 (SURVEY §2.8 families order_scalar_lab
+    leaves out): day-difference / month-end / week-truncation / ISO week
+    on dates; lpad, translate, repeat, reverse, regexp_extract on
+    strings; nullif / greatest conditionals; pow, exp, atan2 math. All
+    whole-stage-codegen built-ins on a bounded deterministic subset;
+    every expression chosen to have IDENTICAL semantics in DuckDB
+    (e.g. weekofyear is ISO in both; dayofweek is deliberately absent —
+    Spark counts from Sunday=1, DuckDB from Sunday=0).""",
+    tags=("scalar",),
+)
+def q_lineitem_scalar_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("int")
+        .alias("ship_day_no"),
+        F.last_day("l_shipdate").alias("ship_month_end"),
+        F.date_trunc("week", "l_shipdate").alias("ship_week"),
+        F.weekofyear("l_shipdate").cast("int").alias("ship_iso_week"),
+        F.lpad(F.col("l_linenumber").cast("string"), 3, "0").alias("line_code"),
+        F.translate("l_returnflag", "ARN", "arn").alias("flag_lower"),
+        F.repeat("l_linestatus", 2).alias("status_twice"),
+        F.reverse(F.concat("l_returnflag", "l_linestatus")).alias("tag_rev"),
+        F.regexp_extract(
+            F.concat(F.lit("L-"), F.col("l_linenumber").cast("string")),
+            r"([0-9]+)",
+            1,
+        ).alias("line_digits"),
+        F.nullif("l_returnflag", F.lit("N")).alias("flag_or_null"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("qty_vs_disc"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.atan2("l_quantity", "l_extendedprice"), 6).alias("price_angle"),
+    )
