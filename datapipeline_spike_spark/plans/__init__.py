@@ -31,6 +31,7 @@ _VERIFY_FIRST = (
     "source_quality_rollup",
     "candidate_edit_distance",
     "lineitem_scalar_lab",
+    "referential_integrity_audit",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

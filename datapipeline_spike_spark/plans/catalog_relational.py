@@ -755,3 +755,76 @@ def q_lineitem_scalar_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("l_discount"), 6).alias("disc_exp"),
         F.round(F.atan2("l_quantity", "l_extendedprice"), 6).alias("price_angle"),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    ORDER BY relation
+    """,
+    doc="""Referential-integrity audit across the star schema (the
+    relational-level data-quality check next to the record-level P/A
+    family): orphan counts for every FK relation via LEFT ANTI joins —
+    each is one scan of the child side against a broadcast parent key
+    set (parents here are dimensions; for a fact-to-fact relation the
+    anti join shuffles on the key, still linear). The report every
+    warehouse load gate runs before publishing a snapshot.""",
+    tags=("quality", "join", "relational"),
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(
+        child: DataFrame, parent: DataFrame, ck: str, pk: str, name: str,
+        broadcast_parent: bool = True,
+    ) -> DataFrame:
+        # dimensions broadcast; a FACT parent (orders under lineitem)
+        # must NOT — the anti join shuffles on the key and AQE picks the
+        # strategy (forcing broadcast there would ship a fact table to
+        # every executor at scale)
+        pkeys = parent.select(pk)
+        if broadcast_parent:
+            pkeys = F.broadcast(pkeys)
+        orphans = child.join(pkeys, child[ck] == F.col(pk), "left_anti")
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    out = (
+        audit(o, c, "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(
+            audit(li, o, "l_orderkey", "o_orderkey", "lineitem->orders",
+                  broadcast_parent=False)
+        )
+        .unionByName(audit(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
+        .unionByName(audit(s, n, "s_nationkey", "n_nationkey", "supplier->nation"))
+    )
+    return out.orderBy("relation")
