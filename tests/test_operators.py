@@ -254,3 +254,82 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
         assert out == {"hot": 400}  # threshold 100: warm (90) excluded
         out2 = {r["v"]: r["freq"] for r in heavy_hitters(frame, "v", k=12).collect()}
         assert out2 == {"hot": 400, "warm": 90}  # threshold ~83.3
+
+
+def test_referential_integrity_audit_detects_planted_orphans(spark, tmp_path):
+    """The audit must COUNT orphans, not just report zero on clean data:
+    plant FK violations in a copied star schema and assert exact counts."""
+    import shutil
+
+    from datapipeline_spike_spark.plans import REGISTRY
+    from datapipeline_spike_spark.plans.registry import load
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "dirty")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    # plant: 3 orders pointing at nonexistent customers, 5 lineitems at
+    # a nonexistent order
+    o = load(spark, src, "orders")
+    dirty_o = o.limit(3).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 10_000_000).alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    o.unionByName(dirty_o).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    li = load(spark, src, "lineitem")
+    dirty_li = li.limit(5).withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+    li.unionByName(dirty_li).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    got = {
+        r["relation"]: (r["n_rows"], r["n_orphans"])
+        for r in REGISTRY["referential_integrity_audit"].spark(spark, d).collect()
+    }
+    n_orders = o.count()
+    n_li = li.count()
+    assert got["orders->customer"] == (n_orders + 3, 3)
+    # the 3 dirty orders are REAL parents for their lineitems (same
+    # o_orderkey), so lineitem orphans are exactly the 5 planted ones
+    assert got["lineitem->orders"] == (n_li + 5, 5)
+    assert got["customer->nation"][1] == 0
+    assert got["supplier->nation"][1] == 0
+
+
+def test_quality_filter_branches_fire_on_planted_docs(spark, tmp_path):
+    """Every reject rule must fire on a doc built to violate exactly it
+    (the corpus exercises only 3 of 5 branches)."""
+    import os
+
+    from datapipeline_spike_spark.plans import REGISTRY
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    good = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the window and the birds sing in the garden")
+    rows = [
+        (1, good, "en", "src0", len(good)),
+        (2, "short text", "en", "src0", 10),                      # too_short
+        (3, " ".join(["a"] * 30), "en", "src0", 59),              # word_length (mean 1)
+        (4, good + " " + "!@#$%^&*()" * 40, "en", "src0", 500),   # symbol_heavy
+        (5, " ".join(["alpha beta gamma"] * 12), "en", "src0", 200),  # repetitive (3 distinct/36)
+        (6, "zebra quagga okapi tapir lemur fossa dingo vicuna "
+            "gerenuk markhor serow takin urial argali saola banteng",
+         "en", "src0", 120),                                      # no_stopwords
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in REGISTRY["quality_filter_decision"].spark(spark, d).collect()
+    }
+    assert got[1] == (None, True)
+    assert got[2] == ("too_short", False)
+    assert got[3] == ("word_length", False)
+    assert got[4] == ("symbol_heavy", False)
+    assert got[5] == ("repetitive", False)
+    assert got[6] == ("no_stopwords", False)
