@@ -32,6 +32,7 @@ _VERIFY_FIRST = (
     "candidate_edit_distance",
     "lineitem_scalar_lab",
     "referential_integrity_audit",
+    "props_variant_stats",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

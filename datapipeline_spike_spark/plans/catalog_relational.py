@@ -828,3 +828,45 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(audit(s, n, "s_nationkey", "n_nationkey", "supplier->nation"))
     )
     return out.orderBy("relation")
+
+
+@register(
+    "props_variant_stats",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+             AS k_band,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS avg_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="""Semi-structured S9 via Spark 4's VARIANT type (the current
+    engine path for JSON columns, SPARK-45891): parse_json once into a
+    binary variant, then typed try_variant_get path extraction feeds the
+    aggregation — at scale this beats per-expression get_json_object
+    re-parsing (one parse per row, shredded binary access per path; the
+    classic from_json/get_json_object form remains as
+    json_props_profile). Values are engine-verified: the oracle replays
+    the same per-band stats through DuckDB's JSON extraction, so the
+    variant path's NUMBERS are checked, not just its plan shape.""",
+    tags=("scalar", "json", "variant"),
+)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    base = ev.select(k.alias("k"))
+    return (
+        base.groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
