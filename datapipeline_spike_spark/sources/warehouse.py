@@ -142,3 +142,61 @@ def start_routine_load(
         .foreachBatch(append_batch)
         .start()
     )
+
+
+def upsert_latest(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> int:
+    """MERGE-style latest-state upsert for a plain-parquet state table
+    (the reference's StarRocks PRIMARY KEY / Redis latest-state
+    semantics without a transactional format): read current, union the
+    update batch, keep the newest row per key (row_number over
+    (ts, tiebreak) desc), rewrite via temp-dir + rename swap.
+
+    Semantics: idempotent (re-applying a batch changes nothing — the
+    same winners win) and out-of-order-safe (a LATE update older than
+    the stored row loses the window and is discarded, exactly the
+    PRIMARY-KEY-table replace-if-newer rule). Returns the table's row
+    count after the merge.
+
+    Scale notes: the rewrite is table-sized — the classic copy-on-write
+    merge. Production bounds it by PARTITIONING the state table on a
+    key prefix and rewriting only partitions the batch touches (the
+    compact_zone pattern); a format with deletion vectors (Delta/
+    Iceberg) turns this into a metadata operation. Single-writer
+    assumption, like every non-transactional parquet rewrite."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        current = spark.read.parquet(table_path)
+        merged = current.unionByName(updates)
+    except AnalysisException:
+        merged = updates
+    order = [F.col(ts_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tmp = table_path.rstrip("/") + "._merging"
+    latest.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(table_path):
+        old = table_path.rstrip("/") + "._old"
+        os.rename(table_path, old)
+        os.rename(tmp, table_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, table_path)
+    return spark.read.parquet(table_path).count()

@@ -337,3 +337,36 @@ def test_lake_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert rows_after == rows_before
     for rel, r in report.items():
         assert r["files_after"] < r["files_before"]
+
+
+def test_upsert_latest_merge_semantics(spark, tmp_path):
+    """upsert_latest: replace-if-newer per key, insert-if-absent,
+    discard-if-older, idempotent re-application."""
+    from datapipeline_spike_spark.sources.warehouse import upsert_latest
+
+    path = str(tmp_path / "state")
+    t0 = "2024-01-01 00:00:00"
+    t1 = "2024-01-02 00:00:00"
+    t2 = "2024-01-03 00:00:00"
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, ts string, v string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+        )
+
+    n = upsert_latest(spark, path, df([(1, t1, "a1"), (2, t1, "b1")]), ["k"])
+    assert n == 2
+    # newer wins for k=1; k=3 inserts; k=2 untouched
+    n = upsert_latest(spark, path, df([(1, t2, "a2"), (3, t0, "c0")]), ["k"])
+    assert n == 3
+    got = {r["k"]: (r["v"], r["ts"]) for r in spark.read.parquet(path).collect()}
+    assert got[1][0] == "a2" and got[2][0] == "b1" and got[3][0] == "c0"
+    # LATE update older than stored state is discarded
+    n = upsert_latest(spark, path, df([(1, t0, "a0")]), ["k"])
+    assert n == 3
+    assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}[1] == "a2"
+    # idempotent: re-applying the same batch changes nothing
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    upsert_latest(spark, path, df([(1, t2, "a2")]), ["k"])
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
