@@ -39,6 +39,7 @@ BNLJ_OK = {
     "corpus_mixture_plan": "broadcast 1-row corpus-total against the 5-row lang plan",
     "part_size_bands": "the SURVEY §2.3 theta/band-join row: broadcast tiny band table",
     "kmeans_centroids": "assignment joins the corpus to <=k broadcast centroid rows",
+    "referential_integrity_audit": "1-row x 1-row cross of the count aggregates per relation",
 }
 # queries whose operators legitimately run Python (Arrow-batched only)
 PANDAS_OK = {
