@@ -701,3 +701,50 @@ def test_session_stream_matches_batch_sessionize(spark, events_dir):
             assert want[k] == v, k
     finally:
         q.stop()
+
+
+def test_streaming_upsert_maintains_latest_state_table(spark):
+    """S8b under streaming: foreachBatch upsert_latest maintains a
+    latest-per-key parquet state table across micro-batches — newer
+    updates replace, late updates lose, final table equals the batch
+    latest-per-key answer."""
+    from datapipeline_spike_spark.operators.sessions import latest_per_key
+    from datapipeline_spike_spark.sources.warehouse import upsert_latest
+
+    root = tempfile.mkdtemp(prefix="upsert_stream_")
+    src, table = f"{root}/src", f"{root}/state"
+    try:
+        ev = load(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        # two files -> two micro-batches, overlapping keys
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def apply_batch(batch_df, epoch_id):
+            upsert_latest(
+                spark, table, batch_df, keys=["user_id"], ts_col="ts",
+                tiebreak="event_id",
+            )
+
+        q = stream.writeStream.foreachBatch(apply_batch).option(
+            "checkpointLocation", f"{root}/ckpt"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["user_id"]: r["event_id"]
+            for r in spark.read.parquet(table).collect()
+        }
+        want = {
+            r["user_id"]: r["event_id"]
+            for r in latest_per_key(ev, ["user_id"], "ts", "event_id").collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
