@@ -333,3 +333,28 @@ def test_quality_filter_branches_fire_on_planted_docs(spark, tmp_path):
     assert got[4] == ("symbol_heavy", False)
     assert got[5] == ("repetitive", False)
     assert got[6] == ("no_stopwords", False)
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """The 100 TB quantile path (percentile_approx, a mergeable
+    Greenwald-Khanna-style sketch) must land within its documented
+    rank-error envelope of the exact percentile — the accuracy knob is
+    1/rank_error, so accuracy=100 guarantees |rank_est - rank_true|
+    <= n/100."""
+    from datapipeline_spike_spark.plans.registry import load
+
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    for p in (0.25, 0.5, 0.9):
+        approx, exact = li.select(
+            F.percentile_approx("l_extendedprice", p, 100).alias("a"),
+            F.expr(f"percentile(l_extendedprice, {p})").alias("e"),
+        ).collect()[0]
+        # convert the value gap to a RANK gap: count of rows the two
+        # cut points disagree on must be within n/100 (+1 slack for the
+        # interpolated exact value falling between data points)
+        lo, hi = sorted((approx, exact))
+        rank_gap = li.filter(
+            (F.col("l_extendedprice") > lo) & (F.col("l_extendedprice") <= hi)
+        ).count()
+        assert rank_gap <= n / 100 + 1, (p, approx, exact, rank_gap, n)
