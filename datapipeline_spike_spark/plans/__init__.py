@@ -33,6 +33,7 @@ _VERIFY_FIRST = (
     "lineitem_scalar_lab",
     "referential_integrity_audit",
     "props_variant_stats",
+    "robust_outlier_mad",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -273,3 +273,63 @@ def q_rolling_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), R).alias("rolling_mean"),
         F.count(F.lit(1)).over(w).alias("n_window"),
     )
+
+
+@register(
+    "robust_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type, med, median(abs(e.value - med)) AS mad
+      FROM events e JOIN med USING (event_type)
+      WHERE e.value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type AS status_code,
+           round(med, 6) AS median_value,
+           round(mad, 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(e.value - med) > 3 * 1.4826 * mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    doc="""Robust outlier detection via median absolute deviation (the
+    A13 z-score gate's robust sibling): a wild outlier inflates the
+    mean AND the stddev, masking itself from a z-gate; the median/MAD
+    pair is breakdown-resistant, so |x - median| > 3 * 1.4826 * MAD
+    (the normal-consistent scale factor) flags what z misses. Two
+    passes by necessity (median, then median of absolute deviations —
+    exact medians are not one-pass-mergeable), each a 5-group
+    aggregation with the stats broadcast back; at 100 TB the exact
+    median swaps for percentile_approx with the same topology.""",
+    tags=("quality", "aggregate", "robust"),
+)
+def q_robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    flagged = F.when(
+        F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy(
+            F.col("event_type").alias("status_code"),
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(flagged).cast("bigint").alias("n_outliers"),
+        )
+    )
