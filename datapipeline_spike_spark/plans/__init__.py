@@ -34,6 +34,7 @@ _VERIFY_FIRST = (
     "referential_integrity_audit",
     "props_variant_stats",
     "robust_outlier_mad",
+    "event_funnel_transitions",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -333,3 +333,62 @@ def q_robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(flagged).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "event_funnel_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER w AS next_type,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions,
+           round(CAST(sum(gap_us) AS BIGINT) / count(*) / 1000000.0, 6)
+             AS avg_gap_s
+    FROM seq
+    WHERE next_type IS NOT NULL AND gap_us <= 3600000000
+    GROUP BY 1, 2
+    """,
+    doc="""Event funnel / transition matrix (the product-analytics
+    staple on the sessionization substrate): per user order the stream,
+    take each consecutive (event, next-event) pair within a 1-hour gap,
+    and count transitions with the mean gap — the input to conversion
+    funnels and Markov-style flow analysis. One keyed window (same
+    shuffle class as sessionization: partition by user, sort by time)
+    then a tiny |types|^2 aggregation; no self-join — the naive
+    formulation joins the stream to itself on user and adjacency, which
+    is quadratic per hot user.""",
+    tags=("window", "funnel", "aggregate"),
+)
+def q_event_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds: a seconds-level cast would FLOOR and
+    # silently disagree with any fractional-second oracle arithmetic;
+    # the average divides ONCE after an exact integer sum
+    gap_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+            gap_us.alias("gap_us"),
+        )
+        .filter(F.col("next_type").isNotNull() & (F.col("gap_us") <= 3_600_000_000))
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(
+                F.sum("gap_us").cast("bigint") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("avg_gap_s"),
+        )
+    )
