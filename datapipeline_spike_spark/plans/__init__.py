@@ -35,6 +35,7 @@ _VERIFY_FIRST = (
     "props_variant_stats",
     "robust_outlier_mad",
     "event_funnel_transitions",
+    "cohort_retention",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

@@ -392,3 +392,51 @@ def q_event_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_gap_s"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(day_offset AS INT) AS day_offset,
+           count(*) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+    doc="""Cohort retention matrix (the other product-analytics staple
+    next to the funnel): users cohorted by first-seen day, counted as
+    active per day-offset from their cohort — the triangle behind every
+    retention curve. Shape: one groupBy-min for cohorts (user grain),
+    join back (user-keyed, dim-like at |users| << |events|), distinct
+    at (user, offset) grain, final small aggregation. Every shuffle is
+    keyed by user or by the tiny (cohort, offset) pair — linear, no
+    windows over the full stream needed.""",
+    tags=("aggregate", "cohort", "retention"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
