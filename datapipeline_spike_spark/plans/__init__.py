@@ -36,6 +36,8 @@ _VERIFY_FIRST = (
     "robust_outlier_mad",
     "event_funnel_transitions",
     "cohort_retention",
+    "monthly_revenue_growth",
+    "value_histogram",
     # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",

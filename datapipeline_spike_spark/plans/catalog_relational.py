@@ -870,3 +870,76 @@ def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 6).alias("avg_k"),
         )
     )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(lag(revenue) OVER (ORDER BY month), 2) AS prev_revenue,
+           round(CASE WHEN lag(revenue) OVER (ORDER BY month) > 0
+                 THEN (revenue - lag(revenue) OVER (ORDER BY month))
+                      / lag(revenue) OVER (ORDER BY month) END, 6) AS mom_growth
+    FROM m
+    """,
+    doc="""Window-over-aggregate (the BI month-over-month pattern):
+    monthly revenue totals, previous month via lag, growth ratio —
+    note the window runs on the AGGREGATED frame (|months| rows), so
+    the single-partition ORDER BY is a dozen rows, never the fact
+    table; the heavy lifting is the one month-grain aggregation with
+    map-side partials. Growth computed from the 2dp-rounded totals so
+    both engines divide identical numbers.""",
+    tags=("window", "aggregate", "bi"),
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.round(
+            F.when(prev > 0, (F.col("revenue") - prev) / prev), 6
+        ).alias("mom_growth"),
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(floor(value / 25.0) * 25.0 AS DOUBLE) AS bin_lo,
+           count(*) AS n,
+           round(avg(value), 6) AS bin_mean
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="""Equi-width histogram by explicit floor-division binning (the
+    distribution view quantiles can't give: bin POPULATIONS, not cut
+    points): one map-side-combined aggregation keyed by bin id —
+    |bins| output rows regardless of corpus size, the cheapest possible
+    full-distribution summary at 100 TB. Bin width 25 over the events
+    value range; floor(v/w) is bit-identical across engines (IEEE
+    division + floor), unlike any rounding-based binning.""",
+    tags=("aggregate", "histogram"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.floor(F.col("value") / 25.0)
+    return ev.groupBy(
+        b.cast("bigint").alias("bin"),
+        (b * 25.0).cast("double").alias("bin_lo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("bin_mean"),
+    )
