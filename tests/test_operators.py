@@ -358,3 +358,36 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
             (F.col("l_extendedprice") > lo) & (F.col("l_extendedprice") <= hi)
         ).count()
         assert rank_gap <= n / 100 + 1, (p, approx, exact, rank_gap, n)
+
+
+def test_fixed_size_sample_bottom_k_stability(spark):
+    """The docstring's claim under test: adding ONE new document to a
+    stratum displaces AT MOST ONE member of its fixed-size sample (the
+    bottom-k property), and reruns are identical."""
+    from datapipeline_spike_spark.operators.sampling import hash_u01
+    from pyspark.sql import Window
+
+    R_SIZE = 10
+
+    def sample_ids(docs):
+        w = Window.partitionBy("lang").orderBy(hash_u01("doc_id"), "doc_id")
+        return {
+            r["doc_id"]
+            for r in docs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= R_SIZE)
+            .collect()
+        }
+
+    base = spark.createDataFrame(
+        [(i, "en") for i in range(200)], "doc_id long, lang string"
+    )
+    s1 = sample_ids(base)
+    assert len(s1) == R_SIZE
+    assert sample_ids(base) == s1  # rerun-stable
+    # grow the corpus by one doc: the sample changes by at most one member
+    grown = base.union(
+        spark.createDataFrame([(10_000, "en")], "doc_id long, lang string")
+    )
+    s2 = sample_ids(grown)
+    assert len(s2) == R_SIZE
+    assert len(s1 - s2) <= 1 and len(s2 - s1) <= 1
