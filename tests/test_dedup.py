@@ -437,3 +437,19 @@ def test_bucketed_band_index_join_shuffles_batch_only(spark):
         assert joined.count() > 0  # identical docs share all bands
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_test")
+
+
+def test_incremental_dedup_empty_edges(spark):
+    """Contract at the boundaries: empty incoming -> empty verdict;
+    empty existing corpus -> everything classifies 'new'."""
+    from datapipeline_spike_spark.operators.dedup import incremental_dedup
+
+    schema = "doc_id long, text string"
+    existing = spark.createDataFrame([(0, BASE)], schema)
+    empty = spark.createDataFrame([], schema)
+    assert incremental_dedup(existing, empty).count() == 0
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(empty, existing).collect()
+    }
+    assert got == {0: "new"}

@@ -370,3 +370,24 @@ def test_upsert_latest_merge_semantics(spark, tmp_path):
     upsert_latest(spark, path, df([(1, t2, "a2")]), ["k"])
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert before == after
+
+
+def test_lake_compaction_second_run_is_noop(spark, tmp_path):
+    """Idempotence: once a partition is at target granularity the
+    compactor must leave it alone (no churn, no rewrite)."""
+    from datapipeline_spike_spark.sources.parquet_lake import compact_zone, write_zone
+
+    root = str(tmp_path / "lake2")
+    base = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "machine", F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string"))
+    )
+    for i in range(5):
+        write_zone(base.filter(F.col("event_id") % 5 == i), root, "processed")
+    first = compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
+    assert first
+    import glob
+
+    files_after_first = sorted(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
+    second = compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
+    assert second == {}  # nothing left to compact
+    assert sorted(glob.glob(f"{root}/processed/**/*.parquet", recursive=True)) == files_after_first
