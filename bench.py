@@ -51,6 +51,34 @@ HEADLINE = [
 ]
 
 
+def run_queries(
+    spark, names: list[str], sf_dir: str, n_runs: int = 2
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """Time each query with PER-QUERY failure isolation: one broken
+    query must never zero the whole round's bench (round-3 lesson —
+    sessionization raised, rc=1, BENCH_r03 had no numbers at all).
+    Returns (steady-state timings, all run pairs, errors); the caller
+    always emits its JSON line with whatever survived."""
+    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        fn = REGISTRY[name].spark
+        pair = []
+        try:
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                pair.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
+        runs[name] = pair
+        timings[name] = pair[-1]
+    return timings, runs, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -74,27 +102,7 @@ def main() -> None:
     # run-to-run — the second run is the reproducible number a cluster
     # would see in steady state. Both runs are reported ("runs") so the
     # host's noise floor is visible next to the headline number.
-    # Per-query failure isolation: one broken query must never zero the
-    # whole round's bench (round-3 lesson — sessionization raised, rc=1,
-    # BENCH_r03 had no numbers at all). Errors are recorded per query
-    # and the JSON line is ALWAYS emitted with the surviving totals.
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].spark
-        pair = []
-        try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                pair.append(round(time.perf_counter() - t0, 3))
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-            continue
-        runs[name] = pair
-        timings[name] = pair[-1]
+    timings, runs, errors = run_queries(spark, HEADLINE, sf_dir)
 
     extras: dict[str, float] = {}
     for name in EXTRAS:
