@@ -748,3 +748,40 @@ def test_streaming_upsert_maintains_latest_state_table(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_observed_ingest_metrics_match_batch_truth(spark, events_dir):
+    """A14 via DataFrame.observe: per-micro-batch observed counters,
+    summed over the run, equal the batch aggregation — metrics ride the
+    scan, no second pass, no listener."""
+    from datapipeline_spike_spark.streaming.observability import (
+        sum_observed,
+        with_ingest_metrics,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    observed = with_ingest_metrics(stream)
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="obs_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sum_observed(q.recentProgress)
+    finally:
+        q.stop()
+    ev = spark.read.parquet(events_dir)
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") > 100.0).cast("long")).alias("n_invalid"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"] > 0
+    assert got["n_invalid"] == want["n_invalid"]
+    assert got.get("n_null", 0) == (want["n_null"] or 0)
