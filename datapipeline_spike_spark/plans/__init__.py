@@ -17,7 +17,64 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 # may go 2 rounds unverified), (3) new queries; the most recently
 # driver-green block rotates to the tail.
 _VERIFY_FIRST = (
-    # new in round 4 — never driver-verified
+    # --- code changed in round 4/5 but not driver-re-verified since ---
+    "dedup_corpus_assignment",      # r4: size-gated driver union-find
+    "minhash_lsh_candidates",       # r4: shared MinHash signature pass
+    "simhash_signatures",           # r4: shared signature pass
+    "simhash_neardup_pairs",
+    "embedding_dedup_assignment",   # uses connected components (r4 change)
+    "ngram_jaccard_pairs",
+    "unigram_logprob_score",        # r5: plan-build collect removed
+    # --- perf-weak, needs a fresh driver timing + hash ---
+    "spectral_energy",
+    "dominant_frequency",
+    # --- last driver-verified in r2, longest-unverified block ---
+    "ann_lsh_bucket",
+    "ann_ivf_flat",
+    "kmeans_centroids",
+    "ann_ivf_kmeans",
+    "embedding_neardup_pairs",
+    "embedding_topk_cosine",
+    "pca_reduce",
+    "text_quality_profile",
+    "language_id",
+    "token_frequencies",
+    "token_counting_methods",
+    "doc_rolling_hash",
+    "kmv_distinct_ngrams",
+    "heavy_hitter_tokens",
+    "document_chunks",
+    "benchmark_contamination",
+    "leakage_safe_split",
+    "stratified_sample",
+    "pii_redaction",
+    "segment_dedup_profile",
+    "context_pack_stats",
+    "doc_fingerprint_dedup",
+    "dedup_latest_state",
+    "outlier_gate",
+    "quality_metrics",
+    "rolling_baseline",
+    "sliding_window_load",
+    "purchase_asof_signup",
+    "shipping_priority",
+    "late_shipment_priority",
+    "small_quantity_revenue",
+    "table_profile",
+    "image_header_meta",
+    "video_header_meta",
+    # --- new in round 5 — never driver-verified ---
+    "incremental_dedup_steady_state",
+    "dominant_frequency_verified",  # r5: de-vacuated at sf0.001
+    "url_host_dedup",
+    "decontamination_span_removal",
+    "paragraph_dedup_profile",
+    "doc_length_percentile_filter",
+    "near_dup_cluster_stats",
+)
+# Driver-green in round 4 (CORRECTNESS_r04.json, 50/50); rotate to the
+# tail so the 50-query window covers the unverified head first.
+_STABLE_TAIL = (
     "minhash_jaccard_estimate",
     "corpus_mixture_plan",
     "ann_recall_at_k",
@@ -25,7 +82,6 @@ _VERIFY_FIRST = (
     "incremental_ingest_dedup",
     "quality_filter_decision",
     "customer_value_ranks",
-    "dominant_frequency_verified",
     "ivf_recall_at_k",
     "fixed_size_sample",
     "source_quality_rollup",
@@ -38,10 +94,8 @@ _VERIFY_FIRST = (
     "cohort_retention",
     "monthly_revenue_growth",
     "value_histogram",
-    # repaired in round 4 (NTZ load-boundary fix; oracle HUGEINT cast)
     "sessionization",
     "repetition_profile",
-    # green in r2 but rotated out of the r3 sample — re-verify now
     "embedding_label_stats",
     "multimodal_shard_meta",
     "tfidf_top_terms",
@@ -65,32 +119,11 @@ _VERIFY_FIRST = (
     "daily_status_pivot",
     "json_props_profile",
     "machine_stream_union",
-)
-# Green in the r3 driver sample; rotate to the tail so the 50-query
-# window covers the head + mid first.
-_STABLE_TAIL = (
-    "pii_redaction",
-    "segment_dedup_profile",
-    "context_pack_stats",
-    "image_header_meta",
-    "benchmark_contamination",
-    "stratified_sample",
-    "embedding_dedup_assignment",
-    "video_header_meta",
-    "kmv_distinct_ngrams",
-    "table_profile",
-    "heavy_hitter_tokens",
-    "document_chunks",
-    "unigram_logprob_score",
-    "leakage_safe_split",
-    "spectral_energy",
-    "dominant_frequency",
-    "pca_reduce",
-    "ann_lsh_bucket",
-    "ann_ivf_flat",
-    "kmeans_centroids",
-    "ann_ivf_kmeans",
-    "embedding_neardup_pairs",
+    "vibration_features",
+    "downsample_1h",
+    "record_envelope_flat",
+    "envelope_reduced_features",
+    "status_route_counts",
 )
 
 

@@ -710,13 +710,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(Tx.tokens("text")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.filter(Tx.token_count("text") > 0).count()
-    scored = tf.join(df_, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-        ).alias("tfidf"),
+    # N (docs with >=1 token) == distinct doc_id in tf: deriving it from
+    # the SAME aggregate keeps it in-plan (no job fires at plan-build)
+    # and lets ReuseExchange serve every branch from ONE tokenize+explode
+    # shuffle instead of re-scanning the corpus for a scalar count.
+    n_docs = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 
@@ -759,17 +767,30 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "lm"),
 )
 def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Everything derives from ONE (doc_id, tok) count aggregate: vocab
+    # and the smoothing totals are re-aggregations of `tf`, and the
+    # 1-row totals frame stays IN-PLAN via a broadcast cross join (the
+    # corpus_mixture_plan pattern) instead of a plan-build collect()
+    # that both blocked the driver and paid the tokenize+explode scan
+    # twice. ReuseExchange serves the probe side and the vocab build
+    # from the same shuffle, so the corpus is tokenized exactly once.
     d = fan_out(load(spark, sf_dir, "documents"))
     ex = d.select("doc_id", F.explode(Tx.tokens("text")).alias("tok"))
-    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot_row = vocab.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")).collect()[0]
-    total, v = float(tot_row["total"]), float(tot_row["v"])
-    scored = ex.join(F.broadcast(vocab), "tok").select(
-        "doc_id", F.log((F.col("c") + 1.0) / (total + v)).alias("lp")
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = tf.groupBy("tok").agg(F.sum("n").alias("c"))
+    totals = vocab.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v"))
+    scored = (
+        tf.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n",
+            (F.col("n") * F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v")))).alias("nlp"),
+        )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.sum("n").alias("n_tokens"),
+        F.round(F.sum("nlp") / F.sum("n"), 6).alias("avg_logprob"),
     )
 
 

@@ -2,7 +2,8 @@
 flag scale anti-patterns. tests/test_plans.py pins specific plan shapes
 for chosen queries; this tool is the broad net — a refactor that slips a
 cartesian product, a row-at-a-time Python UDF, or an unexpected
-nested-loop join into ANY of the 78 queries fails the audit.
+nested-loop join into ANY registry query fails the audit (the summary
+line reports the count actually audited).
 
 Rules (per executedPlan string):
 - CartesianProduct: forbidden except documented allowlist.
@@ -40,6 +41,8 @@ BNLJ_OK = {
     "part_size_bands": "the SURVEY §2.3 theta/band-join row: broadcast tiny band table",
     "kmeans_centroids": "assignment joins the corpus to <=k broadcast centroid rows",
     "referential_integrity_audit": "1-row x 1-row cross of the count aggregates per relation",
+    "unigram_logprob_score": "broadcast 1-row smoothing totals kept in-plan (no plan-build collect)",
+    "tfidf_top_terms": "broadcast 1-row corpus doc-count kept in-plan (no plan-build collect)",
 }
 # queries whose operators legitimately run Python (Arrow-batched only)
 PANDAS_OK = {
