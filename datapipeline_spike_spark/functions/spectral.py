@@ -100,16 +100,22 @@ def pca_reduce_groups(df, group_cols, feature_cols, k=2, carry_cols=()):
 
 @F.pandas_udf(T.ArrayType(T.DoubleType()))
 def dft_bin_magnitudes(batch: pd.Series) -> pd.Series:
-    """|rfft| magnitudes at bins 1..32 (DC excluded) of each sample
-    array — the bounded-bin slice of the full FFT that a SQL oracle can
-    replay with direct DFT trigonometric sums (sqrt((sum v*cos)^2 +
-    (sum v*sin)^2) per bin). NULL for arrays of <= 64 samples (keeps
-    every emitted bin strictly below Nyquist)."""
+    """|rfft| magnitudes at bins 1..min(32, ceil(N/2)-1) (DC excluded,
+    strictly below Nyquist) of each sample array — the bounded-bin slice
+    of the full FFT that a SQL oracle can replay with direct DFT
+    trigonometric sums (sqrt((sum v*cos)^2 + (sum v*sin)^2) per bin).
+    The bin range ADAPTS to the window size: long windows keep the full
+    32-bin differential, short windows (driver smoke at sf0.001 has 2-15
+    samples per day-window) still emit their sub-Nyquist bins instead of
+    vanishing. NULL only when no sub-Nyquist non-DC bin exists (N <= 2)."""
 
     def one(arr):
-        if arr is None or len(arr) <= 64:
+        if arr is None or len(arr) <= 2:
+            return None
+        hi = min(32, (len(arr) - 1) // 2)  # bins k with k < N/2
+        if hi < 1:
             return None
         mag = np.abs(np.fft.rfft(np.asarray(arr, dtype=np.float64)))
-        return [float(x) for x in mag[1:33]]
+        return [float(x) for x in mag[1 : hi + 1]]
 
     return batch.map(one)

@@ -90,6 +90,16 @@ def _windowed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("samples", lambda s: s["value"]).alias("vals"),
             F.col("n_raw_samples").cast("long").alias("n_raw_samples"),
         )
+        # Right-size the downstream Arrow/pandas-UDF stage by DATA VOLUME,
+        # not upstream shuffle width: without this, the FFT UDF inherits
+        # every post-window partition (32 here, thousands on a cluster)
+        # for one tiny row per window, and each task forks/claims a
+        # Python worker — measured at +0.8s steady-state with cold
+        # workers (spark.python.worker.reuse=false), the r4 driver-bench
+        # anomaly. A keyed repartition is AQE-coalescible: ~5 MB of
+        # window payloads collapse to one partition, while a true
+        # cluster-scale window count still fans out by size.
+        .repartition("window_start", "status_code")
     )
 
 
@@ -627,7 +637,7 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d, event_type, count(*) AS N
       FROM r WHERE rn <= {SPECTRAL_MAX_SAMPLES}
       GROUP BY 1, 2
-      HAVING count(*) > 64
+      HAVING count(*) > 2
     ), m AS (
       SELECT r.d, r.event_type, sz.N, k.k,
              sqrt(pow(sum(value * cos(2 * pi() * k.k * (rn - 1) / sz.N)), 2)
@@ -636,7 +646,7 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
       JOIN sz ON sz.d = r.d AND sz.event_type = r.event_type
       CROSS JOIN (SELECT unnest(range(1, 33)) AS k) k
-      WHERE rn <= {SPECTRAL_MAX_SAMPLES}
+      WHERE rn <= {SPECTRAL_MAX_SAMPLES} AND k.k <= least(32, (sz.N - 1) // 2)
       GROUP BY 1, 2, 3, 4
     )
     SELECT CAST(d AS TIMESTAMP) AS window_start,
@@ -660,8 +670,10 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     match is an FFT-vs-naive-DFT differential: it proves the engine's
     FFT windowing, ordering, cap ({SPECTRAL_MAX_SAMPLES}), and bin
     conventions end-to-end, not just row counts — the same move that
-    made spectral_energy verifiable via Parseval. Windows of <= 64
-    samples are excluded so every emitted bin is below Nyquist. The
+    made spectral_energy verifiable via Parseval. The bin range adapts
+    to the window: k runs 1..min(32, (N-1)//2), so every emitted bin is
+    strictly below Nyquist at ANY window size and the sf0.001 smoke
+    (2-15 samples/window) still yields rows instead of vacuating. The
     full-resolution argmax (all N/2 bins) remains 'dominant_frequency'
     (rows-only): a SQL replay of thousands of bins per window would be
     O(N * bins) in the oracle, and 32 low bins already pin the
@@ -681,7 +693,7 @@ def q_dominant_frequency_verified(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     best = F.array_max(ranked)  # lexicographic: max mag, then min bin
     return (
-        w.filter(F.size("vals") > 64)
+        w.filter(F.size("vals") > 2)
         .select(
             "window_start",
             "status_code",

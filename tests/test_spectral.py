@@ -170,7 +170,9 @@ def test_ivf_topk_recalls_identical_vector(vectors):
 
 def test_dft_bin_magnitudes_planted_tone(spark):
     """dft_bin_magnitudes: a pure tone at bin k concentrates magnitude
-    N*amp/2 at index k-1 of the 32-bin slice; short arrays are NULL."""
+    N*amp/2 at index k-1 of the bin slice; the slice adapts to the
+    window — min(32, (N-1)//2) bins, all strictly sub-Nyquist — and only
+    degenerate arrays (N <= 2: no non-DC sub-Nyquist bin) are NULL."""
     import math
 
     from datapipeline_spike_spark.functions.spectral import dft_bin_magnitudes
@@ -178,11 +180,12 @@ def test_dft_bin_magnitudes_planted_tone(spark):
     n, k, amp = 256, 7, 3.0
     tone = [amp * math.sin(2 * math.pi * k * i / n) for i in range(n)]
     df = spark.createDataFrame(
-        [(1, tone), (2, [1.0] * 10)], "id long, vals array<double>"
+        [(1, tone), (2, [1.0] * 10), (3, [1.0, 2.0])], "id long, vals array<double>"
     )
     rows = {r["id"]: r["m"] for r in df.select("id", dft_bin_magnitudes("vals").alias("m")).collect()}
     mags = rows[1]
-    assert len(mags) == 32
+    assert len(mags) == 32  # long window keeps the full 32-bin slice
     assert max(range(32), key=lambda i: mags[i]) == k - 1
     assert abs(mags[k - 1] - n * amp / 2) < 1e-6
-    assert rows[2] is None  # <= 64 samples
+    assert len(rows[2]) == 4  # N=10 -> bins 1..4 (< Nyquist bin 5)
+    assert rows[3] is None  # N=2: no sub-Nyquist non-DC bin exists
