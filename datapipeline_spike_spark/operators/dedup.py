@@ -376,7 +376,14 @@ def connected_components_driver(
     final join coalesces isolated docs to themselves anyway), skipping
     the union+distinct job a full vertex frame would cost."""
     spark = edges.sparkSession
-    id_type = edges.schema[0].dataType.simpleString()
+    src_type = edges.schema[src_col].dataType
+    dst_type = edges.schema[dst_col].dataType
+    if src_type != dst_type:
+        raise ValueError(
+            f"edge endpoint types differ: {src_col}={src_type.simpleString()} "
+            f"vs {dst_col}={dst_type.simpleString()}"
+        )
+    id_type = src_type.simpleString()
     parent: dict = {}
 
     def find(x):

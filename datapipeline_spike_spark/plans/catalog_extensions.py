@@ -1371,9 +1371,11 @@ def q_context_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
-@register(
-    "incremental_ingest_dedup",
-    oracle=f"""
+# Shared by the cold-start and steady-state incremental-dedup queries:
+# classification is definitionally identical whether the index frames
+# are derived inline or round-tripped through parquet storage — that
+# equivalence is exactly what the steady-state query verifies.
+_SQL_INC_DEDUP = f"""
     WITH {_SQL_LSH_CANDS},
     fp AS (SELECT doc_id, {_SQL_FP} AS f FROM documents),
     ex_fp AS (
@@ -1404,7 +1406,12 @@ _SQL_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
                 ELSE 'new' END AS status,
            coalesce(exact_match, near_match) AS match_id
     FROM exact LEFT JOIN near ON exact.doc_id = near.inc_id
-    """,
+"""
+
+
+@register(
+    "incremental_ingest_dedup",
+    oracle=_SQL_INC_DEDUP,
     doc="""Incremental-ingest dedup (SURVEY §2.11 — the daily-crawl-vs-
     lake topology): classify each INCOMING doc (odd doc_id here) against
     the EXISTING corpus (even doc_id) as exact_dup / near_dup / new with
@@ -1427,6 +1434,53 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 0),
         d.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+@register(
+    "incremental_dedup_steady_state",
+    oracle=_SQL_INC_DEDUP,
+    doc="""Steady-state incremental dedup (the path production actually
+    runs): the existing corpus's (fp, bands, shingles) index frames are
+    MATERIALIZED to parquet (what ``streaming.pipeline.ingest_with_dedup``
+    appends per admitted batch) and the incoming half classifies through
+    the STORED index via ``incremental_dedup(index=...)`` — no scan,
+    tokenize, or hash of the existing corpus happens in the returned
+    plan; its only inputs are the index files and the batch. The oracle
+    is byte-identical to the cold-start query's, which is the point: a
+    hash match proves index build -> parquet round-trip -> index-join
+    classification loses nothing vs deriving the index inline. Closes
+    COVERAGE limitation #1 (stored-index path had tests but no driver
+    oracle row). The index write happens at call time by design — it IS
+    the admission side effect being simulated.""",
+    tags=("dedup", "lsh", "streaming", "storage"),
+)
+def q_incremental_dedup_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from datapipeline_spike_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dps_steady_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    fp, bands, sh = build_dedup_index(existing)
+    fp.write.mode("overwrite").parquet(f"{root}/fp")
+    bands.write.mode("overwrite").parquet(f"{root}/bands")
+    sh.write.mode("overwrite").parquet(f"{root}/shingles")
+    stored = (
+        spark.read.parquet(f"{root}/fp"),
+        spark.read.parquet(f"{root}/bands"),
+        spark.read.parquet(f"{root}/shingles"),
+    )
+    return incremental_dedup(None, incoming, index=stored)
 
 
 # --- MinHash signature fidelity ----------------------------------------------

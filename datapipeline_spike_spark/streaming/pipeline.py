@@ -194,17 +194,43 @@ def ingest_with_dedup(
     (continuous-crawl-vs-lake): each micro-batch classifies against the
     lake's PERSISTED dedup index (exact fingerprint + LSH-band + shingle
     frames under ``index_root``, default ``{lake_path}_index``), admitted
-    docs append to the lake AND their index rows append to the index —
-    so no batch ever re-scans or re-hashes the lake; per-batch cost is
+    docs land in the lake AND their index rows land in the index — so no
+    batch ever re-scans or re-hashes the lake; per-batch cost is
     batch-sized joins against the stored index. Rejected docs land in an
-    audit sink with their status and matched lake id.
+    audit sink with their status and matched id.
 
-    At-least-once note: if the batch retries after its appends, rerun
-    rows classify as exact_dup of their own earlier admission and route
-    to the rejected sink instead of duplicating the lake — admission is
-    idempotent because the index already contains them."""
+    Three tiers of dedup per batch:
+    1. WITHIN-BATCH exact collapse — min doc_id per fingerprint is the
+       representative; its intra-batch copies are routed to the rejected
+       sink inheriting the representative's fate (exact_dup of the rep
+       when the rep is admitted, the rep's own status/match when the rep
+       is itself rejected). Without this, two identical docs in one
+       micro-batch would both classify 'new' against the index and both
+       be admitted permanently. Within-batch NEAR dups are intentionally
+       not collapsed (a batch-local LSH self-join per micro-batch buys
+       little: the second near-copy is caught at its next occurrence).
+    2. exact vs the stored fingerprint index.
+    3. near (MinHash band -> shingle-Jaccard) vs the stored band index.
+
+    Exactly-once via EPOCH-IDEMPOTENT writes: every sink (lake, fp,
+    bands, shingles, admitted, rejected) is a parquet directory
+    partitioned by ``epoch=N``; a retried batch OVERWRITES its own epoch
+    partitions, and the index reads EXCLUDE the current epoch, so a
+    partial failure anywhere between the six writes replays to the
+    identical verdict and final state — no duplicate lake rows, no
+    admitted-but-unindexed docs, regardless of which write died. (The
+    old append-everything design could both re-admit rows on a retry
+    that died between the lake and fp writes, and strand lake rows
+    invisible to the near-dup tier.) Readers see an ``epoch`` partition
+    column — the standard ingest-epoch lake layout.
+
+    The verdict is localCheckpoint'ed once per batch, so the fan-out to
+    six sinks re-executes neither the classification joins nor the
+    admitted projection."""
+    from pyspark.sql import Window
     from pyspark.sql.utils import AnalysisException
 
+    from datapipeline_spike_spark.functions.text import fingerprint_md5
     from datapipeline_spike_spark.operators.dedup import (
         build_dedup_index,
         incremental_dedup,
@@ -219,39 +245,85 @@ def ingest_with_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+
+        def read_index_excluding(path: str) -> DataFrame:
+            df = spark.read.parquet(path)
+            # a failed earlier attempt of THIS epoch may have written its
+            # partition already; classification must not see it or rerun
+            # rows would classify as dups of their own partial admission
+            return df.filter(F.col("epoch") != F.lit(epoch_id)).drop("epoch")
+
+        def epoch_write(df: DataFrame, path: str) -> None:
+            df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+        # tier 1: within-batch exact collapse
+        marked = batch_df.withColumn("_f", fingerprint_md5(text_col)).withColumn(
+            "_rep", F.min(id_col).over(Window.partitionBy("_f"))
+        )
+        reps = marked.filter(F.col(id_col) == F.col("_rep")).select(id_col, text_col)
+        batch_dups = marked.filter(F.col(id_col) != F.col("_rep")).select(
+            id_col, text_col, "_rep"
+        )
+
+        # tiers 2+3: classify representatives against the stored index
         try:
             index = (
-                spark.read.parquet(fp_path),
-                spark.read.parquet(bands_path),
-                spark.read.parquet(sh_path),
+                read_index_excluding(fp_path),
+                read_index_excluding(bands_path),
+                read_index_excluding(sh_path),
             )
         except AnalysisException:  # first batch: empty lake, no index yet
             index = None
         if index is None:
-            verdict = batch_df.select(
+            verdict = reps.select(
                 F.col(id_col),
                 F.lit("new").alias("status"),
                 F.lit(None).cast(batch_df.schema[id_col].dataType).alias("match_id"),
             )
         else:
             verdict = incremental_dedup(
-                None, batch_df, text_col, id_col, jaccard_threshold, index=index
+                None, reps, text_col, id_col, jaccard_threshold, index=index
             )
+        # one classification per batch: the six sinks below must not
+        # re-execute the index joins
+        verdict = verdict.localCheckpoint(eager=True)
+
         admitted = batch_df.join(
             verdict.filter(F.col("status") == "new").select(id_col), id_col
-        )
-        rejected = batch_df.join(
+        ).localCheckpoint(eager=True)
+        rep_rejected = batch_df.join(
             verdict.filter(F.col("status") != "new"), id_col
         ).select(id_col, text_col, "status", "match_id")
-        admitted.write.mode("append").parquet(lake_path)
+        dup_rejected = batch_dups.join(
+            verdict.select(
+                F.col(id_col).alias("_rep"),
+                F.col("status").alias("_rs"),
+                F.col("match_id").alias("_rm"),
+            ),
+            "_rep",
+        ).select(
+            id_col,
+            text_col,
+            # the rep was admitted -> its copies are exact dups of it;
+            # the rep was rejected -> its copies share its fate verbatim
+            F.when(F.col("_rs") == "new", F.lit("exact_dup"))
+            .otherwise(F.col("_rs"))
+            .alias("status"),
+            F.when(F.col("_rs") == "new", F.col("_rep"))
+            .otherwise(F.col("_rm"))
+            .alias("match_id"),
+        )
+        rejected = rep_rejected.unionByName(dup_rejected)
+
+        epoch_write(admitted, lake_path)
         # index rows for the admitted docs only — derived from the
-        # batch, appended once; later batches join these instead of
+        # batch, written once; later batches join these instead of
         # ever touching the lake again
         fp, bands, sh = build_dedup_index(admitted, text_col, id_col)
-        fp.write.mode("append").parquet(fp_path)
-        bands.write.mode("append").parquet(bands_path)
-        sh.write.mode("append").parquet(sh_path)
-        admitted.select(id_col).write.mode("append").parquet(admitted_path)
-        rejected.write.mode("append").parquet(rejected_path)
+        epoch_write(fp, fp_path)
+        epoch_write(bands, bands_path)
+        epoch_write(sh, sh_path)
+        epoch_write(admitted.select(id_col), admitted_path)
+        epoch_write(rejected, rejected_path)
 
     return handle

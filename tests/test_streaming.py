@@ -624,6 +624,70 @@ def test_streaming_ingest_dedup_admission(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_ingest_dedup_within_batch_dups_and_retry_idempotent(spark):
+    """The two r4-advice gaps, pinned: (1) identical docs arriving in ONE
+    micro-batch collapse to a single admission — copies route to the
+    rejected sink as exact_dup of the batch representative; (2) replaying
+    an epoch after a partial failure (here: the whole handler, the worst
+    case) leaves lake/index/admitted byte-identical — epoch-partitioned
+    overwrites + current-epoch-excluding index reads make every write
+    idempotent."""
+    import shutil
+
+    from datapipeline_spike_spark.streaming.pipeline import ingest_with_dedup
+
+    text_a = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing outside"
+    )
+    text_b = (
+        "completely different subject matter about database engines and "
+        "distributed query processing with shuffles joins and aggregations"
+    )
+    root = tempfile.mkdtemp(prefix="ingest_dedup_retry_")
+    lake, ok, rej = f"{root}/lake", f"{root}/admitted", f"{root}/rejected"
+    try:
+        handle = ingest_with_dedup(lake, ok, rej)
+        # epoch 0: doc 1 and its intra-batch copy 7, plus fresh doc 2
+        b0 = spark.createDataFrame(
+            [(1, text_a), (7, text_a), (2, text_b)], "doc_id long, text string"
+        )
+        handle(b0, 0)
+        lake_ids = {r["doc_id"] for r in spark.read.parquet(lake).collect()}
+        rejected = {
+            r["doc_id"]: (r["status"], r["match_id"])
+            for r in spark.read.parquet(rej).collect()
+        }
+        assert lake_ids == {1, 2}
+        assert rejected == {7: ("exact_dup", 1)}
+        idx_ids = {r["doc_id"] for r in spark.read.parquet(f"{lake}_index/fp").collect()}
+        assert idx_ids == {1, 2}  # the copy was never indexed
+
+        # RETRY epoch 0 (partial-failure replay): state must not change
+        handle(b0, 0)
+        assert {r["doc_id"] for r in spark.read.parquet(lake).collect()} == {1, 2}
+        assert {r["doc_id"] for r in spark.read.parquet(f"{lake}_index/fp").collect()} == {1, 2}
+        rows = spark.read.parquet(lake).collect()
+        assert len(rows) == 2  # no duplicate lake ROWS either
+
+        # epoch 1: a copy of an intra-batch-rejected doc still matches
+        # the LAKE representative, and a copy whose rep was rejected in
+        # ITS batch inherits the rep's fate
+        b1 = spark.createDataFrame(
+            [(11, text_a), (12, text_a)], "doc_id long, text string"
+        )
+        handle(b1, 1)
+        rejected = {
+            r["doc_id"]: (r["status"], r["match_id"])
+            for r in spark.read.parquet(rej).collect()
+        }
+        assert rejected[11] == ("exact_dup", 1)  # rep of b1, dup of lake doc 1
+        assert rejected[12] == ("exact_dup", 1)  # copy inherits rep 11's fate
+        assert {r["doc_id"] for r in spark.read.parquet(lake).collect()} == {1, 2}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_stream_static_ann_candidate_join(spark):
     """Stream-STATIC join (the retrieval topology): a stream of query
     vectors equi-joins the static LSH-bucketed corpus on the bucket key
