@@ -25,6 +25,7 @@ _VERIFY_FIRST = (
     "embedding_dedup_assignment",   # uses connected components (r4 change)
     "ngram_jaccard_pairs",
     "unigram_logprob_score",        # r5: plan-build collect removed
+    "tfidf_top_terms",              # r5: same fix — derive N in-plan
     # --- perf-weak, needs a fresh driver timing + hash ---
     "spectral_energy",
     "dominant_frequency",
@@ -68,8 +69,7 @@ _VERIFY_FIRST = (
     "dominant_frequency_verified",  # r5: de-vacuated at sf0.001
     "url_host_dedup",
     "decontamination_span_removal",
-    "paragraph_dedup_profile",
-    "doc_length_percentile_filter",
+    "winnowing_fingerprints",
     "near_dup_cluster_stats",
 )
 # Driver-green in round 4 (CORRECTNESS_r04.json, 50/50); rotate to the
@@ -98,7 +98,6 @@ _STABLE_TAIL = (
     "repetition_profile",
     "embedding_label_stats",
     "multimodal_shard_meta",
-    "tfidf_top_terms",
     "pricing_summary",
     "revenue_by_segment",
     "customers_per_region",

@@ -326,9 +326,9 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_corpus_assignment",
-    oracle=f"""
+# Shared by dedup_corpus_assignment and near_dup_cluster_stats: the
+# exact-collapse -> LSH -> Jaccard-verify -> transitive-closure replay.
+_SQL_DEDUP_ASSIGN_CTES = f"""
     WITH RECURSIVE fp AS (
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
       FROM documents
@@ -373,9 +373,18 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.a, e.d FROM closure c JOIN esym e ON c.b = e.s
     ), comp AS (
       SELECT a AS id, min(b) AS comp FROM closure GROUP BY a
+    ), assignment AS (
+      SELECT r.doc_id AS doc_id, c.comp AS canonical_id
+      FROM rep r JOIN comp c ON r.exact_rep = c.id
     )
-    SELECT r.doc_id AS doc_id, c.comp AS canonical_id
-    FROM rep r JOIN comp c ON r.exact_rep = c.id
+"""
+
+
+@register(
+    "dedup_corpus_assignment",
+    oracle=f"""
+    {_SQL_DEDUP_ASSIGN_CTES}
+    SELECT doc_id, canonical_id FROM assignment
     """,
     doc="""END-TO-END dedup pipeline as one oracle-checked query: exact
     fingerprint collapse -> MinHash-LSH candidates among representatives
@@ -1996,4 +2005,316 @@ def q_candidate_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("prefix_edit_dist"),
             F.round(sim, R).alias("prefix_similarity"),
         )
+    )
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+
+# documents carries no URL column, so a deterministic messy URL is
+# synthesized per doc (scheme/www/case/query-string variants) and the
+# operator under test is the CANONICALIZATION + dedup, replayed
+# identically in SQL. Same move as the parity-split incremental dedup.
+_SQL_MESSY_URL = (
+    "concat(CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://www.' "
+    "ELSE 'HTTPS://WWW.' END, source, '.example.com/Page/', "
+    "CAST(doc_id % 40 AS VARCHAR), "
+    "CASE doc_id % 2 WHEN 0 THEN '?utm_source=feed&ref=rss' ELSE '/' END)"
+)
+
+
+@register(
+    "url_host_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
+    c AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(lower(url),
+               '^https?://(www\\.)?', ''), '\\?.*$', ''), '/+$', '')
+               AS canonical_url
+      FROM u
+    )
+    SELECT doc_id, url, canonical_url,
+           min(doc_id) OVER (PARTITION BY canonical_url) AS url_rep,
+           doc_id != min(doc_id) OVER (PARTITION BY canonical_url) AS is_url_dup
+    FROM c
+    """,
+    doc="""URL-level dedup (SURVEY §2.11 — the first dedup tier of a web
+    crawl pipeline, before any content hashing): canonicalize (lowercase,
+    strip scheme + www + query string + trailing slash) and keep the
+    minimum doc per canonical URL. One window over the canonical key —
+    a single hash shuffle at any corpus size; canonicalization itself is
+    map-only codegen (three regexp_replace). The messy URL is
+    synthesized deterministically per doc (scheme/www/case/query
+    variants) since the testdata has no URL column; the operator under
+    test is canonicalize+dedup, replayed bit-identically in the
+    oracle.""",
+    tags=("dedup", "url", "text"),
+)
+def q_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("http://www."))
+        .otherwise(F.lit("HTTPS://WWW.")),
+        F.col("source"),
+        F.lit(".example.com/Page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(
+            F.lit("/")
+        ),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"^https?://(www\.)?", ""),
+            r"\?.*$",
+            "",
+        ),
+        "/+$",
+        "",
+    )
+    w = Window.partitionBy("canonical_url")
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select("doc_id", "url", canon.alias("canonical_url"))
+        .select(
+            "doc_id",
+            "url",
+            "canonical_url",
+            F.min("doc_id").over(w).alias("url_rep"),
+            (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_url_dup"),
+        )
+    )
+
+
+# --- decontamination span removal --------------------------------------------
+
+
+@register(
+    "decontamination_span_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES_K} AS ngs FROM t),
+    bench AS (
+      SELECT DISTINCT unnest(ngs) AS ng FROM sh WHERE doc_id % {_CONTAM_MOD} = 0
+    ),
+    pos0 AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             unnest(list_transform(range(1, len(toks) - {_CONTAM_K} + 2),
+               i -> {{'pos': i - 1,
+                      'ng': array_to_string(toks[i:i+{_CONTAM_K - 1}], ' ')}})) AS s
+      FROM t WHERE len(toks) >= {_CONTAM_K} AND doc_id % {_CONTAM_MOD} != 0
+    ),
+    hits AS (
+      SELECT doc_id, n_tokens, s.pos AS pos
+      FROM pos0 JOIN bench ON s.ng = bench.ng
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, n_tokens, s2.cp AS cp
+      FROM (SELECT doc_id, n_tokens,
+                   unnest(list_transform(range(0, {_CONTAM_K}), d -> pos + d)) AS cp
+            FROM hits) AS s2(doc_id, n_tokens, cp)
+    ),
+    agg AS (
+      SELECT cov.doc_id, count(*) AS n_removed,
+             (SELECT count(DISTINCT pos) FROM hits h
+              WHERE h.doc_id = cov.doc_id) AS n_flagged_ngrams
+      FROM cov GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(agg.n_flagged_ngrams, 0) AS BIGINT) AS n_flagged_ngrams,
+           CASE WHEN len(toks) = 0 THEN 1.0
+                ELSE round((len(toks) - coalesce(agg.n_removed, 0)) * 1.0
+                           / len(toks), {R}) END AS retained_ratio
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    WHERE t.doc_id % {_CONTAM_MOD} != 0
+    """,
+    doc=f"""Decontamination SPAN REMOVAL (the action step after
+    benchmark_contamination's detection): every corpus token covered by
+    a {_CONTAM_K}-gram that collides with the benchmark set is marked
+    for removal, and the query reports per-doc removed-token counts and
+    the retained ratio — what a scrubbing pass would keep. Overlapping
+    contaminated spans are merged by counting DISTINCT covered
+    positions. The benchmark n-gram set is broadcast (eval-suite-sized,
+    never corpus-sized); per-doc marking is one positional explode +
+    equi-join + two bounded aggregations — linear in corpus tokens,
+    no self-joins.""",
+    tags=("text", "contamination", "dedup"),
+)
+def q_decontamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        Tx.token_count("text").cast("long").alias("n_tokens"),
+        Tx.ngrams("text", k=_CONTAM_K).alias("ngs"),
+    )
+    corpus = t.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+    bench = (
+        d.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select(F.explode(Tx.shingles("text", k=_CONTAM_K)).alias("ng"))
+        .distinct()
+    )
+    hits = (
+        corpus.select("doc_id", F.posexplode("ngs").alias("pos", "ng"))
+        .join(F.broadcast(bench), "ng")
+        .select("doc_id", "pos")
+    )
+    cov = hits.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + _CONTAM_K - 1)).alias("cp")
+    ).distinct()
+    agg = (
+        cov.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+        .join(
+            hits.groupBy("doc_id").agg(
+                F.count_distinct("pos").alias("n_flagged_ngrams")
+            ),
+            "doc_id",
+        )
+    )
+    return (
+        corpus.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_flagged_ngrams", F.lit(0)).cast("long").alias("n_flagged_ngrams"),
+            F.when(F.col("n_tokens") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+                    * F.lit(1.0)
+                    / F.col("n_tokens"),
+                    R,
+                )
+            )
+            .alias("retained_ratio"),
+        )
+    )
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+_WINNOW_K = 4  # k-gram width
+_WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    kg0 AS (
+      SELECT doc_id, len(toks) - {_WINNOW_K - 1} AS n_kgrams,
+             unnest(list_transform(range(1, len(toks) - {_WINNOW_K} + 2),
+               i -> {{'pos': i - 1,
+                      'h': CAST(('0x' || substr(md5(
+                             array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')
+                           ), 1, 8)) AS BIGINT)}})) AS s
+      FROM t WHERE len(toks) >= {_WINNOW_K}
+    ),
+    kg AS (SELECT doc_id, n_kgrams, s.pos AS pos, s.h AS h FROM kg0),
+    win AS (
+      SELECT doc_id, n_kgrams, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM kg
+    ),
+    sel AS (
+      SELECT doc_id, n_kgrams, fp FROM win WHERE pos <= n_kgrams - {_WINNOW_W}
+    )
+    SELECT doc_id,
+           CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           count(DISTINCT fp) AS n_fingerprints,
+           md5(array_to_string(list_sort(list(DISTINCT fp)), ',')) AS fp_digest
+    FROM sel GROUP BY 1, 2
+    """,
+    doc=f"""Winnowing document fingerprints (the MOSS scheme — the
+    robust-fingerprinting alternative to a single rolling hash, SURVEY
+    §2.11 document fingerprinting): hash every {_WINNOW_K}-gram (first 8
+    md5 hex chars as a 32-bit int), slide a window of {_WINNOW_W}
+    consecutive hashes, keep each window's minimum — guaranteeing any
+    shared substring of length >= k + w - 1 between two docs shares a
+    fingerprint, which position-sensitive rolling hashes cannot. Per-doc
+    digest of the sorted distinct fingerprint set makes overlap checks a
+    set intersection. One positional explode + one window min over
+    (doc, pos) + one aggregation: a single hash shuffle, windows stream
+    sorted — linear at any corpus size.""",
+    tags=("text", "fingerprint", "dedup"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    kg = (
+        d.select("doc_id", Tx.ngrams("text", k=_WINNOW_K).alias("ngs"))
+        .filter(F.size("ngs") >= 1)
+        .select(
+            "doc_id",
+            F.size("ngs").cast("long").alias("n_kgrams"),
+            F.posexplode("ngs").alias("pos", "ng"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "pos",
+            F.conv(F.substring(F.md5("ng"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    sel = kg.select(
+        "doc_id", "n_kgrams", "pos", F.min("h").over(w).alias("fp")
+    ).filter(F.col("pos") <= F.col("n_kgrams") - _WINNOW_W)
+    return sel.groupBy("doc_id", "n_kgrams").agg(
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("fp")), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("fp_digest"),
+    )
+
+
+# --- near-dup cluster statistics ---------------------------------------------
+
+
+@register(
+    "near_dup_cluster_stats",
+    oracle=f"""
+    {_SQL_DEDUP_ASSIGN_CTES}
+    , sizes AS (
+      SELECT canonical_id, count(*) AS cluster_size FROM assignment GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+    doc="""Duplicate-cluster size distribution — the corpus-health
+    rollup an operator reads after a dedup run (how much of the corpus
+    is singletons vs large duplicate families, i.e. the volume the
+    canonical-only view will drop). Derived from the SAME end-to-end
+    pipeline as dedup_corpus_assignment (exact collapse -> LSH ->
+    Jaccard verify -> components) with two tiny aggregations on top;
+    the oracle extends the shared recursive-CTE replay. Cluster counts
+    are cluster-cardinality-sized — negligible shuffles after the
+    assignment itself.""",
+    tags=("dedup", "components", "profile"),
+)
+def q_near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.dedup import dedup_corpus
+
+    assign = dedup_corpus(load(spark, sf_dir, "documents"), jaccard_threshold=0.8)
+    sizes = assign.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
     )

@@ -71,10 +71,84 @@ def quality_routed_write(
     return {"raw": raw, "processed": processed}
 
 
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _leaf_manifest(dirpath: str) -> dict | None:
+    p = os.path.join(dirpath, MANIFEST_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+_GEN_FILE = None  # compiled lazily to keep the import section tidy
+
+
+def _is_generation_file(name: str) -> bool:
+    global _GEN_FILE
+    if _GEN_FILE is None:
+        import re
+
+        _GEN_FILE = re.compile(r"^g\d{6}-\d{5}\.parquet$")
+    return bool(_GEN_FILE.match(name))
+
+
+def _live_files(dirpath: str, filenames: list[str]) -> list[str]:
+    """The data files a reader of this leaf should see: without a
+    manifest, every parquet file; with one, the manifest's generation
+    PLUS any files appended since the manifest was written (micro-batch
+    appends must stay visible between compactions). Excluded: the
+    superseded generation (``previous_files``, retained for in-flight
+    readers) and any stale ``g``-named compactor output."""
+    m = _leaf_manifest(dirpath)
+    all_pq = sorted(f for f in filenames if f.endswith(".parquet"))
+    if m is None:
+        return all_pq
+    cur, prev = set(m["files"]), set(m["previous_files"])
+    appended = [
+        f for f in all_pq if f not in cur and f not in prev and not _is_generation_file(f)
+    ]
+    return m["files"] + appended
+
+
 def read_zone(spark: SparkSession, lake_root: str, zone: str) -> DataFrame:
-    """Partition-pruned read: filters on machine/year/month never touch
-    non-matching directories."""
-    return spark.read.parquet(os.path.join(lake_root, zone))
+    """Partition-pruned read that resolves per-leaf compaction manifests.
+
+    A leaf directory that ``compact_zone`` has touched carries a
+    ``_MANIFEST.json`` naming its LIVE data files; files from the
+    superseded generation stay on disk until the next compaction, so a
+    reader that resolved the manifest just before a swap still finds
+    every file it planned. Leaves never compacted (and zones with no
+    manifest anywhere) read exactly as plain hive-partitioned parquet.
+    Partition columns come from the directory components between
+    ``basePath`` and the files, so pruning on machine/year/month is
+    unchanged. (At 100 TB the driver-side listing this does is the same
+    one any filesystem-backed table pays; a lakehouse format's metadata
+    layer is the upgrade path, same topology.)"""
+    zone_root = os.path.join(lake_root, zone)
+    paths, any_manifest = zone_live_files(lake_root, zone)
+    if not any_manifest:
+        return spark.read.parquet(zone_root)
+    return spark.read.option("basePath", zone_root).parquet(*paths)
+
+
+def zone_live_files(lake_root: str, zone: str) -> tuple[list[str], bool]:
+    """Full paths of the data files a reader should open (resolving
+    per-leaf manifests) and whether any manifest exists. Superseded-
+    generation files retained for in-flight readers are NOT listed."""
+    zone_root = os.path.join(lake_root, zone)
+    paths: list[str] = []
+    any_manifest = False
+    for dirpath, dirnames, filenames in os.walk(zone_root):
+        # never descend into in-progress staging: compaction temp dirs
+        # (._compacting_*) or Spark's own _temporary commit area
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        if MANIFEST_NAME in filenames:
+            any_manifest = True
+        live = _live_files(dirpath, filenames)
+        paths.extend(os.path.join(dirpath, f) for f in live)
+    return paths, any_manifest
 
 
 def compact_zone(
@@ -90,13 +164,25 @@ def compact_zone(
     dominate scans long before data volume does.
 
     Per hive partition directory: if it holds >= ``min_files_to_compact``
-    data files, rewrite it as ``ceil(bytes / target_file_bytes)`` files.
-    The rewrite goes to a temp directory first and swaps in with two
-    renames (local/HDFS semantics; an object-store deployment would
-    commit via manifest instead — same topology, different commit
-    primitive). Readers of OTHER partitions are never touched: this is
-    a per-partition operation, safe to run partition-parallel and
-    incremental.
+    LIVE data files, rewrite them as ``ceil(bytes / target_file_bytes)``
+    files. Commit is MANIFEST-SWAP, not delete+rename of the live path:
+
+    1. the compacted generation is written beside the old files under
+       unique ``g{N}-`` names (no path a reader could be holding is ever
+       removed or renamed at this step);
+    2. ``_MANIFEST.json`` is replaced atomically (tmp + ``os.replace``)
+       to name the new generation as the leaf's live file set;
+    3. files belonging to generations OLDER than the one just superseded
+       are garbage-collected — the superseded generation itself survives
+       until the NEXT compaction, giving in-flight readers a full
+       compaction interval to finish instead of a rename-window race.
+
+    Readers going through :func:`read_zone` therefore never observe a
+    missing file or a half-swapped leaf (test-proven by a polling reader
+    under repeated swaps). Readers of OTHER partitions are never
+    touched: this is per-partition, safe to run partition-parallel and
+    incremental. Same commit topology as an object-store lakehouse
+    manifest; the primitive here is POSIX atomic replace.
 
     Returns {partition_rel_path: {"files_before": n, "files_after": m}}.
     """
@@ -105,25 +191,44 @@ def compact_zone(
 
     zone_root = os.path.join(lake_root, zone)
     report: dict[str, dict[str, int]] = {}
-    for dirpath, _dirnames, filenames in os.walk(zone_root):
-        data_files = [f for f in filenames if f.endswith(".parquet")]
-        if len(data_files) < min_files_to_compact:
+    for dirpath, dirnames, filenames in os.walk(zone_root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        manifest = _leaf_manifest(dirpath)
+        live = _live_files(dirpath, filenames)
+        if len(live) < min_files_to_compact:
             continue
-        total = sum(os.path.getsize(os.path.join(dirpath, f)) for f in data_files)
+        total = sum(os.path.getsize(os.path.join(dirpath, f)) for f in live)
         n_out = max(1, math.ceil(total / target_file_bytes))
-        if n_out >= len(data_files):
+        if n_out >= len(live):
             continue  # already at or below target granularity
         rel = os.path.relpath(dirpath, zone_root)
-        tmp = dirpath + "._compacting"
-        # partition columns are encoded in the directory name, not the
-        # files — read/write the directory alone, no partition discovery
-        spark.read.parquet(dirpath).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        old = dirpath + "._old"
-        os.rename(dirpath, old)
-        os.rename(tmp, dirpath)
-        shutil.rmtree(old)
-        n_after = len(
-            [f for f in os.listdir(dirpath) if f.endswith(".parquet")]
-        )
-        report[rel] = {"files_before": len(data_files), "files_after": n_after}
+        gen = (manifest["generation"] + 1) if manifest else 1
+        # 1. write the new generation NEXT TO the live files
+        tmp = os.path.join(dirpath, f"._compacting_g{gen}")
+        spark.read.parquet(
+            *[os.path.join(dirpath, f) for f in live]
+        ).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        new_files = []
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if f.endswith(".parquet"):
+                name = f"g{gen:06d}-{i:05d}.parquet"
+                os.rename(os.path.join(tmp, f), os.path.join(dirpath, name))
+                new_files.append(name)
+        shutil.rmtree(tmp)
+        # 2. atomic manifest swap: the new generation becomes live
+        new_manifest = {
+            "generation": gen,
+            "files": new_files,
+            "previous_files": live,
+        }
+        mtmp = os.path.join(dirpath, MANIFEST_NAME + ".tmp")
+        with open(mtmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(mtmp, os.path.join(dirpath, MANIFEST_NAME))
+        # 3. GC generations older than the one just superseded
+        keep = set(new_files) | set(live)
+        for f in os.listdir(dirpath):
+            if f.endswith(".parquet") and f not in keep:
+                os.remove(os.path.join(dirpath, f))
+        report[rel] = {"files_before": len(live), "files_after": len(new_files)}
     return report

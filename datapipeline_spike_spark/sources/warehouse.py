@@ -156,7 +156,19 @@ def upsert_latest(
     (the reference's StarRocks PRIMARY KEY / Redis latest-state
     semantics without a transactional format): read current, union the
     update batch, keep the newest row per key (row_number over
-    (ts, tiebreak) desc), rewrite via temp-dir + rename swap.
+    (ts, tiebreak) desc), commit the rewrite as a NEW VERSION DIRECTORY
+    under the table root plus an atomic pointer-file update.
+
+    Layout: ``{table_path}/v{N:06d}/`` parquet snapshots and a
+    ``_CURRENT`` pointer file naming the live one. Commit = write
+    v{N+1}, ``os.replace`` the pointer (atomic on POSIX), then prune
+    versions older than the one just superseded — the superseded
+    snapshot survives until the NEXT upsert, so a reader that resolved
+    the pointer a moment before the swap still finds every file of its
+    snapshot on disk. Readers resolve via :func:`read_state_table`;
+    this replaces the old delete+rename-of-the-live-path swap whose
+    mid-swap window could 404 a concurrent reader (test-proven by a
+    polling reader under repeated upserts).
 
     Semantics: idempotent (re-applying a batch changes nothing — the
     same winners win) and out-of-order-safe (a LATE update older than
@@ -174,13 +186,9 @@ def upsert_latest(
     import shutil
 
     from pyspark.sql import Window
-    from pyspark.sql.utils import AnalysisException
 
-    try:
-        current = spark.read.parquet(table_path)
-        merged = current.unionByName(updates)
-    except AnalysisException:
-        merged = updates
+    current = read_state_table(spark, table_path)
+    merged = current.unionByName(updates) if current is not None else updates
     order = [F.col(ts_col).desc()]
     if tiebreak:
         order.append(F.col(tiebreak).desc())
@@ -190,13 +198,44 @@ def upsert_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    tmp = table_path.rstrip("/") + "._merging"
-    latest.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(table_path):
-        old = table_path.rstrip("/") + "._old"
-        os.rename(table_path, old)
-        os.rename(tmp, table_path)
-        shutil.rmtree(old)
-    else:
-        os.rename(tmp, table_path)
-    return spark.read.parquet(table_path).count()
+    gen = _current_version(table_path) + 1
+    vdir = os.path.join(table_path, f"v{gen:06d}")
+    latest.write.mode("overwrite").parquet(vdir)
+    ptmp = os.path.join(table_path, "_CURRENT.tmp")
+    with open(ptmp, "w") as f:
+        f.write(f"v{gen:06d}")
+    os.replace(ptmp, os.path.join(table_path, "_CURRENT"))
+    # prune everything older than the superseded version (kept one
+    # upsert interval for in-flight readers)
+    for d in os.listdir(table_path):
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < gen - 1:
+            shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
+    out = read_state_table(spark, table_path)
+    assert out is not None
+    return out.count()
+
+
+def _current_version(table_path: str) -> int:
+    """The committed version number (0 = table absent/uninitialized)."""
+    import os
+
+    p = os.path.join(table_path, "_CURRENT")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip().lstrip("v"))
+
+
+def read_state_table(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Resolve the ``_CURRENT`` pointer and read the live snapshot.
+    Returns None for an uninitialized table. A plain-parquet directory
+    without a pointer (pre-versioning layout) reads directly."""
+    import os
+
+    gen = _current_version(table_path)
+    if gen:
+        return spark.read.parquet(os.path.join(table_path, f"v{gen:06d}"))
+    try:
+        return spark.read.parquet(table_path)
+    except Exception:  # noqa: BLE001 — absent table
+        return None

@@ -325,11 +325,15 @@ def test_lake_compaction_reduces_files_preserves_rows(spark, tmp_path):
     )
     import glob
 
+    from datapipeline_spike_spark.sources.parquet_lake import zone_live_files
+
     files_before = len(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
     report = compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
     assert report, "at least one partition should compact"
-    files_after = len(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
-    assert files_after < files_before
+    # what READERS open shrank; the superseded generation stays on disk
+    # one compaction interval for in-flight readers (manifest retention)
+    live_after, _ = zone_live_files(root, "processed")
+    assert len(live_after) < files_before
     rows_after = sorted(
         map(tuple, read_zone(spark, root, "processed").collect())
     )
@@ -337,12 +341,46 @@ def test_lake_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert rows_after == rows_before
     for rel, r in report.items():
         assert r["files_after"] < r["files_before"]
+    # appends AFTER a manifest exists stay visible to readers...
+    round1_files = set(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
+    for i in range(6):
+        write_zone(base.filter(F.col("event_id") % 6 == i), root, "processed")
+    assert (
+        sorted(map(tuple, read_zone(spark, root, "processed").collect()))
+        == sorted(rows_before * 2)
+    )
+    # ...and the next compaction folds them in, GC'ing everything the
+    # superseded-generation retention no longer covers
+    compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
+    on_disk = set(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
+    # the gen-0 micro-batch files (retained one interval as gen-1's
+    # previous generation) are now fully GC'd; gen-1 itself is the
+    # currently-retained superseded generation, so it may remain
+    round1_microbatch = {f for f in round1_files if "/g000001-" not in f}
+    assert round1_microbatch and round1_microbatch.isdisjoint(on_disk)
+    # retention contract, exactly: disk = live generation + superseded set
+    import os
+
+    from datapipeline_spike_spark.sources.parquet_lake import (
+        MANIFEST_NAME,
+        _leaf_manifest,
+    )
+
+    for mpath in glob.glob(f"{root}/processed/**/{MANIFEST_NAME}", recursive=True):
+        leaf = os.path.dirname(mpath)
+        m = _leaf_manifest(leaf)
+        disk = {f for f in os.listdir(leaf) if f.endswith(".parquet")}
+        assert disk == set(m["files"]) | set(m["previous_files"])
+    assert (
+        sorted(map(tuple, read_zone(spark, root, "processed").collect()))
+        == sorted(rows_before * 2)
+    )
 
 
 def test_upsert_latest_merge_semantics(spark, tmp_path):
     """upsert_latest: replace-if-newer per key, insert-if-absent,
     discard-if-older, idempotent re-application."""
-    from datapipeline_spike_spark.sources.warehouse import upsert_latest
+    from datapipeline_spike_spark.sources.warehouse import read_state_table, upsert_latest
 
     path = str(tmp_path / "state")
     t0 = "2024-01-01 00:00:00"
@@ -359,16 +397,16 @@ def test_upsert_latest_merge_semantics(spark, tmp_path):
     # newer wins for k=1; k=3 inserts; k=2 untouched
     n = upsert_latest(spark, path, df([(1, t2, "a2"), (3, t0, "c0")]), ["k"])
     assert n == 3
-    got = {r["k"]: (r["v"], r["ts"]) for r in spark.read.parquet(path).collect()}
+    got = {r["k"]: (r["v"], r["ts"]) for r in read_state_table(spark, path).collect()}
     assert got[1][0] == "a2" and got[2][0] == "b1" and got[3][0] == "c0"
     # LATE update older than stored state is discarded
     n = upsert_latest(spark, path, df([(1, t0, "a0")]), ["k"])
     assert n == 3
-    assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}[1] == "a2"
+    assert {r["k"]: r["v"] for r in read_state_table(spark, path).collect()}[1] == "a2"
     # idempotent: re-applying the same batch changes nothing
-    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    before = sorted(map(tuple, read_state_table(spark, path).collect()))
     upsert_latest(spark, path, df([(1, t2, "a2")]), ["k"])
-    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    after = sorted(map(tuple, read_state_table(spark, path).collect()))
     assert before == after
 
 
@@ -391,3 +429,112 @@ def test_lake_compaction_second_run_is_noop(spark, tmp_path):
     second = compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
     assert second == {}  # nothing left to compact
     assert sorted(glob.glob(f"{root}/processed/**/*.parquet", recursive=True)) == files_after_first
+
+
+def test_upsert_swap_never_404s_concurrent_reader(spark, tmp_path):
+    """The r4 verdict's atomicity criterion: a reader polling the state
+    table during 100 upsert swaps never hits a missing file or an empty
+    table. The pointer-file commit (write v{N+1}, atomic _CURRENT
+    replace, prune only versions older than the superseded one) is what
+    makes this hold — the old delete+rename of the live path had a
+    window where the table simply did not exist."""
+    import threading
+
+    from datapipeline_spike_spark.sources.warehouse import (
+        read_state_table,
+        upsert_latest,
+    )
+
+    path = str(tmp_path / "swapstate")
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(1, i, f"v{i}"), (2, i, f"w{i}")], "k long, seq long, v string"
+        ).select("k", F.timestamp_seconds(1700000000 + F.col("seq")).alias("ts"), "v")
+
+    upsert_latest(spark, path, batch(0), ["k"])
+    stop = threading.Event()
+    failures: list[str] = []
+    n_reads = [0]
+
+    def reader():
+        while not stop.is_set():
+            try:
+                df = read_state_table(spark, path)
+                rows = df.collect()
+                assert len(rows) == 2, f"reader saw {len(rows)} rows"
+                n_reads[0] += 1
+            except Exception as e:  # noqa: BLE001
+                failures.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    for i in range(1, 101):
+        upsert_latest(spark, path, batch(i), ["k"])
+        if failures:
+            break
+    stop.set()
+    t.join(timeout=30)
+    assert failures == []
+    assert n_reads[0] > 20  # the reader was genuinely polling mid-swap
+
+
+def test_compact_swap_never_404s_concurrent_reader(spark, tmp_path):
+    """Same criterion for compaction: a reader polling read_zone while
+    leaves are repeatedly appended-to and compacted never hits a missing
+    file, and always sees a consistent row multiset (never a half-swapped
+    leaf with rows doubled or dropped by the compactor). One-generation
+    manifest retention is the mechanism."""
+    import threading
+
+    from datapipeline_spike_spark.sources.parquet_lake import (
+        compact_zone,
+        read_zone,
+        write_zone,
+    )
+
+    root = str(tmp_path)
+
+    def batch(n=4):
+        return spark.createDataFrame(
+            [(f"M{j % 2}", 1700000000 + j, float(j)) for j in range(n)],
+            "machine string, epoch long, value double",
+        ).select("machine", F.timestamp_seconds("epoch").alias("ts"), "value")
+
+    # seed with enough small files that every round compacts
+    for _ in range(4):
+        write_zone(batch().coalesce(1), root, "processed")
+    stop = threading.Event()
+    failures: list[str] = []
+    n_reads = [0]
+
+    def reader():
+        # appends are visible file-by-file (standard parquet-dir
+        # semantics), so only COMPACTION must be invisible: the row
+        # count may grow mid-append but must never shrink below the
+        # last fully-committed total, and no planned file may vanish.
+        low_water = [0]
+        while not stop.is_set():
+            try:
+                n = read_zone(spark, root, "processed").count()
+                assert n >= low_water[0] > 0 or low_water[0] == 0, (
+                    f"rows shrank {low_water[0]} -> {n}: a half-swapped leaf"
+                )
+                low_water[0] = max(low_water[0], n)
+                n_reads[0] += 1
+            except Exception as e:  # noqa: BLE001
+                failures.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    for _ in range(12):
+        write_zone(batch().coalesce(1), root, "processed")
+        compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
+        if failures:
+            break
+    stop.set()
+    t.join(timeout=30)
+    assert failures == []
+    assert n_reads[0] > 5

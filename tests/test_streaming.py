@@ -773,7 +773,7 @@ def test_streaming_upsert_maintains_latest_state_table(spark):
     updates replace, late updates lose, final table equals the batch
     latest-per-key answer."""
     from datapipeline_spike_spark.operators.sessions import latest_per_key
-    from datapipeline_spike_spark.sources.warehouse import upsert_latest
+    from datapipeline_spike_spark.sources.warehouse import read_state_table, upsert_latest
 
     root = tempfile.mkdtemp(prefix="upsert_stream_")
     src, table = f"{root}/src", f"{root}/state"
@@ -803,7 +803,7 @@ def test_streaming_upsert_maintains_latest_state_table(spark):
         q.stop()
         got = {
             r["user_id"]: r["event_id"]
-            for r in spark.read.parquet(table).collect()
+            for r in read_state_table(spark, table).collect()
         }
         want = {
             r["user_id"]: r["event_id"]
