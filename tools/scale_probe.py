@@ -178,13 +178,16 @@ def dedup_ann_stress(spark, amp: int) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    mode = "dedup" if "dedup" in args else "core"
+    mode = "dedup" if "dedup" in args else ("newops" if "newops" in args else "core")
     nums = [int(a) for a in args if a.isdigit()]
-    n = nums[0] if nums else (10 if mode == "dedup" else 8)
+    n = nums[0] if nums else (10 if mode != "core" else 8)
     spark = get_session("scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     if mode == "dedup":
         dedup_ann_stress(spark, n)
+        return
+    if mode == "newops":
+        newops_stress(spark, n)
         return
 
     for amp in (1, n):
@@ -260,6 +263,112 @@ def main() -> None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         print(json.dumps({"probe": "skew_join", "amp": amp, "rows": n_left,
                           "plain_sec": secs_plain, "salted_sec": secs_salted}), flush=True)
+
+
+def newops_stress(spark, amp: int) -> None:
+    """Round-5 verdict task 7: the round-4/5 newcomer operators under
+    amplification, with per-stage counts. Each probe re-runs the exact
+    operator shape the registry query uses, over amplified frames (the
+    registry callables read fixed sf dirs, so the core is re-invoked on
+    the amplified input directly)."""
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.functions import text as Tx
+    from datapipeline_spike_spark.operators.dedup import incremental_dedup
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_media_from_documents,
+        decode_audio,
+    )
+
+    for a in (1, amp):
+        ev = amplify_events(spark, a).localCheckpoint(eager=True)
+        rows = ev.count()
+
+        def funnel():
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            gap = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+            return (
+                ev.select(
+                    "user_id", "event_type",
+                    F.lead("event_type").over(w).alias("next_type"),
+                    gap.alias("gap_us"),
+                )
+                .filter(F.col("next_type").isNotNull() & (F.col("gap_us") <= 3_600_000_000))
+                .groupBy("event_type", "next_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        secs = probe("funnel", funnel)
+        print(json.dumps({"probe": "event_funnel", "amp": a, "rows": rows,
+                          "sec": secs, "rows_per_sec": int(rows / secs)}), flush=True)
+
+        def cohort():
+            firsts = ev.groupBy("user_id").agg(
+                F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+            )
+            return (
+                ev.join(firsts, "user_id")
+                .select(
+                    "user_id", "cohort_day",
+                    F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias("o"),
+                )
+                .distinct()
+                .groupBy("cohort_day", "o")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        secs = probe("cohort", cohort)
+        print(json.dumps({"probe": "cohort_retention", "amp": a, "rows": rows,
+                          "sec": secs, "rows_per_sec": int(rows / secs)}), flush=True)
+        ev.unpersist()
+
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        drows = docs.count()
+
+        existing = docs.filter(F.col("doc_id") % 2 == 0)
+        incoming = docs.filter(F.col("doc_id") % 2 == 1)
+        t0 = time.perf_counter()
+        verdict = incremental_dedup(existing, incoming)
+        by_status = {r["status"]: r["n"] for r in
+                     verdict.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"probe": "incremental_dedup", "amp": a, "docs": drows,
+                          "by_status": by_status, "sec": secs,
+                          "docs_per_sec": int(drows / secs)}), flush=True)
+
+        def winnow():
+            kg = (
+                docs.select("doc_id", Tx.ngrams("text", k=4).alias("ngs"))
+                .filter(F.size("ngs") >= 1)
+                .select(
+                    "doc_id", F.size("ngs").alias("n_kg"),
+                    F.posexplode("ngs").alias("pos", "ng"),
+                )
+                .select(
+                    "doc_id", "n_kg", "pos",
+                    F.conv(F.substring(F.md5("ng"), 1, 8), 16, 10).cast("long").alias("h"),
+                )
+            )
+            w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+            return (
+                kg.select("doc_id", "n_kg", "pos", F.min("h").over(w).alias("fp"))
+                .filter(F.col("pos") <= F.col("n_kg") - 4)
+                .groupBy("doc_id")
+                .agg(F.count_distinct("fp").alias("n_fp"))
+            )
+
+        secs = probe("winnowing", winnow)
+        print(json.dumps({"probe": "winnowing_fingerprints", "amp": a, "docs": drows,
+                          "sec": secs, "docs_per_sec": int(drows / secs)}), flush=True)
+
+        t0 = time.perf_counter()
+        media = audio_media_from_documents(docs)
+        n_media = decode_audio(media).count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"probe": "audio_header_meta", "amp": a, "docs": drows,
+                          "media_rows": n_media, "sec": secs,
+                          "docs_per_sec": int(drows / secs)}), flush=True)
+        docs.unpersist()
 
 
 if __name__ == "__main__":
