@@ -46,3 +46,48 @@ def latest_per_key(
     (ts, tiebreak) == 1. Deterministic given a unique tiebreak."""
     w = Window.partitionBy(*keys).orderBy(F.col(ts).desc(), F.col(tiebreak).desc())
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    state_col: str,
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream:
+    per key, order events by (ts, tiebreak), collapse consecutive runs
+    of the SAME state (only transitions open a new version), and emit
+    one validity interval per version — ``valid_from`` (first event of
+    the run), ``valid_to`` (start of the next version, NULL while
+    current), ``version`` (1-based per key) and ``is_current``. This is
+    the warehouse-history companion of :func:`latest_per_key`
+    (latest-state = the is_current slice of this output).
+
+    Shape: ONE keyed window (partition by key, sort by time) feeds the
+    run-collapse lag, the version cumsum, and the valid_to lead — the
+    sessionization shuffle class, linear at any stream size with no
+    self-joins. Deterministic given a unique tiebreak."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts), F.col(tiebreak))
+    changed = (
+        F.lag(state_col).over(w).isNull()
+        | (F.col(state_col) != F.lag(state_col).over(w))
+    ).cast("int")
+    runs = df.select(
+        *keys, F.col(state_col), F.col(ts), F.sum(changed).over(w).alias("version")
+    )
+    # state is constant within a run, so one aggregate collapses each
+    # version to its opening timestamp — same partitioning as the window
+    # above, no second exchange
+    starts = runs.groupBy(*keys, "version", state_col).agg(
+        F.min(ts).alias("valid_from")
+    )
+    lw = Window.partitionBy(*keys).orderBy("version")
+    return starts.select(
+        *keys,
+        F.col(state_col),
+        "valid_from",
+        F.lead("valid_from").over(lw).alias("valid_to"),
+        F.col("version").cast("int").alias("version"),
+        F.lead("valid_from").over(lw).isNull().alias("is_current"),
+    )

@@ -440,3 +440,55 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             sum(CASE WHEN prev IS NULL OR event_type != prev
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      FROM lagged
+    ), starts AS (
+      SELECT user_id, version, event_type, min(ts) AS valid_from
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           CAST(valid_from AS TIMESTAMP) AS valid_from,
+           CAST(lead(valid_from) OVER w AS TIMESTAMP) AS valid_to,
+           CAST(version AS INT) AS version,
+           lead(valid_from) OVER w IS NULL AS is_current
+    FROM starts
+    WINDOW w AS (PARTITION BY user_id ORDER BY version)
+    """,
+    doc="""Type-2 slowly-changing-dimension history (the warehouse
+    companion of dedup_latest_state: latest-state keeps the newest row,
+    SCD2 keeps EVERY state interval): per user, consecutive runs of the
+    same event_type collapse into one version with
+    [valid_from, valid_to) validity and an is_current flag — the
+    standard dimension-history table a MERGE-based warehouse maintains,
+    derived here from the raw change stream in one pass. One keyed
+    window (the sessionization shuffle class) feeds the run-collapse
+    lag and the version cumsum; the per-version aggregate and the
+    valid_to lead reuse the same user-hash partitioning — no second
+    exchange, no self-join (the naive interval build joins the stream
+    to itself on adjacency).""",
+    tags=("window", "scd2", "warehouse"),
+)
+def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.sessions import scd2_history
+
+    return scd2_history(
+        load(spark, sf_dir, "events"),
+        keys=["user_id"],
+        state_col="event_type",
+        ts="ts",
+        tiebreak="event_id",
+    )

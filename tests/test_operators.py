@@ -391,3 +391,47 @@ def test_fixed_size_sample_bottom_k_stability(spark):
     s2 = sample_ids(grown)
     assert len(s2) == R_SIZE
     assert len(s1 - s2) <= 1 and len(s2 - s1) <= 1
+
+
+def test_scd2_history_run_collapse_and_intervals(spark):
+    """scd2_history: consecutive same-state events collapse into one
+    version; a RETURN to an earlier state opens a NEW version (type-2,
+    not type-1); intervals chain exactly (valid_to == next valid_from)
+    and only the last version per key is current."""
+    from datetime import datetime
+
+    from datapipeline_spike_spark.operators.sessions import scd2_history
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: A A B A  -> versions A[0,2) B[2,3) A[3,None)
+        (1, "A", t(0), 10),
+        (1, "A", t(1), 11),
+        (1, "B", t(2), 12),
+        (1, "A", t(3), 13),
+        # user 2: single state, many events -> one current version
+        (2, "X", t(0), 20),
+        (2, "X", t(5), 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+    out = scd2_history(df, ["user_id"], "state", "ts", "event_id")
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"].second,
+            r["valid_to"].second if r["valid_to"] else None, r["is_current"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ("A", 0, 2, False),
+        (1, 2): ("B", 2, 3, False),
+        (1, 3): ("A", 3, None, True),
+        (2, 1): ("X", 0, None, True),
+    }
+    # interval chaining: every non-current valid_to equals the next
+    # version's valid_from (no gaps, no overlaps)
+    for (u, v), (_, _, vt, cur) in got.items():
+        if not cur:
+            assert got[(u, v + 1)][1] == vt

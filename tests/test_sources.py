@@ -538,3 +538,48 @@ def test_compact_swap_never_404s_concurrent_reader(spark, tmp_path):
     t.join(timeout=30)
     assert failures == []
     assert n_reads[0] > 5
+
+
+def test_clustered_write_enables_data_skipping(spark, tmp_path):
+    """write_clustered: range-partition + sort gives each file a narrow
+    near-disjoint [min,max] footer envelope on the cluster key, so a
+    selective predicate's candidate file set (what row-group pruning
+    reads) is a small fraction of the table — proven from the actual
+    parquet footer statistics, vs an unclustered write of the SAME data
+    where every file spans ~the full key range and nothing can skip."""
+    from datapipeline_spike_spark.sources.parquet_lake import (
+        file_column_ranges,
+        write_clustered,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("event_id", "value")
+    n_files = 8
+    clustered = str(tmp_path / "clustered")
+    baseline = str(tmp_path / "baseline")
+    write_clustered(ev, clustered, ["value"], n_files=n_files)
+    ev.repartition(n_files).write.mode("overwrite").parquet(baseline)
+
+    cr = file_column_ranges(clustered, "value")
+    br = file_column_ranges(baseline, "value")
+    assert len(cr) == n_files and len(br) == n_files
+    lo = min(m for m, _ in br.values())
+    hi = max(x for _, x in br.values())
+    span = hi - lo
+
+    def candidates(ranges, a, b):
+        return [f for f, (mn, mx) in ranges.items() if mx >= a and mn <= b]
+
+    # a 2%-of-range predicate window at the median
+    import statistics
+
+    mid = statistics.median([(mn + mx) / 2 for mn, mx in cr.values()])
+    a, b = mid - 0.01 * span, mid + 0.01 * span
+    assert len(candidates(cr, a, b)) <= 2  # clustered: skip ~everything
+    assert len(candidates(br, a, b)) == n_files  # unclustered: read all
+    # per-file envelopes: narrow when clustered, wide when not (the
+    # value column has a long tail, so unclustered files don't quite
+    # span the FULL range — assert the contrast, which is the property)
+    c_mean = statistics.mean(mx - mn for mn, mx in cr.values())
+    b_mean = statistics.mean(mx - mn for mn, mx in br.values())
+    assert c_mean < 0.35 * span
+    assert b_mean > 0.5 * span and b_mean > 2 * c_mean
