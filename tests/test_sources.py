@@ -583,3 +583,57 @@ def test_clustered_write_enables_data_skipping(spark, tmp_path):
     b_mean = statistics.mean(mx - mn for mn, mx in br.values())
     assert c_mean < 0.35 * span
     assert b_mean > 0.5 * span and b_mean > 2 * c_mean
+
+
+def test_scd2_upsert_incremental_equals_full_recompute(spark, tmp_path):
+    """scd2_upsert is the incremental MERGE deployment of scd2_history:
+    after each batch the stored table must equal a from-scratch rebuild
+    over ALL events so far (the twin rule applied to warehouse MERGE) —
+    including a LATE event spliced into the middle of a key's history —
+    and re-applying a batch must change nothing."""
+    from datetime import datetime
+
+    from datapipeline_spike_spark.operators.sessions import scd2_history
+    from datapipeline_spike_spark.sources.warehouse import (
+        read_state_table,
+        scd2_upsert,
+    )
+
+    path = str(tmp_path / "scd2")
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, state string, ts timestamp, event_id long"
+        )
+
+    def snap(frame):
+        return sorted(
+            (r["user_id"], r["version"], r["state"], r["valid_from"],
+             r["valid_to"], r["is_current"])
+            for r in frame.collect()
+        )
+
+    b1 = df([(1, "A", t(0), 1), (1, "B", t(10), 2), (2, "X", t(0), 3)])
+    b2 = df([
+        (1, "A", t(20), 4),   # key 1 returns to A -> third version
+        (1, "C", t(5), 5),    # LATE: splices a C interval inside [0,10)
+        (3, "N", t(0), 6),    # brand-new key
+    ])
+    scd2_upsert(spark, path, b1, ["user_id"], "state", "ts", "event_id")
+    assert snap(read_state_table(spark, path)) == snap(
+        scd2_history(b1, ["user_id"], "state", "ts", "event_id")
+    )
+    scd2_upsert(spark, path, b2, ["user_id"], "state", "ts", "event_id")
+    full = scd2_history(
+        b1.unionByName(b2), ["user_id"], "state", "ts", "event_id"
+    )
+    assert snap(read_state_table(spark, path)) == snap(full)
+    # key 2 was untouched by b2: its interval row carried over verbatim
+    got = {r["user_id"]: r for r in read_state_table(spark, path).collect()
+           if r["user_id"] == 2}
+    assert got[2]["state"] == "X" and got[2]["is_current"]
+    # idempotent: re-applying b2 changes nothing
+    before = snap(read_state_table(spark, path))
+    scd2_upsert(spark, path, b2, ["user_id"], "state", "ts", "event_id")
+    assert snap(read_state_table(spark, path)) == before
