@@ -27,6 +27,13 @@ EXTRAS = [
     "minhash_jaccard_estimate",
     "corpus_mixture_plan",
     "audio_header_meta",
+    # round 5 additions
+    "incremental_dedup_steady_state",
+    "winnowing_fingerprints",
+    "decontamination_span_removal",
+    "url_host_dedup",
+    "scd2_user_state_history",
+    "near_dup_cluster_stats",
 ]
 
 HEADLINE = [

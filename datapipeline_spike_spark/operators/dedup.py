@@ -91,10 +91,25 @@ def minhash_signature(
     once per doc and the md5/substring/min pipeline is whole-stage
     codegen. The groupBy shuffles ~1 row per doc (map-side partial min),
     so the exploded shingle rows never cross the wire."""
+    sh = fan_out(df).select(F.col(id_col), shingles(text_col, k=3).alias("sh"))
+    return minhash_signature_from_shingles(sh, id_col, "sh", n_hashes)
+
+
+def minhash_signature_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Signature from a PRECOMPUTED shingle-set frame — the path an
+    index builder takes after persisting the shingle store: bands derive
+    from the stored arrays, so the corpus is tokenized exactly once per
+    admission instead of once per index frame. Same hashing/min-agg
+    pipeline as :func:`minhash_signature` (which delegates here)."""
     if n_hashes > 8:
         raise ValueError("n_hashes > 8 needs more digest salts")
-    exploded = fan_out(df).select(
-        F.col(id_col), F.explode(shingles(text_col, k=3)).alias("shingle")
+    exploded = sh.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("shingle")
     )
     h1 = F.md5("shingle")
     h2 = F.md5(F.concat(F.lit("x|"), F.col("shingle")))

