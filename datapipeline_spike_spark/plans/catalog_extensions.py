@@ -2331,3 +2331,105 @@ def q_near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+# --- cross-document repeated substrings --------------------------------------
+
+
+@register(
+    "repeated_substring_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pos0 AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             unnest(list_transform(range(1, len(toks) - {_CONTAM_K} + 2),
+               i -> {{'pos': i - 1,
+                      'ng': array_to_string(toks[i:i+{_CONTAM_K - 1}], ' ')}})) AS s
+      FROM t WHERE len(toks) >= {_CONTAM_K}
+    ),
+    p AS (SELECT doc_id, n_tokens, s.pos AS pos, s.ng AS ng FROM pos0),
+    rep AS (
+      SELECT ng FROM p GROUP BY ng HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT p.doc_id, p.n_tokens, p.pos FROM p JOIN rep USING (ng)),
+    cov AS (
+      SELECT DISTINCT doc_id, c.cp AS cp
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(0, {_CONTAM_K}), d -> pos + d)) AS cp
+            FROM hits) AS c(doc_id, cp)
+    ),
+    agg AS (
+      SELECT cov.doc_id, count(*) AS n_rep,
+             (SELECT count(DISTINCT pos) FROM hits h
+              WHERE h.doc_id = cov.doc_id) AS n_rep_ngrams
+      FROM cov GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.n_rep, 0) AS BIGINT) AS n_repeated_tokens,
+           CAST(coalesce(agg.n_rep_ngrams, 0) AS BIGINT) AS n_repeated_ngrams,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(coalesce(agg.n_rep, 0) * 1.0 / len(toks), {R})
+           END AS repeated_fraction
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    """,
+    doc=f"""Cross-document repeated-substring profile — the
+    exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), in its k-gram-anchored
+    bounded form: a token is 'repeated' when it sits inside a
+    {_CONTAM_K}-token window that occurs VERBATIM in at least one other
+    document; the per-doc repeated fraction is what a substring-dedup
+    scrub would cut (the suffix-array formulation finds arbitrary-length
+    repeats; anchoring at k tokens is the distributed-join-friendly
+    bound — any repeat of length >= k is caught). Linear end-to-end:
+    positional explode, one n-gram-keyed count-distinct shuffle, one
+    n-gram-keyed hit join, distinct covered positions — never a doc x
+    doc comparison.""",
+    tags=("text", "dedup", "substring"),
+)
+def q_repeated_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        Tx.token_count("text").cast("long").alias("n_tokens"),
+        Tx.ngrams("text", k=_CONTAM_K).alias("ngs"),
+    )
+    p = t.select("doc_id", "n_tokens", F.posexplode("ngs").alias("pos", "ng"))
+    rep = (
+        p.groupBy("ng")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("ng")
+    )
+    hits = p.join(rep, "ng").select("doc_id", "pos")
+    cov = hits.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + _CONTAM_K - 1)).alias("cp")
+    ).distinct()
+    agg = (
+        cov.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_repeated_tokens"))
+        .join(
+            hits.groupBy("doc_id").agg(
+                F.count_distinct("pos").alias("n_repeated_ngrams")
+            ),
+            "doc_id",
+        )
+    )
+    return (
+        t.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_repeated_tokens", F.lit(0)).cast("long").alias("n_repeated_tokens"),
+            F.coalesce("n_repeated_ngrams", F.lit(0)).cast("long").alias("n_repeated_ngrams"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_repeated_tokens", F.lit(0)) * F.lit(1.0) / F.col("n_tokens"),
+                    R,
+                )
+            )
+            .alias("repeated_fraction"),
+        )
+    )

@@ -305,3 +305,38 @@ def test_quality_filter_is_map_only(spark):
     # no hash/range exchange (= no shuffle) is the invariant
     assert not _re.search(r"Exchange (hash|range)partitioning", plan)
     assert "EvalPython" not in plan
+
+
+def test_scd2_history_single_exchange(spark):
+    """scd2_user_state_history: the run-collapse window, the version
+    aggregate, and the valid_to lead all key on user_id — ONE hash
+    exchange total (partitioning by the key satisfies the aggregate's
+    superset clustering), no adjacency self-join."""
+    plan = _plan(spark, "scd2_user_state_history")
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_url_dedup_single_exchange(spark):
+    """url_host_dedup: canonicalization is map-only codegen; the only
+    HASH shuffle is the window over the canonical key (the round-robin
+    fan_out of the single-split testdata scan is not a keyed shuffle)."""
+    plan = _plan(spark, "url_host_dedup")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnowing_window_and_agg_share_partitioning(spark):
+    """winnowing_fingerprints: positional explode is map-only; the
+    window min and the per-doc aggregates (including the distinct-fp
+    expansion) all key on doc_id, so the whole query plans exactly one
+    HASH exchange (plus the single-split fan_out round-robin)."""
+    plan = _plan(spark, "winnowing_fingerprints")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontamination_bench_set_is_broadcast(spark):
+    """decontamination_span_removal: the benchmark n-gram set must
+    broadcast (eval-suite-sized) — a sort-merge join here would shuffle
+    the corpus's positional n-gram explosion."""
+    plan = _plan(spark, "decontamination_span_removal")
+    assert "BroadcastHashJoin" in plan
