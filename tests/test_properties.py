@@ -263,3 +263,102 @@ def test_driver_union_find_matches_transitive_closure(spark, edges):
     edf = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["comp"] for r in connected_components_driver(edf).collect()}
     assert got == label
+
+
+word = st.sampled_from([f"w{i}" for i in range(12)])
+tokseq = st.lists(word, min_size=0, max_size=30)
+
+
+@given(
+    pairs=st.lists(st.tuples(tokseq, tokseq, st.lists(word, min_size=7, max_size=7)),
+                   min_size=1, max_size=12)
+)
+@PROP
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, pairs):
+    """The winnowing theorem (MOSS): two documents sharing a verbatim
+    token run of length >= k + w - 1 (= 4 + 4 - 1 = 7 here) MUST share
+    at least one selected fingerprint — any window of w consecutive
+    k-gram hashes inside the shared run selects the same minimum on
+    both sides. Each pair plants a 7-token run inside random noise."""
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.functions.text import ngrams
+
+    rows = []
+    for i, (left, right, run) in enumerate(pairs):
+        rows.append((2 * i, " ".join(left + run)))
+        rows.append((2 * i + 1, " ".join(run + right)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kg = (
+        df.select("doc_id", ngrams("text", k=4).alias("ngs"))
+        .filter(F.size("ngs") >= 4)
+        .select(
+            "doc_id",
+            F.size("ngs").alias("n_kg"),
+            F.posexplode("ngs").alias("pos", "ng"),
+        )
+        .select(
+            "doc_id", "n_kg", "pos",
+            F.conv(F.substring(F.md5("ng"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = (
+        kg.select("doc_id", "n_kg", "pos", F.min("h").over(w).alias("fp"))
+        .filter(F.col("pos") <= F.col("n_kg") - 4)
+        .groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+    )
+    got = {r["doc_id"]: set(r["fps"]) for r in fps.collect()}
+    for i in range(len(pairs)):
+        a, b = got.get(2 * i, set()), got.get(2 * i + 1, set())
+        assert a & b, f"pair {i}: shared 7-token run produced no shared fingerprint"
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),           # key
+            st.sampled_from(["A", "B", "C"]),                # state
+            st.integers(min_value=0, max_value=20),          # ts seconds
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@PROP
+def test_scd2_history_matches_python_reference(spark, events):
+    """scd2_history vs a direct Python interval builder over arbitrary
+    event streams (ties on ts broken by event_id, out-of-order arrival
+    irrelevant — the operator sorts)."""
+    from datetime import datetime
+
+    from datapipeline_spike_spark.operators.sessions import scd2_history
+
+    rows = [
+        (k, s, datetime(2024, 1, 1, 0, 0, ts), eid)
+        for eid, (k, s, ts) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+    got = {
+        (r["user_id"], r["version"]): (r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["user_id"], "state", "ts", "event_id").collect()
+    }
+    # reference: sort per key by (ts, event_id), collapse runs, chain intervals
+    want = {}
+    bykey: dict = {}
+    for k, s, ts, eid in rows:
+        bykey.setdefault(k, []).append((ts, eid, s))
+    for k, evs in bykey.items():
+        evs.sort()
+        runs = []
+        for ts, _eid, s in evs:
+            if not runs or runs[-1][0] != s:
+                runs.append((s, ts))
+        for v, (s, vf) in enumerate(runs, start=1):
+            vt = runs[v][1] if v < len(runs) else None
+            want[(k, v)] = (s, vf, vt, vt is None)
+    assert got == want
