@@ -77,10 +77,15 @@ def scd2_history(
         *keys, F.col(state_col), F.col(ts), F.sum(changed).over(w).alias("version")
     )
     # state is constant within a run, so one aggregate collapses each
-    # version to its opening timestamp — same partitioning as the window
-    # above, no second exchange
+    # version to its opening + last-confirmed timestamps — same
+    # partitioning as the window above, no second exchange.
+    # last_event_ts is what makes the interval table MERGE-able: an
+    # incremental upsert (warehouse.scd2_upsert) replays (valid_from,
+    # last_event_ts) as change points, so appending in-order batches
+    # reconstructs exactly (interior run events are collapsed away by
+    # design — only the run boundary timestamps carry information).
     starts = runs.groupBy(*keys, "version", state_col).agg(
-        F.min(ts).alias("valid_from")
+        F.min(ts).alias("valid_from"), F.max(ts).alias("last_event_ts")
     )
     lw = Window.partitionBy(*keys).orderBy("version")
     return starts.select(
@@ -88,6 +93,7 @@ def scd2_history(
         F.col(state_col),
         "valid_from",
         F.lead("valid_from").over(lw).alias("valid_to"),
+        "last_event_ts",
         F.col("version").cast("int").alias("version"),
         F.lead("valid_from").over(lw).isNull().alias("is_current"),
     )

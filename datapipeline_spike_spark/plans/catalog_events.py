@@ -457,12 +457,14 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
       FROM lagged
     ), starts AS (
-      SELECT user_id, version, event_type, min(ts) AS valid_from
+      SELECT user_id, version, event_type,
+             min(ts) AS valid_from, max(ts) AS last_event_ts
       FROM runs GROUP BY 1, 2, 3
     )
     SELECT user_id, event_type,
            CAST(valid_from AS TIMESTAMP) AS valid_from,
            CAST(lead(valid_from) OVER w AS TIMESTAMP) AS valid_to,
+           CAST(last_event_ts AS TIMESTAMP) AS last_event_ts,
            CAST(version AS INT) AS version,
            lead(valid_from) OVER w IS NULL AS is_current
     FROM starts

@@ -266,23 +266,38 @@ def scd2_upsert(
 
     Incremental by KEY, not by table: untouched keys' intervals are
     carried over verbatim; for keys present in the batch, the stored
-    intervals are replayed as change points (one synthetic event per
-    version at its ``valid_from``), unioned with the batch, and rebuilt
-    through the SAME ``scd2_history`` — so the incremental result is
-    definitionally identical to recomputing from the full event log
-    (differential-tested), late/out-of-order events are spliced into
-    the middle of a history correctly, and re-applying a batch is a
-    no-op (duplicate change points collapse into their runs). Per-batch
-    cost: batch-keyed joins + a rebuild of ONLY the affected keys'
-    intervals — at 100 TB the carried-over side is a file-level copy of
-    interval rows, never a re-derivation from raw events.
+    intervals are replayed as change points (each version contributes
+    its ``valid_from`` AND its ``last_event_ts`` — the run's boundary
+    timestamps, which are exactly the information an interval table
+    retains), unioned with the batch, and rebuilt through the SAME
+    ``scd2_history``. Re-applying a batch is a no-op (duplicate change
+    points collapse into their runs).
+
+    Exactness contract (differential-tested): for PER-KEY IN-ORDER
+    batches (every new event at or after the key's stored
+    ``last_event_ts`` — the standard warehouse MERGE assumption) the
+    incremental result is identical to recomputing from the full event
+    log. A LATE event that lands BETWEEN stored versions also splices
+    exactly. The one approximate case is a late event strictly inside a
+    multi-event run: the run's interior events were collapsed away at
+    admission (that is what an interval table is), so the rebuild
+    splits the run at the late event and at the run's preserved
+    boundaries rather than at the unrecorded interior event — exact
+    reconstruction there requires replaying the raw event log, which
+    production keeps in the lake anyway. Per-batch cost: batch-keyed
+    joins + a rebuild of ONLY the affected keys' intervals — at 100 TB
+    the carried-over side is a file-level copy of interval rows, never
+    a re-derivation from raw events.
 
     Commits via :func:`commit_version` (atomic pointer swap, no reader
     404 window). Returns the committed version number. Replayed change
-    points use tiebreak = version - 2^40, ordering them before any
+    points use tiebreaks below -2^39, ordering them before any
     same-timestamp batch event (batch tiebreaks are assumed
     non-negative ids)."""
-    hist_cols = [*keys, state_col, "valid_from", "valid_to", "version", "is_current"]
+    hist_cols = [
+        *keys, state_col, "valid_from", "valid_to", "last_event_ts",
+        "version", "is_current",
+    ]
     from datapipeline_spike_spark.operators.sessions import scd2_history
 
     ev = changes.select(*keys, state_col, F.col(ts_col), F.col(tiebreak))
@@ -293,14 +308,21 @@ def scd2_upsert(
         batch_keys = ev.select(*keys).distinct()
         untouched = current.join(F.broadcast(batch_keys), keys, "left_anti")
         affected = current.join(F.broadcast(batch_keys), keys, "left_semi")
-        replay = affected.select(
+        replay_open = affected.select(
             *keys,
             F.col(state_col),
             F.col("valid_from").alias(ts_col),
-            (F.col("version").cast("long") - F.lit(1 << 40)).alias(tiebreak),
+            (F.col("version").cast("long") * 2 - F.lit(1 << 40)).alias(tiebreak),
+        )
+        replay_last = affected.select(
+            *keys,
+            F.col(state_col),
+            F.col("last_event_ts").alias(ts_col),
+            (F.col("version").cast("long") * 2 + 1 - F.lit(1 << 40)).alias(tiebreak),
         )
         rebuilt = scd2_history(
-            replay.unionByName(ev), keys, state_col, ts_col, tiebreak
+            replay_open.unionByName(replay_last).unionByName(ev),
+            keys, state_col, ts_col, tiebreak,
         )
         new_table = untouched.select(*hist_cols).unionByName(
             rebuilt.select(*hist_cols)

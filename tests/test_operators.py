@@ -420,18 +420,19 @@ def test_scd2_history_run_collapse_and_intervals(spark):
     got = {
         (r["user_id"], r["version"]): (
             r["state"], r["valid_from"].second,
-            r["valid_to"].second if r["valid_to"] else None, r["is_current"],
+            r["valid_to"].second if r["valid_to"] else None,
+            r["last_event_ts"].second, r["is_current"],
         )
         for r in out.collect()
     }
     assert got == {
-        (1, 1): ("A", 0, 2, False),
-        (1, 2): ("B", 2, 3, False),
-        (1, 3): ("A", 3, None, True),
-        (2, 1): ("X", 0, None, True),
+        (1, 1): ("A", 0, 2, 1, False),   # run A A: last confirmed at t=1
+        (1, 2): ("B", 2, 3, 2, False),
+        (1, 3): ("A", 3, None, 3, True),
+        (2, 1): ("X", 0, None, 5, True),  # last confirmed at t=5
     }
     # interval chaining: every non-current valid_to equals the next
     # version's valid_from (no gaps, no overlaps)
-    for (u, v), (_, _, vt, cur) in got.items():
+    for (u, v), (_, _, vt, _last, cur) in got.items():
         if not cur:
             assert got[(u, v + 1)][1] == vt

@@ -610,7 +610,7 @@ def test_scd2_upsert_incremental_equals_full_recompute(spark, tmp_path):
     def snap(frame):
         return sorted(
             (r["user_id"], r["version"], r["state"], r["valid_from"],
-             r["valid_to"], r["is_current"])
+             r["valid_to"], r["last_event_ts"], r["is_current"])
             for r in frame.collect()
         )
 

@@ -849,3 +849,57 @@ def test_observed_ingest_metrics_match_batch_truth(spark, events_dir):
     assert got["n_rows"] == want["n_rows"] > 0
     assert got["n_invalid"] == want["n_invalid"]
     assert got.get("n_null", 0) == (want["n_null"] or 0)
+
+
+def test_streaming_scd2_upsert_maintains_history_table(spark):
+    """SCD2 under streaming (the twin rule applied to warehouse MERGE):
+    foreachBatch scd2_upsert across micro-batches ends with the stored
+    history equal to the batch scd2_history over the full event log."""
+    from datapipeline_spike_spark.operators.sessions import scd2_history
+    from datapipeline_spike_spark.sources.warehouse import (
+        read_state_table,
+        scd2_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="scd2_stream_")
+    src, table = f"{root}/src", f"{root}/scd2"
+    try:
+        ev = load(spark, "/root/testdata/sf0.001", "events").select(
+            "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+        )
+        # two files -> two micro-batches split by TIME (per-key
+        # in-order arrival: the MERGE exactness contract; arbitrarily
+        # late mid-run events require the raw log, per the docstring)
+        mid = ev.selectExpr("timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS LONG)) AS m").collect()[0]["m"]
+        ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+        ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def apply_batch(batch_df, epoch_id):
+            scd2_upsert(
+                spark, table, batch_df, keys=["user_id"],
+                state_col="state", ts_col="ts", tiebreak="event_id",
+            )
+
+        q = stream.writeStream.foreachBatch(apply_batch).option(
+            "checkpointLocation", f"{root}/ckpt"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+        def snap(frame):
+            return sorted(
+                (r["user_id"], r["version"], r["state"], r["valid_from"],
+                 r["valid_to"], r["last_event_ts"], r["is_current"])
+                for r in frame.collect()
+            )
+
+        assert snap(read_state_table(spark, table)) == snap(
+            scd2_history(ev, ["user_id"], "state", "ts", "event_id")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
