@@ -34,6 +34,7 @@ EXTRAS = [
     "url_host_dedup",
     "scd2_user_state_history",
     "near_dup_cluster_stats",
+    "repeated_substring_profile",
 ]
 
 HEADLINE = [
