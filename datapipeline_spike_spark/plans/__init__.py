@@ -74,7 +74,12 @@ _VERIFY_FIRST = (
 )
 # Registered after the 50-slot head filled (preflight-green at both
 # scales; vanilla-smoked): MUST lead the r6 rotation.
-_QUEUED_FOR_NEXT_HEAD = ("scd2_user_state_history", "repeated_substring_profile")
+_QUEUED_FOR_NEXT_HEAD = (
+    "scd2_user_state_history",
+    "repeated_substring_profile",
+    "bloom_filter_profile",
+    "prefix_filter_jaccard_join",
+)
 # Driver-green in round 4 (CORRECTNESS_r04.json, 50/50); rotate to the
 # tail so the 50-query window covers the unverified head first.
 _STABLE_TAIL = (

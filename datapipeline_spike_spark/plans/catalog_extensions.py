@@ -2433,3 +2433,246 @@ def q_repeated_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("repeated_fraction"),
         )
     )
+
+
+# --- Bloom-filter membership sketch ------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3     # probes per element (Kirsch-Mitzenmacher double hashing)
+
+# DuckDB twin of the position derivation: g1/g2 = first/second 8 md5 hex
+# chars as uint32; position_i = (g1 + i*g2) mod m
+_SQL_BLOOM_POS = (
+    f"list_transform(range(0, {_BLOOM_K}), i -> "
+    f"CAST((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) "
+    f" + i * CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT)) % {_BLOOM_M} AS INT))"
+)
+
+
+@register(
+    "bloom_filter_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ref AS (
+      SELECT DISTINCT unnest(toks) AS tok FROM t WHERE doc_id % 2 = 0
+    ),
+    probe AS (
+      SELECT DISTINCT unnest(toks) AS tok FROM t WHERE doc_id % 2 = 1
+    ),
+    bits AS (
+      SELECT DISTINCT p.b AS b
+      FROM (SELECT unnest({_SQL_BLOOM_POS}) AS b FROM ref) p(b)
+    ),
+    probe_pos AS (
+      SELECT tok, p.b AS b
+      FROM (SELECT tok, unnest({_SQL_BLOOM_POS}) AS b FROM probe) p(tok, b)
+    ),
+    hits AS (
+      SELECT probe_pos.tok, count(*) AS n_hit
+      FROM probe_pos JOIN bits USING (b)
+      GROUP BY 1
+    ),
+    probe_hits AS (
+      SELECT probe.tok, coalesce(hits.n_hit, 0) AS n_hit,
+             CASE WHEN ref.tok IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM probe
+      LEFT JOIN hits ON probe.tok = hits.tok
+      LEFT JOIN ref  ON probe.tok = ref.tok
+    )
+    SELECT (SELECT count(*) FROM ref)  AS n_ref_tokens,
+           (SELECT count(*) FROM bits) AS n_bits_set,
+           round((SELECT count(*) FROM bits) * 1.0 / {_BLOOM_M}, {R}) AS fill_ratio,
+           count(*)                     AS n_probe_tokens,
+           CAST(sum(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(sum(is_member) AS BIGINT) AS n_true_members,
+           CAST(sum(CASE WHEN n_hit = {_BLOOM_K} AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           round(sum(CASE WHEN n_hit = {_BLOOM_K} AND is_member = 0 THEN 1 ELSE 0 END)
+                 * 1.0 / greatest(count(*) - sum(is_member), 1), {R}) AS measured_fpr
+    FROM probe_hits
+    """,
+    doc=f"""Bloom-filter membership sketch (the A+ sketch family next to
+    KMV and Misra-Gries): an {_BLOOM_M}-bit / {_BLOOM_K}-probe filter is
+    built over the even-docs vocabulary via Kirsch-Mitzenmacher double
+    hashing of portable md5 words, then the odd-docs vocabulary probes
+    it — reporting fill ratio, maybe-count, and the MEASURED false-
+    positive rate next to the ground truth (what an engine uses to size
+    join pre-filters and dedup pre-checks). Everything is relational:
+    bit positions are rows, 'all {_BLOOM_K} bits set' is a count over a
+    semi-join — so the filter's exact bit-level behavior replays in
+    SQL, not just its summary. Shuffles are vocabulary-bounded; the
+    probe join keys on bit position (<= {_BLOOM_M} distinct values,
+    broadcast-sized).""",
+    tags=("sketch", "bloom", "text"),
+)
+def q_bloom_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(Tx.tokens("text")).alias("tok"))
+    ref = toks.filter(F.col("doc_id") % 2 == 0).select("tok").distinct()
+    probe = toks.filter(F.col("doc_id") % 2 == 1).select("tok").distinct()
+
+    def positions(col: str):
+        g1 = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        g2 = F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+        return F.array(
+            *[((g1 + i * g2) % _BLOOM_M).cast("int") for i in range(_BLOOM_K)]
+        )
+
+    bits = ref.select(F.explode(positions("tok")).alias("b")).distinct()
+    probe_pos = probe.select("tok", F.explode(positions("tok")).alias("b"))
+    hits = (
+        probe_pos.join(F.broadcast(bits), "b")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    member = probe.join(
+        ref.withColumn("is_member", F.lit(1)), "tok", "left"
+    ).select("tok", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    per_tok = member.join(hits, "tok", "left").select(
+        "tok",
+        "is_member",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+    )
+    n_ref = ref.agg(F.count(F.lit(1)).alias("n_ref_tokens"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return (
+        per_tok.agg(
+            F.count(F.lit(1)).alias("n_probe_tokens"),
+            F.sum(F.when(F.col("n_hit") == _BLOOM_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_maybe"),
+            F.sum("is_member").cast("long").alias("n_true_members"),
+            F.sum(
+                F.when((F.col("n_hit") == _BLOOM_K) & (F.col("is_member") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_positives"),
+        )
+        .crossJoin(F.broadcast(n_ref))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_ref_tokens",
+            "n_bits_set",
+            F.round(F.col("n_bits_set") * F.lit(1.0) / _BLOOM_M, R).alias("fill_ratio"),
+            "n_probe_tokens",
+            "n_maybe",
+            "n_true_members",
+            F.col("n_false_positives"),
+            F.round(
+                F.col("n_false_positives")
+                * F.lit(1.0)
+                / F.greatest(F.col("n_probe_tokens") - F.col("n_true_members"), F.lit(1)),
+                R,
+            ).alias("measured_fpr"),
+        )
+    )
+
+
+# --- prefix-filtering set-similarity join ------------------------------------
+
+# Jaccard threshold 0.8 as an exact fraction: prefix length
+# p = n - ceil(0.8 n) + 1 computed in INTEGER arithmetic ((4n+4) div 5)
+# so both engines agree without IEEE ceil(0.8*n) edge cases.
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, sh, len(sh) AS n
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t)
+      WHERE len(sh) > 0
+    ),
+    ex AS (SELECT doc_id, n, unnest(sh) AS g FROM s),
+    freq AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+    ranked AS (
+      SELECT ex.doc_id, ex.n, ex.g,
+             row_number() OVER (PARTITION BY ex.doc_id
+                                ORDER BY freq.df, ex.g) AS rnk
+      FROM ex JOIN freq USING (g)
+    ),
+    prefix AS (
+      SELECT doc_id, g FROM ranked WHERE rnk <= n - (4 * n + 4) // 5 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT cand.doc_id_a, cand.doc_id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / len(list_distinct(sa.sh || sb.sh)), {R}) AS jaccard
+    FROM cand
+    JOIN s sa ON sa.doc_id = cand.doc_id_a
+    JOIN s sb ON sb.doc_id = cand.doc_id_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+          / len(list_distinct(sa.sh || sb.sh)) >= 0.8
+    """,
+    doc="""EXACT set-similarity self-join by prefix filtering (AllPairs
+    / PPJoin family, Bayardo et al. 2007 — the deterministic companion
+    to MinHash-LSH): shingles are globally ordered rarest-first
+    (document frequency, then lexicographic), each doc exposes only its
+    first n - ceil(0.8 n) + 1 shingles as its prefix, and two sets with
+    Jaccard >= 0.8 PROVABLY share a prefix shingle — so bucketing on
+    prefix shingles generates a complete candidate set (zero false
+    negatives, unlike LSH's probabilistic recall) while the rarest-first
+    order keeps buckets small. Candidates verify with exact Jaccard.
+    Shuffles: one df count, one rank window, one bucket groupBy, the
+    verify joins — all linear; no self cross-join anywhere. Integer
+    prefix arithmetic ((4n+4) div 5) keeps both engines bit-identical.""",
+    tags=("dedup", "similarity", "prefix-filter"),
+)
+def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    s = (
+        d.select("doc_id", Tx.shingles("text", k=3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", F.size("sh").alias("n"))
+    )
+    ex = s.select("doc_id", "n", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(freq, "g").select(
+        "doc_id",
+        "n",
+        "g",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "g"))
+        .alias("rnk"),
+    )
+    prefix = ranked.filter(
+        F.col("rnk") <= F.expr("n - (4 * n + 4) DIV 5 + 1")
+    ).select("doc_id", "g")
+    buckets = (
+        prefix.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("aid"), F.col("sh").alias("a_sh"))
+    sb = s.select(F.col("doc_id").alias("bid"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, cand["doc_id_a"] == F.col("aid"))
+        .join(sb, cand["doc_id_b"] == F.col("bid"))
+        .filter(jac >= 0.8)
+        .select("doc_id_a", "doc_id_b", F.round(jac, R).alias("jaccard"))
+    )

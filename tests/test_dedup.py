@@ -453,3 +453,49 @@ def test_incremental_dedup_empty_edges(spark):
         for r in incremental_dedup(empty, existing).collect()
     }
     assert got == {0: "new"}
+
+
+def test_prefix_filter_join_is_complete_vs_brute_force(spark, tmp_path):
+    """Prefix filtering's guarantee (AllPairs): the candidate set has
+    ZERO false negatives — every pair with Jaccard >= 0.8 is found,
+    exactly matching a brute-force all-pairs scan on a corpus planted
+    with near-dups, a transitive chain, and unrelated docs."""
+    import itertools
+
+    from datapipeline_spike_spark.plans import REGISTRY
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        (0, base),
+        (1, base.replace("kappa", "koppa")),            # near-dup of 0
+        (2, base.replace("kappa", "koppa").replace("tau", "taw")),  # chain
+        (3, "totally different words about completely other things entirely "
+            "nothing shared with the first group of documents at all here"),
+        (4, base),                                      # exact dup of 0
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in REGISTRY["prefix_filter_jaccard_join"].spark(spark, sf).collect()
+    }
+
+    # ground truth: brute-force 3-shingle Jaccard over all pairs
+    def sh(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        a, b = sh(ta), sh(tb)
+        j = len(a & b) / len(a | b)
+        if j >= 0.8:
+            want[(min(ia, ib), max(ia, ib))] = round(j, 6)
+    assert want, "test corpus must contain qualifying pairs"
+    assert got == want
