@@ -368,6 +368,43 @@ def newops_stress(spark, amp: int) -> None:
         print(json.dumps({"probe": "audio_header_meta", "amp": a, "docs": drows,
                           "media_rows": n_media, "sec": secs,
                           "docs_per_sec": int(drows / secs)}), flush=True)
+
+        # prefix-filtering similarity join: the blowup risk is bucket
+        # size on prefix shingles — report candidate volume next to the
+        # verified pairs so a super-linear candidate curve is loud
+        def prefix_join():
+            s = (
+                docs.select("doc_id", Tx.shingles("text", k=3).alias("sh"))
+                .filter(F.size("sh") > 0)
+                .select("doc_id", "sh", F.size("sh").alias("n"))
+            )
+            ex = s.select("doc_id", "n", F.explode("sh").alias("g"))
+            freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            ranked = ex.join(freq, "g").select(
+                "doc_id", "n", "g",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "g")
+                ).alias("rnk"),
+            )
+            prefix = ranked.filter(
+                F.col("rnk") <= F.expr("n - (4 * n + 4) DIV 5 + 1")
+            ).select("doc_id", "g")
+            buckets = (
+                prefix.groupBy("g")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                .filter(F.size("ids") > 1)
+            )
+            n_cand = buckets.select(
+                F.sum(F.size("ids") * (F.size("ids") - 1) / 2).alias("c")
+            ).collect()[0]["c"]
+            return int(n_cand or 0)
+
+        t0 = time.perf_counter()
+        cands = prefix_join()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"probe": "prefix_filter_candidates", "amp": a,
+                          "docs": drows, "candidates": cands, "sec": secs,
+                          "docs_per_sec": int(drows / secs)}), flush=True)
         docs.unpersist()
 
 
