@@ -2594,20 +2594,25 @@ def q_bloom_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex JOIN freq USING (g)
     ),
     prefix AS (
-      SELECT doc_id, g FROM ranked WHERE rnk <= n - (4 * n + 4) // 5 + 1
+      SELECT doc_id, n, g FROM ranked WHERE rnk <= n - (4 * n + 4) // 5 + 1
     ),
     cand AS (
+      -- PPJoin length filter: Jaccard >= 4/5 forces 5*min(|a|,|b|) >=
+      -- 4*max(|a|,|b|) — integer math, prunes before any array work
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-      FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM prefix a JOIN prefix b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+       AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)
     )
     SELECT cand.doc_id_a, cand.doc_id_b,
            round(len(list_intersect(sa.sh, sb.sh)) * 1.0
-                 / len(list_distinct(sa.sh || sb.sh)), {R}) AS jaccard
+                 / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))), {R})
+             AS jaccard
     FROM cand
     JOIN s sa ON sa.doc_id = cand.doc_id_a
     JOIN s sb ON sb.doc_id = cand.doc_id_b
-    WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
-          / len(list_distinct(sa.sh || sb.sh)) >= 0.8
+    WHERE 5 * len(list_intersect(sa.sh, sb.sh))
+          >= 4 * (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh)))
     """,
     doc="""EXACT set-similarity self-join by prefix filtering (AllPairs
     / PPJoin family, Bayardo et al. 2007 — the deterministic companion
@@ -2644,19 +2649,33 @@ def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rnk") <= F.expr("n - (4 * n + 4) DIV 5 + 1")
-    ).select("doc_id", "g")
+    ).select("doc_id", "n", "g")
     buckets = (
         prefix.groupBy("g")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
     ids = F.col("ids")
+    # PPJoin length filter applied INSIDE the bucket-pair generator:
+    # Jaccard >= 4/5 forces 5*min(|a|,|b|) >= 4*max(|a|,|b|), so size-
+    # incompatible pairs never leave the bucket (integer math; on a
+    # dup-dense corpus this prunes most of the candidate volume before
+    # any shingle-array work)
     pair_structs = F.flatten(
         F.transform(
             ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("a"), y["doc_id"].alias("b"),
+                        x["n"].alias("an"), y["n"].alias("bn"),
+                    ),
+                ),
+                lambda p: 5 * F.least(p["an"], p["bn"])
+                >= 4 * F.greatest(p["an"], p["bn"]),
             ),
         )
     )
@@ -2665,14 +2684,19 @@ def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .distinct()
     )
-    sa = s.select(F.col("doc_id").alias("aid"), F.col("sh").alias("a_sh"))
-    sb = s.select(F.col("doc_id").alias("bid"), F.col("sh").alias("b_sh"))
+    sa = s.select(F.col("doc_id").alias("aid"), F.col("sh").alias("a_sh"), F.col("n").alias("an"))
+    sb = s.select(F.col("doc_id").alias("bid"), F.col("sh").alias("b_sh"), F.col("n").alias("bn"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
-    jac = inter.cast("double") / union
+    # |A u B| = |A| + |B| - |A n B| (shingle sets are distinct): integer
+    # arithmetic instead of materializing a union array per candidate
+    union = F.col("an") + F.col("bn") - inter
     return (
         cand.join(sa, cand["doc_id_a"] == F.col("aid"))
         .join(sb, cand["doc_id_b"] == F.col("bid"))
-        .filter(jac >= 0.8)
-        .select("doc_id_a", "doc_id_b", F.round(jac, R).alias("jaccard"))
+        .filter(5 * inter >= 4 * union)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(inter.cast("double") / union, R).alias("jaccard"),
+        )
     )
