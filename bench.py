@@ -35,6 +35,8 @@ EXTRAS = [
     "scd2_user_state_history",
     "near_dup_cluster_stats",
     "repeated_substring_profile",
+    "bloom_filter_profile",
+    "prefix_filter_jaccard_join",
 ]
 
 HEADLINE = [
