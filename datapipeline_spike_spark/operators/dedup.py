@@ -495,9 +495,19 @@ def dedup_corpus(
     # to disk rather than pinning memory at corpus scale
     reps = base.join(
         rep_map.filter(F.col(id_col) == F.col("exact_rep")).select(id_col), id_col
+    )
+    # ONE shingling pass serves all three consumers (MinHash signature,
+    # both verification sides) — unshared, the tokenize+shingle work ran
+    # 3x (once inside the signature, once per join side); persisting the
+    # shingle frame instead of the raw reps keeps the cache exactly as
+    # big as the data every consumer actually reads
+    sh = reps.select(
+        F.col(id_col).alias("sid"), shingles(text_col, k=3).alias("sh")
     ).persist()
-    cand = lsh_candidate_pairs(reps, text_col, id_col, n_hashes, band_rows)
-    sh = reps.select(F.col(id_col).alias("sid"), shingles(text_col, k=3).alias("sh"))
+    sig = minhash_signature_from_shingles(sh, "sid", "sh", n_hashes).withColumnRenamed(
+        "sid", id_col
+    )
+    cand = lsh_candidate_pairs(reps, text_col, id_col, n_hashes, band_rows, sig=sig)
     sha = sh.select(F.col("sid").alias("aid"), F.col("sh").alias("a_sh"))
     shb = sh.select(F.col("sid").alias("bid"), F.col("sh").alias("b_sh"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
@@ -536,8 +546,8 @@ def dedup_corpus(
         else:
             comp = connected_components_star(edges, edge_verts)
     # comp is eagerly checkpointed (as is the edge set), so nothing
-    # downstream re-reads reps — release the cache now
-    reps.unpersist()
+    # downstream re-reads the shingle frame — release the cache now
+    sh.unpersist()
     return rep_map.join(comp, rep_map["exact_rep"] == comp["id"], "left").select(
         F.col(id_col),
         F.coalesce(F.col("comp"), F.col("exact_rep")).alias("canonical_id"),
