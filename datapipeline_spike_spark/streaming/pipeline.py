@@ -74,6 +74,31 @@ def dedup_stream(records: DataFrame, id_col: str = "event_id", ts_col: str = "ts
     return records.withWatermark(ts_col, WATERMARK).dropDuplicatesWithinWatermark([id_col])
 
 
+def content_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming CONTENT dedup — the streaming twin of
+    doc_fingerprint_dedup: admit the first document per normalized-text
+    fingerprint inside the watermark horizon, drop later exact copies
+    even when their ids differ (crawler re-fetches, republished posts).
+    State is one fingerprint per admitted doc, expired by the watermark
+    — bounded, unlike a global dropDuplicates whose state grows forever.
+    The near-dup tier stays in ``ingest_with_dedup`` (foreachBatch
+    against the persisted index); this operator is the cheap exact
+    front-gate a stream can run fully inside the engine."""
+    from datapipeline_spike_spark.functions.text import fingerprint_md5
+
+    return (
+        docs.withColumn("_fp", fingerprint_md5(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def session_stream(
     records: DataFrame, key: str = "user_id", ts_col: str = "ts", gap: str = "30 minutes"
 ) -> DataFrame:

@@ -903,3 +903,42 @@ def test_streaming_scd2_upsert_maintains_history_table(spark):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_content_dedup_stream_drops_cross_batch_copies(spark):
+    """content_dedup_stream: exact text copies with DIFFERENT ids,
+    arriving in different micro-batches inside the watermark, are
+    dropped; distinct texts pass. The streaming twin of
+    doc_fingerprint_dedup (same normalization, same fingerprint)."""
+    from datapipeline_spike_spark.streaming.pipeline import content_dedup_stream
+
+    root = tempfile.mkdtemp(prefix="content_dedup_")
+    src = f"{root}/src"
+    try:
+        t0 = "2024-01-01 00:00:00"
+        t1 = "2024-01-01 00:00:30"
+        a = "the quick brown fox jumps over the lazy dog"
+        b = "completely different content about query engines"
+        mk = lambda rows: spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
+        # batch 1: two distinct docs; batch 2: same-text copy (new id,
+        # whitespace variant — normalization must still catch it) + one new
+        mk([(1, a, t0), (2, b, t0)]).coalesce(1).write.mode("append").parquet(src)
+        mk([(3, "  " + a.replace(" ", "  "), t1), (4, "yet another novel document", t1)]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = run_to_memory(content_dedup_stream(stream), "content_dedup")
+        try:
+            ids = {r["doc_id"] for r in spark.sql("SELECT * FROM content_dedup").collect()}
+            assert 1 in ids and 2 in ids and 4 in ids
+            assert 3 not in ids  # cross-batch exact copy dropped
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
