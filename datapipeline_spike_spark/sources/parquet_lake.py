@@ -225,11 +225,18 @@ def compact_zone(
         with open(mtmp, "w") as f:
             json.dump(new_manifest, f)
         os.replace(mtmp, os.path.join(dirpath, MANIFEST_NAME))
-        # 3. GC generations older than the one just superseded
+        # 3. GC generations older than the one just superseded — iterate
+        # the WALK-TIME snapshot, never a fresh listdir: a micro-batch
+        # file appended while this leaf was compacting is absent from
+        # the snapshot and therefore untouchable (it stays live for the
+        # next manifest), whereas a re-listing would see it, miss it in
+        # `keep`, and delete fresh data
         keep = set(new_files) | set(live)
-        for f in os.listdir(dirpath):
+        for f in filenames:
             if f.endswith(".parquet") and f not in keep:
-                os.remove(os.path.join(dirpath, f))
+                path_f = os.path.join(dirpath, f)
+                if os.path.exists(path_f):
+                    os.remove(path_f)
         report[rel] = {"files_before": len(live), "files_after": len(new_files)}
     return report
 

@@ -241,12 +241,14 @@ def read_state_table(spark: SparkSession, table_path: str) -> DataFrame | None:
     without a pointer (pre-versioning layout) reads directly."""
     import os
 
+    from pyspark.sql.utils import AnalysisException
+
     gen = _current_version(table_path)
     if gen:
         return spark.read.parquet(os.path.join(table_path, f"v{gen:06d}"))
     try:
         return spark.read.parquet(table_path)
-    except Exception:  # noqa: BLE001 — absent table
+    except AnalysisException:  # absent table; anything else propagates
         return None
 
 
