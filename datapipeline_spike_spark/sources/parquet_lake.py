@@ -94,18 +94,27 @@ def _is_generation_file(name: str) -> bool:
     return bool(_GEN_FILE.match(name))
 
 
+def _retained_files(m: dict) -> set[str]:
+    """Union of the superseded generations a manifest still retains
+    ("retained": newest-first list of file-lists; legacy manifests used
+    a single "previous_files" list)."""
+    if "retained" in m:
+        return {f for gen_files in m["retained"] for f in gen_files}
+    return set(m.get("previous_files", ()))
+
+
 def _live_files(dirpath: str, filenames: list[str]) -> list[str]:
     """The data files a reader of this leaf should see: without a
     manifest, every parquet file; with one, the manifest's generation
     PLUS any files appended since the manifest was written (micro-batch
     appends must stay visible between compactions). Excluded: the
-    superseded generation (``previous_files``, retained for in-flight
+    retained superseded generations (kept on disk for in-flight
     readers) and any stale ``g``-named compactor output."""
     m = _leaf_manifest(dirpath)
     all_pq = sorted(f for f in filenames if f.endswith(".parquet"))
     if m is None:
         return all_pq
-    cur, prev = set(m["files"]), set(m["previous_files"])
+    cur, prev = set(m["files"]), _retained_files(m)
     appended = [
         f for f in all_pq if f not in cur and f not in prev and not _is_generation_file(f)
     ]
@@ -157,6 +166,7 @@ def compact_zone(
     zone: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 4,
+    retain_generations: int = 2,
 ) -> dict[str, dict[str, int]]:
     """Small-file compaction — the lake maintenance job every streaming
     ingest needs: micro-batch appends leave each partition with many
@@ -172,10 +182,14 @@ def compact_zone(
        removed or renamed at this step);
     2. ``_MANIFEST.json`` is replaced atomically (tmp + ``os.replace``)
        to name the new generation as the leaf's live file set;
-    3. files belonging to generations OLDER than the one just superseded
-       are garbage-collected — the superseded generation itself survives
-       until the NEXT compaction, giving in-flight readers a full
-       compaction interval to finish instead of a rename-window race.
+    3. generations older than the newest ``retain_generations``
+       superseded ones are garbage-collected — a reader that resolved
+       any of the retained manifests still finds every file it planned,
+       so in-flight readers get ``retain_generations`` full compaction
+       intervals to finish instead of a rename-window race (one interval
+       proved too tight for slow readers under host contention; the
+       knob is the same retention lever a lakehouse format exposes for
+       vacuum).
 
     Readers going through :func:`read_zone` therefore never observe a
     missing file or a half-swapped leaf (test-proven by a polling reader
@@ -215,11 +229,19 @@ def compact_zone(
                 os.rename(os.path.join(tmp, f), os.path.join(dirpath, name))
                 new_files.append(name)
         shutil.rmtree(tmp)
-        # 2. atomic manifest swap: the new generation becomes live
+        # 2. atomic manifest swap: the new generation becomes live; the
+        # just-superseded live set joins the retained window (newest
+        # first), bounded at retain_generations
+        old_retained = (
+            manifest.get("retained", [manifest.get("previous_files", [])])
+            if manifest
+            else []
+        )
+        retained = ([live] + old_retained)[: max(retain_generations, 0)]
         new_manifest = {
             "generation": gen,
             "files": new_files,
-            "previous_files": live,
+            "retained": retained,
         }
         mtmp = os.path.join(dirpath, MANIFEST_NAME + ".tmp")
         with open(mtmp, "w") as f:
@@ -231,7 +253,7 @@ def compact_zone(
         # the snapshot and therefore untouchable (it stays live for the
         # next manifest), whereas a re-listing would see it, miss it in
         # `keep`, and delete fresh data
-        keep = set(new_files) | set(live)
+        keep = set(new_files) | {f for gen_files in retained for f in gen_files}
         for f in filenames:
             if f.endswith(".parquet") and f not in keep:
                 path_f = os.path.join(dirpath, f)

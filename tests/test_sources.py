@@ -349,31 +349,37 @@ def test_lake_compaction_reduces_files_preserves_rows(spark, tmp_path):
         sorted(map(tuple, read_zone(spark, root, "processed").collect()))
         == sorted(rows_before * 2)
     )
-    # ...and the next compaction folds them in, GC'ing everything the
-    # superseded-generation retention no longer covers
+    # ...and the next compaction folds them in. With the default
+    # retain_generations=2, the round-1 micro-batch files (superseded
+    # at compaction #1) survive compaction #2...
     compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
     on_disk = set(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
-    # the gen-0 micro-batch files (retained one interval as gen-1's
-    # previous generation) are now fully GC'd; gen-1 itself is the
-    # currently-retained superseded generation, so it may remain
     round1_microbatch = {f for f in round1_files if "/g000001-" not in f}
-    assert round1_microbatch and round1_microbatch.isdisjoint(on_disk)
-    # retention contract, exactly: disk = live generation + superseded set
+    assert round1_microbatch and round1_microbatch <= on_disk
+    # ...and are GC'd once compaction #3 pushes them past the window
+    for i in range(6):
+        write_zone(base.filter(F.col("event_id") % 6 == i), root, "processed")
+    compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
+    on_disk = set(glob.glob(f"{root}/processed/**/*.parquet", recursive=True))
+    assert round1_microbatch.isdisjoint(on_disk)
+    # retention contract, exactly: disk = live generation + retained sets
     import os
 
     from datapipeline_spike_spark.sources.parquet_lake import (
         MANIFEST_NAME,
         _leaf_manifest,
+        _retained_files,
     )
 
     for mpath in glob.glob(f"{root}/processed/**/{MANIFEST_NAME}", recursive=True):
         leaf = os.path.dirname(mpath)
         m = _leaf_manifest(leaf)
         disk = {f for f in os.listdir(leaf) if f.endswith(".parquet")}
-        assert disk == set(m["files"]) | set(m["previous_files"])
+        assert disk == set(m["files"]) | _retained_files(m)
+        assert len(m["retained"]) == 2  # window depth honored
     assert (
         sorted(map(tuple, read_zone(spark, root, "processed").collect()))
-        == sorted(rows_before * 2)
+        == sorted(rows_before * 3)
     )
 
 
