@@ -17,19 +17,96 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 # may go 2 rounds unverified), (3) new queries; the most recently
 # driver-green block rotates to the tail.
 _VERIFY_FIRST = (
-    # --- code changed in round 4/5 but not driver-re-verified since ---
-    "dedup_corpus_assignment",      # r4: size-gated driver union-find
-    "minhash_lsh_candidates",       # r4: shared MinHash signature pass
-    "simhash_signatures",           # r4: shared signature pass
+    # --- r6 head, slot 1: the 4 queries registered late in r5 that have
+    # NEVER had a driver CORRECTNESS row (judge-local PASS only).  The r5
+    # sample was exactly the previous head, so these MUST lead or they
+    # starve a second round (VERDICT r5 finding 1 / advice item 1). ---
+    "scd2_user_state_history",
+    "repeated_substring_profile",
+    "bloom_filter_profile",
+    "prefix_filter_jaccard_join",
+    # --- r6 head, slot 2: queries whose code changes in round 6 are
+    # appended here as they land (rotation rule: changed code must be
+    # driver-re-hashed the same round). ---
+    # (populated during r6; see _R6_CHANGED below)
+    # --- r6 head, slot 3: last driver-verified in round 4 (rotated out
+    # of the r5 sample) — oldest-first fill of the 50-slot window.  Any
+    # overflow past 50 lands at the start of the r7 head. ---
+    "minhash_jaccard_estimate",
+    "corpus_mixture_plan",
+    "ann_recall_at_k",
+    "audio_header_meta",
+    "incremental_ingest_dedup",
+    "quality_filter_decision",
+    "customer_value_ranks",
+    "ivf_recall_at_k",
+    "fixed_size_sample",
+    "source_quality_rollup",
+    "candidate_edit_distance",
+    "lineitem_scalar_lab",
+    "referential_integrity_audit",
+    "props_variant_stats",
+    "robust_outlier_mad",
+    "event_funnel_transitions",
+    "cohort_retention",
+    "monthly_revenue_growth",
+    "value_histogram",
+    "sessionization",
+    "repetition_profile",
+    "embedding_label_stats",
+    "multimodal_shard_meta",
+    "machine_stream_union",
+    "vibration_features",
+    "downsample_1h",
+    "record_envelope_flat",
+    "envelope_reduced_features",
+    "status_route_counts",
+    "json_props_profile",
+    "daily_status_pivot",
+    "orders_grouping_sets",
+    "order_scalar_lab",
+    "quantity_quantiles",
+    "supplier_distinct_parts",
+    "segment_symmetric_difference",
+    "top_lineitems_global",
+    "orders_cube",
+    "lineitem_rollup",
+    "customer_order_running",
+    "top_orders_per_customer",
+    "part_size_bands",
+    "order_size_histogram",
+    "customers_without_orders",
+    "customers_with_orders",
+    "customers_per_region",
+    "revenue_by_segment",
+    "pricing_summary",
+)
+# Changed/new in round 6 — spliced in right after the never-verified
+# block so the driver re-hashes them this round.
+_R6_CHANGED = (
+)
+# Head overflow past the driver's 50-slot sample window: these r4-green
+# relational queries spill to round 7 if _R6_CHANGED grows.  (The four
+# r5-queued queries now LEAD _VERIFY_FIRST — consumed, per the rule.)
+_QUEUED_FOR_NEXT_HEAD = (
+    "revenue_by_segment",   # slot 50 — spills if _R6_CHANGED is non-empty
+    "pricing_summary",      # slot 51 — always spills this round
+)
+# Driver-green in round 4 (CORRECTNESS_r04.json, 50/50); rotate to the
+# tail so the 50-query window covers the unverified head first.
+# Driver-green in round 5 (CORRECTNESS_r05.json, 50/50): rotate to the
+# tail so the 50-query window covers the r4-green + never-verified head.
+_STABLE_TAIL = (
+    "dedup_corpus_assignment",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
     "simhash_neardup_pairs",
-    "embedding_dedup_assignment",   # uses connected components (r4 change)
+    "embedding_dedup_assignment",
     "ngram_jaccard_pairs",
-    "unigram_logprob_score",        # r5: plan-build collect removed
-    "tfidf_top_terms",              # r5: same fix — derive N in-plan
-    # --- perf-weak, needs a fresh driver timing + hash ---
+    "unigram_logprob_score",
+    "tfidf_top_terms",
     "spectral_energy",
     "dominant_frequency",
-    # --- last driver-verified in r2, longest-unverified block ---
     "ann_lsh_bucket",
     "ann_ivf_flat",
     "kmeans_centroids",
@@ -64,78 +141,20 @@ _VERIFY_FIRST = (
     "table_profile",
     "image_header_meta",
     "video_header_meta",
-    # --- new in round 5 — never driver-verified ---
     "incremental_dedup_steady_state",
-    "dominant_frequency_verified",  # r5: de-vacuated at sf0.001
+    "dominant_frequency_verified",
     "url_host_dedup",
     "decontamination_span_removal",
     "winnowing_fingerprints",
     "near_dup_cluster_stats",
 )
-# Registered after the 50-slot head filled (preflight-green at both
-# scales; vanilla-smoked): MUST lead the r6 rotation.
-_QUEUED_FOR_NEXT_HEAD = (
-    "scd2_user_state_history",
-    "repeated_substring_profile",
-    "bloom_filter_profile",
-    "prefix_filter_jaccard_join",
-)
-# Driver-green in round 4 (CORRECTNESS_r04.json, 50/50); rotate to the
-# tail so the 50-query window covers the unverified head first.
-_STABLE_TAIL = (
-    "minhash_jaccard_estimate",
-    "corpus_mixture_plan",
-    "ann_recall_at_k",
-    "audio_header_meta",
-    "incremental_ingest_dedup",
-    "quality_filter_decision",
-    "customer_value_ranks",
-    "ivf_recall_at_k",
-    "fixed_size_sample",
-    "source_quality_rollup",
-    "candidate_edit_distance",
-    "lineitem_scalar_lab",
-    "referential_integrity_audit",
-    "props_variant_stats",
-    "robust_outlier_mad",
-    "event_funnel_transitions",
-    "cohort_retention",
-    "monthly_revenue_growth",
-    "value_histogram",
-    "sessionization",
-    "repetition_profile",
-    "embedding_label_stats",
-    "multimodal_shard_meta",
-    "pricing_summary",
-    "revenue_by_segment",
-    "customers_per_region",
-    "customers_with_orders",
-    "customers_without_orders",
-    "order_size_histogram",
-    "part_size_bands",
-    "top_orders_per_customer",
-    "customer_order_running",
-    "lineitem_rollup",
-    "orders_cube",
-    "top_lineitems_global",
-    "segment_symmetric_difference",
-    "supplier_distinct_parts",
-    "quantity_quantiles",
-    "order_scalar_lab",
-    "orders_grouping_sets",
-    "daily_status_pivot",
-    "json_props_profile",
-    "machine_stream_union",
-    "vibration_features",
-    "downsample_1h",
-    "record_envelope_flat",
-    "envelope_reduced_features",
-    "status_route_counts",
-)
 
 
 def _reorder() -> None:
-    head = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    ordered = list(_VERIFY_FIRST[:4]) + [
+        n for n in _R6_CHANGED if n not in _VERIFY_FIRST[:4]
+    ] + [n for n in _VERIFY_FIRST[4:] if n not in _R6_CHANGED]
+    head = [n for n in ordered if n in REGISTRY]
     tail = [n for n in _STABLE_TAIL if n in REGISTRY]
     mid = [n for n in REGISTRY if n not in _VERIFY_FIRST and n not in _STABLE_TAIL]
     snapshot = {n: REGISTRY[n] for n in head + mid + tail}
