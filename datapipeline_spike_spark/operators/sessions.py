@@ -67,11 +67,17 @@ def scd2_history(
     Shape: ONE keyed window (partition by key, sort by time) feeds the
     run-collapse lag, the version cumsum, and the valid_to lead — the
     sessionization shuffle class, linear at any stream size with no
-    self-joins. Deterministic given a unique tiebreak."""
+    self-joins. Deterministic given a unique tiebreak.
+
+    NULL states are real values: a NULL following a non-NULL (or vice
+    versa) opens a new version (null-safe inequality — the SQL twin is
+    ``IS DISTINCT FROM``), so a NULL-state event is never silently
+    merged into the preceding run. The first event per key always opens
+    version 1, NULL state included."""
     w = Window.partitionBy(*keys).orderBy(F.col(ts), F.col(tiebreak))
     changed = (
-        F.lag(state_col).over(w).isNull()
-        | (F.col(state_col) != F.lag(state_col).over(w))
+        (F.row_number().over(w) == 1)
+        | ~F.col(state_col).eqNullSafe(F.lag(state_col).over(w))
     ).cast("int")
     runs = df.select(
         *keys, F.col(state_col), F.col(ts), F.sum(changed).over(w).alias("version")

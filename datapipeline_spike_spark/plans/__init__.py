@@ -84,6 +84,7 @@ _VERIFY_FIRST = (
 # Changed/new in round 6 — spliced in right after the never-verified
 # block so the driver re-hashes them this round.
 _R6_CHANGED = (
+    "incremental_dedup_steady_state",  # r6: per-pid index tmp dir (advice)
 )
 # Head overflow past the driver's 50-slot sample window: these r4-green
 # relational queries spill to round 7 if _R6_CHANGED grows.  (The four

@@ -448,11 +448,13 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lagged AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
+                                   ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
       FROM events
     ), runs AS (
       SELECT user_id, event_type, ts,
-             sum(CASE WHEN prev IS NULL OR event_type != prev
+             sum(CASE WHEN rn = 1 OR event_type IS DISTINCT FROM prev
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
       FROM lagged

@@ -1473,9 +1473,15 @@ def q_incremental_dedup_steady_state(spark: SparkSession, sf_dir: str) -> DataFr
     d = fan_out(load(spark, sf_dir, "documents"))
     existing = d.filter(F.col("doc_id") % 2 == 0)
     incoming = d.filter(F.col("doc_id") % 2 == 1)
+    # Keyed on sf_dir AND pid: two concurrent sessions on the same
+    # sf_dir (overlapping bench + driver run) must not overwrite each
+    # other's index parquet while a built-but-unexecuted plan in the
+    # other process still references the files.
     root = os.path.join(
         tempfile.gettempdir(),
-        "dps_steady_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "dps_steady_idx_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"_{os.getpid()}",
     )
     # staged build: fingerprint scan, then ONE tokenize+shingle scan
     # whose stored output feeds the band derivation — the corpus is

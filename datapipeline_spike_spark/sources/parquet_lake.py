@@ -105,15 +105,20 @@ def _retained_files(m: dict) -> set[str]:
 
 def _live_files(dirpath: str, filenames: list[str]) -> list[str]:
     """The data files a reader of this leaf should see: without a
-    manifest, every parquet file; with one, the manifest's generation
-    PLUS any files appended since the manifest was written (micro-batch
-    appends must stay visible between compactions). Excluded: the
-    retained superseded generations (kept on disk for in-flight
-    readers) and any stale ``g``-named compactor output."""
+    manifest, every NON-generation parquet file; with one, the
+    manifest's generation PLUS any files appended since the manifest
+    was written (micro-batch appends must stay visible between
+    compactions). Excluded: the retained superseded generations (kept
+    on disk for in-flight readers) and any stale ``g``-named compactor
+    output. A ``g``-named file in a manifest-less leaf is by definition
+    uncommitted compactor output — the first compaction of the leaf
+    crashed between renaming its generation into place and writing the
+    manifest — and must never be treated as live, or the duplicates it
+    carries would be read (and baked in by the next compaction)."""
     m = _leaf_manifest(dirpath)
     all_pq = sorted(f for f in filenames if f.endswith(".parquet"))
     if m is None:
-        return all_pq
+        return [f for f in all_pq if not _is_generation_file(f)]
     cur, prev = set(m["files"]), _retained_files(m)
     appended = [
         f for f in all_pq if f not in cur and f not in prev and not _is_generation_file(f)
@@ -136,8 +141,8 @@ def read_zone(spark: SparkSession, lake_root: str, zone: str) -> DataFrame:
     one any filesystem-backed table pays; a lakehouse format's metadata
     layer is the upgrade path, same topology.)"""
     zone_root = os.path.join(lake_root, zone)
-    paths, any_manifest = zone_live_files(lake_root, zone)
-    if not any_manifest:
+    paths, need_listing = _zone_walk(lake_root, zone)
+    if not need_listing:
         return spark.read.parquet(zone_root)
     return spark.read.option("basePath", zone_root).parquet(*paths)
 
@@ -145,7 +150,9 @@ def read_zone(spark: SparkSession, lake_root: str, zone: str) -> DataFrame:
 def zone_live_files(lake_root: str, zone: str) -> tuple[list[str], bool]:
     """Full paths of the data files a reader should open (resolving
     per-leaf manifests) and whether any manifest exists. Superseded-
-    generation files retained for in-flight readers are NOT listed."""
+    generation files retained for in-flight readers are NOT listed,
+    and neither is uncommitted compactor debris (g-named files in a
+    manifest-less leaf)."""
     zone_root = os.path.join(lake_root, zone)
     paths: list[str] = []
     any_manifest = False
@@ -158,6 +165,25 @@ def zone_live_files(lake_root: str, zone: str) -> tuple[list[str], bool]:
         live = _live_files(dirpath, filenames)
         paths.extend(os.path.join(dirpath, f) for f in live)
     return paths, any_manifest
+
+
+def _zone_walk(lake_root: str, zone: str) -> tuple[list[str], bool]:
+    """Like :func:`zone_live_files`, but the flag is "must read via the
+    explicit path list": true when any leaf carries a manifest OR holds
+    excluded files (retained generations / pre-manifest compactor
+    debris) that a plain directory read would wrongly include."""
+    zone_root = os.path.join(lake_root, zone)
+    paths: list[str] = []
+    need_listing = False
+    for dirpath, dirnames, filenames in os.walk(zone_root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        live = _live_files(dirpath, filenames)
+        if MANIFEST_NAME in filenames or len(live) != sum(
+            f.endswith(".parquet") for f in filenames
+        ):
+            need_listing = True
+        paths.extend(os.path.join(dirpath, f) for f in live)
+    return paths, need_listing
 
 
 def compact_zone(
@@ -203,6 +229,14 @@ def compact_zone(
     import math
     import shutil
 
+    if retain_generations < 1:
+        # 0 would GC the just-superseded live files immediately after the
+        # manifest swap — exactly the reader-404 race the retained window
+        # exists to eliminate. The "reader never observes a missing file"
+        # contract cannot be silently disabled.
+        raise ValueError(
+            f"retain_generations must be >= 1, got {retain_generations}"
+        )
     zone_root = os.path.join(lake_root, zone)
     report: dict[str, dict[str, int]] = {}
     for dirpath, dirnames, filenames in os.walk(zone_root):
@@ -237,7 +271,7 @@ def compact_zone(
             if manifest
             else []
         )
-        retained = ([live] + old_retained)[: max(retain_generations, 0)]
+        retained = ([live] + old_retained)[:retain_generations]
         new_manifest = {
             "generation": gen,
             "files": new_files,

@@ -271,8 +271,24 @@ def ingest_with_dedup(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
 
-        def read_index_excluding(path: str) -> DataFrame:
-            df = spark.read.parquet(path)
+        def read_index_excluding(path: str) -> DataFrame | None:
+            # only the bare read may treat AnalysisException as "no index
+            # yet" (path does not exist). The epoch filter below stays
+            # OUTSIDE the try: an index written by the pre-epoch append
+            # layout has no `epoch` column, and swallowing that analysis
+            # error would silently classify every doc as 'new' and
+            # re-admit the lake's duplicates — a layout mismatch must be
+            # loud, not treated as an absent index.
+            try:
+                df = spark.read.parquet(path)
+            except AnalysisException:  # first batch: empty lake, no index yet
+                return None
+            if "epoch" not in df.columns:
+                raise ValueError(
+                    f"dedup index at {path} lacks the 'epoch' partition "
+                    "column (pre-epoch append layout?) — rebuild the index "
+                    "or migrate it before resuming exactly-once ingest"
+                )
             # a failed earlier attempt of THIS epoch may have written its
             # partition already; classification must not see it or rerun
             # rows would classify as dups of their own partial admission
@@ -290,15 +306,17 @@ def ingest_with_dedup(
             id_col, text_col, "_rep"
         )
 
-        # tiers 2+3: classify representatives against the stored index
-        try:
-            index = (
-                read_index_excluding(fp_path),
-                read_index_excluding(bands_path),
-                read_index_excluding(sh_path),
-            )
-        except AnalysisException:  # first batch: empty lake, no index yet
-            index = None
+        # tiers 2+3: classify representatives against the stored index.
+        # Any leg missing => no committed index yet (the three legs are
+        # written in sequence each epoch, so a partial set can only be
+        # epoch 0's crash debris, whose rows the epoch filter would
+        # exclude anyway).
+        legs = (
+            read_index_excluding(fp_path),
+            read_index_excluding(bands_path),
+            read_index_excluding(sh_path),
+        )
+        index = None if any(leg is None for leg in legs) else legs
         if index is None:
             verdict = reps.select(
                 F.col(id_col),

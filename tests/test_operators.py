@@ -436,3 +436,45 @@ def test_scd2_history_run_collapse_and_intervals(spark):
     for (u, v), (_, _, vt, _last, cur) in got.items():
         if not cur:
             assert got[(u, v + 1)][1] == vt
+
+
+def test_scd2_history_null_state_opens_version(spark):
+    """NULL states are values (r5 advice): A NULL A yields THREE
+    versions (null-safe run collapse, SQL twin IS DISTINCT FROM); a
+    NULL NULL run still collapses; a key whose FIRST event is NULL
+    opens version 1."""
+    from datetime import datetime
+
+    from datapipeline_spike_spark.operators.sessions import scd2_history
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: A NULL NULL A -> A[0,1) NULL[1,3) A[3,None)
+        (1, "A", t(0), 10),
+        (1, None, t(1), 11),
+        (1, None, t(2), 12),
+        (1, "A", t(3), 13),
+        # user 2: starts NULL -> NULL[0,1) B[1,None)
+        (2, None, t(0), 20),
+        (2, "B", t(1), 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+    out = scd2_history(df, ["user_id"], "state", "ts", "event_id")
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"],
+            r["valid_from"].second,
+            r["valid_to"].second if r["valid_to"] else None,
+            r["is_current"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ("A", 0, 1, False),
+        (1, 2): (None, 1, 3, False),
+        (1, 3): ("A", 3, None, True),
+        (2, 1): (None, 0, 1, False),
+        (2, 2): ("B", 1, None, True),
+    }

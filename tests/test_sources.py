@@ -643,3 +643,59 @@ def test_scd2_upsert_incremental_equals_full_recompute(spark, tmp_path):
     before = snap(read_state_table(spark, path))
     scd2_upsert(spark, path, b2, ["user_id"], "state", "ts", "event_id")
     assert snap(read_state_table(spark, path)) == before
+
+
+def test_compaction_crash_before_manifest_leaves_no_duplicates(spark, tmp_path):
+    """Crash-recovery (r5 advice): the FIRST compaction of a leaf dies
+    after renaming its g-generation files into place but BEFORE writing
+    _MANIFEST.json. The stale g-files duplicate the originals; they must
+    never be treated as live (read_zone would double rows and the next
+    compact_zone would bake the duplicates into a committed generation)."""
+    import glob
+    import shutil as sh
+
+    from datapipeline_spike_spark.sources.parquet_lake import (
+        compact_zone,
+        read_zone,
+        write_zone,
+    )
+
+    root = str(tmp_path / "lake")
+    base = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "machine", F.lit("M0")
+    )
+    for i in range(4):
+        write_zone(base.filter(F.col("event_id") % 4 == i), root, "processed")
+    rows_true = sorted(map(tuple, read_zone(spark, root, "processed").collect()))
+    # simulate the crash: copy every live file to a g-named twin in the
+    # same leaf, and write NO manifest (compactor died pre-commit)
+    leaves = {os.path.dirname(f) for f in
+              glob.glob(f"{root}/processed/**/*.parquet", recursive=True)}
+    for leaf in leaves:
+        assert not os.path.exists(os.path.join(leaf, "_MANIFEST.json"))
+        for j, f in enumerate(sorted(os.listdir(leaf))):
+            if f.endswith(".parquet"):
+                sh.copy(os.path.join(leaf, f),
+                        os.path.join(leaf, f"g000001-{j:05d}.parquet"))
+    # readers see the originals only — no duplicated rows
+    assert sorted(map(tuple, read_zone(spark, root, "processed").collect())) == rows_true
+    # the retry compaction commits a clean generation: still no dupes,
+    # and the crash debris is GC'd (not retained — it was never live)
+    report = compact_zone(spark, root, "processed",
+                          target_file_bytes=64 * 1024 * 1024)
+    assert report
+    assert sorted(map(tuple, read_zone(spark, root, "processed").collect())) == rows_true
+
+
+def test_compaction_rejects_zero_retention(spark, tmp_path):
+    """retain_generations=0 would re-open the reader-404 race the
+    retained window exists to close — must raise, not silently GC."""
+    from datapipeline_spike_spark.sources.parquet_lake import compact_zone, write_zone
+
+    root = str(tmp_path / "lake")
+    base = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "machine", F.lit("M0")
+    )
+    write_zone(base, root, "processed")
+    with pytest.raises(ValueError, match="retain_generations"):
+        compact_zone(spark, root, "processed", retain_generations=0)

@@ -942,3 +942,30 @@ def test_content_dedup_stream_drops_cross_batch_copies(spark):
             q.stop()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ingest_dedup_pre_epoch_index_layout_raises(spark):
+    """An index written by the pre-epoch append layout (no `epoch`
+    partition column) must fail LOUDLY (r5 advice): silently treating it
+    as absent would classify every doc 'new' and re-admit the lake's
+    duplicates."""
+    import shutil
+
+    from datapipeline_spike_spark.streaming.pipeline import ingest_with_dedup
+
+    root = tempfile.mkdtemp(prefix="ingest_dedup_layout_")
+    lake, ok, rej = f"{root}/lake", f"{root}/admitted", f"{root}/rejected"
+    try:
+        # legacy index: plain append, no epoch partition
+        spark.createDataFrame(
+            [("abc", 1)], "f string, doc_id long"
+        ).write.parquet(f"{lake}_index/fp")
+        handle = ingest_with_dedup(lake, ok, rej)
+        batch = spark.createDataFrame(
+            [(5, "some document text about streaming ingest layouts")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="epoch"):
+            handle(batch, 0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
