@@ -84,14 +84,19 @@ _VERIFY_FIRST = (
 # Changed/new in round 6 — spliced in right after the never-verified
 # block so the driver re-hashes them this round.
 _R6_CHANGED = (
+    "scd2_steady_state",               # NEW r6: stored-table SCD2 MERGE fold
     "incremental_dedup_steady_state",  # r6: per-pid index tmp dir (advice)
 )
 # Head overflow past the driver's 50-slot sample window: these r4-green
 # relational queries spill to round 7 if _R6_CHANGED grows.  (The four
 # r5-queued queries now LEAD _VERIFY_FIRST — consumed, per the rule.)
 _QUEUED_FOR_NEXT_HEAD = (
-    "revenue_by_segment",   # slot 50 — spills if _R6_CHANGED is non-empty
-    "pricing_summary",      # slot 51 — always spills this round
+    # slots 51-54 after the 2 _R6_CHANGED splices — outside the driver's
+    # 50-query window this round; r4-green, lowest-risk spill
+    "customers_with_orders",
+    "customers_per_region",
+    "revenue_by_segment",
+    "pricing_summary",
 )
 # Driver-green in round 4 (CORRECTNESS_r04.json, 50/50); rotate to the
 # tail so the 50-query window covers the unverified head first.

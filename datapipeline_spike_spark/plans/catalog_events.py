@@ -442,9 +442,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_user_state_history",
-    oracle="""
+# Shared by the inline build AND the stored-table MERGE path below: a
+# hash match on the SAME SQL from both proves commit -> fold -> read
+# loses nothing vs deriving the history in one pass.
+_SQL_SCD2 = """
     WITH lagged AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
@@ -471,7 +472,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(valid_from) OVER w IS NULL AS is_current
     FROM starts
     WINDOW w AS (PARTITION BY user_id ORDER BY version)
-    """,
+"""
+
+
+@register(
+    "scd2_user_state_history",
+    oracle=_SQL_SCD2,
     doc="""Type-2 slowly-changing-dimension history (the warehouse
     companion of dedup_latest_state: latest-state keeps the newest row,
     SCD2 keeps EVERY state interval): per user, consecutive runs of the
@@ -495,4 +501,61 @@ def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_col="event_type",
         ts="ts",
         tiebreak="event_id",
+    )
+
+
+@register(
+    "scd2_steady_state",
+    oracle=_SQL_SCD2,
+    doc="""Steady-state incremental SCD2 MERGE (the path a warehouse
+    actually runs, and the stored-table twin of scd2_user_state_history
+    — same oracle SQL by construction): the first half of the event
+    stream (ts < Jan 16) is committed as a stored history table via
+    ``warehouse.scd2_upsert`` (atomic ``v{N}`` + ``_CURRENT`` pointer
+    commit), the second half is folded into the STORED table by a second
+    ``scd2_upsert`` (per-key replay of interval boundary change points +
+    rebuild of affected keys only), and the returned plan just READS the
+    committed table — no event older than the fold batch is rescanned.
+    A hash match against the full-recompute SQL proves the MERGE loses
+    nothing versus deriving the history inline, for in-order batches
+    (the standard warehouse MERGE assumption; the time split guarantees
+    it per key). Closes VERDICT r5 gap #4; pattern copied from
+    incremental_dedup_steady_state. The table commit happens at call
+    time by design — it IS the warehouse side effect being simulated.""",
+    tags=("window", "scd2", "warehouse", "storage"),
+)
+def q_scd2_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from datapipeline_spike_spark.sources.warehouse import (
+        read_state_table,
+        scd2_upsert,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    # per-pid table path: concurrent sessions (bench + driver) must not
+    # clobber each other's committed versions
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "dps_scd2_tbl_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"_{os.getpid()}",
+    )
+    import shutil
+
+    shutil.rmtree(table, ignore_errors=True)  # fresh fold per plan build
+    scd2_upsert(spark, table, ev.filter(F.col("ts") < cutoff),
+                keys=["user_id"], state_col="event_type")
+    scd2_upsert(spark, table, ev.filter(F.col("ts") >= cutoff),
+                keys=["user_id"], state_col="event_type")
+    stored = read_state_table(spark, table)
+    return stored.select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        "last_event_ts", F.col("version").cast("int").alias("version"),
+        "is_current",
     )
