@@ -16,7 +16,7 @@ Oracle portability techniques:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_spike_spark.functions import text as Tx
@@ -2408,17 +2408,26 @@ def q_repeated_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ng")
     )
     hits = p.join(rep, "ng").select("doc_id", "pos")
-    cov = hits.select(
-        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + _CONTAM_K - 1)).alias("cp")
-    ).distinct()
+    # Covered-token counting WITHOUT the 5x explode + distinct shuffle
+    # (r5 verdict item 6): each hit covers the interval
+    # [pos, pos + k - 1]; over hits sorted per doc, a hit's NEW coverage
+    # is min(k, gap to the previous hit) — the classic merge-intervals
+    # identity for fixed-length intervals. (doc_id, pos) is unique by
+    # construction (posexplode positions are distinct and rep carries
+    # one row per n-gram), so one doc-keyed window + an aggregate on the
+    # SAME key (no second exchange) replaces exploding k rows per hit
+    # and distinct-ing them — the shuffle carries hit-volume rows, not
+    # 5x, which matters on a duplicate-dense 100 TB corpus.
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.least(
+        F.lit(_CONTAM_K), F.col("pos") - F.lag("pos").over(w_doc)
+    )
     agg = (
-        cov.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_repeated_tokens"))
-        .join(
-            hits.groupBy("doc_id").agg(
-                F.count_distinct("pos").alias("n_repeated_ngrams")
-            ),
-            "doc_id",
+        hits.select("doc_id", F.coalesce(contrib, F.lit(_CONTAM_K)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_repeated_tokens"),
+            F.count(F.lit(1)).alias("n_repeated_ngrams"),
         )
     )
     return (
