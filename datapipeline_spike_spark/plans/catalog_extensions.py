@@ -2591,6 +2591,106 @@ def q_bloom_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so both engines agree without IEEE ceil(0.8*n) edge cases.
 
 
+# One degenerate prefix shingle (boilerplate shared by ~all docs that
+# still lands in prefixes) must not quadratic-bomb a single task: above
+# this bucket size the HOF pair generator (which builds the whole
+# m*(m-1)/2 pair array inside ONE row) hands off to a chunked
+# distributed self-join. 10^4 ids ~= 5*10^7 in-bucket pairs, the top of
+# what one task should own.
+_PREFIX_BUCKET_CAP = 10_000
+
+
+def _prefix_bucket_pairs(
+    prefix: DataFrame, cap: int = _PREFIX_BUCKET_CAP, n_chunks: int = 32
+) -> DataFrame:
+    """Complete candidate pairs from prefix buckets, exactly (no pair
+    dropped — the guard changes the execution shape, never the result):
+
+    * buckets with <= ``cap`` ids: in-bucket HOF pair generation with
+      the PPJoin length filter applied INSIDE the generator — Jaccard
+      >= 4/5 forces 5*min(|a|,|b|) >= 4*max(|a|,|b|), so size-
+      incompatible pairs never leave the bucket;
+    * HOT buckets (> ``cap`` ids): the same pair set via a chunked
+      self-join — each id hashes to one of ``n_chunks`` chunks, the
+      right side is replicated once per target chunk <= its own, and
+      the join key is (shingle, chunk), so a bucket of m ids fans its
+      m^2/2 pair volume across ~n_chunks tasks instead of building one
+      m^2-element array in a single row (which is both a straggler and
+      an OOM at 100 TB, where a boilerplate shingle can collect millions
+      of ids). Work is still quadratic in m — that is what AllPairs
+      completeness on that shingle MEANS — but it spills and scales out.
+
+    ``prefix`` columns: doc_id, n (set size), g (prefix shingle)."""
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("g")
+    pm = prefix.withColumn("m", F.count(F.lit(1)).over(wg)).filter(F.col("m") > 1)
+
+    ids = F.col("ids")
+    small_pairs = (
+        pm.filter(F.col("m") <= cap)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice(ids, i + F.lit(2), F.size(ids)),
+                                lambda y: F.struct(
+                                    x["doc_id"].alias("a"), y["doc_id"].alias("b"),
+                                    x["n"].alias("an"), y["n"].alias("bn"),
+                                ),
+                            ),
+                            lambda p: 5 * F.least(p["an"], p["bn"])
+                            >= 4 * F.greatest(p["an"], p["bn"]),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+    )
+
+    hot = pm.filter(F.col("m") > cap).withColumn(
+        "c", F.pmod(F.hash("doc_id"), F.lit(n_chunks))
+    )
+    left = hot.select("g", "doc_id", "n", "c")
+    # each right-side id serves every chunk index <= its own, so the
+    # unordered pair (x in chunk i, y in chunk j, i <= j) is generated
+    # exactly once under join key (g, x.c == y.tc)
+    right = hot.select(
+        F.col("g").alias("g_r"),
+        F.col("doc_id").alias("doc_id_r"),
+        F.col("n").alias("n_r"),
+        F.col("c").alias("c_r"),
+        F.explode(F.sequence(F.lit(0), F.col("c"))).alias("tc"),
+    )
+    hot_pairs = (
+        left.join(
+            right,
+            on=[F.col("g") == F.col("g_r"), F.col("c") == F.col("tc")],
+        )
+        .filter(
+            (
+                (F.col("c") < F.col("c_r"))
+                | ((F.col("c") == F.col("c_r")) & (F.col("doc_id") < F.col("doc_id_r")))
+            )
+            & (
+                5 * F.least("n", "n_r") >= 4 * F.greatest("n", "n_r")
+            )
+        )
+        .select(
+            F.least("doc_id", "doc_id_r").alias("doc_id_a"),
+            F.greatest("doc_id", "doc_id_r").alias("doc_id_b"),
+        )
+    )
+    return small_pairs.unionByName(hot_pairs).distinct()
+
+
+
 @register(
     "prefix_filter_jaccard_join",
     oracle=f"""
@@ -2665,40 +2765,7 @@ def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rnk") <= F.expr("n - (4 * n + 4) DIV 5 + 1")
     ).select("doc_id", "n", "g")
-    buckets = (
-        prefix.groupBy("g")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
-        )
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    # PPJoin length filter applied INSIDE the bucket-pair generator:
-    # Jaccard >= 4/5 forces 5*min(|a|,|b|) >= 4*max(|a|,|b|), so size-
-    # incompatible pairs never leave the bucket (integer math; on a
-    # dup-dense corpus this prunes most of the candidate volume before
-    # any shingle-array work)
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids)),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("a"), y["doc_id"].alias("b"),
-                        x["n"].alias("an"), y["n"].alias("bn"),
-                    ),
-                ),
-                lambda p: 5 * F.least(p["an"], p["bn"])
-                >= 4 * F.greatest(p["an"], p["bn"]),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
-        .distinct()
-    )
+    cand = _prefix_bucket_pairs(prefix)
     sa = s.select(F.col("doc_id").alias("aid"), F.col("sh").alias("a_sh"), F.col("n").alias("an"))
     sb = s.select(F.col("doc_id").alias("bid"), F.col("sh").alias("b_sh"), F.col("n").alias("bn"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))

@@ -499,3 +499,42 @@ def test_prefix_filter_join_is_complete_vs_brute_force(spark, tmp_path):
             want[(min(ia, ib), max(ia, ib))] = round(j, 6)
     assert want, "test corpus must contain qualifying pairs"
     assert got == want
+
+
+def test_prefix_bucket_cap_hot_shingle_same_pairs(spark):
+    """The hot-bucket guard (r5 verdict item 7) changes the execution
+    shape, never the result: with the cap forced below a planted hot
+    shingle's bucket size, the chunked self-join path must produce the
+    EXACT same candidate set as the uncapped HOF path."""
+    from datapipeline_spike_spark.plans.catalog_extensions import (
+        _prefix_bucket_pairs,
+    )
+
+    # 12 ids sharing shingle "hot" (one hot bucket), a 2-id normal
+    # bucket, and a singleton that must pair with nothing
+    rows = (
+        [(i, 20, "hot") for i in range(12)]
+        + [(100, 20, "cold"), (101, 22, "cold")]
+        + [(200, 20, "solo")]
+        # id 7 also shares a second shingle with 100 (cross-bucket dup
+        # must collapse via the trailing distinct)
+        + [(7, 20, "x"), (100, 20, "x")]
+        # size-incompatible pair: 5*min >= 4*max fails for (20, 40)
+        + [(300, 20, "y"), (301, 40, "y")]
+    )
+    prefix = spark.createDataFrame(rows, "doc_id long, n int, g string")
+
+    def pairs(cap, n_chunks=4):
+        return sorted(
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in _prefix_bucket_pairs(prefix, cap=cap, n_chunks=n_chunks).collect()
+        )
+
+    uncapped = pairs(cap=10_000)
+    assert (100, 101) in uncapped and (7, 100) in uncapped
+    assert (300, 301) not in uncapped  # PPJoin length filter
+    assert len([p for p in uncapped if p[0] < 100 and p[1] < 100]) == 66  # C(12,2)
+    # cap=2 forces the 12-id bucket down the chunked self-join path
+    assert pairs(cap=2) == uncapped
+    # degenerate chunk counts still exact
+    assert pairs(cap=2, n_chunks=1) == uncapped
