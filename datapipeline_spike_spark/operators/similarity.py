@@ -37,11 +37,18 @@ def brute_force_topk(
     round_decimals: int = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector. Ranking uses the
-    ROUNDED score (+ id tiebreak) so results are engine-portable."""
+    ROUNDED score (+ id tiebreak) so results are engine-portable.
+
+    No ``fan_out`` here (r6): per-row work is only k*dim flops, so at
+    real scale the scan's own splits parallelize it, while on a toy
+    single-split corpus the round-robin shuffle + 32 micro-tasks COST
+    more than the whole dot-product workload (measured at sf0.1:
+    1.06 s -> 0.70 s steady-state by dropping it — the r5 'both-bench
+    regression' was this fixed overhead amplified by host noise)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    c = fan_out(corpus).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     scored = (

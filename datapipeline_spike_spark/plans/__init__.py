@@ -86,13 +86,17 @@ _VERIFY_FIRST = (
 _R6_CHANGED = (
     "scd2_steady_state",               # NEW r6: stored-table SCD2 MERGE fold
     "incremental_dedup_steady_state",  # r6: per-pid index tmp dir (advice)
+    "embedding_topk_cosine",           # r6: fan_out dropped (fixed-overhead fix)
+    "ann_recall_at_k",                 # r6: shares brute_force_topk
+    "ivf_recall_at_k",                 # r6: shares brute_force_topk
 )
 # Head overflow past the driver's 50-slot sample window: these r4-green
 # relational queries spill to round 7 if _R6_CHANGED grows.  (The four
 # r5-queued queries now LEAD _VERIFY_FIRST — consumed, per the rule.)
 _QUEUED_FOR_NEXT_HEAD = (
-    # slots 51-54 after the 2 _R6_CHANGED splices — outside the driver's
+    # slots 50-54 after the 5 _R6_CHANGED splices — outside the driver's
     # 50-query window this round; r4-green, lowest-risk spill
+    "customers_without_orders",
     "customers_with_orders",
     "customers_per_region",
     "revenue_by_segment",
