@@ -37,6 +37,8 @@ EXTRAS = [
     "repeated_substring_profile",
     "bloom_filter_profile",
     "prefix_filter_jaccard_join",
+    # round 6 additions
+    "scd2_steady_state",
 ]
 
 HEADLINE = [
@@ -62,13 +64,16 @@ HEADLINE = [
 
 
 def run_queries(
-    spark, names: list[str], sf_dir: str, n_runs: int = 2
+    spark, names: list[str], sf_dir: str, n_runs: int = 3
 ) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
     """Time each query with PER-QUERY failure isolation: one broken
     query must never zero the whole round's bench (round-3 lesson —
     sessionization raised, rc=1, BENCH_r03 had no numbers at all).
-    Returns (steady-state timings, all run pairs, errors); the caller
-    always emits its JSON line with whatever survived."""
+    Returns (steady-state timings, all run timings, errors); the caller
+    always emits its JSON line with whatever survived. n_runs=3 (r6):
+    the extra run feeds the per-query best-of-N minima — on this noisy
+    shared host a single inflated run can manufacture a fake
+    regression, and the minimum is the number robust to that."""
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -105,8 +110,8 @@ def main() -> None:
         spectral_energy_fft(F.array(F.col("id").cast("double")))
     ).collect()
 
-    # steady-state measurement: run each query twice and report the
-    # SECOND time. The first run pays one-off costs that are not query
+    # steady-state measurement: run each query n_runs times and report
+    # the LAST time. The first run pays one-off costs that are not query
     # cost (codegen compilation, parquet footer reads, JVM JIT warmup,
     # Python-worker forks) and this host's wall-times swing 2-4x
     # run-to-run — the second run is the reproducible number a cluster
@@ -115,30 +120,31 @@ def main() -> None:
     timings, runs, errors = run_queries(spark, HEADLINE, sf_dir)
 
     extras: dict[str, float] = {}
-    for name in EXTRAS:
-        if name not in REGISTRY:
-            continue
-        fn = REGISTRY[name].spark
-        try:
-            pair = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                pair.append(round(time.perf_counter() - t0, 3))
-            extras[name] = pair[-1]
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+    extras_min: dict[str, float] = {}
+    ex_timings, ex_runs, ex_errors = run_queries(spark, [n for n in EXTRAS if n in REGISTRY], sf_dir, n_runs=2)
+    extras = ex_timings
+    extras_min = {n: min(p) for n, p in ex_runs.items()}
+    errors.update(ex_errors)
 
     total = round(sum(timings.values()), 3)
+    # Noise armor (r6, verdict item 4): per-query best-of-N minima and
+    # their total, reported NEXT TO the steady-state headline. The
+    # steady-state number stays the comparable headline; the minima are
+    # the evidence that distinguishes a plan regression (min moves) from
+    # host noise (only the non-min runs move).
+    queries_min = {n: min(p) for n, p in runs.items()}
+    total_min = round(sum(queries_min.values()), 3)
     spreads = [max(p) / min(p) for p in runs.values() if min(p) > 0]
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "value_min": total_min,
         "queries": timings,
+        "queries_min": queries_min,
         "runs": runs,
         "extras": extras,
+        "extras_min": extras_min,
         "max_run_spread": round(max(spreads), 2) if spreads else None,
         "sf": sf,
     }
