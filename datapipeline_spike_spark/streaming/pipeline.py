@@ -205,6 +205,44 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def scd2_stream(
+    table_path: str,
+    keys: list[str],
+    state_col: str,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+):
+    """foreachBatch assembly of ``warehouse.scd2_upsert`` — the
+    streaming deployment of the type-2 dimension history (the
+    reference's latest-state store + warehouse history, unified: the
+    latest state per key is exactly the ``is_current`` slice of the
+    table this maintains).
+
+    Per micro-batch the change events fold into the stored history via
+    the incremental MERGE (untouched keys carried over, affected keys
+    replayed as interval boundary change points and rebuilt), committed
+    with the atomic ``v{N}`` + ``_CURRENT`` pointer swap — a concurrent
+    reader of the table never observes a half-written version.
+
+    Exactly-once across restarts WITHOUT epoch bookkeeping: replaying a
+    batch re-submits change points the stored intervals already encode,
+    and duplicate change points collapse into their runs — re-apply is
+    a no-op by the scd2_upsert contract (differential-tested), so a
+    crash between the table commit and the checkpoint commit is safe.
+    Use a checkpointed stream for offset resumption; the fold itself is
+    idempotent either way."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from datapipeline_spike_spark.sources.warehouse import scd2_upsert
+
+        scd2_upsert(
+            batch_df.sparkSession, table_path, batch_df,
+            keys=keys, state_col=state_col, ts_col=ts_col, tiebreak=tiebreak,
+        )
+
+    return handle
+
+
 def ingest_with_dedup(
     lake_path: str,
     admitted_path: str,

@@ -969,3 +969,69 @@ def test_ingest_dedup_pre_epoch_index_layout_raises(spark):
             handle(batch, 0)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scd2_stream_restart_and_replay_match_batch_twin(spark, events_dir):
+    """Streaming SCD2 (r5 verdict item 8): micro-batches fold into the
+    stored history table via foreachBatch(scd2_upsert); after a
+    stop/restart over the same checkpoint the committed table equals
+    the batch twin (scd2_history over ALL events), and re-applying the
+    last batch (a crash between table commit and checkpoint commit)
+    changes nothing — the fold is idempotent."""
+    from datapipeline_spike_spark.operators.sessions import scd2_history
+    from datapipeline_spike_spark.sources.warehouse import read_state_table
+    from datapipeline_spike_spark.streaming.pipeline import scd2_stream
+
+    root = tempfile.mkdtemp(prefix="scd2_stream_")
+    src, table, ckpt = f"{root}/src", f"{root}/table", f"{root}/ckpt"
+    cols = ["user_id", "event_type", "ts", "event_id"]
+    try:
+        base = spark.read.parquet(events_dir).select(*cols)
+        cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        a = base.filter(F.col("ts") < cutoff)
+        b = base.filter(F.col("ts") >= cutoff)
+        handler = scd2_stream(table, keys=["user_id"], state_col="event_type")
+
+        def start():
+            stream = (
+                spark.readStream.schema(
+                    "user_id long, event_type string, ts timestamp, event_id long"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            return (
+                stream.writeStream.foreachBatch(handler)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        a.coalesce(1).write.mode("append").parquet(src)
+        q = start(); q.processAllAvailable(); q.stop()
+        # later events arrive while the query is DOWN (per-key in-order:
+        # the time split guarantees every new event >= stored last_event_ts)
+        b.coalesce(1).write.mode("append").parquet(src)
+        q = start(); q.processAllAvailable(); q.stop()
+
+        def snap():
+            return sorted(
+                map(tuple, read_state_table(spark, table).select(
+                    "user_id", "event_type", "valid_from", "valid_to",
+                    "last_event_ts", F.col("version").cast("int"), "is_current",
+                ).collect())
+            )
+
+        want = sorted(
+            map(tuple, scd2_history(base, ["user_id"], "event_type").select(
+                "user_id", "event_type", "valid_from", "valid_to",
+                "last_event_ts", F.col("version").cast("int"), "is_current",
+            ).collect())
+        )
+        got = snap()
+        assert got == want
+        # injected replay of the last batch: crash after table commit,
+        # before checkpoint commit -> the batch folds AGAIN on restart
+        handler(b, 999)
+        assert snap() == got
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
