@@ -39,6 +39,7 @@ EXTRAS = [
     "prefix_filter_jaccard_join",
     # round 6 additions
     "scd2_steady_state",
+    "bm25_ranked_retrieval",
 ]
 
 HEADLINE = [

@@ -2394,7 +2394,12 @@ def q_near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "substring"),
 )
 def q_repeated_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load(spark, sf_dir, "documents"))
+    return repeated_substring_profile(fan_out(load(spark, sf_dir, "documents")))
+
+
+def repeated_substring_profile(d: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``repeated_substring_profile`` — split out
+    so the scale probe measures exactly the production plan."""
     t = d.select(
         "doc_id",
         Tx.token_count("text").cast("long").alias("n_tokens"),
@@ -2744,9 +2749,15 @@ def _prefix_bucket_pairs(
     tags=("dedup", "similarity", "prefix-filter"),
 )
 def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_filter_join(fan_out(load(spark, sf_dir, "documents")))
+
+
+def prefix_filter_join(d: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``prefix_filter_jaccard_join`` — split
+    out so the scale probe measures exactly the production plan
+    (including the hot-bucket guard in ``_prefix_bucket_pairs``)."""
     from pyspark.sql import Window
 
-    d = fan_out(load(spark, sf_dir, "documents"))
     s = (
         d.select("doc_id", Tx.shingles("text", k=3).alias("sh"))
         .filter(F.size("sh") > 0)
@@ -2781,4 +2792,107 @@ def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_b",
             F.round(inter.cast("double") / union, R).alias("jaccard"),
         )
+    )
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+_BM25_TERMS = ("window", "stream", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_ranked_retrieval",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t WHERE len(toks) > 0),
+    stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE tok IN ({_SQL_BM25_TERMS})
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id,
+             CAST(round(1000000 * (
+               ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl))
+             )) AS BIGINT) AS w_fp
+      FROM tf
+      JOIN df USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, round(sum(w_fp) / 1000000.0, 6) AS bm25
+      FROM w GROUP BY 1
+    )
+    SELECT doc_id, bm25, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+    """,
+    doc=f"""BM25 ranked retrieval over the corpus (Robertson-Sparck
+    Jones probabilistic IDF, k1={_BM25_K1}, b={_BM25_B}) for a fixed
+    query {_BM25_TERMS} — the query-based corpus-curation primitive
+    (pull the documents most relevant to a topic for targeted
+    inspection, decontamination, or mixture boosting). Shape: ONE
+    tokenize+explode pass restricted to the query vocabulary feeds term
+    frequencies; document frequencies aggregate from those (query-term-
+    bounded — tiny); N and avgdl derive in-plan from a 1-row aggregate
+    (broadcast, no plan-build job); top-10 global rank moves only the
+    scored-doc rows. Cross-term summation is ORDER-INSENSITIVE by
+    construction: each term weight is fixed-pointed to int64
+    micro-units before the sum, so Spark's and the oracle's aggregation
+    orders cannot diverge in the last float ulp (the r2 determinism
+    toolkit). At 100 TB: the only corpus-wide shuffles are the doc-
+    length aggregate and the (doc, query-term) counts — both linear,
+    both map-side combined.""",
+    tags=("text", "retrieval", "bm25"),
+)
+def q_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", Tx.tokens("text").alias("toks"))
+    dl = toks.filter(F.size("toks") > 0).select(
+        "doc_id", F.size("toks").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    w_fp = F.round(
+        1_000_000 * (idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", w_fp.alias("w_fp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w_fp") / 1_000_000.0, R).alias("bm25"))
+    )
+    w_rank = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "bm25", F.col("rnk").cast("int").alias("rnk"))
     )

@@ -405,6 +405,23 @@ def newops_stress(spark, amp: int) -> None:
         print(json.dumps({"probe": "prefix_filter_candidates", "amp": a,
                           "docs": drows, "candidates": cands, "sec": secs,
                           "docs_per_sec": int(drows / secs)}), flush=True)
+
+        # the two r6 rewrites, probed END-TO-END through the production
+        # helpers (merge-intervals coverage; capped bucket pair gen)
+        from datapipeline_spike_spark.plans.catalog_extensions import (
+            prefix_filter_join,
+            repeated_substring_profile,
+        )
+
+        secs = probe("repeated_substring", lambda: repeated_substring_profile(docs))
+        print(json.dumps({"probe": "repeated_substring_profile", "amp": a,
+                          "docs": drows, "sec": secs,
+                          "docs_per_sec": int(drows / secs)}), flush=True)
+
+        secs = probe("prefix_filter_full", lambda: prefix_filter_join(docs))
+        print(json.dumps({"probe": "prefix_filter_join_full", "amp": a,
+                          "docs": drows, "sec": secs,
+                          "docs_per_sec": int(drows / secs)}), flush=True)
         docs.unpersist()
 
 
