@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "l2_normalize"]
+__all__ = ["dot", "l2_norm", "l2_sq", "cosine", "l2_normalize"]
 
 
 def _as_col(c: Column | str) -> Column:
@@ -32,6 +32,23 @@ def l2_norm(a: Column | str) -> Column:
     a = _as_col(a)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance — the PQ/IVF assignment metric. Same
+    left-fold shape as :func:`dot`, so the SQL twin
+    (``list_aggregate(list_transform(...), 'sum')``) accumulates in the
+    identical order."""
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datapipeline_spike_spark.functions.vectors import cosine, dot
+from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_sq
 from datapipeline_spike_spark.scale import fan_out
 
 
@@ -421,3 +421,134 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic product-quantization codebook training — the
+    billion-scale ANN compression standard (Jegou et al. 2011, IVF-PQ):
+    each ``dim``-dim vector splits into ``m`` subvectors of ``dim/m``
+    components, and each subspace trains its OWN ``k``-centroid
+    codebook, so a vector encodes as ``m`` small ids (here 4 x 3 bits
+    vs 64 doubles — the memory factor that makes billion-vector indexes
+    fit RAM).
+
+    Same determinism contract as :func:`kmeans_quantizer` (the SQL
+    oracle replays every number): lowest-id init, argmin of 6dp-ROUNDED
+    squared-L2 with centroid-id tiebreak, fixed-point int64 component
+    sums. All ``m`` subspace trainings run in ONE plan: subvectors
+    explode to (subspace, vid) rows, assignment is a broadcast join on
+    the subspace key, the update shuffles (subspace, cent, dim) partial
+    sums — map-side combined, wire volume m*k*(dim/m) rows per map
+    partition regardless of corpus size.
+
+    Returns (s, cent_id, cvec, n_assigned)."""
+    width = dim // m
+    assert width * m == dim, "dim must divide evenly into m subspaces"
+    emb = fan_out(corpus).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("v", s * width + 1, width).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("x"),
+    ).select("vid", F.col("x.s").alias("s"), F.col("x.sv").alias("v"))
+    cents = sub.filter(F.col("vid") < k).select(
+        "s", F.col("vid").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    for _ in range(iters):
+        scored = sub.join(F.broadcast(cents), "s").select(
+            "s", "vid", "v", "cent_id",
+            F.round(l2_sq(F.col("v"), F.col("cvec")), 6).alias("dist"),
+        )
+        w = Window.partitionBy("s", "vid").orderBy("dist", "cent_id")
+        assigned = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("s", "vid", "v", "cent_id")
+        )
+        fixed = assigned.select(
+            "s", "cent_id",
+            F.posexplode(
+                F.transform("v", lambda x: F.round(x * KMEANS_SCALE, 0).cast("long"))
+            ).alias("pos", "q"),
+        )
+        sums = fixed.groupBy("s", "cent_id", "pos").agg(
+            F.sum("q").alias("sm"), F.count(F.lit(1)).alias("n")
+        )
+        cents = sums.groupBy("s", "cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sm", "n"))),
+                lambda t: t["sm"] / (t["n"] * float(KMEANS_SCALE)),
+            ).alias("cvec"),
+            F.max("n").alias("n_assigned"),
+        )
+    return cents
+
+
+def pq_distortion_profile(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks, ENCODE the corpus with them (one final
+    assignment pass), and report per (subspace, centroid): assigned
+    count and mean squared quantization error — the distortion numbers
+    that tune m/k before committing a billion-vector index to a
+    codebook. Error averaging is fixed-point (int64 micro-units of the
+    6dp-rounded assignment distance), so the mean is reduction-order-
+    insensitive and replays exactly in SQL."""
+    width = dim // m
+    cents = pq_codebooks(corpus, dim, m, k, iters, id_col, vec_col)
+    emb = fan_out(corpus).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("v", s * width + 1, width).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("x"),
+    ).select("vid", F.col("x.s").alias("s"), F.col("x.sv").alias("v"))
+    scored = sub.join(F.broadcast(cents), "s").select(
+        "s", "vid", "cent_id",
+        F.round(l2_sq(F.col("v"), F.col("cvec")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("s", "vid").orderBy("dist", "cent_id")
+    coded = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "s", "cent_id",
+            F.round(F.col("dist") * 1_000_000).cast("bigint").alias("err_fp"),
+        )
+    )
+    return coded.groupBy("s", "cent_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.round(
+            F.sum("err_fp") / (F.count(F.lit(1)) * 1_000_000.0), 6
+        ).alias("avg_sq_error"),
+    )

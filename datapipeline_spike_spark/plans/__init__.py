@@ -90,13 +90,17 @@ _R6_CHANGED = (
     "ann_recall_at_k",                 # r6: shares brute_force_topk
     "ivf_recall_at_k",                 # r6: shares brute_force_topk
     "bm25_ranked_retrieval",           # NEW r6: BM25 ranked retrieval
+    "source_overlap_matrix",           # NEW r6: cross-source overlap matrix
+    "pq_distortion_profile",           # NEW r6: product-quantization codebooks
 )
 # Head overflow past the driver's 50-slot sample window: these r4-green
 # relational queries spill to round 7 if _R6_CHANGED grows.  (The four
 # r5-queued queries now LEAD _VERIFY_FIRST — consumed, per the rule.)
 _QUEUED_FOR_NEXT_HEAD = (
-    # slots 50-55 after the 6 _R6_CHANGED splices — outside the driver's
+    # slots 50-57 after the 8 _R6_CHANGED splices — outside the driver's
     # 50-query window this round; r4-green, lowest-risk spill
+    "top_orders_per_customer",
+    "part_size_bands",
     "order_size_histogram",
     "customers_without_orders",
     "customers_with_orders",

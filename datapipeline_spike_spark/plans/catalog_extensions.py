@@ -2896,3 +2896,90 @@ def q_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "bm25", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --- cross-source overlap matrix ---------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sg AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - {_CONTAM_K} + 2),
+               i -> array_to_string(toks[i:i+{_CONTAM_K - 1}], ' '))) AS ng
+      FROM t WHERE len(toks) >= {_CONTAM_K}
+    ),
+    totals AS (SELECT source, count(*) AS n_ngrams FROM sg GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_ngrams
+      FROM sg a JOIN sg b ON a.ng = b.ng AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(shared_ngrams AS BIGINT) AS shared_ngrams,
+           CAST(ta.n_ngrams AS BIGINT) AS n_ngrams_a,
+           CAST(tb.n_ngrams AS BIGINT) AS n_ngrams_b,
+           round(shared_ngrams * 1.0
+                 / (ta.n_ngrams + tb.n_ngrams - shared_ngrams), {R}) AS jaccard,
+           round(shared_ngrams * 1.0
+                 / least(ta.n_ngrams, tb.n_ngrams), {R}) AS containment
+    FROM shared
+    JOIN totals ta ON ta.source = source_a
+    JOIN totals tb ON tb.source = source_b
+    """,
+    doc=f"""Cross-source overlap matrix — the corpus-mixing diligence
+    step before training: for every source pair, the distinct shared
+    {_CONTAM_K}-gram count, each side's n-gram vocabulary size, Jaccard,
+    and max-containment (shared / smaller side — catches a source that
+    is a wholesale subset of another, which Jaccard dilutes). Shape: one
+    tokenize pass -> per-source DISTINCT n-gram sets (source-keyed
+    map-side-combined aggregate) -> n-gram-keyed self-join whose fan-out
+    per n-gram is bounded by the SOURCE count (structurally small — tens
+    to hundreds), never by docs; totals broadcast back. Linear in
+    distinct n-grams x source-pairs at any corpus size. 100 TB posture:
+    this is exactly the shape of production contamination matrices
+    (each n-gram row meets only source-count-bounded partners).""",
+    tags=("text", "dedup", "corpus", "analytics"),
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    sg = (
+        d.select("source", Tx.ngrams("text", k=_CONTAM_K).alias("ngs"))
+        .filter(F.size("ngs") > 0)
+        .select("source", F.explode("ngs").alias("ng"))
+        .distinct()
+    )
+    totals = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    a = sg.select(F.col("source").alias("source_a"), "ng")
+    b = sg.select(F.col("source").alias("source_b"), "ng")
+    shared = (
+        a.join(b, "ng")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_ngrams").alias("n_ngrams_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_ngrams").alias("n_ngrams_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_ngrams").cast("bigint").alias("shared_ngrams"),
+            F.col("n_ngrams_a").cast("bigint").alias("n_ngrams_a"),
+            F.col("n_ngrams_b").cast("bigint").alias("n_ngrams_b"),
+            F.round(
+                F.col("shared_ngrams")
+                / (F.col("n_ngrams_a") + F.col("n_ngrams_b") - F.col("shared_ngrams")),
+                R,
+            ).alias("jaccard"),
+            F.round(
+                F.col("shared_ngrams") / F.least("n_ngrams_a", "n_ngrams_b"), R
+            ).alias("containment"),
+        )
+    )

@@ -779,3 +779,99 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def _sql_pq(m: int, k: int, iters: int, width: int, scale: int) -> str:
+    """DuckDB replay of operators.similarity.pq_codebooks +
+    pq_distortion_profile: per-subspace lowest-id init, rounded-L2sq
+    argmin assignment with centroid-id tiebreak, fixed-point centroid
+    update, and a final encode pass whose 6dp distances average in
+    int64 micro-units (order-insensitive)."""
+    slices = ", ".join(f"v[{s * width + 1}:{(s + 1) * width}]" for s in range(m))
+    subspaces = ", ".join(str(s) for s in range(m))
+    l2 = ("list_aggregate(list_transform(range(1, len(a.v) + 1), "
+          "i -> (a.v[i] - c.cvec[i]) * (a.v[i] - c.cvec[i])), 'sum')")
+    sql = f"""
+    WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vid, unnest([{subspaces}]) AS s, unnest([{slices}]) AS v FROM e
+    ),
+    c0 AS (SELECT s, vid AS cent_id, v AS cvec FROM sub WHERE vid < {k})"""
+    prev = "c0"
+    for t in range(iters):
+        sql += f"""
+    , sc{t} AS (
+      SELECT a.s, a.vid, a.v, c.cent_id,
+             round({l2}, 6) AS dist
+      FROM sub a JOIN {prev} c USING (s)
+    ), a{t} AS (
+      SELECT s, vid, v, cent_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY s, vid
+                                     ORDER BY dist, cent_id) AS rnk
+        FROM sc{t}
+      ) WHERE rnk = 1
+    ), s{t} AS (
+      SELECT s, cent_id, pos, sum(q) AS sm, count(*) AS n
+      FROM (
+        SELECT s, cent_id,
+               unnest(range(0, len(v))) AS pos,
+               unnest(list_transform(v, x -> CAST(round(x * {scale}) AS BIGINT))) AS q
+        FROM a{t}
+      )
+      GROUP BY 1, 2, 3
+    ), c{t + 1} AS (
+      SELECT s, cent_id,
+             array_agg(sm / (n * {scale}.0) ORDER BY pos) AS cvec
+      FROM s{t} GROUP BY 1, 2
+    )"""
+        prev = f"c{t + 1}"
+    sql += f"""
+    , enc AS (
+      SELECT s, vid, cent_id,
+             CAST(round(dist * 1000000) AS BIGINT) AS err_fp
+      FROM (
+        SELECT a.s, a.vid, c.cent_id,
+               round({l2}, 6) AS dist,
+               row_number() OVER (PARTITION BY a.s, a.vid
+                                  ORDER BY round({l2}, 6), c.cent_id) AS rnk
+        FROM sub a JOIN {prev} c USING (s)
+      ) WHERE rnk = 1
+    )
+    SELECT CAST(s AS INT) AS s, CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(sum(err_fp) / (count(*) * 1000000.0), 6) AS avg_sq_error
+    FROM enc GROUP BY 1, 2
+    """
+    return sql
+
+
+@register(
+    "pq_distortion_profile",
+    oracle=_sql_pq(m=4, k=8, iters=2, width=16, scale=1 << 20),
+    doc="""Product-quantization codebook training + corpus encoding
+    (Jegou et al. 2011 — the compression layer of IVF-PQ, the standard
+    billion-scale ANN index): 64-dim embeddings split into 4 subspaces
+    of 16 dims, each training its own 8-centroid codebook with the
+    deterministic fixed-point Lloyd's machinery (lowest-id init,
+    6dp-rounded squared-L2 argmin, int64 component sums), then the
+    corpus encodes against the final codebooks and reports per
+    (subspace, centroid) the assigned count and mean squared
+    quantization error — the distortion curve that tunes m/k before a
+    production index commits. All m trainings run in ONE plan: the
+    subvector explode is a map-only 4x, assignment is a broadcast join
+    on the subspace key, updates shuffle map-side-combined (s, cent,
+    dim) partial sums; error means are fixed-point so both engines
+    aggregate order-insensitively. 100 TB: a 4-byte code replaces a
+    256-byte vector — the factor that fits a corpus-scale index in
+    executor memory.""",
+    tags=("ml", "ann", "pq", "embedding", "iterative"),
+)
+def q_pq_distortion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import pq_distortion_profile
+
+    return pq_distortion_profile(
+        load(spark, sf_dir, "embeddings"), dim=64, m=4, k=8, iters=2
+    ).select("s", "cent_id", "n_assigned", "avg_sq_error")
