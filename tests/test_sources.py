@@ -476,7 +476,11 @@ def test_upsert_swap_never_404s_concurrent_reader(spark, tmp_path):
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
-    for i in range(1, 101):
+    # >= 100 swap rounds, extended (bounded) until the reader has
+    # genuinely polled >= 21 of them — load-tolerant progress criterion
+    i = 0
+    while i < 100 or (n_reads[0] <= 20 and i < 300):
+        i += 1
         upsert_latest(spark, path, batch(i), ["k"])
         if failures:
             break
@@ -535,9 +539,15 @@ def test_compact_swap_never_404s_concurrent_reader(spark, tmp_path):
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
-    for _ in range(12):
+    # run at least 12 swap rounds, then keep swapping (bounded) until
+    # the polling reader has observed >= 6 of them — under heavy host
+    # load a fixed round count can outpace a starved reader thread and
+    # fail on progress rather than on the property under test
+    rounds = 0
+    while rounds < 12 or (n_reads[0] <= 5 and rounds < 40):
         write_zone(batch().coalesce(1), root, "processed")
         compact_zone(spark, root, "processed", target_file_bytes=64 * 1024 * 1024)
+        rounds += 1
         if failures:
             break
     stop.set()
