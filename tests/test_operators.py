@@ -478,3 +478,53 @@ def test_scd2_history_null_state_opens_version(spark):
         (2, 1): (None, 0, 1, False),
         (2, 2): ("B", 1, None, True),
     }
+
+
+def test_l2_sq_matches_manual(spark):
+    from datapipeline_spike_spark.functions.vectors import l2_sq
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 0.0, 5.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(l2_sq("a", "b").alias("d")).collect()[0]["d"]
+    assert got == 0.0 + 4.0 + 4.0
+
+
+def test_pq_lloyd_iterations_reduce_distortion(spark, sf_dir):
+    """Lloyd's guarantee survives the fixed-point determinism plumbing:
+    corpus-total quantization error after 2 assign+update rounds is <=
+    after 1 round, in every subspace."""
+    from datapipeline_spike_spark.operators.similarity import pq_distortion_profile
+    from datapipeline_spike_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def total_err(iters):
+        rows = pq_distortion_profile(emb, dim=64, m=4, k=8, iters=iters).collect()
+        per_s = {}
+        for r in rows:
+            per_s[r["s"]] = per_s.get(r["s"], 0.0) + r["avg_sq_error"] * r["n_assigned"]
+        return per_s
+
+    e1, e2 = total_err(1), total_err(2)
+    assert set(e1) == set(e2) == {0, 1, 2, 3}
+    for s in e1:
+        assert e2[s] <= e1[s] + 1e-6, f"subspace {s}: {e1[s]} -> {e2[s]}"
+
+
+def test_pq_codebooks_shape_and_assignment_cover(spark, sf_dir):
+    from datapipeline_spike_spark.operators.similarity import pq_codebooks
+    from datapipeline_spike_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents = pq_codebooks(emb, dim=64, m=4, k=8, iters=1).collect()
+    by_s = {}
+    for r in cents:
+        assert len(r["cvec"]) == 16  # subvector width
+        by_s.setdefault(r["s"], []).append(r)
+    assert set(by_s) == {0, 1, 2, 3}
+    for s, rows in by_s.items():
+        assert len(rows) <= 8
+        # every corpus vector lands in exactly one centroid per subspace
+        assert sum(r["n_assigned"] for r in rows) == n

@@ -177,3 +177,64 @@ def test_corpus_scored_queries_build_lazily_and_reuse_scan(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         # sanity: it still computes
         assert df.limit(5).count() >= 0
+
+
+def test_bm25_planted_relevant_doc_ranks_first(spark, tmp_path):
+    """A document saturated with the fixed query terms must outrank
+    docs that barely mention them; a doc with none of the terms must
+    not appear at all."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.plans import REGISTRY
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [
+        (0, "window stream vector window stream vector window stream"),
+        (1, filler + "window"),
+        (2, filler + "completely unrelated words only"),
+        (3, filler + "stream vector"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = REGISTRY["bm25_ranked_retrieval"].spark(spark, sf).collect()
+    ranked = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert ranked[0] == 0          # term-dense doc wins
+    assert 2 not in ranked         # no query terms -> not retrieved
+    assert set(ranked) == {0, 1, 3}
+
+
+def test_source_overlap_matrix_detects_planted_containment(spark, tmp_path):
+    """A source whose docs are verbatim copies of another source's must
+    show containment 1.0 against it; an unrelated source shows zero
+    overlap (no row at all)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.plans import REGISTRY
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "totally different content about spark shuffles joins and aggregation plans"
+    docs = [
+        (0, a, "srcA"),
+        (1, a + " with a small extra tail of new words appended here", "srcA"),
+        (2, a, "srcB"),          # srcB verbatim-contains srcA's core doc
+        (3, b, "srcC"),          # srcC shares nothing
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in REGISTRY["source_overlap_matrix"].spark(spark, sf).collect()
+    }
+    ab = rows[("srcA", "srcB")]
+    assert ab["containment"] == 1.0      # srcB subset of srcA's n-grams
+    assert 0 < ab["jaccard"] < 1.0
+    assert ("srcA", "srcC") not in rows and ("srcB", "srcC") not in rows
