@@ -21,7 +21,7 @@ keeps whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_sq
@@ -123,6 +123,17 @@ def brute_force_topk_blas(
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _lit_double_array(vals) -> Column:
+    """Literal array<double> as ONE JVM-parsed expression instead of
+    len(vals) py4j ``F.lit`` round trips (the driver-side cost that made
+    ivf_topk's plan BUILD slower than its execution — measured ~4 s for
+    2x16x64 literals, r6). CAST from ``repr`` strings round-trips every
+    double exactly, so downstream math is bit-identical."""
+    return F.expr(
+        "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals) + ")"
+    )
+
+
 def _plane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (no numpy RNG so the test
     fixture and any SQL replay can regenerate it): values in [-1, 1)
@@ -144,7 +155,7 @@ def lsh_bucket_assign(
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _plane(dim, p + 1)])
+        plane = _lit_double_array(_plane(dim, p + 1))
         bit = (dot(v, plane) >= 0).cast("int")
         bucket = bucket + (bit * (1 << p))
     return df.withColumn("bucket", bucket)
@@ -195,16 +206,30 @@ def ivf_topk(
     # fail at runtime.
     n_probe = min(n_probe, len(cents))
 
+    # The centroid matrix is ONE F.expr string parsed JVM-side, not a
+    # tree of per-component F.lit calls: building 2 x 16 x 64 literal
+    # Columns through py4j cost ~4 s of DRIVER time per invocation
+    # (measured r6 — more than the query's whole execution). CAST from
+    # repr() strings round-trips every double exactly, so results are
+    # bit-identical to the literal-tree form.
+    cmat = F.expr(
+        "array(" + ", ".join(
+            "named_struct('cid', {id}L, 'cvec', array({vs}))".format(
+                id=int(c[0]),
+                vs=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c[1]),
+            )
+            for c in cents
+        ) + ")"
+    )
+
     def nearest(v):  # array<struct<cos, negid>>; lexicographic max = best
         return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(cosine(v, F.array(*[F.lit(x) for x in c[1]])), 6).alias("cos"),
-                        F.lit(-c[0]).alias("negid"),
-                    )
-                    for c in cents
-                ]
+            F.transform(
+                cmat,
+                lambda c: F.struct(
+                    F.round(cosine(v, c["cvec"]), 6).alias("cos"),
+                    (-c["cid"]).alias("negid"),
+                ),
             )
         )
 

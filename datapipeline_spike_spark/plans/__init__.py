@@ -87,8 +87,13 @@ _R6_CHANGED = (
     "scd2_steady_state",               # NEW r6: stored-table SCD2 MERGE fold
     "incremental_dedup_steady_state",  # r6: per-pid index tmp dir (advice)
     "embedding_topk_cosine",           # r6: fan_out dropped (fixed-overhead fix)
-    "ann_recall_at_k",                 # r6: shares brute_force_topk
-    "ivf_recall_at_k",                 # r6: shares brute_force_topk
+    "ann_recall_at_k",                 # r6: shares brute_force_topk + lsh planes
+    "ivf_recall_at_k",                 # r6: shares brute_force_topk + ivf cmat
+    "ann_ivf_flat",                    # r6: centroid matrix via one F.expr
+    "ann_ivf_kmeans",                  # r6: same (trained-centroid path)
+    "ann_lsh_bucket",                  # r6: lsh planes via one F.expr
+    "embedding_neardup_pairs",         # r6: shares lsh_bucket_assign
+    "embedding_dedup_assignment",      # r6: shares lsh_bucket_assign
     "bm25_ranked_retrieval",           # NEW r6: BM25 ranked retrieval
     "source_overlap_matrix",           # NEW r6: cross-source overlap matrix
     "pq_distortion_profile",           # NEW r6: product-quantization codebooks
@@ -97,8 +102,15 @@ _R6_CHANGED = (
 # relational queries spill to round 7 if _R6_CHANGED grows.  (The four
 # r5-queued queries now LEAD _VERIFY_FIRST — consumed, per the rule.)
 _QUEUED_FOR_NEXT_HEAD = (
-    # slots 50-57 after the 8 _R6_CHANGED splices — outside the driver's
-    # 50-query window this round; r4-green, lowest-risk spill
+    # slots 50-62 after the 13 _R6_CHANGED splices — outside the
+    # driver's 50-query window this round; r4-green relational queries,
+    # the lowest-risk spill class (changed code MUST verify this round;
+    # these wait one). MUST lead the r7 rotation.
+    "segment_symmetric_difference",
+    "top_lineitems_global",
+    "orders_cube",
+    "lineitem_rollup",
+    "customer_order_running",
     "top_orders_per_customer",
     "part_size_bands",
     "order_size_histogram",
