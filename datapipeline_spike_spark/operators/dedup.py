@@ -612,33 +612,35 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     simhash_hex 16-char big-endian hex)."""
     from datapipeline_spike_spark.functions.text import tokens
 
+    # String expressions throughout (r6): the original per-Column form
+    # (64 sum aggregates + 64 CASE bits, each built from ~5 chained
+    # py4j calls) spent ~1.1 s of DRIVER time per plan build — half the
+    # query's wall clock. Each string is ONE py4j call parsed JVM-side;
+    # the parsed expressions are identical, so results and the SQL
+    # oracle are unchanged.
     ex = fan_out(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
-    h = F.md5("tk")
-    words = ex.select(
-        F.col(id_col),
+    words = ex.selectExpr(
+        id_col,
         *[
-            F.conv(F.substring(h, 1 + 8 * c, 8), 16, 10).cast("long").alias(f"w{c}")
+            f"CAST(conv(substring(md5(tk), {1 + 8 * c}, 8), 16, 10) AS LONG) AS w{c}"
             for c in range(SIMHASH_CHUNKS)
         ],
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs = [F.expr("count(*)").alias("n")]
     for c in range(SIMHASH_CHUNKS):
         for r in range(16):
             aggs.append(
-                F.sum(F.shiftright(F.col(f"w{c}"), r).bitwiseAND(F.lit(1))).alias(f"o_{c}_{r}")
+                F.expr(f"sum(shiftright(w{c}, {r}) & 1)").alias(f"o_{c}_{r}")
             )
     counts = words.groupBy(id_col).agg(*aggs)
-    chunks = []
+    chunk_exprs = []
     for c in range(SIMHASH_CHUNKS):
-        bits = [
-            F.when(F.col(f"o_{c}_{r}") * 2 >= F.col("n"), F.lit(1 << r)).otherwise(F.lit(0))
+        bits = " + ".join(
+            f"(CASE WHEN o_{c}_{r} * 2 >= n THEN {1 << r} ELSE 0 END)"
             for r in range(16)
-        ]
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc + b
-        chunks.append(acc.cast("int").alias(f"c{c}"))
-    sig = counts.select(F.col(id_col), *chunks)
+        )
+        chunk_exprs.append(f"CAST({bits} AS INT) AS c{c}")
+    sig = counts.selectExpr(id_col, *chunk_exprs)
     hexs = F.concat(
         *[F.format_string("%04x", F.col(f"c{c}")) for c in reversed(range(SIMHASH_CHUNKS))]
     )

@@ -94,6 +94,8 @@ _R6_CHANGED = (
     "ann_lsh_bucket",                  # r6: lsh planes via one F.expr
     "embedding_neardup_pairs",         # r6: shares lsh_bucket_assign
     "embedding_dedup_assignment",      # r6: shares lsh_bucket_assign
+    "simhash_signatures",              # r6: string-expr plan build
+    "simhash_neardup_pairs",           # r6: shares simhash64
     "bm25_ranked_retrieval",           # NEW r6: BM25 ranked retrieval
     "source_overlap_matrix",           # NEW r6: cross-source overlap matrix
     "pq_distortion_profile",           # NEW r6: product-quantization codebooks
@@ -102,10 +104,12 @@ _R6_CHANGED = (
 # relational queries spill to round 7 if _R6_CHANGED grows.  (The four
 # r5-queued queries now LEAD _VERIFY_FIRST — consumed, per the rule.)
 _QUEUED_FOR_NEXT_HEAD = (
-    # slots 50-62 after the 13 _R6_CHANGED splices — outside the
+    # slots 50-64 after the 15 _R6_CHANGED splices — outside the
     # driver's 50-query window this round; r4-green relational queries,
     # the lowest-risk spill class (changed code MUST verify this round;
     # these wait one). MUST lead the r7 rotation.
+    "quantity_quantiles",
+    "supplier_distinct_parts",
     "segment_symmetric_difference",
     "top_lineitems_global",
     "orders_cube",
