@@ -577,3 +577,84 @@ def pq_distortion_profile(
             F.sum("err_fp") / (F.count(F.lit(1)) * 1_000_000.0), 6
         ).alias("avg_sq_error"),
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codebook: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k by asymmetric distance computation (ADC — Jegou et al.
+    2011): the corpus is ENCODED to m small codes per vector, and query
+    distance is the sum of per-subspace distances between the query
+    subvector and the CENTROID the code names — the scan never touches
+    the original corpus vectors, which is the entire point at billion-
+    vector scale (4 bytes/vector vs 256).
+
+    Plan shape (all deterministic, SQL-replayable):
+    - codebooks: :func:`pq_codebooks` (fixed-point Lloyd's);
+    - encode: per (subspace, vector) argmin of 6dp-rounded squared-L2,
+      via a broadcast join + ``min_by`` hash aggregate — partial
+      aggregation collapses to one row per (s, vid) MAP-SIDE, so the
+      only wire traffic is the m-codes-per-vector stream (a window-rank
+      formulation would sort-shuffle every scored row);
+    - ADC: codes join the 32-row broadcast codebook for centroid
+      vectors, then the broadcast query subvectors; per-subspace
+      distances are 6dp-rounded then fixed-pointed to int64 micro-units
+      so the cross-subspace sum is reduction-order-insensitive;
+    - top-k: ascending (adc_fp, neighbor_id) window per query.
+
+    Returns (query_id, neighbor_id, adc_fp, rank)."""
+    width = dim // m
+    cents = pq_codebooks(corpus, dim, m, k_codebook, iters, id_col, vec_col)
+
+    def subspaces(df: DataFrame, out_id: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(v, s * width + 1, width).alias("sv"),
+                    )
+                    for s in range(m)
+                ])
+            ).alias("x"),
+        ).select(out_id, F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+
+    sub = subspaces(fan_out(corpus), "nid")
+    scored = sub.join(F.broadcast(cents), "s").select(
+        "nid", "s", "cent_id",
+        F.round(l2_sq(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+    )
+    codes = scored.groupBy("nid", "s").agg(
+        F.min_by("cent_id", F.struct("dist", "cent_id")).alias("cent_id")
+    )
+    qsub = subspaces(queries, "query_id").select(
+        "query_id", "s", F.col("sv").alias("qv")
+    )
+    pair = (
+        codes.join(F.broadcast(cents.select("s", "cent_id", "cvec")), ["s", "cent_id"])
+        .join(F.broadcast(qsub), "s")
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(F.round(l2_sq(F.col("qv"), F.col("cvec")), 6) * 1_000_000)
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    adc = (
+        pair.filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("fp").alias("adc_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_fp", "neighbor_id")
+    return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

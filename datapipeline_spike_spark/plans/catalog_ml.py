@@ -19,7 +19,7 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_spike_spark.functions.spectral import (
@@ -784,12 +784,12 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- product quantization ----------------------------------------------------
 
 
-def _sql_pq(m: int, k: int, iters: int, width: int, scale: int) -> str:
-    """DuckDB replay of operators.similarity.pq_codebooks +
-    pq_distortion_profile: per-subspace lowest-id init, rounded-L2sq
-    argmin assignment with centroid-id tiebreak, fixed-point centroid
-    update, and a final encode pass whose 6dp distances average in
-    int64 micro-units (order-insensitive)."""
+def _sql_pq_ctes(m: int, k: int, iters: int, width: int, scale: int) -> tuple[str, str]:
+    """DuckDB replay of operators.similarity.pq_codebooks: per-subspace
+    lowest-id init, rounded-L2sq argmin assignment with centroid-id
+    tiebreak, fixed-point centroid update. Returns (cte_sql,
+    final_codebook_cte) for reuse by the distortion profile AND the ADC
+    top-k replay."""
     slices = ", ".join(f"v[{s * width + 1}:{(s + 1) * width}]" for s in range(m))
     subspaces = ", ".join(str(s) for s in range(m))
     l2 = ("list_aggregate(list_transform(range(1, len(a.v) + 1), "
@@ -828,6 +828,15 @@ def _sql_pq(m: int, k: int, iters: int, width: int, scale: int) -> str:
       FROM s{t} GROUP BY 1, 2
     )"""
         prev = f"c{t + 1}"
+    return sql, prev
+
+
+def _sql_pq(m: int, k: int, iters: int, width: int, scale: int) -> str:
+    """Distortion-profile replay: codebook CTEs + a final encode pass
+    whose 6dp distances average in int64 micro-units."""
+    sql, prev = _sql_pq_ctes(m, k, iters, width, scale)
+    l2 = ("list_aggregate(list_transform(range(1, len(a.v) + 1), "
+          "i -> (a.v[i] - c.cvec[i]) * (a.v[i] - c.cvec[i])), 'sum')")
     sql += f"""
     , enc AS (
       SELECT s, vid, cent_id,
@@ -875,3 +884,113 @@ def q_pq_distortion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_distortion_profile(
         load(spark, sf_dir, "embeddings"), dim=64, m=4, k=8, iters=2
     ).select("s", "cent_id", "n_assigned", "avg_sq_error")
+
+
+def _sql_pq_adc_recall() -> str:
+    """ADC recall replay: codebook CTEs -> encode -> per-subspace
+    fixed-point ADC sums -> approx top-5, against the exact full-vector
+    L2 top-5."""
+    ctes, prev = _sql_pq_ctes(m=4, k=8, iters=2, width=16, scale=1 << 20)
+    l2 = ("list_aggregate(list_transform(range(1, len(a.v) + 1), "
+          "i -> (a.v[i] - c.cvec[i]) * (a.v[i] - c.cvec[i])), 'sum')")
+    l2q = ("list_aggregate(list_transform(range(1, len(q.v) + 1), "
+           "i -> (q.v[i] - c.cvec[i]) * (q.v[i] - c.cvec[i])), 'sum')")
+    l2full = ("list_aggregate(list_transform(range(1, len(q.fv) + 1), "
+              "i -> (q.fv[i] - e.v[i]) * (q.fv[i] - e.v[i])), 'sum')")
+    return ctes + f"""
+    , codes AS (
+      SELECT nid, s, cent_id FROM (
+        SELECT a.vid AS nid, a.s, c.cent_id,
+               row_number() OVER (PARTITION BY a.s, a.vid
+                                  ORDER BY round({l2}, 6), c.cent_id) AS rnk
+        FROM sub a JOIN {prev} c USING (s)
+      ) WHERE rnk = 1
+    ), qsub AS (
+      SELECT vid AS query_id, s, v FROM sub WHERE vid < 5
+    ), pair AS (
+      SELECT q.query_id, codes.nid AS neighbor_id,
+             CAST(round(round({l2q}, 6) * 1000000) AS BIGINT) AS fp
+      FROM codes
+      JOIN {prev} c ON c.s = codes.s AND c.cent_id = codes.cent_id
+      JOIN qsub q ON q.s = codes.s
+      WHERE codes.nid != q.query_id
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, sum(fp) AS adc_fp,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sum(fp), neighbor_id) AS rnk
+        FROM pair GROUP BY 1, 2
+      ) WHERE rnk <= 5
+    ), qfull AS (SELECT vid AS query_id, v AS fv FROM e WHERE vid < 5),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vid AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({l2full}, 6), e.vid) AS rnk
+        FROM qfull q JOIN e ON e.vid != q.query_id
+      ) WHERE rnk <= 5
+    )
+    SELECT exact.query_id,
+           CAST(count(approx.neighbor_id) AS INT) AS n_hits,
+           round(count(approx.neighbor_id) / 5.0, 6) AS recall
+    FROM exact
+    LEFT JOIN approx ON approx.query_id = exact.query_id
+                    AND approx.neighbor_id = exact.neighbor_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "pq_adc_recall_at_k",
+    oracle=_sql_pq_adc_recall(),
+    doc="""Recall@5 of PQ asymmetric-distance top-k against the exact
+    full-vector L2 top-k — the accuracy half of the IVF-PQ tradeoff
+    (pq_distortion_profile is the compression half): the ADC scan ranks
+    neighbors from 3-bit-per-subspace codes alone, never touching the
+    original vectors, and this audit quantifies what that compression
+    costs in neighbor fidelity, per query. Encode is a broadcast join +
+    min_by hash aggregate (map-side partial collapse, no sort shuffle);
+    per-subspace ADC distances are 6dp-rounded then int64-fixed-pointed
+    so cross-subspace sums are reduction-order-insensitive; both the
+    approx and exact sides replay in SQL. The exact side's |q| x corpus
+    scan is the audit's cost, not the index's — production audits a
+    query SAMPLE exactly as here.""",
+    tags=("ml", "ann", "pq", "embedding", "audit"),
+)
+def q_pq_adc_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.vectors import l2_sq
+    from datapipeline_spike_spark.operators.similarity import pq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = pq_adc_topk(emb, queries, dim=64, m=4, k_codebook=8, iters=2, k=5)
+
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("fv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    exact = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(l2_sq(F.col("fv"), F.col("cv")), 6).alias("dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("hit").cast("int").alias("n_hits"),
+        F.round(F.count("hit") / 5.0, 6).alias("recall"),
+    )

@@ -528,3 +528,44 @@ def test_pq_codebooks_shape_and_assignment_cover(spark, sf_dir):
         assert len(rows) <= 8
         # every corpus vector lands in exactly one centroid per subspace
         assert sum(r["n_assigned"] for r in rows) == n
+
+
+def test_pq_adc_lossless_when_codebook_covers_corpus(spark):
+    """ADC sanity bound: with one centroid per corpus vector the
+    encoding is lossless (every vector is its own centroid, all
+    quantization distances 0), so ADC top-k must equal exact L2 top-k
+    — recall would be 1.0 by construction."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.functions.vectors import l2_sq
+    from datapipeline_spike_spark.operators.similarity import pq_adc_topk
+    from datapipeline_spike_spark.plans.registry import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 64
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_adc_topk(
+            emb, queries, dim=64, m=4, k_codebook=64, iters=1, k=5
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    qv = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").cast("array<double>").alias("fv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").cast("array<double>").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    exact = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(l2_sq("fv", "cv"), 6).alias("dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    assert approx == exact
