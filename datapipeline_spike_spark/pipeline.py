@@ -82,6 +82,24 @@ def principal_components(feats: list[Column]) -> Column:
     return F.array(*pcs)
 
 
+def principal_components_expr(feat_names: list[str]) -> Column:
+    """String-expression twin of :func:`principal_components` over NAMED
+    feature columns — ONE JVM parse instead of ~160 py4j Column calls
+    (0.34 s of driver time per envelope build, r6). The SQL string is
+    the same left-associated multiply-add chain (SQL + is
+    left-associative; CAST from repr round-trips each weight exactly),
+    so the op sequence — and every 4dp-rounded projection — is
+    bit-identical to the Column form."""
+    pcs = []
+    for loading in PCA_LOADINGS:
+        chain = " + ".join(
+            f"CAST('{w!r}' AS DOUBLE) * {f}"
+            for w, f in zip(loading, feat_names)
+        )
+        pcs.append(f"round({chain}, 4)")
+    return F.expr("array(" + ", ".join(pcs) + ")")
+
+
 def enrich_records(
     records: DataFrame,
     drop_invalid: bool = True,
@@ -198,6 +216,14 @@ def enrich_records(
             F.round(F.col(f"_kurt_{a}"), 4),
             F.round(rms_q * rms_q, 2),
         ]
+    # name the quantized features so the projection assembles from ONE
+    # parsed string expression (principal_components_expr) instead of a
+    # py4j-built multiply-add tree; the extra flat aliases vanish in the
+    # final struct projection
+    pca_names = [f"_pca_{i}" for i in range(len(pca_feats))]
+    stats = stats.select(
+        "*", *[f.alias(n) for f, n in zip(pca_feats, pca_names)]
+    )
 
     out = stats.select(
         *key_cols,
@@ -211,7 +237,7 @@ def enrich_records(
         ).alias("outlier_check"),
         F.struct(*features_fields).alias("features"),
         F.struct(
-            principal_components(pca_feats).alias("principal_components"),
+            principal_components_expr(pca_names).alias("principal_components"),
         ).alias("reduced_features"),
         F.struct(
             F.round(quality, 6).alias("data_quality_score"),
