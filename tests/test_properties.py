@@ -319,7 +319,7 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, pairs):
     events=st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=3),           # key
-            st.sampled_from(["A", "B", "C"]),                # state
+            st.sampled_from(["A", "B", "C", None]),          # state (NULL is a value: r6 null-safe collapse)
             st.integers(min_value=0, max_value=20),          # ts seconds
         ),
         min_size=1,
@@ -331,7 +331,9 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, pairs):
 def test_scd2_history_matches_python_reference(spark, events):
     """scd2_history vs a direct Python interval builder over arbitrary
     event streams (ties on ts broken by event_id, out-of-order arrival
-    irrelevant — the operator sorts)."""
+    irrelevant — the operator sorts). States include None: Python's
+    ``!=`` is null-safe exactly like the operator's eqNullSafe collapse,
+    so the reference needs no special-casing."""
     from datetime import datetime
 
     from datapipeline_spike_spark.operators.sessions import scd2_history
@@ -362,3 +364,55 @@ def test_scd2_history_matches_python_reference(spark, events):
             vt = runs[v][1] if v < len(runs) else None
             want[(k, v)] = (s, vf, vt, vt is None)
     assert got == want
+
+
+prefix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # doc_id
+        st.integers(min_value=5, max_value=40),   # set size n
+        st.sampled_from(["g0", "g1", "g2", "hot"]),
+    ),
+    min_size=2,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[2]),
+)
+
+
+@given(rows=prefix_rows, cap=st.integers(min_value=1, max_value=6))
+@PROP
+def test_prefix_bucket_cap_invariant_under_cap_and_chunks(spark, rows, cap):
+    """The hot-bucket guard is execution-shape only: for ANY prefix
+    frame and ANY cap, the chunked self-join path emits exactly the
+    uncapped candidate set (PPJoin length filter included on both
+    paths). doc n must be consistent per doc across buckets."""
+    from datapipeline_spike_spark.plans.catalog_extensions import (
+        _prefix_bucket_pairs,
+    )
+
+    n_by_doc = {}
+    fixed = []
+    for d, n, g in rows:
+        n_by_doc.setdefault(d, n)
+        fixed.append((d, n_by_doc[d], g))
+    prefix = spark.createDataFrame(fixed, "doc_id long, n int, g string")
+
+    def pairs(c, nc=3):
+        return sorted(
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in _prefix_bucket_pairs(prefix, cap=c, n_chunks=nc).collect()
+        )
+
+    uncapped = pairs(10_000)
+    assert pairs(cap) == uncapped
+    # reference: per bucket all unordered pairs passing the length filter
+    import itertools
+
+    want = set()
+    by_g = {}
+    for d, n, g in fixed:
+        by_g.setdefault(g, []).append((d, n))
+    for g, ds in by_g.items():
+        for (a, an), (b, bn) in itertools.combinations(sorted(ds), 2):
+            if 5 * min(an, bn) >= 4 * max(an, bn):
+                want.add((a, b))
+    assert set(uncapped) == want
