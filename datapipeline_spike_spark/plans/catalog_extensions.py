@@ -2983,3 +2983,49 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --- full-decode audio features ----------------------------------------------
+
+
+@register(
+    "audio_pcm_features",
+    oracle="""
+    WITH xs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, 8 + doc_id % 50),
+               i -> ((doc_id * 31 + i * 17) % 4001) - 2000)) AS x
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           round(sqrt(sum(x * x) * 1.0 / count(*)), 6) AS rms,
+           CAST(max(abs(x)) AS BIGINT) AS peak,
+           round(sum(x) * 1.0 / count(*), 6) AS mean_amplitude
+    FROM xs GROUP BY 1
+    """,
+    doc="""FULL-decode multimodal audio tier (closing the loop from
+    opaque binary column to signal features): per document a complete
+    mono 16-bit PCM WAV with a deterministic integer waveform is built,
+    the decoder walks the RIFF container to the raw frames, unpacks the
+    int16 samples, and computes rms / peak / mean amplitude — with
+    integer-exact accumulation (sum, sum-of-squares, max over int16) so
+    the oracle replays every number from the REGENERATED waveform, not
+    from headers. Arrow-batched mapInPandas end to end; unsupported
+    shapes (non-PCM, non-16-bit) yield NULL features instead of failing
+    the scan. The header-tier twin is audio_header_meta; this is the
+    tier a real corpus pipeline runs feature extraction at — at 100 TB
+    the binary payloads stream through executors once, Arrow-batched,
+    with only the tiny feature rows shuffling.""",
+    tags=("multimodal", "audio", "decode", "pandas"),
+)
+def q_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_pattern_media_from_documents,
+        decode_audio_pcm_features,
+    )
+
+    media = audio_pattern_media_from_documents(
+        fan_out(load(spark, sf_dir, "documents"))
+    )
+    return decode_audio_pcm_features(media)

@@ -356,6 +356,106 @@ def synthetic_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def synthetic_wav_pattern(seed: int, n_samples: int, sample_rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM WAV whose samples follow a deterministic integer
+    pattern of ``seed`` — sample i = ((seed * 31 + i * 17) % 4001) - 2000
+    — so a SQL oracle can regenerate the exact waveform and replay any
+    feature computed from the DECODED bytes (the full-decode tier, not
+    just headers)."""
+    samples = [
+        ((seed * 31 + i * 17) % 4001) - 2000 for i in range(n_samples)
+    ]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_pattern_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Patterned-waveform WAVs (mono 16-bit, 8 + doc_id % 50 samples):
+    the corpus for the full-decode audio feature path."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synthetic_wav_pattern(
+                            seed=int(d), n_samples=8 + int(d) % 50
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "audio",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def decode_audio_pcm_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """FULL-decode audio tier: RIFF chunk walk -> raw PCM int16 frames ->
+    per-clip signal features, computed so a SQL oracle replays them
+    exactly from the regenerated waveform:
+
+    - sum-of-squares and peak accumulate in EXACT integer arithmetic
+      (int16 samples, bounded clips — no float reduction order anywhere);
+    - rms = round(sqrt(sum_sq / n), 6): one division and one IEEE sqrt,
+      identical in any engine;
+    - mean = round(sum / n, 6) likewise from an exact integer sum.
+
+    Arrow-batched mapInPandas; clips with unsupported shapes (non-PCM,
+    not 16-bit mono) yield NULL features rather than failing the scan."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def one(payload: bytes):
+            meta = parse_audio_meta(payload)
+            if not meta or meta[1] != 1 or meta[3] != 16 or meta[4] == 0:
+                return None
+            n = meta[4]
+            i = payload.find(b"data")
+            if i < 0:
+                return None
+            raw = payload[i + 8 : i + 8 + 2 * n]
+            xs = struct.unpack(f"<{n}h", raw)
+            sum_x = sum(xs)                      # exact ints
+            sum_sq = sum(x * x for x in xs)
+            peak = max(abs(x) for x in xs)
+            return (
+                n,
+                round(math.sqrt(sum_sq / n), 6),
+                int(peak),
+                round(sum_x / n, 6),
+            )
+
+        for pdf in batches:
+            out = pdf[payload_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(
+                        out.map(lambda t: t and t[0]), dtype="Int64"
+                    ),
+                    "rms": out.map(lambda t: t and t[1]).astype("Float64"),
+                    "peak": pd.array(out.map(lambda t: t and t[2]), dtype="Int64"),
+                    "mean_amplitude": out.map(lambda t: t and t[3]).astype("Float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        feats,
+        schema=(
+            "media_id long, n_samples long, rms double, "
+            "peak long, mean_amplitude double"
+        ),
+    )
+
+
 def synthetic_png(width: int, height: int) -> bytes:
     """A complete, valid 8-bit grayscale PNG of the given dimensions
     (signature + IHDR + zlib IDAT of zero scanlines + IEND), built with

@@ -56,6 +56,7 @@ PANDAS_OK = {
     "image_header_meta": "binary container parsing (struct) via mapInPandas",
     "video_header_meta": "binary container parsing (struct) via mapInPandas",
     "audio_header_meta": "binary container parsing (struct) via mapInPandas",
+    "audio_pcm_features": "full binary decode (RIFF walk + int16 unpack) via mapInPandas",
     "kmv_distinct_ngrams": "per-batch partial bottom-k sketch (documented wire shape)",
     "heavy_hitter_tokens": "per-batch pigeonhole candidate pass (Misra-Gries bound)",
 }
