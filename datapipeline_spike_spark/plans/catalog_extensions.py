@@ -3029,3 +3029,42 @@ def q_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(load(spark, sf_dir, "documents"))
     )
     return decode_audio_pcm_features(media)
+
+
+@register(
+    "image_pixel_features",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
+               k -> (doc_id * 7 + k * 13) % 256)) AS p
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           round(sum(p) * 1.0 / count(*), 6) AS mean_px,
+           CAST(min(p) AS BIGINT) AS min_px,
+           CAST(max(p) AS BIGINT) AS max_px
+    FROM px GROUP BY 1
+    """,
+    doc="""FULL-decode multimodal image tier (the PNG counterpart of
+    audio_pcm_features): per document a complete 8-bit grayscale PNG
+    with a deterministic pixel pattern, decoded for real — chunk walk,
+    zlib inflate of IDAT, scanline unfiltering — then per-image pixel
+    statistics with integer-exact accumulation, so the oracle replays
+    every number from the REGENERATED pixel stream (proving inflate +
+    unfilter + stats, not just header parsing). Arrow-batched
+    mapInPandas; non-conforming payloads yield NULL features.""",
+    tags=("multimodal", "image", "decode", "pandas"),
+)
+def q_image_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_image_pixel_features,
+        image_pattern_media_from_documents,
+    )
+
+    media = image_pattern_media_from_documents(
+        fan_out(load(spark, sf_dir, "documents"))
+    )
+    return decode_image_pixel_features(media)

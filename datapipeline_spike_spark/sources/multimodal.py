@@ -456,6 +456,119 @@ def decode_audio_pcm_features(df: DataFrame, payload_col: str = "payload") -> Da
     )
 
 
+def synthetic_png_pattern(seed: int, width: int, height: int) -> bytes:
+    """8-bit grayscale PNG whose pixel k (row-major) is
+    ``(seed * 7 + k * 13) % 256`` — filter byte 0 on every scanline, so
+    the decoder's unfiltering is trivial and a SQL oracle regenerates
+    the exact pixel stream from (seed, width, height)."""
+    rows = []
+    k = 0
+    for _ in range(height):
+        row = bytearray([0])  # filter: None
+        for _ in range(width):
+            row.append((seed * 7 + k * 13) % 256)
+            k += 1
+        rows.append(bytes(row))
+    raw = b"".join(rows)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_pattern_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Patterned grayscale PNGs (4 + doc_id % 13 wide, 3 + doc_id % 7
+    tall): the corpus for the full-decode image feature path."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synthetic_png_pattern(
+                            seed=int(d), width=4 + int(d) % 13, height=3 + int(d) % 7
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "image",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def decode_image_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """FULL-decode image tier: PNG chunk walk -> zlib-inflate IDAT ->
+    unfilter scanlines -> per-image pixel statistics, with integer-exact
+    accumulation (8-bit pixels; sum / min / max over exact ints; mean =
+    one division rounded 6dp) so a SQL oracle replays every number from
+    the regenerated pixel stream. Only filter-0 grayscale-8 images are
+    decoded (what the pattern builder emits); anything else yields NULL
+    features rather than failing the scan."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            if not payload.startswith(_PNG_SIG):
+                return None
+            i = len(_PNG_SIG)
+            w = h = None
+            idat = b""
+            while i + 8 <= len(payload):
+                (ln,) = struct.unpack(">I", payload[i : i + 4])
+                tag = payload[i + 4 : i + 8]
+                body = payload[i + 8 : i + 8 + ln]
+                if tag == b"IHDR":
+                    w, h, bits, ctype = struct.unpack(">IIBB", body[:10])
+                    if bits != 8 or ctype != 0:
+                        return None
+                elif tag == b"IDAT":
+                    idat += body
+                i += 12 + ln
+            if not w or not h or not idat:
+                return None
+            raw = zlib.decompress(idat)
+            px = []
+            for r in range(h):
+                row = raw[r * (w + 1) : (r + 1) * (w + 1)]
+                if not row or row[0] != 0:
+                    return None  # only filter None is supported
+                px.extend(row[1:])
+            n = len(px)
+            return (n, round(sum(px) / n, 6), min(px), max(px))
+
+        for pdf in batches:
+            out = pdf[payload_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_pixels": pd.array(out.map(lambda t: t and t[0]), dtype="Int64"),
+                    "mean_px": out.map(lambda t: t and t[1]).astype("Float64"),
+                    "min_px": pd.array(out.map(lambda t: t and t[2]), dtype="Int64"),
+                    "max_px": pd.array(out.map(lambda t: t and t[3]), dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        feats,
+        schema="media_id long, n_pixels long, mean_px double, min_px long, max_px long",
+    )
+
+
 def synthetic_png(width: int, height: int) -> bytes:
     """A complete, valid 8-bit grayscale PNG of the given dimensions
     (signature + IHDR + zlib IDAT of zero scanlines + IEND), built with

@@ -57,6 +57,7 @@ PANDAS_OK = {
     "video_header_meta": "binary container parsing (struct) via mapInPandas",
     "audio_header_meta": "binary container parsing (struct) via mapInPandas",
     "audio_pcm_features": "full binary decode (RIFF walk + int16 unpack) via mapInPandas",
+    "image_pixel_features": "full binary decode (PNG walk + zlib inflate + unfilter) via mapInPandas",
     "kmv_distinct_ngrams": "per-batch partial bottom-k sketch (documented wire shape)",
     "heavy_hitter_tokens": "per-batch pigeonhole candidate pass (Misra-Gries bound)",
 }
