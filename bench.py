@@ -40,6 +40,11 @@ EXTRAS = [
     # round 6 additions
     "scd2_steady_state",
     "bm25_ranked_retrieval",
+    "source_overlap_matrix",
+    "pq_distortion_profile",
+    "pq_adc_recall_at_k",
+    "audio_pcm_features",
+    "image_pixel_features",
 ]
 
 HEADLINE = [
