@@ -2857,43 +2857,82 @@ _SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     tags=("text", "retrieval", "bm25"),
 )
 def q_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", Tx.tokens("text").alias("toks"))
-    dl = toks.filter(F.size("toks") > 0).select(
-        "doc_id", F.size("toks").alias("dl")
+    return bm25_ranked_retrieval(fan_out(load(spark, sf_dir, "documents")))
+
+
+def bm25_ranked_retrieval(d: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``bm25_ranked_retrieval`` — split out so
+    the scale probe measures exactly the production plan.
+
+    Single-pass shape (r6 probe-driven rewrite): the original form
+    tokenized the corpus TWICE (doc-length branch + explode branch) and
+    shuffled the full exploded token stream through a (doc, term)
+    groupBy; for a fixed query vocabulary the per-term counts are
+    map-only array scans (``F.filter`` over the token array per term),
+    so ONE tokenize pass yields (dl, tf per term) flat columns, the
+    corpus stats reduce to a broadcast 1-row aggregate, scoring is a
+    map-only projection, and global top-10 is TakeOrderedAndProject
+    (per-partition partial top-k, driver merge — never a single-task
+    rank over every scored doc). 10x-amplified probe: 20.9 -> ~7 s.
+    Numerically identical to the exploded form: per-term int64
+    micro-unit weights (absent term => tf 0 => weight 0) summed in any
+    order; docs with no query term are excluded exactly as before."""
+    toks = d.select("doc_id", Tx.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
     )
-    stats = dl.agg(
+    def term_count(term: str):
+        # one-arg lambda: a two-arg form (e.g. a default-arg closure)
+        # would make F.filter bind the second parameter to the ELEMENT
+        # INDEX, silently comparing tokens against integers
+        return F.size(F.filter("toks", lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        term_count(term).alias(f"tf_{i}") for i, term in enumerate(_BM25_TERMS)
+    ]
+    # two consumers (corpus stats, scoring) — materialize the tiny
+    # (doc_id, dl, tf_*) frame once so the tokenize + term-count scan
+    # runs once, not per branch
+    base = toks.select(
+        "doc_id", F.size("toks").alias("dl"), *tf_cols
+    ).localCheckpoint(eager=True)
+    stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    matched = base.filter(
+        sum((F.col(f"tf_{i}") > 0).cast("int") for i in range(len(_BM25_TERMS)))
+        > 0
     )
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+
+    def w_fp(i: int):
+        tf = F.col(f"tf_{i}").cast("long")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        norm = tf + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        # absent term: tf=0 -> weight 0 -> adds nothing to the int sum,
+        # exactly like the exploded form's missing (doc, term) row
+        return F.round(
+            1_000_000 * (idf * (tf * (_BM25_K1 + 1.0)) / norm)
+        ).cast("bigint")
+
+    total_fp = w_fp(0)
+    for i in range(1, len(_BM25_TERMS)):
+        total_fp = total_fp + w_fp(i)
+    scored = matched.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.round(total_fp / 1_000_000.0, R).alias("bm25")
     )
-    norm = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    w_fp = F.round(
-        1_000_000 * (idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm)
-    ).cast("bigint")
-    scored = (
-        tf.join(F.broadcast(df_), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", w_fp.alias("w_fp"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("w_fp") / 1_000_000.0, R).alias("bm25"))
-    )
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
     w_rank = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w_rank))
         .select("doc_id", "bm25", F.col("rnk").cast("int").alias("rnk"))
     )
 
@@ -2946,7 +2985,12 @@ def q_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "corpus", "analytics"),
 )
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load(spark, sf_dir, "documents"))
+    return source_overlap_matrix(fan_out(load(spark, sf_dir, "documents")))
+
+
+def source_overlap_matrix(d: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``source_overlap_matrix`` — split out so
+    the scale probe measures exactly the production plan."""
     sg = (
         d.select("source", Tx.ngrams("text", k=_CONTAM_K).alias("ngs"))
         .filter(F.size("ngs") > 0)

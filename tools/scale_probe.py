@@ -422,7 +422,35 @@ def newops_stress(spark, amp: int) -> None:
         print(json.dumps({"probe": "prefix_filter_join_full", "amp": a,
                           "docs": drows, "sec": secs,
                           "docs_per_sec": int(drows / secs)}), flush=True)
+
+        # round-6 additions, end-to-end through the production helpers
+        from datapipeline_spike_spark.plans.catalog_extensions import (
+            bm25_ranked_retrieval,
+            source_overlap_matrix,
+        )
+
+        secs = probe("bm25", lambda: bm25_ranked_retrieval(docs))
+        print(json.dumps({"probe": "bm25_ranked_retrieval", "amp": a,
+                          "docs": drows, "sec": secs,
+                          "docs_per_sec": int(drows / secs)}), flush=True)
+
+        secs = probe("source_overlap", lambda: source_overlap_matrix(docs))
+        print(json.dumps({"probe": "source_overlap_matrix", "amp": a,
+                          "docs": drows, "sec": secs,
+                          "docs_per_sec": int(drows / secs)}), flush=True)
         docs.unpersist()
+
+        from datapipeline_spike_spark.operators.similarity import (
+            pq_distortion_profile,
+        )
+
+        embs = amplify_embeddings(spark, a).localCheckpoint(eager=True)
+        erows = embs.count()
+        secs = probe("pq", lambda: pq_distortion_profile(embs, dim=64, m=4, k=8, iters=2))
+        print(json.dumps({"probe": "pq_distortion_profile", "amp": a,
+                          "vecs": erows, "sec": secs,
+                          "vecs_per_sec": int(erows / secs)}), flush=True)
+        embs.unpersist()
 
 
 if __name__ == "__main__":
