@@ -85,3 +85,54 @@ def band_join(
     ``value_col``. ``bands`` must be small (broadcast)."""
     cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) <= bands[hi_col])
     return left.join(F.broadcast(bands), cond, "left")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_seconds: int = 86_400,
+    how: str = "inner",
+) -> DataFrame:
+    """LARGE x LARGE interval-overlap join — the range-join case
+    ``band_join`` (broadcast-only) cannot cover, decomposed into an
+    equi-join Catalyst can shuffle-partition:
+
+    1. each interval explodes into the time-bucket ids it covers
+       (``bucket_seconds`` granularity — pick it near the TYPICAL
+       interval length so most intervals hit 1-2 buckets);
+    2. candidates equi-join on the bucket id (hash-partitioned, AQE
+       skew-splittable — never a nested-loop over the cross product);
+    3. the exact closed-interval overlap predicate
+       (l_start <= r_end AND r_start <= l_end) filters bucket
+       neighbors that don't actually overlap;
+    4. a pair sharing k buckets appears k times: it is kept ONLY in the
+       pair's FIRST common bucket (max of the two first-bucket ids —
+       deterministic, computable per row), so dedup costs a filter, not
+       a distinct shuffle over the candidate volume.
+
+    Only ``inner`` is supported (an outer variant needs an anti-join
+    leg). Timestamp columns must be TIMESTAMP; bounds are inclusive.
+    At 100 TB this is the standard range-join decomposition (Spark's
+    own storage-partitioned range join and Databricks' range-join hints
+    use the same binning idea); a pathological interval spanning B
+    buckets costs B candidate rows — bound it by choosing
+    ``bucket_seconds`` at the p99 interval length."""
+    if how != "inner":
+        raise ValueError("interval_overlap_join supports how='inner' only")
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+
+    def bucket(c: str):
+        return F.floor(F.unix_micros(F.col(c)) / F.lit(bucket_seconds * 1_000_000))
+
+    lb = left.withColumn("_b", F.explode(F.sequence(bucket(ls), bucket(le))))
+    rb = right.withColumn("_b", F.explode(F.sequence(bucket(rs), bucket(re_))))
+    first_common = F.greatest(bucket(ls), bucket(rs))
+    return (
+        lb.join(rb, "_b")
+        .filter((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
+        .filter(F.col("_b") == first_common)
+        .drop("_b")
+    )

@@ -559,3 +559,93 @@ def q_scd2_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_ts", F.col("version").cast("int").alias("version"),
         "is_current",
     )
+
+
+# --- interval overlap join ---------------------------------------------------
+
+_CAMP_BASE = 1_704_067_200        # 2024-01-01 00:00:00 UTC
+_CAMP_STEP = 3 * 86_400 + 7 * 3_600   # staggered so windows are not bucket-aligned
+_CAMP_SPAN = 2 * 86_400
+_N_CAMPAIGNS = 8
+
+
+@register(
+    "session_campaign_overlap",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_seq,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM sessions GROUP BY 1, 2
+    ), camp AS (
+      SELECT CAST(i AS INT) AS campaign_id,
+             make_timestamp(({_CAMP_BASE} + i * {_CAMP_STEP}) * 1000000) AS c_start,
+             make_timestamp(({_CAMP_BASE} + i * {_CAMP_STEP} + {_CAMP_SPAN}) * 1000000) AS c_end
+      FROM range(0, {_N_CAMPAIGNS}) t(i)
+    )
+    SELECT campaign_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(least(epoch_us(s_end), epoch_us(c_end))
+                    - greatest(epoch_us(s_start), epoch_us(c_start))) AS BIGINT)
+             AS total_overlap_us
+    FROM sess JOIN camp ON s_start <= c_end AND c_start <= s_end
+    GROUP BY 1
+    """,
+    doc=f"""Interval-overlap join at LARGE x LARGE shape (the range-join
+    case a broadcast band join cannot cover): user sessions (gap-30-min
+    sessionization collapsed to [first, last] event intervals) overlap-
+    join {_N_CAMPAIGNS} staggered campaign windows, then per campaign:
+    overlapping sessions, distinct users, total overlap microseconds.
+    Executed via ``operators.joins.interval_overlap_join``: each
+    interval explodes into covered day buckets, candidates EQUI-join on
+    the bucket id (hash-partitioned, AQE-skew-splittable — no
+    nested-loop cross product), the exact closed-interval predicate
+    filters bucket neighbors, and multi-bucket pairs dedup by the
+    first-common-bucket identity — a filter, not a distinct shuffle.
+    The oracle replays the overlap as a plain theta join (correct at
+    oracle scale; the bucket decomposition is the 100 TB execution of
+    the same semantics). Campaign windows derive in-plan from range() —
+    no collect at build.""",
+    tags=("join", "range", "interval", "session"),
+)
+def q_session_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.joins import interval_overlap_join
+    from datapipeline_spike_spark.operators.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    camp = spark.range(_N_CAMPAIGNS).select(
+        F.col("id").cast("int").alias("campaign_id"),
+        F.timestamp_seconds(
+            F.lit(_CAMP_BASE) + F.col("id") * _CAMP_STEP
+        ).alias("c_start"),
+        F.timestamp_seconds(
+            F.lit(_CAMP_BASE) + F.col("id") * _CAMP_STEP + _CAMP_SPAN
+        ).alias("c_end"),
+    )
+    joined = interval_overlap_join(
+        sess, camp, ("s_start", "s_end"), ("c_start", "c_end")
+    )
+    overlap_us = F.least(
+        F.unix_micros("s_end"), F.unix_micros("c_end")
+    ) - F.greatest(F.unix_micros("s_start"), F.unix_micros("c_start"))
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(overlap_us).cast("bigint").alias("total_overlap_us"),
+    )

@@ -569,3 +569,49 @@ def test_pq_adc_lossless_when_codebook_covers_corpus(spark):
         .collect()
     }
     assert approx == exact
+
+
+def test_interval_overlap_join_dedups_and_filters_exactly(spark):
+    """Bucket decomposition must be invisible: pairs spanning MANY
+    shared buckets appear exactly once, bucket neighbors that do not
+    overlap are filtered, and point-touching intervals count (closed
+    bounds) — all checked against an itertools reference."""
+    import itertools
+    from datetime import datetime, timedelta
+
+    from datapipeline_spike_spark.operators.joins import interval_overlap_join
+
+    t0 = datetime(2024, 1, 1)
+
+    def iv(name, start_h, end_h):
+        return (name, t0 + timedelta(hours=start_h), t0 + timedelta(hours=end_h))
+
+    left = [
+        iv("l_long", 0, 120),     # spans 6 day-buckets
+        iv("l_short", 30, 31),
+        iv("l_point", 50, 50),
+        iv("l_late", 200, 210),
+    ]
+    right = [
+        iv("r_long", 10, 100),    # shares many buckets with l_long
+        iv("r_touch", 31, 40),    # touches l_short at exactly h=31
+        iv("r_neighbor", 52, 60), # same bucket as l_point, no overlap
+        iv("r_far", 400, 410),
+    ]
+    ldf = spark.createDataFrame(left, "lid string, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(right, "rid string, rs timestamp, re timestamp")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, ("ls", "le"), ("rs", "re")
+        ).collect()
+    )
+    want = sorted(
+        (ln, rn)
+        for (ln, l1, l2), (rn, r1, r2) in itertools.product(left, right)
+        if l1 <= r2 and r1 <= l2
+    )
+    assert got == want
+    assert ("l_long", "r_long") in got          # multi-bucket pair: once
+    assert ("l_short", "r_touch") in got        # closed-bound touch
+    assert ("l_point", "r_neighbor") not in got # bucket neighbor, no overlap
