@@ -69,7 +69,14 @@ def bpeish_tokens(c: Column | str) -> Column:
 
 
 def avg_token_len(c: Column | str) -> Column:
-    t = tokens(c)
+    return avg_token_len_from_tokens(tokens(c))
+
+
+def avg_token_len_from_tokens(t: Column) -> Column:
+    """Metric over a PRE-TOKENIZED array — callers computing several
+    token metrics should tokenize once into a named column and use the
+    ``_from_tokens`` forms (the text-column forms re-run the regex split
+    per metric; a 5-metric profile paid it 7x per row)."""
     return F.when(
         F.size(t) > 0,
         F.aggregate(t, F.lit(0.0), lambda a, s: a + F.length(s)) / F.size(t),
@@ -91,7 +98,10 @@ def digit_ratio(c: Column | str) -> Column:
 
 
 def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
-    t = tokens(c)
+    return stopword_ratio_from_tokens(tokens(c), lang)
+
+
+def stopword_ratio_from_tokens(t: Column, lang: str = "en") -> Column:
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(t, lambda tok: F.array_contains(sw, tok)))
     return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(None))
@@ -104,9 +114,18 @@ def quality_score(c: Column | str) -> Column:
     0.4*length_score + 0.3*stopword_score + 0.3*(1 - punct_ratio),
     where length_score saturates at 200 tokens and stopword_score
     saturates at a 10% English stopword ratio."""
-    tc = token_count(c).cast("double")
+    return quality_score_from_tokens(tokens(c), c)
+
+
+def quality_score_from_tokens(t: Column, c: Column | str) -> Column:
+    """Same formula over a pre-tokenized array (punct_ratio still reads
+    the raw text — it is character-level)."""
+    tc = F.size(t).cast("double")
     length_score = F.least(tc / F.lit(200.0), F.lit(1.0))
-    sw_score = F.least(F.coalesce(stopword_ratio(c), F.lit(0.0)) / F.lit(0.10), F.lit(1.0))
+    sw_score = F.least(
+        F.coalesce(stopword_ratio_from_tokens(t), F.lit(0.0)) / F.lit(0.10),
+        F.lit(1.0),
+    )
     p_score = F.lit(1.0) - F.coalesce(punct_ratio(c), F.lit(0.0))
     return 0.4 * length_score + 0.3 * sw_score + 0.3 * p_score
 

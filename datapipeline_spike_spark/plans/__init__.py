@@ -103,15 +103,17 @@ _R6_CHANGED = (
     "audio_pcm_features",              # NEW r6: full-decode audio features
     "image_pixel_features",            # NEW r6: full-decode image features
     "session_campaign_overlap",        # NEW r6: bucketized interval-overlap join
+    "text_quality_profile",            # r6: tokenize-once named column
 )
 # Head overflow past the driver's 50-slot sample window: these r4-green
 # relational queries spill to round 7 if _R6_CHANGED grows.  (The four
 # r5-queued queries now LEAD _VERIFY_FIRST — consumed, per the rule.)
 _QUEUED_FOR_NEXT_HEAD = (
-    # slots 50-68 after the 19 _R6_CHANGED splices — outside the
+    # slots 50-69 after the 20 _R6_CHANGED splices — outside the
     # driver's 50-query window this round; r4-green relational queries,
     # the lowest-risk spill class (changed code MUST verify this round;
     # these wait one). MUST lead the r7 rotation.
+    "status_route_counts",
     "json_props_profile",
     "daily_status_pivot",
     "orders_grouping_sets",

@@ -86,14 +86,24 @@ def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load(spark, sf_dir, "documents")).filter(Tx.token_count("text") > 0)
+    # tokenize ONCE into a named column; the metric expressions read the
+    # array. (Measured ~neutral at sf0.1 — whole-stage codegen's
+    # subexpression elimination already deduped the identical splits —
+    # but the named column makes the single-tokenize property a plan
+    # guarantee rather than an optimizer courtesy.)
+    d = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .select("doc_id", "text", Tx.tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    t = F.col("toks")
     return d.select(
         "doc_id",
-        Tx.token_count("text").alias("n_tokens"),
-        F.round(Tx.avg_token_len("text"), R).alias("avg_token_len"),
+        F.size(t).alias("n_tokens"),
+        F.round(Tx.avg_token_len_from_tokens(t), R).alias("avg_token_len"),
         F.round(Tx.punct_ratio("text"), R).alias("punct_ratio"),
-        F.round(Tx.stopword_ratio("text"), R).alias("stopword_ratio"),
-        F.round(Tx.quality_score("text"), R).alias("quality_score"),
+        F.round(Tx.stopword_ratio_from_tokens(t), R).alias("stopword_ratio"),
+        F.round(Tx.quality_score_from_tokens(t, "text"), R).alias("quality_score"),
     )
 
 
