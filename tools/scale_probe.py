@@ -450,6 +450,19 @@ def newops_stress(spark, amp: int) -> None:
         print(json.dumps({"probe": "pq_distortion_profile", "amp": a,
                           "vecs": erows, "sec": secs,
                           "vecs_per_sec": int(erows / secs)}), flush=True)
+
+        from datapipeline_spike_spark.operators.similarity import pq_adc_topk
+
+        secs = probe(
+            "pq_adc",
+            lambda: pq_adc_topk(
+                embs, embs.filter(F.col("vec_id") < 5),
+                dim=64, m=4, k_codebook=8, iters=2, k=5,
+            ),
+        )
+        print(json.dumps({"probe": "pq_adc_topk", "amp": a,
+                          "vecs": erows, "sec": secs,
+                          "vecs_per_sec": int(erows / secs)}), flush=True)
         embs.unpersist()
 
 
