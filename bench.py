@@ -45,6 +45,8 @@ EXTRAS = [
     "pq_adc_recall_at_k",
     "audio_pcm_features",
     "image_pixel_features",
+    "session_campaign_overlap",
+    "bpe_merge_training",
 ]
 
 HEADLINE = [

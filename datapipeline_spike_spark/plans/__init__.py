@@ -104,15 +104,19 @@ _R6_CHANGED = (
     "image_pixel_features",            # NEW r6: full-decode image features
     "session_campaign_overlap",        # NEW r6: bucketized interval-overlap join
     "text_quality_profile",            # r6: tokenize-once named column
+    "bpe_merge_training",              # NEW r6: on-engine BPE tokenizer training
+    "record_envelope_flat",            # r6: PCA projections via one parsed expr
+    "envelope_reduced_features",       # r6: same (shares enrich_records)
 )
 # Head overflow past the driver's 50-slot sample window: these r4-green
 # relational queries spill to round 7 if _R6_CHANGED grows.  (The four
 # r5-queued queries now LEAD _VERIFY_FIRST — consumed, per the rule.)
 _QUEUED_FOR_NEXT_HEAD = (
-    # slots 50-69 after the 20 _R6_CHANGED splices — outside the
-    # driver's 50-query window this round; r4-green relational queries,
-    # the lowest-risk spill class (changed code MUST verify this round;
+    # slots 50-70 after the 23 _R6_CHANGED splices — outside the
+    # driver's 50-query window this round; r4-green queries, the
+    # lowest-risk spill class (changed code MUST verify this round;
     # these wait one). MUST lead the r7 rotation.
+    "downsample_1h",
     "status_route_counts",
     "json_props_profile",
     "daily_status_pivot",

@@ -3122,3 +3122,77 @@ def q_image_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(load(spark, sf_dir, "documents"))
     )
     return decode_image_pixel_features(media)
+
+
+# --- BPE merge training ------------------------------------------------------
+
+
+def _sql_bpe(n_merges: int) -> str:
+    """DuckDB replay of operators.bpe.bpe_merges: per round, weighted
+    adjacent-pair counts, count-desc/lexicographic argmax, and the same
+    greedy left-to-right merge fold via list_reduce (DuckDB list slices
+    are 1-indexed and inclusive — acc[:len(acc)-1] drops the last
+    element; acc[:-1] would NOT)."""
+    sql = f"""
+    WITH vocab AS (
+      SELECT w, count(*) AS f
+      FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+      GROUP BY 1
+    ),
+    s0 AS (
+      SELECT w, f, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS s
+      FROM vocab
+    )"""
+    for k in range(1, n_merges + 1):
+        sql += f"""
+    , pc{k} AS (
+      SELECT p.p1 AS p1, p.p2 AS p2, sum(f) AS pair_count
+      FROM (
+        SELECT f,
+               unnest(list_transform(range(1, len(s)),
+                 i -> {{'p1': s[i], 'p2': s[i + 1]}})) AS p
+        FROM s{k - 1}
+      )
+      GROUP BY 1, 2
+    ), top{k} AS (
+      SELECT p1, p2, pair_count FROM (
+        SELECT *, row_number() OVER (ORDER BY pair_count DESC, p1, p2) AS rn
+        FROM pc{k}
+      ) WHERE rn = 1
+    ), s{k} AS (
+      SELECT w, f,
+             list_reduce(list_transform(s, x -> [x]), (acc, x) ->
+               CASE WHEN len(acc) > 0 AND acc[-1] = t.p1 AND x[1] = t.p2
+                    THEN acc[:len(acc) - 1] || [t.p1 || t.p2]
+                    ELSE acc || x END) AS s
+      FROM s{k - 1}, top{k} t
+    )"""
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT {k} AS step, p1, p2, CAST(pair_count AS BIGINT) AS pair_count, "
+        f"p1 || p2 AS merged FROM top{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return sql + "\n" + unions
+
+
+@register(
+    "bpe_merge_training",
+    oracle=_sql_bpe(3),
+    doc="""BPE tokenizer merge training on-engine (Sennrich et al.
+    2016 — the subword-vocabulary step of an LLM data pipeline): three
+    merge rounds over the corpus, each counting adjacent symbol pairs
+    weighted by word frequency, taking the deterministic argmax
+    (count desc, then lexicographic), and rewriting every vocabulary
+    word with the exact greedy left-to-right merge fold. The corpus
+    collapses to a (word, freq) VOCABULARY first, so every round's
+    shuffle is vocabulary-bounded regardless of corpus size — the same
+    reason production BPE trainers stream word counts; the winning pair
+    stays in-plan (broadcast 1-row cross join feeding the fold lambda),
+    so no job fires at plan build. The oracle replays all three rounds
+    including the fold (list_reduce).""",
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(fan_out(load(spark, sf_dir, "documents")), n_merges=3)

@@ -615,3 +615,37 @@ def test_interval_overlap_join_dedups_and_filters_exactly(spark):
     assert ("l_long", "r_long") in got          # multi-bucket pair: once
     assert ("l_short", "r_touch") in got        # closed-bound touch
     assert ("l_point", "r_neighbor") not in got # bucket neighbor, no overlap
+
+
+def test_bpe_merges_match_reference_procedure(spark):
+    """Three merge rounds on a corpus with known statistics: tie on the
+    top count resolves lexicographically, merged symbols participate in
+    later rounds, and the greedy fold collapses overlapping runs
+    left-to-right ('aaa' + pair (a,a) -> 'aa','a')."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "low low")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["step"], r["p1"], r["p2"], r["pair_count"], r["merged"])
+        for r in bpe_merges(docs, n_merges=3).collect()
+    )
+    # (l,o) and (o,w) both count 5; 'l' < 'o' wins the tie
+    assert rows[0] == (1, "l", "o", 5, "lo")
+    assert rows[1] == (2, "lo", "w", 5, "low")
+    assert rows[2] == (3, "low", "e", 2, "lowe")
+
+    # greedy left-to-right on overlapping runs
+    aaa = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    r1 = sorted(
+        (r["step"], r["p1"], r["p2"], r["pair_count"])
+        for r in bpe_merges(aaa, n_merges=2).collect()
+    )
+    # round 1: (a,a) counted at BOTH positions per word (overlap allowed
+    # in counting) = 2 per word * 2 words; merge leaves [aa, a]
+    assert r1[0] == (1, "a", "a", 4)
+    # round 2: the only remaining pair is (aa, a)
+    assert r1[1] == (2, "aa", "a", 2)

@@ -45,6 +45,7 @@ BNLJ_OK = {
     "unigram_logprob_score": "broadcast 1-row smoothing totals kept in-plan (no plan-build collect)",
     "tfidf_top_terms": "broadcast 1-row corpus doc-count kept in-plan (no plan-build collect)",
     "bm25_ranked_retrieval": "broadcast 1-row (N, avgdl) corpus stats kept in-plan (no plan-build collect)",
+    "bpe_merge_training": "broadcast 1-row winning pair per merge round kept in-plan (no plan-build collect)",
     "bloom_filter_profile": "broadcast 1-row ref/bit-count digests crossed into the 1-row profile",
 }
 # queries whose operators legitimately run Python (Arrow-batched only)
