@@ -619,8 +619,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # the parsed expressions are identical, so results and the SQL
     # oracle are unchanged.
     ex = fan_out(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
+    # backtick-quote the interpolated identifier: selectExpr PARSES its
+    # arguments, so an id column named with spaces/hyphens/keywords
+    # would break where the F.col form handled it
     words = ex.selectExpr(
-        id_col,
+        f"`{id_col}`",
         *[
             f"CAST(conv(substring(md5(tk), {1 + 8 * c}, 8), 16, 10) AS LONG) AS w{c}"
             for c in range(SIMHASH_CHUNKS)
@@ -640,7 +643,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             for r in range(16)
         )
         chunk_exprs.append(f"CAST({bits} AS INT) AS c{c}")
-    sig = counts.selectExpr(id_col, *chunk_exprs)
+    sig = counts.selectExpr(f"`{id_col}`", *chunk_exprs)
     hexs = F.concat(
         *[F.format_string("%04x", F.col(f"c{c}")) for c in reversed(range(SIMHASH_CHUNKS))]
     )

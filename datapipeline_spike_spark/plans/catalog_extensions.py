@@ -2856,8 +2856,11 @@ _SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     tokenize+explode pass restricted to the query vocabulary feeds term
     frequencies; document frequencies aggregate from those (query-term-
     bounded — tiny); N and avgdl derive in-plan from a 1-row aggregate
-    (broadcast, no plan-build job); top-10 global rank moves only the
-    scored-doc rows. Cross-term summation is ORDER-INSENSITIVE by
+    over the (doc_id, dl, tf_*) base frame, which IS eagerly
+    materialized via localCheckpoint at plan build (one tokenize-scan
+    job, same trade the minhash index path makes) so the two consumers
+    — corpus stats and scoring — tokenize once, not twice; top-10
+    global rank moves only the scored-doc rows. Cross-term summation is ORDER-INSENSITIVE by
     construction: each term weight is fixed-pointed to int64
     micro-units before the sum, so Spark's and the oracle's aggregation
     orders cannot diverge in the last float ulp (the r2 determinism

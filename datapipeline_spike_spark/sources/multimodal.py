@@ -422,7 +422,12 @@ def decode_audio_pcm_features(df: DataFrame, payload_col: str = "payload") -> Da
             if i < 0:
                 return None
             raw = payload[i + 8 : i + 8 + 2 * n]
-            xs = struct.unpack(f"<{n}h", raw)
+            try:
+                # a truncated data chunk (len(raw) < 2n) must degrade to
+                # a NULL row, not fail the whole scan
+                xs = struct.unpack(f"<{n}h", raw)
+            except struct.error:
+                return None
             sum_x = sum(xs)                      # exact ints
             sum_sq = sum(x * x for x in xs)
             peak = max(abs(x) for x in xs)
@@ -533,7 +538,10 @@ def decode_image_pixel_features(df: DataFrame, payload_col: str = "payload") -> 
                 tag = payload[i + 4 : i + 8]
                 body = payload[i + 8 : i + 8 + ln]
                 if tag == b"IHDR":
-                    w, h, bits, ctype = struct.unpack(">IIBB", body[:10])
+                    try:
+                        w, h, bits, ctype = struct.unpack(">IIBB", body[:10])
+                    except struct.error:  # truncated IHDR -> NULL row
+                        return None
                     if bits != 8 or ctype != 0:
                         return None
                 elif tag == b"IDAT":
@@ -541,7 +549,12 @@ def decode_image_pixel_features(df: DataFrame, payload_col: str = "payload") -> 
                 i += 12 + ln
             if not w or not h or not idat:
                 return None
-            raw = zlib.decompress(idat)
+            try:
+                # a corrupt IDAT must degrade to a NULL row, not fail
+                # the whole scan
+                raw = zlib.decompress(idat)
+            except zlib.error:
+                return None
             px = []
             for r in range(h):
                 row = raw[r * (w + 1) : (r + 1) * (w + 1)]

@@ -709,3 +709,73 @@ def test_compaction_rejects_zero_retention(spark, tmp_path):
     write_zone(base, root, "processed")
     with pytest.raises(ValueError, match="retain_generations"):
         compact_zone(spark, root, "processed", retain_generations=0)
+
+
+def test_full_decode_malformed_payloads_degrade_to_null_rows(spark):
+    """ADVICE r6: a truncated WAV data chunk or corrupt PNG IDAT must
+    yield a NULL-feature row, not raise and fail the whole scan."""
+    import struct
+    import zlib
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        _PNG_SIG,
+        decode_audio_pcm_features,
+        decode_image_pixel_features,
+        synthetic_png_pattern,
+        synthetic_wav_pattern,
+    )
+
+    good_wav = synthetic_wav_pattern(seed=7, n_samples=20)
+    # header claims 20 samples, data chunk holds 5 -> struct.error path
+    cut = good_wav.find(b"data") + 8 + 10
+    truncated = good_wav[:cut]
+    wav_df = spark.createDataFrame(
+        [(0, bytearray(good_wav)), (1, bytearray(truncated))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_audio_pcm_features(wav_df).collect()}
+    assert rows[0]["rms"] is not None
+    assert rows[1]["rms"] is None and rows[1]["n_samples"] is None
+
+    good_png = synthetic_png_pattern(seed=3, width=5, height=4)
+    # rebuild with a garbage IDAT body (valid chunk framing, invalid
+    # zlib stream) -> zlib.error path
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0)
+    corrupt = (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x99garbage")
+        + chunk(b"IEND", b"")
+    )
+    # truncated IHDR body -> struct.error path in the header parse
+    short_ihdr = _PNG_SIG + chunk(b"IHDR", b"\x00\x01")
+    png_df = spark.createDataFrame(
+        [(0, bytearray(good_png)), (1, bytearray(corrupt)), (2, bytearray(short_ihdr))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image_pixel_features(png_df).collect()}
+    assert rows[0]["mean_px"] is not None
+    assert rows[1]["mean_px"] is None
+    assert rows[2]["mean_px"] is None
+
+
+def test_simhash64_quotable_id_column(spark):
+    """ADVICE r6: simhash64 interpolates id_col into selectExpr — an id
+    column needing backtick quoting must parse, matching the plain-name
+    signature exactly."""
+    from datapipeline_spike_spark.operators.dedup import simhash64
+
+    plain = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    quoted = plain.withColumnRenamed("doc_id", "doc id")
+    want = {r["doc_id"]: r["simhash_hex"] for r in simhash64(plain).collect()}
+    got = {
+        r["doc id"]: r["simhash_hex"]
+        for r in simhash64(quoted, id_col="doc id").collect()
+    }
+    assert got == want
