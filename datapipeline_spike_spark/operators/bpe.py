@@ -60,10 +60,27 @@ def _merge_fold(s: Column, p1: Column, p2: Column) -> Column:
 
 
 def bpe_merges(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over the corpus; returns one row
-    per merge round: (step, p1, p2, pair_count, merged)."""
+    per merge round: (step, p1, p2, pair_count, merged).
+
+    Lineage discipline (r7): each round's ``cur`` nests the previous
+    round's merge-fold lambda, so round N's unchecked plan carries N
+    aggregate-fold expressions — fine at n_merges=3, but plan depth and
+    analysis time explode at realistic merge counts (10^3-10^4). Every
+    ``checkpoint_every`` rounds the vocabulary frame is truncated with
+    an eager ``localCheckpoint`` (the same pattern
+    ``connected_components`` uses), bounding plan depth at
+    ``checkpoint_every`` folds regardless of n_merges — measured flat
+    per-round cost at n_merges=64 in SCALE_PROBE_r07. Checkpoint
+    rounds fire their prefix of the training jobs at build time
+    (inherent to any iterative plan-truncation scheme); below
+    ``checkpoint_every`` merges the plan stays fully lazy, so the
+    registered 3-merge oracle query builds without a job."""
     vocab = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -92,6 +109,8 @@ def bpe_merges(
         cur = cur.crossJoin(F.broadcast(top.select("p1", "p2"))).select(
             "w", "f", _merge_fold(F.col("s"), F.col("p1"), F.col("p2")).alias("s")
         )
+        if step % checkpoint_every == 0 and step < n_merges:
+            cur = cur.localCheckpoint(eager=True)
     out = steps[0]
     for st in steps[1:]:
         out = out.unionByName(st)

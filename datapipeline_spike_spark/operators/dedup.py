@@ -150,6 +150,16 @@ def band_values(
     ).select(id_col, "band.band_idx", "band.band_val")
 
 
+# One pathological band bucket (a boilerplate template family that is
+# near-identical but not byte-identical, so exact_dedup cannot collapse
+# it) must not build its m*(m-1)/2 pair array inside ONE row/task: above
+# this bucket size the in-row HOF pair generator hands off to a chunked
+# distributed self-join. 10^4 ids ~= 5*10^7 in-bucket pairs, the top of
+# what one task should own. Same cap as the prefix-filter guard
+# (catalog_extensions._PREFIX_BUCKET_CAP) — the two guards share shape.
+LSH_BUCKET_CAP = 10_000
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -157,14 +167,34 @@ def lsh_candidate_pairs(
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
     sig: DataFrame | None = None,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    n_chunks: int = 32,
 ) -> DataFrame:
     """MinHash-LSH candidate generation WITHOUT a cross join or
     self-join: signature -> (band_idx, band_val) rows -> groupBy band
-    bucket -> emit i<j pairs inside each bucket array. Returns distinct
+    bucket -> emit i<j pairs inside each bucket. Returns distinct
     (doc_id_a, doc_id_b) with n_shared_bands. Docs with empty shingle
-    sets can't collide. Scale note: a pathological bucket (e.g. massive
-    boilerplate cluster) makes the pair blowup explicit in one task —
-    run exact_dedup first so buckets hold distinct near-dups only.
+    sets can't collide.
+
+    Hot-bucket guard (r7, ported from the prefix-filter join's
+    ``_prefix_bucket_pairs``): buckets with <= ``bucket_cap`` ids build
+    their pairs as an in-row array (one task per bucket, bounded);
+    buckets above the cap — a boilerplate template family lands
+    thousands of NEAR-identical ids in one band bucket, which
+    exact-dedup-first cannot collapse — route to a chunked distributed
+    self-join: each id hashes to one of ``n_chunks`` chunks, the right
+    side is replicated once per target chunk <= its own, and the join
+    key is (band, chunk), so a bucket of m ids fans its m^2/2 pair
+    volume across ~n_chunks shuffled tasks instead of one m^2-element
+    array in a single row (a straggler AND an OOM at 100 TB). The
+    guard changes the execution shape, never the result — pair sets
+    are identical (planted hot-band test).
+
+    The bucket frame is eagerly materialized (localCheckpoint) because
+    both branches consume it — without that, the signature + banding
+    pipeline would execute once per branch. This fires one plan-build
+    job at query-construction time, the same documented trade as the
+    bm25 base frame and the minhash index path.
 
     ``sig``: precomputed :func:`minhash_signature` frame — pass it when
     the caller also consumes the signatures (e.g. the agreement
@@ -176,6 +206,7 @@ def lsh_candidate_pairs(
         bands.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
+        .localCheckpoint(eager=True)
     )
     ids = F.col("ids")
     pair_structs = F.flatten(
@@ -187,9 +218,51 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    small_pairs = (
+        buckets.filter(F.size("ids") <= bucket_cap)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+    )
+    # hot path: explode the (rare) oversized buckets back to rows and
+    # self-join keyed by (band, chunk). Explode is linear in m; the
+    # quadratic pair volume materializes only as join OUTPUT rows,
+    # spread across the (band, chunk) shuffle.
+    hot = (
+        buckets.filter(F.size("ids") > bucket_cap)
+        .select("band_idx", "band_val", F.explode("ids").alias("hid"))
+        .withColumn("hc", F.pmod(F.hash("hid"), F.lit(n_chunks)))
+    )
+    # each right-side id serves every chunk index <= its own, so the
+    # unordered pair (x in chunk i, y in chunk j, i <= j) is generated
+    # exactly once under join key (band, x.hc == y.tc)
+    right = hot.select(
+        F.col("band_idx").alias("bi_r"),
+        F.col("band_val").alias("bv_r"),
+        F.col("hid").alias("hid_r"),
+        F.col("hc").alias("hc_r"),
+        F.explode(F.sequence(F.lit(0), F.col("hc"))).alias("tc"),
+    )
+    hot_pairs = (
+        hot.join(
+            right,
+            on=[
+                F.col("band_idx") == F.col("bi_r"),
+                F.col("band_val") == F.col("bv_r"),
+                F.col("hc") == F.col("tc"),
+            ],
+        )
+        .filter(
+            (F.col("hc") < F.col("hc_r"))
+            | ((F.col("hc") == F.col("hc_r")) & (F.col("hid") < F.col("hid_r")))
+        )
+        .select(
+            F.least("hid", "hid_r").alias("doc_id_a"),
+            F.greatest("hid", "hid_r").alias("doc_id_b"),
+        )
+    )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        small_pairs.unionByName(hot_pairs)
+        .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -659,6 +732,8 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    n_chunks: int = 32,
 ) -> DataFrame:
     """SimHash near-dup pairs via chunk banding (the SimHash analogue of
     MinHash banding): the 64-bit signature splits into 4 x 16-bit chunks
@@ -667,7 +742,20 @@ def simhash_neardup_pairs(
     the exact 64-bit Hamming distance. No cross join; candidate volume
     is bounded by 16-bit chunk-bucket sizes (~n/65536 per bucket vs the
     old 16-bit signature's ~n/256 — the difference between a banded join
-    and a quadratic one at corpus scale)."""
+    and a quadratic one at corpus scale).
+
+    Hot-bucket guard (r7, same shape as :func:`lsh_candidate_pairs`): a
+    template family can put thousands of ids behind ONE (chunk_idx,
+    chunk_value) key, and a single join key cannot be split below key
+    granularity by AQE without replicating the build side — so rows in
+    buckets above ``bucket_cap`` route to a salted self-join keyed by
+    (chunk_idx, chunk_value, salt): each id takes salt hash(id) %
+    ``n_chunks``, the right side is replicated once per target salt <=
+    its own, and the hot key's quadratic pair volume spreads across
+    ~n_chunks tasks. Identical output by construction (planted hot-band
+    test). The sized chunk frame is eagerly materialized because up to
+    four subtrees consume it — the self-join's two sides, each in two
+    branches — which previously recomputed simhash64 per side."""
     if not 0 <= max_hamming <= SIMHASH_CHUNKS - 1:
         # with k chunks, a pair at Hamming k can differ in every chunk
         # and never share a bucket — silently losing qualifying pairs
@@ -675,6 +763,8 @@ def simhash_neardup_pairs(
             f"max_hamming={max_hamming}: {SIMHASH_CHUNKS}-chunk banding "
             f"only guarantees recall for Hamming <= {SIMHASH_CHUNKS - 1}"
         )
+    from pyspark.sql import Window
+
     sig = simhash64(df, text_col, id_col)
     chunks = sig.select(
         F.col(id_col),
@@ -691,17 +781,25 @@ def simhash_neardup_pairs(
             )
         ).alias("c"),
     ).select(id_col, "simhash_chunks", "c.ci", "c.cv")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("a.simhash_chunks"),
-            F.col("b.simhash_chunks"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
+    sized = chunks.withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
+    ).localCheckpoint(eager=True)
+
+    def _ham(lhs: str, rhs: str) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(f"{lhs}.simhash_chunks"),
+                F.col(f"{rhs}.simhash_chunks"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    small = sized.filter(F.col("m") <= bucket_cap).drop("m")
+    a, b = small.alias("a"), small.alias("b")
+    ham = _ham("a", "b")
+    small_pairs = (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -714,8 +812,56 @@ def simhash_neardup_pairs(
             F.col(f"b.{id_col}").alias("doc_id_b"),
             ham.cast("int").alias("hamming"),
         )
-        .distinct()
     )
+    hot = (
+        sized.filter(F.col("m") > bucket_cap)
+        .drop("m")
+        .withColumn("sc", F.pmod(F.hash(F.col(id_col)), F.lit(n_chunks)))
+    )
+    # each right-side id serves every salt index <= its own, so the
+    # unordered pair (x at salt i, y at salt j, i <= j) is generated
+    # exactly once under join key (ci, cv, x.sc == y.tc)
+    hright = hot.select(
+        F.col(id_col).alias("_idb"),
+        F.col("simhash_chunks").alias("_chunks_b"),
+        F.col("ci").alias("_ci_b"),
+        F.col("cv").alias("_cv_b"),
+        F.col("sc").alias("_sc_b"),
+        F.explode(F.sequence(F.lit(0), F.col("sc"))).alias("_tc"),
+    )
+    hham = F.aggregate(
+        F.zip_with(
+            F.col("simhash_chunks"),
+            F.col("_chunks_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    hot_pairs = (
+        hot.join(
+            hright,
+            on=[
+                F.col("ci") == F.col("_ci_b"),
+                F.col("cv") == F.col("_cv_b"),
+                F.col("sc") == F.col("_tc"),
+            ],
+        )
+        .filter(
+            (F.col("sc") < F.col("_sc_b"))
+            | (
+                (F.col("sc") == F.col("_sc_b"))
+                & (F.col(id_col) < F.col("_idb"))
+            )
+        )
+        .filter(hham <= max_hamming)
+        .select(
+            F.least(F.col(id_col), F.col("_idb")).alias("doc_id_a"),
+            F.greatest(F.col(id_col), F.col("_idb")).alias("doc_id_b"),
+            hham.cast("int").alias("hamming"),
+        )
+    )
+    return small_pairs.unionByName(hot_pairs).distinct()
 
 
 def jaccard_pairs(

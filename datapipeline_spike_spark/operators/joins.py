@@ -92,8 +92,9 @@ def interval_overlap_join(
     right: DataFrame,
     left_bounds: tuple[str, str],
     right_bounds: tuple[str, str],
-    bucket_seconds: int = 86_400,
+    bucket_seconds: int | None = 86_400,
     how: str = "inner",
+    auto_percentile: float = 0.95,
 ) -> DataFrame:
     """LARGE x LARGE interval-overlap join — the range-join case
     ``band_join`` (broadcast-only) cannot cover, decomposed into an
@@ -112,27 +113,83 @@ def interval_overlap_join(
        deterministic, computable per row), so dedup costs a filter, not
        a distinct shuffle over the candidate volume.
 
+    ``bucket_seconds=None`` (r7) derives the width IN-PLAN from the
+    data: the ``auto_percentile`` (default p95) of interval lengths
+    across BOTH inputs, clamped to >= 1 s — one 1-row aggregate
+    broadcast to each side (the corpus_mixture_plan pattern, no
+    collect at build). The p95 choice bounds the bucket fan-out: at
+    most ~5% of intervals are longer than one bucket, and an interval
+    spanning B buckets costs exactly B candidate rows (pathological
+    long intervals stay correct — the explode is per-interval linear,
+    never a cross product). The result is width-INDEPENDENT by
+    construction (bucketing only generates candidates; the exact
+    predicate decides), which the pathological-interval test pins.
+
+    The two inputs must have DISJOINT column names (the join output
+    carries both sides un-aliased; a shared name would be ambiguous —
+    validated loudly, r6 advice), and the bucket temp column is chosen
+    to not collide with any input column.
+
     Only ``inner`` is supported (an outer variant needs an anti-join
     leg). Timestamp columns must be TIMESTAMP; bounds are inclusive.
     At 100 TB this is the standard range-join decomposition (Spark's
     own storage-partitioned range join and Databricks' range-join hints
-    use the same binning idea); a pathological interval spanning B
-    buckets costs B candidate rows — bound it by choosing
-    ``bucket_seconds`` at the p99 interval length."""
+    use the same binning idea)."""
     if how != "inner":
         raise ValueError("interval_overlap_join supports how='inner' only")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            "interval_overlap_join requires disjoint column names; both "
+            f"sides have: {sorted(overlap)} — alias one side first"
+        )
     ls, le = left_bounds
     rs, re_ = right_bounds
+    taken = set(left.columns) | set(right.columns)
 
-    def bucket(c: str):
-        return F.floor(F.unix_micros(F.col(c)) / F.lit(bucket_seconds * 1_000_000))
+    def tmp(base: str) -> str:
+        name = base
+        while name in taken:
+            name = "_" + name
+        taken.add(name)
+        return name
 
-    lb = left.withColumn("_b", F.explode(F.sequence(bucket(ls), bucket(le))))
-    rb = right.withColumn("_b", F.explode(F.sequence(bucket(rs), bucket(re_))))
-    first_common = F.greatest(bucket(ls), bucket(rs))
+    b_col = tmp("_b")
+    if bucket_seconds is not None:
+        width_l = width_r = F.lit(int(bucket_seconds) * 1_000_000)
+        ljoin, rjoin = left, right
+        drop_cols = [b_col]
+    else:
+        # p95 interval length across both sides, micros, >= 1 s; the
+        # greatest() also absorbs the empty-input NULL percentile
+        bw_l, bw_r = tmp("_bw"), tmp("_bw_r")
+        lengths = left.select(
+            (F.unix_micros(F.col(le)) - F.unix_micros(F.col(ls))).alias("_len_us")
+        ).unionByName(
+            right.select(
+                (F.unix_micros(F.col(re_)) - F.unix_micros(F.col(rs))).alias("_len_us")
+            )
+        )
+        stats = lengths.agg(
+            F.greatest(
+                F.lit(1_000_000),
+                F.ceil(F.percentile("_len_us", F.lit(auto_percentile))).cast("long"),
+            ).alias(bw_l)
+        )
+        ljoin = left.crossJoin(F.broadcast(stats))
+        rjoin = right.crossJoin(F.broadcast(stats.select(F.col(bw_l).alias(bw_r))))
+        width_l, width_r = F.col(bw_l), F.col(bw_r)
+        drop_cols = [b_col, bw_l, bw_r]
+
+    def bucket(c: str, width) -> "F.Column":
+        return F.floor(F.unix_micros(F.col(c)) / width)
+
+    lb = ljoin.withColumn(b_col, F.explode(F.sequence(bucket(ls, width_l), bucket(le, width_l))))
+    rb = rjoin.withColumn(b_col, F.explode(F.sequence(bucket(rs, width_r), bucket(re_, width_r))))
+    first_common = F.greatest(bucket(ls, width_l), bucket(rs, width_l))
     return (
-        lb.join(rb, "_b")
+        lb.join(rb, b_col)
         .filter((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
-        .filter(F.col("_b") == first_common)
-        .drop("_b")
+        .filter(F.col(b_col) == first_common)
+        .drop(*drop_cols)
     )

@@ -538,3 +538,67 @@ def test_prefix_bucket_cap_hot_shingle_same_pairs(spark):
     assert pairs(cap=2) == uncapped
     # degenerate chunk counts still exact
     assert pairs(cap=2, n_chunks=1) == uncapped
+
+
+def test_lsh_hot_band_guard_same_pairs(spark):
+    """r6 verdict item 1: the hot-bucket guard ported into
+    lsh_candidate_pairs changes the execution shape, never the result.
+    A planted 12-doc template family (identical text -> identical
+    signature -> every band bucket holds 12 ids) forced down the
+    chunked self-join path must yield the EXACT pair set (including
+    n_shared_bands) of the in-row HOF path."""
+    rows = (
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(12)]
+        + [
+            (100, "one two three four five six seven"),
+            (101, "one two three four five six eight"),
+        ]
+        + [(200, "totally unrelated content words only here")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(cap, n_chunks=4):
+        return sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["n_shared_bands"])
+            for r in lsh_candidate_pairs(
+                docs, bucket_cap=cap, n_chunks=n_chunks
+            ).collect()
+        )
+
+    uncapped = pairs(cap=10_000)
+    family = [p for p in uncapped if p[0] < 100 and p[1] < 100]
+    assert len(family) == 66  # C(12,2): identical docs share all bands
+    assert all(n == 4 for _, _, n in family)
+    assert pairs(cap=2) == uncapped
+    assert pairs(cap=2, n_chunks=1) == uncapped
+
+
+def test_simhash_hot_bucket_guard_same_pairs(spark):
+    """Same guard, SimHash chunk-band join: a planted identical-doc
+    family makes every (chunk_idx, value) bucket hot; the salted-join
+    path must reproduce the exact (pair, hamming) set."""
+    from datapipeline_spike_spark.operators.dedup import simhash_neardup_pairs
+
+    rows = (
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(10)]
+        + [
+            (100, "one two three four five six seven"),
+            (101, "one two three four five six eight"),
+        ]
+        + [(200, "totally unrelated content words only here")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(cap, n_chunks=4):
+        return sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+            for r in simhash_neardup_pairs(
+                docs, bucket_cap=cap, n_chunks=n_chunks
+            ).collect()
+        )
+
+    uncapped = pairs(cap=10_000)
+    family = [p for p in uncapped if p[0] < 100 and p[1] < 100]
+    assert len(family) == 45 and all(h == 0 for _, _, h in family)  # C(10,2)
+    assert pairs(cap=2) == uncapped
+    assert pairs(cap=2, n_chunks=1) == uncapped

@@ -649,3 +649,83 @@ def test_bpe_merges_match_reference_procedure(spark):
     assert r1[0] == (1, "a", "a", 4)
     # round 2: the only remaining pair is (aa, a)
     assert r1[1] == (2, "aa", "a", 2)
+
+
+def test_interval_overlap_join_auto_width_and_guards(spark):
+    """r7: bucket_seconds=None derives the width in-plan (p95 interval
+    length) and must be result-invisible — same itertools reference,
+    including a pathological interval 100x longer than the p95 (spans
+    many auto buckets, still exactly once). Shared column names raise
+    loudly, and a '_b' input column no longer collides (r6 advice)."""
+    import itertools
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.operators.joins import interval_overlap_join
+
+    t0 = datetime(2024, 1, 1)
+
+    def iv(name, start_m, end_m):
+        return (name, t0 + timedelta(minutes=start_m), t0 + timedelta(minutes=end_m))
+
+    # typical length ~30-60 min -> auto width ~ p95 of that; the
+    # pathological 4-day interval spans ~100 auto buckets
+    left = [iv(f"l{i}", i * 47, i * 47 + 30 + i % 31) for i in range(40)] + [
+        iv("l_patho", 100, 100 + 4 * 24 * 60)
+    ]
+    right = [iv(f"r{i}", i * 53 + 11, i * 53 + 41 + i % 17) for i in range(40)] + [
+        iv("r_patho", 500, 500 + 3 * 24 * 60)
+    ]
+    ldf = spark.createDataFrame(left, "lid string, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(right, "rid string, rs timestamp, re timestamp")
+    want = sorted(
+        (ln, rn)
+        for (ln, l1, l2), (rn, r1, r2) in itertools.product(left, right)
+        if l1 <= r2 and r1 <= l2
+    )
+    got_auto = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, ("ls", "le"), ("rs", "re"), bucket_seconds=None
+        ).collect()
+    )
+    assert got_auto == want
+    assert ("l_patho", "r_patho") in want  # the long pair is exercised
+
+    # a '_b' column on an input must not collide with the bucket temp
+    got_b = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf.withColumn("_b", F.lit(99)),
+            rdf,
+            ("ls", "le"),
+            ("rs", "re"),
+            bucket_seconds=None,
+        ).collect()
+    )
+    assert got_b == want
+
+    with _pytest.raises(ValueError, match="disjoint column names"):
+        interval_overlap_join(
+            ldf, rdf.withColumnRenamed("rs", "ls"), ("ls", "le"), ("ls", "re")
+        )
+
+
+def test_bpe_checkpointing_is_result_invisible(spark):
+    """r7: the every-N-rounds localCheckpoint bounds plan depth; the
+    merge sequence must be identical with and without it."""
+    from datapipeline_spike_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "low low newer newest wide wider")],
+        "doc_id long, text string",
+    )
+
+    def run(ck):
+        return sorted(
+            (r["step"], r["p1"], r["p2"], r["pair_count"], r["merged"])
+            for r in bpe_merges(docs, n_merges=6, checkpoint_every=ck).collect()
+        )
+
+    assert run(2) == run(100)
