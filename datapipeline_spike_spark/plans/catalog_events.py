@@ -649,3 +649,107 @@ def q_session_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.sum(overlap_us).cast("bigint").alias("total_overlap_us"),
     )
+
+
+_MWIN_BASE = _CAMP_BASE           # 2024-01-01 00:00:00 UTC
+_MWIN_STEP = 4 * 3_600            # a window starts every 4 h
+_MWIN_SHORT = 3_600               # typical: 1 h
+_MWIN_LONG = 72 * 3_600           # every 25th window: 72 h (pathological)
+_N_MWINS = 150
+
+
+@register(
+    "maintenance_window_overlap",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_seq,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM sessions GROUP BY 1, 2
+    ), wins AS (
+      SELECT CAST(i AS INT) AS window_id,
+             make_timestamp(({_MWIN_BASE} + i * {_MWIN_STEP}) * 1000000) AS w_start,
+             make_timestamp(({_MWIN_BASE} + i * {_MWIN_STEP}
+               + CASE WHEN i % 25 = 0 THEN {_MWIN_LONG} ELSE {_MWIN_SHORT} END)
+               * 1000000) AS w_end
+      FROM range(0, {_N_MWINS}) t(i)
+    )
+    SELECT window_id,
+           (window_id % 25 = 0) AS is_long,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(least(epoch_us(s_end), epoch_us(w_end))
+                    - greatest(epoch_us(s_start), epoch_us(w_start))) AS BIGINT)
+             AS total_overlap_us
+    FROM sess JOIN wins ON s_start <= w_end AND w_start <= s_end
+    GROUP BY 1, 2
+    """,
+    doc=f"""Interval-overlap join with AUTO bucket width (r7): user
+    sessions overlap-join {_N_MWINS} staggered maintenance windows —
+    mostly 1 h, every 25th a pathological 72 h — via
+    ``interval_overlap_join(bucket_seconds=None)``, which derives the
+    bucket width IN-PLAN as the p95 of interval lengths across both
+    sides (one 1-row aggregate broadcast to each side, no collect at
+    build). The p95 choice bounds explode fan-out to ~1-2 buckets for
+    95% of intervals while the 72 h windows prove long intervals stay
+    exactly-once (first-common-bucket filter) and linear (B candidate
+    rows for B covered buckets, never a cross product). The oracle
+    replays the overlap as a plain theta join — results are bucket-
+    width-independent by construction. Companion of
+    ``session_campaign_overlap`` (fixed day buckets).""",
+    tags=("join", "range", "interval", "auto-width"),
+)
+def q_maintenance_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.joins import interval_overlap_join
+    from datapipeline_spike_spark.operators.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    wins = spark.range(_N_MWINS).select(
+        F.col("id").cast("int").alias("window_id"),
+        F.timestamp_seconds(F.lit(_MWIN_BASE) + F.col("id") * _MWIN_STEP).alias(
+            "w_start"
+        ),
+        F.timestamp_seconds(
+            F.lit(_MWIN_BASE)
+            + F.col("id") * _MWIN_STEP
+            + F.when(F.col("id") % 25 == 0, F.lit(_MWIN_LONG)).otherwise(
+                F.lit(_MWIN_SHORT)
+            )
+        ).alias("w_end"),
+    )
+    joined = interval_overlap_join(
+        sess, wins, ("s_start", "s_end"), ("w_start", "w_end"), bucket_seconds=None
+    )
+    overlap_us = F.least(
+        F.unix_micros("s_end"), F.unix_micros("w_end")
+    ) - F.greatest(F.unix_micros("s_start"), F.unix_micros("w_start"))
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(overlap_us).cast("bigint").alias("total_overlap_us"),
+        )
+        .select(
+            "window_id",
+            (F.col("window_id") % 25 == 0).alias("is_long"),
+            "n_sessions",
+            "n_users",
+            "total_overlap_us",
+        )
+    )

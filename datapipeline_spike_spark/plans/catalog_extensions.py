@@ -3199,3 +3199,51 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.operators.bpe import bpe_merges
 
     return bpe_merges(fan_out(load(spark, sf_dir, "documents")), n_merges=3)
+
+
+@register(
+    "image_jpeg_pixel_features",
+    oracle="""
+    WITH bl AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, (2 + doc_id % 3) * (1 + doc_id % 2)),
+               b -> (doc_id * 11 + b * 29) % 256)) AS v
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) * 64 AS BIGINT) AS n_pixels,
+           round(sum(v) * 1.0 / count(*), 6) AS mean_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px
+    FROM bl GROUP BY 1
+    """,
+    doc="""FULL-decode multimodal JPEG tier (r7 — completing the
+    full-decode story next to PNG and WAV-PCM): per document a REAL
+    baseline JPEG is built — ITU-T T.81 Annex K Huffman tables, DPCM
+    DC + run-length AC entropy coding, byte stuffing — and decoded for
+    real: marker walk, canonical Huffman decode, dequantization,
+    de-zigzag, separable float IDCT, level shift. The pattern uses
+    CONSTANT 8x8 blocks with an all-ones quant table, so the DCT is
+    exactly [8*(v-128), 0...] and decode-round recovers the source
+    pixels EXACTLY — the oracle regenerates the decoded pixel stream
+    per block from (doc_id, b) and replays every feature (each
+    constant block contributes 64 identical pixels, so the per-pixel
+    mean equals the per-block mean and n_pixels = 64 * n_blocks). The
+    decoder's general AC/ZRL/EOB + IDCT path is differential-tested
+    against an independent direct 2D IDCT. Arrow-batched mapInPandas;
+    non-baseline/malformed payloads yield NULL features. At 100 TB the
+    payloads stream through executors once; only tiny feature rows
+    shuffle.""",
+    tags=("multimodal", "image", "jpeg", "decode", "pandas"),
+)
+def q_image_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_jpeg_pixel_features,
+        jpeg_pattern_media_from_documents,
+    )
+
+    media = jpeg_pattern_media_from_documents(
+        fan_out(load(spark, sf_dir, "documents"))
+    )
+    return decode_jpeg_pixel_features(media)

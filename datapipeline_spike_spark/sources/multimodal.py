@@ -825,3 +825,398 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
         F.sha2("text", 256).alias("sha256"),
     )
+
+
+# --- JPEG baseline-DCT full-decode tier (r7) ---------------------------------
+#
+# A real baseline JPEG codec in pure stdlib: canonical Huffman tables
+# from the public ITU-T T.81 spec (Annex K), DPCM DC + run-length AC
+# entropy coding with byte stuffing, dequantization, and a separable
+# float IDCT. The pattern generator emits CONSTANT 8x8 blocks (DC-only,
+# quant table all ones): the DCT of a constant block is exactly
+# 8*(v-128) in the DC slot with all ACs zero, and the float IDCT of a
+# DC-only block lands within ~1e-13 of the integer source value, so
+# decode-round recovers the source pixels EXACTLY — which is what lets
+# a SQL oracle replay features computed from fully entropy-decoded
+# bytes. The decoder itself is general baseline grayscale (arbitrary
+# AC coefficients, ZRL/EOB runs, any 8-bit quant table) — the AC path
+# is differential-tested against an independent direct 2D IDCT.
+
+import math
+
+# ITU-T T.81 Table K.3 / K.4 (typical luminance DC): counts per code
+# length 1..16, then the symbol values in canonical order.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+# ITU-T T.81 Table K.5 (typical luminance AC)
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+# zigzag[k] = natural (row-major) index of zigzag position k
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+_IDCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
+]
+_IDCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment per T.81 C.2: symbol -> (code, len)."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF -> 0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+class _JpegBitReader:
+    """Inverse of the writer: un-stuffs 0xFF00; raises on a marker."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("eof in entropy stream")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.buf) and self.buf[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("marker in entropy stream")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def encode_jpeg_gray(blocks, width: int, height: int, qtable=None) -> bytes:
+    """Baseline JFIF encoder for one grayscale component: ``blocks`` are
+    QUANTIZED coefficient 64-lists in natural (row-major) order, one per
+    8x8 MCU in row-major MCU order. Emits SOI + DQT + SOF0 + DHT (the
+    Annex K typical luminance tables) + SOS + entropy data + EOI."""
+    q = list(qtable) if qtable is not None else [1] * 64
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        zz = [blk[_ZIGZAG[k]] for k in range(64)]
+        diff = zz[0] - pred
+        pred = zz[0]
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k] != 0:
+                last_nz = k
+                break
+        run = 0
+        k = 1
+        while k <= last_nz:
+            if zz[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                w.write(code, ln)
+                run -= 16
+            s = abs(zz[k]).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            w.write(code, ln)
+            w.write(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            w.write(code, ln)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(q[_ZIGZAG[k]] for k in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+
+
+def _idct_1d(v):
+    return [
+        0.5 * sum(_IDCT_C[u] * v[u] * _IDCT_COS[u][x] for u in range(8))
+        for x in range(8)
+    ]
+
+
+def decode_jpeg_gray(payload: bytes):
+    """FULL baseline decode of a single-component (grayscale) JPEG:
+    marker walk -> DQT/DHT/SOF0/SOS -> Huffman entropy decode (DPCM DC,
+    run-length AC, ZRL/EOB) -> dequantize -> de-zigzag -> separable
+    float IDCT -> level shift + clamp + round. Returns (width, height,
+    pixels row-major list[int]) or None for anything non-baseline,
+    multi-component, restart-marker'd, or malformed — callers degrade
+    to NULL rows, never raise."""
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        i = 2
+        qtables: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        w = h = qid = td = ta = None
+        scan_start = None
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xD9:
+                break
+            (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            body = payload[i + 4 : i + 2 + ln]
+            if marker == 0xDB:
+                j = 0
+                while j + 65 <= len(body):
+                    if body[j] >> 4 != 0:  # 16-bit quant: not baseline-8
+                        return None
+                    qtables[body[j] & 15] = list(body[j + 1 : j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j + 17 <= len(body):
+                    cls, tid = body[j] >> 4, body[j] & 15
+                    bits = list(body[j + 1 : j + 17])
+                    n = sum(bits)
+                    vals = list(body[j + 17 : j + 17 + n])
+                    huff[(cls, tid)] = {
+                        (ln_, code): sym
+                        for sym, (code, ln_) in _huff_codes(bits, vals).items()
+                    }
+                    j += 17 + n
+            elif marker == 0xC0:
+                prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                    return None
+                qid = body[8]
+            elif marker in (0xDD,):  # DRI: restart intervals unsupported
+                return None
+            elif 0xC1 <= marker <= 0xCF and marker != 0xC4:
+                return None  # progressive/arithmetic/other frame types
+            elif marker == 0xDA:
+                if body[0] != 1:
+                    return None
+                td, ta = body[2] >> 4, body[2] & 15
+                scan_start = i + 2 + ln
+                break
+            i += 2 + ln
+        if scan_start is None or w is None or qid is None:
+            return None
+        q = qtables.get(qid)
+        dc_map, ac_map = huff.get((0, td)), huff.get((1, ta))
+        if q is None or dc_map is None or ac_map is None:
+            return None
+        r = _JpegBitReader(payload, scan_start)
+
+        def huff_decode(m):
+            code = 0
+            for ln_ in range(1, 17):
+                code = (code << 1) | r.read_bit()
+                if (ln_, code) in m:
+                    return m[(ln_, code)]
+            raise ValueError("invalid huffman code")
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        pred = 0
+        pixels = [0] * (w * h)
+        for mcu in range(bx * by):
+            zz = [0] * 64
+            s = huff_decode(dc_map)
+            pred += extend(r.read_bits(s), s) if s else 0
+            zz[0] = pred
+            k = 1
+            while k <= 63:
+                rs = huff_decode(ac_map)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 15
+                if k > 63 or s == 0:
+                    raise ValueError("ac index overflow")
+                zz[k] = extend(r.read_bits(s), s)
+                k += 1
+            coef = [0.0] * 64
+            for k2 in range(64):
+                coef[_ZIGZAG[k2]] = zz[k2] * q[k2]
+            rows = [_idct_1d(coef[v * 8 : v * 8 + 8]) for v in range(8)]
+            cols = [
+                _idct_1d([rows[v][x] for v in range(8)]) for x in range(8)
+            ]  # cols[x][y]
+            mby, mbx = divmod(mcu, bx)
+            for y in range(8):
+                py = mby * 8 + y
+                if py >= h:
+                    continue
+                base = py * w + mbx * 8
+                for x in range(8):
+                    if mbx * 8 + x >= w:
+                        continue
+                    val = int(round(cols[x][y] + 128))
+                    pixels[base + x] = 0 if val < 0 else (255 if val > 255 else val)
+        return w, h, pixels
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def synthetic_jpeg_pattern(seed: int, width: int, height: int) -> bytes:
+    """Baseline grayscale JPEG whose 8x8 block b (row-major) is the
+    CONSTANT value ``(seed * 11 + b * 29) % 256``: with an all-ones
+    quant table the quantized DCT is exactly [8*(v-128), 0, ..., 0],
+    which entropy-codes losslessly and IDCTs back to v exactly after
+    rounding — so a SQL oracle regenerates the decoded pixel stream
+    from (seed, width, height) alone. Dimensions must be multiples
+    of 8."""
+    if width % 8 or height % 8:
+        raise ValueError("pattern dimensions must be multiples of 8")
+    blocks = []
+    for b in range((width // 8) * (height // 8)):
+        v = (seed * 11 + b * 29) % 256
+        blk = [0] * 64
+        blk[0] = 8 * (v - 128)
+        blocks.append(blk)
+    return encode_jpeg_gray(blocks, width, height)
+
+
+def jpeg_pattern_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Patterned baseline JPEGs (8*(2 + doc_id % 3) wide, 8*(1 +
+    doc_id % 2) tall): the corpus for the full-decode JPEG path."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synthetic_jpeg_pattern(
+                            seed=int(d),
+                            width=8 * (2 + int(d) % 3),
+                            height=8 * (1 + int(d) % 2),
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "image",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def decode_jpeg_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """FULL-decode JPEG tier (the baseline-DCT counterpart of
+    decode_image_pixel_features): Huffman entropy decode -> dequant ->
+    IDCT -> per-image pixel statistics with integer-exact accumulation
+    over the rounded pixels. Arrow-batched mapInPandas; non-baseline or
+    malformed payloads yield NULL features rather than failing the
+    scan."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            decoded = decode_jpeg_gray(payload)
+            if decoded is None:
+                return None
+            _, _, px = decoded
+            n = len(px)
+            if n == 0:
+                return None
+            return (n, round(sum(px) / n, 6), min(px), max(px))
+
+        for pdf in batches:
+            out = pdf[payload_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_pixels": pd.array(out.map(lambda t: t and t[0]), dtype="Int64"),
+                    "mean_px": out.map(lambda t: t and t[1]).astype("Float64"),
+                    "min_px": pd.array(out.map(lambda t: t and t[2]), dtype="Int64"),
+                    "max_px": pd.array(out.map(lambda t: t and t[3]), dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        feats,
+        schema="media_id long, n_pixels long, mean_px double, min_px long, max_px long",
+    )

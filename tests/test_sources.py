@@ -779,3 +779,77 @@ def test_simhash64_quotable_id_column(spark):
         for r in simhash64(quoted, id_col="doc id").collect()
     }
     assert got == want
+
+
+def test_jpeg_codec_ac_path_matches_direct_idct():
+    """The general baseline path (AC coefficients, ZRL runs, EOB, a
+    non-trivial quant table) must round-trip through entropy coding and
+    agree with an INDEPENDENT direct (non-separable) 2D IDCT."""
+    import math
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    # quant table with structure; quantized coefficients incl. a long
+    # zero run (forces ZRL), negatives, and a max-position coefficient
+    q = [(1 + (i * 7) % 23) for i in range(64)]
+    blk1 = [0] * 64
+    blk1[0] = 37          # DC
+    blk1[1] = -5
+    blk1[8] = 11
+    blk1[34] = -2
+    blk1[63] = 3          # forces full-length AC scan
+    blk2 = [0] * 64
+    blk2[0] = -90
+    blk2[5] = 1
+    buf = encode_jpeg_gray([blk1, blk2], width=16, height=8, qtable=q)
+    w, h, got = decode_jpeg_gray(buf)
+    assert (w, h) == (16, 8)
+
+    def direct_idct(coef):
+        c = [1 / math.sqrt(2)] + [1.0] * 7
+        out = []
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        s += (
+                            c[u] * c[v] * coef[v * 8 + u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                val = int(round(s / 4 + 128))
+                out.append(0 if val < 0 else (255 if val > 255 else val))
+        return out
+
+    for bi, blk in enumerate((blk1, blk2)):
+        # encode_jpeg_gray takes the qtable in NATURAL order and writes
+        # it zigzag-wise into DQT; the decoder's dequant restores the
+        # natural pairing, so natural position i scales by q[i]
+        coef = [blk[i] * q[i] for i in range(64)]
+        want = direct_idct(coef)
+        for y in range(8):
+            for x in range(8):
+                gx = bi * 8 + x
+                assert got[y * 16 + gx] == want[y * 8 + x], (bi, x, y)
+
+
+
+
+def test_jpeg_decode_malformed_and_unsupported_degrade_to_none():
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_jpeg_gray,
+        synthetic_jpeg,
+        synthetic_jpeg_pattern,
+    )
+
+    good = synthetic_jpeg_pattern(seed=5, width=16, height=8)
+    assert decode_jpeg_gray(good) is not None
+    assert decode_jpeg_gray(b"\xff\xd8\xff\xee") is None          # truncated
+    assert decode_jpeg_gray(good[:-20]) is None                    # cut scan
+    assert decode_jpeg_gray(b"GIF89a") is None                     # not a JPEG
+    # header-only synthetic (no DQT/DHT/SOS): unsupported, not a crash
+    assert decode_jpeg_gray(synthetic_jpeg(16, 8)) is None

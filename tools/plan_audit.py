@@ -47,6 +47,7 @@ BNLJ_OK = {
     "bm25_ranked_retrieval": "broadcast 1-row (N, avgdl) corpus stats kept in-plan (no plan-build collect)",
     "bpe_merge_training": "broadcast 1-row winning pair per merge round kept in-plan (no plan-build collect)",
     "bloom_filter_profile": "broadcast 1-row ref/bit-count digests crossed into the 1-row profile",
+    "maintenance_window_overlap": "broadcast 1-row p95 bucket-width aggregate crossed into both join sides (auto-width interval join, no plan-build collect)",
 }
 # queries whose operators legitimately run Python (Arrow-batched only)
 PANDAS_OK = {
@@ -59,6 +60,7 @@ PANDAS_OK = {
     "audio_header_meta": "binary container parsing (struct) via mapInPandas",
     "audio_pcm_features": "full binary decode (RIFF walk + int16 unpack) via mapInPandas",
     "image_pixel_features": "full binary decode (PNG walk + zlib inflate + unfilter) via mapInPandas",
+    "image_jpeg_pixel_features": "full binary decode (baseline JPEG Huffman + IDCT) via mapInPandas",
     "kmv_distinct_ngrams": "per-batch partial bottom-k sketch (documented wire shape)",
     "heavy_hitter_tokens": "per-batch pigeonhole candidate pass (Misra-Gries bound)",
 }
