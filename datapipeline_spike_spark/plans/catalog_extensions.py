@@ -3247,3 +3247,100 @@ def q_image_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(load(spark, sf_dir, "documents"))
     )
     return decode_jpeg_pixel_features(media)
+
+
+# Linear quality classifier: fixed (planted) per-token weights in
+# integer micro-units — the stand-in for a trained fastText-style
+# model's coefficients, exactly like the envelope's fixed PCA loadings
+# stand in for a fitted basis. Inference math is what matters here.
+_QC_WEIGHTS = {
+    "the": 40_000, "data": 35_000, "query": 30_000, "join": 25_000,
+    "table": 20_000, "stream": 15_000,
+    "slow": -45_000, "batch": -30_000, "big": -20_000, "small": -15_000,
+    "hash": -10_000,
+}
+_QC_BIAS = -1_500  # micro-units per token
+
+
+def _qc_sql_terms() -> str:
+    return " + ".join(
+        f"({w} * len(list_filter(toks, x -> x = '{t}')))"
+        for t, w in _QC_WEIGHTS.items()
+    )
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n,
+             {_QC_BIAS} * len(toks) + {_qc_sql_terms()} AS z
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(z AS BIGINT) AS z_micro,
+           round(1.0 / (1.0 + exp(-(z * 1.0) / (1000000.0 * n))), 6)
+             AS quality_score,
+           (z > 0) AS keep
+    FROM base
+    """,
+    doc=f"""On-engine LINEAR quality-classifier inference (r7) — the
+    standard LLM-pipeline quality-filter step beyond hand rules: a
+    fastText-style linear model scores each document as
+    sigmoid(bias + sum_t w_t * count_t / n). Weights are fixed integer
+    micro-units ({len(_QC_WEIGHTS)} vocabulary terms + bias), the
+    planted stand-in for trained coefficients. The keep/drop DECISION
+    is integer-exact in both engines: the rate inequality is
+    cross-multiplied by n, so z_micro = bias*n + sum w_t*count_t is an
+    int64 and keep = z_micro > 0 involves no float anywhere — only the
+    reported sigmoid score is float (6dp-rounded). Shape: ONE tokenize
+    pass, per-term array counts map-side (no explode, no shuffle
+    beyond the scan — the dot product of a sparse model against token
+    counts is a Column expression). At 100 TB: map-only, embarrassingly
+    parallel, zero exchanges; swapping in real trained weights is a
+    literal-map change.""",
+    tags=("text", "quality", "classifier", "map-only"),
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier_score(load(spark, sf_dir, "documents"))
+
+
+def quality_classifier_score(d: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``quality_classifier_score`` (split out
+    for the planted-label test and the scale probe)."""
+    toks = d.select("doc_id", Tx.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+
+    def term_count(term: str):
+        # one-arg lambda from a closure factory: a two-arg lambda would
+        # bind the ELEMENT INDEX as the second parameter
+        return F.size(F.filter("toks", lambda t: t == F.lit(term)))
+
+    z = F.lit(_QC_BIAS) * F.size("toks")
+    for t, w in _QC_WEIGHTS.items():
+        z = z + F.lit(w) * term_count(t)
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        z.cast("bigint").alias("z_micro"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "z_micro",
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(F.col("z_micro").cast("double"))
+                    / (F.lit(1_000_000.0) * F.col("n_tokens"))
+                )
+            ),
+            6,
+        ).alias("quality_score"),
+        (F.col("z_micro") > 0).alias("keep"),
+    )

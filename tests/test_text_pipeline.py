@@ -238,3 +238,33 @@ def test_source_overlap_matrix_detects_planted_containment(spark, tmp_path):
     assert ab["containment"] == 1.0      # srcB subset of srcA's n-grams
     assert 0 < ab["jaccard"] < 1.0
     assert ("srcA", "srcC") not in rows and ("srcB", "srcC") not in rows
+
+
+def test_quality_classifier_planted_labels(spark):
+    """The linear scorer must separate planted extremes: a doc of
+    positive-weight tokens keeps, a doc of negative-weight tokens
+    drops, and the integer decision matches the sign of the replayed
+    dot product."""
+    from datapipeline_spike_spark.plans.catalog_extensions import (
+        _QC_BIAS,
+        _QC_WEIGHTS,
+        quality_classifier_score,
+    )
+
+    good = "the data query join table stream " * 10
+    bad = "slow batch big small hash " * 10
+    mixed = "the slow data batch unknownword " * 10
+    docs = spark.createDataFrame(
+        [(0, good), (1, bad), (2, mixed)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier_score(docs).collect()}
+    assert rows[0]["keep"] is True and rows[0]["quality_score"] > 0.5
+    assert rows[1]["keep"] is False and rows[1]["quality_score"] < 0.5
+    # replay z for the mixed doc by hand
+    toks = mixed.split()
+    n = len(toks)
+    z = _QC_BIAS * n + sum(
+        w * toks.count(t) for t, w in _QC_WEIGHTS.items()
+    )
+    assert rows[2]["z_micro"] == z
+    assert rows[2]["keep"] == (z > 0)
