@@ -47,6 +47,10 @@ EXTRAS = [
     "image_pixel_features",
     "session_campaign_overlap",
     "bpe_merge_training",
+    # round 7 additions
+    "image_jpeg_pixel_features",
+    "maintenance_window_overlap",
+    "quality_classifier_score",
 ]
 
 HEADLINE = [

@@ -63,24 +63,40 @@ def bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 3,
-    checkpoint_every: int = 16,
+    lazy_rounds: int = 4,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over the corpus; returns one row
     per merge round: (step, p1, p2, pair_count, merged).
 
-    Lineage discipline (r7): each round's ``cur`` nests the previous
-    round's merge-fold lambda, so round N's unchecked plan carries N
-    aggregate-fold expressions — fine at n_merges=3, but plan depth and
-    analysis time explode at realistic merge counts (10^3-10^4). Every
-    ``checkpoint_every`` rounds the vocabulary frame is truncated with
-    an eager ``localCheckpoint`` (the same pattern
-    ``connected_components`` uses), bounding plan depth at
-    ``checkpoint_every`` folds regardless of n_merges — measured flat
-    per-round cost at n_merges=64 in SCALE_PROBE_r07. Checkpoint
-    rounds fire their prefix of the training jobs at build time
-    (inherent to any iterative plan-truncation scheme); below
-    ``checkpoint_every`` merges the plan stays fully lazy, so the
-    registered 3-merge oracle query builds without a job."""
+    Lineage discipline (r7): round N's vocabulary frame ``cur``
+    references round N-1 TWICE — once through the argmax ``top`` (whose
+    pair counts aggregate cur_{N-1}) and once directly through the
+    merge fold — so the unchecked lazy plan does not grow linearly, it
+    DOUBLES per round (2^N subtrees; the r6 verdict's "N nested folds"
+    under-stated it — a 16-round lazy plan re-executes the vocabulary
+    scan ~65k times and never finishes). Production shape: past
+    ``lazy_rounds`` the vocabulary frame is truncated with an eager
+    ``localCheckpoint`` EVERY round (the ``connected_components``
+    pattern), collapsing both references onto materialized rows —
+    per-round cost is then flat (~2 vocabulary-bounded aggregations:
+    one inside the checkpoint, one when the final union re-reads the
+    round's argmax), measured at n_merges 16/32/64 in SCALE_PROBE_r07.
+    At or below ``lazy_rounds`` the plan stays fully lazy (2^4 subtrees
+    of a vocabulary-bounded aggregate are cheap), so the registered
+    3-merge oracle query still builds without firing a job."""
+    steps, _ = _train(docs, text_col, n_merges, lazy_rounds)
+    out = steps[0]
+    for st in steps[1:]:
+        out = out.unionByName(st)
+    return out
+
+
+def _train(
+    docs: DataFrame, text_col: str, n_merges: int, lazy_rounds: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared training loop: returns (per-round argmax frames, final
+    vocabulary frame (w, f, s) after all merges). See
+    :func:`bpe_merges` for the lineage discipline."""
     vocab = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -109,9 +125,60 @@ def bpe_merges(
         cur = cur.crossJoin(F.broadcast(top.select("p1", "p2"))).select(
             "w", "f", _merge_fold(F.col("s"), F.col("p1"), F.col("p2")).alias("s")
         )
-        if step % checkpoint_every == 0 and step < n_merges:
+        if n_merges > lazy_rounds and step < n_merges:
             cur = cur.localCheckpoint(eager=True)
-    out = steps[0]
-    for st in steps[1:]:
-        out = out.unionByName(st)
-    return out
+    return steps, cur
+
+
+def bpe_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    lazy_rounds: int = 4,
+) -> DataFrame:
+    """The trained subword vocabulary after ``n_merges`` merges:
+    (w, f, s) where ``s`` is the word's final symbol sequence. This is
+    the ENCODE side of the tokenizer: applying BPE to a corpus is a
+    word-level lookup into this frame (words segment independently —
+    the defining property that makes BPE encoding embarrassingly
+    parallel at 100 TB)."""
+    _, cur = _train(docs, text_col, n_merges, lazy_rounds)
+    return cur
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+    lazy_rounds: int = 4,
+) -> DataFrame:
+    """Apply the trained merges to the corpus (train -> ENCODE, the
+    full tokenizer loop) and report per-document subword statistics:
+    (id, n_words, n_units, units_per_word, chars_per_unit). The corpus
+    explodes to (doc, word) rows ONCE and equi-joins the trained
+    vocabulary on the word — the join build side is vocabulary-bounded,
+    the probe side linear in corpus tokens; per-doc sums are map-side
+    combined. Every corpus word is in the vocabulary by construction
+    (trained on the same corpus), so the join is lossless — pinned by
+    test."""
+    vocab_units = bpe_vocabulary(docs, text_col, n_merges, lazy_rounds).select(
+        "w",
+        F.size("s").alias("units_w"),
+        F.length("w").alias("chars_w"),
+    )
+    dtoks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    return (
+        dtoks.join(vocab_units, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("units_w").cast("bigint").alias("n_units"),
+            F.round(
+                F.sum("units_w") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("units_per_word"),
+            F.round(
+                F.sum("chars_w") * F.lit(1.0) / F.sum("units_w"), 6
+            ).alias("chars_per_unit"),
+        )
+    )

@@ -516,12 +516,17 @@ def dedup_corpus(
     band_rows: int = BAND_ROWS,
     component_algorithm: str = "auto",
     max_driver_edges: int = 1_000_000,
+    lsh_bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """END-TO-END corpus dedup — the full 100 TB pipeline in one call:
 
     1. exact collapse: md5-fingerprint groupBy maps every doc to its
        group-minimum representative (identical docs never reach LSH, so
-       boilerplate clusters can't blow up a band bucket);
+       byte-identical boilerplate can't blow up a band bucket; the
+       NEAR-identical template families exact dedup cannot collapse are
+       handled by the ``lsh_bucket_cap`` hot-bucket guard inside
+       :func:`lsh_candidate_pairs` — r7, planted-skew probe in
+       SCALE_PROBE_r07);
     2. MinHash-LSH candidate pairs among representatives only;
     3. exact n-gram Jaccard verification of candidates (>= threshold);
     4. connected components over verified edges (transitive closure:
@@ -580,7 +585,10 @@ def dedup_corpus(
     sig = minhash_signature_from_shingles(sh, "sid", "sh", n_hashes).withColumnRenamed(
         "sid", id_col
     )
-    cand = lsh_candidate_pairs(reps, text_col, id_col, n_hashes, band_rows, sig=sig)
+    cand = lsh_candidate_pairs(
+        reps, text_col, id_col, n_hashes, band_rows, sig=sig,
+        bucket_cap=lsh_bucket_cap,
+    )
     sha = sh.select(F.col("sid").alias("aid"), F.col("sh").alias("a_sh"))
     shb = sh.select(F.col("sid").alias("bid"), F.col("sh").alias("b_sh"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))

@@ -3130,12 +3130,15 @@ def q_image_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge training ------------------------------------------------------
 
 
-def _sql_bpe(n_merges: int) -> str:
-    """DuckDB replay of operators.bpe.bpe_merges: per round, weighted
-    adjacent-pair counts, count-desc/lexicographic argmax, and the same
-    greedy left-to-right merge fold via list_reduce (DuckDB list slices
-    are 1-indexed and inclusive — acc[:len(acc)-1] drops the last
-    element; acc[:-1] would NOT)."""
+def _sql_bpe_chain(n_merges: int) -> str:
+    """The WITH-chain replaying operators.bpe._train: per round,
+    weighted adjacent-pair counts, count-desc/lexicographic argmax, and
+    the same greedy left-to-right merge fold via list_reduce (DuckDB
+    list slices are 1-indexed and inclusive — acc[:len(acc)-1] drops
+    the last element; acc[:-1] would NOT). Ends with s{n_merges}
+    (w, f, s) — the trained vocabulary — so both the training query
+    (argmax rows) and the encode query (per-doc application) build on
+    the same chain."""
     sql = f"""
     WITH vocab AS (
       SELECT w, count(*) AS f
@@ -3170,12 +3173,35 @@ def _sql_bpe(n_merges: int) -> str:
                     ELSE acc || x END) AS s
       FROM s{k - 1}, top{k} t
     )"""
+    return sql
+
+
+def _sql_bpe(n_merges: int) -> str:
+    """DuckDB replay of operators.bpe.bpe_merges (the training rows)."""
     unions = "\n    UNION ALL\n".join(
         f"    SELECT {k} AS step, p1, p2, CAST(pair_count AS BIGINT) AS pair_count, "
         f"p1 || p2 AS merged FROM top{k}"
         for k in range(1, n_merges + 1)
     )
-    return sql + "\n" + unions
+    return _sql_bpe_chain(n_merges) + "\n" + unions
+
+
+def _sql_bpe_encode(n_merges: int) -> str:
+    """DuckDB replay of operators.bpe.bpe_encode_stats: the same
+    training chain, then every document's words join the trained
+    vocabulary and aggregate to subword statistics."""
+    return _sql_bpe_chain(n_merges) + f"""
+    , dtoks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(v.s)) AS BIGINT) AS n_units,
+           round(sum(len(v.s)) * 1.0 / count(*), 6) AS units_per_word,
+           round(sum(length(dtoks.w)) * 1.0 / sum(len(v.s)), 6) AS chars_per_unit
+    FROM dtoks JOIN s{n_merges} v ON dtoks.w = v.w
+    GROUP BY 1
+    """
 
 
 @register(
@@ -3344,3 +3370,27 @@ def quality_classifier_score(d: DataFrame) -> DataFrame:
         ).alias("quality_score"),
         (F.col("z_micro") > 0).alias("keep"),
     )
+
+
+@register(
+    "bpe_encoded_corpus_stats",
+    oracle=_sql_bpe_encode(3),
+    doc="""BPE tokenizer ENCODE step (r7 — closing the train->apply
+    loop next to bpe_merge_training): the trained 3-merge vocabulary is
+    applied to every document and per-doc subword statistics come back
+    (word count, subword-unit count, units/word, chars/unit — the
+    compression-ratio signal a tokenizer-aware data pipeline tracks).
+    Shape: BPE encoding is a WORD-level function (words segment
+    independently — Sennrich et al. 2016), so applying the tokenizer
+    is one corpus explode to (doc, word) rows equi-joined against the
+    vocabulary-bounded trained frame; per-doc sums are map-side
+    combined. The oracle replays training AND application in one CTE
+    chain (shared with the bpe_merge_training oracle). At 100 TB the
+    vocabulary broadcast-joins and encoding is embarrassingly
+    parallel.""",
+    tags=("text", "tokenizer", "bpe"),
+)
+def q_bpe_encoded_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(fan_out(load(spark, sf_dir, "documents")))

@@ -722,10 +722,53 @@ def test_bpe_checkpointing_is_result_invisible(spark):
         "doc_id long, text string",
     )
 
-    def run(ck):
+    def run(ck):  # ck = lazy_rounds: 2 forces per-round checkpoints, 100 stays lazy
         return sorted(
             (r["step"], r["p1"], r["p2"], r["pair_count"], r["merged"])
-            for r in bpe_merges(docs, n_merges=6, checkpoint_every=ck).collect()
+            for r in bpe_merges(docs, n_merges=6, lazy_rounds=ck).collect()
         )
 
     assert run(2) == run(100)
+
+
+def test_bpe_encode_stats_lossless_and_consistent(spark):
+    """Every corpus word is in the trained vocabulary (the encode join
+    drops nothing), and the per-doc unit counts replay the greedy fold
+    by hand."""
+    from datapipeline_spike_spark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_merges,
+        bpe_vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "low low"), (2, "newest newest wide")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode_stats(docs, n_merges=3).collect()}
+    # lossless: every doc present, n_words == its token count
+    assert rows[0]["n_words"] == 3 and rows[1]["n_words"] == 2 and rows[2]["n_words"] == 3
+    # replay: merges are (l,o)->(lo,w)->(low, e) per the training test;
+    # after 3 merges: low->[low](1), lower->[low,e,r](3)... lowe merged
+    merges = [
+        (r["p1"], r["p2"])
+        for r in sorted(bpe_merges(docs, n_merges=3).collect(), key=lambda r: r["step"])
+    ]
+
+    def encode(word):
+        s = list(word)
+        for p1, p2 in merges:
+            out = []
+            for ch in s:
+                if out and out[-1] == p1 and ch == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(ch)
+            s = out
+        return s
+
+    vocab = {r["w"]: r["s"] for r in bpe_vocabulary(docs, n_merges=3).collect()}
+    for w, s in vocab.items():
+        assert s == encode(w), (w, s, encode(w))
+    for did, words in ((0, ["low", "lower", "lowest"]), (1, ["low", "low"])):
+        assert rows[did]["n_units"] == sum(len(encode(w)) for w in words)

@@ -178,7 +178,7 @@ def dedup_ann_stress(spark, amp: int) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    mode = "dedup" if "dedup" in args else ("newops" if "newops" in args else "core")
+    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7" if "r7" in args else "core")))
     nums = [int(a) for a in args if a.isdigit()]
     n = nums[0] if nums else (10 if mode != "core" else 8)
     spark = get_session("scale_probe")
@@ -188,6 +188,9 @@ def main() -> None:
         return
     if mode == "newops":
         newops_stress(spark, n)
+        return
+    if mode == "r7":
+        r7_stress(spark, n)
         return
 
     for amp in (1, n):
@@ -464,6 +467,79 @@ def newops_stress(spark, amp: int) -> None:
                           "vecs": erows, "sec": secs,
                           "vecs_per_sec": int(erows / secs)}), flush=True)
         embs.unpersist()
+
+
+def planted_boilerplate(spark, m: int, n_tokens: int = 50):
+    """A NEAR-identical template family exact dedup cannot collapse:
+    m docs sharing a long boilerplate body, each with ONE varying token
+    — high pairwise Jaccard, (mostly) shared MinHash bands, distinct
+    fingerprints. The skew scenario the r7 hot-bucket guard defends
+    against."""
+    base = " ".join(f"boiler{''.join(chr(97 + (i * 7 + j) % 26) for j in range(4))}tok{i}" for i in range(n_tokens))
+    return spark.range(m).select(
+        (F.col("id") + 90_000_000).alias("doc_id"),
+        F.concat(F.lit(base + " variant"), F.col("id").cast("string")).alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("planted").alias("source"),
+        F.lit(len(base)).cast("int").alias("n_chars"),
+    )
+
+
+def r7_stress(spark, amp: int) -> None:
+    """Round-7 probes:
+
+    1. planted-skew: a boilerplate family on top of the sf0.1 corpus,
+       through lsh_candidate_pairs with the hot path FORCED (cap=500)
+       vs the in-row path (cap=inf) — identical counts, wall-clock for
+       the spread-out vs single-task shapes; then dedup_corpus
+       END-TO-END over the skewed corpus with the guard active.
+    2. BPE merge training at n_merges 16/32/64 (per-round checkpoint
+       truncation past lazy_rounds) — flat per-round cost.
+    """
+    from datapipeline_spike_spark.operators.bpe import bpe_merges
+    from datapipeline_spike_spark.operators.dedup import dedup_corpus
+
+    base_docs = amplify_documents(spark, 1)
+    for m in (1500, 3000):
+        docs = base_docs.unionByName(planted_boilerplate(spark, m)).localCheckpoint(
+            eager=True
+        )
+        drows = docs.count()
+        t0 = time.perf_counter()
+        hot_pairs = lsh_candidate_pairs(docs, bucket_cap=500).count()
+        hot_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        inrow_pairs = lsh_candidate_pairs(docs, bucket_cap=1 << 40).count()
+        inrow_sec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "lsh_hot_bucket_guard", "family": m, "docs": drows,
+            "pairs_hot_path": hot_pairs, "pairs_inrow_path": inrow_pairs,
+            "identical": hot_pairs == inrow_pairs,
+            "hot_path_sec": hot_sec, "inrow_path_sec": inrow_sec,
+        }), flush=True)
+
+        t0 = time.perf_counter()
+        assigned = dedup_corpus(docs, lsh_bucket_cap=500).count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "dedup_corpus_planted_skew", "family": m, "docs": drows,
+            "assignments": assigned, "sec": secs,
+            "docs_per_sec": int(drows / secs),
+        }), flush=True)
+        docs.unpersist()
+
+    docs = load(spark, SF_DIR, "documents").localCheckpoint(eager=True)
+    drows = docs.count()
+    for k in (16, 32, 64):
+        t0 = time.perf_counter()
+        rows = bpe_merges(docs, n_merges=k).collect()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "bpe_merges", "n_merges": k, "docs": drows,
+            "rows": len(rows), "sec": secs,
+            "sec_per_round": round(secs / k, 2),
+        }), flush=True)
+    docs.unpersist()
 
 
 if __name__ == "__main__":
