@@ -36,6 +36,7 @@ _R7_CHANGED = (
     "session_campaign_overlap",     # r7: interval_overlap_join signature/validation
     "candidate_edit_distance",      # r7: shares lsh_candidate_pairs
     "bpe_encoded_corpus_stats",     # NEW r7: BPE encode step (train->apply)
+    "sq8_recall_at_k",              # NEW r7: int8 scalar-quantization recall audit
 )
 # --- r7 head, slot 2: the r6-documented queue (r4-green relational
 # queries rotated out of the r6 sample — the rotation contract says
@@ -77,12 +78,12 @@ _R7_OLDEST_FILL = (
     "token_counting_methods",
     "doc_rolling_hash",
     "kmv_distinct_ngrams",
-    "heavy_hitter_tokens",
 )
 # Remaining r5-green queries outside the 50-slot window this round —
 # MUST lead the r8 head (none of these is older than r5-green, and
 # nothing in the registry goes >3 rounds without a driver row).
 _QUEUED_FOR_NEXT_HEAD = (
+    "heavy_hitter_tokens",
     "document_chunks",
     "benchmark_contamination",
     "leakage_safe_split",

@@ -994,3 +994,115 @@ def q_pq_adc_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("int").alias("n_hits"),
         F.round(F.count("hit") / 5.0, 6).alias("recall"),
     )
+
+
+@register(
+    "sq8_recall_at_k",
+    oracle=f"""
+    WITH mm AS (
+      SELECT i, min(v) AS mn, max(v) AS mx
+      FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+                   unnest(range(1, {EMB_DIM} + 1)) AS i
+            FROM embeddings)
+      GROUP BY 1
+    ),
+    codes AS (
+      SELECT vec_id,
+             list(CASE WHEN mx = mn THEN 0
+                       ELSE CAST(round(((v - mn) * 255.0) / (mx - mn)) AS INT)
+                  END ORDER BY i) AS code
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+                   unnest(range(1, {EMB_DIM} + 1)) AS i
+            FROM embeddings)
+      JOIN mm USING (i)
+      GROUP BY 1
+    ),
+    sq_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, {EMB_DIM} + 1),
+               i -> CAST((q.code[i] - c.code[i]) AS BIGINT)
+                    * (q.code[i] - c.code[i])), 'sum') AS d2
+      FROM codes c JOIN codes q ON q.vec_id < 5 AND c.vec_id != q.vec_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, neighbor_id) AS rnk
+        FROM sq_scored
+      ) WHERE rnk <= 5
+    ),
+    qfull AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS fv
+              FROM embeddings WHERE vec_id < 5),
+    efull AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS cv FROM embeddings),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vid AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_aggregate(list_transform(
+                   range(1, {EMB_DIM} + 1),
+                   i -> (q.fv[i] - e.cv[i]) * (q.fv[i] - e.cv[i])), 'sum'), {R}),
+                 e.vid) AS rnk
+        FROM qfull q JOIN efull e ON e.vid != q.query_id
+      ) WHERE rnk <= 5
+    )
+    SELECT exact.query_id,
+           CAST(count(approx.neighbor_id) AS INT) AS n_hits,
+           round(count(approx.neighbor_id) / 5.0, {R}) AS recall
+    FROM exact
+    LEFT JOIN approx ON approx.query_id = exact.query_id
+                    AND approx.neighbor_id = exact.neighbor_id
+    GROUP BY 1
+    """,
+    doc="""Recall@5 of int8 SCALAR quantization (SQ8) against the exact
+    full-vector L2 top-5 (r7 — the 4x-compression tier between brute
+    force and PQ, completing the index-family audit set next to
+    ann_recall_at_k / ivf_recall_at_k / pq_adc_recall_at_k): a
+    per-dimension [min, max] grid derives in-plan (ONE 1-row broadcast
+    aggregate), every vector linearly encodes to 64 uint8 codes, and
+    neighbors rank by INTEGER squared-L2 over the codes — exact int64
+    arithmetic, so the approximate ranking is bit-identical in both
+    engines and float enters only the exact baseline (6dp-rounded, the
+    established pattern). At 100 TB the codes are the materialized
+    index: 64 B/vector vs 256 B float32, a 4x scan-byte reduction with
+    near-unity recall — this audit MEASURES that recall instead of
+    assuming it.""",
+    tags=("ml", "ann", "sq8", "embedding", "audit"),
+)
+def q_sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.vectors import l2_sq
+    from datapipeline_spike_spark.operators.similarity import sq8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = sq8_topk(emb, queries, dim=EMB_DIM, k=5)
+
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("fv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    exact = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(l2_sq(F.col("fv"), F.col("cv")), R).alias("dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("hit").cast("int").alias("n_hits"),
+        F.round(F.count("hit") / 5.0, R).alias("recall"),
+    )

@@ -772,3 +772,32 @@ def test_bpe_encode_stats_lossless_and_consistent(spark):
         assert s == encode(w), (w, s, encode(w))
     for did, words in ((0, ["low", "lower", "lowest"]), (1, ["low", "low"])):
         assert rows[did]["n_units"] == sum(len(encode(w)) for w in words)
+
+
+def test_sq8_topk_ranks_duplicates_first_and_codes_bounded(spark):
+    """SQ8 codes are uint8-bounded, an exact duplicate ranks first at
+    integer distance 0, and a far vector ranks last."""
+    from datapipeline_spike_spark.operators.similarity import (
+        sq8_codes,
+        sq8_stats,
+        sq8_topk,
+    )
+
+    dim = 8
+    base = [float(i) for i in range(dim)]
+    far = [100.0 - i for i in range(dim)]
+    near = [v + 0.4 for v in base]
+    emb = spark.createDataFrame(
+        [(0, base), (1, list(base)), (2, near), (3, far)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = sq8_stats(emb, dim)
+    codes = {
+        r["vec_id"]: r["code"] for r in sq8_codes(emb, stats).collect()
+    }
+    assert all(0 <= c <= 255 for code in codes.values() for c in code)
+    assert codes[0] == codes[1]  # identical vectors -> identical codes
+    top = sq8_topk(emb, emb.filter("vec_id = 0"), dim=dim, k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ranked[0] == 1 and ranked[-1] == 3
+    assert [r["d2"] for r in sorted(top, key=lambda r: r["rank"])][0] == 0

@@ -37,6 +37,7 @@ BNLJ_OK = {
     "embedding_topk_cosine": "documented brute-force baseline: broadcast 5-row query set",
     "ann_recall_at_k": "exact side of the recall audit: same broadcast 5-row baseline",
     "pq_adc_recall_at_k": "exact side of the ADC recall audit: broadcast 5-row full-vector baseline",
+    "sq8_recall_at_k": "broadcast 1-row quantization grid + 5-row query codes + exact-baseline 5-row query set",
     "ivf_recall_at_k": "exact side of the IVF recall audit: same broadcast 5-row baseline",
     "corpus_mixture_plan": "broadcast 1-row corpus-total against the 5-row lang plan",
     "part_size_bands": "the SURVEY §2.3 theta/band-join row: broadcast tiny band table",
