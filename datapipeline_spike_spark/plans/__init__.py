@@ -37,6 +37,7 @@ _R7_CHANGED = (
     "candidate_edit_distance",      # r7: shares lsh_candidate_pairs
     "bpe_encoded_corpus_stats",     # NEW r7: BPE encode step (train->apply)
     "sq8_recall_at_k",              # NEW r7: int8 scalar-quantization recall audit
+    "video_frame_features",         # NEW r7: MJPEG sample-table full decode
 )
 # --- r7 head, slot 2: the r6-documented queue (r4-green relational
 # queries rotated out of the r6 sample — the rotation contract says
@@ -77,12 +78,12 @@ _R7_OLDEST_FILL = (
     "token_frequencies",
     "token_counting_methods",
     "doc_rolling_hash",
-    "kmv_distinct_ngrams",
 )
 # Remaining r5-green queries outside the 50-slot window this round —
 # MUST lead the r8 head (none of these is older than r5-green, and
 # nothing in the registry goes >3 rounds without a driver row).
 _QUEUED_FOR_NEXT_HEAD = (
+    "kmv_distinct_ngrams",
     "heavy_hitter_tokens",
     "document_chunks",
     "benchmark_contamination",

@@ -3394,3 +3394,64 @@ def q_bpe_encoded_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.operators.bpe import bpe_encode_stats
 
     return bpe_encode_stats(fan_out(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "video_frame_features",
+    oracle="""
+    WITH fb AS (
+      SELECT doc_id, f, b,
+             ((doc_id * 131 + f * 17) * 11 + b * 29) % 256 AS v
+      FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS f FROM documents),
+           (SELECT unnest(range(0, 2)) AS b)
+    ),
+    ag AS (
+      SELECT doc_id, count(*) AS ncells, sum(v) AS sv,
+             min(v) AS mnv, max(v) AS mxv
+      FROM fb GROUP BY 1
+    ),
+    mo AS (
+      SELECT a.doc_id, sum(64 * abs(a.v - n.v)) AS motion
+      FROM fb a JOIN fb n
+        ON a.doc_id = n.doc_id AND n.f = a.f + 1 AND a.b = n.b
+      GROUP BY 1
+    )
+    SELECT ag.doc_id AS media_id,
+           CAST(2 + ag.doc_id % 4 AS INT) AS n_frames,
+           CAST(ncells * 64 AS BIGINT) AS n_pixels,
+           round(sv * 1.0 / ncells, 6) AS mean_px,
+           CAST(mnv AS BIGINT) AS min_px,
+           CAST(mxv AS BIGINT) AS max_px,
+           CAST(mo.motion AS BIGINT) AS motion_energy,
+           round(mo.motion * 1.0 / ((1 + ag.doc_id % 4) * 128), 6)
+             AS mean_abs_frame_diff
+    FROM ag JOIN mo USING (doc_id)
+    """,
+    doc="""FULL-decode multimodal VIDEO tier (r7 — the last modality's
+    decode loop closed, next to PNG/JPEG pixels and WAV PCM): per
+    document a REAL Motion-JPEG MP4 is built — complete ISO-BMFF
+    sample table (stsd/stts/stsz/stsc/stco) indexing one baseline JPEG
+    per frame in mdat — and decoded for real: the sample-table walk
+    slices every frame by stsz/stco and the r7 baseline JPEG decoder
+    (Annex K Huffman + IDCT) decodes each one. Per-video features use
+    integer-exact accumulation: pixel sum/min/max across frames and
+    MOTION ENERGY (summed |pixel diff| between consecutive frames —
+    the temporal-sampling signal); means are single 6dp divisions. The
+    oracle regenerates every frame's decoded pixels from the (doc_id,
+    frame, block) formula and replays all features including the
+    frame-to-frame differences. Arrow-batched mapInPandas; malformed
+    containers or any undecodable frame degrade to NULL rows. At
+    100 TB the sample-table walk is what makes per-frame work
+    parallelizable without transcoding.""",
+    tags=("multimodal", "video", "mjpeg", "decode", "pandas"),
+)
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_video_frame_features,
+        video_pattern_media_from_documents,
+    )
+
+    media = video_pattern_media_from_documents(
+        fan_out(load(spark, sf_dir, "documents"))
+    )
+    return decode_video_frame_features(media)

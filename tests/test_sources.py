@@ -853,3 +853,38 @@ def test_jpeg_decode_malformed_and_unsupported_degrade_to_none():
     assert decode_jpeg_gray(b"GIF89a") is None                     # not a JPEG
     # header-only synthetic (no DQT/DHT/SOS): unsupported, not a crash
     assert decode_jpeg_gray(synthetic_jpeg(16, 8)) is None
+
+
+def test_mjpeg_video_features_and_malformed_degrade(spark):
+    """Full video tier: motion energy matches a hand computation on the
+    generative pattern; malformed containers yield NULL rows."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_video_frame_features,
+        synthetic_mjpeg_mp4,
+    )
+
+    seed, nf = 3, 4
+    good = synthetic_mjpeg_mp4(seed, nf, 16, 8)
+    truncated = good[: len(good) - 40]  # cut into mdat: frame slice fails
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(truncated)), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_video_frame_features(df).collect()}
+    assert rows[1]["mean_px"] is None and rows[2]["mean_px"] is None
+
+    vals = {
+        (f, b): ((seed * 131 + f * 17) * 11 + b * 29) % 256
+        for f in range(nf)
+        for b in range(2)
+    }
+    r = rows[0]
+    assert r["n_frames"] == nf and r["n_pixels"] == nf * 128
+    assert r["min_px"] == min(vals.values()) and r["max_px"] == max(vals.values())
+    want_motion = sum(
+        64 * abs(vals[(f, b)] - vals[(f + 1, b)])
+        for f in range(nf - 1)
+        for b in range(2)
+    )
+    assert r["motion_energy"] == want_motion
+    assert r["mean_abs_frame_diff"] == round(want_motion / ((nf - 1) * 128), 6)

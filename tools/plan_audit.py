@@ -63,6 +63,7 @@ PANDAS_OK = {
     "audio_pcm_features": "full binary decode (RIFF walk + int16 unpack) via mapInPandas",
     "image_pixel_features": "full binary decode (PNG walk + zlib inflate + unfilter) via mapInPandas",
     "image_jpeg_pixel_features": "full binary decode (baseline JPEG Huffman + IDCT) via mapInPandas",
+    "video_frame_features": "full binary decode (MP4 sample-table walk + per-frame JPEG) via mapInPandas",
     "kmv_distinct_ngrams": "per-batch partial bottom-k sketch (documented wire shape)",
     "heavy_hitter_tokens": "per-batch pigeonhole candidate pass (Misra-Gries bound)",
 }
