@@ -51,6 +51,9 @@ EXTRAS = [
     "image_jpeg_pixel_features",
     "maintenance_window_overlap",
     "quality_classifier_score",
+    "bpe_encoded_corpus_stats",
+    "sq8_recall_at_k",
+    "video_frame_features",
 ]
 
 HEADLINE = [
