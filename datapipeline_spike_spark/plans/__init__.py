@@ -38,6 +38,9 @@ _R7_CHANGED = (
     "bpe_encoded_corpus_stats",     # NEW r7: BPE encode step (train->apply)
     "sq8_recall_at_k",              # NEW r7: int8 scalar-quantization recall audit
     "video_frame_features",         # NEW r7: MJPEG sample-table full decode
+    "local_supplier_volume",        # NEW r7: TPC-H Q5 shape
+    "returned_item_losses",         # NEW r7: TPC-H Q10 shape
+    "priority_shipping_lag",        # NEW r7: TPC-H Q12 shape
 )
 # --- r7 head, slot 2: the r6-documented queue (r4-green relational
 # queries rotated out of the r6 sample — the rotation contract says
@@ -74,15 +77,15 @@ _R7_OLDEST_FILL = (
     "tfidf_top_terms",
     "spectral_energy",
     "kmeans_centroids",
-    "language_id",
-    "token_frequencies",
-    "token_counting_methods",
     "doc_rolling_hash",
 )
 # Remaining r5-green queries outside the 50-slot window this round —
 # MUST lead the r8 head (none of these is older than r5-green, and
 # nothing in the registry goes >3 rounds without a driver row).
 _QUEUED_FOR_NEXT_HEAD = (
+    "language_id",
+    "token_frequencies",
+    "token_counting_methods",
     "kmv_distinct_ngrams",
     "heavy_hitter_tokens",
     "document_chunks",

@@ -943,3 +943,149 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("bin_mean"),
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= DATE '1994-01-01'
+      AND o.o_orderdate <  DATE '1996-01-01'
+    GROUP BY 1
+    """,
+    doc="""TPC-H Q5 shape (local supplier volume): the 6-way star join
+    — customer x orders x lineitem x supplier x nation x region — where
+    the supplier must sit in the CUSTOMER's nation (the join condition
+    that makes Q5 interesting: an equi condition on two different
+    dimension paths into the fact). Plan shape: the two facts sort-merge
+    on orderkey under AQE; supplier/nation/region broadcast; the
+    region/date filters push into the scans before any join. Revenue
+    rounded at the dollar so cross-engine float association order
+    cannot flip a hash.""",
+    tags=("join", "tpch", "star"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "returned_item_losses",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS lost_revenue,
+           CAST(count(*) AS BIGINT) AS n_returned
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, custkey
+    LIMIT 20
+    """,
+    doc="""TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer, global top-20. The returnflag filter pushes
+    into the lineitem scan; facts sort-merge on orderkey; customer and
+    nation broadcast; the top-20 is TakeOrderedAndProject (per-partition
+    partial top-k + driver merge — never a full sort or an
+    unpartitioned rank window). Dollar-rounded revenue for
+    hash-stability, custkey tiebreak for a total order.""",
+    tags=("join", "tpch", "topk"),
+)
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "priority_shipping_lag",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+           CAST(max(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS max_lag_days
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="""TPC-H Q12 shape adapted to this schema (no shipmode column):
+    per order priority, how many lineitems shipped late (> 90 days
+    after the order date), fast (<= 30 days), and the worst lag — the
+    CASE-bucketed conditional aggregation Q12 exercises, on pure
+    integer date arithmetic (datediff both engines, no float anywhere).
+    One fact-fact sort-merge on orderkey, map-side-combined counts,
+    |priorities| output rows.""",
+    tags=("join", "tpch", "aggregate"),
+)
+def q_priority_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum((lag > 90).cast("int")).cast("bigint").alias("n_late"),
+            F.sum((lag <= 30).cast("int")).cast("bigint").alias("n_fast"),
+            F.max(lag).cast("bigint").alias("max_lag_days"),
+        )
+    )
