@@ -408,3 +408,27 @@ def ingest_with_dedup(
         epoch_write(rejected, rejected_path)
 
     return handle
+
+
+def quality_gated_stream(
+    records: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming quality-classifier admission (r7): the linear
+    fastText-style scorer (``plans.catalog_extensions.
+    quality_classifier_score``) is a MAP-ONLY Column expression — an
+    integer dot product of fixed per-token weights against token counts
+    plus a sigmoid score — so it runs natively inside a streaming
+    select with no state, no watermark, and no foreachBatch; the
+    keep/drop decision is the same int64 sign test batch runs
+    (batch-twin tested). Compose before ``ingest_with_dedup`` to drop
+    low-quality docs before they cost dedup-index work."""
+    from datapipeline_spike_spark.plans.catalog_extensions import (
+        quality_classifier_score,
+    )
+
+    renamed = records
+    if text_col != "text":
+        renamed = renamed.withColumnRenamed(text_col, "text")
+    if id_col != "doc_id":
+        renamed = renamed.withColumnRenamed(id_col, "doc_id")
+    return quality_classifier_score(renamed)

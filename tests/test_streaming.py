@@ -1035,3 +1035,40 @@ def test_scd2_stream_restart_and_replay_match_batch_twin(spark, events_dir):
         assert snap() == got
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_quality_gated_stream_matches_batch_twin(spark, tmp_path):
+    """The classifier gate is stateless map-only: streaming micro-batches
+    must produce the exact batch verdicts (z_micro sign test included)."""
+    from datapipeline_spike_spark.plans.catalog_extensions import (
+        quality_classifier_score,
+    )
+    from datapipeline_spike_spark.streaming.pipeline import (
+        quality_gated_stream,
+        run_to_memory,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the data query join table stream " * 5),
+            (1, "slow batch big small hash " * 5),
+            (2, "the slow data batch neutral words here " * 5),
+            (3, "query query join join the the data " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = run_to_memory(quality_gated_stream(stream), "quality_gate")
+    got = {
+        (r["doc_id"], r["z_micro"], r["keep"])
+        for r in spark.table("quality_gate").collect()
+    }
+    want = {
+        (r["doc_id"], r["z_micro"], r["keep"])
+        for r in quality_classifier_score(docs).collect()
+    }
+    assert got == want and len(want) == 4
