@@ -178,7 +178,7 @@ def dedup_ann_stress(spark, amp: int) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7" if "r7" in args else "core")))
+    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7ops" if "r7ops" in args else ("r7" if "r7" in args else "core"))))
     nums = [int(a) for a in args if a.isdigit()]
     n = nums[0] if nums else (10 if mode != "core" else 8)
     spark = get_session("scale_probe")
@@ -191,6 +191,9 @@ def main() -> None:
         return
     if mode == "r7":
         r7_stress(spark, n)
+        return
+    if mode == "r7ops":
+        r7ops_stress(spark, n)
         return
 
     for amp in (1, n):
@@ -540,6 +543,50 @@ def r7_stress(spark, amp: int) -> None:
             "sec_per_round": round(secs / k, 2),
         }), flush=True)
     docs.unpersist()
+
+
+def r7ops_stress(spark, amp: int) -> None:
+    """Round-7 newcomer operators at 1x and ``amp``x: the full-decode
+    media tiers (JPEG, MJPEG video), the linear quality classifier, the
+    BPE encode join, and SQ8 top-k — evidence their plans scale
+    linearly (all are map-only or vocabulary/grid-bounded joins)."""
+    from datapipeline_spike_spark.operators.bpe import bpe_encode_stats
+    from datapipeline_spike_spark.operators.similarity import sq8_topk
+    from datapipeline_spike_spark.plans.catalog_extensions import (
+        quality_classifier_score,
+    )
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_jpeg_pixel_features,
+        decode_video_frame_features,
+        jpeg_pattern_media_from_documents,
+        video_pattern_media_from_documents,
+    )
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        n = docs.count()
+        for name, fn in (
+            ("jpeg_pixel_features", lambda: decode_jpeg_pixel_features(
+                jpeg_pattern_media_from_documents(docs))),
+            ("video_frame_features", lambda: decode_video_frame_features(
+                video_pattern_media_from_documents(docs))),
+            ("quality_classifier", lambda: quality_classifier_score(docs)),
+            ("bpe_encode_stats", lambda: bpe_encode_stats(docs)),
+        ):
+            secs = probe(name, fn)
+            print(json.dumps({"probe": name, "amp": a, "docs": n,
+                              "sec": secs, "docs_per_sec": int(n / secs)}),
+                  flush=True)
+        docs.unpersist()
+
+        emb = amplify_embeddings(spark, a).localCheckpoint(eager=True)
+        m = emb.count()
+        secs = probe("sq8_topk", lambda: sq8_topk(
+            emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5))
+        print(json.dumps({"probe": "sq8_topk", "amp": a, "vecs": m,
+                          "sec": secs, "vecs_per_sec": int(m / secs)}),
+              flush=True)
+        emb.unpersist()
 
 
 if __name__ == "__main__":
