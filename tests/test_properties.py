@@ -416,3 +416,58 @@ def test_prefix_bucket_cap_invariant_under_cap_and_chunks(spark, rows, cap):
             if 5 * min(an, bn) >= 4 * max(an, bn):
                 want.add((a, b))
     assert set(uncapped) == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=63),   # coefficient position
+            st.integers(min_value=-500, max_value=500).filter(lambda v: v != 0),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=-1000, max_value=1000),     # DC
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_jpeg_entropy_roundtrip_matches_direct_idct(ac_coeffs, dc):
+    """Property: ANY sparse quantized coefficient block survives the
+    Huffman entropy coder (DPCM DC, run-length AC with ZRL/EOB, byte
+    stuffing) and decodes to the same pixels as an independent direct
+    2D IDCT — the general-path guarantee behind the constant-block
+    oracle tier."""
+    import math
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    blk = [0] * 64
+    blk[0] = dc
+    for pos, val in ac_coeffs:
+        if pos == 0:
+            continue
+        blk[pos] = val
+    buf = encode_jpeg_gray([blk], width=8, height=8)
+    decoded = decode_jpeg_gray(buf)
+    assert decoded is not None
+    w, h, got = decoded
+    assert (w, h) == (8, 8)
+
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    want = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        c[u] * c[v] * blk[v * 8 + u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            val = int(round(s / 4 + 128))
+            want.append(0 if val < 0 else (255 if val > 255 else val))
+    assert got == want
