@@ -740,3 +740,68 @@ def sq8_topk(
     )
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    per_cluster: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced sampling for training-data curation: train
+    the k-means quantizer, assign every vector to its cluster (map-only
+    against the broadcast-literal centroid matrix — the ivf_topk
+    assignment shape), then keep the ``per_cluster`` LOWEST-md5-keyed
+    vectors per cluster — a deterministic bottom-k reservoir (the
+    fixed_size_sample stability property), so a topic that dominates
+    the corpus cannot dominate the sample. Returns (id, cent_id,
+    samp_rank) for kept vectors. Fully replayable: training, rounded-
+    cosine argmax assignment, and the md5 rank all land in the SQL
+    oracle. At 100 TB: one bounded k-row collect (the trained
+    centroids), map-only assignment, one |clusters|-keyed window."""
+    cents = sorted(
+        (
+            (r["cent_id"], r["cvec"])
+            for r in kmeans_quantizer(
+                corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+            ).collect()
+        ),
+        key=lambda r: r[0],
+    )
+    cmat = F.expr(
+        "array(" + ", ".join(
+            "named_struct('cid', {id}L, 'cvec', array({vs}))".format(
+                id=int(c[0]),
+                vs=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c[1]),
+            )
+            for c in cents
+        ) + ")"
+    )
+    cv = F.col(vec_col).cast("array<double>")
+    nearest = F.array_sort(
+        F.transform(
+            cmat,
+            lambda c: F.struct(
+                F.round(cosine(cv, c["cvec"]), 6).alias("cos"),
+                (-c["cid"]).alias("negid"),
+            ),
+        )
+    )
+    assigned = fan_out(corpus).select(
+        F.col(id_col),
+        (-F.element_at(nearest, len(cents))["negid"]).alias("cent_id"),
+    )
+    w = Window.partitionBy("cent_id").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= per_cluster)
+        .select(
+            id_col,
+            F.col("cent_id").cast("bigint").alias("cent_id"),
+            F.col("samp_rank").cast("int").alias("samp_rank"),
+        )
+    )

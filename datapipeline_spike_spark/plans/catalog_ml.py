@@ -1106,3 +1106,53 @@ def q_sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("int").alias("n_hits"),
         F.round(F.count("hit") / 5.0, R).alias("recall"),
     )
+
+
+def _sql_cluster_balanced_sample() -> str:
+    """kmeans chain -> argmax assignment -> per-cluster bottom-8 md5
+    reservoir."""
+    ctes, cfin = _sql_kmeans_ctes(k=16, iters=2, scale=1 << 20)
+    return ctes + f"""
+    , asg AS (
+      SELECT vid, cent_id FROM (
+        SELECT e.vid, c.cent_id,
+               row_number() OVER (PARTITION BY e.vid
+                   ORDER BY round(list_cosine_similarity(e.v, c.cvec), {R}) DESC,
+                            c.cent_id) AS rnk
+        FROM e CROSS JOIN {cfin} c
+      ) WHERE rnk = 1
+    )
+    SELECT vid AS vec_id,
+           CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(samp_rank AS INT) AS samp_rank
+    FROM (
+      SELECT vid, cent_id,
+             row_number() OVER (PARTITION BY cent_id
+                 ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS samp_rank
+      FROM asg
+    ) WHERE samp_rank <= 8
+    """
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_sql_cluster_balanced_sample(),
+    doc="""Diversity-balanced sampling (r7 — the topic-balancing step
+    of training-data curation): k-means clusters the embedding space
+    (the oracle replays Lloyd's training itself), every vector assigns
+    to its cluster map-only against the broadcast-literal trained
+    centroids, and each cluster contributes its 8 LOWEST-md5-keyed
+    vectors — a deterministic bottom-k reservoir, so reruns and
+    backfills reproduce the identical sample and a dominant topic
+    cannot crowd out the tail. Shape: one bounded k-row centroid
+    collect, map-only assignment, one |clusters|-keyed window. The
+    standard embedding-space curation move (cluster-then-budget) with
+    every stage hash-checked.""",
+    tags=("ml", "embedding", "sampling", "kmeans"),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        load(spark, sf_dir, "embeddings"), k=16, iters=2, per_cluster=8
+    )

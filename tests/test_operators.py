@@ -801,3 +801,34 @@ def test_sq8_topk_ranks_duplicates_first_and_codes_bounded(spark):
     ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
     assert ranked[0] == 1 and ranked[-1] == 3
     assert [r["d2"] for r in sorted(top, key=lambda r: r["rank"])][0] == 0
+
+
+def test_cluster_balanced_sample_budgets_and_determinism(spark):
+    """Every cluster contributes at most per_cluster vectors, sampled
+    ids are stable across invocations, and a planted dominant cluster
+    cannot exceed its budget."""
+    from datapipeline_spike_spark.operators.similarity import cluster_balanced_sample
+
+    import math
+
+    # 40 vectors near axis 0 (dominant topic), 6 near axis 1 (tail)
+    rows = []
+    for i in range(40):
+        v = [1.0] + [0.001 * (i % 7)] * 7
+        rows.append((i, v))
+    for i in range(6):
+        v = [0.001 * (i % 5)] + [1.0] + [0.0] * 6
+        rows.append((100 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(emb, k=2, iters=2, per_cluster=4).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cent_id"], []).append(r["vec_id"])
+    assert all(len(v) <= 4 for v in by_cluster.values())
+    # the dominant topic is capped at 4 despite 40 members
+    assert sum(len(v) for v in by_cluster.values()) <= 8
+    again = sorted(
+        (r["vec_id"], r["cent_id"], r["samp_rank"])
+        for r in cluster_balanced_sample(emb, k=2, iters=2, per_cluster=4).collect()
+    )
+    assert again == sorted((r["vec_id"], r["cent_id"], r["samp_rank"]) for r in out)
