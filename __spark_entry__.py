@@ -5,6 +5,17 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash). The actual catalog lives in
 ``datapipeline_spike_spark/plans/catalog.py``; this module just adapts it.
+
+Contract note on plan-build side effects: ``queries()`` itself is pure
+(returns callables, no Spark work), but INVOKING some callables fires
+bounded Spark jobs before the returned DataFrame executes — eager
+localCheckpoint materializations (bm25 base frame, LSH bucket frame,
+simhash sized-chunk frame), bounded k-row collects (trained
+centroids), and, for ``incremental_dedup_steady_state`` /
+``scd2_steady_state``, pid-isolated temp-dir parquet writes that model
+the STORED index/table those queries exist to exercise. All are
+per-invocation, deterministic, and cleaned or pid-scoped — safe under
+a harness that builds each query fresh or concurrently.
 """
 
 from __future__ import annotations

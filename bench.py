@@ -54,6 +54,10 @@ EXTRAS = [
     "bpe_encoded_corpus_stats",
     "sq8_recall_at_k",
     "video_frame_features",
+    "cluster_balanced_sample",
+    "local_supplier_volume",
+    "returned_item_losses",
+    "priority_shipping_lag",
 ]
 
 HEADLINE = [
