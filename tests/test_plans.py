@@ -340,3 +340,36 @@ def test_decontamination_bench_set_is_broadcast(spark):
     the corpus's positional n-gram explosion."""
     plan = _plan(spark, "decontamination_span_removal")
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    """The linear classifier must plan zero shuffle exchanges and zero
+    Python stages — a pure scan+project decision (COVERAGE r7)."""
+    plan = _plan(spark, "quality_classifier_score")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_returned_items_pushes_returnflag_and_takeordered(spark):
+    """Q10 shape: the returnflag predicate reaches the lineitem scan and
+    the global top-20 is TakeOrderedAndProject, never a full sort."""
+    plan = _plan(spark, "returned_item_losses")
+    assert re.search(r"PushedFilters: \[[^\]]*l_returnflag", plan)
+    assert "TakeOrderedAndProject" in plan
+    assert "rank(" not in plan
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark):
+    """Q5 shape: supplier/nation/region/customer broadcast; the only
+    sort-merge (if any) is fact-fact on orderkey."""
+    plan = _plan(spark, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_ranking_is_integer_and_broadcast(spark):
+    """SQ8: the approximate ranking joins against BROADCAST query codes
+    (bounded), and the integer-distance path plans no Python stage."""
+    plan = _plan(spark, "sq8_recall_at_k")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
