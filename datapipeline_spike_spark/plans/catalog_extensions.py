@@ -3455,3 +3455,52 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(load(spark, sf_dir, "documents"))
     )
     return decode_video_frame_features(media)
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=_sql_bpe_chain(3) + f"""
+    , dtoks AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKS}) AS w FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(v.s)) AS BIGINT) AS n_units,
+           round(sum(len(v.s)) * 1.0 / count(*), 6) AS fertility,
+           round(sum(length(dtoks.w)) * 1.0 / sum(len(v.s)), 6)
+             AS chars_per_unit
+    FROM dtoks JOIN s3 v ON dtoks.w = v.w
+    GROUP BY 1
+    """,
+    doc="""Tokenizer FERTILITY by language (r7 — the standard
+    multilingual-tokenizer health metric: subword units emitted per
+    word; a language with outsized fertility is under-served by the
+    vocabulary and pays more sequence length per sentence): the same
+    trained-vocabulary encode join as bpe_encoded_corpus_stats,
+    aggregated at language grain. |languages| output rows; shuffles
+    stay vocabulary- and language-bounded. The oracle replays training
+    + application + the grain change in the shared CTE chain.""",
+    tags=("text", "tokenizer", "bpe", "multilingual"),
+)
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.bpe import bpe_vocabulary
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    vocab_units = bpe_vocabulary(docs, "text", 3).select(
+        "w", F.size("s").alias("units_w"), F.length("w").alias("chars_w")
+    )
+    dtoks = docs.select("doc_id", "lang", F.explode(Tx.tokens("text")).alias("w"))
+    return (
+        dtoks.join(vocab_units, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("units_w").cast("bigint").alias("n_units"),
+            F.round(F.sum("units_w") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("chars_w") * F.lit(1.0) / F.sum("units_w"), 6).alias(
+                "chars_per_unit"
+            ),
+        )
+    )

@@ -471,3 +471,50 @@ def test_jpeg_entropy_roundtrip_matches_direct_idct(ac_coeffs, dc):
             val = int(round(s / 4 + 128))
             want.append(0 if val < 0 else (255 if val > 255 else val))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 3000)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 3000)),
+        min_size=1, max_size=25,
+    ),
+    st.sampled_from([None, 3600, 86_400]),
+)
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_overlap_join_matches_reference(spark, lefts, rights, width):
+    """Property: for ANY interval sets and ANY bucket width (fixed or
+    auto), the join equals the brute-force overlap reference — the
+    bucket decomposition is execution shape only."""
+    import itertools
+    from datetime import datetime, timedelta
+
+    from datapipeline_spike_spark.operators.joins import interval_overlap_join
+
+    t0 = datetime(2024, 1, 1)
+    L = [
+        (f"l{i}", t0 + timedelta(minutes=s), t0 + timedelta(minutes=s + d))
+        for i, (s, d) in enumerate(lefts)
+    ]
+    R_ = [
+        (f"r{i}", t0 + timedelta(minutes=s), t0 + timedelta(minutes=s + d))
+        for i, (s, d) in enumerate(rights)
+    ]
+    ldf = spark.createDataFrame(L, "lid string, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(R_, "rid string, rs timestamp, re timestamp")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, ("ls", "le"), ("rs", "re"), bucket_seconds=width
+        ).collect()
+    )
+    want = sorted(
+        (ln, rn)
+        for (ln, l1, l2), (rn, r1, r2) in itertools.product(L, R_)
+        if l1 <= r2 and r1 <= l2
+    )
+    assert got == want

@@ -48,6 +48,7 @@ BNLJ_OK = {
     "bm25_ranked_retrieval": "broadcast 1-row (N, avgdl) corpus stats kept in-plan (no plan-build collect)",
     "bpe_merge_training": "broadcast 1-row winning pair per merge round kept in-plan (no plan-build collect)",
     "bpe_encoded_corpus_stats": "same broadcast 1-row winning-pair crosses (shared training chain) feeding the encode join",
+    "bpe_fertility_by_lang": "same broadcast 1-row winning-pair crosses (shared training chain), language-grain encode join",
     "bloom_filter_profile": "broadcast 1-row ref/bit-count digests crossed into the 1-row profile",
     "maintenance_window_overlap": "broadcast 1-row p95 bucket-width aggregate crossed into both join sides (auto-width interval join, no plan-build collect)",
 }
