@@ -43,6 +43,7 @@ _R7_CHANGED = (
     "priority_shipping_lag",        # NEW r7: TPC-H Q12 shape
     "cluster_balanced_sample",      # NEW r7: diversity-balanced sampling
     "bpe_fertility_by_lang",        # NEW r7: tokenizer fertility by language
+    "fuzzy_contamination",          # NEW r7: MinHash-band cross-corpus decontamination
 )
 # --- r7 head, slot 2: the r6-documented queue (r4-green relational
 # queries rotated out of the r6 sample — the rotation contract says
@@ -75,7 +76,6 @@ _R7_HEAD_QUEUED = (
 _R7_ROWS_ONLY_REFRESH = ("dominant_frequency", "pca_reduce")
 # --- r7 head, slot 4: oldest (r5-green) fill to exactly 50 ---
 _R7_OLDEST_FILL = (
-    "spectral_energy",
     "kmeans_centroids",
     "doc_rolling_hash",
 )
@@ -83,6 +83,7 @@ _R7_OLDEST_FILL = (
 # MUST lead the r8 head (none of these is older than r5-green, and
 # nothing in the registry goes >3 rounds without a driver row).
 _QUEUED_FOR_NEXT_HEAD = (
+    "spectral_energy",
     "tfidf_top_terms",
     "unigram_logprob_score",
     "language_id",

@@ -3504,3 +3504,83 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "fuzzy_contamination",
+    oracle=f"""
+    WITH {_SQL_LSH_CANDS}
+    , fc AS (
+      SELECT c.doc_id AS doc_id, bm.doc_id AS benchmark_id,
+             count(*) AS n_shared_bands
+      FROM bands c JOIN bands bm
+        ON c.band_idx = bm.band_idx AND c.band_val = bm.band_val
+       AND c.doc_id % 7 != 0 AND bm.doc_id % 7 = 0
+      GROUP BY 1, 2
+    )
+    SELECT fc.doc_id, fc.benchmark_id,
+           CAST(fc.n_shared_bands AS BIGINT) AS n_shared_bands,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), {R}) AS jaccard
+    FROM fc
+    JOIN t a ON a.doc_id = fc.doc_id
+    JOIN t b ON b.doc_id = fc.benchmark_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.5
+    """,
+    doc="""FUZZY benchmark contamination (r7 — the near-dup tier of
+    decontamination, next to the exact-5-gram `benchmark_contamination`):
+    exact n-gram matching misses paraphrased or lightly-edited
+    benchmark copies, so the corpus MinHash-bands against the benchmark
+    set (here the deterministic doc_id % 7 == 0 subset standing in for
+    a held-out eval suite) with an ASYMMETRIC band equi-join — corpus
+    side never self-joins, benchmark side is tiny — and band collisions
+    verify with exact shingle Jaccard >= 0.5. One signature pass serves
+    both sides (the banding frame is eagerly materialized once, the
+    lsh_candidate_pairs trade). At 100 TB: benchmark bands are a
+    broadcast-sized build side; corpus-side cost is the one signature
+    scan.""",
+    tags=("dedup", "contamination", "lsh", "text"),
+)
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.dedup import (
+        band_values,
+        minhash_signature,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    bands = band_values(minhash_signature(d)).localCheckpoint(eager=True)
+    corpus_b = bands.filter(F.col("doc_id") % 7 != 0)
+    bench_b = (
+        bands.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("benchmark_id"),
+            F.col("band_idx").alias("bi"),
+            F.col("band_val").alias("bv"),
+        )
+    )
+    cand = (
+        corpus_b.join(
+            F.broadcast(bench_b),
+            (F.col("band_idx") == F.col("bi")) & (F.col("band_val") == F.col("bv")),
+        )
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sh = d.select("doc_id", Tx.shingles("text", k=3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("aid"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("bid"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(a, cand["doc_id"] == F.col("aid"))
+        .join(F.broadcast(b), cand["benchmark_id"] == F.col("bid"))
+        .filter(jac >= 0.5)
+        .select(
+            "doc_id",
+            "benchmark_id",
+            "n_shared_bands",
+            F.round(jac, R).alias("jaccard"),
+        )
+    )

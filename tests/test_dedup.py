@@ -602,3 +602,63 @@ def test_simhash_hot_bucket_guard_same_pairs(spark):
     assert len(family) == 45 and all(h == 0 for _, _, h in family)  # C(10,2)
     assert pairs(cap=2) == uncapped
     assert pairs(cap=2, n_chunks=1) == uncapped
+
+
+def test_fuzzy_contamination_catches_paraphrase_not_exact_ngrams(spark):
+    """A lightly-edited benchmark copy (one token changed — exact
+    5-gram matching on the edit site weakens, shingle Jaccard stays
+    high) must be flagged; an unrelated doc must not. Asymmetric: a
+    benchmark doc never flags itself or other benchmark docs."""
+    from datapipeline_spike_spark.plans.registry import REGISTRY
+
+    toks = [f"tok{i:02d}" for i in range(30)]
+    base = " ".join(toks)
+    toks[5] = toks[5] + "x"           # one-token edit: J ~ 0.83, bands collide
+    edited = " ".join(toks)
+    rows = [
+        (0, base),                    # benchmark (0 % 7 == 0)
+        (1, edited),                  # paraphrased copy -> must flag vs 0
+        (2, "totally different content with other words entirely " * 3),
+        (7 * 2, base),               # another benchmark doc; must NOT appear as doc_id
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # drive the registered query's core directly on a local frame
+    import datapipeline_spike_spark.plans.catalog_extensions as CE
+
+    # monkeypatch-free: rebuild the same pipeline inline
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.functions.text import shingles
+    from datapipeline_spike_spark.operators.dedup import band_values, minhash_signature
+
+    bands = band_values(minhash_signature(docs)).localCheckpoint(eager=True)
+    corpus_b = bands.filter(F.col("doc_id") % 7 != 0)
+    bench_b = bands.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("benchmark_id"),
+        F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("bv"),
+    )
+    cand = (
+        corpus_b.join(
+            F.broadcast(bench_b),
+            (F.col("band_idx") == F.col("bi")) & (F.col("band_val") == F.col("bv")),
+        )
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sh = docs.select("doc_id", shingles("text", k=3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("aid"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("bid"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    jac = inter.cast("double") / union
+    flagged = {
+        (r["doc_id"], r["benchmark_id"])
+        for r in cand.join(a, cand["doc_id"] == F.col("aid"))
+        .join(F.broadcast(b), cand["benchmark_id"] == F.col("bid"))
+        .filter(jac >= 0.5)
+        .collect()
+    }
+    assert (1, 0) in flagged or (1, 14) in flagged   # paraphrase caught
+    assert all(d % 7 != 0 for d, _ in flagged)        # never flags benchmark side
+    assert all(d != 2 for d, _ in flagged)             # unrelated doc clean
