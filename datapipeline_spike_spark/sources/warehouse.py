@@ -330,3 +330,51 @@ def scd2_upsert(
             rebuilt.select(*hist_cols)
         )
     return commit_version(new_table.select(*hist_cols), table_path)
+
+
+DASHBOARD_VIEWS = {
+    # canned Grafana-style panels over the serving views (reference
+    # README.md:36,188: StarRocks + Grafana dashboarding): each is plain
+    # Spark SQL over `serving_features`, so any JDBC/Thrift client (the
+    # actual Grafana connection path for Spark) can SELECT them.
+    "dash_feature_trend": """
+        SELECT date_trunc('hour', SourceTimestamp) AS hour,
+               event_type,
+               round(avg(value), 6)  AS avg_value,
+               round(max(value), 6)  AS max_value,
+               count(*)              AS n_records
+        FROM serving_features
+        GROUP BY 1, 2
+    """,
+    "dash_latest_status": """
+        SELECT event_type,
+               max(SourceTimestamp) AS last_seen,
+               count(*)             AS n_total
+        FROM serving_features
+        GROUP BY 1
+    """,
+}
+
+
+def create_serving_views(
+    spark: SparkSession, features: DataFrame, prefix: str = ""
+) -> list[str]:
+    """S11 serving layer: register the feature frame as the
+    ``serving_features`` view plus the canned dashboard views over it —
+    the SQL surface a Grafana/JDBC client queries (dashboard rendering
+    itself is out of scope by contract; the QUERIES behind the panels
+    are the engine's job). Views are lazy (no materialization): each
+    dashboard refresh plans against current data, with Catalyst pruning
+    and pushdown applying as for any query. Returns the registered view
+    names."""
+    base = f"{prefix}serving_features"
+    features.createOrReplaceTempView(base)
+    names = [base]
+    for name, sql in DASHBOARD_VIEWS.items():
+        vname = f"{prefix}{name}"
+        spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW {vname} AS "
+            + sql.replace("serving_features", base)
+        )
+        names.append(vname)
+    return names

@@ -888,3 +888,30 @@ def test_mjpeg_video_features_and_malformed_degrade(spark):
     )
     assert r["motion_energy"] == want_motion
     assert r["mean_abs_frame_diff"] == round(want_motion / ((nf - 1) * 128), 6)
+
+
+def test_serving_views_query_like_a_dashboard(spark, sf_dir):
+    """S11: the serving views register and answer panel queries; the
+    trend view matches a direct aggregation of the base frame."""
+    from datapipeline_spike_spark.sources.warehouse import create_serving_views
+
+    feats = (
+        load(spark, sf_dir, "events")
+        .limit(3000)
+        .select(F.col("ts").alias("SourceTimestamp"), "event_type", "value")
+    )
+    names = create_serving_views(spark, feats, prefix="t_")
+    assert set(names) == {"t_serving_features", "t_dash_feature_trend", "t_dash_latest_status"}
+    trend = spark.table("t_dash_feature_trend")
+    direct = feats.groupBy(
+        F.date_trunc("hour", "SourceTimestamp").alias("hour"),
+        "event_type",
+    ).agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    assert trend.exceptAll(direct).count() == 0
+    assert direct.exceptAll(trend).count() == 0
+    status = {r["event_type"]: r for r in spark.table("t_dash_latest_status").collect()}
+    assert sum(r["n_total"] for r in status.values()) == feats.count()
