@@ -44,6 +44,7 @@ _R7_CHANGED = (
     "cluster_balanced_sample",      # NEW r7: diversity-balanced sampling
     "bpe_fertility_by_lang",        # NEW r7: tokenizer fertility by language
     "fuzzy_contamination",          # NEW r7: MinHash-band cross-corpus decontamination
+    "snapshot_delta",               # NEW r7: crawl-snapshot full-outer diff
 )
 # --- r7 head, slot 2: the r6-documented queue (r4-green relational
 # queries rotated out of the r6 sample — the rotation contract says
@@ -76,13 +77,13 @@ _R7_HEAD_QUEUED = (
 _R7_ROWS_ONLY_REFRESH = ("dominant_frequency", "pca_reduce")
 # --- r7 head, slot 4: oldest (r5-green) fill to exactly 50 ---
 _R7_OLDEST_FILL = (
-    "kmeans_centroids",
     "doc_rolling_hash",
 )
 # Remaining r5-green queries outside the 50-slot window this round —
 # MUST lead the r8 head (none of these is older than r5-green, and
 # nothing in the registry goes >3 rounds without a driver row).
 _QUEUED_FOR_NEXT_HEAD = (
+    "kmeans_centroids",
     "spectral_energy",
     "tfidf_top_terms",
     "unigram_logprob_score",

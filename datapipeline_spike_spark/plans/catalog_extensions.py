@@ -3584,3 +3584,56 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, R).alias("jaccard"),
         )
     )
+
+
+@register(
+    "snapshot_delta",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id // 2 AS k,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    b AS (
+      SELECT doc_id // 2 AS k,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT coalesce(a.k, b.k) AS k,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.fp = b.fp  THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+    doc="""Crawl-snapshot delta (r7 — the recurring-ingest diff step:
+    which documents appeared, vanished, or changed between two crawl
+    snapshots): snapshots key on the stable doc key (doc_id div 2;
+    even rows = snapshot A, odd = snapshot B — deterministic synthetic
+    split), FULL OUTER join on the key, and per-key status from the
+    null pattern + normalized-fingerprint equality. This is also the
+    registry's explicit full-outer-join exercise (J2's left-outer
+    sibling). One hash-partitioned join on the key, map-only
+    fingerprinting; at 100 TB snapshot diffs are exactly this shape
+    (keyed by URL) and drive incremental re-processing.""",
+    tags=("join", "outer", "dedup", "snapshot"),
+)
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.text import fingerprint_md5
+
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 2).cast("long").alias("k"),
+        (F.col("doc_id") % 2).alias("side"),
+        fingerprint_md5("text").alias("fp"),
+    )
+    a = d.filter(F.col("side") == 0).select(F.col("k").alias("ak"), F.col("fp").alias("afp"))
+    b = d.filter(F.col("side") == 1).select(F.col("k").alias("bk"), F.col("fp").alias("bfp"))
+    status = (
+        F.when(F.col("ak").isNull(), F.lit("added"))
+        .when(F.col("bk").isNull(), F.lit("removed"))
+        .when(F.col("afp") == F.col("bfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return a.join(b, F.col("ak") == F.col("bk"), "full_outer").select(
+        F.coalesce(F.col("ak"), F.col("bk")).alias("k"), status.alias("status")
+    )
