@@ -58,6 +58,9 @@ EXTRAS = [
     "local_supplier_volume",
     "returned_item_losses",
     "priority_shipping_lag",
+    "bpe_fertility_by_lang",
+    "fuzzy_contamination",
+    "snapshot_delta",
 ]
 
 HEADLINE = [

@@ -134,14 +134,22 @@ def bpe_vocabulary(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 3,
-    lazy_rounds: int = 4,
+    lazy_rounds: int = 0,
 ) -> DataFrame:
     """The trained subword vocabulary after ``n_merges`` merges:
     (w, f, s) where ``s`` is the word's final symbol sequence. This is
     the ENCODE side of the tokenizer: applying BPE to a corpus is a
     word-level lookup into this frame (words segment independently —
     the defining property that makes BPE encoding embarrassingly
-    parallel at 100 TB)."""
+    parallel at 100 TB).
+
+    Default ``lazy_rounds=0`` (unlike :func:`bpe_merges`): the encode
+    consumer references the FINAL vocabulary frame, so the 2^n lazy
+    subtree duplication is paid in full by whoever executes it —
+    measured 6.1 -> ~2 s on the fertility query at sf0.1 by
+    checkpointing each round (2 plan-build jobs, the documented
+    trade); bpe_merges keeps its fully-lazy default because the driver
+    contract values job-free plan build for the training rows."""
     _, cur = _train(docs, text_col, n_merges, lazy_rounds)
     return cur
 
@@ -151,7 +159,7 @@ def bpe_encode_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 3,
-    lazy_rounds: int = 4,
+    lazy_rounds: int = 0,
 ) -> DataFrame:
     """Apply the trained merges to the corpus (train -> ENCODE, the
     full tokenizer loop) and report per-document subword statistics:
