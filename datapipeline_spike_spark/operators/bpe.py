@@ -167,9 +167,11 @@ def bpe_encode_stats(
     explodes to (doc, word) rows ONCE and equi-joins the trained
     vocabulary on the word — the join build side is vocabulary-bounded,
     the probe side linear in corpus tokens; per-doc sums are map-side
-    combined. Every corpus word is in the vocabulary by construction
-    (trained on the same corpus), so the join is lossless — pinned by
-    test."""
+    combined. Words OUTSIDE the trained vocabulary (applying the
+    tokenizer to a NEW batch) take the correct BPE out-of-vocabulary
+    fallback — character segmentation, i.e. |word| units — via a LEFT
+    join + coalesce; for same-corpus application (the registered
+    query) every word joins, so the oracle stays exact."""
     vocab_units = bpe_vocabulary(docs, text_col, n_merges, lazy_rounds).select(
         "w",
         F.size("s").alias("units_w"),
@@ -177,7 +179,9 @@ def bpe_encode_stats(
     )
     dtoks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
     return (
-        dtoks.join(vocab_units, "w")
+        dtoks.join(vocab_units, "w", "left")
+        .withColumn("units_w", F.coalesce(F.col("units_w"), F.length("w")))
+        .withColumn("chars_w", F.coalesce(F.col("chars_w"), F.length("w")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),

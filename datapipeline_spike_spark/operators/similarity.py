@@ -691,15 +691,22 @@ def sq8_codes(
     out_col: str = "code",
 ) -> DataFrame:
     """Linear uint8 codes: code_i = round((x_i - min_i) * 255 /
-    (max_i - min_i)), degenerate dimensions (max == min) encode 0.
-    Map-only after the broadcast of the 1-row grid; the arithmetic
-    text matches the SQL oracle exactly (same op order, double
-    throughout, HALF_UP round on non-negative values)."""
+    (max_i - min_i)) CLAMPED to [0, 255], degenerate dimensions
+    (max == min) encode 0. The clamp only fires for vectors OUTSIDE
+    the grid — e.g. querying an index built on an older corpus
+    snapshot — where unclamped codes would leave uint8 range and
+    distort integer distances; for in-grid vectors (the registered
+    query: queries are corpus rows) it is a no-op, so the SQL oracle
+    stays exact without replaying it. Map-only after the broadcast of
+    the 1-row grid; the arithmetic text matches the SQL oracle exactly
+    (same op order, double throughout, HALF_UP round on non-negative
+    values)."""
     code = F.expr(
         f"transform({vec_col}, (x, i) -> "
         "CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1) THEN 0 "
-        "ELSE CAST(round(((CAST(x AS DOUBLE) - element_at(mins, i + 1)) * 255.0D) "
-        "/ (element_at(maxs, i + 1) - element_at(mins, i + 1))) AS INT) END)"
+        "ELSE LEAST(255, GREATEST(0, "
+        "CAST(round(((CAST(x AS DOUBLE) - element_at(mins, i + 1)) * 255.0D) "
+        "/ (element_at(maxs, i + 1) - element_at(mins, i + 1))) AS INT))) END)"
     )
     return df.crossJoin(F.broadcast(stats)).select(
         F.col(id_col).alias(out_id), code.alias(out_col)
@@ -770,6 +777,12 @@ def cluster_balanced_sample(
         ),
         key=lambda r: r[0],
     )
+    if not cents:
+        # empty corpus: no clusters to balance — empty result, typed
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], f"`{id_col}` long, cent_id bigint, samp_rank int"
+        )
     cmat = F.expr(
         "array(" + ", ".join(
             "named_struct('cid', {id}L, 'cvec', array({vs}))".format(

@@ -832,3 +832,72 @@ def test_cluster_balanced_sample_budgets_and_determinism(spark):
         for r in cluster_balanced_sample(emb, k=2, iters=2, per_cluster=4).collect()
     )
     assert again == sorted((r["vec_id"], r["cent_id"], r["samp_rank"]) for r in out)
+
+
+def test_bpe_encode_oov_falls_back_to_characters(spark):
+    """Applying a trained tokenizer to a NEW batch: unseen words take
+    the character-segmentation fallback (|word| units), seen words use
+    their trained segmentation."""
+    from datapipeline_spike_spark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_vocabulary,
+    )
+    from datapipeline_spike_spark.functions.text import tokens as _  # noqa: F401
+
+    train = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "low low")], "doc_id long, text string"
+    )
+    # encode a batch that contains an OOV word: build the stats frame
+    # by hand from the trained vocabulary (the operator path trains on
+    # the SAME frame it encodes; cross-batch application composes
+    # bpe_vocabulary(train) with a new batch's tokens — replicate that)
+    from pyspark.sql import functions as F
+
+    vocab = bpe_vocabulary(train, n_merges=3).select(
+        "w", F.size("s").alias("units_w"), F.length("w").alias("chars_w")
+    )
+    new_batch = spark.createDataFrame(
+        [(9, "low zebra")], "doc_id long, text string"
+    )
+    dtoks = new_batch.select(
+        "doc_id", F.explode(F.array_remove(F.split(F.lower("text"), r"[^a-z0-9']+"), "")).alias("w")
+    )
+    out = (
+        dtoks.join(vocab, "w", "left")
+        .withColumn("units_w", F.coalesce(F.col("units_w"), F.length("w")))
+        .groupBy("doc_id")
+        .agg(F.sum("units_w").alias("n_units"), F.count(F.lit(1)).alias("n_words"))
+        .collect()[0]
+    )
+    # 'low' -> 1 unit after 3 merges; 'zebra' OOV -> 5 character units
+    assert out["n_words"] == 2 and out["n_units"] == 1 + 5
+
+    # and the operator itself (same-corpus path) is unchanged
+    rows = {r["doc_id"]: r for r in bpe_encode_stats(train, n_merges=3).collect()}
+    assert rows[1]["n_units"] == 2  # 'low' + 'low' -> 1 unit each
+
+
+def test_sq8_out_of_grid_query_codes_clamp(spark):
+    """A query vector outside the corpus grid (stale-index case) clamps
+    to [0, 255] instead of leaving uint8 range and corrupting integer
+    distances."""
+    from datapipeline_spike_spark.operators.similarity import sq8_codes, sq8_stats
+
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "vec_id long, embedding array<float>"
+    )
+    stats = sq8_stats(corpus, dim=2)
+    outside = spark.createDataFrame(
+        [(9, [-5.0, 25.0])], "vec_id long, embedding array<float>"
+    )
+    code = sq8_codes(outside, stats).collect()[0]["code"]
+    assert code == [0, 255]
+
+
+def test_cluster_balanced_sample_empty_corpus(spark):
+    from datapipeline_spike_spark.operators.similarity import cluster_balanced_sample
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(empty, k=4, iters=1)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cent_id", "samp_rank"]
