@@ -965,6 +965,10 @@ def encode_jpeg_gray(blocks, width: int, height: int, qtable=None) -> bytes:
         diff = zz[0] - pred
         pred = zz[0]
         s = abs(diff).bit_length()
+        if s > 11:
+            raise ValueError(
+                f"DC difference {diff} exceeds baseline Huffman category 11"
+            )
         code, ln = dc_codes[s]
         w.write(code, ln)
         if s:
@@ -986,6 +990,10 @@ def encode_jpeg_gray(blocks, width: int, height: int, qtable=None) -> bytes:
                 w.write(code, ln)
                 run -= 16
             s = abs(zz[k]).bit_length()
+            if s > 10:
+                raise ValueError(
+                    f"AC coefficient {zz[k]} exceeds baseline Huffman category 10"
+                )
             code, ln = ac_codes[(run << 4) | s]
             w.write(code, ln)
             w.write(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)

@@ -428,7 +428,17 @@ def quality_gated_stream(
 
     renamed = records
     if text_col != "text":
+        if "text" in records.columns:
+            raise ValueError(
+                "records already has a 'text' column; renaming "
+                f"{text_col!r} onto it would be ambiguous"
+            )
         renamed = renamed.withColumnRenamed(text_col, "text")
     if id_col != "doc_id":
+        if "doc_id" in records.columns:
+            raise ValueError(
+                "records already has a 'doc_id' column; renaming "
+                f"{id_col!r} onto it would be ambiguous"
+            )
         renamed = renamed.withColumnRenamed(id_col, "doc_id")
     return quality_classifier_score(renamed)
