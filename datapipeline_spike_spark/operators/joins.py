@@ -114,10 +114,12 @@ def interval_overlap_join(
        a distinct shuffle over the candidate volume.
 
     ``bucket_seconds=None`` (r7) derives the width IN-PLAN from the
-    data: the ``auto_percentile`` (default p95) of interval lengths
-    across BOTH inputs, clamped to >= 1 s — one 1-row aggregate
-    broadcast to each side (the corpus_mixture_plan pattern, no
-    collect at build). The p95 choice bounds the bucket fan-out: at
+    data: the approximate ``auto_percentile`` (default p95, quantile
+    sketch — bounded memory at any scale, unlike the exact percentile
+    aggregate which buffers every value) of interval lengths across
+    BOTH inputs, clamped to >= 1 s — one 1-row aggregate broadcast to
+    each side (the corpus_mixture_plan pattern, no collect at
+    build). The p95 choice bounds the bucket fan-out: at
     most ~5% of intervals are longer than one bucket, and an interval
     spanning B buckets costs exactly B candidate rows (pathological
     long intervals stay correct — the explode is per-interval linear,
@@ -170,10 +172,21 @@ def interval_overlap_join(
                 (F.unix_micros(F.col(re_)) - F.unix_micros(F.col(rs))).alias("_len_us")
             )
         )
+        # approx_percentile, NOT exact percentile: the exact aggregate
+        # buffers every length in the final reducer — an OOM at
+        # billions of intervals — while the quantile sketch is
+        # bounded-memory and mergeable. Safe because results are
+        # WIDTH-INDEPENDENT by construction (bucketing only generates
+        # candidates; the exact predicate decides — property-tested),
+        # so sketch error only nudges the candidate fan-out.
         stats = lengths.agg(
             F.greatest(
                 F.lit(1_000_000),
-                F.ceil(F.percentile("_len_us", F.lit(auto_percentile))).cast("long"),
+                F.ceil(
+                    F.percentile_approx(
+                        "_len_us", F.lit(auto_percentile), F.lit(10_000)
+                    )
+                ).cast("long"),
             ).alias(bw_l)
         )
         ljoin = left.crossJoin(F.broadcast(stats))
