@@ -805,12 +805,26 @@ def cluster_balanced_sample(
     assigned = fan_out(corpus).select(
         F.col(id_col),
         (-F.element_at(nearest, len(cents))["negid"]).alias("cent_id"),
+        F.md5(F.col(id_col).cast("string")).alias("_sk"),
     )
-    w = Window.partitionBy("cent_id").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    # Two-phase bottom-k: a single window over cent_id would funnel the
+    # WHOLE corpus through k reducers (k=16 partitions for billions of
+    # rows — the 1000x bottleneck). Phase 1 ranks within (cluster,
+    # salt) — k * n_salts well-sized partitions — and keeps each
+    # salt's bottom per_cluster; phase 2 ranks the k * n_salts *
+    # per_cluster survivors (tiny) for the true per-cluster bottom-k.
+    # bottom-k of per-salt bottom-ks == global bottom-k, exactly.
+    n_salts = 32
+    w1 = Window.partitionBy(
+        "cent_id", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
+    ).orderBy("_sk", id_col)
+    pre = (
+        assigned.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= per_cluster)
     )
+    w2 = Window.partitionBy("cent_id").orderBy("_sk", id_col)
     return (
-        assigned.withColumn("samp_rank", F.row_number().over(w))
+        pre.withColumn("samp_rank", F.row_number().over(w2))
         .filter(F.col("samp_rank") <= per_cluster)
         .select(
             id_col,
