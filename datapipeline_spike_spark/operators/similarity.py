@@ -749,25 +749,26 @@ def sq8_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def cluster_balanced_sample(
+def kmeans_assign(
     corpus: DataFrame,
     k: int = 16,
     iters: int = 2,
-    per_cluster: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Diversity-balanced sampling for training-data curation: train
-    the k-means quantizer, assign every vector to its cluster (map-only
-    against the broadcast-literal centroid matrix — the ivf_topk
-    assignment shape), then keep the ``per_cluster`` LOWEST-md5-keyed
-    vectors per cluster — a deterministic bottom-k reservoir (the
-    fixed_size_sample stability property), so a topic that dominates
-    the corpus cannot dominate the sample. Returns (id, cent_id,
-    samp_rank) for kept vectors. Fully replayable: training, rounded-
-    cosine argmax assignment, and the md5 rank all land in the SQL
-    oracle. At 100 TB: one bounded k-row collect (the trained
-    centroids), map-only assignment, one |clusters|-keyed window."""
+    keep_vec: bool = False,
+) -> DataFrame | None:
+    """Train the k-means quantizer and assign every corpus vector to its
+    nearest trained centroid — the shared front half of
+    :func:`cluster_balanced_sample` and :func:`semdedup`. Returns
+    (id_col, cent_id[, _v]) or ``None`` on an empty corpus (callers
+    decide their typed-empty shape).
+
+    Scale shape: ONE bounded k-row collect (the trained centroids),
+    then a map-only argmax against the broadcast-literal centroid
+    matrix — the centroid array is rendered as a single JVM-parsed
+    ``F.expr`` string, not 16x64 py4j ``F.lit`` calls (the r6
+    plan-build fix), and assignment uses the rounded-cosine +
+    lowest-cent-id tiebreak that both engines replay exactly."""
     cents = sorted(
         (
             (r["cent_id"], r["cvec"])
@@ -778,11 +779,7 @@ def cluster_balanced_sample(
         key=lambda r: r[0],
     )
     if not cents:
-        # empty corpus: no clusters to balance — empty result, typed
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], f"`{id_col}` long, cent_id bigint, samp_rank int"
-        )
+        return None
     cmat = F.expr(
         "array(" + ", ".join(
             "named_struct('cid', {id}L, 'cvec', array({vs}))".format(
@@ -802,9 +799,105 @@ def cluster_balanced_sample(
             ),
         )
     )
-    assigned = fan_out(corpus).select(
+    cols = [
         F.col(id_col),
         (-F.element_at(nearest, len(cents))["negid"]).alias("cent_id"),
+    ]
+    if keep_vec:
+        cols.append(cv.alias("_v"))
+    return fan_out(corpus).select(*cols)
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the deterministic
+    k-means quantizer, then WITHIN each cluster mark a vector as a
+    semantic duplicate when its cosine to any LOWER-id cluster-mate
+    reaches ``threshold``; the lowest-id member of each near-dup
+    neighborhood survives. Returns (id, cent_id, dup_of, kept) for
+    EVERY corpus vector — ``dup_of`` is the lowest qualifying lower id
+    (NULL when kept).
+
+    The id-ordered rule is the deterministic, order-independent variant
+    of the paper's greedy sweep (their keep-one-per-neighborhood is
+    iteration-order-dependent; an EXISTS-lower-similar-id predicate is
+    pure relational algebra, so reruns and the SQL oracle reproduce the
+    identical keep set). Like the paper, similarity is only ever
+    computed WITHIN a cluster: the quadratic term is (n/k)^2 * k, and k
+    is the scale lever — at 100 TB you raise k so clusters stay ~1e5
+    vectors (the paper uses k=50k on LAION). The within-cluster pair
+    generation is a shuffle equi-join on cent_id (never an in-row
+    collect_list blowup — the lsh hot-bucket lesson), so one oversized
+    cluster degrades to AQE skew-join splitting, not an executor OOM."""
+    asg = kmeans_assign(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    if asg is None:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], f"`{id_col}` long, cent_id bigint, dup_of bigint, kept boolean"
+        )
+    a = asg.select(
+        F.col(id_col).alias("_ida"), "cent_id", F.col("_v").alias("_va")
+    )
+    b = asg.select(
+        F.col(id_col).alias("_idb"), "cent_id", F.col("_v").alias("_vb")
+    )
+    dup = (
+        a.join(b, "cent_id")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .groupBy("_ida")
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    return (
+        asg.join(dup, F.col(id_col) == F.col("_ida"), "left")
+        .select(
+            id_col,
+            F.col("cent_id").cast("bigint").alias("cent_id"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    per_cluster: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced sampling for training-data curation: train
+    the k-means quantizer, assign every vector to its cluster (map-only
+    against the broadcast-literal centroid matrix — the ivf_topk
+    assignment shape), then keep the ``per_cluster`` LOWEST-md5-keyed
+    vectors per cluster — a deterministic bottom-k reservoir (the
+    fixed_size_sample stability property), so a topic that dominates
+    the corpus cannot dominate the sample. Returns (id, cent_id,
+    samp_rank) for kept vectors. Fully replayable: training, rounded-
+    cosine argmax assignment, and the md5 rank all land in the SQL
+    oracle. At 100 TB: one bounded k-row collect (the trained
+    centroids), map-only assignment, one |clusters|-keyed window."""
+    asg = kmeans_assign(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    if asg is None:
+        # empty corpus: no clusters to balance — empty result, typed
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], f"`{id_col}` long, cent_id bigint, samp_rank int"
+        )
+    assigned = asg.select(
+        F.col(id_col),
+        "cent_id",
         F.md5(F.col(id_col).cast("string")).alias("_sk"),
     )
     # Two-phase bottom-k: a single window over cent_id would funnel the

@@ -45,6 +45,7 @@ _R7_CHANGED = (
     "bpe_fertility_by_lang",        # NEW r7: tokenizer fertility by language
     "fuzzy_contamination",          # NEW r7: MinHash-band cross-corpus decontamination
     "snapshot_delta",               # NEW r7: crawl-snapshot full-outer diff
+    "semdedup_assignment",          # NEW r7: SemDeDup embedding-cluster dedup
 )
 # --- r7 head, slot 2: the r6-documented queue (r4-green relational
 # queries rotated out of the r6 sample — the rotation contract says
@@ -76,13 +77,16 @@ _R7_HEAD_QUEUED = (
 # row r5) get their periodic rows-only refresh ---
 _R7_ROWS_ONLY_REFRESH = ("dominant_frequency", "pca_reduce")
 # --- r7 head, slot 4: oldest (r5-green) fill to exactly 50 ---
-_R7_OLDEST_FILL = (
-    "doc_rolling_hash",
-)
+# (emptied late-r7: the fill slot went to the new semdedup_assignment —
+# new code MUST be driver-hashed the round it lands; doc_rolling_hash is
+# r5-green and moves to the front of the r8 queue, still within the
+# nothing->3-rounds-unverified contract: gap rounds r6+r7, row in r8.)
+_R7_OLDEST_FILL = ()
 # Remaining r5-green queries outside the 50-slot window this round —
 # MUST lead the r8 head (none of these is older than r5-green, and
 # nothing in the registry goes >3 rounds without a driver row).
 _QUEUED_FOR_NEXT_HEAD = (
+    "doc_rolling_hash",
     "kmeans_centroids",
     "spectral_energy",
     "tfidf_top_terms",

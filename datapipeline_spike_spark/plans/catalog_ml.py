@@ -1156,3 +1156,66 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(
         load(spark, sf_dir, "embeddings"), k=16, iters=2, per_cluster=8
     )
+
+
+_SEMDEDUP_THRESHOLD = 0.35  # same rationale as NEARDUP_THRESHOLD: the
+# synthetic corpus plants no true semantic dups (within-cluster max
+# cosine ~0.51 at sf0.01); 0.35 keeps the tail so the keep/drop split is
+# non-trivial in BOTH engines. Planted-dup removal is proven in tests.
+
+
+def _sql_semdedup() -> str:
+    """kmeans chain -> argmax assignment -> within-cluster lower-id
+    near-dup sweep (the semdedup operator, replayed end-to-end)."""
+    ctes, cfin = _sql_kmeans_ctes(k=16, iters=2, scale=1 << 20)
+    return ctes + f"""
+    , asg AS (
+      SELECT vid, v, cent_id FROM (
+        SELECT e.vid, e.v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vid
+                   ORDER BY round(list_cosine_similarity(e.v, c.cvec), {R}) DESC,
+                            c.cent_id) AS rnk
+        FROM e CROSS JOIN {cfin} c
+      ) WHERE rnk = 1
+    ), dup AS (
+      SELECT a.vid AS ida, min(b.vid) AS dup_of
+      FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND b.vid < a.vid
+      WHERE round(list_cosine_similarity(a.v, b.v), {R}) >= {_SEMDEDUP_THRESHOLD}
+      GROUP BY 1
+    )
+    SELECT asg.vid AS vec_id,
+           CAST(asg.cent_id AS BIGINT) AS cent_id,
+           CAST(dup.dup_of AS BIGINT) AS dup_of,
+           dup.dup_of IS NULL AS kept
+    FROM asg LEFT JOIN dup ON asg.vid = dup.ida
+    """
+
+
+@register(
+    "semdedup_assignment",
+    oracle=_sql_semdedup(),
+    doc="""SemDeDup semantic dedup (r7 — Abbas et al. 2023, the
+    embedding-space dedup stage LLM pipelines run AFTER textual dedup:
+    paraphrases and re-renderings share no n-grams but sit together in
+    embedding space): k-means clusters the corpus (the oracle replays
+    Lloyd's training itself), and within each cluster a vector is
+    dropped when its 6dp-rounded cosine to any LOWER-id cluster-mate
+    reaches 0.35 — the deterministic, rerun-stable variant of the
+    paper's greedy keep-one-per-neighborhood. Output carries every
+    vector with (cluster, dup_of, kept), so the downstream filter is
+    one predicate. Scale: similarity only ever computed within a
+    cluster — the quadratic term is (n/k)^2 * k with k the published
+    scale lever (the paper runs k=50k on LAION); pair generation is a
+    cent_id shuffle equi-join (AQE-splittable), never an in-row pair
+    array.""",
+    tags=("ml", "embedding", "dedup", "kmeans", "semdedup"),
+)
+def q_semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import semdedup
+
+    return semdedup(
+        load(spark, sf_dir, "embeddings"),
+        k=16,
+        iters=2,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )

@@ -189,3 +189,33 @@ def test_dft_bin_magnitudes_planted_tone(spark):
     assert abs(mags[k - 1] - n * amp / 2) < 1e-6
     assert len(rows[2]) == 4  # N=10 -> bins 1..4 (< Nyquist bin 5)
     assert rows[3] is None  # N=2: no sub-Nyquist non-DC bin exists
+
+
+def test_semdedup_drops_planted_semantic_dups(vectors):
+    from datapipeline_spike_spark.operators.similarity import semdedup
+
+    out = semdedup(vectors, k=8, iters=2, threshold=0.99)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    # every corpus vector gets a verdict row
+    assert len(rows) == 42
+    # planted copies: an identical (40<-0) and a near-identical (41<-1)
+    # vector land in the lower-id twin's cluster and are dropped with
+    # the twin recorded as dup_of; the twin itself survives
+    assert not rows[40]["kept"] and rows[40]["dup_of"] == 0
+    assert not rows[41]["kept"] and rows[41]["dup_of"] == 1
+    assert rows[0]["kept"] and rows[0]["dup_of"] is None
+    assert rows[1]["kept"] and rows[1]["dup_of"] is None
+    # at threshold 0.99 the 40 random base vectors are all kept
+    assert sum(1 for r in rows.values() if r["kept"]) == 40
+    # dup pairs share a cluster (the within-cluster sweep found them)
+    assert rows[40]["cent_id"] == rows[0]["cent_id"]
+    assert rows[41]["cent_id"] == rows[1]["cent_id"]
+
+
+def test_semdedup_empty_corpus_is_typed_empty(spark):
+    from datapipeline_spike_spark.operators.similarity import semdedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semdedup(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cent_id", "dup_of", "kept"]
