@@ -3637,3 +3637,114 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("ak") == F.col("bk"), "full_outer").select(
         F.coalesce(F.col("ak"), F.col("bk")).alias("k"), status.alias("status")
     )
+
+
+# --- DSIR importance weights (r7) -------------------------------------------
+
+_DSIR_B = 256  # hashed-feature buckets (the paper hashes n-grams into 10k
+# buckets at web scale; 256 keeps the sf0.01 bucket table readable while the
+# shape — explode -> bucket agg -> broadcast join — is B-independent)
+
+
+def dsir_importance_weights(
+    d: DataFrame, n_buckets: int = _DSIR_B, target_lang: str = "en"
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two bag-of-hashed-
+    unigram models — target (docs matching ``target_lang``) vs raw
+    (everything else) — and score every document with its log importance
+    weight sum(count_b * (ln p_target(b) - ln p_raw(b))), add-one
+    smoothed. High-weight raw docs are the ones importance resampling
+    would keep to match the target distribution.
+
+    Shape: ONE tokenize+explode pass feeds both the bucket statistics
+    (B-bounded aggregate) and the per-doc bucket counts; the per-bucket
+    log-ratio table is B rows — broadcast-joined at any corpus size —
+    and the totals stay in-plan as a 1-row broadcast (the
+    corpus_mixture_plan pattern, no plan-build job). Hashing is the
+    repo-standard md5-first-8-hex word, identical in both engines, so
+    the oracle replays bucketing, smoothing, and the weight exactly
+    (6dp-rounded float enters only at the final per-doc sum)."""
+    ex = d.select(
+        "doc_id",
+        F.coalesce(F.col("lang") == target_lang, F.lit(False)).alias("is_target"),
+        F.explode(Tx.tokens("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    docb = ex.groupBy("doc_id", "bucket", "is_target").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # bucket stats re-aggregate the SAME (doc, bucket) frame so
+    # ReuseExchange serves both branches from one tokenize shuffle
+    bstats = docb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), F.col("n")).otherwise(0)).alias("cr"),
+    )
+    tot = bstats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    bf = float(n_buckets)
+    scored = (
+        docb.join(F.broadcast(bstats), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n",
+            (
+                F.col("n")
+                * (
+                    F.log((F.col("ct") + 1.0) / (F.col("tt") + bf))
+                    - F.log((F.col("cr") + 1.0) / (F.col("tr") + bf))
+                )
+            ).alias("nl"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.round(F.sum("nl"), 6).alias("log_weight"),
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, coalesce(lang = 'en', false) AS is_target,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok FROM documents)
+    ), docb AS (
+      SELECT doc_id, bucket, is_target, count(*) AS n FROM ex GROUP BY 1, 2, 3
+    ), bstats AS (
+      SELECT bucket,
+             sum(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+             sum(CASE WHEN NOT is_target THEN n ELSE 0 END) AS cr
+      FROM docb GROUP BY 1
+    ), tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bstats),
+    scored AS (
+      SELECT doc_id, n,
+             n * (ln((ct + 1.0) / (tt + {_DSIR_B}.0))
+                - ln((cr + 1.0) / (tr + {_DSIR_B}.0))) AS nl
+      FROM docb JOIN bstats USING (bucket) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+           round(sum(nl), 6) AS log_weight
+    FROM scored GROUP BY 1
+    """,
+    doc="""DSIR data selection (r7 — Xie et al. 2023, the
+    importance-resampling selection step an LLM pipeline runs to tilt
+    a raw crawl toward a target domain): hashed-unigram bag models fit
+    on target (lang='en') vs raw in ONE tokenize pass, per-doc log
+    importance weight = sum over hashed buckets of count * smoothed
+    log-probability ratio. The B=256 bucket table broadcast-joins at
+    any corpus size, totals stay in-plan as a 1-row broadcast, and the
+    md5 bucketing + add-one smoothing replay exactly in SQL. At 100 TB
+    the only corpus-sized shuffles are the (doc, bucket) aggregates —
+    map-side combined, output bounded by docs x min(B, doc vocab).""",
+    tags=("text", "dsir", "sampling", "lm"),
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_importance_weights(fan_out(load(spark, sf_dir, "documents")))
