@@ -169,6 +169,7 @@ def lsh_candidate_pairs(
     sig: DataFrame | None = None,
     bucket_cap: int = LSH_BUCKET_CAP,
     n_chunks: int = 32,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate generation WITHOUT a cross join or
     self-join: signature -> (band_idx, band_val) rows -> groupBy band
@@ -190,15 +191,29 @@ def lsh_candidate_pairs(
     guard changes the execution shape, never the result — pair sets
     are identical (planted hot-band test).
 
-    The bucket frame is eagerly materialized (localCheckpoint) because
-    both branches consume it — without that, the signature + banding
-    pipeline would execute once per branch. This fires one plan-build
-    job at query-construction time, the same documented trade as the
-    bm25 base frame and the minhash index path.
+    The bucket frame is materialized once because both branches consume
+    it — without that, the signature + banding pipeline would execute
+    once per branch. With ``materialize=True`` (default) that is an
+    eager localCheckpoint firing one plan-build job at query-
+    construction time (the same documented trade as the bm25 base frame
+    and the minhash index path). Callers that build plans speculatively
+    — registries, explain-only audits — pass ``materialize=False`` to
+    get a lazy ``persist()`` instead: no job until the first action,
+    the cache still serves the second branch once populated (release it
+    with ``spark.catalog.clearCache()`` when done). Streaming inputs
+    are rejected up front: neither variant can run inside a continuous
+    plan — wrap the call in ``foreachBatch`` (see
+    ``streaming.pipeline.ingest_with_dedup``).
 
     ``sig``: precomputed :func:`minhash_signature` frame — pass it when
     the caller also consumes the signatures (e.g. the agreement
     estimator), so shingling + hashing run once, not twice."""
+    if df.isStreaming or (sig is not None and sig.isStreaming):
+        raise ValueError(
+            "lsh_candidate_pairs needs a batch DataFrame (its bucket "
+            "frame materializes mid-plan); for streams, call it on each "
+            "micro-batch inside foreachBatch — see ingest_with_dedup"
+        )
     if sig is None:
         sig = minhash_signature(df, text_col, id_col, n_hashes)
     bands = band_values(sig, id_col, n_hashes, band_rows)
@@ -206,7 +221,9 @@ def lsh_candidate_pairs(
         bands.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .localCheckpoint(eager=True)
+    )
+    buckets = (
+        buckets.localCheckpoint(eager=True) if materialize else buckets.persist()
     )
     ids = F.col("ids")
     pair_structs = F.flatten(
@@ -742,6 +759,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bucket_cap: int = LSH_BUCKET_CAP,
     n_chunks: int = 32,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via chunk banding (the SimHash analogue of
     MinHash banding): the 64-bit signature splits into 4 x 16-bit chunks
@@ -761,9 +779,18 @@ def simhash_neardup_pairs(
     ``n_chunks``, the right side is replicated once per target salt <=
     its own, and the hot key's quadratic pair volume spreads across
     ~n_chunks tasks. Identical output by construction (planted hot-band
-    test). The sized chunk frame is eagerly materialized because up to
-    four subtrees consume it — the self-join's two sides, each in two
-    branches — which previously recomputed simhash64 per side."""
+    test). The sized chunk frame is materialized because up to four
+    subtrees consume it — the self-join's two sides, each in two
+    branches — which previously recomputed simhash64 per side;
+    ``materialize=False`` swaps the eager localCheckpoint for a lazy
+    ``persist()`` (no plan-build job — see :func:`lsh_candidate_pairs`),
+    and streaming inputs are rejected with a pointer to foreachBatch."""
+    if df.isStreaming:
+        raise ValueError(
+            "simhash_neardup_pairs needs a batch DataFrame (its sized "
+            "chunk frame materializes mid-plan); for streams, call it "
+            "per micro-batch inside foreachBatch"
+        )
     if not 0 <= max_hamming <= SIMHASH_CHUNKS - 1:
         # with k chunks, a pair at Hamming k can differ in every chunk
         # and never share a bucket — silently losing qualifying pairs
@@ -791,7 +818,8 @@ def simhash_neardup_pairs(
     ).select(id_col, "simhash_chunks", "c.ci", "c.cv")
     sized = chunks.withColumn(
         "m", F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
-    ).localCheckpoint(eager=True)
+    )
+    sized = sized.localCheckpoint(eager=True) if materialize else sized.persist()
 
     def _ham(lhs: str, rhs: str) -> Column:
         return F.aggregate(

@@ -28,6 +28,20 @@ from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_sq
 from datapipeline_spike_spark.scale import fan_out
 
 
+def _typed_empty(corpus: DataFrame, id_col: str, rest_ddl: str) -> DataFrame:
+    """Empty result typed like the NON-empty path: the id field keeps the
+    corpus's actual id type (string ids must not come back as long just
+    because the corpus was empty), the remaining columns follow
+    ``rest_ddl``."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, corpus.schema[id_col].dataType)]
+        + list(StructType.fromDDL(rest_ddl).fields)
+    )
+    return corpus.sparkSession.createDataFrame([], schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -841,9 +855,8 @@ def semdedup(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, keep_vec=True
     )
     if asg is None:
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], f"`{id_col}` long, cent_id bigint, dup_of bigint, kept boolean"
+        return _typed_empty(
+            corpus, id_col, "cent_id bigint, dup_of bigint, kept boolean"
         )
     a = asg.select(
         F.col(id_col).alias("_ida"), "cent_id", F.col("_v").alias("_va")
@@ -891,10 +904,7 @@ def cluster_balanced_sample(
     asg = kmeans_assign(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     if asg is None:
         # empty corpus: no clusters to balance — empty result, typed
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], f"`{id_col}` long, cent_id bigint, samp_rank int"
-        )
+        return _typed_empty(corpus, id_col, "cent_id bigint, samp_rank int")
     assigned = asg.select(
         F.col(id_col),
         "cent_id",

@@ -3333,42 +3333,57 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(load(spark, sf_dir, "documents"))
 
 
-def quality_classifier_score(d: DataFrame) -> DataFrame:
-    """DataFrame-level core of ``quality_classifier_score`` (split out
-    for the planted-label test and the scale probe)."""
-    toks = d.select("doc_id", Tx.tokens("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
+def quality_classifier_columns(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-preserving classifier inference: ADDS n_tokens / z_micro /
+    quality_score / keep to ``d`` without dropping any input column —
+    the form a gating composition needs (the gate must hand the full
+    record, text included, to the next stage). Zero-token docs get
+    keep=false and a NULL score (there is nothing to rate). Map-only:
+    every added column is a Column expression over one tokenize."""
 
     def term_count(term: str):
         # one-arg lambda from a closure factory: a two-arg lambda would
         # bind the ELEMENT INDEX as the second parameter
-        return F.size(F.filter("toks", lambda t: t == F.lit(term)))
+        return F.size(F.filter("_qc_toks", lambda t: t == F.lit(term)))
 
-    z = F.lit(_QC_BIAS) * F.size("toks")
+    z = F.lit(_QC_BIAS) * F.size("_qc_toks")
     for t, w in _QC_WEIGHTS.items():
         z = z + F.lit(w) * term_count(t)
-    base = toks.select(
-        "doc_id",
-        F.size("toks").cast("int").alias("n_tokens"),
-        z.cast("bigint").alias("z_micro"),
-    )
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        "z_micro",
-        F.round(
-            F.lit(1.0)
-            / (
-                F.lit(1.0)
-                + F.exp(
-                    -(F.col("z_micro").cast("double"))
-                    / (F.lit(1_000_000.0) * F.col("n_tokens"))
-                )
+    return (
+        d.withColumn("_qc_toks", Tx.tokens(text_col))
+        .withColumn("n_tokens", F.size("_qc_toks").cast("int"))
+        .withColumn("z_micro", z.cast("bigint"))
+        .withColumn(
+            "quality_score",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(F.col("z_micro").cast("double"))
+                            / (F.lit(1_000_000.0) * F.col("n_tokens"))
+                        )
+                    ),
+                    6,
+                ),
             ),
-            6,
-        ).alias("quality_score"),
-        (F.col("z_micro") > 0).alias("keep"),
+        )
+        .withColumn(
+            "keep", (F.col("n_tokens") > 0) & (F.col("z_micro") > 0)
+        )
+        .drop("_qc_toks")
+    )
+
+
+def quality_classifier_score(d: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``quality_classifier_score`` (split out
+    for the planted-label test and the scale probe): the narrow scoring
+    projection over :func:`quality_classifier_columns`, zero-token docs
+    excluded (matching the registered oracle)."""
+    return quality_classifier_columns(d).filter(F.col("n_tokens") > 0).select(
+        "doc_id", "n_tokens", "z_micro", "quality_score", "keep"
     )
 
 
@@ -3608,7 +3623,7 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""Crawl-snapshot delta (r7 — the recurring-ingest diff step:
     which documents appeared, vanished, or changed between two crawl
-    snapshots): snapshots key on the stable doc key (doc_id div 2;
+    snapshots): snapshots key on the stable doc key (floor(doc_id/2);
     even rows = snapshot A, odd = snapshot B — deterministic synthetic
     split), FULL OUTER join on the key, and per-key status from the
     null pattern + normalized-fingerprint equality. This is also the
@@ -3622,7 +3637,11 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.functions.text import fingerprint_md5
 
     d = load(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / 2).cast("long").alias("k"),
+        # arithmetic shift right == floor(doc_id / 2) for ALL int64,
+        # matching the oracle's DuckDB `//` (double division + cast
+        # would truncate toward zero for negatives and lose precision
+        # above 2^53)
+        F.shiftright(F.col("doc_id"), 1).alias("k"),
         (F.col("doc_id") % 2).alias("side"),
         fingerprint_md5("text").alias("fp"),
     )

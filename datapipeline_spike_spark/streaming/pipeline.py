@@ -420,25 +420,26 @@ def quality_gated_stream(
     plus a sigmoid score — so it runs natively inside a streaming
     select with no state, no watermark, and no foreachBatch; the
     keep/drop decision is the same int64 sign test batch runs
-    (batch-twin tested). Compose before ``ingest_with_dedup`` to drop
-    low-quality docs before they cost dedup-index work."""
+    (batch-twin tested). It GATES: the result carries the FULL input
+    record schema (text and all) plus one added ``quality_score``
+    column, restricted to the rows the classifier keeps — so composing
+    it directly in front of ``ingest_with_dedup`` drops low-quality
+    docs before they cost dedup-index work while handing the ingest
+    every column it needs. Zero-token docs are dropped (keep is false
+    by definition). ``id_col`` is accepted for signature symmetry with
+    the ingest helpers but the gate itself never touches it."""
     from datapipeline_spike_spark.plans.catalog_extensions import (
-        quality_classifier_score,
+        quality_classifier_columns,
     )
 
-    renamed = records
-    if text_col != "text":
-        if "text" in records.columns:
-            raise ValueError(
-                "records already has a 'text' column; renaming "
-                f"{text_col!r} onto it would be ambiguous"
-            )
-        renamed = renamed.withColumnRenamed(text_col, "text")
-    if id_col != "doc_id":
-        if "doc_id" in records.columns:
-            raise ValueError(
-                "records already has a 'doc_id' column; renaming "
-                f"{id_col!r} onto it would be ambiguous"
-            )
-        renamed = renamed.withColumnRenamed(id_col, "doc_id")
-    return quality_classifier_score(renamed)
+    del id_col  # stateless map-only gate: no key involved
+    if "quality_score" in records.columns:
+        raise ValueError(
+            "records already has a 'quality_score' column; the gate "
+            "would silently overwrite it"
+        )
+    return (
+        quality_classifier_columns(records, text_col=text_col)
+        .filter(F.col("keep"))
+        .drop("n_tokens", "z_micro", "keep")
+    )

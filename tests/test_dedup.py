@@ -662,3 +662,56 @@ def test_fuzzy_contamination_catches_paraphrase_not_exact_ngrams(spark):
     assert (1, 0) in flagged or (1, 14) in flagged   # paraphrase caught
     assert all(d % 7 != 0 for d, _ in flagged)        # never flags benchmark side
     assert all(d != 2 for d, _ in flagged)             # unrelated doc clean
+
+
+def test_lsh_candidate_pairs_rejects_streaming_input(spark, tmp_path):
+    """The bucket frame materializes mid-plan (localCheckpoint/persist)
+    — impossible inside a continuous plan, so the builder must fail
+    fast with a pointer to foreachBatch, not at stream start."""
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ValueError, match="foreachBatch"):
+        lsh_candidate_pairs(stream)
+    from datapipeline_spike_spark.operators.dedup import simhash_neardup_pairs
+
+    with pytest.raises(ValueError, match="foreachBatch"):
+        simhash_neardup_pairs(stream)
+
+
+def test_lsh_candidate_pairs_deferred_materialization_same_pairs(docs):
+    """materialize=False (lazy persist for speculative plan builders)
+    must produce the identical pair set as the eager default."""
+    eager = {
+        (r["doc_id_a"], r["doc_id_b"], r["n_shared_bands"])
+        for r in lsh_candidate_pairs(docs).collect()
+    }
+    lazy = {
+        (r["doc_id_a"], r["doc_id_b"], r["n_shared_bands"])
+        for r in lsh_candidate_pairs(docs, materialize=False).collect()
+    }
+    assert eager == lazy and eager
+    docs.sparkSession.catalog.clearCache()
+
+
+def test_semdedup_empty_corpus_keeps_string_id_type(spark):
+    """Empty-corpus typed-empty results must carry the corpus's ACTUAL
+    id type (string ids came back long before r8)."""
+    from pyspark.sql.types import StringType
+
+    from datapipeline_spike_spark.operators.similarity import (
+        cluster_balanced_sample,
+        semdedup,
+    )
+
+    empty = spark.createDataFrame(
+        [], "url string, embedding array<double>"
+    )
+    sd = semdedup(empty, id_col="url", vec_col="embedding")
+    assert isinstance(sd.schema["url"].dataType, StringType)
+    assert sd.count() == 0
+    cb = cluster_balanced_sample(empty, id_col="url", vec_col="embedding")
+    assert isinstance(cb.schema["url"].dataType, StringType)
+    assert cb.columns == ["url", "cent_id", "samp_rank"]

@@ -1038,8 +1038,10 @@ def test_scd2_stream_restart_and_replay_match_batch_twin(spark, events_dir):
 
 
 def test_quality_gated_stream_matches_batch_twin(spark, tmp_path):
-    """The classifier gate is stateless map-only: streaming micro-batches
-    must produce the exact batch verdicts (z_micro sign test included)."""
+    """The classifier gate is stateless map-only AND actually gates:
+    streaming micro-batches must keep exactly the docs the batch scorer
+    keeps, carry the FULL record schema (text included — downstream
+    dedup needs it) plus quality_score, and drop the rest."""
     from datapipeline_spike_spark.plans.catalog_extensions import (
         quality_classifier_score,
     )
@@ -1048,27 +1050,31 @@ def test_quality_gated_stream_matches_batch_twin(spark, tmp_path):
         run_to_memory,
     )
 
-    docs = spark.createDataFrame(
-        [
-            (0, "the data query join table stream " * 5),
-            (1, "slow batch big small hash " * 5),
-            (2, "the slow data batch neutral words here " * 5),
-            (3, "query query join join the the data " * 3),
-        ],
-        "doc_id long, text string",
-    )
+    rows = [
+        (0, "the data query join table stream " * 5, "web"),
+        (1, "slow batch big small hash " * 5, "web"),
+        (2, "the slow data batch neutral words here " * 5, "books"),
+        (3, "query query join join the the data " * 3, "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     src = str(tmp_path / "docs")
     docs.write.parquet(src)
-    stream = spark.readStream.schema("doc_id long, text string").option(
-        "maxFilesPerTrigger", "1"
-    ).parquet(src)
-    out = run_to_memory(quality_gated_stream(stream), "quality_gate")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    gated = quality_gated_stream(stream)
+    # full record schema + the one added column
+    assert gated.columns == ["doc_id", "text", "source", "quality_score"]
+    run_to_memory(gated, "quality_gate")
     got = {
-        (r["doc_id"], r["z_micro"], r["keep"])
+        (r["doc_id"], r["text"], r["source"], r["quality_score"])
         for r in spark.table("quality_gate").collect()
     }
+    batch = quality_classifier_score(docs)
+    kept = {r["doc_id"]: r["quality_score"] for r in batch.collect() if r["keep"]}
     want = {
-        (r["doc_id"], r["z_micro"], r["keep"])
-        for r in quality_classifier_score(docs).collect()
+        (i, t, s, kept[i]) for (i, t, s) in rows if i in kept
     }
-    assert got == want and len(want) == 4
+    assert got == want
+    # the gate must actually drop something in this fixture
+    assert 0 < len(want) < len(rows)
