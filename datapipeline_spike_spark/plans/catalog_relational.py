@@ -81,7 +81,12 @@ def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast hint on customer: it scales with SF (sf100 ~ 15M
+        # rows) — a forced hint bypasses Spark's size check and OOMs
+        # executors at the 100x target. AQE still broadcasts it while
+        # its runtime size is under the threshold and falls back to
+        # shuffled join when it is not.
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
@@ -494,7 +499,8 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="""TPC-H Q3 shape (shipping priority): selective filters on all
-    three tables pushed to the parquet scans, customer side broadcast,
+    three tables pushed to the parquet scans, customer joined with no
+    forced hint (AQE broadcasts the filtered segment while small),
     revenue aggregation, global top-10 (TakeOrderedAndProject — no full
     sort). Deterministic tie-break on orderkey. The canonical
     'filter-join-agg-topk' plan the optimizer must get right at scale.""",
@@ -507,7 +513,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer is SF-scaling: no forced broadcast (see
+        # revenue_by_segment) — the segment filter keeps it small enough
+        # for AQE to broadcast at runtime when that is actually safe
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
@@ -986,7 +995,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-scaling: no forced broadcast (see
+        # revenue_by_segment); hints stay on the bounded dims only
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -1020,8 +1031,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""TPC-H Q10 shape (returned-item reporting): revenue lost to
     returns per customer, global top-20. The returnflag filter pushes
-    into the lineitem scan; facts sort-merge on orderkey; customer and
-    nation broadcast; the top-20 is TakeOrderedAndProject (per-partition
+    into the lineitem scan; facts sort-merge on orderkey; customer joins
+    hint-free (SF-scaling — AQE decides) while the fixed 25-row nation
+    broadcasts; the top-20 is TakeOrderedAndProject (per-partition
     partial top-k + driver merge — never a full sort or an
     unpartitioned rank window). Dollar-rounded revenue for
     hash-stability, custkey tiebreak for a total order.""",
@@ -1034,7 +1046,9 @@ def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-scaling: no forced broadcast (see
+        # revenue_by_segment); nation keeps its hint (25 rows, fixed)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),

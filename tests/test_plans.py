@@ -373,3 +373,31 @@ def test_sq8_ranking_is_integer_and_broadcast(spark):
     plan = _plan(spark, "sq8_recall_at_k")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_no_forced_broadcast_on_sf_scaling_customer(spark):
+    """customer scales linearly with SF (sf100 ~ 15M rows): a forced
+    broadcast hint bypasses Spark's size check and OOMs executors at
+    the 100x target. Only the fixed-small dims (nation 25 rows, region
+    5, supplier at Q5's filtered grain) may carry hints — the customer
+    join decision belongs to AQE's runtime size estimate. Pin the exact
+    logical hint count per star-join query so a hint on customer cannot
+    sneak back in."""
+    expected = {
+        "revenue_by_segment": 0,
+        "shipping_priority": 0,
+        "local_supplier_volume": 3,  # supplier, nation, region
+        "returned_item_losses": 1,   # nation
+    }
+    for name, n_hints in expected.items():
+        analyzed = (
+            REGISTRY[name]
+            .spark(spark, SF)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert analyzed.count("ResolvedHint") == n_hints, (
+            f"{name}: expected {n_hints} broadcast hints, plan has "
+            f"{analyzed.count('ResolvedHint')}"
+        )
