@@ -52,3 +52,47 @@ def stratified_sample(
     u = hash_u01(key)
     tagged = df.withColumn("sample_u", u).withColumn("kept", u < rate)
     return tagged if keep_all else tagged.filter("kept").drop("sample_u", "kept")
+
+
+def bottom_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    k: int,
+    *,
+    rank_col: str = "rnk",
+    salt_key: Column | str | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-group deterministic bottom-k WITHOUT a per-group global
+    window: a single ``Window.partitionBy(group)`` funnels the whole
+    corpus through |groups| reducers — for a low-cardinality stratum
+    key (language, cluster id) that is the classic 1000x bottleneck.
+    Two-phase instead: phase 1 ranks within (group, salt) — |groups| *
+    ``n_salts`` well-sized partitions — and keeps each salt's bottom k;
+    phase 2 ranks only the |groups| * n_salts * k survivors (tiny) for
+    the true per-group bottom-k. Bottom-k of per-salt bottom-ks equals
+    the global bottom-k exactly, so the result is identical to the
+    naive window row for row (including ``rank_col``).
+
+    ``order_cols`` must be a TOTAL order within each group (append a
+    unique id as tie-break) or ranks are nondeterministic — same
+    contract as the naive window. ``salt_key`` defaults to the last
+    order column (the tie-break id); any column that spreads rows
+    roughly uniformly works, correctness never depends on it."""
+    from pyspark.sql import Window
+
+    if salt_key is None:
+        salt_key = order_cols[-1]
+    salt_key = F.col(salt_key) if isinstance(salt_key, str) else salt_key
+    salt = F.pmod(F.hash(salt_key), F.lit(n_salts))
+    w1 = Window.partitionBy(*group_cols, salt).orderBy(*order_cols)
+    pre = df.withColumn("_bk_r1", F.row_number().over(w1)).filter(
+        F.col("_bk_r1") <= k
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        pre.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("_bk_r1")
+    )

@@ -905,33 +905,22 @@ def cluster_balanced_sample(
     if asg is None:
         # empty corpus: no clusters to balance — empty result, typed
         return _typed_empty(corpus, id_col, "cent_id bigint, samp_rank int")
+    from datapipeline_spike_spark.operators.sampling import bottom_k_per_group
+
     assigned = asg.select(
         F.col(id_col),
         "cent_id",
         F.md5(F.col(id_col).cast("string")).alias("_sk"),
     )
-    # Two-phase bottom-k: a single window over cent_id would funnel the
-    # WHOLE corpus through k reducers (k=16 partitions for billions of
-    # rows — the 1000x bottleneck). Phase 1 ranks within (cluster,
-    # salt) — k * n_salts well-sized partitions — and keeps each
-    # salt's bottom per_cluster; phase 2 ranks the k * n_salts *
-    # per_cluster survivors (tiny) for the true per-cluster bottom-k.
-    # bottom-k of per-salt bottom-ks == global bottom-k, exactly.
-    n_salts = 32
-    w1 = Window.partitionBy(
-        "cent_id", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
-    ).orderBy("_sk", id_col)
-    pre = (
-        assigned.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= per_cluster)
-    )
-    w2 = Window.partitionBy("cent_id").orderBy("_sk", id_col)
-    return (
-        pre.withColumn("samp_rank", F.row_number().over(w2))
-        .filter(F.col("samp_rank") <= per_cluster)
-        .select(
-            id_col,
-            F.col("cent_id").cast("bigint").alias("cent_id"),
-            F.col("samp_rank").cast("int").alias("samp_rank"),
-        )
+    # Salted two-phase bottom-k (shared helper): a single window over
+    # cent_id would funnel the WHOLE corpus through k reducers (k=16
+    # partitions for billions of rows — the 1000x bottleneck); the
+    # helper ranks within (cluster, salt) first and re-ranks only the
+    # k * n_salts * per_cluster survivors — identical result, exactly.
+    return bottom_k_per_group(
+        assigned, ["cent_id"], ["_sk", id_col], per_cluster, rank_col="samp_rank"
+    ).select(
+        id_col,
+        F.col("cent_id").cast("bigint").alias("cent_id"),
+        F.col("samp_rank").cast("int").alias("samp_rank"),
     )

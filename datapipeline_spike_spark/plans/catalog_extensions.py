@@ -1869,27 +1869,29 @@ _RESERVOIR_R = 40  # docs per stratum
     corpus growth in expectation-preserving fashion (a new doc displaces
     at most one member, the classic bottom-k property KMV relies on) and
     identical across reruns/backfills, which RNG reservoir sampling is
-    not. One window over the stratum key; at 100 TB this is the same
-    cost class as any per-key top-k (sort-based window, streams).""",
+    not. Scale shape (r8): NOT one window over the stratum key — lang
+    has a handful of values, so Window.partitionBy(lang) would funnel
+    the whole corpus through |languages| reducers at 100 TB. The salted
+    two-phase bottom-k (operators.sampling.bottom_k_per_group) ranks
+    within (lang, salt) first and re-ranks only the bounded survivors,
+    identical result row for row.""",
     tags=("text", "sampling"),
 )
 def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from datapipeline_spike_spark.operators.sampling import (
+        bottom_k_per_group,
+        hash_u01,
+    )
 
-    from datapipeline_spike_spark.operators.sampling import hash_u01
-
-    d = fan_out(load(spark, sf_dir, "documents"))
-    u = hash_u01("doc_id")
-    w = Window.partitionBy("lang").orderBy(u, "doc_id")
-    return (
-        d.select(
-            "lang",
-            "doc_id",
-            F.round(u, R).alias("sample_u"),
-            F.row_number().over(w).alias("rnk"),
-        )
-        .filter(F.col("rnk") <= _RESERVOIR_R)
-        .select("lang", "doc_id", "sample_u", F.col("rnk").cast("int").alias("rnk"))
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "lang", "doc_id", hash_u01("doc_id").alias("_u")
+    )
+    out = bottom_k_per_group(d, ["lang"], ["_u", "doc_id"], _RESERVOIR_R)
+    return out.select(
+        "lang",
+        "doc_id",
+        F.round("_u", R).alias("sample_u"),
+        F.col("rnk").cast("int").alias("rnk"),
     )
 
 

@@ -901,3 +901,44 @@ def test_cluster_balanced_sample_empty_corpus(spark):
     out = cluster_balanced_sample(empty, k=4, iters=1)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cent_id", "samp_rank"]
+
+
+def test_bottom_k_per_group_matches_naive_window_with_dominant_stratum(spark):
+    """The salted two-phase bottom-k must equal the naive per-group
+    window ROW FOR ROW (ranks included) on a planted skewed corpus where
+    one stratum holds ~90% of the rows — the exact shape where the
+    naive Window.partitionBy(lang) funnels everything through one
+    reducer at scale."""
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.operators.sampling import (
+        bottom_k_per_group,
+        hash_u01,
+    )
+
+    rows = [(i, "en") for i in range(900)] + [
+        (1000 + i, lang) for i, lang in enumerate(["de", "fr", "ja"] * 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string").select(
+        "lang", "doc_id", hash_u01("doc_id").alias("_u")
+    )
+    k = 25
+    naive_w = Window.partitionBy("lang").orderBy("_u", "doc_id")
+    naive = {
+        (r["lang"], r["doc_id"], r["rnk"])
+        for r in docs.withColumn("rnk", F.row_number().over(naive_w))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    }
+    salted = {
+        (r["lang"], r["doc_id"], r["rnk"])
+        for r in bottom_k_per_group(
+            docs.repartition(16), ["lang"], ["_u", "doc_id"], k
+        ).collect()
+    }
+    assert salted == naive
+    # the dominant stratum is capped at k, small strata keep all rows
+    by_lang = {}
+    for lang, _, _ in salted:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang == {"en": k, "de": k, "fr": k, "ja": k}
