@@ -61,6 +61,9 @@ EXTRAS = [
     "bpe_fertility_by_lang",
     "fuzzy_contamination",
     "snapshot_delta",
+    # round 8 additions
+    "semdedup_assignment",
+    "dsir_importance_weights",
 ]
 
 HEADLINE = [

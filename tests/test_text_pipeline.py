@@ -268,3 +268,34 @@ def test_quality_classifier_planted_labels(spark):
     )
     assert rows[2]["z_micro"] == z
     assert rows[2]["keep"] == (z > 0)
+
+
+def test_dsir_importance_weights_rank_target_like_raw_docs_first(spark):
+    """DSIR's whole point (Xie et al. 2023): among the RAW (non-target)
+    docs, the ones written in the target's vocabulary must receive the
+    highest log importance weights — they are what importance
+    resampling would keep — and raw docs in the raw vocabulary must
+    score below them."""
+    from datapipeline_spike_spark.plans.catalog_extensions import (
+        dsir_importance_weights,
+    )
+
+    target_text = "alpha beta gamma delta " * 8
+    raw_text = "zeta eta theta omega " * 8
+    rows = (
+        # target corpus (lang=en): defines the target distribution
+        [(i, "en", target_text) for i in range(20)]
+        # raw corpus: mostly raw-vocab...
+        + [(100 + i, "de", raw_text) for i in range(20)]
+        # ...with two planted target-like raw docs
+        + [(200, "de", target_text), (201, "de", target_text)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_importance_weights(d).collect()}
+    planted = {w[200], w[201]}
+    raw_vocab = {w[100 + i] for i in range(20)}
+    assert min(planted) > max(raw_vocab)
+    # planted docs share the target text, so they tie with the target
+    # docs themselves — and the weight separation is strictly positive
+    assert w[200] == w[0]
+    assert min(planted) > 0 > max(raw_vocab)

@@ -51,6 +51,7 @@ BNLJ_OK = {
     "bpe_fertility_by_lang": "same broadcast 1-row winning-pair crosses (shared training chain), language-grain encode join",
     "bloom_filter_profile": "broadcast 1-row ref/bit-count digests crossed into the 1-row profile",
     "maintenance_window_overlap": "broadcast 1-row p95 bucket-width aggregate crossed into both join sides (auto-width interval join, no plan-build collect)",
+    "dsir_importance_weights": "broadcast 1-row (target_total, raw_total) token-count aggregate crossed into the B=256 bucket scoring join (corpus_mixture_plan pattern, no plan-build collect)",
 }
 # queries whose operators legitimately run Python (Arrow-batched only)
 PANDAS_OK = {
