@@ -2945,6 +2945,9 @@ def bm25_ranked_retrieval(d: DataFrame) -> DataFrame:
         "doc_id", F.round(total_fp / 1_000_000.0, R).alias("bm25")
     )
     top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
+    # bounded unpartitioned window: ranks the already-limit(10) frame
+    # (the global top-k itself is TakeOrderedAndProject) — plan_audit
+    # WINDOW_OK entry
     w_rank = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     return (
         top.withColumn("rnk", F.row_number().over(w_rank))

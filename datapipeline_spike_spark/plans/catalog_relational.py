@@ -910,6 +910,8 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
+    # bounded unpartitioned window: input is the month-grain AGGREGATE
+    # (|months| rows, not the orders corpus) — plan_audit WINDOW_OK entry
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
     return m.select(

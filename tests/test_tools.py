@@ -42,3 +42,34 @@ def test_type_audit_flags_hugeint_vs_bigint():
 def test_type_audit_ignores_extra_oracle_columns():
     risks = type_audit([("a", "bigint")], pa.schema([pa.field("b", pa.int64())]))
     assert risks == []
+
+
+def test_unpartitioned_window_detector():
+    """The r8 audit rule: flag Window nodes with no partition spec; a
+    partitioned-but-unordered window (aggregate over the whole frame
+    per key) prints the same number of bracket groups and must NOT be
+    flagged — the discriminator is ASC/DESC NULLS tokens in group 2."""
+    from tools.plan_audit import _unpartitioned_windows
+
+    part_ordered = (
+        "Window [row_number() windowspecdefinition(a#1, b#2 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS r#3], [a#1], [b#2 ASC NULLS FIRST]"
+    )
+    part_unordered = (
+        "Window [count(1) windowspecdefinition(a#1, specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS n#2L], [a#1]"
+    )
+    unpart_ordered = (
+        "Window [row_number() windowspecdefinition(b#2 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS r#3], [b#2 ASC NULLS FIRST]"
+    )
+    assert _unpartitioned_windows(part_ordered) == 0
+    assert _unpartitioned_windows(part_unordered) == 0
+    assert _unpartitioned_windows(unpart_ordered) == 1
+    assert _unpartitioned_windows("\n".join([part_ordered, unpart_ordered] * 2)) == 2
+    # WindowGroupLimit lines must not confuse the node matcher
+    assert _unpartitioned_windows(
+        "WindowGroupLimit [a#1], [b#2 ASC NULLS FIRST], row_number(), 40, Final"
+    ) == 0

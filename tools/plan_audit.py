@@ -15,6 +15,14 @@ Rules (per executedPlan string):
 - ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas: allowed only
   for queries that declare a pandas path (tag or allowlist) — a JVM-only
   query sprouting a Python stage is a perf regression.
+- Unpartitioned Window (r8): a physical Window node with NO partition
+  spec moves every input row to ONE task — the classic quiet
+  scale-killer. Allowed only with a WINDOW_OK entry stating the
+  cardinality argument (the input is provably bounded: a limit-k
+  frame, an aggregate over a low-cardinality key, ...). Detected from
+  the plan string: a partitioned Window prints
+  ``Window [exprs], [partcols], [sortcols]`` (3 bracket groups), an
+  unpartitioned one only 2.
 
 Usage: python tools/plan_audit.py [query ...]   (default: all)
 Exit status: number of violations.
@@ -72,6 +80,49 @@ PANDAS_OK = {
 
 PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
+# queries allowed an unpartitioned Window, each with its boundedness
+# argument — "the input to this window is provably tiny", never "it is
+# fast at sf0.1"
+WINDOW_OK = {
+    "bm25_ranked_retrieval": "final rank runs on the already-limit(10) retrieval frame",
+    "monthly_revenue_growth": "lag window over the month-grain aggregate: |months| rows",
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count physical Window nodes with no partition spec. The node
+    prints ``Window [exprs], [partcols], [sortcols]``; either optional
+    group may be absent, so with 2 groups the discriminator is the
+    second group's content: sort specs carry ASC/DESC NULLS tokens,
+    partition columns never do."""
+    import re
+
+    n = 0
+    for line in plan.splitlines():
+        s = line.lstrip(" +-:|*(0123456789)")
+        if not s.startswith("Window "):
+            continue
+        groups, buf, depth = [], [], 0
+        for ch in s:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    buf = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        if len(groups) >= 3:
+            continue  # exprs + partition + sort
+        if len(groups) == 2 and not re.search(r"(ASC|DESC) NULLS", groups[1]):
+            continue  # exprs + partition (unordered window)
+        n += 1
+    return n
+
 
 def main() -> int:
     spark = get_session("plan-audit")
@@ -97,6 +148,13 @@ def main() -> int:
             problems.append("BatchEvalPython (row-at-a-time UDF)")
         if any(n in plan for n in PANDAS_NODES) and name not in PANDAS_OK:
             problems.append("unexpected Python stage (Arrow) in a JVM-only query")
+        nw = _unpartitioned_windows(plan)
+        if nw and name not in WINDOW_OK:
+            problems.append(
+                f"{nw} unpartitioned Window node(s) — single-task sort "
+                "of the whole input (add a WINDOW_OK boundedness entry "
+                "or repartition the window)"
+            )
         if problems:
             violations += 1
             print(f"VIOLATION {name}: " + "; ".join(problems))
