@@ -207,6 +207,149 @@ def q_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PCA variance profile (r8): the oracle-checked companion of the
+# rows-only pca_reduce. Three FIXED orthonormal axes in the 5-dim
+# vibration-feature space (Gram-Schmidt over deterministic splitmix
+# planes, Python-float exact, inlined as literals in both engines) give
+# a fully SQL-replayable variance-explained profile; the PCA optimality
+# pytest then pins pca_reduce's SVD against it (top-3 principal axes
+# must capture at least as much variance as ANY fixed orthonormal
+# triple — tests/test_spectral.py).
+_VIB_FEATS = ["rms", "peak", "peak_to_peak", "crest_factor", "kurtosis"]
+
+
+def _orthonormal_axes(dim: int, n: int, seed0: int) -> list[list[float]]:
+    """Deterministic orthonormal axes: splitmix planes through classic
+    Gram-Schmidt in Python floats (no numpy — repr() literals replay
+    bit-for-bit in SQL)."""
+    import math
+
+    axes: list[list[float]] = []
+    s = seed0
+    while len(axes) < n:
+        v = _plane(dim, s)
+        s += 1
+        for a in axes:
+            dot = sum(x * y for x, y in zip(v, a))
+            v = [x - dot * y for x, y in zip(v, a)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        if nrm < 1e-6:
+            continue
+        axes.append([x / nrm for x in v])
+    return axes
+
+
+_PCA_PROFILE_AXES = _orthonormal_axes(len(_VIB_FEATS), 3, 211)
+
+
+def _fold_sum(terms):
+    """Left-associated sum — written identically in the SQL text so the
+    float association order matches bit-for-bit."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _sql_fold(terms: list[str]) -> str:
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _pca_profile_sql() -> str:
+    from datapipeline_spike_spark.plans.registry import REGISTRY
+
+    vib = REGISTRY["vibration_features"].oracle
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in _VIB_FEATS)
+    mu_cols = ", ".join(
+        f"avg({c}) AS mu_{c}" for c in _VIB_FEATS
+    )
+    d_cols = ", ".join(f"({c} - mu_{c}) AS d_{c}" for c in _VIB_FEATS)
+    p_cols = ", ".join(
+        _sql_fold([f"({a!r} * d_{c})" for a, c in zip(axis, _VIB_FEATS)])
+        + f" AS p{i + 1}"
+        for i, axis in enumerate(_PCA_PROFILE_AXES)
+    )
+    tot = _sql_fold([f"(d_{c} * d_{c})" for c in _VIB_FEATS])
+    ve_cols = ", ".join(
+        f"round(avg(p{i + 1} * p{i + 1}), {R}) AS ve_axis{i + 1}"
+        for i in range(len(_PCA_PROFILE_AXES))
+    )
+    ratio_cols = ", ".join(
+        f"round(ve_axis{i + 1} / total_var, {R}) AS ve_ratio{i + 1}"
+        for i in range(len(_PCA_PROFILE_AXES))
+    )
+    return f"""
+    WITH f AS ({vib}),
+    g AS (SELECT * FROM f WHERE {not_null}),
+    mu AS (SELECT status_code, {mu_cols} FROM g GROUP BY 1),
+    d AS (SELECT g.status_code, {d_cols} FROM g JOIN mu USING (status_code)),
+    p AS (SELECT status_code, {tot} AS sqd, {p_cols} FROM d),
+    a AS (SELECT status_code, count(*) AS n_windows,
+                 round(avg(sqd), {R}) AS total_var, {ve_cols}
+          FROM p GROUP BY 1)
+    SELECT status_code, n_windows, total_var,
+           ve_axis1, ve_axis2, ve_axis3, {ratio_cols}
+    FROM a
+    """
+
+
+@register(
+    "pca_variance_profile",
+    oracle=_pca_profile_sql(),
+    doc="""PCA variance-explained profile on FIXED axes (r8 — the
+    oracle-checked differential twin that narrows pca_reduce's
+    rows-only gap): per status_code over the 5 oracle-checked
+    vibration features, the total centered variance (trace of the
+    covariance) and the variance explained by each of 3 deterministic
+    orthonormal axes (splitmix planes + Gram-Schmidt, literal-inlined
+    in both engines), plus explained-variance ratios. Everything the
+    SVD cannot replay in SQL is pinned instead by the optimality
+    pytest: pca_reduce's top-3 components must capture >= the variance
+    of this (or any) fixed orthonormal triple. Shape: two aggregations
+    over the windowed feature frame (days x statuses rows — bounded),
+    the group means broadcast back; at 100 TB the only corpus-scale
+    work is the upstream vibration_features aggregate itself.""",
+    tags=("ml", "pca", "aggregate"),
+)
+def q_pca_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = q_vibration_features(spark, sf_dir).na.drop(subset=_VIB_FEATS)
+    mu = f.groupBy("status_code").agg(
+        *[F.avg(c).alias(f"mu_{c}") for c in _VIB_FEATS]
+    )
+    j = f.join(F.broadcast(mu), "status_code")
+    dev = {c: F.col(c) - F.col(f"mu_{c}") for c in _VIB_FEATS}
+    tot = _fold_sum([dev[c] * dev[c] for c in _VIB_FEATS])
+    projs = [
+        _fold_sum([F.lit(a) * dev[c] for a, c in zip(axis, _VIB_FEATS)])
+        for axis in _PCA_PROFILE_AXES
+    ]
+    agg = j.groupBy("status_code").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.avg(tot), R).alias("total_var"),
+        *[
+            F.round(F.avg(p * p), R).alias(f"ve_axis{i + 1}")
+            for i, p in enumerate(projs)
+        ],
+    )
+    return agg.select(
+        "status_code",
+        "n_windows",
+        "total_var",
+        "ve_axis1",
+        "ve_axis2",
+        "ve_axis3",
+        *[
+            F.round(F.col(f"ve_axis{i + 1}") / F.col("total_var"), R).alias(
+                f"ve_ratio{i + 1}"
+            )
+            for i in range(3)
+        ],
+    )
+
+
 def _sql_plane_literal(seed: int) -> str:
     return "[" + ", ".join(repr(x) for x in _plane(EMB_DIM, seed)) + "]"
 

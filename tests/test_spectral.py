@@ -219,3 +219,39 @@ def test_semdedup_empty_corpus_is_typed_empty(spark):
     out = semdedup(empty)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "cent_id", "dup_of", "kept"]
+
+
+def test_pca_reduce_top3_beats_fixed_axes_variance(spark):
+    """PCA optimality pins the rows-only SVD to the oracle-checked
+    profile twin: per group, the variance captured by pca_reduce's
+    top-3 principal components must be >= the variance captured by the
+    fixed orthonormal axis triple of pca_variance_profile (the top-k
+    PCA subspace maximizes captured variance over every orthonormal
+    k-set). A broken SVD/sign/centering bug would violate this."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.plans.catalog_ml import (
+        q_pca_reduce,
+        q_pca_variance_profile,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pcs = (
+        q_pca_reduce(spark, sf)
+        .groupBy("status_code")
+        .agg(
+            *[
+                F.avg(F.col(f"pc{i}") * F.col(f"pc{i}")).alias(f"v{i}")
+                for i in (1, 2, 3)
+            ]
+        )
+        .collect()
+    )
+    pca_var = {r["status_code"]: r["v1"] + r["v2"] + r["v3"] for r in pcs}
+    prof = {
+        r["status_code"]: r["ve_axis1"] + r["ve_axis2"] + r["ve_axis3"]
+        for r in q_pca_variance_profile(spark, sf).collect()
+    }
+    assert set(pca_var) == set(prof) and pca_var
+    for status, fixed in prof.items():
+        assert pca_var[status] >= fixed - 1e-4, (status, pca_var[status], fixed)

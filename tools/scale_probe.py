@@ -176,9 +176,142 @@ def dedup_ann_stress(spark, amp: int) -> None:
         emb.unpersist()
 
 
+
+def _amplify_keyed(spark, table: str, n: int, shifts: dict):
+    """n disjoint copies of a TPC-H table with join keys shifted
+    consistently per copy (same per-copy delta applied to a key on both
+    join sides keeps referential integrity; non-key columns repeat,
+    which is fine — the probe measures join/agg scaling, not entropy)."""
+    t = load(spark, SF_DIR, table)
+    copies = []
+    for i in range(n):
+        c = t
+        for col, delta in shifts.items():
+            c = c.withColumn(col, F.col(col) + F.lit(i * delta))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+def r8ops_stress(spark, amp: int) -> None:
+    """Round-8 probes:
+
+    1. Star joins (Q5/Q10 shapes) with orders+lineitem+CUSTOMER all
+       amplified — the post-fix evidence that dropping the forced
+       customer broadcast leaves a strategy that survives the customer
+       table growing with SF (AQE broadcasts while small, shuffles when
+       not; either way no executor-OOM hint). Flat-or-better per-row
+       cost across 1x -> amp is the pass signal.
+    2. BPE training at production-ward merge counts (64/256): per-round
+       marginal cost must stay flat under the per-round checkpoint
+       cadence (the r7 fix), supporting the projected 32k-merge cost.
+    3. fixed_size_sample's salted two-phase bottom-k vs the naive
+       per-language window at amp x documents — identical rows, and the
+       two-phase shape holds as the corpus grows.
+    """
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.operators.bpe import bpe_merges
+    from datapipeline_spike_spark.operators.sampling import (
+        bottom_k_per_group,
+        hash_u01,
+    )
+
+    C_SHIFT, O_SHIFT = 100_000_000, 1_000_000_000
+    for a in (1, amp):
+        cust = _amplify_keyed(spark, "customer", a, {"c_custkey": C_SHIFT})
+        orders = _amplify_keyed(
+            spark, "orders", a, {"o_orderkey": O_SHIFT, "o_custkey": C_SHIFT}
+        )
+        li = _amplify_keyed(spark, "lineitem", a, {"l_orderkey": O_SHIFT})
+        sup = load(spark, SF_DIR, "supplier")
+        nat = load(spark, SF_DIR, "nation")
+
+        n_li = li.count()
+        t0 = time.perf_counter()
+        q10 = (
+            li.filter(F.col("l_returnflag") == "R")
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost"))
+            .orderBy(F.col("lost").desc(), "c_custkey")
+            .limit(20)
+        )
+        rows = q10.count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "q10_star_join_no_forced_broadcast", "amp": a,
+            "lineitems": n_li, "top_rows": rows, "sec": secs,
+            "lineitems_per_sec": int(n_li / secs),
+        }), flush=True)
+
+        t0 = time.perf_counter()
+        q5 = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(sup),
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_li"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            )
+        )
+        rows = q5.count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "q5_star_join_no_forced_broadcast", "amp": a,
+            "lineitems": n_li, "nations": rows, "sec": secs,
+            "lineitems_per_sec": int(n_li / secs),
+        }), flush=True)
+
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        drows = docs.count()
+        base = docs.select("lang", "doc_id", hash_u01("doc_id").alias("_u"))
+        t0 = time.perf_counter()
+        salted = bottom_k_per_group(base, ["lang"], ["_u", "doc_id"], 40).count()
+        salted_sec = round(time.perf_counter() - t0, 2)
+        w = Window.partitionBy("lang").orderBy("_u", "doc_id")
+        t0 = time.perf_counter()
+        naive = (
+            base.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 40)
+            .count()
+        )
+        naive_sec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "fixed_size_sample_bottom_k", "amp": a, "docs": drows,
+            "rows_salted": salted, "rows_naive": naive,
+            "identical": salted == naive,
+            "salted_sec": salted_sec, "naive_window_sec": naive_sec,
+        }), flush=True)
+        docs.unpersist()
+
+    docs = load(spark, SF_DIR, "documents").localCheckpoint(eager=True)
+    drows = docs.count()
+    for k in (64, 256):
+        t0 = time.perf_counter()
+        rows = bpe_merges(docs, n_merges=k).collect()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "bpe_merges", "n_merges": k, "docs": drows,
+            "rows": len(rows), "sec": secs,
+            "sec_per_round": round(secs / k, 3),
+        }), flush=True)
+    docs.unpersist()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7ops" if "r7ops" in args else ("r7" if "r7" in args else "core"))))
+    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7ops" if "r7ops" in args else ("r7" if "r7" in args else ("r8ops" if "r8ops" in args else "core")))))
     nums = [int(a) for a in args if a.isdigit()]
     n = nums[0] if nums else (10 if mode != "core" else 8)
     spark = get_session("scale_probe")
@@ -194,6 +327,9 @@ def main() -> None:
         return
     if mode == "r7ops":
         r7ops_stress(spark, n)
+        return
+    if mode == "r8ops":
+        r8ops_stress(spark, n)
         return
 
     for amp in (1, n):
