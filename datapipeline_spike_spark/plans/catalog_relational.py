@@ -1105,3 +1105,167 @@ def q_priority_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lag).cast("bigint").alias("max_lag_days"),
         )
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           round(sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+             AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                 / round(sum(l_extendedprice * (1 - l_discount)), 2), 6)
+             AS promo_ratio
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    doc="""TPC-H Q14 shape (promo revenue share): lineitem x part with a
+    conditional aggregate — the share of monthly revenue from PROMO-type
+    parts. part scales with SF exactly like customer, so the join takes
+    NO broadcast hint (AQE decides; at sf100 both sides shuffle on
+    partkey). The ratio derives from the two already-2dp-ROUNDED sums
+    (never the raw float sums) so cross-engine association order cannot
+    flip the 6dp hash.""",
+    tags=("join", "tpch", "aggregate"),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), R
+        ).alias("promo_ratio"),
+    )
+
+
+_Q18_MIN_QTY = 250.0
+
+
+@register(
+    "large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           o.o_orderkey AS orderkey,
+           o.o_orderdate AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           big.sum_qty AS sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 100
+    """,
+    doc=f"""TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds {_Q18_MIN_QTY}. The HAVING subquery is a
+    pre-aggregation of lineitem on its OWN join key — the aggregate
+    (tiny output: qualifying orders only) then drives the joins, so the
+    expensive fact-fact work happens once, map-side combined, before
+    any row touches orders/customer. customer joins hint-free (the
+    SF-scaling rule); global top-100 is TakeOrderedAndProject. The
+    canonical 'aggregate-then-join' plan a naive engine gets backwards
+    (joining first and aggregating the blown-up result).""",
+    tags=("join", "tpch", "aggregate", "topk"),
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "branded_quantity_bands",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 20 AND 50)
+    GROUP BY 1
+    """,
+    doc="""TPC-H Q19 shape (disjunctive predicate join): three OR-ed
+    brand/size/quantity conjunctions across the join. The optimizer
+    test here is predicate DECOMPOSITION: the brand/size conjuncts
+    involve only part and the quantity conjuncts only lineitem, so
+    Catalyst derives the per-table OR-of-conjuncts
+    (brand IN (1,2,3) side conditions) and pushes them into BOTH
+    parquet scans before the join — the join then sees only candidate
+    rows and the residual mixed-table disjunction filters after. part
+    joins hint-free (SF-scaling, same rule as customer).""",
+    tags=("join", "tpch", "filter"),
+)
+def q_branded_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -401,3 +401,47 @@ def test_no_forced_broadcast_on_sf_scaling_customer(spark):
             f"{name}: expected {n_hints} broadcast hints, plan has "
             f"{analyzed.count('ResolvedHint')}"
         )
+
+
+def test_q19_disjunction_pushes_into_both_scans(spark):
+    """branded_quantity_bands: Catalyst must decompose the OR-ed
+    brand/size/quantity conjunctions into per-table OR-of-conjuncts and
+    push them into BOTH parquet scans (the join must not see unfiltered
+    fact rows)."""
+    plan = _plan(spark, "branded_quantity_bands")
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", plan) or re.search(
+        r"PushedFilters: \[[^\]]*p_size", plan
+    )
+
+
+def test_q18_aggregates_lineitem_before_joining(spark):
+    """large_volume_orders: the quantity HAVING-aggregate must run on
+    lineitem BEFORE any join (aggregate-then-join); top-100 is
+    TakeOrderedAndProject. A HashAggregate keyed on l_orderkey below
+    the first join is the witness: its input is the bare lineitem scan,
+    not a join output."""
+    plan = _plan(spark, "large_volume_orders")
+    assert "TakeOrderedAndProject" in plan
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+        if i >= 0
+    )
+    agg_pos = plan.find("HashAggregate(keys=[l_orderkey")
+    assert agg_pos >= 0
+    # the aggregate subtree appears below (after, in toString order) the
+    # topmost join but must itself contain no join under it
+    assert "Join" not in plan[agg_pos:]
+
+
+def test_q14_part_join_has_no_forced_hint(spark):
+    """promo_revenue_share: part scales with SF like customer — the
+    join must carry no forced broadcast hint (AQE decides)."""
+    analyzed = (
+        REGISTRY["promo_revenue_share"]
+        .spark(spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in analyzed
