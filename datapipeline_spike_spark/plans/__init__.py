@@ -17,40 +17,94 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 # the previous round, (3) the oldest-driver-verified remainder; the most
 # recently driver-green block rotates to the tail.
 
-# --- r7 head, slot 1: changed/new code in round 7 ---
-_R7_CHANGED = (
-    "maintenance_window_overlap",   # NEW r7: auto-width interval-overlap join
-    "image_jpeg_pixel_features",    # NEW r7: baseline JPEG full decode
-    "quality_classifier_score",     # NEW r7: linear quality-classifier inference
-    "minhash_lsh_candidates",       # r7: hot-bucket chunked-join guard
-    "dedup_corpus_assignment",      # r7: same guard via dedup_corpus
-    "near_dup_cluster_stats",       # r7: shares lsh_candidate_pairs
-    "minhash_jaccard_estimate",     # r7: shares lsh_candidate_pairs (sig path)
-    "ngram_jaccard_pairs",          # r7: shares lsh_candidate_pairs
-    "simhash_signatures",           # r7: quotable-id selectExpr fix
-    "simhash_neardup_pairs",        # r7: hot-bucket salted-join guard
-    "bpe_merge_training",           # r7: bounded-depth lineage (checkpoint_every)
-    "audio_pcm_features",           # r7: malformed-payload NULL degradation
-    "image_pixel_features",         # r7: same
-    "bm25_ranked_retrieval",        # r7: doc-text fix (advice) — re-hash anyway
-    "session_campaign_overlap",     # r7: interval_overlap_join signature/validation
-    "candidate_edit_distance",      # r7: shares lsh_candidate_pairs
-    "bpe_encoded_corpus_stats",     # NEW r7: BPE encode step (train->apply)
-    "sq8_recall_at_k",              # NEW r7: int8 scalar-quantization recall audit
-    "video_frame_features",         # NEW r7: MJPEG sample-table full decode
-    "local_supplier_volume",        # NEW r7: TPC-H Q5 shape
-    "returned_item_losses",         # NEW r7: TPC-H Q10 shape
-    "priority_shipping_lag",        # NEW r7: TPC-H Q12 shape
-    "cluster_balanced_sample",      # NEW r7: diversity-balanced sampling
-    "bpe_fertility_by_lang",        # NEW r7: tokenizer fertility by language
-    "fuzzy_contamination",          # NEW r7: MinHash-band cross-corpus decontamination
-    "snapshot_delta",               # NEW r7: crawl-snapshot full-outer diff
-    "semdedup_assignment",          # NEW r7: SemDeDup embedding-cluster dedup
+# --- r8 head, slot 1: changed/new code in round 8 ---
+_R8_CHANGED = (
+    "dsir_importance_weights",      # landed late-r7: the ONLY never-driver-checked query — leads
+    "pca_variance_profile",         # NEW r8: fixed-axis variance-explained oracle twin of pca_reduce
+    "promo_revenue_share",          # NEW r8: TPC-H Q14 shape
+    "large_volume_orders",          # NEW r8: TPC-H Q18 shape (aggregate-then-join)
+    "branded_quantity_bands",       # NEW r8: TPC-H Q19 shape (disjunctive pushdown)
+    "revenue_by_segment",           # r8: forced broadcast(customer) hint removed
+    "shipping_priority",            # r8: same (also heads the r5-green queue)
+    "local_supplier_volume",        # r8: same
+    "returned_item_losses",         # r8: same
+    "fixed_size_sample",            # r8: salted two-phase bottom-k replaces per-lang window
+    "cluster_balanced_sample",      # r8: rewired onto the shared bottom_k_per_group helper
+    "snapshot_delta",               # r8: shiftright floor-division parity fix
+    "quality_classifier_score",     # r8: split into column-preserving core + projection
+    "semdedup_assignment",          # r8: typed-empty id-type fix (shared k-means path)
+    "minhash_lsh_candidates",       # r8: lsh_candidate_pairs streaming guard + materialize flag
+    "simhash_neardup_pairs",        # r8: same guard/flag on the simhash builder
+    "dedup_corpus_assignment",      # r8: end-to-end consumer of the changed lsh builder
 )
-# --- r7 head, slot 2: the r6-documented queue (r4-green relational
-# queries rotated out of the r6 sample — the rotation contract says
-# these MUST lead the r7 head) ---
-_R7_HEAD_QUEUED = (
+# --- r8 head, slot 2: the r7-documented queue (r5-green queries rotated
+# out of the r7 sample — the rotation contract says these MUST lead the
+# r8 head; shipping_priority is already in slot 1) ---
+_R8_HEAD_QUEUED = (
+    "doc_rolling_hash",
+    "kmeans_centroids",
+    "spectral_energy",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "language_id",
+    "token_frequencies",
+    "token_counting_methods",
+    "kmv_distinct_ngrams",
+    "heavy_hitter_tokens",
+    "document_chunks",
+    "benchmark_contamination",
+    "leakage_safe_split",
+    "stratified_sample",
+    "pii_redaction",
+    "segment_dedup_profile",
+    "context_pack_stats",
+    "doc_fingerprint_dedup",
+    "dedup_latest_state",
+    "outlier_gate",
+    "quality_metrics",
+    "rolling_baseline",
+    "sliding_window_load",
+    "purchase_asof_signup",
+    "late_shipment_priority",
+    "small_quantity_revenue",
+    "table_profile",
+    "image_header_meta",
+    "video_header_meta",
+    "dominant_frequency_verified",
+    "url_host_dedup",
+    "decontamination_span_removal",
+    "winnowing_fingerprints",
+)
+# Touched-but-not-re-hashed this round, documented per the rotation
+# contract: these four consume lsh_candidate_pairs, whose r8 change is
+# an ADDITIVE parameter (materialize flag, default unchanged) plus a
+# fail-fast streaming guard — the default-path physical plan is
+# byte-identical, all four are r7 driver-green, and all four were
+# re-verified against the DuckDB oracle locally this round (0 failures).
+# They lead the r9 head regardless.
+_QUEUED_FOR_NEXT_HEAD = (
+    "near_dup_cluster_stats",
+    "minhash_jaccard_estimate",
+    "ngram_jaccard_pairs",
+    "candidate_edit_distance",
+)
+# Driver-green in round 7 (CORRECTNESS_r07.json, 48/50 hash + 2
+# rows-only-by-contract) and not re-changed in r8: rotate to the tail.
+_STABLE_TAIL = (
+    "maintenance_window_overlap",
+    "image_jpeg_pixel_features",
+    "simhash_signatures",
+    "bpe_merge_training",
+    "audio_pcm_features",
+    "image_pixel_features",
+    "bm25_ranked_retrieval",
+    "session_campaign_overlap",
+    "bpe_encoded_corpus_stats",
+    "sq8_recall_at_k",
+    "video_frame_features",
+    "priority_shipping_lag",
+    "bpe_fertility_by_lang",
+    "fuzzy_contamination",
     "downsample_1h",
     "status_route_counts",
     "json_props_profile",
@@ -70,22 +124,12 @@ _R7_HEAD_QUEUED = (
     "customers_without_orders",
     "customers_with_orders",
     "customers_per_region",
-    "revenue_by_segment",
     "pricing_summary",
+    "dominant_frequency",
+    "pca_reduce",
 )
-# --- r7 head, slot 3: the 2 rows-only-by-contract queries (last driver
-# row r5) get their periodic rows-only refresh ---
-_R7_ROWS_ONLY_REFRESH = ("dominant_frequency", "pca_reduce")
-# --- r7 head, slot 4: oldest (r5-green) fill to exactly 50 ---
-# (emptied late-r7: the fill slot went to the new semdedup_assignment —
-# new code MUST be driver-hashed the round it lands; doc_rolling_hash is
-# r5-green and moves to the front of the r8 queue, still within the
-# nothing->3-rounds-unverified contract: gap rounds r6+r7, row in r8.)
-_R7_OLDEST_FILL = ()
-# Remaining r5-green queries outside the 50-slot window this round —
-# MUST lead the r8 head (none of these is older than r5-green, and
-# nothing in the registry goes >3 rounds without a driver row).
-_QUEUED_FOR_NEXT_HEAD = (
+
+_HEAD = (
     "doc_rolling_hash",
     "kmeans_centroids",
     "spectral_energy",
@@ -167,12 +211,7 @@ _STABLE_TAIL = (
     "vibration_features",
 )
 
-_HEAD = (
-    list(_R7_CHANGED)
-    + list(_R7_HEAD_QUEUED)
-    + list(_R7_ROWS_ONLY_REFRESH)
-    + list(_R7_OLDEST_FILL)
-)
+_HEAD = list(_R8_CHANGED) + list(_R8_HEAD_QUEUED)
 assert len(_HEAD) == 50 and len(set(_HEAD)) == 50, len(_HEAD)
 
 

@@ -32,20 +32,20 @@ def test_oracle_keys_subset():
 
 def test_rotation_head_invariants():
     """The driver samples the FIRST 50 registry entries; the rotation
-    contract requires: exactly 50 head slots, every changed/new r7
-    query in the head, the r8 queue disjoint from the head and
+    contract requires: exactly 50 head slots, every changed/new r8
+    query in the head, the r9 queue disjoint from the head and
     immediately after it, and no duplicates anywhere."""
     from datapipeline_spike_spark.plans import (
         REGISTRY,
         _HEAD,
         _QUEUED_FOR_NEXT_HEAD,
-        _R7_CHANGED,
+        _R8_CHANGED,
     )
 
     names = list(REGISTRY)
     assert len(_HEAD) == 50 and len(set(_HEAD)) == 50
     assert names[:50] == [n for n in _HEAD if n in REGISTRY]
-    assert set(_R7_CHANGED) <= set(_HEAD)
+    assert set(_R8_CHANGED) <= set(_HEAD)
     assert not (set(_QUEUED_FOR_NEXT_HEAD) & set(_HEAD))
     queue_live = [n for n in _QUEUED_FOR_NEXT_HEAD if n in REGISTRY]
     assert names[50 : 50 + len(queue_live)] == queue_live
