@@ -29,7 +29,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # normalize null spellings FIRST: a Spark boolean-with-null
+            # arrives as object{None}, the DuckDB twin as object{NaN} —
+            # astype(str) alone would read 'None' vs 'nan' as a diff
+            # the driver's hash (uniform null handling) never sees
+            col = df[c]
+            df[c] = col.where(~col.isna(), other="NULL").astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 

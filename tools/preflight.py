@@ -112,7 +112,10 @@ def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # uniform null spelling before stringify (Spark None vs
+            # DuckDB NaN in boolean-with-null columns — see check_oracle)
+            col = df[c]
+            df[c] = col.where(~col.isna(), other="NULL").astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
