@@ -1078,3 +1078,59 @@ def test_quality_gated_stream_matches_batch_twin(spark, tmp_path):
     assert got == want
     # the gate must actually drop something in this fixture
     assert 0 < len(want) < len(rows)
+
+
+def test_quality_gate_composes_with_ingest_dedup(spark):
+    """The r7-advice composition, end to end: quality_gated_stream in
+    FRONT of ingest_with_dedup. Low-quality docs must never reach the
+    dedup index (they are dropped pre-ingest, not 'rejected'), kept
+    docs flow through with their text intact and dedup still works on
+    them, and the lake carries the gate's quality_score column."""
+    import shutil
+    import tempfile
+
+    from datapipeline_spike_spark.streaming.pipeline import (
+        ingest_with_dedup,
+        quality_gated_stream,
+    )
+
+    good = "the data query join table stream " * 6
+    bad = "slow batch big small hash " * 6
+    root = tempfile.mkdtemp(prefix="gate_ingest_")
+    src = f"{root}/src"
+    lake, ok, rej = f"{root}/lake", f"{root}/admitted", f"{root}/rejected"
+    try:
+        spark.createDataFrame(
+            [(1, good), (2, bad), (3, good)],  # 3 is an exact dup of 1
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            quality_gated_stream(stream)
+            .writeStream.foreachBatch(ingest_with_dedup(lake, ok, rej))
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        lake_rows = spark.read.parquet(lake).collect()
+        lake_ids = {r["doc_id"] for r in lake_rows}
+        rejected = {
+            r["doc_id"]: (r["status"], r["match_id"])
+            for r in spark.read.parquet(rej).collect()
+        }
+        idx_ids = {
+            r["doc_id"] for r in spark.read.parquet(f"{lake}_index/fp").collect()
+        }
+        assert lake_ids == {1}                      # 2 gated out, 3 deduped
+        assert rejected == {3: ("exact_dup", 1)}    # 2 never reached dedup
+        assert 2 not in idx_ids                     # gate saved index work
+        # the gate's added column flows through to the lake
+        assert {r["doc_id"]: r["quality_score"] for r in lake_rows}[1] is not None
+        assert all(r["text"] for r in lake_rows)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
