@@ -679,7 +679,13 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks (spend, custkey) on every window so both engines rank
     identically; the aggregate and all four analytics share ONE
     partition key, so the whole query is one join + one shuffle + one
-    sort per partition.""",
+    sort per partition. Scale note: exact per-segment percent_rank is
+    an inherent per-group global sort (|segments| reducers carry every
+    customer); the 100 TB path is approximate quantile BANDING —
+    operators/ranks.py::approx_percentile_bands (mergeable GK sketch +
+    broadcast threshold join, map-only banding, tested against exact
+    ntile) — kept as a separate operator so this query stays the exact
+    small-data twin.""",
     tags=("window", "analytic"),
 )
 def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:

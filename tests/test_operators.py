@@ -942,3 +942,41 @@ def test_bottom_k_per_group_matches_naive_window_with_dominant_stratum(spark):
     for lang, _, _ in salted:
         by_lang[lang] = by_lang.get(lang, 0) + 1
     assert by_lang == {"en": k, "de": k, "fr": k, "ja": k}
+
+
+def test_approx_percentile_bands_close_to_exact_ntile(spark):
+    """The percent_rank scale path: approximate quantile banding must
+    agree with exact ntile within the sketch's rank-error bound, be
+    map-only after the broadcast threshold join (no per-group global
+    sort of the data), and keep every input column."""
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.operators.ranks import approx_percentile_bands
+
+    rows = [(f"g{i % 3}", i, float((i * 37) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "seg string, rid long, v double")
+    out = approx_percentile_bands(df, ["seg"], "v", n_bands=10)
+    assert set(out.columns) == {"seg", "rid", "v", "band"}
+    w = Window.partitionBy("seg").orderBy("v", "rid")
+    exact = df.withColumn("xb", F.ntile(10).over(w))
+    joined = out.join(exact, ["seg", "rid", "v"]).select("band", "xb").collect()
+    assert len(joined) == 3000
+    off = [abs(r["band"] - r["xb"]) for r in joined]
+    # high accuracy on 1000 rows/group: nearly everything lands exactly;
+    # ties at thresholds may slip one band
+    assert max(off) <= 1
+    assert sum(1 for d in off if d == 0) >= 0.95 * len(off)
+    # plan shape: one aggregate (the sketch), no Window over the data
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_approx_percentile_bands_validates_n_bands(spark):
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.operators.ranks import approx_percentile_bands
+
+    df = spark.createDataFrame([("a", 1.0)], "seg string, v double")
+    with _pytest.raises(ValueError, match="n_bands"):
+        approx_percentile_bands(df, ["seg"], "v", n_bands=1)
