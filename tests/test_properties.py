@@ -518,3 +518,72 @@ def test_interval_overlap_join_matches_reference(spark, lefts, rights, width):
         if l1 <= r2 and r1 <= l2
     )
     assert got == want
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.integers(min_value=0, max_value=10_000),  # id (deduped below)
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_bottom_k_per_group_equals_naive_window(spark, rows, k):
+    """Property: the salted two-phase bottom-k equals the naive
+    per-group window row for row — any group sizes, any k, ids hashed
+    to arbitrary salts."""
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.operators.sampling import bottom_k_per_group
+
+    uniq = {(g, i) for g, i in rows}
+    df = spark.createDataFrame(
+        [(f"g{g}", i, float((i * 2654435761) % 997)) for g, i in uniq],
+        "grp string, rid long, v double",
+    )
+    w = Window.partitionBy("grp").orderBy("v", "rid")
+    naive = {
+        (r["grp"], r["rid"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    }
+    salted = {
+        (r["grp"], r["rid"], r["rnk"])
+        for r in bottom_k_per_group(
+            df.repartition(5), ["grp"], ["v", "rid"], k, n_salts=4
+        ).collect()
+    }
+    assert salted == naive
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=4,
+        max_size=80,
+    ),
+    n_bands=st.integers(min_value=2, max_value=8),
+)
+def test_approx_bands_monotone_and_in_range(spark, vals, n_bands):
+    """Property: banding is monotone in the value (a larger value never
+    gets a smaller band within its group) and bands stay in
+    [1, n_bands]."""
+    from datapipeline_spike_spark.operators.ranks import approx_percentile_bands
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(vals)],
+        "grp string, rid long, v double",
+    )
+    out = approx_percentile_bands(df, ["grp"], "v", n_bands=n_bands).collect()
+    assert all(1 <= r["band"] <= n_bands for r in out)
+    by_val = sorted(out, key=lambda r: (r["v"], r["rid"]))
+    bands = [r["band"] for r in by_val]
+    assert all(a <= b for a, b in zip(bands, bands[1:]))
