@@ -83,3 +83,72 @@ def quality_score(completeness_c: Column, outlier_score_c: Column, consistency_c
         + 0.3 * (F.lit(1.0) - outlier_score_c)
         + 0.2 * consistency_c.cast("double")
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): fit a PER-LANGUAGE add-one-smoothed unigram LM on the
+    corpus itself, score every document by mean token log-probability,
+    and split each language into ``n_buckets`` perplexity buckets via
+    approximate quantiles. Returns (id, lang, n_tokens, avg_logprob,
+    bucket[, bucket_label]) — bucket 1 = LOWEST log-probability =
+    highest perplexity (CCNet's "tail"); with the default 3 buckets a
+    head/middle/tail label is attached. Docs with zero tokens are
+    dropped (nothing to score).
+
+    Scale shape: vocabulary-bounded shuffles only (the (lang, token)
+    count table), the token->prob join is broadcastable at any corpus
+    size, the 1-row-per-language smoothing totals stay in-plan, and the
+    bucketing is the map-only threshold banding of
+    :func:`operators.ranks.approx_percentile_bands` — no per-language
+    global sort of the corpus (CCNet itself shards by language for
+    exactly this step)."""
+    from datapipeline_spike_spark.functions.text import tokens as tok_fn
+    from datapipeline_spike_spark.operators.ranks import approx_percentile_bands
+
+    ex = docs.select(
+        F.col(id_col), F.col(lang_col).alias("_pl_lang"),
+        F.explode(tok_fn(text_col)).alias("_pl_tok"),
+    )
+    tf = ex.groupBy(id_col, "_pl_lang", "_pl_tok").agg(
+        F.count(F.lit(1)).alias("_pl_n")
+    )
+    vocab = tf.groupBy("_pl_lang", "_pl_tok").agg(F.sum("_pl_n").alias("_pl_c"))
+    totals = vocab.groupBy("_pl_lang").agg(
+        F.sum("_pl_c").alias("_pl_total"), F.count(F.lit(1)).alias("_pl_v")
+    )
+    lp = F.log(
+        (F.col("_pl_c") + 1.0) / (F.col("_pl_total") + F.col("_pl_v"))
+    )
+    scored = (
+        tf.join(F.broadcast(vocab), ["_pl_lang", "_pl_tok"])
+        .join(F.broadcast(totals), "_pl_lang")
+        .groupBy(id_col, "_pl_lang")
+        .agg(
+            F.sum("_pl_n").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_pl_n") * lp) / F.sum("_pl_n"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    out = approx_percentile_bands(
+        scored, ["_pl_lang"], "avg_logprob",
+        n_bands=n_buckets, accuracy=accuracy, band_col="bucket",
+    ).withColumnRenamed("_pl_lang", lang_col)
+    if n_buckets == 3:
+        out = out.withColumn(
+            "bucket_label",
+            F.element_at(
+                F.array(F.lit("tail"), F.lit("middle"), F.lit("head")),
+                F.col("bucket"),
+            ),
+        )
+    return out

@@ -980,3 +980,32 @@ def test_approx_percentile_bands_validates_n_bands(spark):
     df = spark.createDataFrame([("a", 1.0)], "seg string, v double")
     with _pytest.raises(ValueError, match="n_bands"):
         approx_percentile_bands(df, ["seg"], "v", n_bands=1)
+
+
+def test_perplexity_buckets_rank_gibberish_into_tail(spark):
+    """CCNet bucketing: per language, gibberish (vocabulary-outlier)
+    docs must land in the tail bucket and fluent docs in the head; each
+    language is bucketed against its OWN model."""
+    from datapipeline_spike_spark.operators.quality import perplexity_buckets
+
+    fluent_en = "the data query join table stream the data query join "
+    fluent_de = "der die das und oder aber der die das und "
+    rows = (
+        [(i, "en", fluent_en * 4) for i in range(12)]
+        + [(100 + i, "en", f"zx{i}q wv{i}k jj{i}p qq{i}m " * 4) for i in range(4)]
+        + [(200 + i, "de", fluent_de * 4) for i in range(12)]
+        + [(300 + i, "de", f"yy{i}h xx{i}g ww{i}f " * 4) for i in range(4)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(d).collect()
+    assert {r["bucket_label"] for r in out} <= {"tail", "middle", "head"}
+    by_id = {r["doc_id"]: r for r in out}
+    # gibberish: strictly lower logprob than every fluent doc of its lang
+    for gib, flu in [(100, 0), (300, 200)]:
+        assert by_id[gib]["avg_logprob"] < by_id[flu]["avg_logprob"]
+        assert by_id[gib]["bucket_label"] == "tail"
+    # fluent docs (75% of each lang, all tied at the top) sit above tail
+    assert by_id[0]["bucket"] > by_id[100]["bucket"]
+    assert by_id[200]["bucket"] > by_id[300]["bucket"]
+    # languages bucket independently: every lang has its own tail
+    assert {r["lang"] for r in out if r["bucket_label"] == "tail"} == {"en", "de"}
