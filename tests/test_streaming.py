@@ -1134,3 +1134,53 @@ def test_quality_gate_composes_with_ingest_dedup(spark):
         assert all(r["text"] for r in lake_rows)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ingest_restart_with_added_source_column(spark):
+    """Schema evolution across a stream restart: the source gains a new
+    column between runs. The restarted stream (new schema) must keep
+    its checkpoint (no reprocessing of batch-1 docs), read old files
+    with the new column as NULL, and admit new docs carrying it —
+    the lake then holds both generations side by side."""
+    import shutil
+    import tempfile
+
+    from datapipeline_spike_spark.streaming.pipeline import ingest_with_dedup
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven twelve"
+    root = tempfile.mkdtemp(prefix="evolve_")
+    src = f"{root}/src"
+    lake, ok, rej = f"{root}/lake", f"{root}/admitted", f"{root}/rejected"
+    try:
+        spark.createDataFrame([(1, a)], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        s1 = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = s1.writeStream.foreachBatch(ingest_with_dedup(lake, ok, rej)).option(
+            "checkpointLocation", f"{root}/ckpt"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        # source evolves: new files carry a crawl_id column
+        spark.createDataFrame(
+            [(2, b, "crawl-7")], "doc_id long, text string, crawl_id string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        s2 = spark.readStream.schema(
+            "doc_id long, text string, crawl_id string"
+        ).parquet(src)
+        q = s2.writeStream.foreachBatch(ingest_with_dedup(lake, ok, rej)).option(
+            "checkpointLocation", f"{root}/ckpt"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        lake_df = spark.read.option("mergeSchema", "true").parquet(lake)
+        rows = {r["doc_id"]: r.asDict() for r in lake_df.collect()}
+        assert set(rows) == {1, 2}            # no reprocessing, no loss
+        assert rows[2]["crawl_id"] == "crawl-7"
+        assert rows[1].get("crawl_id") is None  # old generation: NULL
+        # the dedup index kept working across the schema change
+        idx = {r["doc_id"] for r in spark.read.parquet(f"{lake}_index/fp").collect()}
+        assert idx == {1, 2}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
