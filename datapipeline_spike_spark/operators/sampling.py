@@ -96,3 +96,31 @@ def bottom_k_per_group(
         .filter(F.col(rank_col) <= k)
         .drop("_bk_r1")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: Column | str,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    order_col: str = "shuffle_u",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data writers: every row
+    gets a shard in [0, n_shards) and a within-shard order key, both
+    pure functions of (key, seed) — so the shard files a downstream
+    ``write.partitionBy(shard)`` (or repartition+sortWithinPartitions)
+    produces are BYTE-IDENTICAL across reruns, backfills, cluster
+    sizes, and input partitionings. RNG-based ``orderBy(rand())``
+    shuffling ties the epoch order to the cluster layout; a content
+    hash ties it to the data, which also makes the "different seed per
+    epoch" recipe trivial (seed = epoch). Map-only: the shuffle itself
+    happens in the writer's repartition, this operator only computes
+    where each row goes."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards}: need at least 1 shard")
+    key = F.col(key) if isinstance(key, str) else key
+    u = hash_u01(F.concat(key.cast("string"), F.lit(f"#{seed}")))
+    return df.withColumn(order_col, u).withColumn(
+        shard_col, (F.col(order_col) * n_shards).cast("int")
+    )

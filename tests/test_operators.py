@@ -1009,3 +1009,36 @@ def test_perplexity_buckets_rank_gibberish_into_tail(spark):
     assert by_id[200]["bucket"] > by_id[300]["bucket"]
     # languages bucket independently: every lang has its own tail
     assert {r["lang"] for r in out if r["bucket_label"] == "tail"} == {"en", "de"}
+
+
+def test_deterministic_shuffle_is_layout_invariant_and_seeded(spark):
+    """The training-data shuffle contract: (shard, order) depend only on
+    (key, seed) — identical across input partitionings; different seeds
+    produce a genuinely different permutation; shards are within [0, n)
+    and roughly balanced."""
+    from datapipeline_spike_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], "doc_id long, text string"
+    )
+
+    def run(frame, seed):
+        return {
+            r["doc_id"]: (r["shard"], r["shuffle_u"])
+            for r in deterministic_shuffle(frame, "doc_id", 8, seed=seed).collect()
+        }
+
+    s0 = run(df, 0)
+    assert run(df.repartition(13), 0) == s0          # layout-invariant
+    s1 = run(df, 1)
+    assert s0 != s1                                   # epoch reshuffle
+    moved = sum(1 for k in s0 if s0[k][0] != s1[k][0])
+    assert moved > 1000                               # ...a real one
+    shards = [v[0] for v in s0.values()]
+    assert set(shards) <= set(range(8))
+    from collections import Counter
+
+    counts = Counter(shards)
+    assert max(counts.values()) < 2 * 2000 / 8       # no degenerate shard
+    # within-shard order keys are (almost surely) collision-free here
+    assert len({v for v in s0.values()}) == 2000
