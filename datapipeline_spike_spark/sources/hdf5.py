@@ -14,12 +14,19 @@ arrive (many small per-operation files); a single giant archive would
 need a driver-side manifest split instead — documented, not needed for
 the reference's layout.
 
-The decode itself is import-gated: ``h5py`` is absent from this
-environment, so the real path raises with the dependency name and tests
-run a deterministic fake keyed on the payload hash (same contract as
-sources/multimodal.py). Everything else — binaryFile ingestion, filename
-metadata parsing, Arrow batching, the record schema ``enrich_records``
-consumes — is real and tested end-to-end.
+Decode tiers (r8): classic-format archives (superblock v0, v1 object
+headers, symbol-table groups, contiguous numeric datasets — what
+default-config h5py writes for exactly these per-operation files)
+decode NATIVELY via ``sources/hdf5_native.py``, pure Python from the
+public HDF5 file-format spec, no h5py needed. Layouts outside that
+subset (chunked/compressed data, v2+ superblocks, dense links) route to
+the import-gated h5py path, which raises with the dependency name here
+(h5py is absent from this environment). Payloads without the HDF5
+signature fall back to the deterministic hash-keyed fake (the synthetic
+test fixtures; same contract as sources/multimodal.py). The Spark-side
+plumbing — binaryFile ingestion, filename metadata parsing, Arrow
+batching, the record schema ``enrich_records`` consumes — is shared by
+all three tiers and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -100,6 +107,38 @@ def _fake_decode_h5(content: bytes, samples_per_record: int) -> list[dict]:
     return out
 
 
+def _native_decode_h5(content: bytes, samples_per_record: int) -> list[dict]:
+    """Pure-Python decode of classic-format archives (see
+    ``sources/hdf5_native.py`` for the exact subset): the three
+    ``vibration_{x,y,z}`` datasets batch into ``samples_per_record``-
+    sized records, identical framing to the h5py path."""
+    from datapipeline_spike_spark.sources.hdf5_native import read_h5_datasets
+
+    ds = read_h5_datasets(content)
+    try:
+        axes = {a: ds[f"vibration_{a}"] for a in ("x", "y", "z")}
+    except KeyError as missing:
+        from datapipeline_spike_spark.sources.hdf5_native import Hdf5FormatError
+
+        raise Hdf5FormatError(
+            f"archive lacks dataset {missing} (expected vibration_x/y/z)"
+        ) from None
+    n = min(len(v) for v in axes.values())
+    out = []
+    for r, start in enumerate(range(0, n, samples_per_record)):
+        end = min(start + samples_per_record, n)
+        out.append(
+            {
+                "record_idx": r,
+                "vibration_x_batch": [float(v) for v in axes["x"][start:end]],
+                "vibration_y_batch": [float(v) for v in axes["y"][start:end]],
+                "vibration_z_batch": [float(v) for v in axes["z"][start:end]],
+                "status_code": "Good",
+            }
+        )
+    return out
+
+
 def _real_decode_h5(content: bytes, samples_per_record: int) -> list[dict]:
     """h5py decode: datasets ``vibration_x/y/z`` chunked into
     ``samples_per_record``-sized batches (the reference's 10-points ->
@@ -140,9 +179,29 @@ def read_vibration_records(
     ``pipeline.enrich_records`` consumes, minus the event-time column a
     live stream would add). 1-to-many mapInPandas: each file fans out to
     its records inside the Arrow batch; no driver involvement, no
-    collect, parallelism = input file partitions."""
-    real = H5_AVAILABLE if use_real_decoder is None else use_real_decoder
-    decode = _real_decode_h5 if real else _fake_decode_h5
+    collect, parallelism = input file partitions.
+
+    Tier selection (``use_real_decoder=None``, the default): a payload
+    carrying the HDF5 signature decodes natively when it is in the
+    classic subset, escalates to h5py when it is not (raising the
+    dependency name if h5py is absent); a payload WITHOUT the signature
+    uses the deterministic fake (synthetic fixtures). Explicit
+    ``use_real_decoder=True`` forces the h5py path (the gate test),
+    ``False`` forces the fake."""
+    from datapipeline_spike_spark.sources.hdf5_native import Hdf5FormatError
+
+    if use_real_decoder is None:
+
+        def decode(content: bytes, spr: int) -> list[dict]:
+            if content[:8] != b"\x89HDF\r\n\x1a\n":
+                return _fake_decode_h5(content, spr)
+            try:
+                return _native_decode_h5(content, spr)
+            except Hdf5FormatError:
+                return _real_decode_h5(content, spr)
+
+    else:
+        decode = _real_decode_h5 if use_real_decoder else _fake_decode_h5
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1,0 +1,327 @@
+"""Pure-Python HDF5 decode tier for the archival source (SURVEY §2.1 S1).
+
+``h5py`` is absent from this environment, so the S1 decode was a gated
+fake. This module closes the gap the same way the multimodal sources
+did for PNG/JPEG/MP4: a hand-rolled decoder for a BOUNDED, documented
+subset of the container format, written from the public HDF5 File
+Format Specification (v1.10, "Disk Format: Level 0-2"):
+
+- superblock version 0 (the classic format libhdf5 writes by default),
+- version-1 object headers (no checksums anywhere in this layout),
+- symbol-table groups (B-tree v1 + local heap + SNOD leaf nodes),
+- contiguous or compact data layout (message v3),
+- little-endian IEEE float32/64 and signed int16/32/64 datasets.
+
+That subset is exactly what default-config h5py produces for small
+archives of plain numeric datasets — the reference's per-operation
+vibration files (``M01_Aug_2019_OP00_000.h5``; three 1-D float arrays)
+fall squarely inside it. Chunked/compressed datasets, dense (v2) link
+storage, and non-native datatypes still route to the import-gated h5py
+path in ``sources/hdf5.py``.
+
+The writer emits the same classic layout (single root group, flat
+datasets) — it exists to build test fixtures and golden files without
+h5py, and every structure it writes is read back by this reader AND
+follows the spec byte-for-byte so a real libhdf5 can open the files
+wherever one exists.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SIGNATURE = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# header message type ids (spec IV.A.2)
+MSG_NIL = 0x0000
+MSG_DATASPACE = 0x0001
+MSG_DATATYPE = 0x0003
+MSG_FILL_OLD = 0x0004
+MSG_FILL = 0x0005
+MSG_LAYOUT = 0x0008
+MSG_CONTINUATION = 0x0010
+MSG_SYMBOL_TABLE = 0x0011
+
+_BTREE_K = 4  # group leaf node k -> SNOD capacity 2k entries
+
+
+class Hdf5FormatError(ValueError):
+    """Raised when the payload is not HDF5 or uses a layout outside the
+    documented native subset (the caller then falls back to h5py or a
+    NULL row, never a crash inside the executor)."""
+
+
+# --------------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------------
+
+
+def _u(buf: bytes, off: int, n: int) -> int:
+    return int.from_bytes(buf[off : off + n], "little")
+
+
+def _parse_object_header_v1(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """All (type, body) messages of a v1 object header, following
+    continuation blocks. v1 prefix: version, reserved, n_msgs(2),
+    refcount(4), header_size(4), then 4 pad bytes to 8-align the
+    message block."""
+    if buf[addr] != 1:
+        raise Hdf5FormatError(
+            f"object header version {buf[addr]} at {addr:#x}: native tier "
+            "reads the classic v1 headers only (v2/OHDR needs h5py)"
+        )
+    n_msgs = _u(buf, addr + 2, 2)
+    block_size = _u(buf, addr + 8, 4)
+    blocks = [(addr + 16, block_size)]
+    msgs: list[tuple[int, bytes]] = []
+    bi = 0
+    pos, remaining = blocks[0][0], blocks[0][1]
+    while len(msgs) < n_msgs:
+        if remaining < 8:
+            bi += 1
+            if bi >= len(blocks):
+                raise Hdf5FormatError("object header truncated (message count)")
+            pos, remaining = blocks[bi]
+        mtype = _u(buf, pos, 2)
+        msize = _u(buf, pos + 2, 2)
+        body = buf[pos + 8 : pos + 8 + msize]
+        pos += 8 + msize
+        remaining -= 8 + msize
+        if mtype == MSG_CONTINUATION:
+            blocks.append((_u(body, 0, 8), _u(body, 8, 8)))
+        msgs.append((mtype, body))
+    return msgs
+
+
+def _parse_dataspace(body: bytes) -> list[int]:
+    version = body[0]
+    rank = body[1]
+    if version == 1:
+        off = 8  # version, rank, flags, 5 reserved
+    elif version == 2:
+        off = 4  # version, rank, flags, type
+    else:
+        raise Hdf5FormatError(f"dataspace version {version}")
+    return [_u(body, off + 8 * i, 8) for i in range(rank)]
+
+
+def _parse_datatype(body: bytes) -> np.dtype:
+    cls = body[0] & 0x0F
+    bits0 = body[1]
+    size = _u(body, 4, 4)
+    if bits0 & 0x01:
+        raise Hdf5FormatError("big-endian datatype: outside the native subset")
+    if cls == 0:  # fixed-point
+        signed = bool(bits0 & 0x08)
+        if size not in (2, 4, 8) or not signed:
+            raise Hdf5FormatError(f"fixed-point size={size} signed={signed}")
+        return np.dtype(f"<i{size}")
+    if cls == 1:  # floating-point
+        if size not in (4, 8):
+            raise Hdf5FormatError(f"float size={size}")
+        return np.dtype(f"<f{size}")
+    raise Hdf5FormatError(f"datatype class {cls}: native tier reads numeric only")
+
+
+def _group_links(buf: bytes, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
+    """(name, object header address) pairs from a symbol-table group."""
+    if buf[heap_addr : heap_addr + 4] != b"HEAP":
+        raise Hdf5FormatError("local heap signature missing")
+    heap_data = _u(buf, heap_addr + 24, 8)
+
+    def name_at(offset: int) -> str:
+        end = buf.index(b"\x00", heap_data + offset)
+        return buf[heap_data + offset : end].decode("utf-8")
+
+    out: list[tuple[str, int]] = []
+
+    def walk(addr: int) -> None:
+        if buf[addr : addr + 4] != b"TREE":
+            raise Hdf5FormatError("group B-tree signature missing")
+        level = buf[addr + 5]
+        n = _u(buf, addr + 6, 2)
+        # keys/children start after sig(4) type(1) level(1) used(2) sibs(16)
+        p = addr + 24
+        children = [_u(buf, p + 8 + 16 * i, 8) for i in range(n)]
+        for child in children:
+            if level > 0:
+                walk(child)
+            else:
+                if buf[child : child + 4] != b"SNOD":
+                    raise Hdf5FormatError("symbol node signature missing")
+                n_sym = _u(buf, child + 6, 2)
+                for s in range(n_sym):
+                    ste = child + 8 + 40 * s
+                    out.append((name_at(_u(buf, ste, 8)), _u(buf, ste + 8, 8)))
+
+    walk(btree_addr)
+    return out
+
+
+def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
+    """Decode every numeric dataset in the root group of a classic-format
+    HDF5 payload. Raises :class:`Hdf5FormatError` for payloads outside
+    the documented subset (caller decides the fallback tier)."""
+    if content[:8] != SIGNATURE:
+        raise Hdf5FormatError("HDF5 signature missing")
+    if content[8] != 0:
+        raise Hdf5FormatError(
+            f"superblock version {content[8]}: native tier reads the classic "
+            "v0 superblock only (v2/v3 needs h5py)"
+        )
+    if content[13] != 8 or content[14] != 8:
+        raise Hdf5FormatError("non-8-byte offsets/lengths")
+    # root symbol table entry sits after the 24-byte fixed part + 4 addresses
+    root_ste = 24 + 32
+    root_header = _u(content, root_ste + 8, 8)
+    msgs = _parse_object_header_v1(content, root_header)
+    st = next((b for t, b in msgs if t == MSG_SYMBOL_TABLE), None)
+    if st is None:
+        raise Hdf5FormatError(
+            "root group has no symbol table message (dense/v2 links need h5py)"
+        )
+    out: dict[str, np.ndarray] = {}
+    for name, obj_addr in _group_links(content, _u(st, 0, 8), _u(st, 8, 8)):
+        dims: list[int] | None = None
+        dtype: np.dtype | None = None
+        raw: bytes | None = None
+        for mtype, body in _parse_object_header_v1(content, obj_addr):
+            if mtype == MSG_DATASPACE:
+                dims = _parse_dataspace(body)
+            elif mtype == MSG_DATATYPE:
+                dtype = _parse_datatype(body)
+            elif mtype == MSG_LAYOUT:
+                if body[0] != 3:
+                    raise Hdf5FormatError(f"layout message version {body[0]}")
+                lclass = body[1]
+                if lclass == 0:  # compact: size(2) then raw data
+                    raw = bytes(body[4 : 4 + _u(body, 2, 2)])
+                elif lclass == 1:  # contiguous: address(8) size(8)
+                    address, size = _u(body, 2, 8), _u(body, 10, 8)
+                    raw = (
+                        b"" if address == UNDEF else bytes(content[address : address + size])
+                    )
+                else:
+                    raise Hdf5FormatError(
+                        "chunked layout: outside the native subset (needs h5py)"
+                    )
+        if dims is None or dtype is None or raw is None:
+            continue  # a sub-group or non-dataset object: skip
+        n = int(np.prod(dims)) if dims else 1
+        arr = np.frombuffer(raw[: n * dtype.itemsize], dtype=dtype)
+        out[name] = arr.reshape(dims) if dims else arr
+    return out
+
+
+# --------------------------------------------------------------------------
+# writer (fixture/golden-file generator; classic layout, spec-conformant)
+# --------------------------------------------------------------------------
+
+
+def write_minimal_h5(datasets: dict[str, np.ndarray]) -> bytes:
+    """Serialize ``datasets`` (numeric numpy arrays, root group, flat) as
+    a classic-format HDF5 byte string readable by :func:`read_h5_datasets`
+    and by any libhdf5. Capacity: up to ``2 * _BTREE_K`` datasets (one
+    symbol leaf node) — plenty for fixture archives."""
+    items = sorted(
+        (name, np.ascontiguousarray(arr)) for name, arr in datasets.items()
+    )
+    if len(items) > 2 * _BTREE_K:
+        raise ValueError(f"native writer capacity is {2 * _BTREE_K} datasets")
+
+    buf = bytearray()
+
+    def alloc(n: int, align: int = 8) -> int:
+        while len(buf) % align:
+            buf.append(0)
+        addr = len(buf)
+        buf.extend(b"\x00" * n)
+        return addr
+
+    def put(addr: int, data: bytes) -> None:
+        buf[addr : addr + len(data)] = data
+
+    def msg(mtype: int, body: bytes) -> bytes:
+        pad = (-len(body)) % 8
+        body += b"\x00" * pad
+        return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+    def object_header(messages: list[bytes]) -> int:
+        block = b"".join(messages)
+        addr = alloc(16 + len(block))
+        put(addr, struct.pack("<BxHII4x", 1, len(messages), 1, len(block)))
+        put(addr + 16, block)
+        return addr
+
+    def dtype_msg(dt: np.dtype) -> bytes:
+        if dt.kind == "f":
+            exp = {4: (23, 8, 127), 8: (52, 11, 1023)}[dt.itemsize]
+            man_size, exp_size, bias = exp
+            body = struct.pack(
+                "<BBBxI", (1 << 4) | 1, 0x20, dt.itemsize * 8 - 1, dt.itemsize
+            ) + struct.pack(
+                "<HHBBBBI", 0, dt.itemsize * 8, man_size, exp_size, 0, man_size, bias
+            )
+            return msg(MSG_DATATYPE, body)
+        if dt.kind == "i":
+            body = struct.pack("<BBBxI", (1 << 4) | 0, 0x08, 0, dt.itemsize)
+            body += struct.pack("<HH", 0, dt.itemsize * 8)
+            return msg(MSG_DATATYPE, body)
+        raise ValueError(f"native writer supports numeric dtypes, got {dt}")
+
+    # superblock: fixed part + 4 file addresses + root symbol table entry
+    sb = alloc(24 + 32 + 40)
+    put(sb, SIGNATURE + struct.pack("<BBBxBBBxHHI", 0, 0, 0, 0, 8, 8, _BTREE_K, 16, 0))
+    put(sb + 24, struct.pack("<QQQQ", 0, UNDEF, UNDEF, UNDEF))  # eof patched below
+
+    # local heap: 8 zero bytes (offset 0 = empty root link name) + names
+    names_blob = bytearray(b"\x00" * 8)
+    name_off: dict[str, int] = {}
+    for name, _ in items:
+        name_off[name] = len(names_blob)
+        names_blob += name.encode("utf-8") + b"\x00"
+        while len(names_blob) % 8:
+            names_blob += b"\x00"
+    heap_data = alloc(len(names_blob))
+    put(heap_data, bytes(names_blob))
+    heap = alloc(32)
+    put(heap, b"HEAP" + struct.pack("<B3xQQQ", 0, len(names_blob), UNDEF, heap_data))
+
+    # dataset object headers + contiguous data
+    obj_addr: dict[str, int] = {}
+    for name, arr in items:
+        data_addr = alloc(arr.nbytes)
+        put(data_addr, arr.astype(arr.dtype.newbyteorder("<")).tobytes())
+        space = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
+            struct.pack("<Q", d) for d in arr.shape
+        )
+        layout = struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)
+        obj_addr[name] = object_header(
+            [msg(MSG_DATASPACE, space), dtype_msg(arr.dtype), msg(MSG_LAYOUT, layout)]
+        )
+
+    # one SNOD leaf (entries sorted by name) + its B-tree root
+    snod = alloc(8 + 2 * _BTREE_K * 40)
+    put(snod, b"SNOD" + struct.pack("<BxH", 1, len(items)))
+    for i, (name, _) in enumerate(items):
+        put(
+            snod + 8 + 40 * i,
+            struct.pack("<QQI4x16x", name_off[name], obj_addr[name], 0),
+        )
+    btree = alloc(24 + 8 + 16 * 1)
+    last_key = name_off[items[-1][0]] if items else 0
+    put(
+        btree,
+        b"TREE"
+        + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
+        + struct.pack("<QQQ", 0, snod, last_key),
+    )
+
+    # root group object header + the superblock's cached root entry
+    root = object_header([msg(MSG_SYMBOL_TABLE, struct.pack("<QQ", btree, heap))])
+    put(sb + 56, struct.pack("<QQI4xQQ", 0, root, 1, btree, heap))
+    put(sb + 24, struct.pack("<Q", len(buf)))  # end-of-file address
+    return bytes(buf)
