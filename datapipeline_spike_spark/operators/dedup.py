@@ -1106,3 +1106,64 @@ def incremental_dedup(
             F.coalesce(F.col("exact_match"), F.col("near_match")).alias("match_id"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-grain exact dedup across the corpus (the MassiveText /
+    Gopher boilerplate-removal step — Rae et al. 2021 run dedup at
+    document AND paragraph grain): split every document on ``sep``,
+    fingerprint each normalized paragraph, keep only its FIRST
+    occurrence corpus-wide (ordered by (doc id, position) — stable and
+    rerun-deterministic), and reassemble documents from their surviving
+    paragraphs in original order. Returns (id, text, n_paragraphs,
+    n_kept) — text is the cleaned document, possibly empty when every
+    paragraph was boilerplate seen earlier.
+
+    Scale shape: one posexplode, one paragraph-fingerprint aggregate
+    (min_by — map-side combined, output bounded by DISTINCT paragraphs),
+    one equi-join back on the fingerprint, one per-doc reassembly
+    aggregate. No windows over the corpus, no self-join; skew on a
+    mega-duplicated paragraph is a single aggregate key (AQE-splittable)
+    rather than a pair explosion, because dedup here keeps ONE winner
+    instead of materializing matches."""
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pd_pos", "_pd_para"),
+    ).filter(F.trim("_pd_para") != "")
+    fp = parts.withColumn(
+        "_pd_fp", F.md5(F.trim(F.lower(F.col("_pd_para"))))
+    )
+    winners = fp.groupBy("_pd_fp").agg(
+        F.min(F.struct(F.col(id_col).alias("wid"), F.col("_pd_pos").alias("wpos"))).alias("_pd_w")
+    )
+    kept = fp.join(winners, "_pd_fp").withColumn(
+        "_pd_keep",
+        (F.col(id_col) == F.col("_pd_w.wid")) & (F.col("_pd_pos") == F.col("_pd_w.wpos")),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_paragraphs"),
+            F.sum(F.col("_pd_keep").cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_pd_keep"),
+                                F.struct("_pd_pos", F.col("_pd_para").alias("p")),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_paragraphs", "n_kept")
+    )

@@ -715,3 +715,30 @@ def test_semdedup_empty_corpus_keeps_string_id_type(spark):
     cb = cluster_balanced_sample(empty, id_col="url", vec_col="embedding")
     assert isinstance(cb.schema["url"].dataType, StringType)
     assert cb.columns == ["url", "cent_id", "samp_rank"]
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    """Paragraph-grain dedup: shared boilerplate survives only in its
+    first (doc_id, pos) occurrence; unique paragraphs all survive;
+    reassembly preserves in-document order; a fully-boilerplate doc
+    collapses to empty text."""
+    from datapipeline_spike_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"intro about databases\n\n{boiler}\n\nunique analysis one"),
+        (2, f"{boiler}\n\nunique analysis two"),
+        (3, f"{boiler.upper()}  "),  # normalizes to the same fingerprint
+        (4, "completely fresh document\n\nwith two fresh paragraphs"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(d).collect()}
+    assert out[1]["text"] == rows[0][1]                   # first occurrence keeps all
+    assert out[1]["n_paragraphs"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["text"] == "unique analysis two"        # boilerplate stripped
+    assert out[2]["n_kept"] == 1
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0  # nothing left
+    assert out[4]["text"] == rows[3][1]
+    # determinism under repartitioning (the min_by winner is data-defined)
+    out2 = {r["doc_id"]: r["text"] for r in paragraph_dedup(d.repartition(7)).collect()}
+    assert out2 == {k: v["text"] for k, v in out.items()}
