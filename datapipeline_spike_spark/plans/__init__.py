@@ -88,6 +88,16 @@ _QUEUED_FOR_NEXT_HEAD = (
     "ngram_jaccard_pairs",
     "candidate_edit_distance",
 )
+# Library operators built in r8 WITHOUT registry queries (the rotation
+# contract forbids registering code that cannot get a driver slot the
+# same round; the r8 head was exactly full). Each is tested and
+# documented; r9 must register them (with oracles) and splice the new
+# queries into the r9 head alongside the four queued above:
+#   operators/ranks.py::approx_percentile_bands   (percent_rank scale path)
+#   operators/quality.py::perplexity_buckets      (CCNet head/middle/tail)
+#   operators/sampling.py::deterministic_shuffle  (training-shard assignment)
+#   operators/dedup.py::paragraph_dedup           (paragraph-grain dedup)
+#   sources/hdf5_native.py                        (S1 native decode tier; test-checked, no oracle by contract)
 # Driver-green in round 7 (CORRECTNESS_r07.json, 48/50 hash + 2
 # rows-only-by-contract) and not re-changed in r8: rotate to the tail.
 _STABLE_TAIL = (
