@@ -461,6 +461,74 @@ def decode_audio_pcm_features(df: DataFrame, payload_col: str = "payload") -> Da
     )
 
 
+def decode_audio_band_ratios(
+    df: DataFrame, payload_col: str = "payload", n_bands: int = 4
+) -> DataFrame:
+    """Audio SPECTRAL tier (r8, the frequency-domain sibling of
+    :func:`decode_audio_pcm_features`): RIFF walk -> int16 PCM -> rFFT
+    -> per-clip spectral balance. The sub-Nyquist non-DC bins 1..hi
+    (hi = (n-1)//2) split into ``n_bands`` contiguous bands; each
+    band's share of the spectral energy comes back as
+    band_ratio_1..n_bands, with the EXACT integer time-domain energy
+    (sum x^2) alongside as the SQL-anchorable Parseval cross-check
+    (sum |X_k|^2 over ALL bins == n * sum x^2).
+
+    Ratios are scale-free O(1) values, so 6dp rounding absorbs the
+    ~1e-12 relative drift between numpy's FFT and a direct-DFT trig-sum
+    replay (the dominant_frequency_verified precedent) — an r9 oracle
+    can regenerate the waveform and replay every column. Clips with
+    hi < n_bands (too short to populate each band) or unsupported
+    shapes yield NULL ratios, never a failed scan."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(payload: bytes):
+            meta = parse_audio_meta(payload)
+            if not meta or meta[1] != 1 or meta[3] != 16 or meta[4] == 0:
+                return None
+            n = meta[4]
+            i = payload.find(b"data")
+            if i < 0:
+                return None
+            try:
+                xs = struct.unpack(f"<{n}h", payload[i + 8 : i + 8 + 2 * n])
+            except struct.error:
+                return None
+            hi = (n - 1) // 2
+            if hi < n_bands:
+                return (n, sum(x * x for x in xs), None)
+            mag2 = np.abs(np.fft.rfft(np.asarray(xs, dtype=np.float64))) ** 2
+            spec = mag2[1 : hi + 1]
+            total = float(spec.sum())
+            if total <= 0.0:
+                return (n, sum(x * x for x in xs), [0.0] * n_bands)
+            edges = [1 + b * hi // n_bands for b in range(n_bands + 1)]
+            ratios = [
+                round(float(spec[edges[b] - 1 : edges[b + 1] - 1].sum()) / total, 6)
+                for b in range(n_bands)
+            ]
+            return (n, sum(x * x for x in xs), ratios)
+
+        for pdf in batches:
+            out = pdf[payload_col].map(one)
+            cols = {
+                "media_id": pdf["media_id"],
+                "n_samples": pd.array(out.map(lambda t: t and t[0]), dtype="Int64"),
+                "energy_td": pd.array(out.map(lambda t: t and t[1]), dtype="Int64"),
+            }
+            for b in range(n_bands):
+                cols[f"band_ratio_{b + 1}"] = out.map(
+                    lambda t, b=b: t[2][b] if t and t[2] else None
+                ).astype("Float64")
+            yield pd.DataFrame(cols)
+
+    ratio_cols = ", ".join(f"band_ratio_{b + 1} double" for b in range(n_bands))
+    return df.mapInPandas(
+        feats, schema=f"media_id long, n_samples long, energy_td long, {ratio_cols}"
+    )
+
+
 def synthetic_png_pattern(seed: int, width: int, height: int) -> bytes:
     """8-bit grayscale PNG whose pixel k (row-major) is
     ``(seed * 7 + k * 13) % 256`` — filter byte 0 on every scanline, so

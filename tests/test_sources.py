@@ -915,3 +915,46 @@ def test_serving_views_query_like_a_dashboard(spark, sf_dir):
     assert direct.exceptAll(trend).count() == 0
     status = {r["event_type"]: r for r in spark.table("t_dash_latest_status").collect()}
     assert sum(r["n_total"] for r in status.values()) == feats.count()
+
+
+def test_audio_band_ratios_concentrate_on_planted_tone(spark):
+    """Spectral tier: a planted pure tone at a known bin must put ~all
+    spectral energy in that bin's band; ratios sum to 1; the integer
+    time-domain energy anchors Parseval; short and malformed clips
+    degrade to NULL ratios."""
+    import math
+    import struct as _struct
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_audio_band_ratios,
+    )
+
+    def wav(samples):
+        data = _struct.pack(f"<{len(samples)}h", *samples)
+        fmt = _struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + _struct.pack("<I", len(data)) + data
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    n = 64
+    tone_hi = [round(1000 * math.cos(2 * math.pi * 28 * i / n)) for i in range(n)]
+    tone_lo = [round(1000 * math.cos(2 * math.pi * 3 * i / n)) for i in range(n)]
+    rows = [
+        (1, wav(tone_hi), "audio"),   # bin 28 of hi=31 -> last band
+        (2, wav(tone_lo), "audio"),   # bin 3 -> first band
+        (3, wav([5, -5, 5]), "audio"),  # hi=1 < 4 bands -> NULL ratios
+        (4, b"RIFFgarbage", "audio"),   # malformed -> NULL row
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, media_type string")
+    out = {r["media_id"]: r for r in decode_audio_band_ratios(df).collect()}
+    r1, r2 = out[1], out[2]
+    assert r1["band_ratio_4"] > 0.98 and r2["band_ratio_1"] > 0.98
+    for r in (r1, r2):
+        total = sum(r[f"band_ratio_{b}"] for b in range(1, 5))
+        assert abs(total - 1.0) < 1e-5
+        # Parseval anchor: integer time-domain energy present and exact
+        assert r["energy_td"] == sum(
+            x * x for x in (tone_hi if r is r1 else tone_lo)
+        )
+    assert out[3]["band_ratio_1"] is None and out[3]["n_samples"] == 3
+    assert out[4]["n_samples"] is None
