@@ -97,6 +97,7 @@ _QUEUED_FOR_NEXT_HEAD = (
 #   operators/quality.py::perplexity_buckets      (CCNet head/middle/tail)
 #   operators/sampling.py::deterministic_shuffle  (training-shard assignment)
 #   operators/dedup.py::paragraph_dedup           (paragraph-grain dedup)
+#   sources/multimodal.py::decode_audio_band_ratios (audio spectral tier)
 #   sources/hdf5_native.py                        (S1 native decode tier; test-checked, no oracle by contract)
 # Driver-green in round 7 (CORRECTNESS_r07.json, 48/50 hash + 2
 # rows-only-by-contract) and not re-changed in r8: rotate to the tail.
