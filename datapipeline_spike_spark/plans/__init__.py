@@ -99,8 +99,10 @@ _QUEUED_FOR_NEXT_HEAD = (
 #   operators/dedup.py::paragraph_dedup           (paragraph-grain dedup)
 #   sources/multimodal.py::decode_audio_band_ratios (audio spectral tier)
 #   sources/hdf5_native.py                        (S1 native decode tier; test-checked, no oracle by contract)
-# Driver-green in round 7 (CORRECTNESS_r07.json, 48/50 hash + 2
-# rows-only-by-contract) and not re-changed in r8: rotate to the tail.
+# Tail = most-recently driver-green first: the r7-green block
+# (CORRECTNESS_r07.json, 48/50 hash + 2 rows-only-by-contract), then the
+# r6-green block that has sat in the tail since r7 — none re-changed in
+# r8. Anything unlisted keeps its registration order in the middle.
 _STABLE_TAIL = (
     "maintenance_window_overlap",
     "image_jpeg_pixel_features",
@@ -138,47 +140,6 @@ _STABLE_TAIL = (
     "pricing_summary",
     "dominant_frequency",
     "pca_reduce",
-)
-
-_HEAD = (
-    "doc_rolling_hash",
-    "kmeans_centroids",
-    "spectral_energy",
-    "tfidf_top_terms",
-    "unigram_logprob_score",
-    "language_id",
-    "token_frequencies",
-    "token_counting_methods",
-    "kmv_distinct_ngrams",
-    "heavy_hitter_tokens",
-    "document_chunks",
-    "benchmark_contamination",
-    "leakage_safe_split",
-    "stratified_sample",
-    "pii_redaction",
-    "segment_dedup_profile",
-    "context_pack_stats",
-    "doc_fingerprint_dedup",
-    "dedup_latest_state",
-    "outlier_gate",
-    "quality_metrics",
-    "rolling_baseline",
-    "sliding_window_load",
-    "purchase_asof_signup",
-    "shipping_priority",
-    "late_shipment_priority",
-    "small_quantity_revenue",
-    "table_profile",
-    "image_header_meta",
-    "video_header_meta",
-    "dominant_frequency_verified",
-    "url_host_dedup",
-    "decontamination_span_removal",
-    "winnowing_fingerprints",
-)
-# Driver-green in round 6 (CORRECTNESS_r06.json, 50/50) and not
-# re-changed in r7: rotate to the tail.
-_STABLE_TAIL = (
     "scd2_user_state_history",
     "repeated_substring_profile",
     "bloom_filter_profile",
@@ -221,6 +182,7 @@ _STABLE_TAIL = (
     "machine_stream_union",
     "vibration_features",
 )
+
 
 _HEAD = list(_R8_CHANGED) + list(_R8_HEAD_QUEUED)
 assert len(_HEAD) == 50 and len(set(_HEAD)) == 50, len(_HEAD)
