@@ -443,3 +443,75 @@ def quality_gated_stream(
         .filter(F.col("keep"))
         .drop("n_tokens", "z_micro", "keep")
     )
+
+
+def compact_dedup_index(
+    spark, index_root: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, dict[str, int]]:
+    """Offline maintenance for the ingest dedup index — run with the
+    stream STOPPED (this is a maintenance job, like lake compaction
+    between ingest windows). ``ingest_with_dedup`` appends one
+    ``epoch=N`` partition per micro-batch to each index leg forever; at
+    100 TB that is the small-file problem in its purest form (per-leaf
+    listing + footer costs grow with STREAM LIFETIME, not data size).
+
+    Merge rule: all epochs EXCEPT the newest collapse into the
+    second-newest epoch id; the newest partition is kept byte-for-byte.
+    Why the newest survives untouched: after an unclean shutdown,
+    Structured Streaming can replay only the LAST micro-batch, and the
+    exactly-once rerun guard (``epoch != current``) must still be able
+    to exclude exactly that epoch's rows. Older epochs are committed —
+    a replay can never carry their ids again — so their rows only ever
+    need to satisfy ``epoch != current_epoch``, which any past id does.
+    Classification results are IDENTICAL before and after (tested).
+
+    Swap is stage-and-rename per leg (tmp dir -> rename old away ->
+    rename tmp in -> remove old): not reader-atomic, which is exactly
+    why the contract is a stopped stream; the lake zones' manifest-swap
+    protocol is the upgrade path if concurrent readers ever need it."""
+    import math
+    import os
+    import shutil
+
+    report: dict[str, dict[str, int]] = {}
+    for leg in ("fp", "bands", "shingles"):
+        path = f"{index_root}/{leg}"
+        if not os.path.isdir(path):
+            continue
+        epochs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("epoch=")
+        )
+        if len(epochs) <= 2:
+            continue
+        keep, merge_into = epochs[-1], epochs[-2]
+        merged_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for e in epochs[:-1]
+            for dp, _, fs in os.walk(f"{path}/epoch={e}")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(merged_bytes / target_file_bytes))
+        merged = (
+            spark.read.parquet(path)
+            .filter(F.col("epoch") != keep)
+            .drop("epoch")
+            .repartition(n_files)
+        )
+        tmp = f"{path}.__compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(f"{tmp}/epoch={merge_into}")
+        shutil.copytree(f"{path}/epoch={keep}", f"{tmp}/epoch={keep}")
+        old = f"{path}.__compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        report[leg] = {
+            "epochs_before": len(epochs),
+            "epochs_after": 2,
+            "merged_files": n_files,
+        }
+    return report

@@ -1184,3 +1184,80 @@ def test_ingest_restart_with_added_source_column(spark):
         assert idx == {1, 2}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compact_dedup_index_preserves_classification(spark):
+    """Index maintenance: after many micro-batches the index holds one
+    epoch partition each; compaction must collapse all committed epochs
+    into one (newest kept for crash-replay exclusion) while the NEXT
+    ingest classifies byte-identically — dups of pre-compaction docs
+    still match, fresh docs still admit."""
+    import os
+    import shutil
+    import tempfile
+
+    from datapipeline_spike_spark.streaming.pipeline import (
+        compact_dedup_index,
+        ingest_with_dedup,
+    )
+
+    texts = [
+        f"document number {i} about topic {i % 3} with unique content token"
+        f" alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        for i in range(6)
+    ]
+    root = tempfile.mkdtemp(prefix="idx_compact_")
+    src = f"{root}/src"
+    lake, ok, rej = f"{root}/lake", f"{root}/admitted", f"{root}/rejected"
+    try:
+        # six single-file batches -> six epoch partitions per index leg
+        for i, t in enumerate(texts):
+            spark.createDataFrame([(i, t)], "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream.writeStream.foreachBatch(
+            ingest_with_dedup(lake, ok, rej)
+        ).option("checkpointLocation", f"{root}/ckpt").start()
+        q.processAllAvailable()
+        q.stop()
+        fp_dir = f"{lake}_index/fp"
+        n_before = sum(1 for d in os.listdir(fp_dir) if d.startswith("epoch="))
+        assert n_before >= 3
+        report = compact_dedup_index(spark, f"{lake}_index")
+        assert report["fp"]["epochs_before"] == n_before
+        assert sum(
+            1 for d in os.listdir(fp_dir) if d.startswith("epoch=")
+        ) == 2
+        # index CONTENT survived: same doc ids in the fp leg
+        ids = {r["doc_id"] for r in spark.read.parquet(fp_dir).collect()}
+        assert ids == set(range(6))
+        # restart + next batch: dup of doc 2 rejected against the
+        # compacted index, fresh doc admitted
+        spark.createDataFrame(
+            [(100, texts[2]), (101, "entirely fresh content zeta eta theta iota kappa lambda")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream2 = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream2.writeStream.foreachBatch(
+            ingest_with_dedup(lake, ok, rej)
+        ).option("checkpointLocation", f"{root}/ckpt").start()
+        q.processAllAvailable()
+        q.stop()
+        rejected = {
+            r["doc_id"]: (r["status"], r["match_id"])
+            for r in spark.read.parquet(rej).collect()
+        }
+        admitted = {r["doc_id"] for r in spark.read.parquet(ok).collect()}
+        assert rejected.get(100) == ("exact_dup", 2)
+        assert 101 in admitted
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
