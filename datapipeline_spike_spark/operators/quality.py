@@ -152,3 +152,80 @@ def perplexity_buckets(
             ),
         )
     return out
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-fit bigram LM fluency scoring — the word-ORDER-sensitive
+    upgrade of the unigram scorer (``unigram_logprob_score``): an
+    add-one-smoothed bigram model P(w_i | w_{i-1}) fit on the corpus
+    itself scores each document by mean conditional log-probability.
+    Scrambled or concatenative gibberish that reuses common VOCABULARY
+    (which a unigram model scores as fluent) ranks low because its
+    TRANSITIONS are rare; this is the SQL-replayable stand-in for the
+    KenLM-perplexity filters production pipelines run. Returns
+    (id, n_bigrams, avg_logprob); docs with < 2 tokens are dropped
+    (no transition to score).
+
+    P(b|a) = (c(a,b) + 1) / (c(a,·) + V), V = distinct corpus unigrams
+    — every count integer-exact, only the final mean is float (6dp
+    rounding absorbs engine summation order, the unigram precedent).
+    Scale shape: one tokenize pass feeds bigram counts; the per-doc
+    scoring join shuffles on the bigram key WITHOUT a broadcast hint
+    (distinct bigrams scale toward vocab^2 — the SF-scaling-table rule;
+    AQE broadcasts while small), while the per-context totals and the
+    1-row vocabulary size are genuinely bounded broadcasts. All
+    aggregates map-side combined; no windows, no self-joins."""
+    from datapipeline_spike_spark.functions.text import tokens as tok_fn
+
+    toks = docs.select(F.col(id_col), tok_fn(text_col).alias("_bl_toks")).filter(
+        F.size("_bl_toks") >= 2
+    )
+    # adjacent pairs via slice/zip: bigram i = (tok_i, tok_{i+1})
+    bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("_bl_toks", 1, F.size("_bl_toks") - 1),
+                F.slice("_bl_toks", 2, F.size("_bl_toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bl_bg"),
+    ).select(id_col, F.col("_bl_bg.w1").alias("_bl_w1"), F.col("_bl_bg.w2").alias("_bl_w2"))
+    doc_bg = bigrams.groupBy(id_col, "_bl_w1", "_bl_w2").agg(
+        F.count(F.lit(1)).alias("_bl_n")
+    )
+    corpus_bg = doc_bg.groupBy("_bl_w1", "_bl_w2").agg(
+        F.sum("_bl_n").alias("_bl_c")
+    )
+    ctx = corpus_bg.groupBy("_bl_w1").agg(F.sum("_bl_c").alias("_bl_ctx"))
+    # V = distinct unigrams (both positions; last token of a doc appears
+    # in w2, first in w1 — the union covers every token)
+    vocab = (
+        bigrams.select(F.col("_bl_w1").alias("w"))
+        .unionByName(bigrams.select(F.col("_bl_w2").alias("w")))
+        .agg(F.count_distinct("w").alias("_bl_v"))
+    )
+    lp = F.log(
+        (F.col("_bl_c") + 1.0) / (F.col("_bl_ctx") + F.col("_bl_v"))
+    )
+    return (
+        # no broadcast hint on the bigram-count table: DISTINCT BIGRAMS
+        # scale toward vocab^2 at corpus size (the customer-table rule);
+        # the equi-join shuffles on the bigram key and AQE may still
+        # broadcast it while small. ctx (per-unigram totals) and the
+        # 1-row V stay broadcast — genuinely vocabulary-bounded.
+        doc_bg.join(corpus_bg, ["_bl_w1", "_bl_w2"])
+        .join(F.broadcast(ctx), "_bl_w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_bl_n").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("_bl_n") * lp) / F.sum("_bl_n"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -1042,3 +1042,24 @@ def test_deterministic_shuffle_is_layout_invariant_and_seeded(spark):
     assert max(counts.values()) < 2 * 2000 / 8       # no degenerate shard
     # within-shard order keys are (almost surely) collision-free here
     assert len({v for v in s0.values()}) == 2000
+
+
+def test_bigram_logprob_scores_word_order(spark):
+    """The bigram scorer must separate what the unigram scorer cannot:
+    docs reusing the SAME common vocabulary in scrambled order score
+    strictly below the fluent docs that define the corpus transitions."""
+    from datapipeline_spike_spark.operators.quality import bigram_logprob_score
+
+    fluent = "the data pipeline reads the data table and joins the data stream"
+    scrambled = "data the joins stream reads pipeline data the and table data the"
+    rows = [(i, fluent) for i in range(20)] + [(100, scrambled), (101, fluent)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob_score(d).collect()}
+    assert out[100]["avg_logprob"] < out[0]["avg_logprob"]
+    assert out[101]["avg_logprob"] == out[0]["avg_logprob"]  # same text, same score
+    # same token multiset: a unigram model sees (almost) no difference —
+    # the separation above is genuinely transition-driven
+    assert sorted(fluent.split()) == sorted(scrambled.split())
+    # docs with < 2 tokens are dropped
+    short = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    assert bigram_logprob_score(short).count() == 0
