@@ -97,6 +97,7 @@ _QUEUED_FOR_NEXT_HEAD = (
 #   operators/quality.py::perplexity_buckets      (CCNet head/middle/tail)
 #   operators/sampling.py::deterministic_shuffle  (training-shard assignment)
 #   operators/dedup.py::paragraph_dedup           (paragraph-grain dedup)
+#   operators/quality.py::bigram_logprob_score    (word-order LM fluency)
 #   sources/multimodal.py::decode_audio_band_ratios (audio spectral tier)
 #   sources/hdf5_native.py                        (S1 native decode tier; test-checked, no oracle by contract)
 # Tail = most-recently driver-green first: the r7-green block

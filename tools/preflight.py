@@ -162,6 +162,14 @@ def main() -> int:
                     help="TYPE-RISK columns fail the gate (default: report only)")
     ap.add_argument("queries", nargs="*", help="subset of query names (default: all)")
     args = ap.parse_args()
+    # check_oracle-style convenience (and foot-gun guard): a positional
+    # arg containing '/' is an sf-dir, not a query name — previously it
+    # silently became a never-matching name filter and the run reported
+    # '0 failures' having checked NOTHING
+    paths = [q for q in args.queries if "/" in q]
+    if paths:
+        args.sf_dir = paths[-1]
+        args.queries = [q for q in args.queries if "/" not in q]
 
     spark = get_session("preflight")
     con = duckdb.connect()
