@@ -309,9 +309,37 @@ def r8ops_stress(spark, amp: int) -> None:
     docs.unpersist()
 
 
+def r8lib_stress(spark, amp: int) -> None:
+    """The r8 library operators (registering in r9) at 1x and ``amp``x
+    documents: CCNet perplexity bucketing, paragraph dedup, bigram LM
+    scoring, deterministic shuffle — pre-registration evidence their
+    shapes scale linearly."""
+    from datapipeline_spike_spark.operators.dedup import paragraph_dedup
+    from datapipeline_spike_spark.operators.quality import (
+        bigram_logprob_score,
+        perplexity_buckets,
+    )
+    from datapipeline_spike_spark.operators.sampling import deterministic_shuffle
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        n = docs.count()
+        for name, fn in (
+            ("perplexity_buckets", lambda: perplexity_buckets(docs)),
+            ("paragraph_dedup", lambda: paragraph_dedup(docs, sep=r"\. ")),
+            ("bigram_logprob", lambda: bigram_logprob_score(docs)),
+            ("deterministic_shuffle", lambda: deterministic_shuffle(docs, "doc_id", 64)),
+        ):
+            secs = probe(name, fn)
+            print(json.dumps({"probe": name, "amp": a, "docs": n,
+                              "sec": secs, "docs_per_sec": int(n / secs)}),
+                  flush=True)
+        docs.unpersist()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7ops" if "r7ops" in args else ("r7" if "r7" in args else ("r8ops" if "r8ops" in args else "core")))))
+    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7ops" if "r7ops" in args else ("r7" if "r7" in args else ("r8ops" if "r8ops" in args else ("r8lib" if "r8lib" in args else "core"))))))
     nums = [int(a) for a in args if a.isdigit()]
     n = nums[0] if nums else (10 if mode != "core" else 8)
     spark = get_session("scale_probe")
@@ -330,6 +358,9 @@ def main() -> None:
         return
     if mode == "r8ops":
         r8ops_stress(spark, n)
+        return
+    if mode == "r8lib":
+        r8lib_stress(spark, n)
         return
 
     for amp in (1, n):
