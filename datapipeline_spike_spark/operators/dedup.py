@@ -1124,16 +1124,27 @@ def paragraph_dedup(
     n_kept) — text is the cleaned document, possibly empty when every
     paragraph was boilerplate seen earlier.
 
+    ``sep`` is a LITERAL separator string (escaped for the split, used
+    verbatim for the reassembly join) — passing regex metacharacters
+    like ". " works as the visible characters, never as a pattern.
+
     Scale shape: one posexplode, one paragraph-fingerprint aggregate
     (min_by — map-side combined, output bounded by DISTINCT paragraphs),
     one equi-join back on the fingerprint, one per-doc reassembly
-    aggregate. No windows over the corpus, no self-join; skew on a
-    mega-duplicated paragraph is a single aggregate key (AQE-splittable)
-    rather than a pair explosion, because dedup here keeps ONE winner
-    instead of materializing matches."""
+    aggregate, and a final left join so documents with NO non-empty
+    paragraph (empty/whitespace text, or everything boilerplate) still
+    come back as an empty-text row instead of vanishing. No windows
+    over the corpus, no self-join; skew on a mega-duplicated paragraph
+    is a single aggregate key (AQE-splittable) rather than a pair
+    explosion, because dedup here keeps ONE winner instead of
+    materializing matches."""
+    import re as _re
+
     parts = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pd_pos", "_pd_para"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pd_pos", "_pd_para"
+        ),
     ).filter(F.trim("_pd_para") != "")
     fp = parts.withColumn(
         "_pd_fp", F.md5(F.trim(F.lower(F.col("_pd_para"))))
@@ -1145,7 +1156,7 @@ def paragraph_dedup(
         "_pd_keep",
         (F.col(id_col) == F.col("_pd_w.wid")) & (F.col("_pd_pos") == F.col("_pd_w.wpos")),
     )
-    return (
+    agg = (
         kept.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_paragraphs"),
@@ -1166,4 +1177,10 @@ def paragraph_dedup(
             ).alias(text_col),
         )
         .select(id_col, text_col, "n_paragraphs", "n_kept")
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce("n_paragraphs", F.lit(0)).cast("int").alias("n_paragraphs"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
     )

@@ -106,7 +106,8 @@ def perplexity_buckets(
 
     Scale shape: vocabulary-bounded shuffles only (the (lang, token)
     count table), the token->prob join is broadcastable at any corpus
-    size, the 1-row-per-language smoothing totals stay in-plan, and the
+    size only via AQE (no forced hint — vocabulary is data-dependent),
+    the 1-row-per-language smoothing totals stay in-plan, and the
     bucketing is the map-only threshold banding of
     :func:`operators.ranks.approx_percentile_bands` — no per-language
     global sort of the corpus (CCNet itself shards by language for
@@ -129,7 +130,10 @@ def perplexity_buckets(
         (F.col("_pl_c") + 1.0) / (F.col("_pl_total") + F.col("_pl_v"))
     )
     scored = (
-        tf.join(F.broadcast(vocab), ["_pl_lang", "_pl_tok"])
+        # vocab is VOCABULARY-scale (per-language distinct tokens,
+        # Heap's-law unbounded): no forced broadcast — AQE decides. The
+        # per-language totals (|languages| rows) stay hinted.
+        tf.join(vocab, ["_pl_lang", "_pl_tok"])
         .join(F.broadcast(totals), "_pl_lang")
         .groupBy(id_col, "_pl_lang")
         .agg(
@@ -175,9 +179,10 @@ def bigram_logprob_score(
     rounding absorbs engine summation order, the unigram precedent).
     Scale shape: one tokenize pass feeds bigram counts; the per-doc
     scoring join shuffles on the bigram key WITHOUT a broadcast hint
-    (distinct bigrams scale toward vocab^2 — the SF-scaling-table rule;
-    AQE broadcasts while small), while the per-context totals and the
-    1-row vocabulary size are genuinely bounded broadcasts. All
+    (distinct bigrams scale toward vocab^2) and so does the per-context
+    totals join (vocabulary-scale) — the SF-scaling-table rule, AQE
+    broadcasts either while small; only the 1-row vocabulary size is a
+    genuinely bounded broadcast. All
     aggregates map-side combined; no windows, no self-joins."""
     from datapipeline_spike_spark.functions.text import tokens as tok_fn
 
@@ -219,7 +224,8 @@ def bigram_logprob_score(
         # broadcast it while small. ctx (per-unigram totals) and the
         # 1-row V stay broadcast — genuinely vocabulary-bounded.
         doc_bg.join(corpus_bg, ["_bl_w1", "_bl_w2"])
-        .join(F.broadcast(ctx), "_bl_w1")
+        # ctx is per-UNIGRAM totals — vocabulary-scale, same rule: no hint
+        .join(ctx, "_bl_w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

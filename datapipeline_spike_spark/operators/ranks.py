@@ -45,8 +45,8 @@ def approx_percentile_bands(
     """Assign each row its approximate ``n_bands``-quantile band within
     its group (1-based: band b means value > thresholds[b-1] of the
     (b-1)/n_bands .. quantile ladder) — the scale substitute for
-    ``ntile(n_bands)``/percent_rank banding. Adds ``band_col`` (int)
-    and keeps every input column.
+    ``ntile(n_bands)``/percent_rank banding. Adds ``band_col`` (int; NULL
+    for NULL values) and keeps every input column.
 
     The thresholds are the group's approx_percentile at
     [1/n, 2/n, ..., (n-1)/n]; a row's band = 1 + #(thresholds <=
@@ -64,9 +64,15 @@ def approx_percentile_bands(
         ).alias("_band_thresholds")
     )
     v = F.col(value_col)
-    band = (
-        F.size(F.filter("_band_thresholds", lambda t: t <= v)) + F.lit(1)
-    ).cast("int")
+    # a NULL value must band as NULL, not silently as band 1: the HOF
+    # filter drops NULL comparisons, which would otherwise read as
+    # "below every threshold"
+    band = F.when(
+        v.isNotNull(),
+        (F.size(F.filter("_band_thresholds", lambda t: t <= v)) + F.lit(1)).cast(
+            "int"
+        ),
+    )
     return (
         df.join(F.broadcast(thresholds), group_cols)
         .withColumn(band_col, band)

@@ -735,7 +735,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle instead of re-scanning the corpus for a scalar count.
     n_docs = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "tok")
+        # no broadcast hint on df_: per-token document frequencies are
+        # VOCABULARY-scale (data-dependent, Heap's-law unbounded) — the
+        # customer-table rule; AQE broadcasts while small. The 1-row
+        # n_docs cross stays hinted.
+        tf.join(df_, "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -779,8 +783,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed unigram model fit on the corpus itself scores each doc by
     mean token log-probability; gibberish and vocabulary-outlier docs
     rank low. Vocabulary-bounded shuffles only; the token->prob join is
-    broadcastable at any corpus size (vocabulary, not corpus,
-    cardinality). avg over per-token ln values is order-sensitive at
+    hint-free (vocabulary is data-dependent — AQE broadcasts while it
+    is small). avg over per-token ln values is order-sensitive at
     the 1e-15 level; 6dp rounding absorbs it (same bound every other
     float aggregate in the catalog uses).""",
     tags=("text", "quality", "lm"),
@@ -799,7 +803,9 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tf.groupBy("tok").agg(F.sum("n").alias("c"))
     totals = vocab.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v"))
     scored = (
-        tf.join(F.broadcast(vocab), "tok")
+        # vocab is VOCABULARY-scale (unbounded at 100 TB web text): no
+        # forced broadcast — AQE decides; the 1-row totals stay hinted
+        tf.join(vocab, "tok")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",

@@ -183,22 +183,32 @@ def read_vibration_records(
 
     Tier selection (``use_real_decoder=None``, the default): a payload
     carrying the HDF5 signature decodes natively when it is in the
-    classic subset, escalates to h5py when it is not (raising the
-    dependency name if h5py is absent); a payload WITHOUT the signature
-    uses the deterministic fake (synthetic fixtures). Explicit
+    classic subset, escalates to h5py when it is not and h5py exists,
+    and otherwise degrades to an empty record set for that archive (a
+    single odd file must never abort the scan); a payload WITHOUT the
+    signature uses the deterministic fake (synthetic fixtures). Explicit
     ``use_real_decoder=True`` forces the h5py path (the gate test),
     ``False`` forces the fake."""
-    from datapipeline_spike_spark.sources.hdf5_native import Hdf5FormatError
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        SIGNATURE,
+        Hdf5FormatError,
+    )
 
     if use_real_decoder is None:
 
         def decode(content: bytes, spr: int) -> list[dict]:
-            if content[:8] != b"\x89HDF\r\n\x1a\n":
+            if content[: len(SIGNATURE)] != SIGNATURE:
                 return _fake_decode_h5(content, spr)
             try:
                 return _native_decode_h5(content, spr)
             except Hdf5FormatError:
-                return _real_decode_h5(content, spr)
+                # out-of-subset layout or missing datasets: escalate to
+                # h5py when it exists; without it, degrade to an EMPTY
+                # record set for THIS archive (the multimodal NULL-row
+                # convention) — one odd file must never abort the scan
+                if H5_AVAILABLE:
+                    return _real_decode_h5(content, spr)
+                return []
 
     else:
         decode = _real_decode_h5 if use_real_decoder else _fake_decode_h5

@@ -323,5 +323,5 @@ def write_minimal_h5(datasets: dict[str, np.ndarray]) -> bytes:
     # root group object header + the superblock's cached root entry
     root = object_header([msg(MSG_SYMBOL_TABLE, struct.pack("<QQ", btree, heap))])
     put(sb + 56, struct.pack("<QQI4xQQ", 0, root, 1, btree, heap))
-    put(sb + 24, struct.pack("<Q", len(buf)))  # end-of-file address
+    put(sb + 40, struct.pack("<Q", len(buf)))  # end-of-file address (base addr at +24 stays 0)
     return bytes(buf)

@@ -354,7 +354,21 @@ def ingest_with_dedup(
             read_index_excluding(bands_path),
             read_index_excluding(sh_path),
         )
-        index = None if any(leg is None for leg in legs) else legs
+        n_missing = sum(leg is None for leg in legs)
+        if 0 < n_missing < len(legs):
+            # SOME legs exist: this is NOT a fresh index — it is a
+            # half-removed one (interrupted compaction or manual
+            # damage). Treating it as fresh would silently classify
+            # every doc 'new' and re-admit the lake's duplicates
+            # forever; compact_dedup_index's startup recovery repairs
+            # interrupted swaps, so point there.
+            raise ValueError(
+                f"dedup index at {idx_root} is PARTIAL ({n_missing} of "
+                f"{len(legs)} legs missing) — run compact_dedup_index "
+                "(which recovers interrupted swaps) or restore the "
+                "index before resuming ingest"
+            )
+        index = None if n_missing else legs
         if index is None:
             verdict = reps.select(
                 F.col(id_col),
@@ -433,10 +447,14 @@ def quality_gated_stream(
     )
 
     del id_col  # stateless map-only gate: no key involved
-    if "quality_score" in records.columns:
+    # the gate writes quality_score and temporarily owns three working
+    # columns it drops at the end — ANY collision would silently
+    # overwrite (and then destroy) caller data, so all four are guarded
+    clash = {"quality_score", "n_tokens", "z_micro", "keep"} & set(records.columns)
+    if clash:
         raise ValueError(
-            "records already has a 'quality_score' column; the gate "
-            "would silently overwrite it"
+            f"records already has column(s) {sorted(clash)}; the gate "
+            "would silently overwrite them — rename before gating"
         )
     return (
         quality_classifier_columns(records, text_col=text_col)
@@ -468,7 +486,15 @@ def compact_dedup_index(
     Swap is stage-and-rename per leg (tmp dir -> rename old away ->
     rename tmp in -> remove old): not reader-atomic, which is exactly
     why the contract is a stopped stream; the lake zones' manifest-swap
-    protocol is the upgrade path if concurrent readers ever need it."""
+    protocol is the upgrade path if concurrent readers ever need it.
+    CRASH RECOVERY runs first on every call: a kill between the two
+    renames leaves the leg missing with a COMPLETE staged tmp beside it
+    (tmp is fully written before any rename) — roll forward; a kill
+    before the first rename leaves a possibly-partial tmp beside a live
+    leg — discard it; a kill before the old dir's removal — finish the
+    removal. ``ingest_with_dedup`` refuses to run against a
+    partially-missing index, so an unrecovered crash is loud, never a
+    silent re-admission of duplicates."""
     import math
     import os
     import shutil
@@ -476,6 +502,15 @@ def compact_dedup_index(
     report: dict[str, dict[str, int]] = {}
     for leg in ("fp", "bands", "shingles"):
         path = f"{index_root}/{leg}"
+        tmp, old = f"{path}.__compact_tmp", f"{path}.__compact_old"
+        if os.path.isdir(old) and not os.path.isdir(path):
+            # crashed between the renames: the staged tmp is complete
+            # by construction — roll the swap forward
+            os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)  # crashed before the final cleanup
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # crashed mid-staging: tmp may be partial
         if not os.path.isdir(path):
             continue
         epochs = sorted(
@@ -500,12 +535,8 @@ def compact_dedup_index(
             .drop("epoch")
             .repartition(n_files)
         )
-        tmp = f"{path}.__compact_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(f"{tmp}/epoch={merge_into}")
         shutil.copytree(f"{path}/epoch={keep}", f"{tmp}/epoch={keep}")
-        old = f"{path}.__compact_old"
-        shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

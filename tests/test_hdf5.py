@@ -127,7 +127,15 @@ def test_native_reader_round_trips_all_supported_dtypes():
         "i32": np.arange(-4, 4, dtype="<i4"),
         "i16": np.array([1, -1, 32000], dtype="<i2"),
     }
-    back = read_h5_datasets(write_minimal_h5(data))
+    blob = write_minimal_h5(data)
+    # spec conformance the in-repo reader does not exercise: base
+    # address (offset 24) must stay 0 and the end-of-file address
+    # (offset 40) must equal the file length — libhdf5 resolves every
+    # object address relative to the base, so swapping these two fields
+    # (the r8 review catch) breaks real-h5py interop silently
+    assert int.from_bytes(blob[24:32], "little") == 0
+    assert int.from_bytes(blob[40:48], "little") == len(blob)
+    back = read_h5_datasets(blob)
     assert set(back) == set(data)
     for k, v in data.items():
         assert back[k].dtype == v.dtype and back[k].shape == v.shape

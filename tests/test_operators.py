@@ -1063,3 +1063,48 @@ def test_bigram_logprob_scores_word_order(spark):
     # docs with < 2 tokens are dropped
     short = spark.createDataFrame([(1, "word")], "doc_id long, text string")
     assert bigram_logprob_score(short).count() == 0
+
+
+def test_review_fix_regressions_r8(spark):
+    """Round-8 review fixes, pinned in one batch:
+    (1) approx banding gives NULL band for NULL values (not band 1);
+    (2) paragraph_dedup treats sep literally (". " is two characters,
+        not a regex) and keeps empty/whitespace docs as empty-text rows;
+    (3) quality_gated_stream refuses ANY colliding working column."""
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.operators.dedup import paragraph_dedup
+    from datapipeline_spike_spark.operators.ranks import approx_percentile_bands
+    from datapipeline_spike_spark.streaming.pipeline import quality_gated_stream
+
+    # (1) NULL value -> NULL band
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 3.0), ("g", 4, None)],
+        "grp string, rid long, v double",
+    )
+    bands = {r["rid"]: r["band"] for r in
+             approx_percentile_bands(df, ["grp"], "v", n_bands=2).collect()}
+    assert bands[4] is None and bands[1] == 1
+
+    # (2) literal separator + empty-doc row
+    d = spark.createDataFrame(
+        [
+            (1, "first sentence. second sentence"),
+            (2, "first sentence. third sentence"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(d, sep=". ").collect()}
+    assert out[1]["text"] == "first sentence. second sentence"  # joined verbatim
+    assert out[2]["text"] == "third sentence"                    # shared sentence deduped
+    assert out[3]["text"] == "" and out[3]["n_paragraphs"] == 0  # doc not dropped
+    assert set(out) == {1, 2, 3}
+
+    # (3) collision guard covers the working columns too
+    for col in ("keep", "z_micro", "n_tokens", "quality_score"):
+        clash = spark.createDataFrame(
+            [(1, "t", 0)], f"doc_id long, text string, {col} long"
+        )
+        with _pytest.raises(ValueError, match=col):
+            quality_gated_stream(clash)

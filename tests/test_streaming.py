@@ -1261,3 +1261,65 @@ def test_compact_dedup_index_preserves_classification(spark):
         assert 101 in admitted
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compact_dedup_index_crash_recovery_and_partial_guard(spark, tmp_path):
+    """The two crash windows of the compaction swap: (a) killed between
+    the renames -> the next compact call rolls the COMPLETE staged tmp
+    forward; (b) killed mid-staging -> the partial tmp is discarded and
+    the live leg untouched. And ingest against a PARTIALLY missing index
+    must refuse loudly instead of re-admitting duplicates as 'new'."""
+    import os
+    import shutil
+
+    from datapipeline_spike_spark.streaming.pipeline import (
+        compact_dedup_index,
+        ingest_with_dedup,
+    )
+
+    root = str(tmp_path)
+    src = f"{root}/src"
+    lake, ok, rej = f"{root}/lake", f"{root}/admitted", f"{root}/rejected"
+    for i in range(4):
+        spark.createDataFrame(
+            [(i, f"doc {i} text alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest_with_dedup(lake, ok, rej)).option(
+        "checkpointLocation", f"{root}/ckpt"
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    fp = f"{lake}_index/fp"
+    ids_before = {r["doc_id"] for r in spark.read.parquet(fp).collect()}
+
+    # (a) simulate a crash between the renames: stage a REAL tmp by
+    # copying the live leg, then rename the leg away
+    shutil.copytree(fp, f"{fp}.__compact_tmp")
+    os.rename(fp, f"{fp}.__compact_old")
+    # ingest now sees a partial index -> loud refusal, not silent 'new'
+    handler = ingest_with_dedup(lake, ok, rej)
+    batch = spark.createDataFrame(
+        [(50, "doc 1 text alpha1 beta1 gamma1 delta1 epsilon1")],
+        "doc_id long, text string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PARTIAL"):
+        handler(batch, 99)
+    # recovery: the next compaction call rolls the swap forward
+    compact_dedup_index(spark, f"{lake}_index")
+    assert os.path.isdir(fp)
+    assert not os.path.isdir(f"{fp}.__compact_old")
+    assert {r["doc_id"] for r in spark.read.parquet(fp).collect()} == ids_before
+
+    # (b) a partial mid-staging tmp beside a LIVE leg is discarded
+    os.makedirs(f"{fp}.__compact_tmp/epoch=0")
+    compact_dedup_index(spark, f"{lake}_index")
+    assert not os.path.isdir(f"{fp}.__compact_tmp")
+    assert {r["doc_id"] for r in spark.read.parquet(fp).collect()} == ids_before

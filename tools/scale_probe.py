@@ -326,7 +326,7 @@ def r8lib_stress(spark, amp: int) -> None:
         n = docs.count()
         for name, fn in (
             ("perplexity_buckets", lambda: perplexity_buckets(docs)),
-            ("paragraph_dedup", lambda: paragraph_dedup(docs, sep=r"\. ")),
+            ("paragraph_dedup", lambda: paragraph_dedup(docs, sep=". ")),
             ("bigram_logprob", lambda: bigram_logprob_score(docs)),
             ("deterministic_shuffle", lambda: deterministic_shuffle(docs, "doc_id", 64)),
         ):
