@@ -98,6 +98,55 @@ def bottom_k_per_group(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    k: int,
+    key: Column | str,
+    group_cols: list[str] | None = None,
+    *,
+    score_col: str = "es_score",
+    rank_col: str = "rnk",
+    keep_score: bool = False,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (k items, probability
+    proportional to weight) — Efraimidis & Spirakis 2006: each row gets
+    key u^(1/w), the sample is the top-k; we use the equivalent
+    bottom-k of ``-ln(1-u)/w`` (exponential race: the exponent is an
+    Exp(w) variate, smallest wins). One pass, no per-item state, and
+    because ``u`` comes from ``hash_u01`` the sample is DETERMINISTIC
+    and partition-invariant — reruns and backfills select the identical
+    rows, and "new sample per epoch" is just a salt in ``key``.
+
+    This is the scale answer to "take k docs favoring high quality
+    score / low perplexity" — df.sample() cannot weight per-row, and
+    an orderBy(weight).limit(k) is a deterministic cutoff, not a
+    sample. With ``group_cols`` the draw runs independently per stratum
+    (k per group) through the salted two-phase ``bottom_k_per_group``,
+    so no per-group global window funnel; globally (group_cols=None)
+    phase 2 ranks only the n_salts*k phase-1 survivors — bounded, the
+    documented exception to the unpartitioned-Window rule.
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    selection probability; -ln(1-u)/w would flip sign). ``key`` must be
+    unique per row (it is the tie-break and the salt)."""
+    if k < 1:
+        raise ValueError(f"k={k}: need at least 1")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    key = F.col(key) if isinstance(key, str) else key
+    es = -F.log(F.lit(1.0) - hash_u01(key)) / w
+    tagged = df.filter(w > 0).withColumn(score_col, es)
+    out = bottom_k_per_group(
+        tagged,
+        list(group_cols or []),
+        [F.col(score_col), key],
+        k,
+        rank_col=rank_col,
+        salt_key=key,
+    )
+    return out if keep_score else out.drop(score_col, rank_col)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key: Column | str,

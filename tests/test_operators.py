@@ -1108,3 +1108,63 @@ def test_review_fix_regressions_r8(spark):
         )
         with _pytest.raises(ValueError, match=col):
             quality_gated_stream(clash)
+
+
+def test_weighted_sample_matches_brute_force_es_keys(spark):
+    """The selected set must equal the exact bottom-k of the
+    Efraimidis-Spirakis keys computed independently in Python from the
+    same md5-derived uniforms — determinism makes this an equality, not
+    a distribution test."""
+    import hashlib
+    import math
+
+    from datapipeline_spike_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i % 7))) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def u01(key: int) -> float:
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+    es = {i: -math.log(1.0 - u01(i)) / w for i, w in rows}
+    expect = set(sorted(es, key=lambda i: (es[i], i))[:50])
+
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 50, "doc_id").collect()}
+    assert got == expect
+    # partition-invariant: same sample from any input layout
+    got13 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", 50, "doc_id").collect()
+    }
+    assert got13 == expect
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    from datapipeline_spike_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 9.0 if i < 1000 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", 400, "doc_id").collect()
+    assert len(got) == 400
+    heavy = sum(1 for r in got if r["w"] == 9.0)
+    light = 400 - heavy
+    # 9:1 weights -> heavy docs dominate (exact ratio depends on the
+    # without-replacement depletion; >2.5x is far outside noise here)
+    assert heavy > 2.5 * light and light > 0
+
+
+def test_weighted_sample_per_group_and_weight_guards(spark):
+    from datapipeline_spike_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de", float(i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = weighted_sample(df, "w", 20, "doc_id", group_cols=["lang"]).collect()
+    from collections import Counter
+
+    per_lang = Counter(r["lang"] for r in out)
+    assert per_lang == {"en": 20, "de": 20}
+    # weight 0 rows (i % 3 == 0) are never selectable
+    assert all(r["w"] > 0 for r in out)
+    # k larger than the eligible pool returns the whole pool
+    tiny = spark.createDataFrame([(1, 1.0), (2, 0.0), (3, None)], "doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_sample(tiny, "w", 10, "doc_id").collect()] == [1]

@@ -337,9 +337,33 @@ def r8lib_stress(spark, amp: int) -> None:
         docs.unpersist()
 
 
+def r8lib2_stress(spark, amp: int) -> None:
+    """Late-r8 library operators (registering in r9) at 1x and ``amp``x:
+    skip-gram PMI (pair space = tokens x window, one shuffle) and
+    Efraimidis-Spirakis weighted sampling (salted bottom-k)."""
+    from datapipeline_spike_spark.operators.cooccurrence import pmi_scores
+    from datapipeline_spike_spark.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        n = docs.count()
+        for name, fn in (
+            ("pmi_scores", lambda: pmi_scores(docs, window=4, min_pair_count=3)),
+            ("weighted_sample", lambda: weighted_sample(
+                docs.withColumn("w", F.length("text").cast("double") + 1.0),
+                "w", 500, "doc_id")),
+        ):
+            secs = probe(name, fn)
+            print(json.dumps({"probe": name, "amp": a, "docs": n,
+                              "sec": secs, "docs_per_sec": int(n / secs)}),
+                  flush=True)
+        docs.unpersist()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7ops" if "r7ops" in args else ("r7" if "r7" in args else ("r8ops" if "r8ops" in args else ("r8lib" if "r8lib" in args else "core"))))))
+    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7ops" if "r7ops" in args else ("r7" if "r7" in args else ("r8ops" if "r8ops" in args else ("r8lib2" if "r8lib2" in args else ("r8lib" if "r8lib" in args else "core")))))))
     nums = [int(a) for a in args if a.isdigit()]
     n = nums[0] if nums else (10 if mode != "core" else 8)
     spark = get_session("scale_probe")
@@ -361,6 +385,9 @@ def main() -> None:
         return
     if mode == "r8lib":
         r8lib_stress(spark, n)
+        return
+    if mode == "r8lib2":
+        r8lib2_stress(spark, n)
         return
 
     for amp in (1, n):
