@@ -98,6 +98,90 @@ def bottom_k_per_group(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    score: Column | str,
+    token_col: Column | str,
+    budget: float,
+    key: Column | str,
+    *,
+    precision: int = 4,
+    keep_audit: bool = False,
+) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-``score``
+    documents until ~``budget`` total tokens — "give me the best N
+    billion tokens", the curation cut every pretraining data pipeline
+    makes after scoring.
+
+    The exact answer is a global sort by score + running token sum —
+    a single-reducer funnel at corpus scale. Instead, the classic
+    two-pass threshold:
+
+    1. **Histogram pass** (one shuffle, bounded output): token mass per
+       score bucket, bucket = round(score, precision). The cumulative
+       sweep that finds the threshold runs over the BUCKETS — an
+       unpartitioned window whose row count is the score's rounded
+       cardinality (for a [0,1] quality score at 4dp: <= 10^4 + 1 rows;
+       callers must pass a bounded-range score — that is the
+       boundedness argument for the window-audit rule).
+    2. **Selection pass** (map-only): buckets strictly above the
+       threshold are kept whole; the boundary bucket is thinned by a
+       deterministic ``hash_u01(key) < rate`` draw with rate sized to
+       the remaining budget, so the expected total hits ``budget``
+       exactly and the decision stays layout-invariant and rerunnable.
+       (Within-bucket scores are ties at ``precision``, so thinning by
+       hash rather than rank loses nothing.)
+
+    The threshold frame is a 1-row broadcast cross (the allowlisted
+    totals pattern). Overshoot is the boundary-draw variance, O(sqrt)
+    of the boundary mass — at billion-token budgets that is parts per
+    million; tighten ``precision`` to shrink the boundary bucket.
+
+    With ``keep_audit=True`` the kept rows carry ``score_bucket`` and
+    ``boundary`` (True = survived the boundary draw, not a full-bucket
+    keep)."""
+    if budget <= 0:
+        raise ValueError(f"budget={budget}: need a positive token budget")
+    from pyspark.sql import Window
+
+    score = F.col(score) if isinstance(score, str) else score
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    bucket = F.round(score, precision)
+
+    hist = df.groupBy(bucket.alias("b")).agg(
+        F.sum(tok.cast("double")).alias("mass")
+    )
+    # cumulative mass of STRICTLY higher buckets; window rows = rounded
+    # score cardinality (bounded by caller contract, see docstring)
+    above = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    thr = (
+        hist.withColumn("mass_above", F.coalesce(F.sum("mass").over(above), F.lit(0.0)))
+        .filter(F.col("mass_above") < budget)
+        .orderBy("b")
+        .limit(1)  # the boundary bucket: last one any budget remains for
+        .select(
+            F.col("b").alias("b0"),
+            F.least(
+                (F.lit(float(budget)) - F.col("mass_above"))
+                / F.when(F.col("mass") > 0, F.col("mass")).otherwise(F.lit(1.0)),
+                F.lit(1.0),
+            ).alias("boundary_rate"),
+        )
+    )
+    out = (
+        df.withColumn("score_bucket", bucket)
+        .crossJoin(F.broadcast(thr))  # 1 row (allowlisted totals pattern)
+        .withColumn(
+            "boundary",
+            (F.col("score_bucket") == F.col("b0"))
+            & (hash_u01(key) < F.col("boundary_rate")),
+        )
+        .filter((F.col("score_bucket") > F.col("b0")) | F.col("boundary"))
+        .drop("b0", "boundary_rate")
+    )
+    return out if keep_audit else out.drop("score_bucket", "boundary")
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column | str,

@@ -1168,3 +1168,73 @@ def test_weighted_sample_per_group_and_weight_guards(spark):
     # k larger than the eligible pool returns the whole pool
     tiny = spark.createDataFrame([(1, 1.0), (2, 0.0), (3, None)], "doc_id long, w double")
     assert [r["doc_id"] for r in weighted_sample(tiny, "w", 10, "doc_id").collect()] == [1]
+
+
+def test_budget_select_matches_exact_python_replay(spark):
+    """Deterministic hash thinning makes the whole selection exactly
+    replayable: full-bucket keeps above the threshold, hash-rate draw
+    inside the boundary bucket."""
+    import hashlib
+
+    from datapipeline_spike_spark.operators.sampling import budget_select
+
+    rows = [
+        (i, round(0.1 + 0.8 * ((i * 37) % 100) / 100.0, 4), 50 + (i % 11))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, n_tok int")
+    budget = 6000.0
+
+    # Python replica
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for _, q, n in rows:
+        mass[round(q, 4)] += n
+    mass_above, cum = {}, 0.0
+    for b in sorted(mass, reverse=True):
+        mass_above[b] = cum
+        cum += mass[b]
+    b0 = min(b for b in mass if mass_above[b] < budget)
+    rate = min((budget - mass_above[b0]) / mass[b0], 1.0)
+
+    def u01(key: int) -> float:
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+    expect = {
+        i
+        for i, q, n in rows
+        if round(q, 4) > b0 or (round(q, 4) == b0 and u01(i) < rate)
+    }
+
+    got = {r["doc_id"] for r in budget_select(df, "q", "n_tok", budget, "doc_id").collect()}
+    assert got == expect
+    # expected-budget sanity: selected mass within the boundary-draw
+    # variance of the target (boundary bucket is small here)
+    sel_mass = sum(n for i, _, n in rows if i in got)
+    assert abs(sel_mass - budget) < 0.25 * budget
+    # layout invariance
+    got7 = {
+        r["doc_id"]
+        for r in budget_select(df.repartition(7), "q", "n_tok", budget, "doc_id").collect()
+    }
+    assert got7 == expect
+
+
+def test_budget_select_edges(spark):
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.operators.sampling import budget_select
+
+    rows = [(i, 0.5, 100) for i in range(50)]  # all-tied skew: one bucket
+    df = spark.createDataFrame(rows, "doc_id long, q double, n_tok int")
+    # budget >= corpus -> everything kept
+    assert budget_select(df, "q", "n_tok", 1e9, "doc_id").count() == 50
+    # single-bucket corpus: kept count ~ budget/total (deterministic draw)
+    kept = budget_select(df, "q", "n_tok", 2500.0, "doc_id").count()
+    assert 10 <= kept <= 40
+    with _pytest.raises(ValueError):
+        budget_select(df, "q", "n_tok", 0, "doc_id")
+    # audit columns mark boundary draws
+    audit = budget_select(df, "q", "n_tok", 2500.0, "doc_id", keep_audit=True).collect()
+    assert all(r["boundary"] for r in audit)

@@ -342,17 +342,22 @@ def r8lib2_stress(spark, amp: int) -> None:
     skip-gram PMI (pair space = tokens x window, one shuffle) and
     Efraimidis-Spirakis weighted sampling (salted bottom-k)."""
     from datapipeline_spike_spark.operators.cooccurrence import pmi_scores
-    from datapipeline_spike_spark.operators.sampling import weighted_sample
+    from datapipeline_spike_spark.operators.sampling import budget_select, weighted_sample
     from pyspark.sql import functions as F
 
     for a in (1, amp):
         docs = amplify_documents(spark, a).localCheckpoint(eager=True)
         n = docs.count()
+        scored = docs.withColumn(
+            "q", F.round(F.pmod(F.hash("text"), F.lit(1000)) / 1000.0, 4)
+        ).withColumn("n_tok", F.size(F.split("text", r"\s+")))
         for name, fn in (
             ("pmi_scores", lambda: pmi_scores(docs, window=4, min_pair_count=3)),
             ("weighted_sample", lambda: weighted_sample(
                 docs.withColumn("w", F.length("text").cast("double") + 1.0),
                 "w", 500, "doc_id")),
+            ("budget_select", lambda: budget_select(
+                scored, "q", "n_tok", 20_000.0 * a, "doc_id")),
         ):
             secs = probe(name, fn)
             print(json.dumps({"probe": name, "amp": a, "docs": n,
