@@ -652,6 +652,50 @@ def dedup_corpus(
     )
 
 
+def select_canonical(
+    assignments: DataFrame,
+    scored: DataFrame,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+    keep_col: str = "keep_id",
+) -> DataFrame:
+    """Curation policy on top of a dedup assignment: within each
+    duplicate cluster keep the HIGHEST-``score_col`` member (ties break
+    to the smallest id), not the smallest-id one.
+
+    The min-id canonical that :func:`dedup_corpus` /
+    :func:`exact_dedup` emit is the right *cluster label* (stable,
+    order-free) but the wrong *survivor* for curation — crawl order is
+    not quality order, and "keep the best copy" is the policy real
+    pipelines want (e.g. keep the highest-quality mirror of a
+    boilerplate family). Separating label from survivor also keeps
+    this a pure post-pass: the expensive LSH/components stage is
+    policy-free and never re-runs when the scoring changes.
+
+    One aggregation + two equi-joins, all on cluster/doc keys:
+    ``max(struct(score, -id))`` per cluster gives argmax-with-tiebreak
+    in a single mergeable aggregate (no per-cluster window). Docs
+    absent from ``scored`` never win (inner join; clusters whose every
+    member is unscored are dropped — score coverage is the caller's
+    contract). Returns (id_col, keep_col): every assigned doc mapped to
+    its cluster's surviving id; filter ``id == keep_id`` for the kept
+    corpus.
+    """
+    member_scores = assignments.join(
+        scored.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    best = member_scores.groupBy("canonical_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+            )
+        ).alias("_best")
+    ).select(
+        "canonical_id", (-F.col("_best.nid")).alias(keep_col)
+    )
+    return assignments.join(best, "canonical_id").select(F.col(id_col), F.col(keep_col))
+
+
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over the token multiset (map-only). Bit i is set
     when more token-hashes have bit i set than cleared. Hash = first 8

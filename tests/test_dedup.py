@@ -742,3 +742,54 @@ def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
     # determinism under repartitioning (the min_by winner is data-defined)
     out2 = {r["doc_id"]: r["text"] for r in paragraph_dedup(d.repartition(7)).collect()}
     assert out2 == {k: v["text"] for k, v in out.items()}
+
+
+def test_select_canonical_keeps_best_scoring_cluster_member(spark):
+    """The curation policy layer: cluster label (min id) stays, the
+    SURVIVOR becomes the argmax-quality member with min-id tie-break;
+    singletons survive as themselves; unscored docs cannot win."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.operators.dedup import select_canonical
+
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20), (21, 20)],
+        "doc_id long, canonical_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (20, 0.4), (21, 0.4)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r["doc_id"]: r["keep_id"]
+        for r in select_canonical(assignments, scored).collect()
+    }
+    # cluster 1: 2 and 3 tie at 0.9 -> min id 2 wins; all members map there
+    assert got == {1: 2, 2: 2, 3: 2, 10: 10, 20: 20, 21: 20}
+
+    # composed with dedup_corpus on a planted near-dup family: the
+    # highest-quality near-duplicate survives even though it has the
+    # LARGEST id (crawl order != quality order)
+    from datapipeline_spike_spark.operators.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (100, base),
+            (101, base + " extra"),
+            (102, base + " extra word"),
+            (200, "completely unrelated text about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    quality = spark.createDataFrame(
+        [(100, 0.1), (101, 0.2), (102, 0.95), (200, 0.5)],
+        "doc_id long, quality double",
+    )
+    assign = dedup_corpus(docs, jaccard_threshold=0.5)
+    kept = {
+        r["doc_id"]: r["keep_id"]
+        for r in select_canonical(assign, quality).collect()
+    }
+    assert kept[100] == 102 and kept[101] == 102 and kept[102] == 102
+    assert kept[200] == 200
