@@ -587,3 +587,94 @@ def test_approx_bands_monotone_and_in_range(spark, vals, n_bands):
     by_val = sorted(out, key=lambda r: (r["v"], r["rid"]))
     bands = [r["band"] for r in by_val]
     assert all(a <= b for a, b in zip(bands, bands[1:]))
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000),   # id (deduped below)
+            st.integers(min_value=1, max_value=9),       # weight
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    k=st.integers(min_value=1, max_value=9),
+)
+def test_weighted_sample_equals_python_es_bottom_k(spark, rows, k):
+    """Property: the distributed Efraimidis-Spirakis draw equals the
+    exact bottom-k of the same md5-derived keys computed in Python —
+    any weights, any k, any input layout."""
+    import hashlib
+
+    from datapipeline_spike_spark.operators.sampling import weighted_sample
+
+    uniq = sorted({(i, w) for i, w in rows})
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in uniq], "doc_id long, w double"
+    )
+
+    def u01(key: int) -> float:
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+    es = {i: -math.log(1.0 - u01(i)) / w for i, w in uniq}
+    expect = set(sorted(es, key=lambda i: (es[i], i))[:k])
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(5), "w", k, "doc_id", keep_score=True).collect()
+    }
+    assert got == expect
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000),   # id (deduped below)
+            st.integers(min_value=0, max_value=50),      # score bucket index
+            st.integers(min_value=1, max_value=200),     # tokens
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    budget_pct=st.integers(min_value=1, max_value=120),
+)
+def test_budget_select_equals_python_threshold_replay(spark, rows, budget_pct):
+    """Property: histogram-threshold selection == the exact Python
+    replay (full keeps above the boundary bucket, hash-rate draw inside
+    it) for any score/token distribution and any budget."""
+    import hashlib
+    from collections import defaultdict
+
+    from datapipeline_spike_spark.operators.sampling import budget_select
+
+    uniq = sorted({(i, s, n) for i, s, n in rows})
+    data = [(i, round(s / 50.0, 4), n) for i, s, n in uniq]
+    total = sum(n for _, _, n in data)
+    budget = max(total * budget_pct / 100.0, 1e-6)
+    df = spark.createDataFrame(data, "doc_id long, q double, n_tok int")
+
+    mass = defaultdict(float)
+    for _, q, n in data:
+        mass[q] += n
+    mass_above, cum = {}, 0.0
+    for b in sorted(mass, reverse=True):
+        mass_above[b] = cum
+        cum += mass[b]
+    eligible = [b for b in mass if mass_above[b] < budget]
+    expect = set()
+    if eligible:
+        b0 = min(eligible)
+        rate = min((budget - mass_above[b0]) / max(mass[b0], 1e-300), 1.0)
+
+        def u01(key: int) -> float:
+            return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+        expect = {
+            i for i, q, _ in data if q > b0 or (q == b0 and u01(i) < rate)
+        }
+    got = {
+        r["doc_id"]
+        for r in budget_select(df.repartition(3), "q", "n_tok", budget, "doc_id").collect()
+    }
+    assert got == expect
