@@ -337,6 +337,22 @@ def r8lib_stress(spark, amp: int) -> None:
         docs.unpersist()
 
 
+def _html_probe(docs):
+    """Wrap each doc's text in a synthetic page (nav + paragraphs +
+    footer) and extract — the map-only web front door at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.operators.html import html_to_text
+
+    page = F.concat(
+        F.lit('<html><head><title>t</title><style>a{x}</style></head><body>'
+              '<nav><a href="/">Home</a> <a href="/b">Blog</a></nav><p>'),
+        F.regexp_replace("text", r"\. ", ".</p><p>"),
+        F.lit('</p><footer><a href="/t">Terms</a></footer></body></html>'),
+    )
+    return docs.select("doc_id", html_to_text(page).alias("text"))
+
+
 def r8lib2_stress(spark, amp: int) -> None:
     """Late-r8 library operators (registering in r9) at 1x and ``amp``x:
     skip-gram PMI (pair space = tokens x window, one shuffle) and
@@ -358,6 +374,7 @@ def r8lib2_stress(spark, amp: int) -> None:
                 "w", 500, "doc_id")),
             ("budget_select", lambda: budget_select(
                 scored, "q", "n_tok", 20_000.0 * a, "doc_id")),
+            ("html_to_text", lambda: _html_probe(docs)),
         ):
             secs = probe(name, fn)
             print(json.dumps({"probe": name, "amp": a, "docs": n,
