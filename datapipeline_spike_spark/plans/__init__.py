@@ -105,6 +105,7 @@ _QUEUED_FOR_NEXT_HEAD = (
 #   operators/sampling.py::budget_select          (token-budget curation cut, histogram threshold)
 #   operators/dedup.py::select_canonical          (keep-best-copy survivor policy over assignments)
 #   operators/html.py::html_to_text               (web front door: HTML->text + link-density boilerplate gate)
+#   operators/curation.py::curate_corpus          (end-to-end assembly: html->paragraphs->quality->dedup-best->redact->budget->shards)
 # Tail = most-recently driver-green first: the r7-green block
 # (CORRECTNESS_r07.json, 48/50 hash + 2 rows-only-by-contract), then the
 # r6-green block that has sat in the tail since r7 — none re-changed in

@@ -375,6 +375,12 @@ def r8lib2_stress(spark, amp: int) -> None:
             ("budget_select", lambda: budget_select(
                 scored, "q", "n_tok", 20_000.0 * a, "doc_id")),
             ("html_to_text", lambda: _html_probe(docs)),
+            ("curate_corpus_e2e", lambda: __import__(
+                "datapipeline_spike_spark.operators.curation",
+                fromlist=["curate_corpus"],
+            ).curate_corpus(
+                docs, min_quality=0.1, token_budget=200_000.0 * a, n_shards=16
+            )),
         ):
             secs = probe(name, fn)
             print(json.dumps({"probe": name, "amp": a, "docs": n,
