@@ -1323,3 +1323,67 @@ def test_compact_dedup_index_crash_recovery_and_partial_guard(spark, tmp_path):
     compact_dedup_index(spark, f"{lake}_index")
     assert not os.path.isdir(f"{fp}.__compact_tmp")
     assert {r["doc_id"] for r in spark.read.parquet(fp).collect()} == ids_before
+
+def test_streaming_curation_gate_redact_dedup_compose(spark):
+    """The full streaming curation chain: quality gate -> PII redaction
+    (map-only withColumn, streaming-safe) -> dedup ingest. Redaction
+    runs BEFORE the dedup index here — the opposite of the batch
+    assembly's order — and that is deliberate: inside the ingest loop
+    what matters is that index fingerprints and incoming fingerprints
+    see the SAME text form, and redacting first (a) keeps raw PII out
+    of the persisted index entirely and (b) canonicalizes PII variants,
+    so two copies of a page differing only in the embedded email
+    address dedup as exact duplicates."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.operators.redaction import redact
+    from datapipeline_spike_spark.streaming.pipeline import (
+        ingest_with_dedup,
+        quality_gated_stream,
+    )
+
+    base = "the data query join table stream " * 6
+    root = tempfile.mkdtemp(prefix="curate_stream_")
+    src = f"{root}/src"
+    lake, ok, rej = f"{root}/lake", f"{root}/admitted", f"{root}/rejected"
+    try:
+        spark.createDataFrame(
+            [
+                (1, base + "contact alice@example.com today"),
+                (2, "slow batch big small hash " * 6),          # gated out
+                (3, base + "contact bob@other.org today"),      # PII-variant dup of 1
+            ],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        curated = quality_gated_stream(stream).withColumn("text", redact("text"))
+        q = (
+            curated.writeStream.foreachBatch(ingest_with_dedup(lake, ok, rej))
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        lake_rows = spark.read.parquet(lake).collect()
+        assert {r["doc_id"] for r in lake_rows} == {1}
+        assert "[EMAIL]" in lake_rows[0]["text"]
+        assert "alice@example.com" not in lake_rows[0]["text"]
+        rejected = {
+            r["doc_id"]: (r["status"], r["match_id"])
+            for r in spark.read.parquet(rej).collect()
+        }
+        # 3 deduped as an EXACT dup of 1 despite the differing raw email
+        assert rejected == {3: ("exact_dup", 1)}
+        # the persisted rejected-audit text is redacted too
+        assert all(
+            "@" not in r["text"] for r in spark.read.parquet(rej).collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
