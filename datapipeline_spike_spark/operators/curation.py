@@ -101,7 +101,10 @@ def curate_corpus(
     # would each re-run the paragraph-dedup + scoring subtree; lazy
     # persist computes it once — dedup_corpus's own eager materialize
     # is the first action, so the cache fills there (spills to disk at
-    # corpus scale rather than pinning memory)
+    # corpus scale rather than pinning memory). The cache outlives the
+    # call on purpose: the returned plan still reads it; callers done
+    # with the result free it via spark.catalog.clearCache() or by
+    # writing the result out.
     scored = scored.persist()
 
     # near-dup collapse keeping the highest-quality copy per cluster

@@ -677,9 +677,10 @@ def select_canonical(
     in a single mergeable aggregate (no per-cluster window). Docs
     absent from ``scored`` never win (inner join; clusters whose every
     member is unscored are dropped — score coverage is the caller's
-    contract). Returns (id_col, keep_col): every assigned doc mapped to
-    its cluster's surviving id; filter ``id == keep_id`` for the kept
-    corpus.
+    contract). Ids must be numeric (the tie-break negates them — the
+    repo-wide doc_id convention). Returns (id_col, keep_col): every
+    assigned doc mapped to its cluster's surviving id; filter
+    ``id == keep_id`` for the kept corpus.
     """
     member_scores = assignments.join(
         scored.select(F.col(id_col), F.col(score_col)), id_col

@@ -147,6 +147,11 @@ def budget_select(
     score = F.col(score) if isinstance(score, str) else score
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     bucket = F.round(score, precision)
+    # NULL scores are unrankable and excluded up front (the same
+    # contract as weighted_sample's NULL weights). Without this their
+    # bucket would also ride the boundary pick's nulls-first ascending
+    # sort and could become b0, silently emptying the selection.
+    df = df.filter(bucket.isNotNull())
 
     hist = df.groupBy(bucket.alias("b")).agg(
         F.sum(tok.cast("double")).alias("mass")

@@ -1238,3 +1238,19 @@ def test_budget_select_edges(spark):
     # audit columns mark boundary draws
     audit = budget_select(df, "q", "n_tok", 2500.0, "doc_id", keep_audit=True).collect()
     assert all(r["boundary"] for r in audit)
+
+
+def test_budget_select_null_scores_excluded_not_poisoning(spark):
+    """Regression (late-r8 self-review): a NULL score bucket rode the
+    boundary pick's nulls-first ascending sort — with any NULL-score
+    rows and a budget covering the scored mass, b0 became NULL and the
+    whole selection silently emptied. NULL scores are now excluded up
+    front (the weighted_sample NULL-weight contract)."""
+    from datapipeline_spike_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 100), (2, 0.8, 100), (3, None, 100)],
+        "doc_id long, q double, n_tok int",
+    )
+    got = {r["doc_id"] for r in budget_select(df, "q", "n_tok", 1e6, "doc_id").collect()}
+    assert got == {1, 2}
