@@ -197,6 +197,7 @@ def weighted_sample(
     score_col: str = "es_score",
     rank_col: str = "rnk",
     keep_score: bool = False,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement (k items, probability
     proportional to weight) — Efraimidis & Spirakis 2006: each row gets
@@ -218,12 +219,23 @@ def weighted_sample(
 
     Rows with NULL or non-positive weight are excluded (they have zero
     selection probability; -ln(1-u)/w would flip sign). ``key`` must be
-    unique per row (it is the tie-break and the salt)."""
+    unique per row (it is the tie-break and the salt).
+
+    ``score_round``: round the ES key to this many decimals before
+    ranking. ``ln`` is the one non-exact step (JVM Math.log and C libm
+    can disagree in the final ulp), so an oracle-replayed registration
+    ranks on a rounded key — 10dp keeps ~7 significant digits at
+    typical key magnitudes, far below any real selection-probability
+    distortion, while the doc-id tie-break resolves rounding ties
+    identically in both engines. Default None preserves full
+    precision."""
     if k < 1:
         raise ValueError(f"k={k}: need at least 1")
     w = F.col(weight) if isinstance(weight, str) else weight
     key = F.col(key) if isinstance(key, str) else key
     es = -F.log(F.lit(1.0) - hash_u01(key)) / w
+    if score_round is not None:
+        es = F.round(es, score_round)
     tagged = df.filter(w > 0).withColumn(score_col, es)
     out = bottom_k_per_group(
         tagged,

@@ -1,0 +1,401 @@
+"""R9 STAGING catalog — deliberately NOT imported by ``plans/__init__``.
+
+The rotation contract (plans/__init__.py) forbids registering queries
+that cannot get a driver-verification slot the same round, and the r8
+head is exactly full. These entries are the REGISTRATIONS-IN-WAITING
+for the round-8 library operators: each pairs the Spark callable with
+its DuckDB oracle SQL exactly as ``plans.registry.register`` will
+receive them, and ``tests/test_r9_staging.py`` runs the full
+check_oracle comparison (row count + schema + order-insensitive
+values) against sf0.001 locally — so splicing them into the r9 head is
+a mechanical move-and-import, with the oracle risk already burned
+down this round.
+
+r9 checklist per entry (the register-time steps that CANNOT be staged):
+  1. move the @stage decorator to @register in a catalog module,
+  2. splice the name into the r9 head (after the four queued
+     lsh-consumer re-verifies),
+  3. add the COVERAGE.md row + bench EXTRAS entry,
+  4. plan_audit run (allowlist entries needed: the 1-row totals
+     crosses in skipgram_pmi; the bounded phase-2 window in
+     weighted_doc_sample / budget_selected_docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.plans.registry import EngineQuery, QueryFn, load
+
+STAGED: dict[str, EngineQuery] = {}
+
+
+def stage(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query: {name}")
+        STAGED[name] = EngineQuery(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+# --- deterministic training-shard shuffle -----------------------------------
+
+_SQL_U01 = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+
+@stage(
+    "shuffle_shard_plan",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           round({_SQL_U01}, 6) AS shuffle_u,
+           CAST(floor({_SQL_U01} * 16) AS INTEGER) AS shard
+    FROM documents
+    """,
+    doc="operators/sampling.deterministic_shuffle staged for r9: the "
+    "content-hash (key, seed)->(shard, order) assignment is exact in "
+    "both engines (u = md5-prefix/2^32 is a dyadic rational; u*16 and "
+    "the int truncation are exact double ops). shuffle_u rounded to 6dp "
+    "for the hash only — the shard comes from the UNROUNDED u on both "
+    "sides.",
+    tags=("sampling", "shuffle", "staged-r9"),
+)
+def q_shuffle_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.sampling import deterministic_shuffle
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = deterministic_shuffle(d, "doc_id", 16, seed=0)
+    return out.select(
+        "doc_id", "lang", "source",
+        F.round("shuffle_u", 6).alias("shuffle_u"), "shard",
+    )
+
+
+# --- Efraimidis-Spirakis weighted sampling ----------------------------------
+
+_SQL_U01_RAW = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+
+@stage(
+    "weighted_doc_sample",
+    oracle=f"""
+    WITH es AS (
+      SELECT doc_id, lang, source, n_chars,
+             round(-ln(1 - {_SQL_U01_RAW}) / CAST(n_chars AS DOUBLE), 10) AS s
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (ORDER BY s, doc_id) AS rnk
+      FROM es
+    )
+    SELECT doc_id, lang, source, n_chars, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 200
+    """,
+    doc="operators/sampling.weighted_sample staged for r9: 200 docs "
+    "drawn proportional to n_chars without replacement "
+    "(Efraimidis-Spirakis bottom-k of -ln(1-u)/w). Ranked on the "
+    "10dp-ROUNDED key (score_round=10) because ln is the one step "
+    "where JVM and libm can differ in the final ulp; the doc_id "
+    "tie-break makes the rounded ranking identical in both engines.",
+    tags=("sampling", "weighted", "staged-r9"),
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = weighted_sample(
+        d, F.col("n_chars").cast("double"), 200, "doc_id",
+        keep_score=True, score_round=10,
+    )
+    return out.select(
+        "doc_id", "lang", "source", "n_chars", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+# --- skip-gram co-occurrence + PMI ------------------------------------------
+
+_SQL_TOKS_R9 = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),"
+    " t -> t != '')"
+)
+
+
+@stage(
+    "skipgram_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS_R9} AS t FROM documents),
+    pairs AS (
+      SELECT unnest(flatten(list_transform(range(1, len(t)),
+               i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
+                     j -> [t[i], t[j]])))) AS p
+      FROM toks
+    ),
+    pc AS (
+      SELECT p[1] AS w1, p[2] AS w2, count(*) AS pair_count
+      FROM pairs GROUP BY 1, 2
+    ),
+    uc AS (
+      SELECT w, count(*) AS w_count
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+    ),
+    nt AS (SELECT CAST(sum(w_count) AS DOUBLE) AS n_tokens FROM uc),
+    np AS (
+      SELECT sum(CASE WHEN len(t) > 3 THEN 3 * (len(t) - 3) + 3 * (3 - 1) / 2
+                      ELSE len(t) * (len(t) - 1) / 2 END) AS n_pairs
+      FROM toks
+    )
+    SELECT pc.w1, pc.w2, pc.pair_count,
+           u1.w_count AS w1_count, u2.w_count AS w2_count,
+           round(ln((pair_count / n_pairs)
+                    / ((u1.w_count / n_tokens) * (u2.w_count / n_tokens))),
+                 6) AS pmi
+    FROM pc
+    JOIN uc u1 ON pc.w1 = u1.w
+    JOIN uc u2 ON pc.w2 = u2.w, np, nt
+    WHERE pc.pair_count >= 5
+    """,
+    doc="operators/cooccurrence.pmi_scores staged for r9 (window=3, "
+    "min_pair_count=5): ordered in-window pairs via nested list "
+    "transforms on BOTH engines (DuckDB range() lists mirror Spark "
+    "sequence()); N_pairs from the identical per-doc closed form; the "
+    "PMI ratio is computed from exactly equal operands in the same "
+    "parse shape, so only the final ln carries sub-ulp risk under the "
+    "6dp round.",
+    tags=("text", "cooccurrence", "staged-r9"),
+)
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.cooccurrence import pmi_scores
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_scores(d, window=3, min_pair_count=5)
+
+
+# --- token-budget corpus selection ------------------------------------------
+
+_SQL_SW_EN = (
+    "['the','and','of','to','in','is','that','it','for','on']"
+)
+_SQL_QUALITY6 = (
+    "round(0.4 * least(len(toks) / 200.0, 1.0)"
+    " + 0.3 * least((len(list_filter(toks, x -> list_contains("
+    + _SQL_SW_EN
+    + ", x))) * 1.0 / len(toks)) / 0.10, 1.0)"
+    " + 0.3 * (1.0 - (length(text) - length(regexp_replace(text,"
+    " '[\\.,;:!\\?]', '', 'g'))) * 1.0 / length(text)), 6)"
+)
+
+
+@stage(
+    "budget_selected_docs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS_R9} AS toks FROM documents),
+    q AS (
+      SELECT doc_id, len(toks) AS n_tokens, {_SQL_QUALITY6} AS quality
+      FROM t WHERE len(toks) > 0
+    ),
+    b AS (SELECT doc_id, n_tokens, quality, round(quality, 4) AS bkt FROM q),
+    hist AS (
+      SELECT bkt, sum(CAST(n_tokens AS DOUBLE)) AS mass FROM b GROUP BY 1
+    ),
+    cum AS (
+      SELECT bkt, mass,
+             coalesce(sum(mass) OVER (ORDER BY bkt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS mass_above
+      FROM hist
+    ),
+    thr AS (
+      SELECT bkt AS b0,
+             least((60000.0 - mass_above)
+                   / CASE WHEN mass > 0 THEN mass ELSE 1.0 END, 1.0) AS rate
+      FROM cum WHERE mass_above < 60000.0 ORDER BY bkt LIMIT 1
+    )
+    SELECT b.doc_id, b.quality, b.n_tokens
+    FROM b, thr
+    WHERE b.bkt > thr.b0
+       OR (b.bkt = thr.b0 AND {_SQL_U01_RAW} < thr.rate)
+    """,
+    doc="operators/sampling.budget_select staged for r9: keep the "
+    "highest-quality documents until ~60k tokens. The oracle replays "
+    "the full two-pass threshold — 4dp score-bucket token-mass "
+    "histogram, strictly-above cumulative window (DESC, rows to 1 "
+    "preceding), boundary rate, deterministic md5 boundary draw. All "
+    "masses are integer-valued doubles and the rate divides identical "
+    "operands, so every comparison is exact in both engines.",
+    tags=("sampling", "curation", "staged-r9"),
+)
+def q_budget_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.text import (
+        quality_score_from_tokens,
+        tokens,
+    )
+    from datapipeline_spike_spark.operators.sampling import budget_select
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    scored = d.select(
+        "doc_id",
+        F.round(quality_score_from_tokens(F.col("toks"), "text"), 6).alias(
+            "quality"
+        ),
+        F.size("toks").alias("n_tokens"),
+    )
+    return budget_select(scored, "quality", "n_tokens", 60000.0, "doc_id")
+
+
+# --- keep-best-copy dedup survivor policy -----------------------------------
+
+
+@stage(
+    "dedup_survivor_policy",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, n_chars,
+             min(doc_id) OVER (PARTITION BY (doc_id // 5)) AS canonical_id
+      FROM documents
+    ),
+    best AS (
+      SELECT canonical_id, doc_id AS keep_id,
+             row_number() OVER (PARTITION BY canonical_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM canon
+    )
+    SELECT c.doc_id, b.keep_id
+    FROM canon c JOIN best b
+      ON c.canonical_id = b.canonical_id AND b.rn = 1
+    """,
+    doc="operators/dedup.select_canonical staged for r9: five-doc "
+    "synthetic duplicate families (doc_id div 5 — the snapshot_delta "
+    "keying precedent, testdata has no planted exact dups) resolved to "
+    "the highest-n_chars member with min-id tie-break. The Spark side "
+    "is the single mergeable max(struct(score,-id)) aggregate; the "
+    "oracle replays it as a per-cluster rank — identical argmax "
+    "semantics including ties.",
+    tags=("dedup", "curation", "staged-r9"),
+)
+def q_dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.operators.dedup import select_canonical
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assignments = d.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.expr("doc_id div 5")))
+        .alias("canonical_id"),
+    )
+    return select_canonical(assignments, d, score_col="n_chars")
+
+
+# --- HTML -> text extraction ------------------------------------------------
+
+from datapipeline_spike_spark.operators.html import _BLOCK_TAGS as _BT  # noqa: E402
+
+# the synthetic page both engines build per document (testdata has no
+# raw-HTML column; same precedent as the synthesized PNG/WAV tiers)
+_SQL_PAGE = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends'"
+    " || '</title><style>p{color:red}</style></head><body>'"
+    " || '<nav><a href=\"/\">Home</a> <a href=\"/b\">Blog</a>"
+    " <a href=\"/c\">More</a></nav><p>'"
+    " || regexp_replace(text, '\\. ', '.</p><p>', 'g')"
+    " || '</p><!-- c --><footer><a href=\"/t\">Terms</a></footer>"
+    "</body></html>'"
+)
+_SQL_EXTRACT = (
+    "array_to_string(list_transform(list_filter(list_transform("
+    "string_split_regex(__X__, '\\n+'),"
+    " b -> struct_pack(txt := trim(regexp_replace(replace(b, chr(1), ' '),"
+    " '\\s+', ' ', 'g')),"
+    " links := length(b) - length(replace(b, chr(1), '')))),"
+    " s -> length(s.txt) > 0 AND CAST(s.links AS DOUBLE)"
+    " <= 0.5 * len(string_split_regex(s.txt, '\\s+'))),"
+    " s -> s.txt), chr(10))"
+)
+
+
+def _sql_html_chain(page_expr: str) -> str:
+    x = f"regexp_replace({page_expr}, '[\\r\\n\\t]+', ' ', 'g')"
+    for pat in (
+        "(?is)<head\\b[^>]*>.*?</head>",
+        "(?is)<title\\b[^>]*>.*?</title>",
+        "(?is)<script\\b[^>]*>.*?</script>",
+        "(?is)<style\\b[^>]*>.*?</style>",
+        "(?s)<!--.*?-->",
+    ):
+        x = f"regexp_replace({x}, '{pat}', ' ', 'g')"
+    x = f"regexp_replace({x}, '(?i)<a\\b[^>]*>', chr(1), 'g')"
+    x = f"regexp_replace({x}, '(?i)</?({_BT})\\b[^>]*/?>', chr(10), 'g')"
+    x = f"regexp_replace({x}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"),
+        ("&apos;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        x = f"regexp_replace({x}, '{ent}', '{rep}', 'g')"
+    return _SQL_EXTRACT.replace("__X__", x)
+
+
+@stage(
+    "html_extract_profile",
+    oracle=f"""
+    WITH pages AS (SELECT doc_id, {_SQL_PAGE} AS page FROM documents),
+    ext AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(regexp_extract(page,
+                 '(?is)<title[^>]*>([^<]*)', 1), '&amp;', '&', 'g'),
+               '\\s+', ' ', 'g')) AS title,
+             {_sql_html_chain("page")} AS text
+      FROM pages
+    )
+    SELECT doc_id, title, text,
+           CAST(len(string_split_regex(text, chr(10) || '+')) AS INTEGER)
+             AS n_blocks
+    FROM ext
+    """,
+    doc="operators/html.html_to_text + html_title staged for r9: each "
+    "document wrapped in a deterministic synthetic page (nav + split "
+    "paragraphs + footer + entity-bearing title — the synthesized "
+    "PNG/WAV tier precedent) and extracted on BOTH engines with the "
+    "identical RE2-compatible regex chain, sentinel-based link-density "
+    "gate included; title decodes only &amp; because the synth title "
+    "carries no other entity. n_blocks counts newline-joined surviving "
+    "blocks.",
+    tags=("html", "text", "staged-r9"),
+)
+def q_html_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.html import html_title, html_to_text
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; friends</title><style>p{color:red}</style></head><body>'
+              '<nav><a href="/">Home</a> <a href="/b">Blog</a>'
+              ' <a href="/c">More</a></nav><p>'),
+        F.regexp_replace("text", r"\. ", ".</p><p>"),
+        F.lit('</p><!-- c --><footer><a href="/t">Terms</a></footer>'
+              '</body></html>'),
+    )
+    p = d.select("doc_id", page.alias("page"))
+    return p.select(
+        "doc_id",
+        html_title("page").alias("title"),
+        html_to_text("page").alias("text"),
+    ).withColumn(
+        "n_blocks", F.size(F.split("text", r"\n+")).cast("int")
+    )
