@@ -399,3 +399,101 @@ def q_html_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n_blocks", F.size(F.split("text", r"\n+")).cast("int")
     )
+
+
+# --- bigram LM fluency scoring ----------------------------------------------
+
+
+@stage(
+    "bigram_fluency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS_R9} AS t FROM documents
+    ), tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+    bg AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> [t[i], t[i + 1]])) AS p
+            FROM tt)
+    ),
+    doc_bg AS (
+      SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3
+    ),
+    corpus_bg AS (SELECT w1, w2, sum(n) AS c FROM doc_bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c) AS cx FROM corpus_bg GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+           round(sum(d.n * ln((cb.c + 1.0) / (ctx.cx + vocab.v)))
+                 / sum(d.n), 6) AS avg_logprob
+    FROM doc_bg d
+    JOIN corpus_bg cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
+    JOIN ctx ON d.w1 = ctx.w1, vocab
+    GROUP BY 1
+    """,
+    doc="operators/quality.bigram_logprob_score staged for r9: "
+    "corpus-fit add-one bigram LM, adjacent pairs via range-indexed "
+    "list transforms mirroring the Spark slice/zip_with; every count "
+    "integer-exact, the 6dp round absorbs summation order (the "
+    "unigram_logprob_score precedent).",
+    tags=("text", "quality", "lm", "staged-r9"),
+)
+def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.quality import bigram_logprob_score
+
+    return bigram_logprob_score(load(spark, sf_dir, "documents"))
+
+
+# --- CCNet perplexity bucketing ---------------------------------------------
+
+
+@stage(
+    "perplexity_bucket_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKS_R9}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, lang, tok, count(*) AS n FROM toks GROUP BY 1, 2, 3),
+    vocab AS (SELECT lang, tok, sum(n) AS c FROM tf GROUP BY 1, 2),
+    totals AS (SELECT lang, sum(c) AS total, count(*) AS v FROM vocab GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.lang,
+             CAST(sum(tf.n) AS BIGINT) AS n_tokens,
+             round(sum(tf.n * ln((vocab.c + 1.0) / (totals.total + totals.v)))
+                   / sum(tf.n), 6) AS avg_logprob
+      FROM tf
+      JOIN vocab ON tf.lang = vocab.lang AND tf.tok = vocab.tok
+      JOIN totals ON tf.lang = totals.lang
+      GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT lang, quantile_disc(avg_logprob, [1.0/3, 2.0/3]) AS t
+      FROM scored GROUP BY 1
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logprob,
+           CAST(1 + len(list_filter(thr.t, x -> x <= s.avg_logprob))
+                AS INTEGER) AS bucket,
+           (['tail', 'middle', 'head'])
+             [1 + len(list_filter(thr.t, x -> x <= s.avg_logprob))]
+             AS bucket_label
+    FROM scored s JOIN thr ON s.lang = thr.lang
+    """,
+    doc="operators/quality.perplexity_buckets staged for r9 (CCNet "
+    "head/middle/tail): the add-one unigram LM replays integer-exactly "
+    "(6dp round on the mean); the quantile thresholds replay because "
+    "at driver scale every language group is smaller than the sketch "
+    "accuracy (10k), where Spark's percentile_approx exact path and "
+    "DuckDB's quantile_disc pick the identical order statistic "
+    "(verified empirically at n=9/10/2000, including the off-by-one "
+    "conventions). Tie-at-threshold falls to the higher band on both "
+    "sides (t <= v).",
+    tags=("text", "quality", "lm", "staged-r9"),
+)
+def q_perplexity_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.quality import perplexity_buckets
+
+    return perplexity_buckets(load(spark, sf_dir, "documents"))
