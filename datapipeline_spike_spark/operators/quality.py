@@ -235,3 +235,63 @@ def bigram_logprob_score(
             ),
         )
     )
+
+
+# --- encoding / mojibake hygiene ---------------------------------------------
+
+# C0 controls minus \t\n\r, plus DEL — text that should never survive a
+# clean extraction pipeline. \x escapes parse identically in Java regex
+# (Spark) and RE2 (DuckDB).
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# Zero-width / invisible formatting: ZWSP, ZWNJ, ZWJ, BOM-as-ZWNBSP.
+_ZERO_WIDTH_RE = "[​‌‍﻿]"
+# Unicode replacement char — the decoder already gave up here.
+_REPLACEMENT_RE = "�"
+# Residual HTML entities an extractor failed to decode.
+_ENTITY_RE = r"&(#[0-9]{1,6}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,30});"
+# Classic UTF-8-read-as-Latin-1 tells: 'Ã'/'Â' lead bytes and the
+# 'â€¦'-family three-byte smart-punctuation wrecks.
+_MOJIBAKE_RE = "Ã|Â|â€"
+
+
+def encoding_quality_columns(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Encoding-hygiene profile for web-crawl text (SURVEY §2.11 — the
+    curation gate that runs BEFORE tokenization: a corpus at 100 TB
+    always contains decoder casualties, and counting them is cheaper
+    than training on them). Adds per-document counts of replacement
+    characters, stray C0 controls, zero-width characters, undecoded
+    HTML entities, and UTF-8-as-Latin-1 mojibake markers, plus a
+    combined bad-character ratio and an ``encoding_ok`` verdict.
+
+    Map-only: five ``regexp_count`` column expressions, codegen-
+    eligible, no shuffle — at cluster scale this is a pure scan stage
+    and composes in front of any gate (same contract as
+    ``quality_classifier_columns``: full input schema preserved).
+    Thresholds: any replacement/control char fails; mojibake fails;
+    bad-char ratio (replacement+control+zero-width over chars) above
+    0.1% fails. Empty text is vacuously ok."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    counts = {
+        "n_replacement": _REPLACEMENT_RE,
+        "n_control": _CONTROL_RE,
+        "n_zero_width": _ZERO_WIDTH_RE,
+        "n_entity": _ENTITY_RE,
+        "n_mojibake": _MOJIBAKE_RE,
+    }
+    out = df.withColumn("n_chars_enc", n_chars)
+    for name, pat in counts.items():
+        out = out.withColumn(name, F.regexp_count(t, F.lit(pat)).cast("long"))
+    bad = F.col("n_replacement") + F.col("n_control") + F.col("n_zero_width")
+    ratio = F.when(
+        F.col("n_chars_enc") > 0, bad / F.col("n_chars_enc")
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("bad_char_ratio", F.round(ratio, 6)).withColumn(
+        "encoding_ok",
+        (F.col("n_replacement") == 0)
+        & (F.col("n_control") == 0)
+        & (F.col("n_mojibake") == 0)
+        & (F.col("bad_char_ratio") <= 0.001),
+    )

@@ -497,3 +497,85 @@ def q_perplexity_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.operators.quality import perplexity_buckets
 
     return perplexity_buckets(load(spark, sf_dir, "documents"))
+
+
+# --- encoding / mojibake hygiene profile -------------------------------------
+
+# deterministic synthetic corruption (testdata text is clean — same
+# precedent as the synthesized HTML pages / PNG / WAV tiers): each
+# residue class planted on a doc_id stripe, mirrored verbatim in SQL
+_SQL_CORRUPT = (
+    "CASE CAST(doc_id % 5 AS INTEGER)"
+    " WHEN 0 THEN text || ' ' || chr(65533) || 'x' || chr(65533)"
+    " WHEN 1 THEN 'caf' || chr(195) || chr(169) || ' ' || chr(8203) || text"
+    " WHEN 2 THEN chr(7) || text || chr(31)"
+    " WHEN 3 THEN text || ' &amp; &#8212; &mdash;'"
+    " ELSE text END"
+)
+_SQL_ENC_COUNT = "CAST(len(regexp_extract_all({t}, '{p}')) AS BIGINT)"
+_ENC_PATTERNS = {
+    "n_replacement": "�",
+    "n_control": r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]",
+    "n_zero_width": "[​‌‍﻿]",
+    "n_entity": "&(#[0-9]{1,6}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,30});",
+    "n_mojibake": "Ã|Â|â€",
+}
+
+
+@stage(
+    "encoding_quality_profile",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, {_SQL_CORRUPT} AS text FROM documents),
+    m AS (
+      SELECT doc_id, length(text) AS n_chars_enc,
+             {", ".join(_SQL_ENC_COUNT.format(t="text", p=p) + " AS " + n
+                        for n, p in _ENC_PATTERNS.items())}
+      FROM c
+    )
+    SELECT doc_id, n_chars_enc, n_replacement, n_control, n_zero_width,
+           n_entity, n_mojibake,
+           round(CASE WHEN n_chars_enc > 0
+                 THEN (n_replacement + n_control + n_zero_width)
+                      * 1.0 / n_chars_enc ELSE 0.0 END, 6) AS bad_char_ratio,
+           (n_replacement = 0 AND n_control = 0 AND n_mojibake = 0
+            AND round(CASE WHEN n_chars_enc > 0
+                  THEN (n_replacement + n_control + n_zero_width)
+                       * 1.0 / n_chars_enc ELSE 0.0 END, 6) <= 0.001)
+             AS encoding_ok
+    FROM m
+    """,
+    doc="operators/quality.encoding_quality_columns staged for r9: the "
+    "web-crawl encoding-hygiene gate (replacement chars, stray C0 "
+    "controls, zero-width chars, undecoded HTML entities, "
+    "UTF-8-as-Latin-1 mojibake markers). Each residue class is planted "
+    "on a doc_id%5 stripe with identical chr() codepoints on both "
+    "engines; counts are integer-exact, the ratio divides identical "
+    "integers, and the ok-verdict compares the 6dp-ROUNDED ratio so "
+    "the boolean is engine-portable. Map-only regexp_count columns — "
+    "a pure scan stage at any scale.",
+    tags=("text", "quality", "encoding", "staged-r9"),
+)
+def q_encoding_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.quality import (
+        encoding_quality_columns,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat("text", F.lit(" �x�")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("cafÃ© ​"), F.col("text")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("\x07"), F.col("text"), F.lit("\x1f")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat("text", F.lit(" &amp; &#8212; &mdash;")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return encoding_quality_columns(corrupted).select(
+        "doc_id", "n_chars_enc", "n_replacement", "n_control",
+        "n_zero_width", "n_entity", "n_mojibake", "bad_char_ratio",
+        "encoding_ok",
+    )

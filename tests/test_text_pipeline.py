@@ -299,3 +299,34 @@ def test_dsir_importance_weights_rank_target_like_raw_docs_first(spark):
     # docs themselves — and the weight separation is strictly positive
     assert w[200] == w[0]
     assert min(planted) > 0 > max(raw_vocab)
+
+
+def test_encoding_quality_planted_counts(spark):
+    from datapipeline_spike_spark.operators.quality import (
+        encoding_quality_columns,
+    )
+
+    rows = [
+        (1, "clean ascii text."),
+        (2, "bad � twice � here"),
+        (3, "ctrl\x07 and\x1f del\x7f but \t\n\r fine"),
+        (4, "zero​width‌ and﻿ bom"),
+        (5, "left &amp; &#x27; &mdash; over &notanentity"),
+        (6, "mojibake cafÃ© â€” dash Â here"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in encoding_quality_columns(df).collect()
+    }
+    # full input schema preserved plus the profile columns
+    assert {"doc_id", "text"} <= set(out[1].asDict())
+    assert out[1]["encoding_ok"] and out[1]["bad_char_ratio"] == 0.0
+    assert out[2]["n_replacement"] == 2 and not out[2]["encoding_ok"]
+    assert out[3]["n_control"] == 3 and not out[3]["encoding_ok"]
+    assert out[4]["n_zero_width"] == 3 and not out[4]["encoding_ok"]
+    # entities alone don't flip the verdict (recoverable residue)
+    assert out[5]["n_entity"] == 3 and out[5]["encoding_ok"]
+    assert out[6]["n_mojibake"] == 3 and not out[6]["encoding_ok"]
+    assert out[7]["encoding_ok"] and out[7]["bad_char_ratio"] == 0.0
