@@ -924,3 +924,71 @@ def cluster_balanced_sample(
         F.col("cent_id").cast("bigint").alias("cent_id"),
         F.col("samp_rank").cast("int").alias("samp_rank"),
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+    hi: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for EVERY anchor in
+    the corpus, the ``k`` most-similar candidates that are (a) not the
+    anchor, (b) below the near-duplicate ceiling ``hi`` (a candidate at
+    cos >= hi is an unlabeled positive, the classic false-negative
+    poison), and (c) a different ``label_col`` when labels exist (the
+    supervised definition of "negative"). Candidates come from the
+    anchor's sign-LSH bucket — the same equi-join that makes every ANN
+    tier here tractable — so mining is |bucket|-bounded per anchor
+    instead of corpus-bounded; ``n_planes`` is the scale knob (buckets
+    ~ n/2^planes: 16 planes keeps in-bucket work flat at 100 TB).
+    ``multiprobe=1`` adds Hamming-1 buckets when recall matters more
+    than cost. Returns (anchor_id, negative_id, cos_sim, rank).
+
+    Plan shape: one map-only bucket assign feeds BOTH join sides (4
+    dot products per row — cheap enough to recompute per side, unlike
+    the MinHash signature pipeline that lsh_candidate_pairs
+    materializes); the per-anchor top-k ranks on the 6dp-ROUNDED cosine
+    with an id tie-break (engine-portable, the ann_lsh_bucket
+    convention) and Spark 4's WindowGroupLimit keeps only k rows per
+    anchor per input partition ahead of the rank shuffle, so shuffle
+    volume is anchors x k, never the |bucket|^2 join output."""
+    coded = lsh_bucket_assign(corpus, dim, n_planes, vec_col)
+    keep = [F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).cast("array<double>").alias("_av"), "bucket"]
+    cand_keep = [F.col(id_col).alias("negative_id"),
+                 F.col(vec_col).cast("array<double>").alias("_nv"), "bucket"]
+    if label_col is not None:
+        keep.append(F.col(label_col).alias("_alab"))
+        cand_keep.append(F.col(label_col).alias("_nlab"))
+    anchors = coded.select(*keep)
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        anchors = anchors.withColumn("bucket", F.explode(probes))
+    cands = coded.select(*cand_keep)
+    joined = anchors.join(cands, "bucket").filter(
+        F.col("anchor_id") != F.col("negative_id")
+    )
+    if label_col is not None:
+        joined = joined.filter(F.col("_alab") != F.col("_nlab"))
+    scored = joined.select(
+        "anchor_id",
+        "negative_id",
+        F.round(cosine(F.col("_av"), F.col("_nv")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") < hi)
+    if multiprobe >= 1:
+        scored = scored.dropDuplicates(["anchor_id", "negative_id"])
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

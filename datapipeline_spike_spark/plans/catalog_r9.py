@@ -579,3 +579,52 @@ def q_encoding_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_width", "n_entity", "n_mojibake", "bad_char_ratio",
         "encoding_ok",
     )
+
+
+# --- contrastive hard-negative mining ----------------------------------------
+
+from datapipeline_spike_spark.plans.catalog_ml import _sql_bucket  # noqa: E402
+
+_SQL_HARD_NEG = f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+             {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+             round(list_cosine_similarity(a.ev, c.ev), 6) AS cos_sim
+      FROM v a JOIN v c USING (bucket)
+      WHERE a.vec_id != c.vec_id AND a.label != c.label
+    )
+    SELECT anchor_id, negative_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                    ORDER BY cos_sim DESC, negative_id) AS rnk
+          FROM scored WHERE cos_sim < 0.95)
+    WHERE rnk <= 3
+    """
+
+
+@stage(
+    "hard_negative_pairs",
+    oracle=_SQL_HARD_NEG,
+    doc="operators/similarity.hard_negative_mining staged for r9: for "
+    "every anchor vector, the 3 hardest same-LSH-bucket negatives — "
+    "most-similar candidates below the cos<0.95 unlabeled-positive "
+    "ceiling with a DIFFERENT label (the supervised negative "
+    "definition). The oracle replays bucket assignment from the same "
+    "inlined splitmix hyperplanes (the ann_lsh_bucket precedent), the "
+    "label-mismatch filter, and the rounded-cosine ranking exactly.",
+    tags=("ml", "ann", "contrastive", "staged-r9"),
+)
+def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        e, dim=64, k=3, n_planes=4, hi=0.95, label_col="label"
+    ).select(
+        "anchor_id", "negative_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )

@@ -1254,3 +1254,33 @@ def test_budget_select_null_scores_excluded_not_poisoning(spark):
     )
     got = {r["doc_id"] for r in budget_select(df, "q", "n_tok", 1e6, "doc_id").collect()}
     assert got == {1, 2}
+
+
+def test_hard_negative_mining_planted(spark):
+    from datapipeline_spike_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    # 2-d toy space: anchor 0 has an exact duplicate (1, same direction,
+    # DIFFERENT label — the unlabeled-positive trap), a hard negative
+    # (2, nearby angle, other label), an easy negative (3, orthogonal,
+    # other label), and a same-label neighbor (4) that must never
+    # appear as a negative.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [2.0, 0.0], 1),        # cos=1.0 vs anchor -> excluded by hi
+        (2, [1.0, 0.2], 1),        # hard negative
+        (3, [0.0, 1.0], 1),        # easy negative (may fall outside bucket)
+        (4, [1.0, 0.1], 0),        # same label -> never a negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negative_mining(df, dim=2, k=2, n_planes=2, hi=0.99, label_col="label")
+    got = {(r["anchor_id"], r["negative_id"]): r for r in out.collect()}
+    # the duplicate is filtered even though it's the most similar
+    assert (0, 1) not in got
+    # the same-label neighbor is never a negative for anchor 0
+    assert (0, 4) not in got
+    # the hard negative survives and outranks anything less similar
+    assert (0, 2) in got and got[(0, 2)]["rank"] == 1
+    for r in got.values():
+        assert r["cos_sim"] < 0.99 and r["rank"] <= 2
