@@ -992,3 +992,110 @@ def hard_negative_mining(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --- binary (1-bit) sign quantization + Hamming rerank -----------------------
+
+_WORD_BITS = 31  # bits packed per int word; 31 keeps every word value
+# in [0, 2^31) so neither engine ever touches the int32 sign bit
+# (Spark shiftleft wraps, DuckDB raises on INTEGER overflow — staying
+# below the bit avoids both behaviors entirely)
+
+
+def _sign_word_sql(vec_sql: str, dim: int, bit_seeds: list[int]) -> str:
+    """One packed sign word as engine-SQL text: bit j set iff
+    v . plane(seed_j) >= 0. The dot product is an in-order left fold —
+    the same summation order as DuckDB's list_inner_product, so the
+    sign (the only thing consumed) is bit-identical cross-engine."""
+    terms = []
+    for j, seed in enumerate(bit_seeds):
+        arr = "array(" + ", ".join(
+            f"CAST('{float(x)!r}' AS DOUBLE)" for x in _plane(dim, seed)
+        ) + ")"
+        d = (f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+             "0.0D, (acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def sign_codes(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 62,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_base: int = 301,
+    code_col: str = "code",
+) -> DataFrame:
+    """1-bit scalar quantization (the 32x-compression tier below SQ8):
+    bit b = sign(v . plane_b) against ``n_bits`` deterministic splitmix
+    hyperplanes, packed into ``ceil(n_bits/31)`` int words. By the
+    sign-LSH similarity estimate (Charikar 2002), Hamming distance on
+    these codes is a monotone proxy for angular distance — an 8-byte
+    row sketch a scan can rank billions of at memory bandwidth.
+    Map-only, one JVM-parsed expression per word (the r6
+    plan-build-cost rule); seeds 301+ never collide with the bucket
+    planes (1..n_planes) so codes and buckets are independent."""
+    words = []
+    vec_sql = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    for w in range(0, n_bits, _WORD_BITS):
+        seeds = [seed_base + b for b in range(w, min(w + _WORD_BITS, n_bits))]
+        words.append(_sign_word_sql(vec_sql, dim, seeds))
+    return df.withColumn(code_col, F.expr("array(" + ", ".join(words) + ")"))
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 20,
+    n_bits: int = 62,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-sketch ANN: rank the whole corpus by integer Hamming
+    distance on 1-bit sign codes, keep the top ``m`` candidates per
+    query, then rerank those exactly by cosine and return the top
+    ``k``. The coarse pass is INTEGER-EXACT (the r7 quantization-parity
+    rule: approximate rankings must be bit-identical cross-engine;
+    float only enters the exact rerank, on 6dp-rounded scores with an
+    id tie-break). Queries are a bounded broadcast set by the family
+    contract (brute_force_topk precedent) — the corpus-side scan is
+    the scale path: 8-byte codes, no shuffle until the per-query top-m,
+    which WindowGroupLimit bounds at m per partition."""
+    cc = sign_codes(fan_out(corpus), dim, n_bits, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col("code").alias("_ccode"),
+    )
+    qc = sign_codes(queries, dim, n_bits, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col("code").alias("_qcode"),
+    )
+    ham = F.aggregate(
+        F.zip_with("_ccode", "_qcode", lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    scored = (
+        cc.crossJoin(F.broadcast(qc))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv", ham.alias("hamming"))
+    )
+    wm = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = scored.withColumn("_hrank", F.row_number().over(wm)).filter(
+        F.col("_hrank") <= m
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id", "neighbor_id", "hamming",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )

@@ -1284,3 +1284,31 @@ def test_hard_negative_mining_planted(spark):
     assert (0, 2) in got and got[(0, 2)]["rank"] == 1
     for r in got.values():
         assert r["cos_sim"] < 0.99 and r["rank"] <= 2
+
+
+def test_sign_codes_and_hamming_topk(spark):
+    from datapipeline_spike_spark.operators.similarity import (
+        hamming_topk,
+        sign_codes,
+    )
+
+    # identical vectors -> identical codes -> hamming 0 and top rank
+    rows = [
+        (0, [1.0, 0.0, 0.5, -0.5]),
+        (1, [1.0, 0.0, 0.5, -0.5]),
+        (2, [-1.0, 0.2, -0.5, 0.5]),
+        (3, [0.9, 0.1, 0.4, -0.6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coded = sign_codes(df, dim=4, n_bits=62).collect()
+    for r in coded:
+        assert len(r["code"]) == 2
+        assert all(0 <= w < (1 << 31) for w in r["code"])
+    by_id = {r["vec_id"]: r["code"] for r in coded}
+    assert by_id[0] == by_id[1]          # same vector, same code
+    assert by_id[0] != by_id[2]          # opposite vector differs
+
+    out = hamming_topk(df, df.filter(F.col("vec_id") == 0), dim=4, k=2, m=3)
+    got = {r["rank"]: r for r in out.collect()}
+    assert got[1]["neighbor_id"] == 1 and got[1]["hamming"] == 0
+    assert got[1]["cos_sim"] == 1.0
