@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_sq
+from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_norm, l2_sq
 from datapipeline_spike_spark.scale import fan_out
 
 
@@ -1098,4 +1098,46 @@ def hamming_topk(
         )
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_base: int = 401,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC Achlioptas sign matrix (Achlioptas 2003: +-1 entries
+    suffice for the JL guarantee): y_j = (v . r_j) / sqrt(k), where
+    r_j's entries are the signs of the splitmix stream — no RNG state,
+    no fitted model, so any engine (and the SQL oracle) regenerates the
+    matrix from (dim, k, seed_base) alone. This is the cheap embedding
+    shrink in front of clustering/ANN when PCA's data-dependent fit is
+    overkill: map-only, one JVM-parsed expression, zero shuffles, and
+    unlike PCA it needs no training pass over 100 TB. Components are
+    rounded to ``round_dp`` (in-order fold sums match list_inner_product
+    order, so rounding only absorbs the final ulp). Adds ``proj``
+    (array<double>, length k) and ``norm_ratio`` (||y||/||v||, the
+    per-row JL distortion witness, ~1 in expectation)."""
+    vec_sql = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    comps = []
+    for j in range(k):
+        signs = ", ".join(
+            "1.0D" if x >= 0 else "-1.0D" for x in _plane(dim, seed_base + j)
+        )
+        comps.append(
+            f"round(aggregate(zip_with({vec_sql}, array({signs}), "
+            f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v) "
+            f"/ sqrt(CAST({k} AS DOUBLE)), {round_dp})"
+        )
+    out = df.withColumn("proj", F.expr("array(" + ", ".join(comps) + ")"))
+    vn = l2_norm(F.col(vec_col).cast("array<double>"))
+    pn = l2_norm(F.col("proj"))
+    return out.withColumn(
+        "norm_ratio",
+        F.when(vn > 0, F.round(pn / vn, round_dp)).otherwise(F.lit(None)),
     )

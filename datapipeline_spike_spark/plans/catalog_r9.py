@@ -760,3 +760,52 @@ def q_hamming_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("int").alias("n_hits"),
         F.round(F.count("hit") / 5.0, 6).alias("recall"),
     )
+
+
+# --- Johnson-Lindenstrauss random projection ----------------------------------
+
+_JL_K = 8
+
+
+def _sql_jl_comp(j: int) -> str:
+    signs = "[" + ", ".join(
+        "1.0" if x >= 0 else "-1.0" for x in _r9_plane(64, 401 + j)
+    ) + "]"
+    return (f"round(list_inner_product(ev, {signs})"
+            f" / sqrt(CAST({_JL_K} AS DOUBLE)), 6)")
+
+
+@stage(
+    "random_projection_profile",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id, ev,
+             {", ".join(_sql_jl_comp(j) + f" AS y{j}" for j in range(_JL_K))}
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+    )
+    SELECT vec_id, {", ".join(f"y{j}" for j in range(_JL_K))},
+           round(sqrt({" + ".join(f"y{j} * y{j}" for j in range(_JL_K))})
+                 / sqrt(list_inner_product(ev, ev)), 6) AS norm_ratio
+    FROM p
+    """,
+    doc="operators/similarity.random_projection staged for r9: "
+    "64->8-dim Johnson-Lindenstrauss reduction with a deterministic "
+    "Achlioptas +-1 sign matrix regenerated from (dim, k, seed) in "
+    "both engines — the training-free embedding shrink in front of "
+    "clustering/ANN (map-only, no fit pass, unlike PCA). Components "
+    "round at 6dp (in-order fold = list_inner_product order); "
+    "norm_ratio (||y||/||v||, the per-row JL distortion witness) is "
+    "DERIVED from the rounded components on both sides, per the "
+    "derive-from-quantized rule.",
+    tags=("ml", "embedding", "staged-r9"),
+)
+def q_random_projection_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.similarity import random_projection
+
+    e = load(spark, sf_dir, "embeddings")
+    out = random_projection(e, dim=64, k=_JL_K)
+    return out.select(
+        "vec_id",
+        *[F.element_at("proj", j + 1).alias(f"y{j}") for j in range(_JL_K)],
+        "norm_ratio",
+    )

@@ -1312,3 +1312,20 @@ def test_sign_codes_and_hamming_topk(spark):
     got = {r["rank"]: r for r in out.collect()}
     assert got[1]["neighbor_id"] == 1 and got[1]["hamming"] == 0
     assert got[1]["cos_sim"] == 1.0
+
+
+def test_random_projection_deterministic_and_distance_preserving(spark, sf_dir):
+    from datapipeline_spike_spark.plans.registry import load
+    from datapipeline_spike_spark.operators.similarity import random_projection
+
+    e = load(spark, sf_dir, "embeddings").limit(100)
+    a = random_projection(e, dim=64, k=32).select("vec_id", "proj", "norm_ratio")
+    b = random_projection(e, dim=64, k=32).select("vec_id", "proj", "norm_ratio")
+    ra = {r["vec_id"]: r for r in a.collect()}
+    rb = {r["vec_id"]: r for r in b.collect()}
+    assert all(ra[i]["proj"] == rb[i]["proj"] for i in ra)  # no RNG state
+    ratios = [r["norm_ratio"] for r in ra.values() if r["norm_ratio"]]
+    mean = sum(ratios) / len(ratios)
+    # JL at k=32: norms preserved in expectation, bounded spread
+    assert 0.8 < mean < 1.2
+    assert all(0.4 < x < 1.9 for x in ratios)
