@@ -8,6 +8,7 @@ from datapipeline_spike_spark.plans import catalog_relational  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_events  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_extensions  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
+from datapipeline_spike_spark.plans import catalog_r9  # noqa: F401  (r8 staged -> registered)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -17,7 +18,52 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 # the previous round, (3) the oldest-driver-verified remainder; the most
 # recently driver-green block rotates to the tail.
 
-# --- r8 head, slot 1: changed/new code in round 8 ---
+# --- r9 head, slot 1: the r8 verification debt — the four queued
+# lsh-consumer re-verifies documented by the r8 rotation contract
+# (plans/__init__ r8: "They lead the r9 head regardless"), then the 12
+# r8-staged operators now registered via plans/catalog_r9 ---
+_R9_DEBT = (
+    "near_dup_cluster_stats",
+    "minhash_jaccard_estimate",
+    "ngram_jaccard_pairs",
+    "candidate_edit_distance",
+    "shuffle_shard_plan",
+    "weighted_doc_sample",
+    "skipgram_pmi",
+    "budget_selected_docs",
+    "dedup_survivor_policy",
+    "html_extract_profile",
+    "bigram_fluency",
+    "perplexity_bucket_profile",
+    "encoding_quality_profile",
+    "hard_negative_pairs",
+    "hamming_recall_at_k",
+    "random_projection_profile",
+)
+# --- r9 head, slot 2: code changed in round 9 (MUST re-hash this
+# round): the last two SF-scaling forced-broadcast removals (VERDICT r8
+# What's-wrong item 1) ---
+_R9_CHANGED = (
+    "local_supplier_volume",        # r9: forced supplier broadcast hint dropped
+    "referential_integrity_audit",  # r9: broadcast customer-key-set hint dropped
+)
+# --- r9 head, slot 3: NEW r9 registrations (each gets its driver slot
+# this round per the rotation contract; appended as built) ---
+_R9_NEW = (
+    "curation_stage_profile",       # end-to-end curate_corpus funnel (VERDICT item 3)
+    "approx_percentile_bands",      # registered scale path for customer_value_ranks
+    "gopher_quality_rules",         # Rae 2021 heuristic quality gate
+    "c4_line_filters",              # Raffel 2020 line-grain cleaning profile
+    "domain_cap_sample",            # per-domain frequency cap (crawl curation)
+    "forecast_revenue_change",      # TPC-H Q6 shape
+    "volume_shipping",              # TPC-H Q7 shape
+    "market_share",                 # TPC-H Q8 shape
+    "customer_distribution",        # TPC-H Q13 shape
+    "waiting_suppliers",            # TPC-H Q21 shape
+    "global_sales_opportunity",     # TPC-H Q22 shape
+)
+
+# --- r8 head (now history; kept as the r9 rotation tail source) ---
 _R8_CHANGED = (
     "dsir_importance_weights",      # landed late-r7: the ONLY never-driver-checked query — leads
     "pca_variance_profile",         # NEW r8: fixed-axis variance-explained oracle twin of pca_reduce
@@ -75,40 +121,13 @@ _R8_HEAD_QUEUED = (
     "decontamination_span_removal",
     "winnowing_fingerprints",
 )
-# Touched-but-not-re-hashed this round, documented per the rotation
-# contract: these four consume lsh_candidate_pairs, whose r8 change is
-# an ADDITIVE parameter (materialize flag, default unchanged) plus a
-# fail-fast streaming guard — the default-path physical plan is
-# byte-identical, all four are r7 driver-green, and all four were
-# re-verified against the DuckDB oracle locally this round (0 failures).
-# They lead the r9 head regardless.
-_QUEUED_FOR_NEXT_HEAD = (
-    "near_dup_cluster_stats",
-    "minhash_jaccard_estimate",
-    "ngram_jaccard_pairs",
-    "candidate_edit_distance",
-)
-# Library operators built in r8 WITHOUT registry queries (the rotation
-# contract forbids registering code that cannot get a driver slot the
-# same round; the r8 head was exactly full). Each is tested and
-# documented; r9 must register them (with oracles) and splice the new
-# queries into the r9 head alongside the four queued above:
-#   operators/ranks.py::approx_percentile_bands   (percent_rank scale path)
-#   operators/quality.py::perplexity_buckets      (CCNet head/middle/tail)
-#   operators/sampling.py::deterministic_shuffle  (training-shard assignment)
-#   operators/dedup.py::paragraph_dedup           (paragraph-grain dedup)
-#   operators/quality.py::bigram_logprob_score    (word-order LM fluency)
-#   sources/multimodal.py::decode_audio_band_ratios (audio spectral tier)
-#   sources/hdf5_native.py                        (S1 native decode tier; test-checked, no oracle by contract)
-#   operators/cooccurrence.py::pmi_scores         (skip-gram co-occurrence + PMI, embedding-training prep)
-#   operators/sampling.py::weighted_sample        (Efraimidis-Spirakis weighted k w/o replacement)
-#   operators/sampling.py::budget_select          (token-budget curation cut, histogram threshold)
-#   operators/dedup.py::select_canonical          (keep-best-copy survivor policy over assignments)
-#   operators/html.py::html_to_text               (web front door: HTML->text + link-density boilerplate gate)
-#   operators/curation.py::curate_corpus          (end-to-end assembly: html->paragraphs->quality->dedup-best->redact->budget->shards)
-# Tail = most-recently driver-green first: the r7-green block
-# (CORRECTNESS_r07.json, 48/50 hash + 2 rows-only-by-contract), then the
-# r6-green block that has sat in the tail since r7 — none re-changed in
+# Nothing queued for the r10 head: every operator registered this round
+# has a driver slot this round (r9 head <= 50), and no registered
+# query's code was touched without a head slot.
+_QUEUED_FOR_NEXT_HEAD: tuple[str, ...] = ()
+# Tail = most-recently driver-green first: the r8-green block
+# (CORRECTNESS_r08.json, 50/50 hash — _R8_CHANGED + _R8_HEAD_QUEUED
+# below), then the r7/r6-green remainder that has sat in the tail since
 # r8. Anything unlisted keeps its registration order in the middle.
 _STABLE_TAIL = (
     "maintenance_window_overlap",
@@ -191,16 +210,26 @@ _STABLE_TAIL = (
 )
 
 
-_HEAD = list(_R8_CHANGED) + list(_R8_HEAD_QUEUED)
-assert len(_HEAD) == 50 and len(set(_HEAD)) == 50, len(_HEAD)
+_HEAD = list(_R9_DEBT) + list(_R9_CHANGED) + list(_R9_NEW)
+assert len(_HEAD) <= 50 and len(set(_HEAD)) == len(_HEAD), len(_HEAD)
+
+# the r8-green 50 rotate to the tail front (most recently driver-green
+# first), ahead of the older r7/r6-green block
+_R9_TAIL = (
+    [n for n in list(_R8_CHANGED) + list(_R8_HEAD_QUEUED) if n not in _HEAD]
+    + [n for n in _STABLE_TAIL if n not in _HEAD]
+)
 
 
 def _reorder() -> None:
     ordered = _HEAD + [n for n in _QUEUED_FOR_NEXT_HEAD if n not in _HEAD]
     head = [n for n in ordered if n in REGISTRY]
-    tail = [n for n in _STABLE_TAIL if n in REGISTRY and n not in ordered]
-    mid = [n for n in REGISTRY if n not in ordered and n not in tail]
-    snapshot = {n: REGISTRY[n] for n in head + mid + tail}
+    seen_tail: list[str] = []
+    for n in _R9_TAIL:
+        if n in REGISTRY and n not in ordered and n not in seen_tail:
+            seen_tail.append(n)
+    mid = [n for n in REGISTRY if n not in ordered and n not in seen_tail]
+    snapshot = {n: REGISTRY[n] for n in head + mid + seen_tail}
     REGISTRY.clear()
     REGISTRY.update(snapshot)
 

@@ -1,24 +1,19 @@
-"""R9 STAGING catalog — deliberately NOT imported by ``plans/__init__``.
+"""R9 catalog: the round-8 library operators, REGISTERED (r9 step).
 
-The rotation contract (plans/__init__.py) forbids registering queries
-that cannot get a driver-verification slot the same round, and the r8
-head is exactly full. These entries are the REGISTRATIONS-IN-WAITING
-for the round-8 library operators: each pairs the Spark callable with
-its DuckDB oracle SQL exactly as ``plans.registry.register`` will
-receive them, and ``tests/test_r9_staging.py`` runs the full
-check_oracle comparison (row count + schema + order-insensitive
-values) against sf0.001 locally — so splicing them into the r9 head is
-a mechanical move-and-import, with the oracle risk already burned
-down this round.
-
-r9 checklist per entry (the register-time steps that CANNOT be staged):
-  1. move the @stage decorator to @register in a catalog module,
-  2. splice the name into the r9 head (after the four queued
-     lsh-consumer re-verifies),
-  3. add the COVERAGE.md row + bench EXTRAS entry,
-  4. plan_audit run (allowlist entries needed: the 1-row totals
-     crosses in skipgram_pmi; the bounded phase-2 window in
-     weighted_doc_sample / budget_selected_docs).
+These 12 entries were staged in round 8 under the rotation contract
+(plans/__init__.py forbids registering queries that cannot get a
+driver-verification slot the same round; the r8 head was exactly full)
+and burned down against the DuckDB oracle locally via
+``tests/test_r9_staging.py`` (full check_oracle comparison at sf0.001:
+row count + schema + order-insensitive exact values). Round 9 performs
+the documented mechanical move: @stage -> @register (via the
+``register_r9`` wrapper below, which also records the names so the
+staging test keeps running the same differential check post-move), the
+module is imported by ``plans/__init__``, the 12 names splice into the
+r9 head behind the four queued lsh-consumer re-verifies, and the two
+promised plan-audit allowlist entries land in tools/plan_audit.py
+(1-row totals crosses in skipgram_pmi / bigram_fluency; the bounded
+phase-2 windows in weighted_doc_sample / budget_selected_docs).
 """
 
 from __future__ import annotations
@@ -26,19 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipeline_spike_spark.plans.registry import EngineQuery, QueryFn, load
+from datapipeline_spike_spark.plans.registry import QueryFn, load, register
 
-STAGED: dict[str, EngineQuery] = {}
+R9_REGISTERED: list[str] = []
 
 
-def stage(
+def register_r9(
     name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
 ):
+    """register() + record the name for the rotation head and the
+    repointed differential test (tests/test_r9_staging.py)."""
+
     def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED:
-            raise ValueError(f"duplicate staged query: {name}")
-        STAGED[name] = EngineQuery(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
-        return fn
+        R9_REGISTERED.append(name)
+        return register(name, oracle, doc=doc, tags=tags)(fn)
 
     return deco
 
@@ -51,7 +47,7 @@ _SQL_U01 = (
 )
 
 
-@stage(
+@register_r9(
     "shuffle_shard_plan",
     oracle=f"""
     SELECT doc_id, lang, source,
@@ -86,7 +82,7 @@ _SQL_U01_RAW = (
 )
 
 
-@stage(
+@register_r9(
     "weighted_doc_sample",
     oracle=f"""
     WITH es AS (
@@ -132,7 +128,7 @@ _SQL_TOKS_R9 = (
 )
 
 
-@stage(
+@register_r9(
     "skipgram_pmi",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS_R9} AS t FROM documents),
@@ -197,7 +193,7 @@ _SQL_QUALITY6 = (
 )
 
 
-@stage(
+@register_r9(
     "budget_selected_docs",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, {_SQL_TOKS_R9} AS toks FROM documents),
@@ -259,7 +255,7 @@ def q_budget_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- keep-best-copy dedup survivor policy -----------------------------------
 
 
-@stage(
+@register_r9(
     "dedup_survivor_policy",
     oracle="""
     WITH canon AS (
@@ -349,7 +345,7 @@ def _sql_html_chain(page_expr: str) -> str:
     return _SQL_EXTRACT.replace("__X__", x)
 
 
-@stage(
+@register_r9(
     "html_extract_profile",
     oracle=f"""
     WITH pages AS (SELECT doc_id, {_SQL_PAGE} AS page FROM documents),
@@ -404,7 +400,7 @@ def q_html_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- bigram LM fluency scoring ----------------------------------------------
 
 
-@stage(
+@register_r9(
     "bigram_fluency",
     oracle=f"""
     WITH toks AS (
@@ -451,7 +447,7 @@ def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- CCNet perplexity bucketing ---------------------------------------------
 
 
-@stage(
+@register_r9(
     "perplexity_bucket_profile",
     oracle=f"""
     WITH toks AS (
@@ -522,7 +518,7 @@ _ENC_PATTERNS = {
 }
 
 
-@stage(
+@register_r9(
     "encoding_quality_profile",
     oracle=f"""
     WITH c AS (SELECT doc_id, {_SQL_CORRUPT} AS text FROM documents),
@@ -605,7 +601,7 @@ _SQL_HARD_NEG = f"""
     """
 
 
-@stage(
+@register_r9(
     "hard_negative_pairs",
     oracle=_SQL_HARD_NEG,
     doc="operators/similarity.hard_negative_mining staged for r9: for "
@@ -657,7 +653,7 @@ _SQL_HAM_WORDS = ", ".join(
 )
 
 
-@stage(
+@register_r9(
     "hamming_recall_at_k",
     oracle=f"""
     WITH codes AS (
@@ -775,7 +771,7 @@ def _sql_jl_comp(j: int) -> str:
             f" / sqrt(CAST({_JL_K} AS DOUBLE)), 6)")
 
 
-@stage(
+@register_r9(
     "random_projection_profile",
     oracle=f"""
     WITH p AS (

@@ -803,21 +803,24 @@ def q_lineitem_scalar_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""Referential-integrity audit across the star schema (the
     relational-level data-quality check next to the record-level P/A
     family): orphan counts for every FK relation via LEFT ANTI joins —
-    each is one scan of the child side against a broadcast parent key
-    set (parents here are dimensions; for a fact-to-fact relation the
-    anti join shuffles on the key, still linear). The report every
-    warehouse load gate runs before publishing a snapshot.""",
+    one linear scan of the child side per relation. Only the
+    fixed-25-row nation key set carries a broadcast hint; SF-scaling
+    parents (customer, orders) join hint-free and AQE upgrades to
+    broadcast at runtime when the key set actually fits. The report
+    every warehouse load gate runs before publishing a snapshot.""",
     tags=("quality", "join", "relational"),
 )
 def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(
         child: DataFrame, parent: DataFrame, ck: str, pk: str, name: str,
-        broadcast_parent: bool = True,
+        broadcast_parent: bool = False,
     ) -> DataFrame:
-        # dimensions broadcast; a FACT parent (orders under lineitem)
-        # must NOT — the anti join shuffles on the key and AQE picks the
-        # strategy (forcing broadcast there would ship a fact table to
-        # every executor at scale)
+        # only FIXED-cardinality parents (nation, 25 rows) broadcast; an
+        # SF-scaling parent key set (customer 150k x SF, orders 1.5M x SF)
+        # must NOT — the anti join shuffles on the key and AQE upgrades
+        # to broadcast at runtime when the built side actually fits
+        # (forcing it would ship an unbounded key set to every executor
+        # at 100x scale)
         pkeys = parent.select(pk)
         if broadcast_parent:
             pkeys = F.broadcast(pkeys)
@@ -836,11 +839,12 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     out = (
         audit(o, c, "o_custkey", "c_custkey", "orders->customer")
         .unionByName(
-            audit(li, o, "l_orderkey", "o_orderkey", "lineitem->orders",
-                  broadcast_parent=False)
+            audit(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
         )
-        .unionByName(audit(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
-        .unionByName(audit(s, n, "s_nationkey", "n_nationkey", "supplier->nation"))
+        .unionByName(audit(c, n, "c_nationkey", "n_nationkey", "customer->nation",
+                           broadcast_parent=True))
+        .unionByName(audit(s, n, "s_nationkey", "n_nationkey", "supplier->nation",
+                           broadcast_parent=True))
     )
     return out.orderBy("relation")
 
@@ -985,7 +989,9 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier must sit in the CUSTOMER's nation (the join condition
     that makes Q5 interesting: an equi condition on two different
     dimension paths into the fact). Plan shape: the two facts sort-merge
-    on orderkey under AQE; supplier/nation/region broadcast; the
+    on orderkey under AQE; nation/region broadcast (fixed 25/5 rows);
+    customer and supplier join hint-free — both scale with SF, so AQE
+    picks broadcast only when the runtime size allows it. The
     region/date filters push into the scans before any join. Revenue
     rounded at the dollar so cross-engine float association order
     cannot flip a hash.""",
@@ -1003,11 +1009,13 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        # customer is SF-scaling: no forced broadcast (see
-        # revenue_by_segment); hints stay on the bounded dims only
+        # customer AND supplier are SF-scaling (150k x SF / 10k x SF
+        # rows): no forced broadcast on either — AQE decides from
+        # runtime sizes; hints stay on the fixed-cardinality dims only
+        # (nation 25, region 5)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

@@ -60,6 +60,10 @@ BNLJ_OK = {
     "bloom_filter_profile": "broadcast 1-row ref/bit-count digests crossed into the 1-row profile",
     "maintenance_window_overlap": "broadcast 1-row p95 bucket-width aggregate crossed into both join sides (auto-width interval join, no plan-build collect)",
     "dsir_importance_weights": "broadcast 1-row (target_total, raw_total) token-count aggregate crossed into the B=256 bucket scoring join (corpus_mixture_plan pattern, no plan-build collect)",
+    "skipgram_pmi": "broadcast 1-row (n_tokens, n_pairs) corpus totals crossed into the vocab-bounded PMI join (no plan-build collect)",
+    "bigram_fluency": "broadcast 1-row bigram-vocab size crossed into the add-one LM scoring join (no plan-build collect)",
+    "hamming_recall_at_k": "exact side of the 1-bit recall audit: broadcast 5-row query-vector baseline (ann_recall_at_k pattern)",
+    "budget_selected_docs": "broadcast 1-row histogram threshold (boundary bucket + keep rate) crossed into the map-only keep decision",
 }
 # queries whose operators legitimately run Python (Arrow-batched only)
 PANDAS_OK = {
@@ -86,6 +90,8 @@ PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 WINDOW_OK = {
     "bm25_ranked_retrieval": "final rank runs on the already-limit(10) retrieval frame",
     "monthly_revenue_growth": "lag window over the month-grain aggregate: |months| rows",
+    "weighted_doc_sample": "phase-2 global rank runs on the salted per-partition bottom-k survivors only: <= n_salt_parts x k rows (k=200), never the corpus",
+    "budget_selected_docs": "cumulative-mass window runs on the 4dp score-bucket histogram: <= 10^4+1 rows by the documented score-cardinality contract, never the corpus",
 }
 
 
