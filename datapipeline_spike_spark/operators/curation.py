@@ -32,9 +32,21 @@ the near-dup stage carries the pipeline's only corpus-scale shuffles
 and is the engine's guarded LSH path (hot-bucket chunked joins,
 size-gated components). Determinism end to end: every stage keys off
 content hashes, so reruns and backfills produce identical corpora.
+
+Cache lifecycle: the scoring frame is persisted once (three consumers
+— dedup input, survivor scoring, final join — would each re-run the
+paragraph-dedup + scoring subtree). Callers that collect/write the
+result and want the memory back should use ``curate_corpus_scoped``
+(a context manager that unpersists on exit) or pass ``cache_handle``
+(a list the persisted frames are appended to; unpersist them when
+done). The bare call keeps the cache alive for the returned lazy plan
+— but freeing it no longer requires ``spark.catalog.clearCache()``,
+which evicts every OTHER cache in the session too.
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,7 +67,84 @@ from datapipeline_spike_spark.operators.sampling import (
     deterministic_shuffle,
 )
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curate_corpus_scoped", "curation_profile"]
+
+
+def _curation_stages(
+    df: DataFrame,
+    *,
+    html_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.8,
+    token_budget: float | None = None,
+    n_shards: int | None = None,
+    seed: int = 0,
+    cache_handle: list[DataFrame] | None = None,
+) -> list[tuple[str, DataFrame]]:
+    """The shared stage chain: an ordered list of (stage_name, frame)
+    pairs whose LAST element is the curated result. ``curate_corpus``
+    returns that last frame; ``curation_profile`` aggregates every
+    stage. Stage names are sortable so the profile reads as a funnel."""
+    stages: list[tuple[str, DataFrame]] = []
+    if html_col is not None:
+        df = df.select(F.col(id_col), html_to_text(html_col).alias(text_col))
+    else:
+        df = df.select(F.col(id_col), F.col(text_col))
+    stages.append(("00_input", df))
+
+    # corpus-wide boilerplate removal at paragraph grain; empty docs
+    # (all-boilerplate or empty extraction) drop here
+    cleaned = paragraph_dedup(df, text_col=text_col, id_col=id_col, sep="\n")
+    cleaned = cleaned.filter(F.length(F.col(text_col)) > 0).select(
+        id_col, text_col
+    )
+    stages.append(("10_paragraph_dedup", cleaned))
+
+    t = tokens(text_col)
+    scored = cleaned.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.round(quality_score_from_tokens(t, text_col), 6).alias("quality"),
+        F.size(t).alias("n_tokens"),
+    ).filter(F.col("quality") >= min_quality)
+    # three consumers below (dedup input, survivor scoring, final join)
+    # would each re-run the paragraph-dedup + scoring subtree; lazy
+    # persist computes it once — dedup_corpus's own eager materialize
+    # is the first action, so the cache fills there (spills to disk at
+    # corpus scale rather than pinning memory). Lifecycle: appended to
+    # ``cache_handle`` when given so the caller can unpersist exactly
+    # this frame (see module docstring); curate_corpus_scoped wraps
+    # that pattern as a context manager.
+    scored = scored.persist()
+    if cache_handle is not None:
+        cache_handle.append(scored)
+    stages.append(("20_quality_floor", scored))
+
+    # near-dup collapse keeping the highest-quality copy per cluster
+    # (label != survivor: crawl order is not quality order). The
+    # assignment covers every scored doc, so the inner joins are total.
+    assign = dedup_corpus(
+        scored, text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+    )
+    keep = select_canonical(assign, scored, score_col="quality", id_col=id_col)
+    survivors = scored.join(
+        keep.filter(F.col(id_col) == F.col("keep_id")).select(id_col), id_col
+    )
+    stages.append(("30_neardup_best_copy", survivors))
+
+    out = survivors.withColumn(text_col, redact(text_col))
+    stages.append(("40_redacted", out))
+
+    if token_budget is not None:
+        out = budget_select(out, "quality", "n_tokens", token_budget, id_col)
+        stages.append(("50_budget", out))
+    if n_shards is not None:
+        out = deterministic_shuffle(out, id_col, n_shards, seed=seed)
+        stages.append(("60_shards", out))
+    return stages
 
 
 def curate_corpus(
@@ -69,6 +158,7 @@ def curate_corpus(
     token_budget: float | None = None,
     n_shards: int | None = None,
     seed: int = 0,
+    cache_handle: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; see module docstring for the
     stage chain and ordering rationale.
@@ -77,52 +167,89 @@ def curate_corpus(
     — one row per surviving document, redacted text, deterministic
     across reruns and input layouts. ``html_col`` switches the front
     door to HTML extraction; ``token_budget``/``n_shards`` enable the
-    optional tail stages."""
-    if html_col is not None:
-        df = df.select(
-            F.col(id_col), html_to_text(html_col).alias(text_col)
-        )
-    else:
-        df = df.select(F.col(id_col), F.col(text_col))
-
-    # corpus-wide boilerplate removal at paragraph grain; empty docs
-    # (all-boilerplate or empty extraction) drop here
-    df = paragraph_dedup(df, text_col=text_col, id_col=id_col, sep="\n")
-    df = df.filter(F.length(F.col(text_col)) > 0)
-
-    t = tokens(text_col)
-    scored = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.round(quality_score_from_tokens(t, text_col), 6).alias("quality"),
-        F.size(t).alias("n_tokens"),
-    ).filter(F.col("quality") >= min_quality)
-    # three consumers below (dedup input, survivor scoring, final join)
-    # would each re-run the paragraph-dedup + scoring subtree; lazy
-    # persist computes it once — dedup_corpus's own eager materialize
-    # is the first action, so the cache fills there (spills to disk at
-    # corpus scale rather than pinning memory). The cache outlives the
-    # call on purpose: the returned plan still reads it; callers done
-    # with the result free it via spark.catalog.clearCache() or by
-    # writing the result out.
-    scored = scored.persist()
-
-    # near-dup collapse keeping the highest-quality copy per cluster
-    # (label != survivor: crawl order is not quality order). The
-    # assignment covers every scored doc, so the inner joins are total.
-    assign = dedup_corpus(
-        scored, text_col=text_col, id_col=id_col,
+    optional tail stages. Pass ``cache_handle`` (or use
+    ``curate_corpus_scoped``) to reclaim the internal persisted frame
+    without nuking the whole session cache."""
+    return _curation_stages(
+        df,
+        html_col=html_col,
+        text_col=text_col,
+        id_col=id_col,
+        min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
-    )
-    keep = select_canonical(assign, scored, score_col="quality", id_col=id_col)
-    survivors = scored.join(
-        keep.filter(F.col(id_col) == F.col("keep_id")).select(id_col), id_col
-    )
+        token_budget=token_budget,
+        n_shards=n_shards,
+        seed=seed,
+        cache_handle=cache_handle,
+    )[-1][1]
 
-    out = survivors.withColumn(text_col, redact(text_col))
 
-    if token_budget is not None:
-        out = budget_select(out, "quality", "n_tokens", token_budget, id_col)
-    if n_shards is not None:
-        out = deterministic_shuffle(out, id_col, n_shards, seed=seed)
+@contextmanager
+def curate_corpus_scoped(df: DataFrame, **kwargs):
+    """``with curate_corpus_scoped(df, ...) as out:`` — consume ``out``
+    (collect/write) INSIDE the block; the internal persisted scoring
+    frame is unpersisted on exit, so nothing leaks into the session
+    cache and no other cache is touched. Using the lazy ``out`` after
+    the block still works but recomputes the scoring subtree."""
+    handle: list[DataFrame] = []
+    try:
+        yield curate_corpus(df, cache_handle=handle, **kwargs)
+    finally:
+        for frame in handle:
+            frame.unpersist()
+
+
+def curation_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The curation funnel as data: one row per pipeline stage with
+    surviving (n_docs, n_tokens), plus one row per training shard when
+    sharding is enabled ('60_shard_<k>' — the shard histogram). This is
+    the acceptance report a curation run publishes next to its shards:
+    where documents and tokens were spent, stage by stage.
+
+    n_tokens is the engine-tokenizer count of each stage's CURRENT text
+    (recomputed after paragraph-dedup and redaction rewrite it), so the
+    token funnel reflects what downstream actually trains on. Every
+    per-stage aggregate is a count/sum over the stage frame — the
+    profile adds one bounded aggregation per stage on top of the
+    pipeline's own cost, nothing corpus-scale."""
+    handle = kwargs.pop("cache_handle", None)
+    stages = _curation_stages(
+        df, text_col=text_col, id_col=id_col, cache_handle=handle, **kwargs
+    )
+    rows = []
+    for name, frame in stages:
+        if name == "60_shards":
+            rows.append(
+                frame.groupBy("shard")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum(F.size(tokens(text_col)).cast("bigint")).alias(
+                        "n_tokens"
+                    ),
+                )
+                .select(
+                    F.concat(F.lit("60_shard_"), F.col("shard").cast("string"))
+                    .alias("stage"),
+                    "n_docs",
+                    "n_tokens",
+                )
+            )
+            continue
+        rows.append(
+            frame.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.size(tokens(text_col)).cast("bigint")), F.lit(0)
+                ).alias("n_tokens"),
+            ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
     return out

@@ -9,6 +9,7 @@ from datapipeline_spike_spark.plans import catalog_events  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_extensions  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_r9  # noqa: F401  (r8 staged -> registered)
+from datapipeline_spike_spark.plans import catalog_curation  # noqa: F401  (r9 curation funnel)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -51,6 +52,7 @@ _R9_CHANGED = (
 # this round per the rotation contract; appended as built) ---
 _R9_NEW = (
     "curation_stage_profile",       # end-to-end curate_corpus funnel (VERDICT item 3)
+    "paragraph_dedup_profile",      # last r8 library op without a registry row
     "approx_percentile_bands",      # registered scale path for customer_value_ranks
     "gopher_quality_rules",         # Rae 2021 heuristic quality gate
     "c4_line_filters",              # Raffel 2020 line-grain cleaning profile

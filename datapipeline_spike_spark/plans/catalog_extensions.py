@@ -336,16 +336,22 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared by dedup_corpus_assignment and near_dup_cluster_stats: the
-# exact-collapse -> LSH -> Jaccard-verify -> transitive-closure replay.
-_SQL_DEDUP_ASSIGN_CTES = f"""
-    WITH RECURSIVE fp AS (
+# Shared by dedup_corpus_assignment, near_dup_cluster_stats, and the
+# curation_stage_profile stage replay: the exact-collapse -> LSH ->
+# Jaccard-verify -> transitive-closure chain, parameterized over the
+# source relation (any CTE/table exposing doc_id + text) so the same
+# replay runs on raw documents or a mid-pipeline cleaned frame.
+def _sql_dedup_assign_ctes(src: str = "documents") -> str:
+    """CTE definitions (no WITH keyword) ending in ``assignment``
+    (doc_id, canonical_id); embed as ``WITH RECURSIVE {ctes} SELECT``.
+    Replays operators/dedup.dedup_corpus at jaccard_threshold=0.8."""
+    return f"""fp AS (
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-      FROM documents
+      FROM {src}
     ), rep AS (
       SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS exact_rep FROM fp
     ), reps AS (
-      SELECT d.doc_id, d.text FROM documents d
+      SELECT d.doc_id, d.text FROM {src} d
       JOIN rep r ON d.doc_id = r.doc_id AND r.doc_id = r.exact_rep
     ), t AS (
       SELECT doc_id, {_SQL_SHINGLES} AS sh
@@ -386,8 +392,10 @@ _SQL_DEDUP_ASSIGN_CTES = f"""
     ), assignment AS (
       SELECT r.doc_id AS doc_id, c.comp AS canonical_id
       FROM rep r JOIN comp c ON r.exact_rep = c.id
-    )
-"""
+    )"""
+
+
+_SQL_DEDUP_ASSIGN_CTES = "WITH RECURSIVE " + _sql_dedup_assign_ctes("documents")
 
 
 @register(

@@ -96,3 +96,70 @@ def test_curate_corpus_html_front_door_and_tail_stages(spark):
     ).collect()
     key = lambda rows: sorted((r["doc_id"], r["text"], r["shard"]) for r in rows)
     assert key(again) == key(out)
+
+
+def test_curate_corpus_scoped_frees_exactly_its_cache(spark):
+    """r9 cache lifecycle: the scoped form unpersists the internal
+    scoring frame on exit WITHOUT touching other session caches."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.operators.curation import (
+        curate_corpus_scoped,
+    )
+
+    from datapipeline_spike_spark.operators.curation import curate_corpus
+
+    unrelated = spark.range(10).withColumn("v", F.col("id") * 2).persist()
+    unrelated.count()
+
+    # handle path: exactly one frame is registered, cached after the
+    # action, and freed by unpersisting the handle — no clearCache()
+    handle = []
+    out = curate_corpus(
+        _corpus(spark), min_quality=0.35, jaccard_threshold=0.5,
+        cache_handle=handle,
+    )
+    assert len(out.collect()) >= 3
+    assert len(handle) == 1
+    lvl = handle[0].storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    for f in handle:
+        f.unpersist()
+    lvl = handle[0].storageLevel
+    assert not lvl.useMemory and not lvl.useDisk
+
+    # scoped form does the same automatically
+    with curate_corpus_scoped(
+        _corpus(spark), min_quality=0.35, jaccard_threshold=0.5
+    ) as out2:
+        assert len(out2.collect()) >= 3
+
+    # the unrelated cache survived both (clearCache would have nuked it)
+    assert unrelated.storageLevel.useMemory
+    unrelated.unpersist()
+
+
+def test_curation_profile_funnel_is_monotone(spark):
+    """The funnel can only shrink stage over stage, and the shard rows
+    partition the budget stage exactly."""
+    from datapipeline_spike_spark.operators.curation import curation_profile
+
+    prof = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in curation_profile(
+            _corpus(spark),
+            min_quality=0.35,
+            jaccard_threshold=0.5,
+            token_budget=1e9,
+            n_shards=2,
+        ).collect()
+    }
+    order = ["00_input", "10_paragraph_dedup", "20_quality_floor",
+             "30_neardup_best_copy"]
+    docs = [prof[s][0] for s in order]
+    assert docs == sorted(docs, reverse=True)
+    assert prof["40_redacted"][0] == prof["30_neardup_best_copy"][0]
+    # huge budget: selection keeps everything
+    assert prof["50_budget"] == prof["40_redacted"]
+    shard_docs = sum(v[0] for s, v in prof.items() if s.startswith("60_shard_"))
+    assert shard_docs == prof["50_budget"][0]

@@ -64,6 +64,7 @@ BNLJ_OK = {
     "bigram_fluency": "broadcast 1-row bigram-vocab size crossed into the add-one LM scoring join (no plan-build collect)",
     "hamming_recall_at_k": "exact side of the 1-bit recall audit: broadcast 5-row query-vector baseline (ann_recall_at_k pattern)",
     "budget_selected_docs": "broadcast 1-row histogram threshold (boundary bucket + keep rate) crossed into the map-only keep decision",
+    "curation_stage_profile": "budget_select's broadcast 1-row histogram threshold cross inside the funnel (same pattern as budget_selected_docs)",
 }
 # queries whose operators legitimately run Python (Arrow-batched only)
 PANDAS_OK = {
@@ -92,6 +93,7 @@ WINDOW_OK = {
     "monthly_revenue_growth": "lag window over the month-grain aggregate: |months| rows",
     "weighted_doc_sample": "phase-2 global rank runs on the salted per-partition bottom-k survivors only: <= n_salt_parts x k rows (k=200), never the corpus",
     "budget_selected_docs": "cumulative-mass window runs on the 4dp score-bucket histogram: <= 10^4+1 rows by the documented score-cardinality contract, never the corpus",
+    "curation_stage_profile": "both unpartitioned windows are budget_select's cumulative-mass sweep over the 4dp score-bucket histogram (<= 10^4+1 rows), planned once per funnel branch (50_budget and the shard rows)",
 }
 
 
