@@ -295,3 +295,180 @@ def encoding_quality_columns(
         & (F.col("n_mojibake") == 0)
         & (F.col("bad_char_ratio") <= 0.001),
     )
+
+
+# Gopher (Rae et al. 2021, Appendix A1.1) heuristic quality thresholds.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The MassiveText/Gopher heuristic quality gate (Rae et al. 2021,
+    Appendix A1.1) — the standard pre-classifier document filter of a
+    pretraining pipeline: word-count bounds, mean-word-length band,
+    symbol-to-word ratio (hash / ellipsis), bullet-line and
+    ellipsis-line ratios, alphabetic-word ratio, and minimum stop-word
+    presence (>= ``min_stopwords`` distinct members of the canonical
+    8-word set). Adds the measured columns, one boolean per rule, and
+    the conjunction ``gopher_pass``.
+
+    Map-only column expressions end to end (whitespace word split +
+    array HOFs + regexp counts) — codegen-eligible, zero shuffle, a
+    pure scan stage at any corpus size; every expression is in the
+    Java/RE2 regex common subset so a SQL oracle replays each decision
+    exactly. Empty documents fail the word-count rule and carry NULL
+    ratio columns rather than divide-by-zero garbage."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    df = df.withColumn("_gq_words", words)
+    w = F.col("_gq_words")
+    n_words = F.size(w).cast("long")
+    nonempty = n_words > 0
+    mean_wl = F.when(
+        nonempty,
+        F.round(
+            F.aggregate(
+                w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / n_words,
+            6,
+        ),
+    )
+    n_symbols = (
+        F.regexp_count(t, F.lit("#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    ).cast("long")
+    symbol_ratio = F.when(nonempty, F.round(n_symbols / n_words, 6))
+    alpha_ratio = F.when(
+        nonempty,
+        F.round(
+            F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))) / n_words, 6
+        ),
+    )
+    lw = F.transform(w, F.lower)
+    n_stop = sum(
+        F.array_contains(lw, sw).cast("int") for sw in GOPHER_STOPWORDS
+    ).cast("int")
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), F.trim), lambda l: l != ""
+    )
+    n_lines = F.size(lines).cast("long")
+    has_lines = n_lines > 0
+    bullet_ratio = F.when(
+        has_lines,
+        F.round(
+            F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
+            / n_lines,
+            6,
+        ),
+    )
+    ellipsis_ratio = F.when(
+        has_lines,
+        F.round(
+            F.size(
+                F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+            )
+            / n_lines,
+            6,
+        ),
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("alpha_word_ratio", alpha_ratio)
+        .withColumn("n_gopher_stopwords", n_stop)
+        .withColumn("bullet_line_ratio", bullet_ratio)
+        .withColumn("ellipsis_line_ratio", ellipsis_ratio)
+        .drop("_gq_words")
+    )
+    rules = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_word_ratio")
+        <= max_symbol_word_ratio,
+        "ok_bullet_lines": F.col("bullet_line_ratio")
+        <= max_bullet_line_ratio,
+        "ok_ellipsis_lines": F.col("ellipsis_line_ratio")
+        <= max_ellipsis_line_ratio,
+        "ok_alpha_words": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "ok_stopwords": F.col("n_gopher_stopwords") >= min_stopwords,
+    }
+    passed = F.lit(True)
+    for name, cond in rules.items():
+        cond = F.coalesce(cond, F.lit(False))
+        out = out.withColumn(name, cond)
+        passed = passed & cond
+    return out.withColumn("gopher_pass", passed)
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) at line and
+    page grain. Line rules (a line survives only if ALL hold): ends in
+    terminal punctuation ``[.!?]``; has >= ``min_line_words`` words;
+    does not contain the word "javascript" (case-insensitive). Page
+    rules (the whole document drops): fewer than ``min_kept_lines``
+    surviving lines, contains "lorem ipsum", or contains a curly
+    brace. Adds ``n_lines``/``n_kept``/``kept_text`` (surviving lines
+    newline-joined, the text C4 trains on), ``page_keep``, and
+    ``drop_reason`` ('lorem_ipsum' | 'curly_brace' |
+    'too_few_sentences' | 'ok' — first matching rule in that fixed
+    order, so the label is engine-portable).
+
+    Map-only: one line split + array HOFs, no shuffle — scan-speed at
+    100 TB, and every predicate is RE2-compatible for the oracle."""
+    t = F.col(text_col)
+    kept = F.filter(
+        F.transform(F.split(t, "\n"), F.trim),
+        lambda l: l.rlike(r"[.!?]$")
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda x: x != ""))
+            >= min_line_words
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    out = (
+        df.withColumn(
+            "n_lines",
+            F.size(
+                F.filter(
+                    F.transform(F.split(t, "\n"), F.trim), lambda l: l != ""
+                )
+            ).cast("long"),
+        )
+        .withColumn("_c4_kept", kept)
+        .withColumn("n_kept", F.size("_c4_kept").cast("long"))
+        .withColumn("kept_text", F.array_join("_c4_kept", "\n"))
+        .drop("_c4_kept")
+    )
+    lower = F.lower(t)
+    reason = (
+        F.when(lower.contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(t.contains("{"), F.lit("curly_brace"))
+        .when(F.col("n_kept") < min_kept_lines, F.lit("too_few_sentences"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.withColumn("drop_reason", reason).withColumn(
+        "page_keep", F.col("drop_reason") == "ok"
+    )

@@ -274,3 +274,43 @@ def deterministic_shuffle(
     return df.withColumn(order_col, u).withColumn(
         shard_col, (F.col(order_col) * n_shards).cast("int")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    k: int,
+    key: Column | str,
+    *,
+    rank_col: str = "rnk",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-domain frequency cap — the crawl-curation rule (C4 /
+    RefinedWeb style) that stops a handful of giant hosts from
+    dominating the training mixture: keep at most ``k`` documents per
+    ``domain_col``, chosen as a deterministic pseudo-random subset
+    (bottom-k of ``hash_u01(key)``) rather than "first k seen", so the
+    kept set is layout- and rerun-invariant and unbiased within the
+    domain.
+
+    Scale shape: the ranking runs through the salted two-phase
+    ``bottom_k_per_group`` — a mega-domain (the exact case this
+    operator exists for) never funnels through one reducer; phase 1
+    ranks within (domain, salt) and phase 2 touches only n_salts*k
+    survivors per domain. The hash order key is a dyadic rational
+    (md5-prefix / 2^32), exact in both engines, so an oracle replays
+    the selection identically."""
+    if k < 1:
+        raise ValueError(f"k={k}: need at least 1 per domain")
+    key = F.col(key) if isinstance(key, str) else key
+    tagged = df.withColumn("_dc_u", hash_u01(key))
+    out = bottom_k_per_group(
+        tagged,
+        [domain_col],
+        [F.col("_dc_u"), key],
+        k,
+        rank_col=rank_col,
+        salt_key=key,
+    )
+    out = out.withColumnRenamed("_dc_u", "cap_u")
+    return out if keep_rank else out.drop(rank_col)

@@ -273,3 +273,260 @@ def q_curation_stage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_N_SHARDS,
         cache_handle=handle,
     )
+
+
+# --- Gopher heuristic quality gate ---------------------------------------------
+
+_W = "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
+_SQL_GOPHER_STOP = "['the','be','to','of','and','that','have','with']"
+_LN = ("list_filter(list_transform(string_split(text, chr(10)),"
+       " l -> trim(l)), l -> l != '')")
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text, {_W} AS words, {_LN} AS lines FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CASE WHEN len(words) > 0 THEN
+          round(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                * 1.0 / len(words), 6) END AS mean_word_len,
+        CASE WHEN len(words) > 0 THEN
+          round((len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.'))
+                 + len(regexp_extract_all(text, '…')))
+                * 1.0 / len(words), 6) END AS symbol_word_ratio,
+        CASE WHEN len(words) > 0 THEN
+          round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                * 1.0 / len(words), 6) END AS alpha_word_ratio,
+        CAST((
+          {" + ".join(
+            f"CASE WHEN list_contains(list_transform(words, x -> lower(x)), "
+            f"'{sw}') THEN 1 ELSE 0 END"
+            for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+          )}
+        ) AS INT) AS n_gopher_stopwords,
+        CASE WHEN len(lines) > 0 THEN
+          round(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+                * 1.0 / len(lines), 6) END AS bullet_line_ratio,
+        CASE WHEN len(lines) > 0 THEN
+          round(len(list_filter(lines,
+                    l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+                * 1.0 / len(lines), 6) END AS ellipsis_line_ratio
+      FROM w
+    ),
+    r AS (
+      SELECT *,
+        coalesce(n_words >= 50 AND n_words <= 100000, FALSE) AS ok_word_count,
+        coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+          AS ok_mean_word_len,
+        coalesce(symbol_word_ratio <= 0.1, FALSE) AS ok_symbol_ratio,
+        coalesce(bullet_line_ratio <= 0.9, FALSE) AS ok_bullet_lines,
+        coalesce(ellipsis_line_ratio <= 0.3, FALSE) AS ok_ellipsis_lines,
+        coalesce(alpha_word_ratio >= 0.8, FALSE) AS ok_alpha_words,
+        coalesce(n_gopher_stopwords >= 2, FALSE) AS ok_stopwords
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_ratio, n_gopher_stopwords, bullet_line_ratio,
+           ellipsis_line_ratio, ok_word_count, ok_mean_word_len,
+           ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines,
+           ok_alpha_words, ok_stopwords,
+           (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+            AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+            AND ok_stopwords) AS gopher_pass
+    FROM r
+    """,
+    doc="""operators/quality.gopher_quality_columns (Rae et al. 2021
+    Appendix A1.1): the canonical MassiveText heuristic gate — word
+    count 50..100k, mean word length 3..10, symbol-to-word <= 0.1,
+    bullet-line <= 0.9 / ellipsis-line <= 0.3, alphabetic-word >= 0.8,
+    >= 2 canonical stop-words — every measured column, every per-rule
+    boolean, and the conjunction hash-verified. Map-only scan stage
+    (whitespace split + array HOFs + regexp counts), no shuffle at any
+    corpus size.""",
+    tags=("text", "quality", "curation"),
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.quality import (
+        gopher_quality_columns,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_columns(d).drop("text")
+
+
+# --- C4 line/page cleaning -----------------------------------------------------
+
+_SQL_C4_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),"
+    " t -> t != '')"
+)
+
+_SQL_C4_PAGES = f"""
+    t AS (SELECT doc_id, {_SQL_C4_TOKS} AS toks FROM documents),
+    lines0 AS (
+      SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+          i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')
+               || CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END)
+          AS la
+      FROM t WHERE len(toks) > 0
+    ),
+    pages AS (
+      SELECT doc_id,
+        array_to_string(la, chr(10))
+        || CASE WHEN doc_id % 7 = 0
+             THEN chr(10) || 'visit the javascript alert page now today.'
+             ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN chr(10) || 'lorem ipsum dolor sit amet consectetur text.'
+             ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+             THEN chr(10) || 'config block {{ nested value }} here done.'
+             ELSE '' END AS text
+      FROM lines0
+    )
+"""
+
+
+@register(
+    "c4_line_filters",
+    oracle=f"""
+    WITH {_SQL_C4_PAGES.replace("{{", "{").replace("}}", "}")},
+    l AS (
+      SELECT doc_id, text,
+        list_filter(list_transform(string_split(text, chr(10)),
+                    x -> trim(x)), x -> x != '') AS alllines,
+        list_filter(list_transform(string_split(text, chr(10)),
+                    x -> trim(x)),
+          x -> regexp_matches(x, '[.!?]$')
+               AND len(list_filter(string_split_regex(x, '\\s+'),
+                                   w -> w != '')) >= 5
+               AND NOT contains(lower(x), 'javascript')) AS keptl
+      FROM pages
+    )
+    SELECT doc_id,
+           CAST(len(alllines) AS BIGINT) AS n_lines,
+           CAST(len(keptl) AS BIGINT) AS n_kept,
+           md5(array_to_string(keptl, chr(10))) AS kept_fp,
+           CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+                WHEN contains(text, '{{') THEN 'curly_brace'
+                WHEN len(keptl) < 3 THEN 'too_few_sentences'
+                ELSE 'ok' END AS drop_reason,
+           (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+                 WHEN contains(text, '{{') THEN 'curly_brace'
+                 WHEN len(keptl) < 3 THEN 'too_few_sentences'
+                 ELSE 'ok' END) = 'ok' AS page_keep
+    FROM l
+    """.replace("{{", "{").replace("}}", "}"),
+    doc="""operators/quality.c4_line_filters (Raffel et al. 2020 §2.2):
+    terminal-punctuation / min-5-words / no-javascript line rules plus
+    the lorem-ipsum / curly-brace / min-3-sentences page rules. The
+    corpus has no line structure, so each document is deterministically
+    paginated (8-token lines, punctuation on a (doc_id+i)%3 stripe) and
+    three corruption stripes plant one violation each — the same SQL
+    text builds the page on both engines, and the kept-text md5 proves
+    the surviving lines match byte for byte. Map-only scan stage.""",
+    tags=("text", "quality", "curation"),
+)
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.functions.text import tokens
+    from datapipeline_spike_spark.operators.quality import c4_line_filters
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    i8 = lambda i: i * 8  # noqa: E731
+    lines_arr = F.transform(
+        F.sequence(
+            F.lit(0), (F.ceil(F.size("toks") / F.lit(8.0)) - 1).cast("int")
+        ),
+        lambda i: F.concat(
+            F.array_join(F.slice(F.col("toks"), i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    page = F.concat(
+        F.array_join(lines_arr, "\n"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nvisit the javascript alert page now today."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur text."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nconfig block { nested value } here done."),
+        ).otherwise(F.lit("")),
+    )
+    paged = d.select("doc_id", page.alias("text"))
+    return c4_line_filters(paged).select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("kept_text").alias("kept_fp"),
+        "drop_reason",
+        "page_keep",
+    )
+
+
+# --- per-domain frequency cap ---------------------------------------------------
+
+
+@register(
+    "domain_cap_sample",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source, lang,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cap'), 1, 8))
+              ::BIGINT / 4294967296.0) AS uu
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, lang, uu,
+             row_number() OVER (PARTITION BY source
+               ORDER BY uu, CAST(doc_id AS VARCHAR) || '#cap') AS rnk
+      FROM u
+    )
+    SELECT doc_id, source, lang, round(uu, 6) AS cap_u,
+           CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 15
+    """,
+    doc="""operators/sampling.domain_cap: the C4/RefinedWeb per-domain
+    frequency cap — at most 15 documents per source, selected as the
+    deterministic bottom-15 of a content hash (layout/rerun-invariant,
+    unbiased within the domain) rather than first-k-seen. Runs through
+    the salted two-phase bottom_k_per_group, so a mega-domain never
+    funnels through a single reducer; the hash key is a dyadic
+    rational, exact in both engines, and the oracle replays the
+    selection as the equivalent rank (cap_u displayed at 6dp, ranked
+    unrounded).""",
+    tags=("sampling", "curation", "dedup"),
+)
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.sampling import domain_cap
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    out = domain_cap(
+        d,
+        "source",
+        15,
+        F.concat(F.col("doc_id").cast("string"), F.lit("#cap")),
+        keep_rank=True,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.round("cap_u", 6).alias("cap_u"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

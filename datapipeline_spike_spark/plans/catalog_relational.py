@@ -714,6 +714,48 @@ def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_bands",
+    oracle=f"""
+    WITH thr AS (
+      SELECT c_mktsegment,
+             quantile_disc(c_acctbal,
+               [{", ".join(f"{i}/10.0" for i in range(1, 10))}]) AS t
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           CAST(1 + len(list_filter(thr.t, x -> x <= c.c_acctbal)) AS INT)
+             AS band
+    FROM customer c JOIN thr USING (c_mktsegment)
+    """,
+    doc="""operators/ranks.approx_percentile_bands registered (the
+    100 TB scale path for customer_value_ranks' exact per-segment
+    percent_rank, previously test-only — VERDICT r8 item 4): decile
+    banding of customer account balance per market segment via a
+    mergeable Greenwald-Khanna approx_percentile sketch + broadcast
+    threshold join + map-only band count. No per-group global sort
+    anywhere — the sketch partial-aggregates map-side like any sum and
+    the data itself never shuffles beyond it. Oracle parity: at driver
+    scale every segment is far below the sketch accuracy (10k), where
+    Spark's percentile_approx exact path and DuckDB's quantile_disc
+    select the identical order statistic (the perplexity_bucket_profile
+    precedent); ties at a threshold fall to the higher band on both
+    sides (x <= v).""",
+    tags=("window", "analytic", "scale-path"),
+)
+def q_approx_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.operators.ranks import (
+        approx_percentile_bands,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return approx_percentile_bands(
+        c, ["c_mktsegment"], "c_acctbal", n_bands=10, accuracy=10_000
+    )
+
+
+@register(
     "lineitem_scalar_lab",
     oracle="""
     SELECT l_orderkey, l_linenumber,
