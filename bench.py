@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+the driver contract's JSON line {"metric", "value", "unit", "queries",
+"sf"} FIRST (compact, fixed size — the headline list is frozen), then
+a second JSON line with full detail (per-run timings, minima, extras,
+errors), which is also written to BENCH_DETAIL_LOCAL.json.
 
 Execution is forced with the noop sink (full computation, no driver
 collect, no result materialization cost)."""
@@ -64,6 +67,38 @@ EXTRAS = [
     # round 8 additions
     "semdedup_assignment",
     "dsir_importance_weights",
+    # round 9 registrations (VERDICT r9 item 3: round-over-round perf
+    # tracking for the whole r9 head), curation funnel first
+    "curation_stage_profile",
+    "paragraph_dedup_profile",
+    "approx_percentile_bands",
+    "gopher_quality_rules",
+    "c4_line_filters",
+    "domain_cap_sample",
+    "shuffle_shard_plan",
+    "weighted_doc_sample",
+    "skipgram_pmi",
+    "budget_selected_docs",
+    "dedup_survivor_policy",
+    "html_extract_profile",
+    "bigram_fluency",
+    "perplexity_bucket_profile",
+    "encoding_quality_profile",
+    "hard_negative_pairs",
+    "hamming_recall_at_k",
+    "random_projection_profile",
+    "ngram_jaccard_pairs",
+    "candidate_edit_distance",
+    # round 10 additions (the six TPC-H shapes)
+    "forecast_revenue_change",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "waiting_suppliers",
+    "global_sales_opportunity",
+    "product_type_profit",
+    "top_supplier_revenue",
+    "supplier_part_types",
 ]
 
 HEADLINE = [
@@ -169,12 +204,28 @@ def main() -> None:
     queries_min = {n: min(p) for n, p in runs.items()}
     total_min = round(sum(queries_min.values()), 3)
     spreads = [max(p) / min(p) for p in runs.values() if min(p) > 0]
-    out = {
+    # Output contract (VERDICT r9 item 3): BENCH_r08/r09 were
+    # driver-unparseable because the single JSON line had grown past the
+    # driver's capture limit (headline + runs + ~60 extras x2) and got
+    # truncated. Line 1 is now the COMPACT headline record — metric,
+    # value, unit, sf, per-headline-query steady-state timings (~1 KB,
+    # frozen size: the headline list never grows) — so the driver always
+    # parses a complete JSON object first. Full detail (runs, minima,
+    # extras, errors) goes on line 2 AND to a sidecar file so a
+    # tail-truncating capture still leaves the detail recoverable
+    # in-repo.
+    compact = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "value_min": total_min,
         "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        compact["errors_count"] = len(errors)
+    print(json.dumps(compact))
+    detail = {
         "queries_min": queries_min,
         "runs": runs,
         "extras": extras,
@@ -183,8 +234,13 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    print(json.dumps(detail))
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_LOCAL.json"
+    )
+    with open(sidecar, "w") as fh:
+        json.dump({**compact, **detail}, fh, indent=1)
 
 
 if __name__ == "__main__":

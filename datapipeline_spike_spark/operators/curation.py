@@ -191,6 +191,14 @@ def curate_corpus_scoped(df: DataFrame, **kwargs):
     frame is unpersisted on exit, so nothing leaks into the session
     cache and no other cache is touched. Using the lazy ``out`` after
     the block still works but recomputes the scoring subtree."""
+    if "cache_handle" in kwargs:
+        # forwarding it verbatim would collide with the internal handle
+        # below (duplicate keyword); callers who want to own the
+        # lifecycle should call curate_corpus(cache_handle=...) directly
+        raise TypeError(
+            "curate_corpus_scoped manages cache_handle itself; use "
+            "curate_corpus(cache_handle=...) for a manual lifecycle"
+        )
     handle: list[DataFrame] = []
     try:
         yield curate_corpus(df, cache_handle=handle, **kwargs)

@@ -23,6 +23,12 @@ from datapipeline_spike_spark.plans.catalog_extensions import (
 )
 from datapipeline_spike_spark.plans.registry import load, register
 
+# Module-level cache handle for q_curation_stage_profile: the query
+# returns a LAZY DataFrame whose plan reads the persisted scoring
+# frame, so the frame must outlive the builder call; each invocation
+# frees the previous run's frame (steady-state: one cached funnel).
+_CURATION_CACHE: list[DataFrame] = []
+
 # --- shared SQL fragments -----------------------------------------------------
 
 _SQL_TOKS_OF = (
@@ -247,8 +253,12 @@ _SQL_CURATION = f"""
     recomputed from each stage's current text (the funnel downstream
     actually trains on). Scale: the profile adds one bounded aggregate
     per stage on top of the pipeline's own guarded-LSH cost; the
-    scoring frame is persisted once and freed via the r9 cache_handle
-    lifecycle (no clearCache sledgehammer).""",
+    scoring frame is persisted once into a module-level handle and the
+    PREVIOUS run's frame is unpersisted at the start of each run (the
+    returned DataFrame is lazy, so the frame must outlive this call —
+    a run-scoped local could never be freed; ADVICE r9 item 1), so
+    steady-state holds exactly one funnel cache and no clearCache
+    sledgehammer is needed.""",
     tags=("curation", "pipeline", "dedup", "quality", "sampling"),
 )
 def q_curation_stage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,14 +274,19 @@ def q_curation_stage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang"),
         ).alias("text"),
     )
-    handle: list[DataFrame] = []
+    # free the PREVIOUS invocation's persisted scoring frame, then hand
+    # the module-level handle to this run (see doc: the result is lazy,
+    # so the cache must outlive this function)
+    for frame in _CURATION_CACHE:
+        frame.unpersist()
+    _CURATION_CACHE.clear()
     return curation_profile(
         pages,
         min_quality=_MIN_QUALITY,
         jaccard_threshold=0.8,
         token_budget=_TOKEN_BUDGET,
         n_shards=_N_SHARDS,
-        cache_handle=handle,
+        cache_handle=_CURATION_CACHE,
     )
 
 

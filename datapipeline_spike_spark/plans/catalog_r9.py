@@ -33,8 +33,12 @@ def register_r9(
     repointed differential test (tests/test_r9_staging.py)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # register FIRST: if it raises (duplicate name), the name must
+        # not pollute R9_REGISTERED (ADVICE r9 item 4 — a polluted list
+        # skews test_r9_moves_are_all_registered's count)
+        out = register(name, oracle, doc=doc, tags=tags)(fn)
         R9_REGISTERED.append(name)
-        return register(name, oracle, doc=doc, tags=tags)(fn)
+        return out
 
     return deco
 

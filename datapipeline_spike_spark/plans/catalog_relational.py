@@ -734,12 +734,18 @@ def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable Greenwald-Khanna approx_percentile sketch + broadcast
     threshold join + map-only band count. No per-group global sort
     anywhere — the sketch partial-aggregates map-side like any sum and
-    the data itself never shuffles beyond it. Oracle parity: at driver
-    scale every segment is far below the sketch accuracy (10k), where
+    the data itself never shuffles beyond it. Oracle parity: exact
+    only while every segment stays under the sketch accuracy, where
     Spark's percentile_approx exact path and DuckDB's quantile_disc
     select the identical order statistic (the perplexity_bucket_profile
     precedent); ties at a threshold fall to the higher band on both
-    sides (x <= v).""",
+    sides (x <= v). Accuracy is pinned at 100_000 (ADVICE r9 item 5):
+    per-segment cardinality is ~150k*SF/5 = 30k*SF rows, so the exact
+    path — and therefore the driver hash — holds up to sf~3.3, 33x the
+    largest scale the driver ever runs (bench sf0.1); beyond that the
+    GK sketch goes approximate BY DESIGN (that is the 100 TB posture)
+    and only the DuckDB comparison, not the operator, would need the
+    exact twin dropped.""",
     tags=("window", "analytic", "scale-path"),
 )
 def q_approx_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,7 +757,7 @@ def q_approx_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     return approx_percentile_bands(
-        c, ["c_mktsegment"], "c_acctbal", n_bands=10, accuracy=10_000
+        c, ["c_mktsegment"], "c_acctbal", n_bands=10, accuracy=100_000
     )
 
 
@@ -1324,4 +1330,509 @@ def q_branded_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
+    )
+
+
+# --- round 10: the six TPC-H shapes promised (and not delivered) by the
+# r9 rotation head (VERDICT r9 item 2). The driver's tables are reduced
+# TPC-H (no l_receiptdate/l_commitdate, no c_phone, no o_comment), so
+# Q13/Q21/Q22 keep the canonical PLAN SHAPE with adapted predicates on
+# the available columns; Q6/Q7/Q8 are the canonical queries.
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount > 0.045 AND l_discount < 0.075
+      AND l_quantity < 24
+    """,
+    doc="""TPC-H Q6 shape: selective scan-only aggregate. Every
+    predicate is parquet-pushable (shipdate range + discount band +
+    quantity), so the scan itself is the whole query — no shuffle at
+    all beyond the 1-row final aggregate. Discount band uses mid-gap
+    thresholds (0.045/0.075 between the 0.01-step stored values) so
+    the double-vs-decimal literal comparison can never straddle a
+    representation boundary between engines.""",
+    tags=("aggregate", "pushdown"),
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") > 0.045)
+        & (F.col("l_discount") < 0.075)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        )
+    )
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="""TPC-H Q7 (volume shipping): revenue flow between two nations
+    by supplier-nation x customer-nation x ship-year. Scale plan: the
+    fixed 25-row nation dim is restricted to the two nations FIRST and
+    explicitly broadcast into supplier and customer, shrinking both
+    sides to 2/25 of their rows before any shuffle; the lineitem
+    date-range predicate is parquet-pushed. No broadcast hint on
+    supplier/customer themselves (they scale with SF) — AQE decides.
+    The disjunctive nation-pair cross-filter runs after both nation
+    names are attached, on the already-reduced stream.""",
+    tags=("join", "aggregate"),
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    two = ("NATION_12", "NATION_10")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*two))
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1])
+            )
+            | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+    doc="""TPC-H Q8 (national market share): NATION_3's share of ASIA
+    ECONOMY-part revenue by order-year. The deepest join tree in the
+    registry (8 relations). Scale plan: region x nation pre-joined and
+    filtered driver-free (both fixed-cardinality, 5 x 25 rows) and
+    broadcast into customer; the supplier-side nation name is a second
+    broadcast of the same 25-row dim; part is filtered to one of six
+    types before its join (AQE broadcasts it while small — no forced
+    hint, part scales with SF); the orderdate range is parquet-pushed
+    into the orders scan. The share ratio rounds at 6dp on both
+    engines (numerator/denominator are same-magnitude sums — relative
+    reduction-order error ~1e-12).""",
+    tags=("join", "aggregate"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = load(spark, sf_dir, "nation")
+    n1 = nat.join(
+        F.broadcast(r), nat.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    n2 = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"), "left_semi"
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="""TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts INCLUDING zero-order customers, with the Q13 signature
+    predicate inside the LEFT JOIN's ON clause (customers keep their
+    row when every order is filtered away — a WHERE would drop them).
+    Spark expresses the ON-clause filter by pre-filtering the orders
+    side before the left join (identical semantics, and the predicate
+    is parquet-pushed). Differs from order_size_histogram (orders x
+    lineitem grain, unfiltered): this is the customer-grain canonical
+    Q13 with the join-condition filter surface.""",
+    tags=("join", "outer", "aggregate"),
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_13'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+    doc="""TPC-H Q21 shape (waiting suppliers): suppliers from one
+    nation who were the SOLE at-fault supplier on a multi-supplier
+    finished order. The driver's lineitem has no receipt/commit dates,
+    so "at fault" adapts to l_returnflag = 'R' (returned) — the plan
+    shape is exactly Q21's: fact self-correlation twice, once EXISTS
+    (another supplier on the order: left-semi join on orderkey with a
+    suppkey-inequality residual) and once NOT EXISTS (another supplier
+    ALSO at fault: left-anti, same condition plus the fault flag).
+    Both self-joins are equi on l_orderkey (sort-merge/shuffled-hash
+    with the inequality as residual condition — never a nested loop),
+    and the right sides project only (orderkey, suppkey). Nation dim
+    broadcast; no hint on supplier (scales with SF).""",
+    tags=("join", "semi", "anti", "correlated"),
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    l = load(spark, sf_dir, "lineitem")
+    lr = l.filter(F.col("l_returnflag") == "R")
+    of = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+    l3 = lr.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
+    return (
+        lr.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(of, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "global_sales_opportunity",
+    oracle="""
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT substr(c.c_name, 18, 1) AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE substr(c.c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        AND c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_acctbal > 0.0
+            AND substr(c2.c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        )
+    )
+    GROUP BY cntrycode
+    """,
+    doc="""TPC-H Q22 shape (global sales opportunity): above-average-
+    balance customers in selected country codes with no RECENT order,
+    grouped by code. The driver's customer has no c_phone, so the
+    country code adapts to the last digit of c_name (substr 18,1 —
+    c_name is 'Customer#' + 9 digits, verified length 18), and "never
+    ordered" adapts to "no order since 2000-01-01" (every customer has
+    *some* order at driver scale: ~10 orders/customer). Shape is
+    exactly Q22's: substring-IN filter, scalar AVG subquery kept
+    IN-PLAN as a broadcast 1-row cross join (no plan-build collect),
+    and a NOT EXISTS anti join against the date-filtered orders
+    (predicate parquet-pushed). The float boundary c_acctbal > avg is
+    engine-safe: balances are 2dp values, both engines average the
+    same doubles, and reduction-order error (~1e-12) cannot straddle a
+    2dp value.""",
+    tags=("join", "anti", "scalar-subquery"),
+)
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = ("1", "3", "5", "7", "9")
+    c = (
+        load(spark, sf_dir, "customer")
+        .withColumn("cntrycode", F.substring("c_name", 18, 1))
+        .filter(F.col("cntrycode").isin(*codes))
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))  # 1 row (allowlisted totals pattern)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY 1, 2
+    """,
+    doc="""TPC-H Q9 (product type profit): profit on 'red' parts by
+    supplier nation and order year. The driver's schema has no
+    partsupp, so supply cost adapts to 0.6 x retail price (same
+    expression surface: arithmetic over three joined relations inside
+    the aggregate). Scale plan: the p_name LIKE predicate prunes part
+    before its join (parquet scans can't push LIKE '%..%' but the
+    filter still runs scan-side, ahead of the join); nation broadcast;
+    no hints on part/supplier (SF-scaling, AQE decides); the profit
+    expression is computed pre-aggregation so the shuffle carries one
+    double per row.""",
+    tags=("join", "aggregate"),
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="""TPC-H Q15 (top supplier): quarterly revenue per supplier,
+    returning the supplier(s) achieving the MAXIMUM — the canonical
+    aggregate-of-aggregate scalar subquery (Q15's CREATE VIEW +
+    max-over-view, expressed inline). Spark keeps the max IN-PLAN: the
+    revenue frame aggregates once, its 1-row max crosses back in as a
+    broadcast (no plan-build collect), and the equality filter runs on
+    the 2dp-ROUNDED revenue on both engines so the float max/compare
+    is hash-stable. Scale: the revenue aggregate is one shuffle at
+    supplier grain (|suppliers| rows), everything after is bounded.""",
+    tags=("aggregate", "scalar-subquery"),
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))  # 1 row (allowlisted totals pattern)
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "supplier_part_types",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+    doc="""TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers ship each (brand, type, size) combination, excluding one
+    brand, one type family, off-list sizes, and suppliers on an
+    exclusion list (NOT IN subquery — negative account balance stands
+    in for Q16's complaints LIKE, and lineitem stands in for the
+    absent partsupp as the part-supplier relation). Plan: the three
+    part predicates filter scan-side ahead of the join (size IN list
+    is parquet-pushable); the exclusion list is a left-anti join
+    against the filtered supplier projection (no hint — supplier
+    scales with SF; the filtered side is tiny and AQE broadcasts it);
+    distinct supplier count shuffles once on the group key.""",
+    tags=("join", "anti", "aggregate"),
+)
+def q_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = load(spark, sf_dir, "lineitem").join(
+        excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -14,14 +14,17 @@ arrive (many small per-operation files); a single giant archive would
 need a driver-side manifest split instead — documented, not needed for
 the reference's layout.
 
-Decode tiers (r8): classic-format archives (superblock v0, v1 object
-headers, symbol-table groups, contiguous numeric datasets — what
-default-config h5py writes for exactly these per-operation files)
-decode NATIVELY via ``sources/hdf5_native.py``, pure Python from the
-public HDF5 file-format spec, no h5py needed. Layouts outside that
-subset (chunked/compressed data, v2+ superblocks, dense links) route to
-the import-gated h5py path, which raises with the dependency name here
-(h5py is absent from this environment). Payloads without the HDF5
+Decode tiers (r8, widened r10): archives in BOTH h5py formats —
+classic (superblock v0, v1 headers, symbol-table groups) and
+``libver='latest'`` (superblock v2/v3, checksummed OHDR v2 headers,
+compact link messages) — decode NATIVELY via
+``sources/hdf5_native.py``, pure Python from the public HDF5
+file-format spec, no h5py needed. Layouts outside that subset
+(chunked/compressed data, dense fractal-heap links, non-hard links,
+non-native datatypes; the full matrix is pinned by
+tests/test_hdf5.py::test_format_matrix) route to the import-gated
+h5py path, which raises with the dependency name here (h5py is absent
+from this environment). Payloads without the HDF5
 signature fall back to the deterministic hash-keyed fake (the synthetic
 test fixtures; same contract as sources/multimodal.py). The Spark-side
 plumbing — binaryFile ingestion, filename metadata parsing, Arrow

@@ -138,6 +138,16 @@ def test_curate_corpus_scoped_frees_exactly_its_cache(spark):
     assert unrelated.storageLevel.useMemory
     unrelated.unpersist()
 
+    # r10 (ADVICE r9 item 2): a caller-supplied cache_handle previously
+    # raised a confusing duplicate-keyword TypeError from the verbatim
+    # kwargs forward; now it is rejected explicitly, naming the manual
+    # alternative
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="curate_corpus\\(cache_handle"):
+        with curate_corpus_scoped(_corpus(spark), cache_handle=[]):
+            pass
+
 
 def test_curation_profile_funnel_is_monotone(spark):
     """The funnel can only shrink stage over stage, and the shard rows

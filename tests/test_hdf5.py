@@ -142,11 +142,157 @@ def test_native_reader_round_trips_all_supported_dtypes():
         assert np.array_equal(back[k], v), k
     with _pytest.raises(Hdf5FormatError, match="signature"):
         read_h5_datasets(b"parquet-or-something" * 4)
-    # v2 superblock (what libver='latest' writes) is out of subset:
-    # signature + version byte 2
-    fake_v2 = b"\x89HDF\r\n\x1a\n" + bytes([2]) + b"\x00" * 64
-    with _pytest.raises(Hdf5FormatError, match="superblock"):
-        read_h5_datasets(fake_v2)
+    # superblock v1 stays out of subset (v0/v2/v3 are in as of r10)
+    fake_v1 = b"\x89HDF\r\n\x1a\n" + bytes([1]) + b"\x00" * 64
+    with _pytest.raises(Hdf5FormatError, match="superblock version 1"):
+        read_h5_datasets(fake_v1)
+    # a v3 superblock whose checksum does not match its bytes is
+    # rejected BEFORE any object parse (corruption gate)
+    fake_v3 = b"\x89HDF\r\n\x1a\n" + bytes([3, 8, 8, 0]) + b"\x00" * 36
+    with _pytest.raises(Hdf5FormatError, match="checksum"):
+        read_h5_datasets(fake_v3)
+
+
+def test_lookup3_public_vectors():
+    """The checksum primitive behind superblock v2/v3 and OHDR blocks,
+    pinned to the test vectors published in Bob Jenkins' lookup3.c
+    driver (and the zero-length identity) — if these hold, our
+    checksums agree with libhdf5's."""
+    from datapipeline_spike_spark.sources.hdf5_native import lookup3
+
+    assert lookup3(b"", 0) == 0xDEADBEEF
+    assert lookup3(b"Four score and seven years ago", 0) == 0x17770551
+    assert lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+def test_native_v2_reader_round_trips_latest_format():
+    """r10 (VERDICT r9 item 7): superblock v3 + OHDR v2 + compact link
+    messages — the ``libver='latest'`` layout — round-trips through the
+    native tier, checksum-verified, including 2-D shapes; corrupting
+    one byte inside an object header is caught by the OHDR checksum."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        Hdf5FormatError,
+        read_h5_datasets,
+        write_minimal_h5_v2,
+    )
+
+    data = {
+        "f64": np.linspace(-3, 3, 17).astype("<f8"),
+        "f32": np.arange(9, dtype="<f4").reshape(3, 3),
+        "i64": np.array([-5, 0, 2**40], dtype="<i8"),
+        "i16": np.array([1, -1, 32000], dtype="<i2"),
+    }
+    blob = write_minimal_h5_v2(data)
+    assert blob[8] == 3  # superblock version
+    assert int.from_bytes(blob[28:36], "little") == len(blob)  # eof addr
+    back = read_h5_datasets(blob)
+    assert set(back) == set(data)
+    for k, v in data.items():
+        assert back[k].dtype == v.dtype and back[k].shape == v.shape
+        assert np.array_equal(back[k], v), k
+    bad = bytearray(blob)
+    bad[-10] ^= 0xFF  # inside the root group OHDR
+    with _pytest.raises(Hdf5FormatError, match="checksum"):
+        read_h5_datasets(bytes(bad))
+
+
+def test_native_v2_decode_end_to_end_spark(spark, tmp_path):
+    """A latest-format archive decodes through the FULL Spark path
+    (binaryFile -> mapInPandas -> records) with no h5py, exactly like
+    the classic-format path."""
+    import numpy as np
+
+    from datapipeline_spike_spark.sources.hdf5_native import write_minimal_h5_v2
+
+    x = np.arange(25, dtype="<f8") * 0.5
+    blob = write_minimal_h5_v2(
+        {
+            "vibration_x": x,
+            "vibration_y": x + 1.0,
+            "vibration_z": x * 2.0,
+        }
+    )
+    (tmp_path / "M02_Aug_2019_OP05_000.h5").write_bytes(blob)
+    recs = read_vibration_records(hdf5_files(spark, str(tmp_path))).collect()
+    assert [r["record_idx"] for r in sorted(recs, key=lambda r: r["record_idx"])] == [0, 1, 2]
+    by_idx = {r["record_idx"]: r for r in recs}
+    assert by_idx[1]["vibration_x_batch"] == [float(v) for v in x[10:20]]
+    assert all(r["machine"] == "M02" and r["operation"] == "OP05" for r in recs)
+
+
+def test_format_matrix():
+    """The HDF5 format matrix (VERDICT r8 item 6 / r9 item 7): exactly
+    which layouts decode NATIVELY vs GATE to h5py. Native: superblock
+    v0 (classic) and v2/v3 (latest), object headers v1 and v2,
+    symbol-table and compact-link groups, contiguous/compact layout,
+    LE numeric dtypes. Gated: superblock v1, dense link storage
+    (fractal heap), chunked/compressed layout, non-hard links,
+    big-endian and non-numeric datatypes — each rejection is a typed
+    Hdf5FormatError naming the gate, so the source tier escalates
+    instead of crashing."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        UNDEF,
+        Hdf5FormatError,
+        lookup3,
+        read_h5_datasets,
+        write_minimal_h5,
+        write_minimal_h5_v2,
+    )
+
+    ds = {"d": np.arange(4, dtype="<f8")}
+    # --- native set ---
+    assert read_h5_datasets(write_minimal_h5(ds))["d"].tolist() == [0, 1, 2, 3]
+    assert read_h5_datasets(write_minimal_h5_v2(ds))["d"].tolist() == [0, 1, 2, 3]
+
+    # --- gated set, each named ---
+    def v3_with_root(root_msgs: bytes) -> bytes:
+        """Minimal v3 file whose root OHDR carries `root_msgs`."""
+        head = b"OHDR" + struct.pack("<BBI", 2, 0x02, len(root_msgs))
+        oh = head + root_msgs
+        oh += struct.pack("<I", lookup3(oh))
+        sb = b"\x89HDF\r\n\x1a\n" + struct.pack("<BBBB", 3, 8, 8, 0)
+        sb += struct.pack("<QQQQ", 0, UNDEF, 48 + len(oh), 48)
+        sb += struct.pack("<I", lookup3(sb))
+        return sb + oh
+
+    def msg(mtype: int, body: bytes) -> bytes:
+        return struct.pack("<BHB", mtype, len(body), 0) + body
+
+    # dense link storage: Link Info with a defined fractal heap address
+    dense = v3_with_root(msg(0x02, struct.pack("<BBQQ", 0, 0, 0x1000, UNDEF)))
+    with _pytest.raises(Hdf5FormatError, match="dense link storage"):
+        read_h5_datasets(dense)
+    # soft link (type 1): native tier follows hard links only
+    soft = v3_with_root(
+        msg(0x06, struct.pack("<BBB", 1, 0x08, 1) + bytes([1]) + b"x" + b"\x00\x00")
+    )
+    with _pytest.raises(Hdf5FormatError, match="hard links only"):
+        read_h5_datasets(soft)
+    # chunked layout inside a classic file
+    blob = bytearray(write_minimal_h5(ds))
+    i = blob.index(struct.pack("<BB", 3, 1))  # layout msg v3, contiguous
+    blob[i + 1] = 2  # -> chunked
+    with _pytest.raises(Hdf5FormatError, match="chunked"):
+        read_h5_datasets(bytes(blob))
+    # big-endian datatype
+    blob = bytearray(write_minimal_h5(ds))
+    j = blob.index(struct.pack("<BBBxI", (1 << 4) | 1, 0x20, 63, 8))
+    blob[j + 1] |= 0x01  # order bit -> BE
+    with _pytest.raises(Hdf5FormatError, match="big-endian"):
+        read_h5_datasets(bytes(blob))
+    # non-numeric (string) datatype class
+    blob = bytearray(write_minimal_h5(ds))
+    blob[j] = (1 << 4) | 3  # class 3 = string
+    with _pytest.raises(Hdf5FormatError, match="numeric only"):
+        read_h5_datasets(bytes(blob))
 
 
 def test_mixed_archive_dir_uses_right_tier_per_file(spark, tmp_path):

@@ -65,6 +65,10 @@ BNLJ_OK = {
     "hamming_recall_at_k": "exact side of the 1-bit recall audit: broadcast 5-row query-vector baseline (ann_recall_at_k pattern)",
     "budget_selected_docs": "broadcast 1-row histogram threshold (boundary bucket + keep rate) crossed into the map-only keep decision",
     "curation_stage_profile": "budget_select's broadcast 1-row histogram threshold cross inside the funnel (same pattern as budget_selected_docs)",
+    "global_sales_opportunity": "TPC-H Q22 scalar AVG subquery: broadcast 1-row average kept in-plan (no plan-build collect)",
+    # top_supplier_revenue needs no entry: Catalyst rewrites its
+    # equality-filtered 1-row max cross into a BroadcastHashJoin on the
+    # normalized revenue key (pinned by test_q15_max_subquery_stays_in_plan)
 }
 # queries whose operators legitimately run Python (Arrow-batched only)
 PANDAS_OK = {

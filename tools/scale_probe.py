@@ -177,6 +177,98 @@ def dedup_ann_stress(spark, amp: int) -> None:
 
 
 
+def r10ops_stress(spark, amp: int) -> None:
+    """Round-10 probes (VERDICT r9 items 5 and 8):
+
+    1. The three r9 ANN tiers that shipped without scale rows —
+       hard_negative_mining at multiprobe=1 (the (n_planes+1)x bucket
+       fan-out is the cost knob under audit), hamming_topk (corpus-scan
+       coarse pass + bounded rerank), random_projection (map-only JL) —
+       at 1x and ``amp``x embeddings. Pass signal: flat-or-rising
+       vecs/sec (map-only ops should RISE as fixed overhead amortizes).
+    2. prefix_filter_jaccard_join under a SKEWED shingle distribution:
+       half the corpus gets one shared 12-token boilerplate sentence
+       appended, creating corpus-frequency hot shingles. The design
+       claim under test: rarest-first prefix selection keeps hot
+       shingles OUT of prefixes, so candidate volume stays ~linear in
+       docs; the probe reports candidate-pair volume next to wall time
+       so a super-linear curve is loud evidence for a candidate-budget
+       guard.
+    """
+    from datapipeline_spike_spark.operators.similarity import (
+        hamming_topk,
+        hard_negative_mining,
+        random_projection,
+    )
+    from datapipeline_spike_spark.plans.catalog_extensions import (
+        prefix_filter_join,
+    )
+
+    for a in (1, amp):
+        emb = amplify_embeddings(spark, a).localCheckpoint(eager=True)
+        erows = emb.count()
+
+        # two rows per amp: n_planes FIXED at 4 (shows the documented
+        # quadratic-in-bucket-size cost when the knob is ignored) and
+        # n_planes SCALED with log2(corpus growth) — the operator's
+        # documented 100 TB posture (buckets ~ n/2^planes stays
+        # constant, so per-row in-bucket work stays flat)
+        for planes, tag in ((4, "fixed4"), (4 + max(0, (a - 1)).bit_length(), "scaled")):
+            if a == 1 and tag == "scaled":
+                continue  # identical to fixed4 at 1x
+            secs = probe(
+                f"hard_negative_mining_{tag}",
+                lambda: hard_negative_mining(
+                    emb, dim=64, k=3, n_planes=planes, label_col="label",
+                    multiprobe=1,
+                ),
+            )
+            print(json.dumps({"probe": f"hard_negative_mining_mp1_{tag}",
+                              "amp": a, "n_planes": planes, "vecs": erows,
+                              "sec": secs,
+                              "vecs_per_sec": int(erows / secs)}), flush=True)
+
+        queries = emb.filter(F.col("vec_id") < 5)
+        secs = probe(
+            "hamming_topk",
+            lambda: hamming_topk(emb, queries, dim=64, k=5, m=20),
+        )
+        print(json.dumps({"probe": "hamming_topk", "amp": a,
+                          "vecs": erows, "sec": secs,
+                          "vecs_per_sec": int(erows / secs)}), flush=True)
+
+        secs = probe(
+            "random_projection",
+            lambda: random_projection(emb, dim=64, k=8),
+        )
+        print(json.dumps({"probe": "random_projection", "amp": a,
+                          "vecs": erows, "sec": secs,
+                          "vecs_per_sec": int(erows / secs)}), flush=True)
+        emb.unpersist()
+
+        # skewed-shingle prefix-filter probe: boilerplate on even doc ids
+        docs = amplify_documents(spark, a)
+        boiler = (
+            " the quick brown fox jumps over the lazy dog again and again"
+        )
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(boiler))
+            ).otherwise(F.col("text")),
+        ).localCheckpoint(eager=True)
+        drows = docs.count()
+        t0 = time.perf_counter()
+        pairs = prefix_filter_join(docs)
+        n_pairs = pairs.count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"probe": "prefix_filter_join_skewed", "amp": a,
+                          "docs": drows, "verified_pairs": n_pairs,
+                          "sec": secs,
+                          "docs_per_sec": int(drows / secs)}), flush=True)
+        docs.unpersist()
+
+
 def _amplify_keyed(spark, table: str, n: int, shifts: dict):
     """n disjoint copies of a TPC-H table with join keys shifted
     consistently per copy (same per-copy delta applied to a key on both
@@ -391,7 +483,11 @@ def r8lib2_stress(spark, amp: int) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    mode = ("dedup" if "dedup" in args else ("newops" if "newops" in args else ("r7ops" if "r7ops" in args else ("r7" if "r7" in args else ("r8ops" if "r8ops" in args else ("r8lib2" if "r8lib2" in args else ("r8lib" if "r8lib" in args else "core")))))))
+    mode = "core"
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops"):
+        if m in args:
+            mode = m
+            break
     nums = [int(a) for a in args if a.isdigit()]
     n = nums[0] if nums else (10 if mode != "core" else 8)
     spark = get_session("scale_probe")
@@ -416,6 +512,9 @@ def main() -> None:
         return
     if mode == "r8lib2":
         r8lib2_stress(spark, n)
+        return
+    if mode == "r10ops":
+        r10ops_stress(spark, n)
         return
 
     for amp in (1, n):
