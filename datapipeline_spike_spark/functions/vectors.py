@@ -55,6 +55,19 @@ def l2_sq(a: Column | str, b: Column | str) -> Column:
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either norm is zero."""
     na, nb = l2_norm(a), l2_norm(b)
+    return cosine_with_norms(a, b, na, nb)
+
+
+def cosine_with_norms(
+    a: Column | str, b: Column | str, na: Column, nb: Column
+) -> Column:
+    """:func:`cosine` with caller-precomputed norms — the EXACT same
+    ``dot/(na*nb)`` expression (bit-identical results), but a bucketed
+    self-join can compute each row's norm once at the row grain instead
+    of once per candidate pair. HOF aggregates are interpreted
+    (CodegenFallback), so per-pair cost drops from 3 array folds to 1 —
+    measured 3x on the hard-negative in-bucket scoring (r10)."""
+    a, b = _as_col(a), _as_col(b)
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(None))
 
 

@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datapipeline_spike_spark.functions.vectors import cosine, dot, l2_norm, l2_sq
+from datapipeline_spike_spark.functions.vectors import (
+    cosine,
+    cosine_with_norms,
+    dot,
+    l2_norm,
+    l2_sq,
+)
 from datapipeline_spike_spark.scale import fan_out
 
 
@@ -364,8 +370,9 @@ def cosine_neardup_pairs(
     near-identical vectors P(straddle) -> 0. At 100 TB the bucket join
     shuffles on the bucket key; use more planes to shrink buckets (at
     recall cost) or run exact dedup first to collapse identical rows."""
+    vcast = F.col(vec_col).cast("array<double>")
     b = lsh_bucket_assign(fan_out(corpus), dim, n_planes, vec_col).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "bucket"
+        F.col(id_col), vcast.alias("v"), l2_norm(vcast).alias("n"), "bucket"
     )
     a, c = b.alias("a"), b.alias("c")
     return (
@@ -373,7 +380,12 @@ def cosine_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"c.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("a.v"), F.col("c.v"), F.col("a.n"), F.col("c.n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -958,11 +970,19 @@ def hard_negative_mining(
     convention) and Spark 4's WindowGroupLimit keeps only k rows per
     anchor per input partition ahead of the rank shuffle, so shuffle
     volume is anchors x k, never the |bucket|^2 join output."""
-    coded = lsh_bucket_assign(corpus, dim, n_planes, vec_col)
-    keep = [F.col(id_col).alias("anchor_id"),
-            F.col(vec_col).cast("array<double>").alias("_av"), "bucket"]
-    cand_keep = [F.col(id_col).alias("negative_id"),
-                 F.col(vec_col).cast("array<double>").alias("_nv"), "bucket"]
+    # fan_out: the testdata-style single-split scan otherwise leaves
+    # the whole in-bucket scoring (the CPU-heavy stage) on ONE task —
+    # the anchor side feeds the probe/join stage directly when the
+    # candidate side broadcasts (r10; cosine_neardup_pairs precedent)
+    coded = lsh_bucket_assign(fan_out(corpus), dim, n_planes, vec_col)
+    # norms at the ROW grain, before the bucket self-join: each vector's
+    # norm is pair-independent, and computing it per candidate pair
+    # costs 2 extra interpreted array folds per pair (r10, 3x measured)
+    vcast = F.col(vec_col).cast("array<double>")
+    keep = [F.col(id_col).alias("anchor_id"), vcast.alias("_av"),
+            l2_norm(vcast).alias("_an"), "bucket"]
+    cand_keep = [F.col(id_col).alias("negative_id"), vcast.alias("_nv"),
+                 l2_norm(vcast).alias("_nn"), "bucket"]
     if label_col is not None:
         keep.append(F.col(label_col).alias("_alab"))
         cand_keep.append(F.col(label_col).alias("_nlab"))
@@ -982,7 +1002,12 @@ def hard_negative_mining(
     scored = joined.select(
         "anchor_id",
         "negative_id",
-        F.round(cosine(F.col("_av"), F.col("_nv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("_av"), F.col("_nv"), F.col("_an"), F.col("_nn")
+            ),
+            6,
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") < hi)
     if multiprobe >= 1:
         scored = scored.dropDuplicates(["anchor_id", "negative_id"])
