@@ -870,16 +870,29 @@ def semdedup(
         return _typed_empty(
             corpus, id_col, "cent_id bigint, dup_of bigint, kept boolean"
         )
+    # norms at the row grain before the cluster self-join (r10): see
+    # cosine_with_norms — bit-identical scores, 1 interpreted array
+    # fold per pair instead of 3
     a = asg.select(
-        F.col(id_col).alias("_ida"), "cent_id", F.col("_v").alias("_va")
+        F.col(id_col).alias("_ida"), "cent_id", F.col("_v").alias("_va"),
+        l2_norm(F.col("_v")).alias("_na"),
     )
     b = asg.select(
-        F.col(id_col).alias("_idb"), "cent_id", F.col("_v").alias("_vb")
+        F.col(id_col).alias("_idb"), "cent_id", F.col("_v").alias("_vb"),
+        l2_norm(F.col("_v")).alias("_nb"),
     )
     dup = (
         a.join(b, "cent_id")
         .filter(F.col("_idb") < F.col("_ida"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .filter(
+            F.round(
+                cosine_with_norms(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            )
+            >= threshold
+        )
         .groupBy("_ida")
         .agg(F.min("_idb").alias("dup_of"))
     )

@@ -46,6 +46,7 @@ _R10_CHANGED = (
     "curation_stage_profile",       # r10: cache-handle lifecycle fix (ADVICE r9 items 1-2)
     "approx_percentile_bands",      # r10: sketch accuracy 10k -> 100k (ADVICE r9 item 5)
     "hard_negative_pairs",          # r10: row-grain norm precompute + fan_out (11.9 -> 1.8 s)
+    "semdedup_assignment",          # r10: same norm precompute in semdedup's cluster sweep
     # cosine_neardup_pairs got the same norm precompute; its consumers
     # (embedding_neardup_pairs, embedding_dedup_assignment) already
     # hold r10 head slots in the r6-green refresh block below
@@ -92,16 +93,16 @@ _R10_REFRESH = (
     "sessionization",
     "repetition_profile",
     "embedding_label_stats",
-    "multimodal_shard_meta",
     "vibration_features",
 )
 # --- r11 queue: the r7-green remainder (32 queries, stale 3 rounds by
 # r11) — the rotation contract says these lead the r11 head after its
 # changed/new slots ---
 _QUEUED_FOR_NEXT_HEAD = (
-    # displaced from the r10 head fill by the 5 changed/new late-r10
-    # entries (approx_percentile_bands, hard_negative_pairs, TPC-H
-    # Q9/Q15/Q16)
+    # displaced from the r10 head fill by the 6 changed/new late-r10
+    # entries (approx_percentile_bands, hard_negative_pairs,
+    # semdedup_assignment, TPC-H Q9/Q15/Q16)
+    "multimodal_shard_meta",
     "machine_stream_union",
     "maintenance_window_overlap",
     "image_jpeg_pixel_features",
