@@ -1,0 +1,214 @@
+"""r10 staged corpus-statistics operators (register r11): DuckDB
+differential tests + planted-property checks for zipf_profile,
+ngram_novelty_profile, and kneser_ney_bigram_score — the same
+pre-registration gauntlet the r8 staged ops ran before their r9
+registration (oracle parity proven HERE, so registration is a
+catalog-entry move, not new verification surface)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.operators.text_stats import (
+    kneser_ney_bigram_score,
+    ngram_novelty_profile,
+    zipf_profile,
+)
+from datapipeline_spike_spark.plans.registry import load
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),"
+    " t -> t != '')"
+)
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    return con
+
+
+def test_zipf_profile_matches_duckdb(spark):
+    got = zipf_profile(load(spark, SF, "documents")).collect()[0].asDict()
+    want = _con().execute(
+        f"""
+        WITH toks AS (
+          SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+        ),
+        counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        totals AS (
+          SELECT count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens
+          FROM counts
+        ),
+        top AS (
+          SELECT ln(rank) AS x, ln(c) AS y FROM (
+            SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+            FROM counts ORDER BY c DESC, tok LIMIT 1000
+          )
+        ),
+        fit AS (
+          SELECT count(*) AS n_fit, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+          FROM top
+        )
+        SELECT n_types, n_tokens, n_fit,
+               round((n_fit*sxy - sx*sy) / (n_fit*sxx - sx*sx), 6) AS slope,
+               round((sy - ((n_fit*sxy - sx*sy) / (n_fit*sxx - sx*sx)) * sx)
+                     / n_fit, 6) AS intercept,
+               round(((n_fit*sxy - sx*sy) * (n_fit*sxy - sx*sy))
+                     / ((n_fit*sxx - sx*sx) * (n_fit*syy - sy*sy)), 6) AS r2
+        FROM fit CROSS JOIN totals
+        """
+    ).df().iloc[0].to_dict()
+    assert got["n_types"] == want["n_types"]
+    assert got["n_tokens"] == int(want["n_tokens"])
+    assert got["n_fit"] == want["n_fit"]
+    for c in ("slope", "intercept", "r2"):
+        assert got[c] == pytest.approx(want[c], abs=2e-6), c
+    # sanity on the synthetic corpus: counts decrease with rank (slope
+    # negative) and the fit is a valid correlation. The near -1
+    # natural-language slope is asserted on the PLANTED Zipfian corpus
+    # below — the driver's synthetic token distribution is deliberately
+    # flat (slope here ~ -0.18), which is exactly the signal this
+    # profile exists to surface.
+    assert got["slope"] < 0
+    assert 0.0 < got["r2"] <= 1.0
+
+
+def test_zipf_profile_planted_distribution(spark):
+    """An exactly Zipfian corpus (count(rank r) = N//r) must fit slope
+    ~ -1 with near-perfect r2."""
+    rows = []
+    for r in range(1, 51):
+        rows.extend([(f"w{r:03d}",)] * (2000 // r))
+    docs = spark.createDataFrame(rows, "text string").withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    prof = zipf_profile(docs, top_n=50).collect()[0]
+    assert prof["slope"] == pytest.approx(-1.0, abs=0.05)
+    assert prof["r2"] > 0.999
+
+
+def test_ngram_novelty_matches_duckdb(spark):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_novelty_profile(load(spark, SF, "documents")).collect()
+    }
+    want = _con().execute(
+        f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS g
+            FROM toks WHERE len(t) >= 3
+          )
+        ),
+        dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_distinct_ngrams,
+                 CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+          FROM grams JOIN dfc USING (g) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_distinct_ngrams, 0) AS n_distinct_ngrams,
+               coalesce(p.n_novel, 0) AS n_novel,
+               round(p.n_novel * 1.0 / p.n_distinct_ngrams, 6) AS novelty
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[w["doc_id"]]
+        assert g["n_distinct_ngrams"] == w["n_distinct_ngrams"], w["doc_id"]
+        assert g["n_novel"] == int(w["n_novel"]), w["doc_id"]
+        if g["novelty"] is None:
+            assert w["n_distinct_ngrams"] == 0
+        else:
+            assert g["novelty"] == pytest.approx(w["novelty"], abs=2e-6)
+
+
+def test_ngram_novelty_planted_duplicate_pair(spark):
+    """Two identical docs share every gram (novelty 0); a unique doc
+    scores 1; a doc below the gram threshold yields the NULL row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "completely different words entirely here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty_profile(docs).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[4]["n_distinct_ngrams"] == 0 and out[4]["novelty"] is None
+
+
+def test_kneser_ney_matches_duckdb(spark):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in kneser_ney_bigram_score(load(spark, SF, "documents")).collect()
+    }
+    want = _con().execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+          FROM toks WHERE len(t) >= 2
+        ),
+        doc_bg AS (
+          SELECT doc_id, s.w1 AS w1, s.w2 AS w2, count(*) AS n
+          FROM bg GROUP BY 1, 2, 3
+        ),
+        corpus_bg AS (SELECT w1, w2, sum(n) AS c FROM doc_bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(c) AS ctx, count(*) AS fanout
+                FROM corpus_bg GROUP BY 1),
+        cont AS (SELECT w2, count(*) AS cont FROM corpus_bg GROUP BY 1),
+        types AS (SELECT count(*) AS T FROM corpus_bg)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+               round(sum(n * ln(
+                 greatest(c - 0.75, 0.0) / ctx
+                 + ((0.75 * fanout) / ctx) * (cont * 1.0 / T)
+               )) / sum(n), 6) AS avg_logprob_kn
+        FROM doc_bg
+        JOIN corpus_bg USING (w1, w2)
+        JOIN ctx USING (w1)
+        JOIN cont USING (w2)
+        CROSS JOIN types
+        GROUP BY doc_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[w["doc_id"]]
+        assert g["n_bigrams"] == int(w["n_bigrams"]), w["doc_id"]
+        assert g["avg_logprob_kn"] == pytest.approx(
+            w["avg_logprob_kn"], abs=2e-6
+        ), w["doc_id"]
+
+
+def test_kneser_ney_ranks_fluent_above_scrambled(spark):
+    """The word-order property the smoothing must preserve: a document
+    reusing the corpus's COMMON TRANSITIONS outscores one built from
+    the same vocabulary with scrambled transitions."""
+    base = "the quick brown fox jumps over the lazy dog"
+    corpus = [(i, base) for i in range(20)]
+    corpus.append((100, base))  # fluent: transitions seen 21x
+    corpus.append((101, "dog the over fox brown lazy jumps quick the"))
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob_kn"] for r in
+           kneser_ney_bigram_score(docs).collect()}
+    assert out[100] > out[101]

@@ -269,6 +269,102 @@ def r10ops_stress(spark, amp: int) -> None:
         docs.unpersist()
 
 
+def r10tpch_stress(spark, amp: int) -> None:
+    """Round-10 TPC-H shape probes: the NEW join surfaces at 1x and
+    ``amp``x. Q21's fact self-correlation is the shape to watch — the
+    semi/anti self-joins shuffle lineitem on l_orderkey twice; pass
+    signal is ~flat per-lineitem cost (the joins are equi with bounded
+    per-key fan-in: lines per order is constant, not data-scaled).
+    Q8's 8-relation tree checks that the deepest join plan holds when
+    the three big relations all grow."""
+    O_SHIFT, C_SHIFT, S_SHIFT, P_SHIFT = (
+        1_000_000_000, 100_000_000, 10_000_000, 50_000_000,
+    )
+    for a in (1, amp):
+        li = _amplify_keyed(
+            spark, "lineitem", a,
+            {"l_orderkey": O_SHIFT, "l_suppkey": S_SHIFT, "l_partkey": P_SHIFT},
+        ).localCheckpoint(eager=True)
+        orders = _amplify_keyed(
+            spark, "orders", a, {"o_orderkey": O_SHIFT, "o_custkey": C_SHIFT}
+        )
+        cust = _amplify_keyed(spark, "customer", a, {"c_custkey": C_SHIFT})
+        sup = _amplify_keyed(spark, "supplier", a, {"s_suppkey": S_SHIFT})
+        part = _amplify_keyed(spark, "part", a, {"p_partkey": P_SHIFT})
+        nat = load(spark, SF_DIR, "nation")
+        reg = load(spark, SF_DIR, "region")
+        n_li = li.count()
+
+        # Q21 shape: EXISTS + NOT EXISTS self-correlation (supplier
+        # copies keep s_nationkey, so every copy's suppliers qualify)
+        t0 = time.perf_counter()
+        n1 = nat.filter(F.col("n_name") == "NATION_13")
+        s2 = sup.join(
+            F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        lr = li.filter(F.col("l_returnflag") == "R")
+        of = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+        l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+        l3 = lr.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
+        q21 = (
+            lr.join(s2, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(of, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+            .join(l2, (F.col("l_orderkey") == F.col("k2"))
+                  & (F.col("l_suppkey") != F.col("sk2")), "left_semi")
+            .join(l3, (F.col("l_orderkey") == F.col("k3"))
+                  & (F.col("l_suppkey") != F.col("sk3")), "left_anti")
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+        )
+        rows = q21.count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "q21_self_correlation", "amp": a, "lineitems": n_li,
+            "suppliers": rows, "sec": secs,
+            "lineitems_per_sec": int(n_li / secs),
+        }), flush=True)
+
+        # Q8 shape: 8-relation tree, lineitem + orders + customer +
+        # supplier + part all amplified
+        t0 = time.perf_counter()
+        r1 = reg.filter(F.col("r_name") == "ASIA")
+        n_c = nat.join(F.broadcast(r1), nat.n_regionkey == r1.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nkey")
+        )
+        n_s = nat.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+        )
+        pe = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+        od = orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") <= "1997-12-31")
+        )
+        cj = cust.join(
+            F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nkey"), "left_semi"
+        )
+        sj = sup.join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nkey"))
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        q8 = (
+            li.join(pe, F.col("l_partkey") == F.col("p_partkey"))
+            .join(sj, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cj, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol), 6).alias("mkt_share"))
+        )
+        rows = q8.count()
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "probe": "q8_eight_relation_tree", "amp": a, "lineitems": n_li,
+            "years": rows, "sec": secs,
+            "lineitems_per_sec": int(n_li / secs),
+        }), flush=True)
+        li.unpersist()
+
+
 def _amplify_keyed(spark, table: str, n: int, shifts: dict):
     """n disjoint copies of a TPC-H table with join keys shifted
     consistently per copy (same per-copy delta applied to a key on both
@@ -484,7 +580,7 @@ def r8lib2_stress(spark, amp: int) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     mode = "core"
-    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops"):
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch"):
         if m in args:
             mode = m
             break
@@ -515,6 +611,9 @@ def main() -> None:
         return
     if mode == "r10ops":
         r10ops_stress(spark, n)
+        return
+    if mode == "r10tpch":
+        r10tpch_stress(spark, n)
         return
 
     for amp in (1, n):
