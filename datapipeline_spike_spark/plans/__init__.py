@@ -230,12 +230,24 @@ _R10_TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
 ]
 
 
-def rotation_preflight() -> list[str]:
+def rotation_preflight(
+    head: list[str] | None = None,
+    queued: tuple[str, ...] | None = None,
+    tail: list[str] | None = None,
+) -> list[str]:
     """Mechanical rotation-capacity check (VERDICT r8 item 7 / r9 item
     4). Returns a list of human-readable problems; empty == sound. Run
     by the test suite (tests/test_entry.py) and by
     tools/rotation_preflight.py, so a head that lists unbuilt queries
-    or misses capacity fails the build the same day it is written."""
+    or misses capacity fails the build the same day it is written.
+    The injectable parameters exist so the suite can prove each failure
+    mode actually trips (the r9 head would have produced two problems);
+    production callers pass nothing and check the live rotation."""
+    _HEAD = head if head is not None else globals()["_HEAD"]
+    _QUEUED_FOR_NEXT_HEAD = (
+        queued if queued is not None else globals()["_QUEUED_FOR_NEXT_HEAD"]
+    )
+    _R10_TAIL = tail if tail is not None else globals()["_R10_TAIL"]
     problems: list[str] = []
     phantom = [n for n in _HEAD if n not in REGISTRY]
     if phantom:

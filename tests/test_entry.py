@@ -49,6 +49,22 @@ def test_rotation_head_invariants():
     )
 
     assert rotation_preflight() == []
+    # the preflight PROVABLY trips on each r9-class failure mode:
+    names_all = list(REGISTRY)
+    # (a) phantom head names (the six never-built r9 queries)
+    bad = rotation_preflight(head=names_all[:49] + ["not_a_query"],
+                             tail=names_all[49:])
+    assert any("phantom" in p for p in bad)
+    # (b) under-capacity head (the 30-of-50 r9 head)
+    bad = rotation_preflight(head=names_all[:30], tail=names_all[30:])
+    assert any("capacity" in p for p in bad)
+    # (c) a registered query the rotation forgot to place
+    bad = rotation_preflight(head=names_all[:50], tail=names_all[50:-1])
+    assert any("unplaced" in p for p in bad)
+    # (d) queue overlapping the head
+    bad = rotation_preflight(head=names_all[:50],
+                             queued=(names_all[0],), tail=names_all[50:])
+    assert any("overlap" in p for p in bad)
     names = list(REGISTRY)
     # the head IS the driver sample, in order
     assert names[:DRIVER_SAMPLE] == [n for n in _HEAD if n in REGISTRY]

@@ -958,3 +958,46 @@ def test_audio_band_ratios_concentrate_on_planted_tone(spark):
         )
     assert out[3]["band_ratio_1"] is None and out[3]["n_samples"] == 3
     assert out[4]["n_samples"] is None
+
+
+def test_bloom_indexed_write_proves_filters_and_preserves_rows(spark, tmp_path):
+    """r10 bloom-filter lake tier: the equality-key skipping layout for
+    fingerprint/id point lookups. Proof is read-back through
+    parquet-mr (file_bloom_columns), not writer-option folklore: every
+    file carries a bloom filter on EXACTLY the indexed column, rows
+    round-trip, and a point lookup returns the right row. Composes
+    with sort-clustering (range keys + equality keys in one write)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_spike_spark.plans.registry import load
+    from datapipeline_spike_spark.sources.parquet_lake import (
+        file_bloom_columns,
+        write_bloom_indexed,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp"), "n_chars"
+    )
+    path = str(tmp_path / "bloomed")
+    write_bloom_indexed(
+        docs, path, bloom_cols=["fp"], expected_ndv=10_000,
+        cluster_cols=["n_chars"], n_files=4,
+    )
+    blooms = file_bloom_columns(spark, path)
+    assert blooms, "no parquet files written"
+    for f, cols in blooms.items():
+        assert cols == ["fp"], (f, cols)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    probe = docs.select("doc_id", "fp").first()
+    hit = back.filter(F.col("fp") == probe["fp"]).collect()
+    assert [r["doc_id"] for r in hit] == [probe["doc_id"]]
+    # the clustered range key still lands narrow per-file envelopes
+    from datapipeline_spike_spark.sources.parquet_lake import file_column_ranges
+
+    ranges = file_column_ranges(path, "n_chars")
+    assert len(ranges) >= 2
+    spans = sorted(ranges.values())
+    # near-disjoint: each file's max <= next file's min (range partitioning)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
