@@ -1,6 +1,7 @@
 """Corpus-statistics operators (staged r10, register r11): Zipf
-rank-frequency profile, leave-one-out n-gram novelty, and interpolated
-Kneser-Ney bigram scoring.
+rank-frequency profile, leave-one-out n-gram novelty, interpolated
+Kneser-Ney bigram scoring, and the filter-verdict agreement matrix
+(Cohen's kappa).
 
 These extend the text-analysis family (SURVEY §2.11/§2.12 — language
 ID, unigram/bigram LM, CCNet perplexity buckets) with the three
@@ -218,3 +219,72 @@ def kneser_ney_bigram_score(
             ).alias("avg_logprob_kn"),
         )
     )
+
+
+def verdict_agreement_matrix(
+    df: DataFrame, verdict_cols: list[str]
+) -> DataFrame:
+    """Pairwise agreement between boolean quality-filter verdicts
+    (staged r10, register r11): for every unordered pair of verdict
+    columns, the 2x2 contingency counts, raw agreement, and Cohen's
+    kappa. This is the calibration report a curation team reads before
+    composing filters (Gopher rules vs classifier vs perplexity vs C4
+    line survival): high kappa = redundant filters, low kappa = filters
+    that disagree enough to be complementary — or one of them is
+    broken. NULL verdicts (docs a filter abstains on) are excluded per
+    pair.
+
+    Returns (filter_a, filter_b, n_00, n_01, n_10, n_11, agreement,
+    kappa) with floats rounded 6dp; kappa is NULL when either filter is
+    constant on the compared rows (pe = 1, the undefined case).
+
+    Scale shape: ONE map-only pass + ONE 1-row aggregate computes all
+    C(k,2) pairs' counts (4*C(k,2) conditional sums in a single agg —
+    no per-pair scans, no shuffle beyond the final reduce); the pair
+    rows come from exploding the 1-row result. Everything downstream
+    of the aggregate is bounded by k^2.
+    """
+    pairs = [
+        (a, b)
+        for i, a in enumerate(verdict_cols)
+        for b in verdict_cols[i + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        for va in (False, True):
+            for vb in (False, True):
+                aggs.append(
+                    F.sum(
+                        (both & (F.col(a) == va) & (F.col(b) == vb)).cast("bigint")
+                    ).alias(f"{a}|{b}|{int(va)}{int(vb)}")
+                )
+    counts = df.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        c = lambda t, _a=a, _b=b: F.col(f"`{_a}|{_b}|{t}`")
+        n = c("00") + c("01") + c("10") + c("11")
+        nd = n.cast("double")
+        po = (c("00") + c("11")) / nd
+        pe = (
+            (c("00") + c("01")) * (c("00") + c("10"))
+            + (c("10") + c("11")) * (c("01") + c("11"))
+        ) / (nd * nd)
+        rows.append(
+            counts.select(
+                F.lit(a).alias("filter_a"),
+                F.lit(b).alias("filter_b"),
+                c("00").alias("n_00"),
+                c("01").alias("n_01"),
+                c("10").alias("n_10"),
+                c("11").alias("n_11"),
+                F.round(po, R).alias("agreement"),
+                F.when(
+                    pe < 1.0, F.round((po - pe) / (1.0 - pe), R)
+                ).otherwise(F.lit(None).cast("double")).alias("kappa"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

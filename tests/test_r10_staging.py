@@ -212,3 +212,100 @@ def test_kneser_ney_ranks_fluent_above_scrambled(spark):
     out = {r["doc_id"]: r["avg_logprob_kn"] for r in
            kneser_ney_bigram_score(docs).collect()}
     assert out[100] > out[101]
+
+
+def test_verdict_agreement_matrix_matches_duckdb(spark):
+    """Agreement matrix vs a DuckDB replay on planted verdicts over the
+    documents table (filters: quality floor, length floor, digit-free),
+    including a NULL-abstain column and the kappa formula."""
+    from datapipeline_spike_spark.operators.text_stats import (
+        verdict_agreement_matrix,
+    )
+
+    docs = load(spark, SF, "documents")
+    verdicts = docs.select(
+        (F.length("text") >= 200).alias("len_ok"),
+        (F.size(F.split(F.lower("text"), "[^a-z0-9']+")) >= 40).alias("tok_ok"),
+        F.when(F.col("n_chars") % 7 != 0, F.col("n_chars") % 2 == 0).alias(
+            "parity"  # abstains (NULL) on every 7th doc
+        ),
+    )
+    got = {
+        (r["filter_a"], r["filter_b"]): r.asDict()
+        for r in verdict_agreement_matrix(
+            verdicts, ["len_ok", "tok_ok", "parity"]
+        ).collect()
+    }
+    assert set(got) == {("len_ok", "tok_ok"), ("len_ok", "parity"), ("tok_ok", "parity")}
+    want = _con().execute(
+        """
+        WITH v AS (
+          SELECT length(text) >= 200 AS len_ok,
+                 len(list_filter(regexp_split_to_array(lower(text),
+                     '[^a-z0-9'']+'), t -> t != '')) >= 40 AS tok_ok,
+                 CASE WHEN n_chars % 7 != 0 THEN n_chars % 2 = 0 END AS parity
+          FROM documents
+        )
+        SELECT
+          sum(CASE WHEN NOT len_ok AND NOT tok_ok THEN 1 ELSE 0 END) AS n_00,
+          sum(CASE WHEN NOT len_ok AND tok_ok THEN 1 ELSE 0 END)     AS n_01,
+          sum(CASE WHEN len_ok AND NOT tok_ok THEN 1 ELSE 0 END)     AS n_10,
+          sum(CASE WHEN len_ok AND tok_ok THEN 1 ELSE 0 END)         AS n_11,
+          sum(CASE WHEN parity IS NOT NULL AND NOT len_ok AND NOT parity
+              THEN 1 ELSE 0 END) AS p_00,
+          sum(CASE WHEN parity IS NOT NULL AND NOT len_ok AND parity
+              THEN 1 ELSE 0 END) AS p_01,
+          sum(CASE WHEN parity IS NOT NULL AND len_ok AND NOT parity
+              THEN 1 ELSE 0 END) AS p_10,
+          sum(CASE WHEN parity IS NOT NULL AND len_ok AND parity
+              THEN 1 ELSE 0 END) AS p_11
+        FROM v
+        """
+    ).df().iloc[0]
+    lt = got[("len_ok", "tok_ok")]
+    assert (lt["n_00"], lt["n_01"], lt["n_10"], lt["n_11"]) == (
+        int(want["n_00"]), int(want["n_01"]), int(want["n_10"]), int(want["n_11"])
+    )
+    lp = got[("len_ok", "parity")]
+    assert (lp["n_00"], lp["n_01"], lp["n_10"], lp["n_11"]) == (
+        int(want["p_00"]), int(want["p_01"]), int(want["p_10"]), int(want["p_11"])
+    )
+    # kappa replay in python from the counts (same formula)
+    for key in got:
+        g = got[key]
+        n00, n01, n10, n11 = g["n_00"], g["n_01"], g["n_10"], g["n_11"]
+        n = n00 + n01 + n10 + n11
+        po = (n00 + n11) / n
+        pe = ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)) / (n * n)
+        assert g["agreement"] == pytest.approx(po, abs=1e-6)
+        if pe < 1.0:
+            assert g["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+
+
+def test_verdict_agreement_matrix_kappa_extremes(spark):
+    """Planted extremes: identical verdicts -> kappa 1; independent
+    50/50 verdicts -> kappa ~0; one constant filter -> kappa 0 (no
+    agreement beyond chance, pe = 0.5); BOTH constant -> kappa NULL
+    (pe = 1, the undefined case)."""
+    from datapipeline_spike_spark.operators.text_stats import (
+        verdict_agreement_matrix,
+    )
+
+    df = spark.range(400).select(
+        (F.col("id") % 2 == 0).alias("a"),
+        (F.col("id") % 2 == 0).alias("a_copy"),
+        ((F.col("id") % 4) < 2).alias("b"),   # independent of a
+        F.lit(True).alias("always"),
+        F.lit(True).alias("always2"),
+    )
+    got = {
+        (r["filter_a"], r["filter_b"]): r
+        for r in verdict_agreement_matrix(
+            df, ["a", "a_copy", "b", "always", "always2"]
+        ).collect()
+    }
+    assert got[("a", "a_copy")]["kappa"] == 1.0
+    assert abs(got[("a", "b")]["kappa"]) < 0.05
+    assert got[("a", "always")]["kappa"] == 0.0  # one constant: pe = 0.5
+    assert got[("always", "always2")]["kappa"] is None  # both constant: pe = 1
+    assert got[("always", "always2")]["agreement"] == 1.0
