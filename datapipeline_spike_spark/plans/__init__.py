@@ -52,11 +52,14 @@ _R10_CHANGED = (
     # hold r10 head slots in the r6-green refresh block below
 )
 # --- r10 head, slot 3: the oldest-driver-green block (VERDICT r9 item
-# 6: nothing drifts past ~3 rounds without a fresh driver hash). The
-# full r6-green block (39 queries, stale 4 rounds) plus the first 4 of
-# the r7-green block fills the head to exactly DRIVER_SAMPLE. ---
+# 6: nothing drifts past ~3 rounds without a fresh driver hash): 37 of
+# the 39 r6-green queries (stale 4 rounds), filling the head to
+# exactly DRIVER_SAMPLE. The other two r6-greens
+# (machine_stream_union, multimodal_shard_meta — the two lowest-drift-
+# risk names: a schema union and a metadata projection) were displaced
+# by the late-r10 changed-code slots above and lead the r11 queue. ---
 _R10_REFRESH = (
-    # r6-green (all 39)
+    # r6-green (37 of 39)
     "scd2_user_state_history",
     "repeated_substring_profile",
     "bloom_filter_profile",
