@@ -104,17 +104,26 @@ def zipf_profile(
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate corpora: < 2 distinct tokens leaves no rank variance
+    # (var_x = 0, the OLS is undefined) -> NULL fit, counts still real;
+    # constant counts (var_y = 0) leave slope/intercept defined but r2
+    # undefined
+    fittable = var_x_n > 0
     return (
         fit.crossJoin(F.broadcast(totals))  # 1 row x 1 row
         .select(
             "n_types",
             "n_tokens",
             "n_fit",
-            F.round(cov_n / var_x_n, R).alias("slope"),
-            F.round(
-                (F.col("sy") - (cov_n / var_x_n) * F.col("sx")) / n, R
+            F.when(fittable, F.round(cov_n / var_x_n, R)).alias("slope"),
+            F.when(
+                fittable,
+                F.round((F.col("sy") - (cov_n / var_x_n) * F.col("sx")) / n, R),
             ).alias("intercept"),
-            F.round((cov_n * cov_n) / (var_x_n * var_y_n), R).alias("r2"),
+            F.when(
+                fittable & (var_y_n > 0),
+                F.round((cov_n * cov_n) / (var_x_n * var_y_n), R),
+            ).alias("r2"),
         )
     )
 

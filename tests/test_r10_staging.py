@@ -309,3 +309,18 @@ def test_verdict_agreement_matrix_kappa_extremes(spark):
     assert got[("a", "always")]["kappa"] == 0.0  # one constant: pe = 0.5
     assert got[("always", "always2")]["kappa"] is None  # both constant: pe = 1
     assert got[("always", "always2")]["agreement"] == 1.0
+
+
+def test_zipf_profile_degenerate_corpora(spark):
+    """< 2 distinct tokens leaves the OLS undefined: NULL fit, real
+    counts; an empty corpus yields the all-zero/NULL row instead of a
+    crash."""
+    one_word = spark.createDataFrame(
+        [(1, "spam spam spam"), (2, "spam")], "doc_id long, text string"
+    )
+    r = zipf_profile(one_word).collect()[0]
+    assert r["n_types"] == 1 and r["n_tokens"] == 4 and r["n_fit"] == 1
+    assert r["slope"] is None and r["r2"] is None
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = zipf_profile(empty).collect()[0]
+    assert r["n_fit"] == 0 and r["slope"] is None
