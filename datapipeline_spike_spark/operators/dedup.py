@@ -1229,3 +1229,97 @@ def paragraph_dedup(
         F.coalesce("n_paragraphs", F.lit(0)).cast("int").alias("n_paragraphs"),
         F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
     )
+
+
+def dedup_span_removal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-INTERNAL duplicate-span scrubbing (staged r10, register
+    r11; Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better", the ExactSubstr policy at word grain): every token
+    covered by a word ``k``-gram that also appears in ANOTHER document
+    is marked for removal — except in the span's CANONICAL document
+    (the minimum doc id containing the gram), which keeps its copy, so
+    the corpus retains exactly one occurrence of every duplicated
+    span. This is the span-grain complement of document-grain near-dup
+    dedup: templated intros, license blocks, and syndicated paragraphs
+    embedded in otherwise-unique documents survive document dedup but
+    are exactly what this removes.
+
+    Returns (id, n_tokens, n_removed, n_flagged_ngrams,
+    retained_ratio): per-doc distinct covered positions (overlapping
+    flagged spans merge via DISTINCT, the decontamination_span_removal
+    precedent), flagged k-gram starts, and the post-scrub retention.
+
+    Scale shape: ONE positional explode feeds both the gram stats
+    (distinct (doc, gram) -> per-gram document frequency + min doc:
+    one gram-keyed map-side-combined shuffle) and the hit join — which
+    shuffles on the gram key with NO broadcast hint (distinct grams
+    scale with the corpus; AQE decides). Coverage expansion is a
+    bounded k-row sequence per hit; no self-joins, no windows. The
+    mega-shared gram (a corpus-wide boilerplate sentence) is a single
+    aggregate key — AQE skew-splittable — and its hit fan-out is one
+    row per occurrence, the same cardinality the explode already
+    produced."""
+    from datapipeline_spike_spark.functions.text import ngrams, token_count
+
+    t = docs.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        ngrams(text_col, k=k).alias("_ngs"),
+    )
+    pos = t.select(id_col, F.posexplode("_ngs").alias("pos", "ng"))
+    stats = (
+        pos.select(id_col, "ng")
+        .distinct()
+        .groupBy("ng")
+        .agg(
+            F.count(F.lit(1)).alias("_df"),
+            F.min(id_col).alias("_canon"),
+        )
+        .filter(F.col("_df") >= 2)
+    )
+    hits = (
+        pos.join(stats, "ng")
+        .filter(F.col(id_col) != F.col("_canon"))
+        .select(id_col, "pos")
+    )
+    cov = hits.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("cp"),
+    ).distinct()
+    agg = (
+        cov.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+        .join(
+            hits.groupBy(id_col).agg(
+                F.count_distinct("pos").alias("n_flagged_ngrams")
+            ),
+            id_col,
+        )
+    )
+    return (
+        t.select(id_col, "n_tokens")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_flagged_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_flagged_ngrams"),
+            F.when(F.col("n_tokens") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+                    * F.lit(1.0)
+                    / F.col("n_tokens"),
+                    6,
+                )
+            )
+            .alias("retained_ratio"),
+        )
+    )

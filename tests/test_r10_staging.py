@@ -324,3 +324,109 @@ def test_zipf_profile_degenerate_corpora(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     r = zipf_profile(empty).collect()[0]
     assert r["n_fit"] == 0 and r["slope"] is None
+
+
+def test_dedup_span_removal_matches_duckdb(spark):
+    """Corpus-internal duplicate-span scrubbing vs a full DuckDB replay
+    on a PLANTED paged corpus (the curation planting precedent: shared
+    header on every doc, shared footer per language) — the synthetic
+    documents rarely share natural k-grams, so the planting makes the
+    cross-doc span machinery do real work."""
+    from datapipeline_spike_spark.operators.dedup import dedup_span_removal
+
+    d = load(spark, SF, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared preamble sentence for every document here now "),
+            F.col("text"),
+            F.lit(" closing notice for language "),
+            F.col("lang"),
+            F.lit(" end of record marker words"),
+        ).alias("text"),
+    )
+    k = 6
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_span_removal(pages, k=k).collect()
+    }
+    want = _con().execute(
+        f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'shared preamble sentence for every document here now '
+                 || text || ' closing notice for language ' || lang
+                 || ' end of record marker words' AS text
+          FROM documents
+        ),
+        t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM pages),
+        pos0 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - {k} + 2),
+                 i -> {{'pos': i - 1,
+                        'ng': array_to_string(toks[i:i+{k - 1}], ' ')}})) AS s
+          FROM t WHERE len(toks) >= {k}
+        ),
+        stats AS (
+          SELECT s.ng AS ng, count(DISTINCT doc_id) AS df,
+                 min(doc_id) AS canon
+          FROM pos0 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, s.pos AS pos
+          FROM pos0 JOIN stats ON s.ng = stats.ng
+          WHERE doc_id != stats.canon
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, c.cp AS cp
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(0, {k}), d -> pos + d)) AS cp
+                FROM hits) AS c(doc_id, cp)
+        ),
+        agg AS (
+          SELECT cov.doc_id, count(*) AS n_removed,
+                 (SELECT count(DISTINCT pos) FROM hits h
+                  WHERE h.doc_id = cov.doc_id) AS n_flagged
+          FROM cov GROUP BY 1
+        )
+        SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(coalesce(agg.n_flagged, 0) AS BIGINT) AS n_flagged_ngrams,
+               CASE WHEN len(toks) = 0 THEN 1.0
+                    ELSE round((len(toks) - coalesce(agg.n_removed, 0)) * 1.0
+                               / len(toks), 6) END AS retained_ratio
+        FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    n_scrubbed = 0
+    for _, w in want.iterrows():
+        g = got[w["doc_id"]]
+        assert g["n_tokens"] == int(w["n_tokens"]), w["doc_id"]
+        assert g["n_removed"] == int(w["n_removed"]), w["doc_id"]
+        assert g["n_flagged_ngrams"] == int(w["n_flagged_ngrams"]), w["doc_id"]
+        assert g["retained_ratio"] == pytest.approx(w["retained_ratio"], abs=2e-6)
+        n_scrubbed += int(g["n_removed"] > 0)
+    # the planted header/footer must actually trigger cross-doc removal
+    assert n_scrubbed >= len(want) - 1  # all but the canonical doc(s)
+
+
+def test_dedup_span_removal_keep_first_policy(spark):
+    """Planted semantics: doc 1 and doc 2 share an 8-token license
+    block inside otherwise unique text; the block survives ONLY in the
+    canonical (lower-id) doc, and a fully unique doc loses nothing."""
+    from datapipeline_spike_spark.operators.dedup import dedup_span_removal
+
+    block = "this standard license block text is identical everywhere"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique opening words {block} alpha closing run"),
+            (2, f"beta different starting phrase {block} beta ending part"),
+            (3, "gamma totally original content with no shared spans at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_span_removal(docs, k=8).collect()}
+    assert out[1]["n_removed"] == 0        # canonical keeps its copy
+    assert out[2]["n_removed"] > 0         # duplicate span scrubbed
+    assert out[3]["n_removed"] == 0        # unique doc untouched
+    assert out[2]["retained_ratio"] < 1.0 == out[1]["retained_ratio"]
