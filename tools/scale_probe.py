@@ -246,6 +246,34 @@ def r10ops_stress(spark, amp: int) -> None:
                           "vecs_per_sec": int(erows / secs)}), flush=True)
         emb.unpersist()
 
+        # staged dedup_span_removal at the planted-boilerplate corpus:
+        # the shared header is a corpus-wide mega-hot gram key — the
+        # probe shows the gram-keyed aggregate + hit join stay linear
+        # under maximal key skew (AQE splits the hot key)
+        from datapipeline_spike_spark.operators.dedup import dedup_span_removal
+
+        docs_sp = amplify_documents(spark, a)
+        docs_sp = docs_sp.withColumn(
+            "text",
+            F.concat(
+                F.lit("shared preamble sentence for every document here now "),
+                F.col("text"),
+            ),
+        ).localCheckpoint(eager=True)
+        srows = docs_sp.count()
+        t0 = time.perf_counter()
+        n_scrubbed = (
+            dedup_span_removal(docs_sp, k=6)
+            .filter(F.col("n_removed") > 0)
+            .count()
+        )
+        secs = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"probe": "dedup_span_removal", "amp": a,
+                          "docs": srows, "docs_scrubbed": n_scrubbed,
+                          "sec": secs,
+                          "docs_per_sec": int(srows / secs)}), flush=True)
+        docs_sp.unpersist()
+
         # skewed-shingle prefix-filter probe: boilerplate on even doc ids
         docs = amplify_documents(spark, a)
         boiler = (
