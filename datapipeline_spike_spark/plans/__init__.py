@@ -98,9 +98,21 @@ _R10_REFRESH = (
     "embedding_label_stats",
     "vibration_features",
 )
-# --- r11 queue: the r7-green remainder (32 queries, stale 3 rounds by
-# r11) — the rotation contract says these lead the r11 head after its
-# changed/new slots ---
+# r11 registration checklist (the r8->r9 staging pattern): five
+# operators are STAGED with green DuckDB differential tests —
+# operators/text_stats.py (zipf_profile, ngram_novelty_profile,
+# kneser_ney_bigram_score, verdict_agreement_matrix) and
+# operators/dedup.py (dedup_span_removal). Their oracle SQL already
+# exists verbatim in tests/test_r10_staging.py; registration is a
+# catalog move: lift the SQL, alias columns identically, give each a
+# head slot, add zipf_profile to plan_audit's WINDOW_OK (its
+# unpartitioned rank window runs on the <= top_n post-limit frame) and
+# verdict_agreement_matrix needs no allowlists (single 1-row agg).
+# SCALE_PROBE_r10 carries 1x/10x rows for dedup_span_removal.
+
+# --- r11 queue: the r7-green remainder plus the two displaced
+# r6-greens (oldest first) — the rotation contract says these lead the
+# r11 head after its changed/new slots ---
 _QUEUED_FOR_NEXT_HEAD = (
     # displaced from the r10 head fill by the 6 changed/new late-r10
     # entries (approx_percentile_bands, hard_negative_pairs,
