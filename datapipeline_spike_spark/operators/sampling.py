@@ -314,3 +314,96 @@ def domain_cap(
     )
     out = out.withColumnRenamed("_dc_u", "cap_u")
     return out if keep_rank else out.drop(rank_col)
+
+
+def temperature_mixture_plan(
+    docs: DataFrame,
+    group_col: str = "lang",
+    token_count_col: str = "tk",
+    budget_frac: float = 0.3,
+    tau: float = 0.5,
+    max_epochs: float = 4.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture planning (staged r10, register r11;
+    the mT5/UNIMAX family: Xue et al. 2021 sample languages with
+    p_i ~ n_i^tau, Chung et al. 2023 cap per-language epochs): unlike
+    ``corpus_mixture_plan``'s FIXED recipe weights, the mixture here is
+    DERIVED from the data — tau < 1 upweights low-resource groups
+    (tau=1 is proportional sampling, tau=0 uniform across groups), and
+    ``max_epochs`` caps how many times a tiny group may repeat before
+    the plan reports a deficit instead of over-repeating it (the
+    UNIMAX degeneracy guard).
+
+    Input needs (id, group, token count) rows; returns one row per
+    group: (group, n_docs, n_tokens, p, target_tokens, epochs,
+    sampling_rate, n_kept_docs, kept_tokens) where epochs =
+    min(target/n, max_epochs); groups with epochs > 1 repeat
+    (sampling_rate 1.0, the writer replays them); groups under 1 apply
+    the deterministic md5 draw and the ACHIEVED kept counts are
+    reported next to the plan.
+
+    Parity: n^tau = exp(tau * ln n) written identically on both
+    engines; every ratio rounds 6dp. Scale shape: one group-grain
+    aggregate, a 1-row total cross (bounded broadcast), and one
+    group-keyed join back for the draw — linear, no windows."""
+    by_g = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col).cast("long").alias("n_tokens"),
+    )
+    pw = F.exp(F.lit(float(tau)) * F.log(F.col("n_tokens").cast("double")))
+    weighted = by_g.select(group_col, "n_docs", "n_tokens", pw.alias("_w"))
+    totals = weighted.agg(
+        F.sum("_w").alias("_wsum"),
+        F.sum("n_tokens").cast("long").alias("_total_tokens"),
+    )
+    plan = weighted.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("_w") / F.col("_wsum")).alias("_p"),
+        (
+            F.lit(float(budget_frac))
+            * (F.col("_w") / F.col("_wsum"))
+            * F.col("_total_tokens")
+        ).alias("_target"),
+    )
+    plan = plan.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round("_p", 6).alias("p"),
+        F.round("_target", 2).alias("target_tokens"),
+        F.round(
+            F.least(
+                F.lit(float(max_epochs)), F.col("_target") / F.col("n_tokens")
+            ),
+            6,
+        ).alias("epochs"),
+    )
+    rate = F.least(F.lit(1.0), F.col("epochs"))
+    kept = (
+        docs.join(
+            F.broadcast(plan.select(group_col, rate.alias("_rate"))), group_col
+        )
+        .filter(hash_u01(id_col) < F.col("_rate"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_docs"),
+            F.sum(token_count_col).cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        plan.join(kept, group_col, "left")
+        .select(
+            plan[group_col].alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "p",
+            "target_tokens",
+            "epochs",
+            F.round(rate, 6).alias("sampling_rate"),
+            F.coalesce("n_kept_docs", F.lit(0)).cast("long").alias("n_kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )

@@ -98,11 +98,12 @@ _R10_REFRESH = (
     "embedding_label_stats",
     "vibration_features",
 )
-# r11 registration checklist (the r8->r9 staging pattern): five
+# r11 registration checklist (the r8->r9 staging pattern): six
 # operators are STAGED with green DuckDB differential tests —
 # operators/text_stats.py (zipf_profile, ngram_novelty_profile,
-# kneser_ney_bigram_score, verdict_agreement_matrix) and
-# operators/dedup.py (dedup_span_removal). Their oracle SQL already
+# kneser_ney_bigram_score, verdict_agreement_matrix),
+# operators/dedup.py (dedup_span_removal), and operators/sampling.py
+# (temperature_mixture_plan). Their oracle SQL already
 # exists verbatim in tests/test_r10_staging.py; registration is a
 # catalog move: lift the SQL, alias columns identically, give each a
 # head slot, add zipf_profile to plan_audit's WINDOW_OK (its

@@ -26,6 +26,12 @@ _SQL_TOKS = (
     " t -> t != '')"
 )
 
+# the engine's deterministic md5 [0,1) draw (operators/sampling.hash_u01)
+_SQL_U01_DOC = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
 
 def _con():
     con = duckdb.connect()
@@ -430,3 +436,100 @@ def test_dedup_span_removal_keep_first_policy(spark):
     assert out[2]["n_removed"] > 0         # duplicate span scrubbed
     assert out[3]["n_removed"] == 0        # unique doc untouched
     assert out[2]["retained_ratio"] < 1.0 == out[1]["retained_ratio"]
+
+
+def test_temperature_mixture_matches_duckdb(spark):
+    """Temperature mixture plan vs a full DuckDB replay on the
+    documents table at tau=0.5, budget 30%, epoch cap 4."""
+    from datapipeline_spike_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    d = load(spark, SF, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.array_remove(F.split(F.lower("text"), "[^a-z0-9']+"), "")).alias("tk"),
+    )
+    got = {
+        r["lang"]: r.asDict()
+        for r in temperature_mixture_plan(
+            d, budget_frac=0.3, tau=0.5, max_epochs=4.0
+        ).collect()
+    }
+    want = _con().execute(
+        f"""
+        WITH d AS (
+          SELECT doc_id, lang, len({_SQL_TOKS}) AS tk FROM documents
+        ),
+        by_g AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(tk) AS BIGINT) AS n_tokens
+          FROM d GROUP BY 1
+        ),
+        w AS (SELECT *, exp(0.5 * ln(CAST(n_tokens AS DOUBLE))) AS pw FROM by_g),
+        tot AS (SELECT sum(pw) AS wsum,
+                       CAST(sum(n_tokens) AS BIGINT) AS total FROM w),
+        plan AS (
+          SELECT lang, n_docs, n_tokens,
+                 round(pw / wsum, 6) AS p,
+                 round(0.3 * (pw / wsum) * total, 2) AS target_tokens,
+                 round(least(4.0, (0.3 * (pw / wsum) * total) / n_tokens), 6)
+                   AS epochs
+          FROM w, tot
+        ),
+        kept AS (
+          SELECT lang, count(*) AS n_kept_docs,
+                 CAST(sum(tk) AS BIGINT) AS kept_tokens
+          FROM d JOIN plan USING (lang)
+          WHERE {_SQL_U01_DOC} < least(1.0, epochs)
+          GROUP BY 1
+        )
+        SELECT plan.lang, n_docs, n_tokens, p, target_tokens, epochs,
+               round(least(1.0, epochs), 6) AS sampling_rate,
+               coalesce(n_kept_docs, 0) AS n_kept_docs,
+               coalesce(kept_tokens, 0) AS kept_tokens
+        FROM plan LEFT JOIN kept USING (lang)
+        """
+    ).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[w["lang"]]
+        for c in ("n_docs", "n_tokens", "n_kept_docs", "kept_tokens"):
+            assert g[c] == int(w[c]), (w["lang"], c)
+        for c in ("p", "target_tokens", "epochs", "sampling_rate"):
+            assert g[c] == pytest.approx(w[c], abs=2e-6), (w["lang"], c)
+
+
+def test_temperature_mixture_tau_properties(spark):
+    """Planted tau semantics on a skewed 2-group corpus (90/10 token
+    split): tau=1 reproduces proportional shares; tau=0 splits the
+    budget uniformly; tau=0.5 sits strictly between; the epoch cap
+    binds when a tiny group's target exceeds cap x its size."""
+    from datapipeline_spike_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    rows = [(i, "big", 90) for i in range(100)] + [
+        (1000 + i, "small", 10) for i in range(100)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, tk long")
+
+    def shares(tau, cap=100.0):
+        out = {
+            r["lang"]: r
+            for r in temperature_mixture_plan(
+                d, budget_frac=0.5, tau=tau, max_epochs=cap
+            ).collect()
+        }
+        return out
+
+    p1 = shares(1.0)
+    assert p1["big"]["p"] == pytest.approx(0.9, abs=1e-6)
+    p0 = shares(0.0)
+    assert p0["big"]["p"] == pytest.approx(0.5, abs=1e-6)
+    ph = shares(0.5)
+    assert 0.5 < ph["big"]["p"] < 0.9
+    # cap: small group's uncapped epochs at tau=0 would be
+    # 0.5 * 0.5 * 10000 / 1000 = 2.5 -> a cap of 2 binds
+    capped = shares(0.0, cap=2.0)
+    assert capped["small"]["epochs"] == 2.0
