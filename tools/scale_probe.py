@@ -297,6 +297,45 @@ def r10ops_stress(spark, amp: int) -> None:
         docs.unpersist()
 
 
+def r10staged_stress(spark, amp: int) -> None:
+    """1x/``amp``x rows for the r10 staged corpus-statistics operators
+    (register r11): zipf_profile (vocabulary-keyed counts + top-N),
+    ngram_novelty_profile (gram-keyed document frequency),
+    kneser_ney_bigram_score (three vocabulary-bounded aggregates +
+    scoring joins), temperature_mixture_plan (group aggregate + draw).
+    Pass signal: flat-or-rising docs/sec."""
+    from datapipeline_spike_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+    from datapipeline_spike_spark.operators.text_stats import (
+        kneser_ney_bigram_score,
+        ngram_novelty_profile,
+        zipf_profile,
+    )
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        drows = docs.count()
+        for name, builder in (
+            ("zipf_profile", lambda: zipf_profile(docs)),
+            ("ngram_novelty_profile", lambda: ngram_novelty_profile(docs)),
+            ("kneser_ney_bigram", lambda: kneser_ney_bigram_score(docs)),
+            (
+                "temperature_mixture",
+                lambda: temperature_mixture_plan(
+                    docs.select(
+                        "doc_id", "lang", (F.col("n_chars") / 5).alias("tk")
+                    )
+                ),
+            ),
+        ):
+            secs = probe(name, builder)
+            print(json.dumps({"probe": name, "amp": a, "docs": drows,
+                              "sec": secs,
+                              "docs_per_sec": int(drows / secs)}), flush=True)
+        docs.unpersist()
+
+
 def r10tpch_stress(spark, amp: int) -> None:
     """Round-10 TPC-H shape probes: the NEW join surfaces at 1x and
     ``amp``x. Q21's fact self-correlation is the shape to watch — the
@@ -608,7 +647,7 @@ def r8lib2_stress(spark, amp: int) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     mode = "core"
-    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch"):
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged"):
         if m in args:
             mode = m
             break
@@ -642,6 +681,9 @@ def main() -> None:
         return
     if mode == "r10tpch":
         r10tpch_stress(spark, n)
+        return
+    if mode == "r10staged":
+        r10staged_stress(spark, n)
         return
 
     for amp in (1, n):
