@@ -1,15 +1,37 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-the driver contract's JSON line {"metric", "value", "unit", "queries",
-"sf"} FIRST (compact, fixed size — the headline list is frozen), then
-a second JSON line with full detail (per-run timings, minima, extras,
-errors), which is also written to BENCH_DETAIL_LOCAL.json.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+OUTPUT CONTRACT (r11, VERDICT r10 item 1 — third-strike fix): stdout
+carries EXACTLY ONE compact JSON line (<= ~1 KB), emitted LAST, after
+everything else this process does. The driver's capture keeps the TAIL
+of stdout (BENCH_r08/r09/r10 all stored tail fragments of a large
+line-2 detail object and recorded "parsed": null), so the only robust
+shape is: no detail on stdout at all — the full detail object (per-run
+timings, minima, extras, errors, spreads) is written ONLY to the
+committed sidecar file BENCH_DETAIL_LOCAL.json. Progress and errors go
+to stderr.
+
+The compact line is
+  {"metric", "value", "unit", "value_min", "queries", "sf",
+   "curation_headline_runtime"}
+where "queries" holds the 18 frozen headline steady-state timings
+(fixed size — the headline list never grows) and
+"curation_headline_runtime" is the second frozen total tracking the
+LLM-curation flagships round-over-round (VERDICT r10 item 8).
+
+NOISE CONTROL (VERDICT r10 item 3): the extras sweep grew to ~70
+queries and accumulated JVM/executor state inflated late-sweep timings
+2-6x on unchanged code (r10 driver extras vs quiet-host local run).
+Extras now run in chunks of EXTRAS_CHUNK with a full SparkSession
+restart between chunks, so no query is measured more than ~20 queries
+deep into one JVM's accumulated state.
 
 Execution is forced with the noop sink (full computation, no driver
 collect, no result materialization cost)."""
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -20,9 +42,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datapipeline_spike_spark.plans import REGISTRY  # noqa: E402
 from datapipeline_spike_spark.session import get_session  # noqa: E402
 
-# Secondary set: timed and reported under "extras" but NOT in the
-# headline total — the headline list is frozen so round-over-round
-# totals stay comparable.
+# Secondary set: timed and reported under "extras" in the sidecar but
+# NOT in the headline total — the headline list is frozen so
+# round-over-round totals stay comparable.
 EXTRAS = [
     "incremental_ingest_dedup",
     "quality_filter_decision",
@@ -67,8 +89,7 @@ EXTRAS = [
     # round 8 additions
     "semdedup_assignment",
     "dsir_importance_weights",
-    # round 9 registrations (VERDICT r9 item 3: round-over-round perf
-    # tracking for the whole r9 head), curation funnel first
+    # round 9 registrations, curation funnel first
     "curation_stage_profile",
     "paragraph_dedup_profile",
     "approx_percentile_bands",
@@ -99,7 +120,18 @@ EXTRAS = [
     "product_type_profit",
     "top_supplier_revenue",
     "supplier_part_types",
+    # round 11 registrations (the r10 staged corpus-statistics ops)
+    "zipf_profile",
+    "ngram_novelty_profile",
+    "kneser_ney_bigram_score",
+    "verdict_agreement_matrix",
+    "dedup_span_removal",
+    "temperature_mixture_plan",
 ]
+
+# After this many extras the SparkSession is stopped and rebuilt so
+# accumulated executor/GC state can't inflate late-sweep timings.
+EXTRAS_CHUNK = 20
 
 HEADLINE = [
     "vibration_features",      # flagship windowed feature extraction
@@ -120,6 +152,23 @@ HEADLINE = [
     "ann_lsh_bucket",          # LSH-bucketed ANN + multiprobe
     "spectral_energy",         # FFT pandas-udf path
     "text_quality_profile",
+]
+
+# FROZEN (r11): the LLM-curation flagship total reported as
+# "curation_headline_runtime" in the compact line — the north-star
+# workload gets its own round-over-round number the r4-era headline
+# can't provide. Members must appear in HEADLINE or EXTRAS; the total
+# sums their steady-state timings wherever they were measured.
+CURATION_HEADLINE = [
+    "curation_stage_profile",   # the 8-stage funnel (the product)
+    "doc_fingerprint_dedup",    # exact dedup
+    "minhash_lsh_candidates",   # near-dup banding
+    "dedup_corpus_assignment",  # end-to-end dedup + components
+    "semdedup_assignment",      # semantic dedup
+    "embedding_topk_cosine",    # similarity search baseline
+    "ann_lsh_bucket",           # similarity search scale path
+    "hard_negative_pairs",      # contrastive mining
+    "text_quality_profile",     # quality scoring
 ]
 
 
@@ -153,24 +202,20 @@ def run_queries(
         timings[name] = pair[-1]
         # release per-query state between queries: several operators
         # localCheckpoint/persist shared frames at plan-build; left in
-        # place they pile executor memory across the 60-query sweep and
-        # inflate later queries' timings (r8: semdedup measured 10.5 s
-        # inside the sweep vs 3.1 s standalone — GC pressure, not plan)
+        # place they pile executor memory across the sweep and inflate
+        # later queries' timings (r8: semdedup measured 10.5 s inside
+        # the sweep vs 3.1 s standalone — GC pressure, not plan)
         spark.catalog.clearCache()
-        import gc
-
         gc.collect()
     return timings, runs, errors
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_session("bench")
-    # JVM/codegen warmup on a trivial action so query 1 isn't charged for it
+def _fresh_session(tag: str):
+    """Build a warmed SparkSession (JVM codegen + Python-worker/Arrow
+    warmup) so the first query after a restart isn't charged for
+    one-off costs."""
+    spark = get_session(f"bench-{tag}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # Python-worker + Arrow warmup so the first pandas-UDF query isn't
-    # charged for the worker fork
     from pyspark.sql import functions as F
 
     from datapipeline_spike_spark.functions.spectral import spectral_energy_fft
@@ -178,69 +223,89 @@ def main() -> None:
     spark.range(100).select(
         spectral_energy_fft(F.array(F.col("id").cast("double")))
     ).collect()
+    return spark
+
+
+def _restart_session(spark, tag: str):
+    try:
+        spark.stop()
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: session stop failed ({exc}); continuing", file=sys.stderr)
+    gc.collect()
+    return _fresh_session(tag)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = _fresh_session("headline")
 
     # steady-state measurement: run each query n_runs times and report
     # the LAST time. The first run pays one-off costs that are not query
     # cost (codegen compilation, parquet footer reads, JVM JIT warmup,
     # Python-worker forks) and this host's wall-times swing 2-4x
-    # run-to-run — the second run is the reproducible number a cluster
-    # would see in steady state. Both runs are reported ("runs") so the
+    # run-to-run — the last run is the reproducible number a cluster
+    # would see in steady state. All runs land in the sidecar so the
     # host's noise floor is visible next to the headline number.
     timings, runs, errors = run_queries(spark, HEADLINE, sf_dir)
 
+    # extras in chunks of EXTRAS_CHUNK with a session restart between
+    # chunks (VERDICT r10 item 3): accumulated JVM state across a ~70
+    # query sweep inflated unchanged queries 2-6x in r10's driver run.
     extras: dict[str, float] = {}
     extras_min: dict[str, float] = {}
-    ex_timings, ex_runs, ex_errors = run_queries(spark, [n for n in EXTRAS if n in REGISTRY], sf_dir, n_runs=2)
-    extras = ex_timings
-    extras_min = {n: min(p) for n, p in ex_runs.items()}
-    errors.update(ex_errors)
+    live_extras = [n for n in EXTRAS if n in REGISTRY]
+    for i in range(0, len(live_extras), EXTRAS_CHUNK):
+        chunk = live_extras[i : i + EXTRAS_CHUNK]
+        spark = _restart_session(spark, f"extras-{i // EXTRAS_CHUNK}")
+        ex_timings, ex_runs, ex_errors = run_queries(spark, chunk, sf_dir, n_runs=2)
+        extras.update(ex_timings)
+        extras_min.update({n: min(p) for n, p in ex_runs.items()})
+        errors.update(ex_errors)
 
     total = round(sum(timings.values()), 3)
-    # Noise armor (r6, verdict item 4): per-query best-of-N minima and
-    # their total, reported NEXT TO the steady-state headline. The
-    # steady-state number stays the comparable headline; the minima are
-    # the evidence that distinguishes a plan regression (min moves) from
-    # host noise (only the non-min runs move).
     queries_min = {n: min(p) for n, p in runs.items()}
     total_min = round(sum(queries_min.values()), 3)
     spreads = [max(p) / min(p) for p in runs.values() if min(p) > 0]
-    # Output contract (VERDICT r9 item 3): BENCH_r08/r09 were
-    # driver-unparseable because the single JSON line had grown past the
-    # driver's capture limit (headline + runs + ~60 extras x2) and got
-    # truncated. Line 1 is now the COMPACT headline record — metric,
-    # value, unit, sf, per-headline-query steady-state timings (~1 KB,
-    # frozen size: the headline list never grows) — so the driver always
-    # parses a complete JSON object first. Full detail (runs, minima,
-    # extras, errors) goes on line 2 AND to a sidecar file so a
-    # tail-truncating capture still leaves the detail recoverable
-    # in-repo.
+    merged = {**extras, **timings}
+    curation_members = [n for n in CURATION_HEADLINE if n in merged]
+    curation_total = round(sum(merged[n] for n in curation_members), 3)
+
     compact = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "value_min": total_min,
         "queries": timings,
+        "curation_headline_runtime": curation_total,
         "sf": sf,
     }
     if errors:
         compact["errors_count"] = len(errors)
-    print(json.dumps(compact))
     detail = {
+        **compact,
         "queries_min": queries_min,
         "runs": runs,
         "extras": extras,
         "extras_min": extras_min,
+        "extras_chunk": EXTRAS_CHUNK,
+        "curation_headline_queries": curation_members,
         "max_run_spread": round(max(spreads), 2) if spreads else None,
-        "sf": sf,
     }
     if errors:
         detail["errors"] = errors
-    print(json.dumps(detail))
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_LOCAL.json"
     )
     with open(sidecar, "w") as fh:
-        json.dump({**compact, **detail}, fh, indent=1)
+        json.dump(detail, fh, indent=1)
+    # THE one stdout line, last thing this process writes: a
+    # tail-keeping capture always ends with this complete JSON object.
+    line = json.dumps(compact)
+    assert len(line) < 1536, f"compact bench line grew to {len(line)} bytes"
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -351,22 +351,33 @@ def temperature_mixture_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_col).cast("long").alias("n_tokens"),
     )
-    pw = F.exp(F.lit(float(tau)) * F.log(F.col("n_tokens").cast("double")))
+    # zero-token groups: ln(0) is NULL in Spark, which would NULL the
+    # group's weight/p/epochs and silently drop its rows from the draw
+    # (NULL comparisons filter). Contract instead: the group STAYS in
+    # the plan with weight 0 -> p = 0, epochs = 0, nothing sampled —
+    # visible, not vanished.
+    pw = F.when(
+        F.col("n_tokens") > 0,
+        F.exp(F.lit(float(tau)) * F.log(F.col("n_tokens").cast("double"))),
+    ).otherwise(F.lit(0.0))
     weighted = by_g.select(group_col, "n_docs", "n_tokens", pw.alias("_w"))
     totals = weighted.agg(
         F.sum("_w").alias("_wsum"),
         F.sum("n_tokens").cast("long").alias("_total_tokens"),
     )
+    # share: guard the all-zero-corpus edge (_wsum = 0 -> 0/0 NULL);
+    # a zero-weight group's share is 0 by the documented contract
+    share = F.when(F.col("_w") > 0, F.col("_w") / F.col("_wsum")).otherwise(
+        F.lit(0.0)
+    )
     plan = weighted.crossJoin(F.broadcast(totals)).select(
         group_col,
         "n_docs",
         "n_tokens",
-        (F.col("_w") / F.col("_wsum")).alias("_p"),
-        (
-            F.lit(float(budget_frac))
-            * (F.col("_w") / F.col("_wsum"))
-            * F.col("_total_tokens")
-        ).alias("_target"),
+        share.alias("_p"),
+        (F.lit(float(budget_frac)) * share * F.col("_total_tokens")).alias(
+            "_target"
+        ),
     )
     plan = plan.select(
         group_col,
@@ -374,12 +385,19 @@ def temperature_mixture_plan(
         "n_tokens",
         F.round("_p", 6).alias("p"),
         F.round("_target", 2).alias("target_tokens"),
-        F.round(
-            F.least(
-                F.lit(float(max_epochs)), F.col("_target") / F.col("n_tokens")
-            ),
-            6,
-        ).alias("epochs"),
+        # n_tokens = 0 makes _target/n_tokens NULL, and Spark's least()
+        # SKIPS nulls (epochs would come back as max_epochs) — pin the
+        # zero-token group to epochs 0 explicitly
+        F.when(F.col("n_tokens") > 0,
+               F.round(
+                   F.least(
+                       F.lit(float(max_epochs)),
+                       F.col("_target") / F.col("n_tokens"),
+                   ),
+                   6,
+               ))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
     )
     rate = F.least(F.lit(1.0), F.col("epochs"))
     kept = (

@@ -181,6 +181,62 @@ def lsh_bucket_assign(
     return df.withColumn("bucket", bucket)
 
 
+# hard ceiling for the data-derived plane count: 2^16 buckets is enough
+# to keep ~64-row buckets up to a 4M-vector corpus per partition-group;
+# beyond that the caller should shard the corpus first
+MAX_AUTO_PLANES = 16
+
+
+def lsh_bucket_assign_auto(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    target_bucket: int = 64,
+    min_planes: int = 4,
+    max_planes: int = MAX_AUTO_PLANES,
+) -> DataFrame:
+    """``lsh_bucket_assign`` with the plane count DERIVED from the data,
+    in-plan (VERDICT r10 item 4 — a fixed n_planes means bucket size
+    grows linearly with the corpus and in-bucket pair work grows
+    quadratically; SCALE_PROBE_r10 measured fixed-4 collapsing 301->65
+    vecs/s at 10x while log-scaled planes rise):
+
+        n_planes = clamp(ceil(log2(count / target_bucket)),
+                         min_planes, max_planes)
+
+    keeps the EXPECTED bucket size near ``target_bucket`` at any corpus
+    scale. The count is a 1-row aggregate broadcast-crossed into the
+    row-grain plan (the established totals pattern — no plan-build
+    collect), and the bucket is the full ``max_planes``-bit signature
+    masked to the low ``n_planes`` bits: bit p of the mask-limited
+    bucket equals sign(v . plane_{p+1}) exactly, so the result is
+    bit-identical to ``lsh_bucket_assign(df, dim, n_planes)`` at the
+    derived count — an SQL oracle replays the same derivation from
+    count(*) and the same plane literals.
+
+    Emits ``bucket`` and ``n_planes`` columns."""
+    full = lsh_bucket_assign(df, dim, max_planes, vec_col)
+    totals = df.agg(F.count(F.lit(1)).alias("_n_corpus"))
+    np_col = F.least(
+        F.lit(max_planes),
+        F.greatest(
+            F.lit(min_planes),
+            F.ceil(
+                F.log2(F.col("_n_corpus") / F.lit(float(target_bucket)))
+            ).cast("int"),
+        ),
+    )
+    # 2^n_planes - 1 via pow: exact for n_planes <= 30, and pow takes a
+    # column exponent (shiftleft needs a literal int)
+    mask = (F.pow(F.lit(2.0), np_col).cast("int") - F.lit(1))
+    return (
+        full.crossJoin(F.broadcast(totals))
+        .withColumn("n_planes", np_col)
+        .withColumn("bucket", F.col("bucket").bitwiseAND(mask))
+        .drop("_n_corpus")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -955,12 +1011,13 @@ def hard_negative_mining(
     corpus: DataFrame,
     dim: int,
     k: int = 3,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     hi: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str | None = None,
     multiprobe: int = 0,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Contrastive-training hard-negative mining: for EVERY anchor in
     the corpus, the ``k`` most-similar candidates that are (a) not the
@@ -970,10 +1027,14 @@ def hard_negative_mining(
     supervised definition of "negative"). Candidates come from the
     anchor's sign-LSH bucket — the same equi-join that makes every ANN
     tier here tractable — so mining is |bucket|-bounded per anchor
-    instead of corpus-bounded; ``n_planes`` is the scale knob (buckets
-    ~ n/2^planes: 16 planes keeps in-bucket work flat at 100 TB).
-    ``multiprobe=1`` adds Hamming-1 buckets when recall matters more
-    than cost. Returns (anchor_id, negative_id, cos_sim, rank).
+    instead of corpus-bounded. ``n_planes`` is the scale knob (buckets
+    ~ n/2^planes); by default (``n_planes=None``, r11) it is DERIVED
+    in-plan from the corpus count via :func:`lsh_bucket_assign_auto`
+    so expected bucket size stays near ``target_bucket`` at any scale —
+    a pinned plane count makes in-bucket pair work quadratic in corpus
+    growth (VERDICT r10 item 4). ``multiprobe=1`` adds Hamming-1
+    buckets when recall matters more than cost. Returns (anchor_id,
+    negative_id, cos_sim, rank).
 
     Plan shape: one map-only bucket assign feeds BOTH join sides (4
     dot products per row — cheap enough to recompute per side, unlike
@@ -987,7 +1048,17 @@ def hard_negative_mining(
     # the whole in-bucket scoring (the CPU-heavy stage) on ONE task —
     # the anchor side feeds the probe/join stage directly when the
     # candidate side broadcasts (r10; cosine_neardup_pairs precedent)
-    coded = lsh_bucket_assign(fan_out(corpus), dim, n_planes, vec_col)
+    if n_planes is None:
+        coded = lsh_bucket_assign_auto(
+            fan_out(corpus), dim, vec_col, target_bucket=target_bucket
+        ).drop("n_planes")
+        if multiprobe >= 1:
+            raise ValueError(
+                "multiprobe needs a fixed n_planes (the probe set is "
+                "plane-count-dependent); pass n_planes explicitly"
+            )
+    else:
+        coded = lsh_bucket_assign(fan_out(corpus), dim, n_planes, vec_col)
     # norms at the ROW grain, before the bucket self-join: each vector's
     # norm is pair-independent, and computing it per candidate pair
     # costs 2 extra interpreted array folds per pair (r10, 3x measured)

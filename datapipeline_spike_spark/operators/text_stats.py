@@ -253,6 +253,11 @@ def verdict_agreement_matrix(
     rows come from exploding the 1-row result. Everything downstream
     of the aggregate is bounded by k^2.
     """
+    if len(verdict_cols) < 2:
+        raise ValueError(
+            "verdict_agreement_matrix needs at least 2 verdict columns, "
+            f"got {verdict_cols!r}"
+        )
     pairs = [
         (a, b)
         for i, a in enumerate(verdict_cols)

@@ -10,6 +10,7 @@ from datapipeline_spike_spark.plans import catalog_extensions  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_r9  # noqa: F401  (r8 staged -> registered)
 from datapipeline_spike_spark.plans import catalog_curation  # noqa: F401  (r9 curation funnel)
+from datapipeline_spike_spark.plans import catalog_r11  # noqa: F401  (r10 staged -> registered)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -27,97 +28,28 @@ from datapipeline_spike_spark.plans import catalog_curation  # noqa: F401  (r9 c
 
 DRIVER_SAMPLE = 50
 
-# --- r10 head, slot 1: NEW r10 registrations — the six TPC-H shapes
-# the r9 head promised but never built (VERDICT r9 items 1-2); each is
-# registered in plans/catalog_relational with a DuckDB oracle ---
-_R10_NEW = (
-    "forecast_revenue_change",      # TPC-H Q6: pushdown-only selective aggregate
-    "volume_shipping",              # TPC-H Q7: two-sided nation cross-condition
-    "market_share",                 # TPC-H Q8: 8-relation join + share ratio
-    "customer_distribution",        # TPC-H Q13: ON-clause-filtered outer join
-    "waiting_suppliers",            # TPC-H Q21: EXISTS + NOT EXISTS self-correlation
-    "global_sales_opportunity",     # TPC-H Q22: substring-IN + scalar-subquery + anti
-    "product_type_profit",          # TPC-H Q9: 5-relation profit rollup
-    "top_supplier_revenue",         # TPC-H Q15: max-over-aggregate scalar subquery
-    "supplier_part_types",          # TPC-H Q16: distinct-count + NOT IN exclusion
+# --- r11 head, slot 1: NEW r11 registrations — the six r10-staged
+# corpus-statistics / curation operators, registered in
+# plans/catalog_r11 with the staging tests' DuckDB oracles verbatim ---
+_R11_NEW = (
+    "zipf_profile",                 # rank-frequency OLS distribution health
+    "ngram_novelty_profile",        # leave-one-out trigram novelty
+    "kneser_ney_bigram_score",      # interpolated-KN LM fluency
+    "verdict_agreement_matrix",     # filter-calibration kappa matrix
+    "dedup_span_removal",           # ExactSubstr duplicate-span scrubbing
+    "temperature_mixture_plan",     # mT5/UNIMAX p ~ n^tau mixture
 )
-# --- r10 head, slot 2: code changed in round 10 (MUST re-hash) ---
-_R10_CHANGED = (
-    "curation_stage_profile",       # r10: cache-handle lifecycle fix (ADVICE r9 items 1-2)
-    "approx_percentile_bands",      # r10: sketch accuracy 10k -> 100k (ADVICE r9 item 5)
-    "hard_negative_pairs",          # r10: row-grain norm precompute + fan_out (11.9 -> 1.8 s)
-    "semdedup_assignment",          # r10: same norm precompute in semdedup's cluster sweep
-    # cosine_neardup_pairs got the same norm precompute; its consumers
-    # (embedding_neardup_pairs, embedding_dedup_assignment) already
-    # hold r10 head slots in the r6-green refresh block below
+# --- r11 head, slot 2: code changed in round 11 (MUST re-hash) ---
+_R11_CHANGED = (
+    "hard_negative_pairs",          # r11: n_planes now data-derived in-plan
+                                    # (VERDICT r10 item 4 — was pinned at 4)
 )
-# --- r10 head, slot 3: the oldest-driver-green block (VERDICT r9 item
-# 6: nothing drifts past ~3 rounds without a fresh driver hash): 37 of
-# the 39 r6-green queries (stale 4 rounds), filling the head to
-# exactly DRIVER_SAMPLE. The other two r6-greens
-# (machine_stream_union, multimodal_shard_meta — the two lowest-drift-
-# risk names: a schema union and a metadata projection) were displaced
-# by the late-r10 changed-code slots above and lead the r11 queue. ---
-_R10_REFRESH = (
-    # r6-green (37 of 39)
-    "scd2_user_state_history",
-    "repeated_substring_profile",
-    "bloom_filter_profile",
-    "prefix_filter_jaccard_join",
-    "scd2_steady_state",
-    "incremental_dedup_steady_state",
-    "embedding_topk_cosine",
-    "ann_recall_at_k",
-    "ivf_recall_at_k",
-    "ann_ivf_flat",
-    "ann_ivf_kmeans",
-    "ann_lsh_bucket",
-    "embedding_neardup_pairs",
-    "embedding_dedup_assignment",
-    "source_overlap_matrix",
-    "pq_distortion_profile",
-    "pq_adc_recall_at_k",
-    "text_quality_profile",
-    "record_envelope_flat",
-    "envelope_reduced_features",
-    "corpus_mixture_plan",
-    "audio_header_meta",
-    "incremental_ingest_dedup",
-    "quality_filter_decision",
-    "customer_value_ranks",
-    "source_quality_rollup",
-    "lineitem_scalar_lab",
-    "props_variant_stats",
-    "robust_outlier_mad",
-    "event_funnel_transitions",
-    "cohort_retention",
-    "monthly_revenue_growth",
-    "value_histogram",
-    "sessionization",
-    "repetition_profile",
-    "embedding_label_stats",
-    "vibration_features",
-)
-# r11 registration checklist (the r8->r9 staging pattern): six
-# operators are STAGED with green DuckDB differential tests —
-# operators/text_stats.py (zipf_profile, ngram_novelty_profile,
-# kneser_ney_bigram_score, verdict_agreement_matrix),
-# operators/dedup.py (dedup_span_removal), and operators/sampling.py
-# (temperature_mixture_plan). Their oracle SQL already
-# exists verbatim in tests/test_r10_staging.py; registration is a
-# catalog move: lift the SQL, alias columns identically, give each a
-# head slot, add zipf_profile to plan_audit's WINDOW_OK (its
-# unpartitioned rank window runs on the <= top_n post-limit frame) and
-# verdict_agreement_matrix needs no allowlists (single 1-row agg).
-# SCALE_PROBE_r10 carries 1x/10x rows for dedup_span_removal.
-
-# --- r11 queue: the r7-green remainder plus the two displaced
-# r6-greens (oldest first) — the rotation contract says these lead the
-# r11 head after its changed/new slots ---
-_QUEUED_FOR_NEXT_HEAD = (
-    # displaced from the r10 head fill by the 6 changed/new late-r10
-    # entries (approx_percentile_bands, hard_negative_pairs,
-    # semdedup_assignment, TPC-H Q9/Q15/Q16)
+# --- r11 head, slot 3: the documented r11 queue — the r7-green
+# remainder plus the two r6-greens displaced from the r10 head fill
+# (oldest first, 38 names) — then the five OLDEST r8-greens, filling
+# the head to exactly DRIVER_SAMPLE. ---
+_R11_REFRESH = (
+    # r7-green remainder + 2 displaced r6-greens (the r10 queue, verbatim)
     "multimodal_shard_meta",
     "machine_stream_union",
     "maintenance_window_overlap",
@@ -156,17 +88,20 @@ _QUEUED_FOR_NEXT_HEAD = (
     "pricing_summary",
     "dominant_frequency",
     "pca_reduce",
-)
-# --- tail: most recently driver-green LAST-checked blocks, newest
-# last is irrelevant to sampling (only the first 50 are hashed); kept
-# ordered r8-green then r9-green so the next rotation can be read off
-# the file. ---
-_R8_GREEN_TAIL = (
+    # oldest r8-greens (head fill to capacity; the other 18 r8-greens
+    # lead the r12 queue below)
     "document_chunks",
     "benchmark_contamination",
     "leakage_safe_split",
     "stratified_sample",
     "pii_redaction",
+)
+
+# --- r12 queue: the r8-green remainder (stale 4 rounds by r12 — all
+# must refresh) followed by the oldest r9-greens, leaving ~8 head slots
+# for r12 new/changed registrations ---
+_QUEUED_FOR_NEXT_HEAD = (
+    # r8-green remainder (18)
     "segment_dedup_profile",
     "context_pack_stats",
     "doc_fingerprint_dedup",
@@ -185,8 +120,7 @@ _R8_GREEN_TAIL = (
     "url_host_dedup",
     "decontamination_span_removal",
     "winnowing_fingerprints",
-)
-_R9_GREEN_TAIL = (
+    # oldest r9-greens (24 of 48; the rest stay in the tail)
     "near_dup_cluster_stats",
     "minhash_jaccard_estimate",
     "ngram_jaccard_pairs",
@@ -200,19 +134,23 @@ _R9_GREEN_TAIL = (
     "bigram_fluency",
     "perplexity_bucket_profile",
     "encoding_quality_profile",
-    "hard_negative_pairs",
     "hamming_recall_at_k",
     "random_projection_profile",
     "local_supplier_volume",
     "referential_integrity_audit",
     "paragraph_dedup_profile",
-    "approx_percentile_bands",
     "gopher_quality_rules",
     "c4_line_filters",
     "domain_cap_sample",
     "dsir_importance_weights",
     "pca_variance_profile",
     "promo_revenue_share",
+)
+# --- tail: most recently driver-green LAST-checked blocks — newest
+# last is irrelevant to sampling (only the first 50 are hashed); kept
+# ordered r9-green remainder then r10-green so the next rotation can be
+# read off the file. ---
+_R9_GREEN_TAIL = (
     "large_volume_orders",
     "branded_quantity_bands",
     "revenue_by_segment",
@@ -222,7 +160,6 @@ _R9_GREEN_TAIL = (
     "cluster_balanced_sample",
     "snapshot_delta",
     "quality_classifier_score",
-    "semdedup_assignment",
     "minhash_lsh_candidates",
     "simhash_neardup_pairs",
     "dedup_corpus_assignment",
@@ -237,11 +174,63 @@ _R9_GREEN_TAIL = (
     "kmv_distinct_ngrams",
     "heavy_hitter_tokens",
 )
+_R10_GREEN_TAIL = (
+    # the full r10 head (50/50 green in CORRECTNESS_r10), freshest block
+    "forecast_revenue_change",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "waiting_suppliers",
+    "global_sales_opportunity",
+    "product_type_profit",
+    "top_supplier_revenue",
+    "supplier_part_types",
+    "curation_stage_profile",
+    "approx_percentile_bands",
+    "semdedup_assignment",
+    "scd2_user_state_history",
+    "repeated_substring_profile",
+    "bloom_filter_profile",
+    "prefix_filter_jaccard_join",
+    "scd2_steady_state",
+    "incremental_dedup_steady_state",
+    "embedding_topk_cosine",
+    "ann_recall_at_k",
+    "ivf_recall_at_k",
+    "ann_ivf_flat",
+    "ann_ivf_kmeans",
+    "ann_lsh_bucket",
+    "embedding_neardup_pairs",
+    "embedding_dedup_assignment",
+    "source_overlap_matrix",
+    "pq_distortion_profile",
+    "pq_adc_recall_at_k",
+    "text_quality_profile",
+    "record_envelope_flat",
+    "envelope_reduced_features",
+    "corpus_mixture_plan",
+    "audio_header_meta",
+    "incremental_ingest_dedup",
+    "quality_filter_decision",
+    "customer_value_ranks",
+    "source_quality_rollup",
+    "lineitem_scalar_lab",
+    "props_variant_stats",
+    "robust_outlier_mad",
+    "event_funnel_transitions",
+    "cohort_retention",
+    "monthly_revenue_growth",
+    "value_histogram",
+    "sessionization",
+    "repetition_profile",
+    "embedding_label_stats",
+    "vibration_features",
+)
 
-_HEAD = list(_R10_NEW) + list(_R10_CHANGED) + list(_R10_REFRESH)
-_R10_TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
+_HEAD = list(_R11_NEW) + list(_R11_CHANGED) + list(_R11_REFRESH)
+_R11_TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     n
-    for n in list(_R8_GREEN_TAIL) + list(_R9_GREEN_TAIL)
+    for n in list(_R9_GREEN_TAIL) + list(_R10_GREEN_TAIL)
     if n not in _HEAD
 ]
 
@@ -263,7 +252,7 @@ def rotation_preflight(
     _QUEUED_FOR_NEXT_HEAD = (
         queued if queued is not None else globals()["_QUEUED_FOR_NEXT_HEAD"]
     )
-    _R10_TAIL = tail if tail is not None else globals()["_R10_TAIL"]
+    _R11_TAIL = tail if tail is not None else globals()["_R11_TAIL"]
     problems: list[str] = []
     phantom = [n for n in _HEAD if n not in REGISTRY]
     if phantom:
@@ -287,9 +276,9 @@ def rotation_preflight(
         problems.append(
             f"queue ({len(_QUEUED_FOR_NEXT_HEAD)}) exceeds next head capacity"
         )
-    ordered = set(_HEAD) | set(_R10_TAIL)
+    ordered = set(_HEAD) | set(_R11_TAIL)
     unlisted = [n for n in REGISTRY if n not in ordered]
-    listed_gone = [n for n in _R10_TAIL if n not in REGISTRY]
+    listed_gone = [n for n in _R11_TAIL if n not in REGISTRY]
     if listed_gone:
         problems.append(f"tail names not in REGISTRY: {listed_gone}")
     if unlisted:
@@ -300,7 +289,7 @@ def rotation_preflight(
 def _reorder() -> None:
     head = [n for n in _HEAD if n in REGISTRY]
     seen_tail: list[str] = []
-    for n in _R10_TAIL:
+    for n in _R11_TAIL:
         if n in REGISTRY and n not in head and n not in seen_tail:
             seen_tail.append(n)
     mid = [n for n in REGISTRY if n not in head and n not in seen_tail]

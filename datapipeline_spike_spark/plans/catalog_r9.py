@@ -583,13 +583,35 @@ def q_encoding_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- contrastive hard-negative mining ----------------------------------------
 
-from datapipeline_spike_spark.plans.catalog_ml import _sql_bucket  # noqa: E402
+from datapipeline_spike_spark.plans.catalog_ml import _sql_plane_literal  # noqa: E402
+
+# r11 (VERDICT r10 item 4): the registered path now exercises the
+# DATA-DERIVED plane count — n_planes = clamp(ceil(log2(count/64)), 4,
+# 16), computed in-plan from the corpus count. The oracle replays the
+# same derivation: the full 16-bit splitmix-hyperplane signature masked
+# to the low n bits (bit p = sign(v . plane_{p+1}), so the mask-limited
+# bucket is bit-identical to assigning with n planes directly).
+_AUTO_MIN_PLANES = 4
+_AUTO_MAX_PLANES = 16
+_AUTO_TARGET_BUCKET = 64
+
+_SQL_BUCKET16 = " + ".join(
+    f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+    f"{_sql_plane_literal(p + 1)}) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_AUTO_MAX_PLANES)
+)
 
 _SQL_HARD_NEG = f"""
-    WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS ev,
-             {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+    WITH np AS (
+      SELECT least({_AUTO_MAX_PLANES}, greatest({_AUTO_MIN_PLANES},
+             CAST(ceil(log2(count(*) / {float(_AUTO_TARGET_BUCKET)}))
+                  AS INT))) AS n
       FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+             ({_SQL_BUCKET16}) & ((1 << n) - 1) AS bucket
+      FROM embeddings, np
     ),
     scored AS (
       SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
@@ -608,12 +630,14 @@ _SQL_HARD_NEG = f"""
 @register_r9(
     "hard_negative_pairs",
     oracle=_SQL_HARD_NEG,
-    doc="operators/similarity.hard_negative_mining staged for r9: for "
-    "every anchor vector, the 3 hardest same-LSH-bucket negatives — "
-    "most-similar candidates below the cos<0.95 unlabeled-positive "
-    "ceiling with a DIFFERENT label (the supervised negative "
-    "definition). The oracle replays bucket assignment from the same "
-    "inlined splitmix hyperplanes (the ann_lsh_bucket precedent), the "
+    doc="operators/similarity.hard_negative_mining staged for r9, "
+    "re-registered r11 on the AUTO-plane path: for every anchor vector, "
+    "the 3 hardest same-LSH-bucket negatives — most-similar candidates "
+    "below the cos<0.95 unlabeled-positive ceiling with a DIFFERENT "
+    "label. n_planes is derived in-plan from the corpus count "
+    "(clamp(ceil(log2(n/64)), 4, 16) via a 1-row broadcast cross) so "
+    "expected bucket size stays ~64 at any scale; the oracle replays "
+    "the derivation, the 16-plane masked bucket assignment, the "
     "label-mismatch filter, and the rounded-cosine ranking exactly.",
     tags=("ml", "ann", "contrastive", "staged-r9"),
 )
@@ -624,7 +648,8 @@ def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return hard_negative_mining(
-        e, dim=64, k=3, n_planes=4, hi=0.95, label_col="label"
+        e, dim=64, k=3, hi=0.95, label_col="label",
+        target_bucket=_AUTO_TARGET_BUCKET,
     ).select(
         "anchor_id", "negative_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     )

@@ -173,6 +173,10 @@ def _parse_object_header_v2(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
     # message header: type(1) size(2) flags(1) [+creation order(2)]
     hdr = 6 if flags & 0x04 else 4
     blocks = [(addr, pos, chunk0)]  # (block start, msgs start, msgs len)
+    # lake payloads are untrusted input: a crafted/corrupt continuation
+    # chain that revisits a block (or never terminates) must fail loud,
+    # not loop — track visited starts and cap the chain length
+    seen_blocks = {addr}
     msgs: list[tuple[int, bytes]] = []
     bi = 0
     while bi < len(blocks):
@@ -194,8 +198,15 @@ def _parse_object_header_v2(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
             pos += hdr + msize
             if mtype == MSG_CONTINUATION:
                 caddr, clen = _u(body, 0, 8), _u(body, 8, 8)
+                if caddr in seen_blocks:
+                    raise Hdf5FormatError(
+                        f"OCHK continuation cycle: block {caddr:#x} revisited"
+                    )
+                if len(blocks) >= 64:
+                    raise Hdf5FormatError("OCHK continuation chain exceeds 64 blocks")
                 if buf[caddr : caddr + 4] != b"OCHK":
                     raise Hdf5FormatError("OCHK signature missing")
+                seen_blocks.add(caddr)
                 # clen covers sig + messages + checksum
                 blocks.append((caddr, caddr + 4, clen - 8))
             msgs.append((mtype, body))

@@ -43,8 +43,8 @@ def test_rotation_head_invariants():
         REGISTRY,
         _HEAD,
         _QUEUED_FOR_NEXT_HEAD,
-        _R10_CHANGED,
-        _R10_NEW,
+        _R11_CHANGED,
+        _R11_NEW,
         rotation_preflight,
     )
 
@@ -68,10 +68,10 @@ def test_rotation_head_invariants():
     names = list(REGISTRY)
     # the head IS the driver sample, in order
     assert names[:DRIVER_SAMPLE] == [n for n in _HEAD if n in REGISTRY]
-    # every new/changed r10 query holds a head slot this round
-    assert set(_R10_NEW) <= set(_HEAD)
-    assert set(_R10_CHANGED) <= set(_HEAD)
-    # the documented r11 queue sits immediately after the head
+    # every new/changed r11 query holds a head slot this round
+    assert set(_R11_NEW) <= set(_HEAD)
+    assert set(_R11_CHANGED) <= set(_HEAD)
+    # the documented r12 queue sits immediately after the head
     queue_live = [n for n in _QUEUED_FOR_NEXT_HEAD if n in REGISTRY]
     assert names[DRIVER_SAMPLE : DRIVER_SAMPLE + len(queue_live)] == queue_live
     assert len(set(names)) == len(names)

@@ -66,6 +66,9 @@ BNLJ_OK = {
     "budget_selected_docs": "broadcast 1-row histogram threshold (boundary bucket + keep rate) crossed into the map-only keep decision",
     "curation_stage_profile": "budget_select's broadcast 1-row histogram threshold cross inside the funnel (same pattern as budget_selected_docs)",
     "global_sales_opportunity": "TPC-H Q22 scalar AVG subquery: broadcast 1-row average kept in-plan (no plan-build collect)",
+    "zipf_profile": "broadcast 1-row (n_types, n_tokens) totals crossed into the 1-row OLS fit",
+    "kneser_ney_bigram_score": "broadcast 1-row bigram-type count T crossed into the vocab-bounded scoring join (bigram_fluency pattern, no plan-build collect)",
+    "temperature_mixture_plan": "broadcast 1-row (wsum, total_tokens) aggregate crossed into the group-grain plan (corpus_mixture_plan pattern, no plan-build collect)",
     # top_supplier_revenue needs no entry: Catalyst rewrites its
     # equality-filtered 1-row max cross into a BroadcastHashJoin on the
     # normalized revenue key (pinned by test_q15_max_subquery_stays_in_plan)
@@ -98,6 +101,7 @@ WINDOW_OK = {
     "weighted_doc_sample": "phase-2 global rank runs on the salted per-partition bottom-k survivors only: <= n_salt_parts x k rows (k=200), never the corpus",
     "budget_selected_docs": "cumulative-mass window runs on the 4dp score-bucket histogram: <= 10^4+1 rows by the documented score-cardinality contract, never the corpus",
     "curation_stage_profile": "both unpartitioned windows are budget_select's cumulative-mass sweep over the 4dp score-bucket histogram (<= 10^4+1 rows), planned once per funnel branch (50_budget and the shard rows)",
+    "zipf_profile": "rank window runs on the <= top_n (1000) post-limit frame — TakeOrderedAndProject bounds the input before the window",
 }
 
 

@@ -227,6 +227,19 @@ def r10ops_stress(spark, amp: int) -> None:
                               "amp": a, "n_planes": planes, "vecs": erows,
                               "sec": secs,
                               "vecs_per_sec": int(erows / secs)}), flush=True)
+        # r11: the REGISTERED path (n_planes=None -> derived in-plan
+        # from the corpus count; VERDICT r10 item 4) — the row that
+        # proves the shipped entry point scales, not just the knob
+        secs = probe(
+            "hard_negative_mining_auto",
+            lambda: hard_negative_mining(
+                emb, dim=64, k=3, label_col="label",
+            ),
+        )
+        print(json.dumps({"probe": "hard_negative_mining_auto",
+                          "amp": a, "n_planes": "derived", "vecs": erows,
+                          "sec": secs,
+                          "vecs_per_sec": int(erows / secs)}), flush=True)
 
         queries = emb.filter(F.col("vec_id") < 5)
         secs = probe(
