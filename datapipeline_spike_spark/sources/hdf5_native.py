@@ -14,17 +14,21 @@ Format Specification (v1.10, "Disk Format: Level 0-2"):
 - symbol-table groups (B-tree v1 + local heap + SNOD leaf nodes) AND
   compact link-message groups (the v2-header group layout; r10),
 - contiguous or compact data layout (message v3),
+- CHUNKED data layout (message v3 class 2) indexed by a version-1
+  B-tree, with deflate (gzip) and byte-shuffle filter pipelines —
+  libhdf5's default compressed shape, ``h5py.create_dataset(...,
+  compression='gzip', shuffle=True)`` (r11 — VERDICT r10 item 6),
 - little-endian IEEE float32/64 and signed int16/32/64 datasets.
 
 That subset covers what h5py produces for small archives of plain
-numeric datasets under BOTH the default and ``libver='latest'``
-settings — the reference's per-operation vibration files
-(``M01_Aug_2019_OP00_000.h5``; three 1-D float arrays) fall squarely
-inside it. Still routed to the import-gated h5py path in
-``sources/hdf5.py``: chunked/compressed data, DENSE link storage
-(fractal heap + v2 B-tree — h5py only goes dense past 8 links), and
-non-native datatypes. tests/test_hdf5.py::test_format_matrix names
-both sets explicitly.
+numeric datasets under the default, ``libver='latest'``, AND
+gzip-compressed settings — the reference's per-operation vibration
+files (``M01_Aug_2019_OP00_000.h5``; three 1-D float arrays) fall
+squarely inside it. Still routed to the import-gated h5py path in
+``sources/hdf5.py``: exotic filters (szip/lzf/fletcher32), DENSE link
+storage (fractal heap + v2 B-tree — h5py only goes dense past 8
+links), and non-native datatypes.
+tests/test_hdf5.py::test_format_matrix names both sets explicitly.
 
 The writers emit the same layouts (single root group, flat datasets)
 — they exist to build test fixtures and golden files without h5py,
@@ -55,6 +59,11 @@ MSG_LAYOUT = 0x0008
 MSG_GROUP_INFO = 0x000A
 MSG_CONTINUATION = 0x0010
 MSG_SYMBOL_TABLE = 0x0011
+MSG_FILTER = 0x000B
+
+# filter ids (spec IV.A.2.l; public registered filters)
+FILTER_DEFLATE = 1
+FILTER_SHUFFLE = 2
 
 _BTREE_K = 4  # group leaf node k -> SNOD capacity 2k entries
 
@@ -303,6 +312,143 @@ def _parse_datatype(body: bytes) -> np.dtype:
     raise Hdf5FormatError(f"datatype class {cls}: native tier reads numeric only")
 
 
+def _parse_filters(body: bytes) -> list[tuple[int, int, list[int]]]:
+    """(filter_id, flags, client_values) list from a Filter Pipeline
+    message (type 0x000B, spec IV.A.2.l), versions 1 and 2. Order is
+    the ENCODE order; decode applies the inverse chain reversed."""
+    version = body[0]
+    nf = body[1]
+    if version == 1:
+        pos = 8  # version, nfilters, 2 reserved, 4 reserved
+    elif version == 2:
+        pos = 2
+    else:
+        raise Hdf5FormatError(f"filter pipeline version {version}")
+    filters: list[tuple[int, int, list[int]]] = []
+    for _ in range(nf):
+        fid = _u(body, pos, 2)
+        pos += 2
+        name_len = 0
+        if version == 1 or fid >= 256:
+            name_len = _u(body, pos, 2)
+            pos += 2
+        flags = _u(body, pos, 2)
+        ncv = _u(body, pos + 2, 2)
+        pos += 4 + name_len  # v1 name_len is already null-padded to 8
+        cvals = [_u(body, pos + 4 * i, 4) for i in range(ncv)]
+        pos += 4 * ncv
+        if version == 1 and ncv % 2 == 1:
+            pos += 4  # v1 pads an odd client-value count
+        filters.append((fid, flags, cvals))
+    return filters
+
+
+def _unshuffle(raw: bytes, itemsize: int) -> bytes:
+    """Inverse of the byte-shuffle filter (id 2): encoded layout is all
+    byte-0s, then all byte-1s, ... — transpose back to interleaved."""
+    if itemsize <= 1:
+        return raw
+    n = len(raw) // itemsize
+    body = np.frombuffer(raw[: n * itemsize], dtype=np.uint8)
+    return body.reshape(itemsize, n).T.tobytes() + raw[n * itemsize :]
+
+
+def _apply_filters(
+    raw: bytes, filters: list[tuple[int, int, list[int]]], filter_mask: int
+) -> bytes:
+    """Run the decode-side filter chain (reverse of encode order; a set
+    bit i in the chunk's filter mask means filter i was SKIPPED for
+    that chunk). Native subset: deflate (zlib) and shuffle — the h5py
+    ``compression='gzip', shuffle=True`` defaults; anything else gates
+    to h5py with a typed error."""
+    import zlib
+
+    for i in range(len(filters) - 1, -1, -1):
+        if filter_mask & (1 << i):
+            continue
+        fid, _flags, cvals = filters[i]
+        if fid == FILTER_DEFLATE:
+            raw = zlib.decompress(raw)
+        elif fid == FILTER_SHUFFLE:
+            raw = _unshuffle(raw, cvals[0] if cvals else 1)
+        else:
+            raise Hdf5FormatError(
+                f"filter id {fid}: native tier decodes deflate+shuffle only"
+            )
+    return raw
+
+
+def _read_chunked(
+    buf: bytes,
+    layout_body: bytes,
+    dims: list[int],
+    dtype: np.dtype,
+    filters: list[tuple[int, int, list[int]]],
+) -> np.ndarray:
+    """Assemble a chunked-layout dataset (layout message v3 class 2) by
+    walking its version-1 B-tree chunk index (spec III.A.1, node type
+    1): each leaf entry's key carries (stored nbytes, filter mask,
+    chunk offset per dimension); the child address points at the raw —
+    possibly filtered — chunk bytes. Edge chunks are stored FULL-SIZE
+    (libhdf5 pads filtered edge chunks), so each decoded chunk is
+    reshaped to the chunk shape and clipped into the dataset region."""
+    ndim = layout_body[2]  # rank + 1 (trailing element-size dim)
+    if ndim != len(dims) + 1:
+        raise Hdf5FormatError(
+            f"chunk dimensionality {ndim} != dataspace rank {len(dims)} + 1"
+        )
+    btree = _u(layout_body, 3, 8)
+    cdims = [_u(layout_body, 11 + 4 * i, 4) for i in range(ndim)]
+    chunk_shape = cdims[:-1]
+    if cdims[-1] != dtype.itemsize:
+        raise Hdf5FormatError(
+            f"chunk element size {cdims[-1]} != dtype itemsize {dtype.itemsize}"
+        )
+    arr = np.zeros(dims, dtype=dtype)
+    chunk_elems = int(np.prod(chunk_shape))
+    key_size = 8 + 8 * ndim
+    seen: set[int] = set()
+
+    def walk(addr: int, depth: int) -> None:
+        if addr in seen or depth > 32:
+            raise Hdf5FormatError("chunk B-tree cycle or depth > 32")
+        seen.add(addr)
+        if buf[addr : addr + 4] != b"TREE":
+            raise Hdf5FormatError("chunk B-tree signature missing")
+        if buf[addr + 4] != 1:
+            raise Hdf5FormatError(f"B-tree node type {buf[addr + 4]}: want 1 (chunks)")
+        level = buf[addr + 5]
+        n = _u(buf, addr + 6, 2)
+        p = addr + 24  # sig(4) type(1) level(1) used(2) siblings(16)
+        for i in range(n):
+            k = p + i * (key_size + 8)
+            nbytes = _u(buf, k, 4)
+            fmask = _u(buf, k + 4, 4)
+            offs = [_u(buf, k + 8 + 8 * j, 8) for j in range(ndim)]
+            child = _u(buf, k + key_size, 8)
+            if level > 0:
+                walk(child, depth + 1)
+                continue
+            raw = _apply_filters(bytes(buf[child : child + nbytes]), filters, fmask)
+            if len(raw) < chunk_elems * dtype.itemsize:
+                raise Hdf5FormatError(
+                    f"chunk at {child:#x} decodes to {len(raw)} bytes, "
+                    f"expected {chunk_elems * dtype.itemsize}"
+                )
+            chunk = np.frombuffer(
+                raw[: chunk_elems * dtype.itemsize], dtype=dtype
+            ).reshape(chunk_shape)
+            region = tuple(
+                slice(o, min(o + c, d))
+                for o, c, d in zip(offs[:-1], chunk_shape, dims)
+            )
+            clip = tuple(slice(0, s.stop - s.start) for s in region)
+            arr[region] = chunk[clip]
+
+    walk(btree, 0)
+    return arr
+
+
 def _group_links(buf: bytes, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
     """(name, object header address) pairs from a symbol-table group."""
     if buf[heap_addr : heap_addr + 4] != b"HEAP":
@@ -370,11 +516,15 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
         dims: list[int] | None = None
         dtype: np.dtype | None = None
         raw: bytes | None = None
+        layout_chunked: bytes | None = None
+        filters: list[tuple[int, int, list[int]]] = []
         for mtype, body in _parse_object_header(content, obj_addr):
             if mtype == MSG_DATASPACE:
                 dims = _parse_dataspace(body)
             elif mtype == MSG_DATATYPE:
                 dtype = _parse_datatype(body)
+            elif mtype == MSG_FILTER:
+                filters = _parse_filters(body)
             elif mtype == MSG_LAYOUT:
                 if body[0] != 3:
                     raise Hdf5FormatError(f"layout message version {body[0]}")
@@ -386,12 +536,17 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
                     raw = (
                         b"" if address == UNDEF else bytes(content[address : address + size])
                     )
+                elif lclass == 2:  # chunked: B-tree v1 index (r11)
+                    layout_chunked = body
                 else:
-                    raise Hdf5FormatError(
-                        "chunked layout: outside the native subset (needs h5py)"
-                    )
-        if dims is None or dtype is None or raw is None:
+                    raise Hdf5FormatError(f"layout class {lclass}")
+        if dims is None or dtype is None:
             continue  # a sub-group or non-dataset object: skip
+        if layout_chunked is not None:
+            out[name] = _read_chunked(content, layout_chunked, dims, dtype, filters)
+            continue
+        if raw is None:
+            continue
         n = int(np.prod(dims)) if dims else 1
         arr = np.frombuffer(raw[: n * dtype.itemsize], dtype=dtype)
         out[name] = arr.reshape(dims) if dims else arr
@@ -506,6 +661,186 @@ def write_minimal_h5(datasets: dict[str, np.ndarray]) -> bytes:
     root = object_header([msg(MSG_SYMBOL_TABLE, struct.pack("<QQ", btree, heap))])
     put(sb + 56, struct.pack("<QQI4xQQ", 0, root, 1, btree, heap))
     put(sb + 40, struct.pack("<Q", len(buf)))  # end-of-file address (base addr at +24 stays 0)
+    return bytes(buf)
+
+
+def write_minimal_h5_chunked(
+    datasets: dict[str, np.ndarray],
+    chunk_shape: dict[str, tuple[int, ...]] | None = None,
+    gzip_level: int = 6,
+    shuffle: bool = False,
+) -> bytes:
+    """Serialize ``datasets`` as a classic-format HDF5 byte string with
+    CHUNKED layout and a deflate (gzip) filter pipeline — libhdf5's
+    default shape for real archives (``h5py.create_dataset(...,
+    compression='gzip')``); optional byte-shuffle in front of deflate
+    (``shuffle=True``), matching h5py's other default knob. Chunks are
+    indexed by a version-1 B-tree (node type 1, single level-0 node);
+    edge chunks are stored full-size, zero-padded before filtering,
+    exactly as libhdf5 stores filtered edge chunks. Readable by
+    :func:`read_h5_datasets` (the r11 chunk tier) and by any libhdf5.
+
+    ``chunk_shape`` maps dataset name -> chunk dims; the default splits
+    the first dimension in ~3 so every fixture exercises multiple
+    chunks plus a partial edge chunk."""
+    import zlib
+
+    items = sorted(
+        (name, np.ascontiguousarray(arr)) for name, arr in datasets.items()
+    )
+    if len(items) > 2 * _BTREE_K:
+        raise ValueError(f"native writer capacity is {2 * _BTREE_K} datasets")
+
+    buf = bytearray()
+
+    def alloc(n: int, align: int = 8) -> int:
+        while len(buf) % align:
+            buf.append(0)
+        addr = len(buf)
+        buf.extend(b"\x00" * n)
+        return addr
+
+    def put(addr: int, data: bytes) -> None:
+        buf[addr : addr + len(data)] = data
+
+    def msg(mtype: int, body: bytes) -> bytes:
+        pad = (-len(body)) % 8
+        body += b"\x00" * pad
+        return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+    def object_header(messages: list[bytes]) -> int:
+        block = b"".join(messages)
+        addr = alloc(16 + len(block))
+        put(addr, struct.pack("<BxHII4x", 1, len(messages), 1, len(block)))
+        put(addr + 16, block)
+        return addr
+
+    def dtype_msg(dt: np.dtype) -> bytes:
+        if dt.kind == "f":
+            man_size, exp_size, bias = {4: (23, 8, 127), 8: (52, 11, 1023)}[dt.itemsize]
+            body = struct.pack(
+                "<BBBxI", (1 << 4) | 1, 0x20, dt.itemsize * 8 - 1, dt.itemsize
+            ) + struct.pack(
+                "<HHBBBBI", 0, dt.itemsize * 8, man_size, exp_size, 0, man_size, bias
+            )
+            return msg(MSG_DATATYPE, body)
+        if dt.kind == "i":
+            body = struct.pack("<BBBxI", (1 << 4) | 0, 0x08, 0, dt.itemsize)
+            body += struct.pack("<HH", 0, dt.itemsize * 8)
+            return msg(MSG_DATATYPE, body)
+        raise ValueError(f"native writer supports numeric dtypes, got {dt}")
+
+    def filter_msg(itemsize: int) -> bytes:
+        # pipeline v1; encode order: [shuffle,] deflate
+        chain = []
+        if shuffle:
+            chain.append((FILTER_SHUFFLE, [itemsize]))
+        chain.append((FILTER_DEFLATE, [gzip_level]))
+        body = struct.pack("<BB6x", 1, len(chain))
+        for fid, cvals in chain:
+            body += struct.pack("<HHHH", fid, 0, 0, len(cvals))
+            body += b"".join(struct.pack("<I", v) for v in cvals)
+            if len(cvals) % 2 == 1:
+                body += b"\x00" * 4
+        return msg(MSG_FILTER, body)
+
+    sb = alloc(24 + 32 + 40)
+    put(sb, SIGNATURE + struct.pack("<BBBxBBBxHHI", 0, 0, 0, 0, 8, 8, _BTREE_K, 16, 0))
+    put(sb + 24, struct.pack("<QQQQ", 0, UNDEF, UNDEF, UNDEF))
+
+    names_blob = bytearray(b"\x00" * 8)
+    name_off: dict[str, int] = {}
+    for name, _ in items:
+        name_off[name] = len(names_blob)
+        names_blob += name.encode("utf-8") + b"\x00"
+        while len(names_blob) % 8:
+            names_blob += b"\x00"
+    heap_data = alloc(len(names_blob))
+    put(heap_data, bytes(names_blob))
+    heap = alloc(32)
+    put(heap, b"HEAP" + struct.pack("<B3xQQQ", 0, len(names_blob), UNDEF, heap_data))
+
+    obj_addr: dict[str, int] = {}
+    for name, arr in items:
+        cshape = (chunk_shape or {}).get(
+            name, (max(1, arr.shape[0] // 3 + 1),) + arr.shape[1:]
+        )
+        if len(cshape) != arr.ndim:
+            raise ValueError(f"chunk rank {len(cshape)} != array rank {arr.ndim}")
+        ndim = arr.ndim + 1
+        key_size = 8 + 8 * ndim
+        # write every chunk (row-major offset grid), full-size padded
+        entries: list[tuple[int, list[int], int]] = []  # (nbytes, offs, addr)
+        grid = [range(0, d, c) for d, c in zip(arr.shape, cshape)]
+        import itertools
+
+        for offs in itertools.product(*grid):
+            region = tuple(
+                slice(o, min(o + c, d)) for o, c, d in zip(offs, cshape, arr.shape)
+            )
+            chunk = np.zeros(cshape, dtype=arr.dtype)
+            chunk[tuple(slice(0, s.stop - s.start) for s in region)] = arr[region]
+            raw = chunk.astype(arr.dtype.newbyteorder("<")).tobytes()
+            if shuffle:
+                n_el = len(raw) // arr.dtype.itemsize
+                raw = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(n_el, arr.dtype.itemsize)
+                    .T.tobytes()
+                )
+            raw = zlib.compress(raw, gzip_level)
+            caddr = alloc(len(raw))
+            put(caddr, raw)
+            entries.append((len(raw), list(offs) + [0], caddr))
+        n = len(entries)
+        btree = alloc(24 + (n + 1) * key_size + n * 8)
+        put(btree, b"TREE" + struct.pack("<BBHQQ", 1, 0, n, UNDEF, UNDEF))
+        p = btree + 24
+        for nbytes, offs, caddr in entries:
+            put(p, struct.pack("<II", nbytes, 0)
+                + b"".join(struct.pack("<Q", o) for o in offs))
+            put(p + key_size, struct.pack("<Q", caddr))
+            p += key_size + 8
+        # the rightmost key: offsets one chunk-grid step past the end
+        end_offs = [
+            ((d + c - 1) // c) * c for d, c in zip(arr.shape, cshape)
+        ] + [0]
+        put(p, struct.pack("<II", 0, 0)
+            + b"".join(struct.pack("<Q", o) for o in end_offs))
+
+        space = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
+            struct.pack("<Q", d) for d in arr.shape
+        )
+        layout = struct.pack("<BBBQ", 3, 2, ndim, btree) + b"".join(
+            struct.pack("<I", c) for c in list(cshape) + [arr.dtype.itemsize]
+        )
+        obj_addr[name] = object_header(
+            [
+                msg(MSG_DATASPACE, space),
+                dtype_msg(arr.dtype),
+                filter_msg(arr.dtype.itemsize),
+                msg(MSG_LAYOUT, layout),
+            ]
+        )
+
+    snod = alloc(8 + 2 * _BTREE_K * 40)
+    put(snod, b"SNOD" + struct.pack("<BxH", 1, len(items)))
+    for i, (name, _) in enumerate(items):
+        put(
+            snod + 8 + 40 * i,
+            struct.pack("<QQI4x16x", name_off[name], obj_addr[name], 0),
+        )
+    btree = alloc(24 + 8 + 16 * 1)
+    last_key = name_off[items[-1][0]] if items else 0
+    put(
+        btree,
+        b"TREE"
+        + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
+        + struct.pack("<QQQ", 0, snod, last_key),
+    )
+    root = object_header([msg(MSG_SYMBOL_TABLE, struct.pack("<QQ", btree, heap))])
+    put(sb + 56, struct.pack("<QQI4xQQ", 0, root, 1, btree, heap))
+    put(sb + 40, struct.pack("<Q", len(buf)))
     return bytes(buf)
 
 

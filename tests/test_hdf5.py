@@ -106,6 +106,70 @@ def test_native_decode_real_hdf5_archive_end_to_end(spark, tmp_path):
     assert all(r["machine"] == "M01" and r["operation"] == "OP03" for r in recs)
 
 
+def test_native_chunked_gzip_round_trip():
+    """r11 (VERDICT r10 item 6): libhdf5's DEFAULT compressed layout —
+    chunked storage + deflate, with and without the byte-shuffle
+    pre-filter — round-trips through the pure-Python writer/reader:
+    B-tree v1 chunk walk, zlib inflate, unshuffle, edge-chunk clipping,
+    2-D tiling, values exact."""
+    import numpy as np
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        read_h5_datasets,
+        write_minimal_h5_chunked,
+    )
+
+    data = {
+        "f64": np.linspace(-3, 3, 100).astype("<f8"),
+        "f32": (np.arange(100, dtype="<f4") - 50) * 0.25,
+        "i32": np.arange(100, dtype="<i4") * 3,
+        "mat": np.arange(35, dtype="<i8").reshape(7, 5),
+    }
+    for shuffle in (False, True):
+        back = read_h5_datasets(write_minimal_h5_chunked(data, shuffle=shuffle))
+        assert set(back) == set(data)
+        for k, v in data.items():
+            assert back[k].dtype == v.dtype and back[k].shape == v.shape
+            assert np.array_equal(back[k], v), (shuffle, k)
+    # explicit chunk grids: exact divisor (no edge padding) and a 2-D
+    # tile grid with partial edges on both axes
+    back = read_h5_datasets(
+        write_minimal_h5_chunked(
+            data, chunk_shape={"f64": (25,), "mat": (3, 2)}
+        )
+    )
+    for k, v in data.items():
+        assert np.array_equal(back[k], v), k
+
+
+def test_native_chunked_archive_end_to_end_spark(spark, tmp_path):
+    """A chunked+gzip+shuffle archive decodes through the FULL Spark
+    path with no h5py: binaryFile -> mapInPandas -> 10-sample records —
+    the layout real vibration archives actually ship in
+    (reference/TechSpikeDataPipeline.md:6,28-33)."""
+    import numpy as np
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        write_minimal_h5_chunked,
+    )
+
+    x = np.arange(25, dtype="<f8") * 0.5
+    y = np.arange(25, dtype="<f8") - 12.0
+    z = (np.arange(25, dtype="<f8") % 7) * 2.0
+    blob = write_minimal_h5_chunked(
+        {"vibration_x": x, "vibration_y": y, "vibration_z": z}, shuffle=True
+    )
+    (tmp_path / "M02_Aug_2019_OP07_000.h5").write_bytes(blob)
+    files = hdf5_files(spark, str(tmp_path))
+    recs = read_vibration_records(files, samples_per_record=10).collect()
+    by_idx = {r["record_idx"]: r for r in recs}
+    assert sorted(by_idx) == [0, 1, 2]
+    assert by_idx[0]["vibration_x_batch"] == [float(v) for v in x[:10]]
+    assert by_idx[2]["vibration_y_batch"] == [float(v) for v in y[20:25]]
+    assert by_idx[1]["vibration_z_batch"] == [float(v) for v in z[10:20]]
+    assert all(r["machine"] == "M02" and r["operation"] == "OP07" for r in recs)
+
+
 def test_native_reader_round_trips_all_supported_dtypes():
     """Writer->reader round trip across the documented numeric subset,
     including 2-D shapes, plus clean rejection of out-of-subset and
@@ -228,8 +292,10 @@ def test_format_matrix():
     which layouts decode NATIVELY vs GATE to h5py. Native: superblock
     v0 (classic) and v2/v3 (latest), object headers v1 and v2,
     symbol-table and compact-link groups, contiguous/compact layout,
-    LE numeric dtypes. Gated: superblock v1, dense link storage
-    (fractal heap), chunked/compressed layout, non-hard links,
+    chunked layout with deflate(+shuffle) filters (r11 — libhdf5's
+    default compressed shape), LE numeric dtypes. Gated: superblock
+    v1, dense link storage
+    (fractal heap), exotic filters (szip/lzf), non-hard links,
     big-endian and non-numeric datatypes — each rejection is a typed
     Hdf5FormatError naming the gate, so the source tier escalates
     instead of crashing."""
@@ -276,11 +342,23 @@ def test_format_matrix():
     )
     with _pytest.raises(Hdf5FormatError, match="hard links only"):
         read_h5_datasets(soft)
-    # chunked layout inside a classic file
-    blob = bytearray(write_minimal_h5(ds))
-    i = blob.index(struct.pack("<BB", 3, 1))  # layout msg v3, contiguous
-    blob[i + 1] = 2  # -> chunked
-    with _pytest.raises(Hdf5FormatError, match="chunked"):
+    # chunked + gzip is NATIVE as of r11 (B-tree v1 walk + zlib inflate
+    # + optional byte-unshuffle) — the full round-trip matrix lives in
+    # test_native_chunked_gzip_round_trip; here the matrix row is the
+    # plain decode
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        write_minimal_h5_chunked,
+    )
+
+    assert read_h5_datasets(write_minimal_h5_chunked(ds))["d"].tolist() == [
+        0, 1, 2, 3,
+    ]
+    # ...but an exotic FILTER id still gates (szip = 4): patch the
+    # deflate id inside the chunked file's filter pipeline message
+    blob = bytearray(write_minimal_h5_chunked(ds))
+    i = blob.index(struct.pack("<HHHH", 1, 0, 0, 1))  # deflate, 1 cval
+    blob[i] = 4  # -> szip
+    with _pytest.raises(Hdf5FormatError, match="deflate\\+shuffle only"):
         read_h5_datasets(bytes(blob))
     # big-endian datatype
     blob = bytearray(write_minimal_h5(ds))
