@@ -10,8 +10,12 @@ Spark mapping: Structured Streaming's kafka source/sink; offsets live
 in the checkpoint (replacing manual commit), delivery is
 at-least-once + keyed dedup downstream (ST9) for effective
 exactly-once. The kafka connector jar is not on this environment's
-classpath, so builders raise a clear error when exercised without it;
-the topology (options, projections) is still unit-testable.
+classpath, so builders raise a clear error when exercised without it.
+The parse/produce topology itself runs UNGATED against
+``sources/kafka_double.FileTopicLog`` (r11): a parquet log with the
+connector's exact wire schema and broker semantics (keyed
+partitioning, per-partition monotonic offsets, offset replay), batch
+and readStream — tests/test_kafka_double.py drives the full cycle.
 """
 
 from __future__ import annotations
