@@ -472,3 +472,59 @@ def c4_line_filters(
     return out.withColumn("drop_reason", reason).withColumn(
         "page_keep", F.col("drop_reason") == "ok"
     )
+
+
+def reliability_calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier-calibration report (staged r11, register r12): bin
+    ``score_col`` (a [0,1] quality-classifier probability) into
+    ``n_bins`` equal-width bins and compare each bin's MEAN PREDICTED
+    score against its OBSERVED pass rate on ``label_col`` — the
+    reliability-diagram table (Guo et al. 2017's calibration framing).
+    A curation team reads this before trusting classifier thresholds:
+    |gap| near 0 = trust the scores as probabilities; systematic gap =
+    re-calibrate (or threshold on rank, not value). The ``weight``
+    column makes ECE a trivial downstream sum(weight * abs_gap).
+
+    Returns one row per non-empty bin: (bin, n, mean_score, pass_rate,
+    abs_gap, weight), floats rounded 6dp. NULL scores/labels are
+    excluded (abstentions). Scale shape: one map-only bin assign + one
+    n_bins-grain aggregate + a 1-row total broadcast-cross — linear,
+    no windows.
+
+    Parity: bin ids come from floor(score * n_bins) clamped to the top
+    bin (score = 1.0 lands in bin n_bins-1); all counts integer; means
+    and rates are integer-or-data sums / counts, order-sensitivity
+    absorbed by the 6dp round (the engine-wide convention)."""
+    s = F.col(score_col).cast("double")
+    ok = s.isNotNull() & F.col(label_col).isNotNull()
+    binned = df.filter(ok).select(
+        F.least(
+            F.lit(n_bins - 1), F.floor(s * n_bins).cast("int")
+        ).alias("bin"),
+        s.alias("_s"),
+        F.col(label_col).cast("boolean").alias("_l"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").alias("_sum_s"),
+        F.sum(F.col("_l").cast("bigint")).alias("_n_pass"),
+    )
+    total = per_bin.agg(F.sum("n").alias("_total"))
+    mean_score = F.col("_sum_s") / F.col("n")
+    pass_rate = F.col("_n_pass") / F.col("n")
+    return (
+        per_bin.crossJoin(F.broadcast(total))  # 1-row totals pattern
+        .select(
+            "bin",
+            "n",
+            F.round(mean_score, 6).alias("mean_score"),
+            F.round(pass_rate, 6).alias("pass_rate"),
+            F.round(F.abs(pass_rate - mean_score), 6).alias("abs_gap"),
+            F.round(F.col("n") / F.col("_total"), 6).alias("weight"),
+        )
+    )

@@ -1250,3 +1250,90 @@ def random_projection(
         "norm_ratio",
         F.when(vn > 0, F.round(pn / vn, round_dp)).otherwise(F.lit(None)),
     )
+
+
+def embedding_centroid_drift(
+    emb: DataFrame,
+    snapshot_col: str,
+    snapshot_a,
+    snapshot_b,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two snapshots (staged r11,
+    register r12): per ``group_col``, the per-dimension MEAN vector of
+    snapshot A rows vs snapshot B rows, compared by centroid cosine and
+    L2 shift — the monitoring number for "did the embedding model or
+    the underlying content move under this label" (re-index / re-train
+    triggers key on it; complements semdedup's within-snapshot view).
+
+    Returns one row per group: (group, n_a, n_b, centroid_cosine,
+    centroid_shift_l2), floats rounded 6dp; a group empty on either
+    side reports its counts with NULL geometry.
+
+    Parity (the quantize-then-derive convention): per-dimension means
+    are rounded to 6dp FIRST, then cosine/shift are derived from the
+    quantized centroids — so the only order-sensitive step (the mean's
+    sum) is absorbed by rounding before anything downstream multiplies
+    it. Scale shape: one posexplode -> (group, dim)-grain aggregate
+    (bounded by |groups| x dim), means re-assembled with a sort-free
+    array_sort on (dim, value) structs — no windows, no driver
+    collect."""
+    is_a = F.col(snapshot_col) == snapshot_a
+    pairs = emb.filter(
+        F.col(snapshot_col).isin([snapshot_a, snapshot_b])
+    ).select(
+        F.col(group_col).alias("grp"),
+        is_a.alias("_is_a"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"),
+    )
+    per_dim = pairs.groupBy("grp", "dim").agg(
+        F.sum(F.when(F.col("_is_a"), F.col("val"))).alias("_sa"),
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(~F.col("_is_a"), F.col("val"))).alias("_sb"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("_nb"),
+    )
+    # quantize the means at the dim grain, THEN assemble centroids
+    quant = per_dim.select(
+        "grp",
+        "dim",
+        F.round(F.col("_sa") / F.col("_na"), 6).alias("_ma"),
+        F.round(F.col("_sb") / F.col("_nb"), 6).alias("_mb"),
+        "_na",
+        "_nb",
+    )
+    assembled = quant.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "_ma"))),
+            lambda s: s["_ma"],
+        ).alias("_ca"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "_mb"))),
+            lambda s: s["_mb"],
+        ).alias("_cb"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    dot_ab = F.aggregate(
+        F.zip_with("_ca", "_cb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with("_ca", "_cb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    na_, nb_ = l2_norm(F.col("_ca")), l2_norm(F.col("_cb"))
+    return assembled.select(
+        F.col("grp").alias(group_col),
+        "n_a",
+        "n_b",
+        F.when(
+            both & (na_ > 0) & (nb_ > 0), F.round(dot_ab / (na_ * nb_), 6)
+        ).alias("centroid_cosine"),
+        F.when(both, F.round(shift, 6)).alias("centroid_shift_l2"),
+    )

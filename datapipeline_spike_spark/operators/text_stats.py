@@ -302,3 +302,144 @@ def verdict_agreement_matrix(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def token_distribution_drift(
+    docs: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-drift report between two snapshots/sources (staged r11,
+    register r12): add-one-smoothed unigram distributions for the rows
+    where ``group_col`` is ``group_a`` vs ``group_b``, compared by
+    KL(a||b), KL(b||a), and the Jensen-Shannon divergence — the
+    monitoring number a pipeline publishes when a crawl snapshot or an
+    upstream source changes (JS near 0 = same distribution; drift
+    trends are what page re-crawl/re-filter decisions key on).
+
+    Returns ONE row: (n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    vocab_union, kl_ab, kl_ba, js_divergence), divergences in nats
+    rounded 6dp (NULL when either side is empty).
+
+    Parity: p(t) = (c+1)/(n+V) from integer counts with identical
+    arithmetic text both engines; only the final sums are
+    order-sensitive (6dp). Scale shape: ONE vocabulary-bounded
+    map-side-combined token aggregate with conditional per-side sums,
+    a 1-row totals broadcast-cross, one final 1-row reduce — no joins
+    on data-scale keys, no windows."""
+    is_a = F.col(group_col) == group_a
+    toks = docs.filter(F.col(group_col).isin([group_a, group_b])).select(
+        is_a.alias("_is_a"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.col("_is_a").cast("bigint")).alias("_ca"),
+        F.sum((~F.col("_is_a")).cast("bigint")).alias("_cb"),
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).alias("_na"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+        F.coalesce(
+            F.sum((F.col("_ca") > 0).cast("bigint")), F.lit(0)
+        ).alias("_va"),
+        F.coalesce(
+            F.sum((F.col("_cb") > 0).cast("bigint")), F.lit(0)
+        ).alias("_vb"),
+    )
+    crossed = counts.crossJoin(F.broadcast(totals))
+    pa = (F.col("_ca") + 1.0) / (F.col("_na") + F.col("_v"))
+    pb = (F.col("_cb") + 1.0) / (F.col("_nb") + F.col("_v"))
+    m = (pa + pb) / 2.0
+    contrib = crossed.agg(
+        F.sum(pa * F.log(pa / pb)).alias("_kl_ab"),
+        F.sum(pb * F.log(pb / pa)).alias("_kl_ba"),
+        F.sum(pa * F.log(pa / m)).alias("_kl_am"),
+        F.sum(pb * F.log(pb / m)).alias("_kl_bm"),
+    )
+    return totals.crossJoin(F.broadcast(contrib)).select(
+        F.col("_na").alias("n_tokens_a"),
+        F.col("_nb").alias("n_tokens_b"),
+        F.col("_va").alias("vocab_a"),
+        F.col("_vb").alias("vocab_b"),
+        F.col("_v").alias("vocab_union"),
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0), F.round("_kl_ab", R)
+        ).alias("kl_ab"),
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0), F.round("_kl_ba", R)
+        ).alias("kl_ba"),
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            F.round(0.5 * F.col("_kl_am") + 0.5 * F.col("_kl_bm"), R),
+        ).alias("js_divergence"),
+    )
+
+
+def rouge_ngram_eval(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    k: int = 2,
+) -> DataFrame:
+    """ROUGE-N over (candidate, reference) text pairs (staged r11,
+    register r12; Lin 2004): clipped word-k-gram overlap — each gram
+    counts min(count_in_candidate, count_in_reference) times — with
+    precision, recall, and F1. The eval-side workhorse for summary /
+    generation quality and for near-match detection between generated
+    text and its source (a training-data decontamination signal the
+    pairwise Jaccard family under-weights repeated grams on).
+
+    Returns one row per input pair: (id, cand_grams, ref_grams,
+    overlap, precision, recall, f1), floats rounded 6dp; a side with
+    no k-gram leaves its ratio NULL (and f1 NULL), matching the
+    abstain convention.
+
+    Scale shape: two gram-count aggregates -> one full outer join on
+    (pair id, gram) — keys scale with the corpus, no broadcast hint —
+    -> one per-pair reduce -> join back to the pair spine. Clipping is
+    least() on integer counts: exact both engines."""
+    def side(col: str, alias: str) -> DataFrame:
+        return (
+            pairs.select(F.col(id_col), F.explode(ngrams(col, k=k)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    cg = side(cand_col, "_cc")
+    rg = side(ref_col, "_cr")
+    per_pair = (
+        cg.join(rg, [id_col, "g"], "full")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce("_cc", F.lit(0))).alias("cand_grams"),
+            F.sum(F.coalesce("_cr", F.lit(0))).alias("ref_grams"),
+            F.sum(
+                F.least(F.coalesce("_cc", F.lit(0)), F.coalesce("_cr", F.lit(0)))
+            ).alias("overlap"),
+        )
+    )
+    base = pairs.select(id_col)
+    out = base.join(per_pair, id_col, "left").select(
+        id_col,
+        F.coalesce("cand_grams", F.lit(0)).alias("cand_grams"),
+        F.coalesce("ref_grams", F.lit(0)).alias("ref_grams"),
+        F.coalesce("overlap", F.lit(0)).alias("overlap"),
+    )
+    p = F.when(F.col("cand_grams") > 0, F.col("overlap") / F.col("cand_grams"))
+    r = F.when(F.col("ref_grams") > 0, F.col("overlap") / F.col("ref_grams"))
+    f1 = F.when(
+        p.isNotNull() & r.isNotNull(),
+        F.when((p + r) > 0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0)),
+    )
+    return out.select(
+        id_col,
+        "cand_grams",
+        "ref_grams",
+        "overlap",
+        F.round(p, R).alias("precision"),
+        F.round(r, R).alias("recall"),
+        F.round(f1, R).alias("f1"),
+    )

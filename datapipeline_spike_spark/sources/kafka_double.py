@@ -169,3 +169,22 @@ class FileTopicLog:
             .option("maxFilesPerTrigger", "8")
             .parquet(self._topic_dir(topic))
         )
+
+    def stream_sink(self, payload_stream: DataFrame, topic: str, checkpoint: str):
+        """S4 as a STREAM: write a streaming (key, value) payload frame
+        — the :func:`sources.kafka.kafka_payload` projection — to the
+        topic log via ``foreachBatch`` + :meth:`produce`. Each
+        micro-batch appends with broker semantics (keyed partitions,
+        high-water-mark offsets), so a downstream consumer of the same
+        topic sees exactly what the real kafka sink would publish.
+        Exactly-once note: foreachBatch is at-least-once on retry, the
+        same contract as the real kafka sink — downstream keyed dedup
+        (ST9) is the idempotence layer either way."""
+
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.produce(batch_df, topic)
+
+        return (
+            payload_stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+        )

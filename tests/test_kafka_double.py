@@ -153,3 +153,70 @@ def test_fresh_topic_and_bad_offsets(spark, tmp_path):
     log.produce(kafka_payload(_records(spark, [1]), "id"), TOPIC_RAW)
     with pytest.raises(ValueError, match="starting_offsets"):
         log.read_batch(spark, TOPIC_RAW, starting_offsets="latest-ish")
+
+
+def test_end_to_end_record_path_raw_to_processed(spark, tmp_path):
+    """The reference's full record path, ungated (README.md:196-270):
+    consume cnc.raw -> typed parse -> per-machine tumbling-window
+    aggregate -> keyed produce to cnc.processed -> an independent
+    consumer reads the processed topic back typed. Both hops run the
+    REAL kafka projections over the wire double; the middle is the
+    engine's own streaming-compatible aggregation shape."""
+    log = FileTopicLog(str(tmp_path / "log"), n_partitions=4)
+    raw = _records(spark, range(12)).select(
+        "*", F.lit("2026-08-15 10:00:03").cast("timestamp").alias("ts")
+    )
+    log.produce(kafka_payload(raw, "id"), TOPIC_RAW)
+
+    schema = VALUE_SCHEMA.add("ts", T.TimestampType())
+    stream = parse_kafka_records(log.read_stream(spark, TOPIC_RAW), schema)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "machine")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("vib"), 6).alias("avg_vib"),
+        )
+        .select(
+            F.concat("machine", F.lit("@"), F.col("w.start").cast("string")).alias("id"),
+            "machine",
+            "n",
+            "avg_vib",
+        )
+    )
+    q = (
+        log.stream_sink(
+            kafka_payload(agg, key_col="id"),
+            TOPIC_PROCESSED,
+            str(tmp_path / "ckpt"),
+        )
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("machine", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("avg_vib", T.DoubleType()),
+        ]
+    )
+    processed = parse_kafka_records(
+        log.read_batch(spark, TOPIC_PROCESSED), out_schema
+    ).collect()
+    by_machine = {r["machine"]: r for r in processed}
+    assert set(by_machine) == {"M01", "M02"}
+    assert by_machine["M01"]["n"] == 6 and by_machine["M02"]["n"] == 6
+    # M01 holds the even ids (0,2,..,10)*0.5 -> 2.5; M02 the odd -> 3.0
+    assert by_machine["M01"]["avg_vib"] == pytest.approx(2.5)
+    assert by_machine["M02"]["avg_vib"] == pytest.approx(3.0)
+    # keyed produce: the processed record key is the aggregate id
+    wire = {
+        bytes(r["key"]).decode(): r
+        for r in log.read_batch(spark, TOPIC_PROCESSED).collect()
+    }
+    assert all(k.startswith(("M01@", "M02@")) for k in wire)

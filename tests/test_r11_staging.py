@@ -1,0 +1,412 @@
+"""r11 staged operators (register r12): DuckDB differential tests +
+planted-property checks for reliability_calibration_bins,
+token_distribution_drift, rouge_ngram_eval, and
+embedding_centroid_drift — the same pre-registration gauntlet every
+staged cohort runs (oracle parity proven HERE, so registration is a
+catalog-entry move, not new verification surface)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.operators.quality import (
+    reliability_calibration_bins,
+)
+from datapipeline_spike_spark.operators.similarity import (
+    embedding_centroid_drift,
+)
+from datapipeline_spike_spark.operators.text_stats import (
+    rouge_ngram_eval,
+    token_distribution_drift,
+)
+from datapipeline_spike_spark.plans.registry import load
+
+SF = "/root/testdata/sf0.001"
+
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9'']+'),"
+    " t -> t != '')"
+)
+_SQL_U01_DOC = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    return con
+
+
+# --- reliability_calibration_bins ---------------------------------------------
+
+
+def test_calibration_bins_match_duckdb(spark):
+    """Scores from the portable md5 [0,1) draw, labels from a length
+    rule — the full bin table vs a DuckDB replay."""
+    from datapipeline_spike_spark.operators.sampling import hash_u01
+
+    docs = load(spark, SF, "documents").select(
+        hash_u01("doc_id").alias("score"),
+        (F.length("text") >= 200).alias("label"),
+    )
+    got = {
+        r["bin"]: r.asDict()
+        for r in reliability_calibration_bins(docs).collect()
+    }
+    want = _con().execute(
+        f"""
+        WITH v AS (
+          SELECT {_SQL_U01_DOC} AS s, length(text) >= 200 AS l
+          FROM documents
+        ),
+        b AS (
+          SELECT least(9, CAST(floor(s * 10) AS INT)) AS bin,
+                 count(*) AS n, sum(s) AS sum_s,
+                 CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+          FROM v GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b)
+        SELECT bin, CAST(n AS BIGINT) AS n,
+               round(sum_s / n, 6) AS mean_score,
+               round(n_pass * 1.0 / n, 6) AS pass_rate,
+               round(abs(n_pass * 1.0 / n - sum_s / n), 6) AS abs_gap,
+               round(n * 1.0 / total, 6) AS weight
+        FROM b, t
+        """
+    ).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[w["bin"]]
+        assert g["n"] == int(w["n"]), w["bin"]
+        for c in ("mean_score", "pass_rate", "abs_gap", "weight"):
+            assert g[c] == pytest.approx(w[c], abs=2e-6), (w["bin"], c)
+
+
+def test_calibration_planted_extremes(spark):
+    """A perfectly calibrated synthetic (label true with probability =
+    score, realized exactly within each bin) shows ~0 gap; inverted
+    labels show gap ~ |1 - 2*score|; NULL scores/labels are excluded."""
+    rows = []
+    # bin b holds 20 rows at score b/10 + 0.05; exactly round(20*s) pass
+    for b in range(10):
+        s = b / 10 + 0.05
+        n_pass = round(20 * s)
+        rows += [(s, i < n_pass) for i in range(20)]
+    rows += [(None, True), (0.5, None)]  # abstentions
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["bin"]: r for r in reliability_calibration_bins(df).collect()}
+    assert set(out) == set(range(10))
+    assert sum(r["n"] for r in out.values()) == 200  # abstentions excluded
+    for b, r in out.items():
+        assert r["abs_gap"] <= 0.051, b  # calibrated within bin grain
+        assert r["weight"] == pytest.approx(0.1, abs=1e-6)
+    inverted = df.select("score", (~F.col("label")).alias("label"))
+    inv = {r["bin"]: r for r in reliability_calibration_bins(inverted).collect()}
+    assert inv[0]["abs_gap"] > 0.8 and inv[9]["abs_gap"] > 0.8
+
+
+# --- token_distribution_drift --------------------------------------------------
+
+
+def test_token_drift_matches_duckdb(spark):
+    got = token_distribution_drift(
+        load(spark, SF, "documents"), "lang", "en", "fr"
+    ).collect()[0].asDict()
+    toks = _SQL_TOKS.format(c="text")
+    want = _con().execute(
+        f"""
+        WITH toks AS (
+          SELECT (lang = 'en') AS ia, unnest({toks}) AS tok
+          FROM documents WHERE lang IN ('en', 'fr')
+        ),
+        c AS (
+          SELECT tok,
+                 CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          FROM toks GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                 CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb,
+                 count(*) AS v,
+                 CAST(coalesce(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS va,
+                 CAST(coalesce(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS vb
+          FROM c
+        ),
+        k AS (
+          SELECT
+            sum(((ca + 1.0) / (na + v))
+                * ln(((ca + 1.0) / (na + v)) / ((cb + 1.0) / (nb + v))))
+              AS kl_ab,
+            sum(((cb + 1.0) / (nb + v))
+                * ln(((cb + 1.0) / (nb + v)) / ((ca + 1.0) / (na + v))))
+              AS kl_ba,
+            sum(((ca + 1.0) / (na + v))
+                * ln(((ca + 1.0) / (na + v))
+                     / ((((ca + 1.0) / (na + v)) + ((cb + 1.0) / (nb + v))) / 2.0)))
+              AS kl_am,
+            sum(((cb + 1.0) / (nb + v))
+                * ln(((cb + 1.0) / (nb + v))
+                     / ((((ca + 1.0) / (na + v)) + ((cb + 1.0) / (nb + v))) / 2.0)))
+              AS kl_bm
+          FROM c, t
+        )
+        SELECT na AS n_tokens_a, nb AS n_tokens_b, va AS vocab_a,
+               vb AS vocab_b, v AS vocab_union,
+               round(kl_ab, 6) AS kl_ab, round(kl_ba, 6) AS kl_ba,
+               round(0.5 * kl_am + 0.5 * kl_bm, 6) AS js_divergence
+        FROM t, k
+        """
+    ).df().iloc[0].to_dict()
+    for c in ("n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b", "vocab_union"):
+        assert got[c] == int(want[c]), c
+    for c in ("kl_ab", "kl_ba", "js_divergence"):
+        assert got[c] == pytest.approx(want[c], abs=2e-6), c
+    assert got["kl_ab"] > 0 and got["js_divergence"] > 0
+
+
+def test_token_drift_planted_properties(spark):
+    """Identical snapshots -> all divergences 0; disjoint vocabularies
+    -> large and JS <= ln 2; an empty side -> NULL divergences with
+    real counts."""
+    same = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "alpha beta gamma")],
+        "snap string, text string",
+    )
+    r = token_distribution_drift(same, "snap", "a", "b").collect()[0]
+    assert r["kl_ab"] == 0.0 and r["kl_ba"] == 0.0 and r["js_divergence"] == 0.0
+    assert r["vocab_union"] == 3 and r["n_tokens_a"] == 3
+    # large enough that add-one smoothing doesn't dominate the signal
+    disjoint = spark.createDataFrame(
+        [("a", "alpha beta gamma delta " * 50), ("b", "epsilon zeta eta theta " * 50)],
+        "snap string, text string",
+    )
+    r = token_distribution_drift(disjoint, "snap", "a", "b").collect()[0]
+    assert r["js_divergence"] > 0.5  # near ln 2 for disjoint vocab
+    import math
+
+    assert r["js_divergence"] <= math.log(2) + 1e-9
+    empty_side = spark.createDataFrame(
+        [("a", "alpha beta"), ("c", "unrelated words")],
+        "snap string, text string",
+    )
+    r = token_distribution_drift(empty_side, "snap", "a", "b").collect()[0]
+    assert r["n_tokens_a"] == 2 and r["n_tokens_b"] == 0
+    assert r["kl_ab"] is None and r["js_divergence"] is None
+
+
+# --- rouge_ngram_eval -----------------------------------------------------------
+
+
+def test_rouge_matches_duckdb(spark):
+    """Planted pair construction over documents (identical / appended /
+    word-reversed references by doc_id mod 3) vs a full DuckDB replay
+    of the clipped-bigram overlap."""
+    from datapipeline_spike_spark.functions.text import tokens
+
+    d = load(spark, SF, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("candidate"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat("text", F.lit(" extra appended trailer words")),
+        )
+        .otherwise(F.concat_ws(" ", F.reverse(tokens("text"))))
+        .alias("reference"),
+    )
+    got = {r["pair_id"]: r.asDict() for r in rouge_ngram_eval(pairs).collect()}
+    toks = _SQL_TOKS.format(c="text")
+    toks_c = _SQL_TOKS.format(c="candidate")
+    toks_r = _SQL_TOKS.format(c="reference")
+    want = _con().execute(
+        f"""
+        WITH pairs AS (
+          SELECT doc_id AS pair_id, text AS candidate,
+                 CASE WHEN doc_id % 3 = 0 THEN text
+                      WHEN doc_id % 3 = 1
+                        THEN text || ' extra appended trailer words'
+                      ELSE array_to_string(list_reverse({toks}), ' ')
+                 END AS reference
+          FROM documents
+        ),
+        cg AS (
+          SELECT pair_id, g, count(*) AS cc FROM (
+            SELECT pair_id, unnest(list_transform(range(1, len(t)),
+                   i -> array_to_string(t[i:i+1], ' '))) AS g
+            FROM (SELECT pair_id, {toks_c} AS t FROM pairs)
+            WHERE len(t) >= 2
+          ) GROUP BY 1, 2
+        ),
+        rg AS (
+          SELECT pair_id, g, count(*) AS cr FROM (
+            SELECT pair_id, unnest(list_transform(range(1, len(t)),
+                   i -> array_to_string(t[i:i+1], ' '))) AS g
+            FROM (SELECT pair_id, {toks_r} AS t FROM pairs)
+            WHERE len(t) >= 2
+          ) GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT pair_id,
+                 CAST(sum(coalesce(cc, 0)) AS BIGINT) AS cand_grams,
+                 CAST(sum(coalesce(cr, 0)) AS BIGINT) AS ref_grams,
+                 CAST(sum(least(coalesce(cc, 0), coalesce(cr, 0))) AS BIGINT)
+                   AS overlap
+          FROM cg FULL JOIN rg USING (pair_id, g) GROUP BY 1
+        )
+        SELECT p.pair_id,
+               coalesce(cand_grams, 0) AS cand_grams,
+               coalesce(ref_grams, 0) AS ref_grams,
+               coalesce(overlap, 0) AS overlap,
+               round(overlap * 1.0 / cand_grams, 6) AS precision,
+               round(overlap * 1.0 / ref_grams, 6) AS recall,
+               round(CASE WHEN (overlap * 1.0 / cand_grams)
+                               + (overlap * 1.0 / ref_grams) > 0
+                          THEN 2.0 * (overlap * 1.0 / cand_grams)
+                               * (overlap * 1.0 / ref_grams)
+                               / ((overlap * 1.0 / cand_grams)
+                                  + (overlap * 1.0 / ref_grams))
+                          ELSE 0.0 END, 6) AS f1
+        FROM pairs p LEFT JOIN j ON p.pair_id = j.pair_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[w["pair_id"]]
+        for c in ("cand_grams", "ref_grams", "overlap"):
+            assert g[c] == int(w[c]), (w["pair_id"], c)
+        for c in ("precision", "recall", "f1"):
+            if g[c] is None:
+                assert w["cand_grams"] == 0 or w["ref_grams"] == 0
+            else:
+                assert g[c] == pytest.approx(w[c], abs=2e-6), (w["pair_id"], c)
+
+
+def test_rouge_planted_semantics(spark):
+    """Identity pair -> P=R=F1=1; disjoint -> 0; clipping: a candidate
+    repeating one reference bigram 5x gets credit once per reference
+    occurrence, not 5x; a below-threshold side -> NULLs."""
+    pairs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "the quick brown fox"),
+            (2, "alpha beta gamma", "delta epsilon zeta"),
+            (3, "go go go go go go", "go go stop"),
+            (4, "word", "a real reference text"),
+        ],
+        "pair_id long, candidate string, reference string",
+    )
+    out = {r["pair_id"]: r for r in rouge_ngram_eval(pairs).collect()}
+    assert out[1]["precision"] == 1.0 == out[1]["recall"] == out[1]["f1"]
+    assert out[2]["overlap"] == 0 and out[2]["f1"] == 0.0
+    # candidate 'go go' x5, reference has ONE 'go go' -> clipped to 1
+    assert out[3]["overlap"] == 1
+    assert out[3]["precision"] == pytest.approx(1 / 5, abs=1e-6)
+    assert out[4]["cand_grams"] == 0 and out[4]["precision"] is None
+    assert out[4]["f1"] is None
+
+
+# --- embedding_centroid_drift ----------------------------------------------------
+
+
+def test_centroid_drift_matches_duckdb(spark):
+    e = load(spark, SF, "embeddings").withColumn(
+        "snap", (F.col("vec_id") % 2).cast("int")
+    )
+    got = {
+        r["label"]: r.asDict()
+        for r in embedding_centroid_drift(
+            e, snapshot_col="snap", snapshot_a=0, snapshot_b=1
+        ).collect()
+    }
+    want = _con().execute(
+        """
+        WITH e AS (
+          SELECT label, (vec_id % 2 = 0) AS ia, embedding::DOUBLE[] AS ev
+          FROM embeddings
+        ),
+        d AS (
+          SELECT label, ia, s.dim AS dim, s.val AS val FROM (
+            SELECT label, ia,
+                   unnest(list_transform(range(1, len(ev) + 1),
+                          i -> {'dim': i - 1, 'val': ev[i]})) AS s
+            FROM e
+          )
+        ),
+        pd AS (
+          SELECT label, dim,
+                 round(sum(CASE WHEN ia THEN val END)
+                       / sum(CASE WHEN ia THEN 1 ELSE 0 END), 6) AS ma,
+                 round(sum(CASE WHEN NOT ia THEN val END)
+                       / sum(CASE WHEN NOT ia THEN 1 ELSE 0 END), 6) AS mb,
+                 sum(CASE WHEN ia THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS nb
+          FROM d GROUP BY 1, 2
+        ),
+        ag AS (
+          SELECT label,
+                 list(ma ORDER BY dim) AS ca, list(mb ORDER BY dim) AS cb,
+                 CAST(max(na) AS BIGINT) AS n_a,
+                 CAST(max(nb) AS BIGINT) AS n_b
+          FROM pd GROUP BY 1
+        )
+        SELECT label, n_a, n_b,
+               round(list_cosine_similarity(ca, cb), 6) AS centroid_cosine,
+               round(sqrt(list_sum(list_transform(range(1, len(ca) + 1),
+                     i -> (ca[i] - cb[i]) * (ca[i] - cb[i])))), 6)
+                 AS centroid_shift_l2
+        FROM ag
+        """
+    ).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[w["label"]]
+        assert g["n_a"] == int(w["n_a"]) and g["n_b"] == int(w["n_b"])
+        assert g["centroid_cosine"] == pytest.approx(
+            w["centroid_cosine"], abs=2e-6
+        ), w["label"]
+        assert g["centroid_shift_l2"] == pytest.approx(
+            w["centroid_shift_l2"], abs=2e-6
+        ), w["label"]
+
+
+@pytest.fixture()
+def _emb_snap(spark):
+    e = load(spark, SF, "embeddings")
+    return e.withColumn("snap", (F.col("vec_id") % 2).cast("int"))
+
+
+def test_centroid_drift_planted_properties(spark):
+    """Identical snapshots -> cosine 1, shift 0; an orthogonal planted
+    pair -> cosine 0; a group on one side only -> NULL geometry with
+    real counts."""
+    rows = [
+        ("g1", 0, [1.0, 0.0]), ("g1", 1, [1.0, 0.0]),      # identical
+        ("g2", 0, [2.0, 0.0]), ("g2", 1, [0.0, 3.0]),      # orthogonal
+        ("g3", 0, [1.0, 1.0]),                             # a-side only
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, snap int, embedding array<double>"
+    )
+    out = {
+        r["label"]: r
+        for r in embedding_centroid_drift(
+            df, "snap", 0, 1, group_col="label"
+        ).collect()
+    }
+    assert out["g1"]["centroid_cosine"] == 1.0
+    assert out["g1"]["centroid_shift_l2"] == 0.0
+    assert out["g2"]["centroid_cosine"] == 0.0
+    assert out["g3"]["n_a"] == 1 and out["g3"]["n_b"] == 0
+    assert out["g3"]["centroid_cosine"] is None

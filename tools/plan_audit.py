@@ -67,6 +67,7 @@ BNLJ_OK = {
     "curation_stage_profile": "budget_select's broadcast 1-row histogram threshold cross inside the funnel (same pattern as budget_selected_docs)",
     "global_sales_opportunity": "TPC-H Q22 scalar AVG subquery: broadcast 1-row average kept in-plan (no plan-build collect)",
     "zipf_profile": "broadcast 1-row (n_types, n_tokens) totals crossed into the 1-row OLS fit",
+    "hard_negative_pairs": "broadcast 1-row corpus count crossed into the bucket assignment (r11 auto-plane derivation, no plan-build collect)",
     "kneser_ney_bigram_score": "broadcast 1-row bigram-type count T crossed into the vocab-bounded scoring join (bigram_fluency pattern, no plan-build collect)",
     "temperature_mixture_plan": "broadcast 1-row (wsum, total_tokens) aggregate crossed into the group-grain plan (corpus_mixture_plan pattern, no plan-build collect)",
     # top_supplier_revenue needs no entry: Catalyst rewrites its

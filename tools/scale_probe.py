@@ -349,6 +349,66 @@ def r10staged_stress(spark, amp: int) -> None:
         docs.unpersist()
 
 
+def r11staged_stress(spark, amp: int) -> None:
+    """1x/``amp``x rows for the r11 staged operators (register r12):
+    reliability_calibration_bins (map-only bin + n_bins-grain agg),
+    token_distribution_drift (one vocabulary-bounded conditional agg),
+    rouge_ngram_eval (gram-keyed counts + full outer join),
+    embedding_centroid_drift (posexplode + |groups| x dim agg).
+    Pass signal: flat-or-rising rows/sec."""
+    from datapipeline_spike_spark.operators.quality import (
+        reliability_calibration_bins,
+    )
+    from datapipeline_spike_spark.operators.sampling import hash_u01
+    from datapipeline_spike_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+    from datapipeline_spike_spark.operators.text_stats import (
+        rouge_ngram_eval,
+        token_distribution_drift,
+    )
+    from datapipeline_spike_spark.functions.text import tokens
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        drows = docs.count()
+        scored = docs.select(
+            hash_u01("doc_id").alias("score"),
+            (F.col("n_chars") >= 200).alias("label"),
+        )
+        pairs = docs.select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("text").alias("candidate"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat("text", F.lit(" extra appended trailer words")))
+            .otherwise(F.concat_ws(" ", F.reverse(tokens("text"))))
+            .alias("reference"),
+        )
+        for name, builder in (
+            ("calibration_bins", lambda: reliability_calibration_bins(scored)),
+            ("token_drift", lambda: token_distribution_drift(
+                docs, "lang", "en", "fr")),
+            ("rouge_ngram_eval", lambda: rouge_ngram_eval(pairs)),
+        ):
+            secs = probe(name, builder)
+            print(json.dumps({"probe": name, "amp": a, "docs": drows,
+                              "sec": secs,
+                              "docs_per_sec": int(drows / secs)}), flush=True)
+        docs.unpersist()
+        emb = amplify_embeddings(spark, a).localCheckpoint(eager=True)
+        erows = emb.count()
+        snap = emb.withColumn("snap", (F.col("vec_id") % 2).cast("int"))
+        secs = probe(
+            "embedding_centroid_drift",
+            lambda: embedding_centroid_drift(snap, "snap", 0, 1),
+        )
+        print(json.dumps({"probe": "embedding_centroid_drift", "amp": a,
+                          "vecs": erows, "sec": secs,
+                          "vecs_per_sec": int(erows / secs)}), flush=True)
+        emb.unpersist()
+
+
 def r10tpch_stress(spark, amp: int) -> None:
     """Round-10 TPC-H shape probes: the NEW join surfaces at 1x and
     ``amp``x. Q21's fact self-correlation is the shape to watch — the
@@ -660,7 +720,7 @@ def r8lib2_stress(spark, amp: int) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     mode = "core"
-    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged"):
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged"):
         if m in args:
             mode = m
             break
@@ -697,6 +757,9 @@ def main() -> None:
         return
     if mode == "r10staged":
         r10staged_stress(spark, n)
+        return
+    if mode == "r11staged":
+        r11staged_stress(spark, n)
         return
 
     for amp in (1, n):
