@@ -1337,3 +1337,82 @@ def embedding_centroid_drift(
         ).alias("centroid_cosine"),
         F.when(both, F.round(shift, 6)).alias("centroid_shift_l2"),
     )
+
+
+def hubness_profile(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_bucket: int = 64,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Embedding-space hubness diagnostic (staged r11, register r12;
+    Radovanovic et al. 2010): compute every vector's approximate
+    top-``k`` cosine neighbors (the same auto-plane LSH bucket join the
+    ANN tiers use), then profile the K-OCCURRENCE distribution N_k(x) =
+    how many vectors list x among their top-k. High-dimensional
+    embedding spaces concentrate: a few "hub" vectors appear in
+    thousands of neighbor lists while many "orphans" appear in none —
+    skewed N_k degrades ANN recall, kNN classification, and
+    SemDeDup-style clustering, so a curation run profiles it before
+    trusting neighbor-based ops.
+
+    Returns ONE row: (n_vectors, n_orphans, max_k_occ, mean_k_occ,
+    skew_k_occ) — skewness is the canonical hubness number (near 0 =
+    healthy, >> 1 = hub-dominated), computed from exact integer raw
+    moments S1/S2/S3 over the FULL vector set (orphans included at
+    N_k = 0) with one final double division, so both engines agree to
+    the 6dp round.
+
+    Scale shape: the neighbor lists come from the bucketed self-join
+    (auto-derived plane count keeps buckets ~``target_bucket`` at any
+    corpus size, the hard_negative_mining posture) with Spark 4's
+    WindowGroupLimit bounding shuffle volume to anchors x k; the
+    profile is a |vectors|-row count aggregate + a 1-row reduce."""
+    # n_planes passes through: None = the auto-derived scale path
+    # (production); 0 = one bucket = EXACT all-pairs top-k (the planted
+    # tests' ground-truth mode, viable only on tiny corpora)
+    topk = hard_negative_mining(
+        corpus,
+        dim=dim,
+        k=k,
+        n_planes=n_planes,
+        hi=2.0,  # no near-dup ceiling: every neighbor counts
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=None,
+        target_bucket=target_bucket,
+    ).select(F.col("negative_id").alias("_nid"))
+    occ = topk.groupBy("_nid").agg(F.count(F.lit(1)).alias("_nk"))
+    base = corpus.select(F.col(id_col).alias("_nid"))
+    full = base.join(occ, "_nid", "left").select(
+        F.coalesce("_nk", F.lit(0)).alias("nk")
+    )
+    mom = full.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nk").alias("s1"),
+        F.sum(F.col("nk") * F.col("nk")).alias("s2"),
+        F.sum(F.col("nk") * F.col("nk") * F.col("nk")).alias("s3"),
+        F.max("nk").alias("max_k_occ"),
+        F.sum((F.col("nk") == 0).cast("bigint")).alias("n_orphans"),
+    )
+    n = F.col("n").cast("double")
+    # central moments from integer raw moments (exact until division):
+    # m2 = S2/n - (S1/n)^2, m3 = S3/n - 3*(S1/n)*(S2/n) + 2*(S1/n)^3
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3.0 * mean * (F.col("s2") / n) + 2.0 * mean * mean * mean
+    return mom.select(
+        F.col("n").alias("n_vectors"),
+        "n_orphans",
+        "max_k_occ",
+        F.round(mean, 6).alias("mean_k_occ"),
+        # m2^1.5 as m2 * sqrt(m2): sqrt is IEEE correctly-rounded on
+        # both engines, pow() is only within-1-ulp — the difference can
+        # flip the 6th decimal on an oracle hash
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias(
+            "skew_k_occ"
+        ),
+    )

@@ -97,18 +97,19 @@ _R11_REFRESH = (
     "pii_redaction",
 )
 
-# r12 registration checklist (the r10->r11 staging pattern): four
+# r12 registration checklist (the r10->r11 staging pattern): five
 # operators are STAGED with green DuckDB differential tests in
 # tests/test_r11_staging.py — operators/quality.py
 # (reliability_calibration_bins), operators/text_stats.py
 # (token_distribution_drift, rouge_ngram_eval), and
-# operators/similarity.py (embedding_centroid_drift). Their oracle SQL
-# exists verbatim in the staging tests; registration is a catalog
-# move: lift the SQL, alias columns identically, give each a head
-# slot. Allowlist notes: reliability_calibration_bins and
+# operators/similarity.py (embedding_centroid_drift, hubness_profile).
+# Their oracle SQL exists verbatim in the staging tests; registration
+# is a catalog move: lift the SQL, alias columns identically, give
+# each a head slot. Allowlist notes: reliability_calibration_bins and
 # token_distribution_drift each carry a 1-row totals broadcast-cross
-# (BNLJ_OK, the corpus_mixture_plan pattern);
-# rouge_ngram_eval/embedding_centroid_drift need no allowlists.
+# (BNLJ_OK, the corpus_mixture_plan pattern); hubness_profile rides
+# hard_negative_mining's auto-plane 1-row count cross (same BNLJ_OK
+# argument); rouge_ngram_eval/embedding_centroid_drift need none.
 
 # --- r12 queue: the r8-green remainder (stale 4 rounds by r12 — all
 # must refresh) followed by the oldest r9-greens, leaving ~8 head slots

@@ -410,3 +410,133 @@ def test_centroid_drift_planted_properties(spark):
     assert out["g2"]["centroid_cosine"] == 0.0
     assert out["g3"]["n_a"] == 1 and out["g3"]["n_b"] == 0
     assert out["g3"]["centroid_cosine"] is None
+
+
+# --- hubness_profile -------------------------------------------------------------
+
+
+def test_hubness_profile_matches_duckdb(spark):
+    """Approximate top-5 neighbor lists from the auto-plane LSH bucket
+    join, then the k-occurrence moment profile — vs a full DuckDB
+    replay (bucket assignment from the same inlined hyperplanes and
+    count-derived plane number, rank on the rounded cosine, integer
+    raw moments)."""
+    from datapipeline_spike_spark.operators.similarity import hubness_profile
+    from datapipeline_spike_spark.plans.catalog_r9 import (
+        _AUTO_MAX_PLANES,
+        _AUTO_MIN_PLANES,
+        _AUTO_TARGET_BUCKET,
+        _SQL_BUCKET16,
+    )
+
+    got = (
+        hubness_profile(load(spark, SF, "embeddings"), dim=64, k=5)
+        .collect()[0]
+        .asDict()
+    )
+    want = _con().execute(
+        f"""
+        WITH np AS (
+          SELECT least({_AUTO_MAX_PLANES}, greatest({_AUTO_MIN_PLANES},
+                 CAST(ceil(log2(count(*) / {float(_AUTO_TARGET_BUCKET)}))
+                      AS INT))) AS n
+          FROM embeddings
+        ),
+        v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+                 ({_SQL_BUCKET16}) & ((1 << n) - 1) AS bucket
+          FROM embeddings, np
+        ),
+        scored AS (
+          SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(a.ev, c.ev), 6) AS cos_sim
+          FROM v a JOIN v c USING (bucket)
+          WHERE a.vec_id != c.vec_id
+        ),
+        topk AS (
+          SELECT neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM scored
+          ) WHERE rnk <= 5
+        ),
+        occ AS (
+          SELECT CAST(coalesce(cnt, 0) AS BIGINT) AS nk
+          FROM embeddings e LEFT JOIN (
+            SELECT neighbor_id, count(*) AS cnt FROM topk GROUP BY 1
+          ) t ON e.vec_id = t.neighbor_id
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(nk) AS BIGINT) AS s1,
+                 CAST(sum(nk * nk) AS BIGINT) AS s2,
+                 CAST(sum(nk * nk * nk) AS BIGINT) AS s3,
+                 CAST(max(nk) AS BIGINT) AS max_k_occ,
+                 CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orphans
+          FROM occ
+        )
+        SELECT n AS n_vectors, n_orphans, max_k_occ,
+               round(s1 * 1.0 / n, 6) AS mean_k_occ,
+               CASE WHEN (s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)) > 0
+                    THEN round(
+                      (s3 * 1.0 / n
+                       - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+                       + 2.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                      / ((s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                         * sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n))),
+                      6)
+               END AS skew_k_occ
+        FROM m
+        """
+    ).df().iloc[0].to_dict()
+    for c in ("n_vectors", "n_orphans", "max_k_occ"):
+        assert got[c] == int(want[c]), c
+    assert got["mean_k_occ"] == pytest.approx(want["mean_k_occ"], abs=2e-6)
+    assert got["skew_k_occ"] == pytest.approx(want["skew_k_occ"], abs=2e-6)
+
+
+def test_hubness_planted_hub(spark):
+    """A planted hub dominates the k-occurrence distribution: vectors
+    scattered near the first axis with ONE central vector everyone is
+    closest to -> max_k_occ near n, heavy orphan tail, positive skew;
+    a symmetric ring (everyone is someone's neighbor equally often)
+    shows ~zero skew."""
+    import math
+
+    from datapipeline_spike_spark.operators.similarity import hubness_profile
+
+    # hub construction in 64-D (n_planes=0 = exact all-pairs mode):
+    # v_i = 0.9*hub + e_i on a distinct axis, so cos(v_i, hub) ~ 0.67
+    # beats cos(v_i, v_j) ~ 0.45 — the hub is EVERY vector's nearest
+    dim = 64
+    hub = [1.0] + [0.0] * (dim - 1)
+    rows = [(0, hub)]
+    for i in range(1, 40):
+        v = [0.9] + [0.0] * (dim - 1)
+        v[i] = 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    prof = hubness_profile(df, dim=dim, k=1, n_planes=0).collect()[0]
+    # with k=1 and every vector's nearest being a shared central point,
+    # the hub's k-occurrence dwarfs the mean and skew is large positive
+    assert prof["n_vectors"] == 40
+    assert prof["max_k_occ"] == 39  # everyone's top-1 is the hub
+    assert prof["skew_k_occ"] > 2.0
+    assert prof["n_orphans"] >= 35
+
+    # symmetric ring in 2-D: i-th at angle 2*pi*i/n — each vector's
+    # top-2 are its ring adjacents, N_k is uniform 2 -> zero variance,
+    # skew NULL (the degenerate-healthy case), no orphans
+    n = 32
+    ring = [
+        (i, [math.cos(2 * math.pi * i / n), math.sin(2 * math.pi * i / n),
+             0.0, 0.0])
+        for i in range(n)
+    ]
+    rdf = spark.createDataFrame(ring, "vec_id long, embedding array<double>")
+    rprof = hubness_profile(rdf, dim=4, k=2, n_planes=0).collect()[0]
+    assert rprof["n_vectors"] == n
+    assert rprof["n_orphans"] == 0
+    assert rprof["mean_k_occ"] == 2.0
+    assert rprof["skew_k_occ"] is None or abs(rprof["skew_k_occ"]) < 1.0

@@ -406,6 +406,17 @@ def r11staged_stress(spark, amp: int) -> None:
         print(json.dumps({"probe": "embedding_centroid_drift", "amp": a,
                           "vecs": erows, "sec": secs,
                           "vecs_per_sec": int(erows / secs)}), flush=True)
+        from datapipeline_spike_spark.operators.similarity import (
+            hubness_profile,
+        )
+
+        secs = probe(
+            "hubness_profile",
+            lambda: hubness_profile(emb, dim=64, k=5),
+        )
+        print(json.dumps({"probe": "hubness_profile", "amp": a,
+                          "vecs": erows, "sec": secs,
+                          "vecs_per_sec": int(erows / secs)}), flush=True)
         emb.unpersist()
 
 
