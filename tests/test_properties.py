@@ -678,3 +678,103 @@ def test_budget_select_equals_python_threshold_replay(spark, rows, budget_pct):
         for r in budget_select(df.repartition(3), "q", "n_tok", budget, "doc_id").collect()
     }
     assert got == expect
+
+
+# --- r11 staged-operator invariants (Hypothesis over planted corpora) --------
+
+words = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=0,
+    max_size=12,
+)
+texts = st.lists(words.map(" ".join), min_size=1, max_size=12)
+
+
+@given(cands=texts, refs=texts)
+@PROP
+def test_rouge_swap_symmetry_and_bounds(spark, cands, refs):
+    """ROUGE invariants: swapping candidate/reference swaps precision
+    and recall exactly (overlap and f1 invariant); all ratios in
+    [0, 1]; overlap <= min(cand_grams, ref_grams)."""
+    from datapipeline_spike_spark.operators.text_stats import rouge_ngram_eval
+
+    n = min(len(cands), len(refs))
+    pairs = spark.createDataFrame(
+        [(i, cands[i], refs[i]) for i in range(n)],
+        "pair_id long, candidate string, reference string",
+    )
+    fwd = {r["pair_id"]: r for r in rouge_ngram_eval(pairs).collect()}
+    swapped = pairs.select(
+        "pair_id",
+        F.col("reference").alias("candidate"),
+        F.col("candidate").alias("reference"),
+    )
+    bwd = {r["pair_id"]: r for r in rouge_ngram_eval(swapped).collect()}
+    for i in fwd:
+        f, b = fwd[i], bwd[i]
+        assert f["overlap"] == b["overlap"]
+        assert f["precision"] == b["recall"] and f["recall"] == b["precision"]
+        assert f["f1"] == b["f1"]
+        assert f["overlap"] <= min(f["cand_grams"], f["ref_grams"])
+        for c in ("precision", "recall", "f1"):
+            assert f[c] is None or 0.0 <= f[c] <= 1.0
+
+
+@given(
+    a_texts=st.lists(words.map(" ".join), min_size=1, max_size=8),
+    b_texts=st.lists(words.map(" ".join), min_size=1, max_size=8),
+)
+@PROP
+def test_token_drift_symmetry_and_bounds(spark, a_texts, b_texts):
+    """Drift invariants: JS is symmetric under snapshot swap, bounded
+    by ln 2, and KL(a||b)/KL(b||a) swap under the same exchange; all
+    divergences >= 0; identical snapshots give exactly 0."""
+    from datapipeline_spike_spark.operators.text_stats import (
+        token_distribution_drift,
+    )
+
+    rows = [("a", t) for t in a_texts] + [("b", t) for t in b_texts]
+    df = spark.createDataFrame(rows, "snap string, text string")
+    fwd = token_distribution_drift(df, "snap", "a", "b").collect()[0]
+    bwd = token_distribution_drift(df, "snap", "b", "a").collect()[0]
+    if fwd["kl_ab"] is not None and bwd["kl_ab"] is not None:
+        assert fwd["js_divergence"] == bwd["js_divergence"]  # symmetric
+        assert fwd["kl_ab"] == bwd["kl_ba"] and fwd["kl_ba"] == bwd["kl_ab"]
+        assert fwd["kl_ab"] >= 0 and fwd["kl_ba"] >= 0
+        assert 0.0 <= fwd["js_divergence"] <= math.log(2) + 1e-9
+    assert fwd["n_tokens_a"] == bwd["n_tokens_b"]
+    assert fwd["vocab_union"] == bwd["vocab_union"]
+
+
+@given(
+    scores=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    flips=st.lists(st.booleans(), min_size=1, max_size=60),
+)
+@PROP
+def test_calibration_bin_conservation(spark, scores, flips):
+    """Calibration-bin invariants: bin counts sum to the non-null row
+    count, weights sum to 1, every score lands in exactly the bin
+    floor(s*10) (clamped), and mean_score stays inside the bin's score
+    range observed in the input."""
+    from datapipeline_spike_spark.operators.quality import (
+        reliability_calibration_bins,
+    )
+
+    n = min(len(scores), len(flips))
+    df = spark.createDataFrame(
+        [(scores[i], flips[i]) for i in range(n)], "score double, label boolean"
+    )
+    out = reliability_calibration_bins(df).collect()
+    assert sum(r["n"] for r in out) == n
+    assert sum(r["weight"] for r in out) == pytest.approx(1.0, abs=5e-6)
+    expect_bins = {min(9, int(s * 10)) for s in scores[:n]}
+    assert {r["bin"] for r in out} == expect_bins
+    for r in out:
+        in_bin = [s for s in scores[:n] if min(9, int(s * 10)) == r["bin"]]
+        # mean_score is 6dp-rounded by the operator: allow the grain
+        assert min(in_bin) - 1e-6 <= r["mean_score"] <= max(in_bin) + 1e-6
+        assert 0.0 <= r["pass_rate"] <= 1.0
