@@ -1250,20 +1250,27 @@ def dedup_span_removal(
     are exactly what this removes.
 
     Returns (id, n_tokens, n_removed, n_flagged_ngrams,
-    retained_ratio): per-doc distinct covered positions (overlapping
-    flagged spans merge via DISTINCT, the decontamination_span_removal
-    precedent), flagged k-gram starts, and the post-scrub retention.
+    retained_ratio): per-doc merged covered positions (overlapping
+    flagged spans union), flagged k-gram starts, and the post-scrub
+    retention.
 
     Scale shape: ONE positional explode feeds both the gram stats
     (distinct (doc, gram) -> per-gram document frequency + min doc:
     one gram-keyed map-side-combined shuffle) and the hit join — which
     shuffles on the gram key with NO broadcast hint (distinct grams
-    scale with the corpus; AQE decides). Coverage expansion is a
-    bounded k-row sequence per hit; no self-joins, no windows. The
-    mega-shared gram (a corpus-wide boilerplate sentence) is a single
-    aggregate key — AQE skew-splittable — and its hit fan-out is one
-    row per occurrence, the same cardinality the explode already
-    produced."""
+    scale with the corpus; AQE decides). Coverage union is an INTERVAL
+    MERGE (r11): each (doc, pos) hit is unique by construction (one
+    k-gram per position, one stats row per gram), so with starts
+    sorted per doc the union of fixed-length-k intervals is exactly
+    sum(least(k, pos - lag(pos))) with the first span contributing k —
+    one per-doc window over the flagged starts replaces the r10
+    explode(k)+DISTINCT shape (k x less shuffle volume on the covered-
+    position stage, bit-identical results; the staging differential
+    test re-proves equality against the DuckDB explode-style replay).
+    The mega-shared gram (a corpus-wide boilerplate sentence) is a
+    single aggregate key — AQE skew-splittable — and its hit fan-out
+    is one row per occurrence, the same cardinality the explode
+    already produced."""
     from datapipeline_spike_spark.functions.text import ngrams, token_count
 
     t = docs.select(
@@ -1287,18 +1294,22 @@ def dedup_span_removal(
         .filter(F.col(id_col) != F.col("_canon"))
         .select(id_col, "pos")
     )
-    cov = hits.select(
-        id_col,
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("cp"),
-    ).distinct()
+    # interval-merge coverage: per doc, sorted flagged starts; each
+    # start covers k positions minus the overlap with its predecessor
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    contrib = F.least(
+        F.lit(k).cast("long"), (F.col("pos") - F.lag("pos").over(w)).cast("long")
+    )
     agg = (
-        cov.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_removed"))
-        .join(
-            hits.groupBy(id_col).agg(
-                F.count_distinct("pos").alias("n_flagged_ngrams")
-            ),
-            id_col,
+        hits.select(
+            id_col, F.coalesce(contrib, F.lit(k).cast("long")).alias("_cov")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cov").alias("n_removed"),
+            F.count(F.lit(1)).alias("n_flagged_ngrams"),
         )
     )
     return (
