@@ -276,9 +276,15 @@ def q_curation_stage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # free the PREVIOUS invocation's persisted scoring frame, then hand
     # the module-level handle to this run (see doc: the result is lazy,
-    # so the cache must outlive this function)
+    # so the cache must outlive this function). Defensive (r11): the
+    # previous frame may belong to a STOPPED SparkContext (bench.py now
+    # restarts sessions between extras chunks) — its blocks died with
+    # the context, so a failing unpersist is already-freed, not a leak.
     for frame in _CURATION_CACHE:
-        frame.unpersist()
+        try:
+            frame.unpersist()
+        except Exception:  # noqa: BLE001  (stopped-context handle)
+            pass
     _CURATION_CACHE.clear()
     return curation_profile(
         pages,
