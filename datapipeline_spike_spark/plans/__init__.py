@@ -43,6 +43,9 @@ _R11_NEW = (
 _R11_CHANGED = (
     "hard_negative_pairs",          # r11: n_planes now data-derived in-plan
                                     # (VERDICT r10 item 4 — was pinned at 4)
+    "curation_stage_profile",       # r11: stopped-context guard on the cache
+                                    # free (results identical; re-hash per the
+                                    # mechanical changed-code contract)
 )
 # --- r11 head, slot 3: the documented r11 queue — the r7-green
 # remainder plus the two r6-greens displaced from the r10 head fill
@@ -88,13 +91,13 @@ _R11_REFRESH = (
     "pricing_summary",
     "dominant_frequency",
     "pca_reduce",
-    # oldest r8-greens (head fill to capacity; the other 18 r8-greens
-    # lead the r12 queue below)
+    # oldest r8-greens (head fill to capacity; pii_redaction was
+    # displaced to the r12 queue front by the late-r11
+    # curation_stage_profile changed-code slot)
     "document_chunks",
     "benchmark_contamination",
     "leakage_safe_split",
     "stratified_sample",
-    "pii_redaction",
 )
 
 # r12 registration checklist (the r10->r11 staging pattern): five
@@ -115,6 +118,9 @@ _R11_REFRESH = (
 # must refresh) followed by the oldest r9-greens, leaving ~8 head slots
 # for r12 new/changed registrations ---
 _QUEUED_FOR_NEXT_HEAD = (
+    # displaced from the r11 head fill by the curation_stage_profile
+    # changed-code slot
+    "pii_redaction",
     # r8-green remainder (18)
     "segment_dedup_profile",
     "context_pack_stats",
@@ -199,7 +205,6 @@ _R10_GREEN_TAIL = (
     "product_type_profit",
     "top_supplier_revenue",
     "supplier_part_types",
-    "curation_stage_profile",
     "approx_percentile_bands",
     "semdedup_assignment",
     "scd2_user_state_history",
