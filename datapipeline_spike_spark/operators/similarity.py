@@ -1416,3 +1416,156 @@ def hubness_profile(
             "skew_k_occ"
         ),
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codebook: int = 8,
+    iters: int = 2,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN (staged r11, register r12; Jegou et al.
+    2011 — THE billion-scale index: faiss's ``IVFx,PQy``): a coarse
+    inverted-file quantizer prunes the scan to ``n_probe`` lists, and
+    product quantization of the RESIDUAL (vector minus its coarse
+    centroid) compresses every stored vector to ``m`` small codes, so
+    the probe scans codes — never raw vectors — with asymmetric
+    distances. This composes the repo's two existing tiers
+    (:func:`ivf_topk`, :func:`pq_adc_topk`) the way production indexes
+    actually deploy them: residual PQ beats raw PQ because residuals
+    concentrate near zero (less variance per subspace for the same
+    codebook budget).
+
+    Deterministic and SQL-replayable end to end (the established
+    conventions): lowest-id coarse centroids inlined as ONE parsed
+    literal expression (bounded, documented collect — the ivf_topk
+    precedent); coarse assignment = map-only argmin of 6dp-rounded
+    squared L2 with centroid-id tiebreak; residuals are exact
+    elementwise doubles; PQ codebooks train on residuals with the
+    fixed-point Lloyd's machinery (:func:`pq_codebooks`); encode =
+    per (subspace, vector) ``min_by`` argmin; ADC distances 6dp-rounded
+    then int64 fixed-pointed so the cross-subspace sum is reduction-
+    order-insensitive; final rank ascending (adc_fp, neighbor_id).
+
+    Scale shape: assignment + residual are map-only over literals (no
+    shuffle); PQ training shuffles (subspace, centroid, dim) partial
+    sums (bounded m*k*(dim/m) rows per map partition); the probe scan
+    is an equi-join on (list_id, subspace) against the BROADCAST query
+    residual subvectors — corpus-side work is one scan of the codes,
+    pruned to probed lists, never |corpus| x |queries| raw-vector math.
+
+    Returns (query_id, neighbor_id, adc_fp, rank)."""
+    width = dim // m
+    assert width * m == dim, "dim must divide evenly into m subspaces"
+    cents = sorted(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .filter(F.col(id_col) < n_centroids)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    n_probe = min(n_probe, len(cents))
+    # one JVM-parsed literal (the r6 plan-build lesson)
+    cmat = F.expr(
+        "array(" + ", ".join(
+            "named_struct('cid', {id}L, 'cvec', array({vs}))".format(
+                id=int(c[0]),
+                vs=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c[1]),
+            )
+            for c in cents
+        ) + ")"
+    )
+
+    def scored_cents(v):
+        # struct comparison is lexicographic: (dist, cid) decides before
+        # the carried cvec can ever be compared (cid is unique)
+        return F.transform(
+            cmat,
+            lambda c: F.struct(
+                F.round(l2_sq(v, c["cvec"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+                c["cvec"].alias("cvec"),
+            ),
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_min(scored_cents(v))
+    resid = fan_out(corpus).select(
+        F.col(id_col).alias("vid"),
+        best["cid"].alias("list_id"),
+        F.zip_with(v, best["cvec"], lambda a, b: a - b).alias("rv"),
+    )
+    cb = pq_codebooks(
+        resid.select(F.col("vid").alias(id_col), F.col("rv").alias(vec_col)),
+        dim, m, k_codebook, iters, id_col, vec_col,
+    )
+    sub = resid.select(
+        "vid",
+        "list_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("rv", s * width + 1, width).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("x"),
+    ).select("vid", "list_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    scored = sub.join(F.broadcast(cb), "s").select(
+        "vid", "list_id", "s", "cent_id",
+        F.round(l2_sq(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+    )
+    codes = scored.groupBy("vid", "list_id", "s").agg(
+        F.min_by("cent_id", F.struct("dist", "cent_id")).alias("cent_id")
+    )
+
+    qv = F.col(vec_col).cast("array<double>")
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.slice(F.array_sort(scored_cents(qv)), 1, n_probe)
+        ).alias("p"),
+        qv.alias("_qv"),
+    ).select(
+        "query_id",
+        F.col("p.cid").alias("list_id"),
+        F.zip_with("_qv", F.col("p.cvec"), lambda a, b: a - b).alias("qrv"),
+    )
+    qsub = probes.select(
+        "query_id",
+        "list_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("qrv", s * width + 1, width).alias("qsv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("x"),
+    ).select("query_id", "list_id", F.col("x.s").alias("s"), F.col("x.qsv").alias("qsv"))
+    pair = (
+        codes.join(F.broadcast(cb.select("s", "cent_id", "cvec")), ["s", "cent_id"])
+        .join(F.broadcast(qsub), ["list_id", "s"])
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(F.round(l2_sq(F.col("qsv"), F.col("cvec")), 6) * 1_000_000)
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    adc = (
+        pair.filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("fp").alias("adc_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_fp", "neighbor_id")
+    return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

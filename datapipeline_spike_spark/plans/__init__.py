@@ -100,19 +100,26 @@ _R11_REFRESH = (
     "stratified_sample",
 )
 
-# r12 registration checklist (the r10->r11 staging pattern): five
+# r12 registration checklist (the r10->r11 staging pattern): SIX
 # operators are STAGED with green DuckDB differential tests in
 # tests/test_r11_staging.py — operators/quality.py
 # (reliability_calibration_bins), operators/text_stats.py
 # (token_distribution_drift, rouge_ngram_eval), and
-# operators/similarity.py (embedding_centroid_drift, hubness_profile).
+# operators/similarity.py (embedding_centroid_drift, hubness_profile,
+# ivfpq_topk — the IVF-PQ composite whose oracle composes the SHARED
+# catalog_ml._sql_pq_ctes chain over a residual prelude).
 # Their oracle SQL exists verbatim in the staging tests; registration
 # is a catalog move: lift the SQL, alias columns identically, give
 # each a head slot. Allowlist notes: reliability_calibration_bins and
 # token_distribution_drift each carry a 1-row totals broadcast-cross
 # (BNLJ_OK, the corpus_mixture_plan pattern); hubness_profile rides
 # hard_negative_mining's auto-plane 1-row count cross (same BNLJ_OK
-# argument); rouge_ngram_eval/embedding_centroid_drift need none.
+# argument); ivfpq_topk needs the kmeans_centroids-style note (corpus
+# joins <= k broadcast codebook rows); rouge_ngram_eval /
+# embedding_centroid_drift need none. Head-budget note: queue(43) +
+# 6 new = 49, leaving ONE changed-code slot — if r12 changes more than
+# one registered query, slide the queue's tail r9-greens (stale only 3
+# rounds at r12) to the r13 queue to make room.
 
 # --- r12 queue: the r8-green remainder (stale 4 rounds by r12 — all
 # must refresh) followed by the oldest r9-greens, leaving ~8 head slots

@@ -927,18 +927,30 @@ def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- product quantization ----------------------------------------------------
 
 
-def _sql_pq_ctes(m: int, k: int, iters: int, width: int, scale: int) -> tuple[str, str]:
+def _sql_pq_ctes(
+    m: int,
+    k: int,
+    iters: int,
+    width: int,
+    scale: int,
+    prelude: str = "",
+    source: str = "SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings",
+) -> tuple[str, str]:
     """DuckDB replay of operators.similarity.pq_codebooks: per-subspace
     lowest-id init, rounded-L2sq argmin assignment with centroid-id
     tiebreak, fixed-point centroid update. Returns (cte_sql,
     final_codebook_cte) for reuse by the distortion profile AND the ADC
-    top-k replay."""
+    top-k replay. ``source`` supplies the (vid, v) frame the codebooks
+    train on; ``prelude`` inserts leading CTEs before it (the IVF-PQ
+    residual replay trains on residuals computed in a prelude) — the
+    defaults generate byte-identical SQL to the pre-parameter form, so
+    the registered pq_* oracles are unchanged."""
     slices = ", ".join(f"v[{s * width + 1}:{(s + 1) * width}]" for s in range(m))
     subspaces = ", ".join(str(s) for s in range(m))
     l2 = ("list_aggregate(list_transform(range(1, len(a.v) + 1), "
           "i -> (a.v[i] - c.cvec[i]) * (a.v[i] - c.cvec[i])), 'sum')")
     sql = f"""
-    WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH {prelude}e AS ({source}),
     sub AS (
       SELECT vid, unnest([{subspaces}]) AS s, unnest([{slices}]) AS v FROM e
     ),

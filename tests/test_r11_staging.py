@@ -540,3 +540,150 @@ def test_hubness_planted_hub(spark):
     assert rprof["n_orphans"] == 0
     assert rprof["mean_k_occ"] == 2.0
     assert rprof["skew_k_occ"] is None or abs(rprof["skew_k_occ"]) < 1.0
+
+
+# --- ivfpq_topk ------------------------------------------------------------------
+
+
+def _sql_ivfpq(m=4, k_cb=8, iters=2, width=16, scale=1 << 20,
+               n_centroids=16, n_probe=2, k=5) -> str:
+    """Full DuckDB replay of operators.similarity.ivfpq_topk: coarse
+    lowest-id centroids -> rounded-L2 argmin assignment -> residuals ->
+    the SHARED fixed-point PQ Lloyd's chain (catalog_ml._sql_pq_ctes
+    trained on the residual prelude) -> min_by encode -> probed ADC."""
+    from datapipeline_spike_spark.plans.catalog_ml import _sql_pq_ctes
+
+    l2 = ("list_aggregate(list_transform(range(1, len({a}) + 1), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+    prelude = f"""cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+      WHERE vec_id < {n_centroids}
+    ),
+    ce AS (SELECT vec_id AS cvid, embedding::DOUBLE[] AS cv FROM embeddings),
+    asg AS (
+      SELECT cvid, cid AS list_id, cvec, cv FROM (
+        SELECT ce.cvid, c.cid, c.cvec, ce.cv,
+               row_number() OVER (PARTITION BY cvid
+                 ORDER BY round({l2.format(a="ce.cv", b="c.cvec")}, 6), c.cid)
+                 AS rnk
+        FROM ce, cents c
+      ) WHERE rnk = 1
+    ),
+    resid AS (
+      SELECT cvid AS vid, list_id,
+             list_transform(range(1, len(cv) + 1), i -> cv[i] - cvec[i]) AS v
+      FROM asg
+    ),
+    """
+    sql, cb = _sql_pq_ctes(
+        m, k_cb, iters, width, scale,
+        prelude=prelude, source="SELECT vid, v FROM resid",
+    )
+    enc_l2 = ("list_aggregate(list_transform(range(1, len(a.v) + 1), "
+              "i -> (a.v[i] - c.cvec[i]) * (a.v[i] - c.cvec[i])), 'sum')")
+    qslices = ", ".join(
+        f"qrv[{s * width + 1}:{(s + 1) * width}]" for s in range(m)
+    )
+    subspaces = ", ".join(str(s) for s in range(m))
+    return sql + f"""
+    , codes AS (
+      SELECT vid, s, cent_id FROM (
+        SELECT a.vid, a.s, c.cent_id,
+               row_number() OVER (PARTITION BY a.s, a.vid
+                 ORDER BY round({enc_l2}, 6), c.cent_id) AS rnk
+        FROM sub a JOIN {cb} c USING (s)
+      ) WHERE rnk = 1
+    ),
+    codesl AS (
+      SELECT codes.*, r.list_id
+      FROM codes JOIN (SELECT DISTINCT vid, list_id FROM resid) r USING (vid)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cid AS list_id,
+             list_transform(range(1, len(qv) + 1), i -> qv[i] - cvec[i]) AS qrv
+      FROM (
+        SELECT q.query_id, c.cid, c.cvec, q.qv,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round({l2.format(a="q.qv", b="c.cvec")}, 6), c.cid)
+                 AS rnk
+        FROM q, cents c
+      ) WHERE rnk <= {n_probe}
+    ),
+    qsub AS (
+      SELECT query_id, list_id,
+             unnest([{subspaces}]) AS s, unnest([{qslices}]) AS qsv
+      FROM probes
+    ),
+    pair AS (
+      SELECT qsub.query_id, codesl.vid AS neighbor_id,
+             CAST(round(round({l2.format(a="qsub.qsv", b="cb.cvec")}, 6)
+                        * 1000000) AS BIGINT) AS fp
+      FROM codesl
+      JOIN {cb} cb ON codesl.s = cb.s AND codesl.cent_id = cb.cent_id
+      JOIN qsub ON codesl.list_id = qsub.list_id AND codesl.s = qsub.s
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id, CAST(sum(fp) AS BIGINT) AS adc_fp
+      FROM pair WHERE neighbor_id != query_id GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_fp, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_fp, neighbor_id) AS rnk FROM adc)
+    WHERE rnk <= {k}
+    """
+
+
+def test_ivfpq_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.similarity import ivfpq_topk
+
+    e = load(spark, SF, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rank"]): r.asDict()
+        for r in ivfpq_topk(e, queries, dim=64)
+        .select("query_id", "neighbor_id", "adc_fp",
+                F.col("rank").cast("int").alias("rank"))
+        .collect()
+    }
+    want = _con().execute(_sql_ivfpq()).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[(w["query_id"], w["rank"])]
+        assert g["neighbor_id"] == w["neighbor_id"], (w["query_id"], w["rank"])
+        assert g["adc_fp"] == int(w["adc_fp"])
+
+
+def test_ivfpq_planted_recovery(spark):
+    """Planted semantics: two tight, well-separated clusters whose
+    centroids are among the lowest-id vectors — every query's top
+    neighbors come from its OWN cluster (the coarse prune + residual
+    codes preserve cluster geometry), and rank 1 is its exact nearest
+    in-cluster twin."""
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+
+    def vec(center, jitter):
+        return [center[i] + jitter * rng.uniform(-1, 1) for i in range(dim)]
+
+    c_a = [5.0] * 32 + [0.0] * 32
+    c_b = [0.0] * 32 + [-5.0] * 32
+    rows = [(0, c_a), (1, c_b)]  # the coarse quantizer's seed vectors
+    rows += [(10 + i, vec(c_a, 0.05)) for i in range(20)]
+    rows += [(50 + i, vec(c_b, 0.05)) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from datapipeline_spike_spark.operators.similarity import ivfpq_topk
+
+    queries = df.filter(F.col("vec_id").isin([10, 50]))
+    out = ivfpq_topk(df, queries, dim=dim, n_centroids=2, n_probe=1, k=5)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # cluster A query: all neighbors in cluster A ids (0, 10..29)
+    assert all(n == 0 or 10 <= n < 30 for n in by_q[10]), by_q[10]
+    # cluster B query: all neighbors in cluster B ids (1, 50..69)
+    assert all(n == 1 or 50 <= n < 70 for n in by_q[50]), by_q[50]
+    assert len(by_q[10]) == 5 and len(by_q[50]) == 5
