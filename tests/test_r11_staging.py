@@ -687,3 +687,90 @@ def test_ivfpq_planted_recovery(spark):
     # cluster B query: all neighbors in cluster B ids (1, 50..69)
     assert all(n == 1 or 50 <= n < 70 for n in by_q[50]), by_q[50]
     assert len(by_q[10]) == 5 and len(by_q[50]) == 5
+
+
+def test_ivfpq_recall_audit_matches_duckdb(spark):
+    """The registered form ivfpq takes in r12 (the pq_adc_recall_at_k
+    precedent): per-query recall@5 of the IVF-PQ probe scan against the
+    exact full-vector L2 top-5 — quantifying what the coarse prune +
+    residual compression together cost in neighbor fidelity. The DuckDB
+    side reuses the full _sql_ivfpq chain as CTEs plus the exact-side
+    replay over the ORIGINAL vectors (ce in the residual prelude)."""
+    from datapipeline_spike_spark.functions.vectors import l2_sq
+    from datapipeline_spike_spark.operators.similarity import ivfpq_topk
+    from pyspark.sql import Window
+
+    e = load(spark, SF, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    approx = ivfpq_topk(e, queries, dim=64).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("fv"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvv"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    exact = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(l2_sq(F.col("fv"), F.col("cvv")), 6).alias("dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    got = {
+        r["query_id"]: r.asDict()
+        for r in exact.join(
+            approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall"),
+        )
+        .collect()
+    }
+    # oracle: the ivfpq chain with the top-k select swapped for the
+    # recall join against the exact full-vector side
+    chain = _sql_ivfpq()
+    head, _, _tail = chain.rpartition("SELECT query_id, neighbor_id, adc_fp,")
+    l2full = ("list_aggregate(list_transform(range(1, len(q.fv) + 1), "
+              "i -> (q.fv[i] - ce.cv[i]) * (q.fv[i] - ce.cv[i])), 'sum')")
+    sql = head + f"""
+    , approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_fp, neighbor_id) AS rnk FROM adc
+      ) WHERE rnk <= 5
+    ),
+    qfull AS (SELECT cvid AS query_id, cv AS fv FROM ce WHERE cvid < 5),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, ce.cvid AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({l2full}, 6), ce.cvid) AS rnk
+        FROM qfull q JOIN ce ON ce.cvid != q.query_id
+      ) WHERE rnk <= 5
+    )
+    SELECT exact.query_id,
+           CAST(count(approx.neighbor_id) AS INT) AS n_hits,
+           round(count(approx.neighbor_id) / 5.0, 6) AS recall
+    FROM exact
+    LEFT JOIN approx ON approx.query_id = exact.query_id
+                    AND approx.neighbor_id = exact.neighbor_id
+    GROUP BY 1
+    """
+    want = _con().execute(sql).df()
+    assert len(got) == len(want) == 5
+    for _, wrow in want.iterrows():
+        g = got[wrow["query_id"]]
+        assert g["n_hits"] == int(wrow["n_hits"]), wrow["query_id"]
+        assert g["recall"] == pytest.approx(wrow["recall"], abs=1e-6)
+    # the audit must show the index actually finds neighbors on the
+    # synthetic corpus (not a vacuous all-zero recall)
+    assert sum(r["n_hits"] for r in got.values()) > 0
