@@ -6,7 +6,8 @@ did for PNG/JPEG/MP4: a hand-rolled decoder for a BOUNDED, documented
 subset of the container format, written from the public HDF5 File
 Format Specification (v1.10, "Disk Format: Level 0-2"):
 
-- superblock version 0 (the classic format libhdf5 writes by default),
+- superblock versions 0 and 1 (the classic formats; v1 adds the
+  indexed-storage B-tree K field — r11),
 - superblock versions 2/3 (``libver='latest'``; r10 — VERDICT r9
   item 7), verified against their Jenkins lookup3 checksums,
 - version-1 object headers (no checksums) AND version-2 ``OHDR``
@@ -491,12 +492,15 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
     if content[:8] != SIGNATURE:
         raise Hdf5FormatError("HDF5 signature missing")
     sb_version = content[8]
-    if sb_version == 0:
+    if sb_version in (0, 1):
         if content[13] != 8 or content[14] != 8:
             raise Hdf5FormatError("non-8-byte offsets/lengths")
-        # root symbol table entry sits after the 24-byte fixed part +
-        # 4 file addresses; its object header field is at entry + 8
-        root_header = _u(content, 24 + 32 + 8, 8)
+        # root symbol table entry sits after the fixed part (24 bytes
+        # for v0; v1 appends Indexed Storage Internal Node K(2) +
+        # reserved(2) -> 28) + 4 file addresses; its object header
+        # field is at entry + 8
+        fixed = 24 if sb_version == 0 else 28
+        root_header = _u(content, fixed + 32 + 8, 8)
     elif sb_version in (2, 3):
         # v2/v3 (spec II.A.2): sig(8) ver(1) sizeof_offsets(1)
         # sizeof_lengths(1) flags(1) base(8) ext(8) eof(8) root_oh(8)
@@ -508,7 +512,7 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
         root_header = _u(content, 36, 8)
     else:
         raise Hdf5FormatError(
-            f"superblock version {sb_version}: native tier reads v0/v2/v3"
+            f"superblock version {sb_version}: native tier reads v0/v1/v2/v3"
         )
     msgs = _parse_object_header(content, root_header)
     out: dict[str, np.ndarray] = {}
@@ -558,11 +562,18 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
 # --------------------------------------------------------------------------
 
 
-def write_minimal_h5(datasets: dict[str, np.ndarray]) -> bytes:
+def write_minimal_h5(
+    datasets: dict[str, np.ndarray], sb_version: int = 0
+) -> bytes:
     """Serialize ``datasets`` (numeric numpy arrays, root group, flat) as
     a classic-format HDF5 byte string readable by :func:`read_h5_datasets`
     and by any libhdf5. Capacity: up to ``2 * _BTREE_K`` datasets (one
-    symbol leaf node) — plenty for fixture archives."""
+    symbol leaf node) — plenty for fixture archives. ``sb_version=1``
+    writes the v1 superblock variant (v0 + Indexed Storage Internal
+    Node K + 2 reserved bytes in the fixed part; spec II.A.1) — the
+    layout libhdf5 emits when shared object headers were requested."""
+    if sb_version not in (0, 1):
+        raise ValueError(f"classic writer supports superblock v0/v1, got {sb_version}")
     items = sorted(
         (name, np.ascontiguousarray(arr)) for name, arr in datasets.items()
     )
@@ -610,9 +621,13 @@ def write_minimal_h5(datasets: dict[str, np.ndarray]) -> bytes:
         raise ValueError(f"native writer supports numeric dtypes, got {dt}")
 
     # superblock: fixed part + 4 file addresses + root symbol table entry
-    sb = alloc(24 + 32 + 40)
-    put(sb, SIGNATURE + struct.pack("<BBBxBBBxHHI", 0, 0, 0, 0, 8, 8, _BTREE_K, 16, 0))
-    put(sb + 24, struct.pack("<QQQQ", 0, UNDEF, UNDEF, UNDEF))  # eof patched below
+    fixed = 24 if sb_version == 0 else 28
+    sb = alloc(fixed + 32 + 40)
+    put(sb, SIGNATURE + struct.pack(
+        "<BBBxBBBxHHI", sb_version, 0, 0, 0, 8, 8, _BTREE_K, 16, 0))
+    if sb_version == 1:  # Indexed Storage Internal Node K + reserved
+        put(sb + 24, struct.pack("<HH", 32, 0))
+    put(sb + fixed, struct.pack("<QQQQ", 0, UNDEF, UNDEF, UNDEF))  # eof patched below
 
     # local heap: 8 zero bytes (offset 0 = empty root link name) + names
     names_blob = bytearray(b"\x00" * 8)
@@ -659,8 +674,9 @@ def write_minimal_h5(datasets: dict[str, np.ndarray]) -> bytes:
 
     # root group object header + the superblock's cached root entry
     root = object_header([msg(MSG_SYMBOL_TABLE, struct.pack("<QQ", btree, heap))])
-    put(sb + 56, struct.pack("<QQI4xQQ", 0, root, 1, btree, heap))
-    put(sb + 40, struct.pack("<Q", len(buf)))  # end-of-file address (base addr at +24 stays 0)
+    put(sb + fixed + 32, struct.pack("<QQI4xQQ", 0, root, 1, btree, heap))
+    # end-of-file address (3rd file address; base addr at +fixed stays 0)
+    put(sb + fixed + 16, struct.pack("<Q", len(buf)))
     return bytes(buf)
 
 

@@ -206,10 +206,16 @@ def test_native_reader_round_trips_all_supported_dtypes():
         assert np.array_equal(back[k], v), k
     with _pytest.raises(Hdf5FormatError, match="signature"):
         read_h5_datasets(b"parquet-or-something" * 4)
-    # superblock v1 stays out of subset (v0/v2/v3 are in as of r10)
-    fake_v1 = b"\x89HDF\r\n\x1a\n" + bytes([1]) + b"\x00" * 64
-    with _pytest.raises(Hdf5FormatError, match="superblock version 1"):
-        read_h5_datasets(fake_v1)
+    # superblock v1 is NATIVE as of r11 (v0 + istore_k/reserved insert)
+    v1 = write_minimal_h5(data, sb_version=1)
+    assert v1[8] == 1
+    back1 = read_h5_datasets(v1)
+    for k, v in data.items():
+        assert np.array_equal(back1[k], v), ("v1", k)
+    # a still-unsupported version number (4) names the gate
+    fake_v4 = b"\x89HDF\r\n\x1a\n" + bytes([4]) + b"\x00" * 64
+    with _pytest.raises(Hdf5FormatError, match="superblock version 4"):
+        read_h5_datasets(fake_v4)
     # a v3 superblock whose checksum does not match its bytes is
     # rejected BEFORE any object parse (corruption gate)
     fake_v3 = b"\x89HDF\r\n\x1a\n" + bytes([3, 8, 8, 0]) + b"\x00" * 36
@@ -290,11 +296,11 @@ def test_native_v2_decode_end_to_end_spark(spark, tmp_path):
 def test_format_matrix():
     """The HDF5 format matrix (VERDICT r8 item 6 / r9 item 7): exactly
     which layouts decode NATIVELY vs GATE to h5py. Native: superblock
-    v0 (classic) and v2/v3 (latest), object headers v1 and v2,
+    v0/v1 (classic) and v2/v3 (latest), object headers v1 and v2,
     symbol-table and compact-link groups, contiguous/compact layout,
     chunked layout with deflate(+shuffle) filters (r11 — libhdf5's
     default compressed shape), LE numeric dtypes. Gated: superblock
-    v1, dense link storage
+    v4+, dense link storage
     (fractal heap), exotic filters (szip/lzf), non-hard links,
     big-endian and non-numeric datatypes — each rejection is a typed
     Hdf5FormatError naming the gate, so the source tier escalates
