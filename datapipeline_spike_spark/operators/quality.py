@@ -500,8 +500,18 @@ def reliability_calibration_bins(
     bin (score = 1.0 lands in bin n_bins-1); all counts integer; means
     and rates are integer-or-data sums / counts, order-sensitivity
     absorbed by the 6dp round (the engine-wide convention)."""
+    # scores outside [0,1] are contract violations for a probability
+    # column, not data — they are EXCLUDED alongside the NULL abstains
+    # rather than clamped into the edge bins, so a miscalibrated
+    # upstream can't silently inflate bin 0 / bin n-1 (ADVICE r11: a
+    # negative score used to produce out-of-range negative bin ids)
     s = F.col(score_col).cast("double")
-    ok = s.isNotNull() & F.col(label_col).isNotNull()
+    ok = (
+        s.isNotNull()
+        & F.col(label_col).isNotNull()
+        & (s >= 0.0)
+        & (s <= 1.0)
+    )
     binned = df.filter(ok).select(
         F.least(
             F.lit(n_bins - 1), F.floor(s * n_bins).cast("int")

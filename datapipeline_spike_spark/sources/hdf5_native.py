@@ -406,6 +406,12 @@ def _read_chunked(
             f"chunk element size {cdims[-1]} != dtype itemsize {dtype.itemsize}"
         )
     arr = np.zeros(dims, dtype=dtype)
+    if btree == UNDEF:
+        # libhdf5 legally leaves the chunk index unallocated for a
+        # chunked dataset that was created but never written — the
+        # dataset reads as all fill-value (default 0), mirroring the
+        # contiguous-layout UNDEF branch (ADVICE r11)
+        return arr
     chunk_elems = int(np.prod(chunk_shape))
     key_size = 8 + 8 * ndim
     seen: set[int] = set()
@@ -552,7 +558,10 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
         if raw is None:
             continue
         n = int(np.prod(dims)) if dims else 1
-        arr = np.frombuffer(raw[: n * dtype.itemsize], dtype=dtype)
+        # a never-written contiguous dataset (address UNDEF -> raw b"")
+        # reads as fill-value zeros, same as the chunked UNDEF branch
+        raw = raw[: n * dtype.itemsize].ljust(n * dtype.itemsize, b"\x00")
+        arr = np.frombuffer(raw, dtype=dtype)
         out[name] = arr.reshape(dims) if dims else arr
     return out
 
@@ -685,6 +694,7 @@ def write_minimal_h5_chunked(
     chunk_shape: dict[str, tuple[int, ...]] | None = None,
     gzip_level: int = 6,
     shuffle: bool = False,
+    unwritten: tuple[str, ...] = (),
 ) -> bytes:
     """Serialize ``datasets`` as a classic-format HDF5 byte string with
     CHUNKED layout and a deflate (gzip) filter pipeline — libhdf5's
@@ -698,7 +708,10 @@ def write_minimal_h5_chunked(
 
     ``chunk_shape`` maps dataset name -> chunk dims; the default splits
     the first dimension in ~3 so every fixture exercises multiple
-    chunks plus a partial edge chunk."""
+    chunks plus a partial edge chunk. Names in ``unwritten`` are emitted
+    as created-but-never-written (B-tree address UNDEF, no chunk data)
+    — the layout libhdf5 leaves for an allocated-on-write chunked
+    dataset nothing was stored into (ADVICE r11 fixture)."""
     import zlib
 
     items = sorted(
@@ -790,6 +803,8 @@ def write_minimal_h5_chunked(
         grid = [range(0, d, c) for d, c in zip(arr.shape, cshape)]
         import itertools
 
+        if name in unwritten:
+            grid = [range(0)]  # no chunks stored; index stays UNDEF
         for offs in itertools.product(*grid):
             region = tuple(
                 slice(o, min(o + c, d)) for o, c, d in zip(offs, cshape, arr.shape)
@@ -808,21 +823,24 @@ def write_minimal_h5_chunked(
             caddr = alloc(len(raw))
             put(caddr, raw)
             entries.append((len(raw), list(offs) + [0], caddr))
-        n = len(entries)
-        btree = alloc(24 + (n + 1) * key_size + n * 8)
-        put(btree, b"TREE" + struct.pack("<BBHQQ", 1, 0, n, UNDEF, UNDEF))
-        p = btree + 24
-        for nbytes, offs, caddr in entries:
-            put(p, struct.pack("<II", nbytes, 0)
-                + b"".join(struct.pack("<Q", o) for o in offs))
-            put(p + key_size, struct.pack("<Q", caddr))
-            p += key_size + 8
-        # the rightmost key: offsets one chunk-grid step past the end
-        end_offs = [
-            ((d + c - 1) // c) * c for d, c in zip(arr.shape, cshape)
-        ] + [0]
-        put(p, struct.pack("<II", 0, 0)
-            + b"".join(struct.pack("<Q", o) for o in end_offs))
+        if name in unwritten:
+            btree = UNDEF
+        else:
+            n = len(entries)
+            btree = alloc(24 + (n + 1) * key_size + n * 8)
+            put(btree, b"TREE" + struct.pack("<BBHQQ", 1, 0, n, UNDEF, UNDEF))
+            p = btree + 24
+            for nbytes, offs, caddr in entries:
+                put(p, struct.pack("<II", nbytes, 0)
+                    + b"".join(struct.pack("<Q", o) for o in offs))
+                put(p + key_size, struct.pack("<Q", caddr))
+                p += key_size + 8
+            # the rightmost key: offsets one chunk-grid step past the end
+            end_offs = [
+                ((d + c - 1) // c) * c for d, c in zip(arr.shape, cshape)
+            ] + [0]
+            put(p, struct.pack("<II", 0, 0)
+                + b"".join(struct.pack("<Q", o) for o in end_offs))
 
         space = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
             struct.pack("<Q", d) for d in arr.shape

@@ -142,6 +142,31 @@ def test_native_chunked_gzip_round_trip():
         assert np.array_equal(back[k], v), k
 
 
+def test_native_unwritten_datasets_read_as_fill_value():
+    """ADVICE r11: libhdf5 legally leaves the chunk B-tree address (and
+    a contiguous dataset's data address) UNDEF for a dataset that was
+    created but never written — both now decode as the zero fill-value
+    array instead of raising/failing reshape, so an archive containing
+    one isn't silently dropped by the h5py-absent tier."""
+    import numpy as np
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        read_h5_datasets,
+        write_minimal_h5_chunked,
+    )
+
+    data = {
+        "written": np.arange(20, dtype="<f8"),
+        "empty": np.arange(12, dtype="<i4").reshape(3, 4),
+    }
+    back = read_h5_datasets(
+        write_minimal_h5_chunked(data, unwritten=("empty",))
+    )
+    assert np.array_equal(back["written"], data["written"])
+    assert back["empty"].shape == (3, 4) and back["empty"].dtype == np.dtype("<i4")
+    assert not back["empty"].any()  # fill value = 0
+
+
 def test_native_chunked_archive_end_to_end_spark(spark, tmp_path):
     """A chunked+gzip+shuffle archive decodes through the FULL Spark
     path with no h5py: binaryFile -> mapInPandas -> 10-sample records —
