@@ -11,6 +11,7 @@ from datapipeline_spike_spark.plans import catalog_ml  # noqa: F401
 from datapipeline_spike_spark.plans import catalog_r9  # noqa: F401  (r8 staged -> registered)
 from datapipeline_spike_spark.plans import catalog_curation  # noqa: F401  (r9 curation funnel)
 from datapipeline_spike_spark.plans import catalog_r11  # noqa: F401  (r10 staged -> registered)
+from datapipeline_spike_spark.plans import catalog_r12  # noqa: F401  (r11 staged -> registered)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -28,31 +29,184 @@ from datapipeline_spike_spark.plans import catalog_r11  # noqa: F401  (r10 stage
 
 DRIVER_SAMPLE = 50
 
-# --- r11 head, slot 1: NEW r11 registrations — the six r10-staged
-# corpus-statistics / curation operators, registered in
-# plans/catalog_r11 with the staging tests' DuckDB oracles verbatim ---
-_R11_NEW = (
-    "zipf_profile",                 # rank-frequency OLS distribution health
-    "ngram_novelty_profile",        # leave-one-out trigram novelty
-    "kneser_ney_bigram_score",      # interpolated-KN LM fluency
-    "verdict_agreement_matrix",     # filter-calibration kappa matrix
-    "dedup_span_removal",           # ExactSubstr duplicate-span scrubbing
-    "temperature_mixture_plan",     # mT5/UNIMAX p ~ n^tau mixture
+# --- r12 head, slot 1: NEW r12 registrations — the six r11-staged
+# operators, registered in plans/catalog_r12 with the staging tests'
+# DuckDB oracles (ivfpq in its recall-audit form, the documented r12
+# registered shape) ---
+_R12_NEW = (
+    "reliability_calibration_bins",  # Guo 2017 reliability-diagram table
+    "token_distribution_drift",      # unigram KL/JS between snapshots
+    "rouge_ngram_eval",              # Lin 2004 clipped-bigram ROUGE-N
+    "embedding_centroid_drift",      # per-label centroid cosine/L2 shift
+    "hubness_profile",               # Radovanovic 2010 k-occurrence skew
+    "ivfpq_recall_at_k",             # Jegou 2011 IVF-PQ vs exact recall@5
 )
-# --- r11 head, slot 2: code changed in round 11 (MUST re-hash) ---
-_R11_CHANGED = (
-    "hard_negative_pairs",          # r11: n_planes now data-derived in-plan
-                                    # (VERDICT r10 item 4 — was pinned at 4)
-    "curation_stage_profile",       # r11: stopped-context guard on the cache
-                                    # free (results identical; re-hash per the
-                                    # mechanical changed-code contract)
+# --- r12 head, slot 2: the documented r12 queue, verbatim from the
+# r11 rotation (pii_redaction displaced from the r11 fill, the r8-green
+# remainder — stale 4 rounds — then the 24 oldest r9-greens) ---
+_R12_REFRESH = (
+    "pii_redaction",
+    # r8-green remainder (18)
+    "segment_dedup_profile",
+    "context_pack_stats",
+    "doc_fingerprint_dedup",
+    "dedup_latest_state",
+    "outlier_gate",
+    "quality_metrics",
+    "rolling_baseline",
+    "sliding_window_load",
+    "purchase_asof_signup",
+    "late_shipment_priority",
+    "small_quantity_revenue",
+    "table_profile",
+    "image_header_meta",
+    "video_header_meta",
+    "dominant_frequency_verified",
+    "url_host_dedup",
+    "decontamination_span_removal",
+    "winnowing_fingerprints",
+    # oldest r9-greens (24)
+    "near_dup_cluster_stats",
+    "minhash_jaccard_estimate",
+    "ngram_jaccard_pairs",
+    "candidate_edit_distance",
+    "shuffle_shard_plan",
+    "weighted_doc_sample",
+    "skipgram_pmi",
+    "budget_selected_docs",
+    "dedup_survivor_policy",
+    "html_extract_profile",
+    "bigram_fluency",
+    "perplexity_bucket_profile",
+    "encoding_quality_profile",
+    "hamming_recall_at_k",
+    "random_projection_profile",
+    "local_supplier_volume",
+    "referential_integrity_audit",
+    "paragraph_dedup_profile",
+    "gopher_quality_rules",
+    "c4_line_filters",
+    "domain_cap_sample",
+    "dsir_importance_weights",
+    "pca_variance_profile",
+    "promo_revenue_share",
+    # head fill to exactly DRIVER_SAMPLE: the next-oldest r9-green
+    # (becomes the r12 changed-code slot if a registered query's code
+    # changes this round — slide it back to the r13 queue front then)
+    "large_volume_orders",
 )
-# --- r11 head, slot 3: the documented r11 queue — the r7-green
-# remainder plus the two r6-greens displaced from the r10 head fill
-# (oldest first, 38 names) — then the five OLDEST r8-greens, filling
-# the head to exactly DRIVER_SAMPLE. ---
-_R11_REFRESH = (
-    # r7-green remainder + 2 displaced r6-greens (the r10 queue, verbatim)
+
+# dominant_frequency / pca_reduce are PINNED to the permanent rotation
+# tail (VERDICT r11 item 3): they are rows-only by declared contract
+# (no oracle SQL), the driver's harness records only `err: no_oracle`
+# for them, so a head slot spent there produces zero verification
+# information. Their correctness evidence is carried by the oracle-green
+# differential twins dominant_frequency_verified (r8, requeued above)
+# and pca_variance_profile (r8, requeued above). They must never appear
+# in a head or queue again.
+_NO_ORACLE_PIN = (
+    "dominant_frequency",
+    "pca_reduce",
+)
+
+# r13 registration checklist: any operator staged during r12 follows
+# the same catalog-move pattern (oracle SQL proven in a staging test,
+# head slot, allowlist note). Head-budget note: queue(41) below leaves
+# NINE r13 slots for new registrations / changed-code re-hashes — if
+# more are needed, slide the queue's tail r10-greens to the r14 queue
+# per the documented rule.
+
+# --- r13 queue: the r9-green remainder (stale 4 rounds by r13) then
+# the 20 oldest r10-greens ---
+_QUEUED_FOR_NEXT_HEAD = (
+    # r9-green remainder (21)
+    "branded_quantity_bands",
+    "revenue_by_segment",
+    "shipping_priority",
+    "returned_item_losses",
+    "fixed_size_sample",
+    "cluster_balanced_sample",
+    "snapshot_delta",
+    "quality_classifier_score",
+    "minhash_lsh_candidates",
+    "simhash_neardup_pairs",
+    "dedup_corpus_assignment",
+    "doc_rolling_hash",
+    "kmeans_centroids",
+    "spectral_energy",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "language_id",
+    "token_frequencies",
+    "token_counting_methods",
+    "kmv_distinct_ngrams",
+    "heavy_hitter_tokens",
+    # oldest r10-greens (20 of 48)
+    "forecast_revenue_change",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "waiting_suppliers",
+    "global_sales_opportunity",
+    "product_type_profit",
+    "top_supplier_revenue",
+    "supplier_part_types",
+    "approx_percentile_bands",
+    "semdedup_assignment",
+    "scd2_user_state_history",
+    "repeated_substring_profile",
+    "bloom_filter_profile",
+    "prefix_filter_jaccard_join",
+    "scd2_steady_state",
+    "incremental_dedup_steady_state",
+    "embedding_topk_cosine",
+    "ann_recall_at_k",
+    "ivf_recall_at_k",
+)
+# --- tail: most recently driver-green blocks, oldest first (only the
+# first 50 are hashed; the order documents the next rotations) ---
+_R10_GREEN_TAIL = (
+    # the r10-green remainder (28 of 48)
+    "ann_ivf_flat",
+    "ann_ivf_kmeans",
+    "ann_lsh_bucket",
+    "embedding_neardup_pairs",
+    "embedding_dedup_assignment",
+    "source_overlap_matrix",
+    "pq_distortion_profile",
+    "pq_adc_recall_at_k",
+    "text_quality_profile",
+    "record_envelope_flat",
+    "envelope_reduced_features",
+    "corpus_mixture_plan",
+    "audio_header_meta",
+    "incremental_ingest_dedup",
+    "quality_filter_decision",
+    "customer_value_ranks",
+    "source_quality_rollup",
+    "lineitem_scalar_lab",
+    "props_variant_stats",
+    "robust_outlier_mad",
+    "event_funnel_transitions",
+    "cohort_retention",
+    "monthly_revenue_growth",
+    "value_histogram",
+    "sessionization",
+    "repetition_profile",
+    "embedding_label_stats",
+    "vibration_features",
+)
+_R11_GREEN_TAIL = (
+    # the full r11 head minus the two no-oracle pins (48/48 hash-green
+    # in CORRECTNESS_r11), freshest block
+    "zipf_profile",
+    "ngram_novelty_profile",
+    "kneser_ney_bigram_score",
+    "verdict_agreement_matrix",
+    "dedup_span_removal",
+    "temperature_mixture_plan",
+    "hard_negative_pairs",
+    "curation_stage_profile",
     "multimodal_shard_meta",
     "machine_stream_union",
     "maintenance_window_overlap",
@@ -89,176 +243,18 @@ _R11_REFRESH = (
     "customers_with_orders",
     "customers_per_region",
     "pricing_summary",
-    "dominant_frequency",
-    "pca_reduce",
-    # oldest r8-greens (head fill to capacity; pii_redaction was
-    # displaced to the r12 queue front by the late-r11
-    # curation_stage_profile changed-code slot)
     "document_chunks",
     "benchmark_contamination",
     "leakage_safe_split",
     "stratified_sample",
 )
 
-# r12 registration checklist (the r10->r11 staging pattern): SIX
-# operators are STAGED with green DuckDB differential tests in
-# tests/test_r11_staging.py — operators/quality.py
-# (reliability_calibration_bins), operators/text_stats.py
-# (token_distribution_drift, rouge_ngram_eval), and
-# operators/similarity.py (embedding_centroid_drift, hubness_profile,
-# ivfpq_topk — the IVF-PQ composite whose oracle composes the SHARED
-# catalog_ml._sql_pq_ctes chain over a residual prelude).
-# Their oracle SQL exists verbatim in the staging tests; registration
-# is a catalog move: lift the SQL, alias columns identically, give
-# each a head slot. Allowlist notes: reliability_calibration_bins and
-# token_distribution_drift each carry a 1-row totals broadcast-cross
-# (BNLJ_OK, the corpus_mixture_plan pattern); hubness_profile rides
-# hard_negative_mining's auto-plane 1-row count cross (same BNLJ_OK
-# argument); ivfpq_topk needs the kmeans_centroids-style note (corpus
-# joins <= k broadcast codebook rows); rouge_ngram_eval /
-# embedding_centroid_drift need none. Head-budget note: queue(43) +
-# 6 new = 49, leaving ONE changed-code slot — if r12 changes more than
-# one registered query, slide the queue's tail r9-greens (stale only 3
-# rounds at r12) to the r13 queue to make room.
-
-# --- r12 queue: the r8-green remainder (stale 4 rounds by r12 — all
-# must refresh) followed by the oldest r9-greens, leaving ~8 head slots
-# for r12 new/changed registrations ---
-_QUEUED_FOR_NEXT_HEAD = (
-    # displaced from the r11 head fill by the curation_stage_profile
-    # changed-code slot
-    "pii_redaction",
-    # r8-green remainder (18)
-    "segment_dedup_profile",
-    "context_pack_stats",
-    "doc_fingerprint_dedup",
-    "dedup_latest_state",
-    "outlier_gate",
-    "quality_metrics",
-    "rolling_baseline",
-    "sliding_window_load",
-    "purchase_asof_signup",
-    "late_shipment_priority",
-    "small_quantity_revenue",
-    "table_profile",
-    "image_header_meta",
-    "video_header_meta",
-    "dominant_frequency_verified",
-    "url_host_dedup",
-    "decontamination_span_removal",
-    "winnowing_fingerprints",
-    # oldest r9-greens (24 of 48; the rest stay in the tail)
-    "near_dup_cluster_stats",
-    "minhash_jaccard_estimate",
-    "ngram_jaccard_pairs",
-    "candidate_edit_distance",
-    "shuffle_shard_plan",
-    "weighted_doc_sample",
-    "skipgram_pmi",
-    "budget_selected_docs",
-    "dedup_survivor_policy",
-    "html_extract_profile",
-    "bigram_fluency",
-    "perplexity_bucket_profile",
-    "encoding_quality_profile",
-    "hamming_recall_at_k",
-    "random_projection_profile",
-    "local_supplier_volume",
-    "referential_integrity_audit",
-    "paragraph_dedup_profile",
-    "gopher_quality_rules",
-    "c4_line_filters",
-    "domain_cap_sample",
-    "dsir_importance_weights",
-    "pca_variance_profile",
-    "promo_revenue_share",
-)
-# --- tail: most recently driver-green LAST-checked blocks — newest
-# last is irrelevant to sampling (only the first 50 are hashed); kept
-# ordered r9-green remainder then r10-green so the next rotation can be
-# read off the file. ---
-_R9_GREEN_TAIL = (
-    "large_volume_orders",
-    "branded_quantity_bands",
-    "revenue_by_segment",
-    "shipping_priority",
-    "returned_item_losses",
-    "fixed_size_sample",
-    "cluster_balanced_sample",
-    "snapshot_delta",
-    "quality_classifier_score",
-    "minhash_lsh_candidates",
-    "simhash_neardup_pairs",
-    "dedup_corpus_assignment",
-    "doc_rolling_hash",
-    "kmeans_centroids",
-    "spectral_energy",
-    "tfidf_top_terms",
-    "unigram_logprob_score",
-    "language_id",
-    "token_frequencies",
-    "token_counting_methods",
-    "kmv_distinct_ngrams",
-    "heavy_hitter_tokens",
-)
-_R10_GREEN_TAIL = (
-    # the full r10 head (50/50 green in CORRECTNESS_r10), freshest block
-    "forecast_revenue_change",
-    "volume_shipping",
-    "market_share",
-    "customer_distribution",
-    "waiting_suppliers",
-    "global_sales_opportunity",
-    "product_type_profit",
-    "top_supplier_revenue",
-    "supplier_part_types",
-    "approx_percentile_bands",
-    "semdedup_assignment",
-    "scd2_user_state_history",
-    "repeated_substring_profile",
-    "bloom_filter_profile",
-    "prefix_filter_jaccard_join",
-    "scd2_steady_state",
-    "incremental_dedup_steady_state",
-    "embedding_topk_cosine",
-    "ann_recall_at_k",
-    "ivf_recall_at_k",
-    "ann_ivf_flat",
-    "ann_ivf_kmeans",
-    "ann_lsh_bucket",
-    "embedding_neardup_pairs",
-    "embedding_dedup_assignment",
-    "source_overlap_matrix",
-    "pq_distortion_profile",
-    "pq_adc_recall_at_k",
-    "text_quality_profile",
-    "record_envelope_flat",
-    "envelope_reduced_features",
-    "corpus_mixture_plan",
-    "audio_header_meta",
-    "incremental_ingest_dedup",
-    "quality_filter_decision",
-    "customer_value_ranks",
-    "source_quality_rollup",
-    "lineitem_scalar_lab",
-    "props_variant_stats",
-    "robust_outlier_mad",
-    "event_funnel_transitions",
-    "cohort_retention",
-    "monthly_revenue_growth",
-    "value_histogram",
-    "sessionization",
-    "repetition_profile",
-    "embedding_label_stats",
-    "vibration_features",
-)
-
-_HEAD = list(_R11_NEW) + list(_R11_CHANGED) + list(_R11_REFRESH)
-_R11_TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
+_HEAD = list(_R12_NEW) + list(_R12_REFRESH)
+_TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     n
-    for n in list(_R9_GREEN_TAIL) + list(_R10_GREEN_TAIL)
+    for n in list(_R10_GREEN_TAIL) + list(_R11_GREEN_TAIL)
     if n not in _HEAD
-]
+] + list(_NO_ORACLE_PIN)
 
 
 def rotation_preflight(
@@ -278,7 +274,7 @@ def rotation_preflight(
     _QUEUED_FOR_NEXT_HEAD = (
         queued if queued is not None else globals()["_QUEUED_FOR_NEXT_HEAD"]
     )
-    _R11_TAIL = tail if tail is not None else globals()["_R11_TAIL"]
+    _TAIL = tail if tail is not None else globals()["_TAIL"]
     problems: list[str] = []
     phantom = [n for n in _HEAD if n not in REGISTRY]
     if phantom:
@@ -302,9 +298,17 @@ def rotation_preflight(
         problems.append(
             f"queue ({len(_QUEUED_FOR_NEXT_HEAD)}) exceeds next head capacity"
         )
-    ordered = set(_HEAD) | set(_R11_TAIL)
+    pinned_resurfaced = (set(_NO_ORACLE_PIN) & set(_HEAD)) | (
+        set(_NO_ORACLE_PIN) & set(_QUEUED_FOR_NEXT_HEAD)
+    )
+    if pinned_resurfaced:
+        problems.append(
+            "no-oracle queries pinned to the permanent tail appear in the "
+            f"head/queue: {sorted(pinned_resurfaced)}"
+        )
+    ordered = set(_HEAD) | set(_TAIL)
     unlisted = [n for n in REGISTRY if n not in ordered]
-    listed_gone = [n for n in _R11_TAIL if n not in REGISTRY]
+    listed_gone = [n for n in _TAIL if n not in REGISTRY]
     if listed_gone:
         problems.append(f"tail names not in REGISTRY: {listed_gone}")
     if unlisted:
@@ -315,7 +319,7 @@ def rotation_preflight(
 def _reorder() -> None:
     head = [n for n in _HEAD if n in REGISTRY]
     seen_tail: list[str] = []
-    for n in _R11_TAIL:
+    for n in _TAIL:
         if n in REGISTRY and n not in head and n not in seen_tail:
             seen_tail.append(n)
     mid = [n for n in REGISTRY if n not in head and n not in seen_tail]

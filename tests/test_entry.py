@@ -42,9 +42,9 @@ def test_rotation_head_invariants():
         DRIVER_SAMPLE,
         REGISTRY,
         _HEAD,
+        _NO_ORACLE_PIN,
         _QUEUED_FOR_NEXT_HEAD,
-        _R11_CHANGED,
-        _R11_NEW,
+        _R12_NEW,
         rotation_preflight,
     )
 
@@ -68,10 +68,20 @@ def test_rotation_head_invariants():
     names = list(REGISTRY)
     # the head IS the driver sample, in order
     assert names[:DRIVER_SAMPLE] == [n for n in _HEAD if n in REGISTRY]
-    # every new/changed r11 query holds a head slot this round
-    assert set(_R11_NEW) <= set(_HEAD)
-    assert set(_R11_CHANGED) <= set(_HEAD)
-    # the documented r12 queue sits immediately after the head
+    # every new r12 query holds a head slot this round
+    assert set(_R12_NEW) <= set(_HEAD)
+    # the documented r13 queue sits immediately after the head
     queue_live = [n for n in _QUEUED_FOR_NEXT_HEAD if n in REGISTRY]
     assert names[DRIVER_SAMPLE : DRIVER_SAMPLE + len(queue_live)] == queue_live
     assert len(set(names)) == len(names)
+    # the no-oracle rows-only entries stay pinned at the very tail —
+    # a head/queue slot spent on them yields zero driver verification
+    # (VERDICT r11 item 3); preflight also rejects their resurfacing
+    assert set(names[-len(_NO_ORACLE_PIN):]) == set(_NO_ORACLE_PIN)
+    bad = rotation_preflight(
+        head=[n for n in names if n not in _NO_ORACLE_PIN][:49]
+        + [_NO_ORACLE_PIN[0]],
+        tail=[n for n in names if n not in _NO_ORACLE_PIN][49:]
+        + [_NO_ORACLE_PIN[1]],
+    )
+    assert any("pinned" in p for p in bad)

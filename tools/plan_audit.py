@@ -70,6 +70,10 @@ BNLJ_OK = {
     "hard_negative_pairs": "broadcast 1-row corpus count crossed into the bucket assignment (r11 auto-plane derivation, no plan-build collect)",
     "kneser_ney_bigram_score": "broadcast 1-row bigram-type count T crossed into the vocab-bounded scoring join (bigram_fluency pattern, no plan-build collect)",
     "temperature_mixture_plan": "broadcast 1-row (wsum, total_tokens) aggregate crossed into the group-grain plan (corpus_mixture_plan pattern, no plan-build collect)",
+    "reliability_calibration_bins": "broadcast 1-row bin-total crossed into the n_bins-grain weight column (corpus_mixture_plan pattern)",
+    "token_distribution_drift": "broadcast 1-row corpus totals crossed into the vocab-bounded divergence sums, then the two 1-row aggregates crossed into the 1-row report",
+    "hubness_profile": "rides hard_negative_mining's broadcast 1-row corpus count cross (the hard_negative_pairs auto-plane argument)",
+    "ivfpq_recall_at_k": "exact side of the IVF-PQ recall audit: broadcast 5-row full-vector baseline (ann_recall_at_k pattern); index side joins codes to <= m*k broadcast codebook rows",
     # top_supplier_revenue needs no entry: Catalyst rewrites its
     # equality-filtered 1-row max cross into a BroadcastHashJoin on the
     # normalized revenue key (pinned by test_q15_max_subquery_stays_in_plan)
