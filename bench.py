@@ -127,6 +127,13 @@ EXTRAS = [
     "verdict_agreement_matrix",
     "dedup_span_removal",
     "temperature_mixture_plan",
+    # round 12 registrations (the r11 staged ops)
+    "reliability_calibration_bins",
+    "token_distribution_drift",
+    "rouge_ngram_eval",
+    "embedding_centroid_drift",
+    "hubness_profile",
+    "ivfpq_recall_at_k",
 ]
 
 # After this many extras the SparkSession is stopped and rebuilt so

@@ -1496,15 +1496,23 @@ def ivfpq_topk(
 
     v = F.col(vec_col).cast("array<double>")
     best = F.array_min(scored_cents(v))
+    # the residual frame feeds FOUR consumers (two Lloyd's iterations,
+    # the encode pass, the list-id spine) and its coarse assignment is
+    # an interpreted HOF over the n_centroids x dim literal — without a
+    # materialization each consumer re-runs it (no CSE across join
+    # branches, the r7 lesson; measured 2.4x on the 1x probe)
     resid = fan_out(corpus).select(
         F.col(id_col).alias("vid"),
         best["cid"].alias("list_id"),
         F.zip_with(v, best["cvec"], lambda a, b: a - b).alias("rv"),
-    )
+    ).localCheckpoint(eager=True)
+    # m x k_codebook rows; checkpointing collapses the whole fixed-point
+    # training chain to one execution (it is otherwise replayed per use:
+    # the encode join AND the ADC pair join)
     cb = pq_codebooks(
         resid.select(F.col("vid").alias(id_col), F.col("rv").alias(vec_col)),
         dim, m, k_codebook, iters, id_col, vec_col,
-    )
+    ).localCheckpoint(eager=True)
     sub = resid.select(
         "vid",
         "list_id",

@@ -420,6 +420,34 @@ def r11staged_stress(spark, amp: int) -> None:
         emb.unpersist()
 
 
+def r12ops_stress(spark, amp: int) -> None:
+    """1x/``amp``x vectors for the r12-registered IVF-PQ composite,
+    after the shared-frame checkpoint fix (resid + codebooks each
+    execute ONCE instead of per consumer — VERDICT r11 item 4a).
+    ivfpq_topk is the raw index scan; ivfpq_recall_at_k adds the exact
+    broadcast-baseline comparison (the registered form). Pass signal:
+    rising vecs/sec at amp, and a 1x rate >= ~500 vecs/s."""
+    from datapipeline_spike_spark.operators.similarity import ivfpq_topk
+    from datapipeline_spike_spark.plans.registry import REGISTRY
+
+    for a in (1, amp):
+        emb = amplify_embeddings(spark, a).localCheckpoint(eager=True)
+        erows = emb.count()
+        queries = emb.filter(F.col("vec_id") < 5)
+        secs = probe("ivfpq_topk", lambda: ivfpq_topk(emb, queries, dim=64))
+        print(json.dumps({"probe": "ivfpq_topk", "amp": a, "vecs": erows,
+                          "sec": secs,
+                          "vecs_per_sec": int(erows / secs)}), flush=True)
+        emb.unpersist()
+    # the registered recall-audit form, straight off the testdata (the
+    # driver-visible cost): sf0.1 once
+    q = REGISTRY["ivfpq_recall_at_k"]
+    secs = probe("ivfpq_recall_at_k",
+                 lambda: q.spark(spark, "/root/testdata/sf0.1"))
+    print(json.dumps({"probe": "ivfpq_recall_at_k", "sf": 0.1,
+                      "sec": secs}), flush=True)
+
+
 def r10tpch_stress(spark, amp: int) -> None:
     """Round-10 TPC-H shape probes: the NEW join surfaces at 1x and
     ``amp``x. Q21's fact self-correlation is the shape to watch — the
@@ -731,7 +759,7 @@ def r8lib2_stress(spark, amp: int) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     mode = "core"
-    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged"):
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12ops"):
         if m in args:
             mode = m
             break
@@ -771,6 +799,9 @@ def main() -> None:
         return
     if mode == "r11staged":
         r11staged_stress(spark, n)
+        return
+    if mode == "r12ops":
+        r12ops_stress(spark, n)
         return
 
     for amp in (1, n):
