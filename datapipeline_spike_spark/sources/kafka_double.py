@@ -66,32 +66,22 @@ class FileTopicLog:
         # topic names contain dots; keep them verbatim as a directory
         return os.path.join(self.root, topic)
 
-    def produce(
-        self,
-        payload: DataFrame,
-        topic: str,
-        event_time=None,
-    ) -> None:
-        """Append (key string, value string) rows — the
-        :func:`sources.kafka.kafka_payload` projection — to the topic
-        log with broker semantics: partition = crc32(key) mod
-        n_partitions (keyed contract: same key -> same partition),
-        offsets continuing each partition's high-water mark, CreateTime
-        timestamps (``event_time`` column or current_timestamp).
+    def _wire_rows(
+        self, payload: DataFrame, topic: str, base: DataFrame, ts
+    ) -> DataFrame:
+        """The shared produce projection: wire columns with keyed
+        partitions and offsets continuing ``base``'s high-water marks.
 
         The per-partition row_number is a bounded window: one append
         batch's rows per partition (a micro-batch, not the corpus) —
         the same per-partition sequencing a broker serializes anyway.
         """
-        spark = payload.sparkSession
         part = (
             F.crc32(F.coalesce(F.col("key"), F.lit("")).cast("binary"))
             % self.n_partitions
         ).cast("int")
-        ts = event_time if event_time is not None else F.current_timestamp()
-        base = self._high_water_marks(spark, topic)
         w = Window.partitionBy("partition").orderBy("key", "value")
-        out = (
+        return (
             payload.select(
                 F.col("key").cast("binary").alias("key"),
                 F.col("value").cast("binary").alias("value"),
@@ -113,25 +103,116 @@ class FileTopicLog:
                 F.lit(0).alias("timestampType"),  # 0 = CreateTime
             )
         )
+
+    def produce(
+        self,
+        payload: DataFrame,
+        topic: str,
+        event_time=None,
+    ) -> None:
+        """Append (key string, value string) rows — the
+        :func:`sources.kafka.kafka_payload` projection — to the topic
+        log with broker semantics: partition = crc32(key) mod
+        n_partitions (keyed contract: same key -> same partition),
+        offsets continuing each partition's high-water mark, CreateTime
+        timestamps (``event_time`` column or current_timestamp).
+        At-least-once on retry (the real producer's default contract);
+        :meth:`produce_epoch` is the idempotent variant."""
+        spark = payload.sparkSession
+        ts = event_time if event_time is not None else F.current_timestamp()
+        out = self._wire_rows(
+            payload, topic, self._high_water_marks(spark, topic), ts
+        )
         out.write.mode("append").parquet(self._topic_dir(topic))
 
-    def _high_water_marks(self, spark: SparkSession, topic: str) -> DataFrame:
+    def produce_epoch(
+        self,
+        payload: DataFrame,
+        topic: str,
+        epoch_id: int,
+        event_time=None,
+    ) -> None:
+        """IDEMPOTENT produce — the S7 epoch-overwrite pattern applied
+        to the topic log (VERDICT r11 item 6): epoch ``epoch_id``'s
+        records live in their own ``epoch-<id>`` subdirectory, written
+        with OVERWRITE, and their offsets continue the high-water marks
+        of the log EXCLUDING this epoch — so a replayed micro-batch
+        (foreachBatch re-delivery after a crash) rewrites exactly the
+        same records at exactly the same offsets instead of appending
+        duplicates. Kafka's own transactional/idempotent producer gives
+        the broker-side equivalent; downstream consumers need no dedup.
+
+        Determinism: partition = crc32(key); per-partition sequence
+        ordered by (key, value); default timestamp =
+        ``timestamp_seconds(epoch_id)`` (stream time, NOT wall clock —
+        a wall-clock default would break replay byte-identity; pass
+        ``event_time`` to use a data-derived time instead)."""
+        ts = (
+            event_time
+            if event_time is not None
+            else F.timestamp_seconds(F.lit(int(epoch_id)))
+        )
+        spark = payload.sparkSession
+        base = self._high_water_marks(
+            spark, topic, exclude_epoch=int(epoch_id)
+        )
+        out = self._wire_rows(payload, topic, base, ts)
+        out.write.mode("overwrite").parquet(
+            os.path.join(self._topic_dir(topic), f"epoch-{epoch_id}")
+        )
+
+    def _log_paths(
+        self, topic: str, exclude_epoch: int | None = None
+    ) -> list[str]:
+        """Every readable piece of the topic log: the flat top-level
+        parquet files (plain appends) plus each ``epoch-<id>`` subdir,
+        minus ``exclude_epoch`` (so an epoch's rewrite never counts its
+        own previous attempt into the offset base)."""
+        d = self._topic_dir(topic)
+        if not os.path.isdir(d):
+            return []
+        paths: list[str] = []
+        # flat files listed individually (listing the directory would
+        # also sweep in the epoch subdirs, double-counting them)
+        paths.extend(
+            os.path.join(d, e)
+            for e in sorted(os.listdir(d))
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
+        )
+        for e in sorted(os.listdir(d)):
+            if e.startswith("epoch-") and os.path.isdir(os.path.join(d, e)):
+                if exclude_epoch is not None and e == f"epoch-{exclude_epoch}":
+                    continue
+                paths.append(os.path.join(d, e))
+        return paths
+
+    def _read_log(
+        self,
+        spark: SparkSession,
+        topic: str,
+        exclude_epoch: int | None = None,
+    ) -> DataFrame:
+        paths = self._log_paths(topic, exclude_epoch)
+        if not paths:
+            return spark.createDataFrame([], WIRE_SCHEMA)
+        return spark.read.schema(WIRE_SCHEMA).parquet(*paths)
+
+    def _high_water_marks(
+        self,
+        spark: SparkSession,
+        topic: str,
+        exclude_epoch: int | None = None,
+    ) -> DataFrame:
         """(partition, _hwm) — next offset per partition; empty frame
         for a fresh topic. Bounded: n_partitions rows."""
-        d = self._topic_dir(topic)
-        if os.path.isdir(d):
-            try:
-                return (
-                    spark.read.schema(WIRE_SCHEMA)
-                    .parquet(d)
-                    .groupBy("partition")
-                    .agg((F.max("offset") + 1).alias("_hwm"))
-                )
-            except Exception:  # noqa: BLE001  (dir exists but no files yet)
-                pass
-        return spark.createDataFrame(
-            [], "partition int, _hwm long"
-        )
+        try:
+            return (
+                self._read_log(spark, topic, exclude_epoch)
+                .groupBy("partition")
+                .agg((F.max("offset") + 1).alias("_hwm"))
+            )
+        except Exception:  # noqa: BLE001  (dir exists but no files yet)
+            return spark.createDataFrame([], "partition int, _hwm long")
 
     def read_batch(
         self,
@@ -139,10 +220,11 @@ class FileTopicLog:
         topic: str,
         starting_offsets: dict[int, int] | str = "earliest",
     ) -> DataFrame:
-        """Wire-schema batch read. ``starting_offsets`` is 'earliest'
-        or a {partition: first offset} map (the startingOffsets JSON
-        surface, inclusive semantics like the connector's)."""
-        df = spark.read.schema(WIRE_SCHEMA).parquet(self._topic_dir(topic))
+        """Wire-schema batch read (flat appends + epoch subdirs).
+        ``starting_offsets`` is 'earliest' or a {partition: first
+        offset} map (the startingOffsets JSON surface, inclusive
+        semantics like the connector's)."""
+        df = self._read_log(spark, topic)
         if starting_offsets == "earliest":
             return df
         if isinstance(starting_offsets, dict):
@@ -167,6 +249,8 @@ class FileTopicLog:
         return (
             spark.readStream.schema(WIRE_SCHEMA)
             .option("maxFilesPerTrigger", "8")
+            # epoch-<id> subdirs (produce_epoch) are part of the log
+            .option("recursiveFileLookup", "true")
             .parquet(self._topic_dir(topic))
         )
 
@@ -178,11 +262,34 @@ class FileTopicLog:
         high-water-mark offsets), so a downstream consumer of the same
         topic sees exactly what the real kafka sink would publish.
         Exactly-once note: foreachBatch is at-least-once on retry, the
-        same contract as the real kafka sink — downstream keyed dedup
-        (ST9) is the idempotence layer either way."""
+        same contract as the real kafka sink with a plain producer —
+        downstream keyed dedup (ST9) is the idempotence layer. For the
+        transactional-producer equivalent use
+        :meth:`stream_sink_exactly_once`."""
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             self.produce(batch_df, topic)
+
+        return (
+            payload_stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+        )
+
+    def stream_sink_exactly_once(
+        self, payload_stream: DataFrame, topic: str, checkpoint: str
+    ):
+        """S4/ST3 as an EXACTLY-ONCE stream (VERDICT r11 item 6): each
+        micro-batch produces via :meth:`produce_epoch` keyed on the
+        foreachBatch ``epoch_id``, so a re-delivered micro-batch (crash
+        between produce and checkpoint commit) OVERWRITES its own epoch
+        with byte-identical records at identical offsets instead of
+        appending duplicates — the epoch-idempotent S7 lake pattern
+        applied to the topic log, modeling Kafka's transactional
+        producer. Consumers read a duplicate-free log with no dedup
+        layer."""
+
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.produce_epoch(batch_df, topic, epoch_id)
 
         return (
             payload_stream.writeStream.foreachBatch(handle)

@@ -155,6 +155,115 @@ def test_fresh_topic_and_bad_offsets(spark, tmp_path):
         log.read_batch(spark, TOPIC_RAW, starting_offsets="latest-ish")
 
 
+def _log_digest(spark, log, topic):
+    """Order-insensitive digest of the full wire log: every column of
+    every record, hashed — byte-level replay identity."""
+    rows = sorted(
+        (
+            bytes(r["key"] or b""),
+            bytes(r["value"] or b""),
+            r["topic"],
+            r["partition"],
+            r["offset"],
+            str(r["timestamp"]),
+            r["timestampType"],
+        )
+        for r in log.read_batch(spark, topic).collect()
+    )
+    import hashlib
+
+    return hashlib.md5(repr(rows).encode()).hexdigest(), len(rows)
+
+
+def test_produce_epoch_replay_is_idempotent(spark, tmp_path):
+    """ST3 on the wire path (VERDICT r11 item 6): re-producing the SAME
+    epoch — the foreachBatch re-delivery a crash between produce and
+    checkpoint commit causes — leaves the log byte-identical (records,
+    partitions, offsets, timestamps), while the plain at-least-once
+    produce() duplicates under the same replay."""
+    log = FileTopicLog(str(tmp_path / "eo"), n_partitions=4)
+    log.produce_epoch(kafka_payload(_records(spark, range(8)), "id"),
+                      TOPIC_PROCESSED, epoch_id=0)
+    log.produce_epoch(kafka_payload(_records(spark, range(8, 12)), "id"),
+                      TOPIC_PROCESSED, epoch_id=1)
+    before, n_before = _log_digest(spark, log, TOPIC_PROCESSED)
+    assert n_before == 12
+    # the kill-replay: epoch 1 is delivered again
+    log.produce_epoch(kafka_payload(_records(spark, range(8, 12)), "id"),
+                      TOPIC_PROCESSED, epoch_id=1)
+    after, n_after = _log_digest(spark, log, TOPIC_PROCESSED)
+    assert (after, n_after) == (before, n_before)
+    # offsets still dense per partition across the epoch boundary
+    by_part: dict[int, list[int]] = {}
+    for r in log.read_batch(spark, TOPIC_PROCESSED).collect():
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), (p, sorted(offs))
+    # contrast: the at-least-once path DOES duplicate on replay
+    al = FileTopicLog(str(tmp_path / "alo"), n_partitions=4)
+    al.produce(kafka_payload(_records(spark, range(4)), "id"), TOPIC_RAW)
+    al.produce(kafka_payload(_records(spark, range(4)), "id"), TOPIC_RAW)
+    assert len(al.read_batch(spark, TOPIC_RAW).collect()) == 8
+
+
+def test_stream_sink_exactly_once_kill_replay(spark, tmp_path):
+    """The streaming form: stream_sink_exactly_once writes each
+    micro-batch as its epoch; after a kill, restarting from the SAME
+    checkpoint replays the uncommitted micro-batch into the SAME epoch
+    and the topic log ends byte-identical to a clean run — then new
+    data appends as new epochs and a consumer sees no duplicates."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    log = FileTopicLog(str(tmp_path / "log"), n_partitions=2)
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_src(ids, name):
+        # one file = one micro-batch = one epoch (maxFilesPerTrigger=1),
+        # so the replay below targets a whole, known epoch
+        _records(spark, ids).coalesce(1).write.mode("overwrite").parquet(
+            str(src_dir / name)
+        )
+
+    write_src(range(6), "b0")
+    stream = spark.readStream.schema(
+        "id long, machine string, vib double"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src_dir) + "/*")
+    q = log.stream_sink_exactly_once(
+        kafka_payload(stream, key_col="id"), TOPIC_PROCESSED, ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # the 'kill'
+    clean, n_clean = _log_digest(spark, log, TOPIC_PROCESSED)
+    assert n_clean == 6
+    # simulate the re-delivered last micro-batch: the driver died after
+    # produce but before the checkpoint commit, so epoch 0 re-fires
+    log.produce_epoch(
+        kafka_payload(_records(spark, range(6)), "id"),
+        TOPIC_PROCESSED,
+        epoch_id=0,
+    )
+    assert _log_digest(spark, log, TOPIC_PROCESSED) == (clean, n_clean)
+    # restart from the same checkpoint with new data: new epoch, no dupes
+    write_src(range(6, 9), "b1")
+    stream2 = spark.readStream.schema(
+        "id long, machine string, vib double"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src_dir) + "/*")
+    q2 = log.stream_sink_exactly_once(
+        kafka_payload(stream2, key_col="id"), TOPIC_PROCESSED, ckpt
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    back = parse_kafka_records(
+        log.read_batch(spark, TOPIC_PROCESSED), VALUE_SCHEMA
+    ).collect()
+    ids = sorted(r["id"] for r in back)
+    assert ids == list(range(9))  # every record exactly once
+
+
 def test_end_to_end_record_path_raw_to_processed(spark, tmp_path):
     """The reference's full record path, ungated (README.md:196-270):
     consume cnc.raw -> typed parse -> per-machine tumbling-window
