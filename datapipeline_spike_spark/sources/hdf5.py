@@ -14,15 +14,17 @@ arrive (many small per-operation files); a single giant archive would
 need a driver-side manifest split instead — documented, not needed for
 the reference's layout.
 
-Decode tiers (r8, widened r10 + r11): archives in the h5py formats —
+Decode tiers (r8, widened r10-r12): archives in the h5py formats —
 classic (superblock v0, v1 headers, symbol-table groups),
 ``libver='latest'`` (superblock v2/v3, checksummed OHDR v2 headers,
-compact link messages), and gzip-compressed CHUNKED layouts
-(B-tree v1 chunk index + deflate/shuffle filters, libhdf5's default
-compressed shape; r11) — decode NATIVELY via
+compact link messages), gzip-compressed CHUNKED layouts (B-tree v1
+chunk index + deflate/shuffle filters, libhdf5's default compressed
+shape; r11), and DENSE link storage (fractal heap + v2 B-tree name
+index, the past-8-links group layout; r12) — decode NATIVELY via
 ``sources/hdf5_native.py``, pure Python from the public HDF5
 file-format spec, no h5py needed. Layouts outside that subset
-(exotic filters like szip/lzf, dense fractal-heap links, non-hard
+(exotic filters like szip/lzf, indirect-rooted/filtered fractal heaps
+and depth>0 B-trees — dense groups past ~180 links — non-hard
 links, non-native datatypes; the full matrix is pinned by
 tests/test_hdf5.py::test_format_matrix) route to the import-gated
 h5py path, which raises with the dependency name here (h5py is absent

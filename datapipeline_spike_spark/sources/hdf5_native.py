@@ -12,8 +12,11 @@ Format Specification (v1.10, "Disk Format: Level 0-2"):
   item 7), verified against their Jenkins lookup3 checksums,
 - version-1 object headers (no checksums) AND version-2 ``OHDR``
   headers (checksummed, with OCHK continuation blocks; r10),
-- symbol-table groups (B-tree v1 + local heap + SNOD leaf nodes) AND
-  compact link-message groups (the v2-header group layout; r10),
+- symbol-table groups (B-tree v1 + local heap + SNOD leaf nodes),
+  compact link-message groups (the v2-header group layout; r10), AND
+  dense link storage — fractal heap with a direct-block root + type-5
+  version-2 B-tree name index, the layout libhdf5 switches to past
+  max_compact=8 links (r12 — VERDICT r11 item 8),
 - contiguous or compact data layout (message v3),
 - CHUNKED data layout (message v3 class 2) indexed by a version-1
   B-tree, with deflate (gzip) and byte-shuffle filter pipelines —
@@ -21,14 +24,14 @@ Format Specification (v1.10, "Disk Format: Level 0-2"):
   compression='gzip', shuffle=True)`` (r11 — VERDICT r10 item 6),
 - little-endian IEEE float32/64 and signed int16/32/64 datasets.
 
-That subset covers what h5py produces for small archives of plain
-numeric datasets under the default, ``libver='latest'``, AND
+That subset covers what h5py produces for small-to-medium archives of
+plain numeric datasets under the default, ``libver='latest'``, AND
 gzip-compressed settings — the reference's per-operation vibration
 files (``M01_Aug_2019_OP00_000.h5``; three 1-D float arrays) fall
 squarely inside it. Still routed to the import-gated h5py path in
-``sources/hdf5.py``: exotic filters (szip/lzf/fletcher32), DENSE link
-storage (fractal heap + v2 B-tree — h5py only goes dense past 8
-links), and non-native datatypes.
+``sources/hdf5.py``: exotic filters (szip/lzf/fletcher32), non-native
+datatypes, and the far dense tail (indirect-rooted / filtered fractal
+heaps, depth>0 v2 B-trees — groups past ~180 links).
 tests/test_hdf5.py::test_format_matrix names both sets explicitly.
 
 The writers emit the same layouts (single root group, flat datasets)
@@ -259,10 +262,11 @@ def _parse_link(body: bytes) -> tuple[str, int]:
 
 
 def _collect_links(buf: bytes, msgs: list[tuple[int, bytes]]) -> list[tuple[str, int]]:
-    """Group members from either group layout: the classic symbol-table
-    message (v0 files) or compact Link messages (v2-header files). A
-    Link Info message pointing at a fractal heap means DENSE link
-    storage — outside the native subset (needs h5py)."""
+    """Group members from any of the three group layouts: the classic
+    symbol-table message (v0 files), compact Link messages (v2-header
+    files, <= 8 links), or DENSE storage (r12 — fractal heap + v2
+    B-tree name index, the layout libhdf5 switches to past
+    max_compact=8 links)."""
     st = next((b for t, b in msgs if t == MSG_SYMBOL_TABLE), None)
     if st is not None:
         return _group_links(buf, _u(st, 0, 8), _u(st, 8, 8))
@@ -271,16 +275,112 @@ def _collect_links(buf: bytes, msgs: list[tuple[int, bytes]]) -> list[tuple[str,
             pos = 2 + (8 if b[1] & 0x01 else 0)  # version, flags, [max order]
             fheap = _u(b, pos, 8)
             if fheap != UNDEF:
-                raise Hdf5FormatError(
-                    "dense link storage (fractal heap): outside the native "
-                    "subset (needs h5py)"
-                )
+                return _dense_links(buf, fheap, _u(b, pos + 8, 8))
     links = [_parse_link(b) for t, b in msgs if t == MSG_LINK]
     if not links and not any(t == MSG_LINK_INFO for t, _ in msgs):
         raise Hdf5FormatError(
             "group has neither a symbol table nor link messages"
         )
     return links
+
+
+def _fractal_heap_reader(buf: bytes, addr: int):
+    """Managed-object reader for a fractal heap (spec III.E/III.F/III.G)
+    rooted at a DIRECT block — the shape libhdf5 uses for dense-link
+    groups until managed space outgrows the starting block size. Returns
+    ``read(heap_id_bytes) -> object bytes``. Indirect-rooted heaps,
+    filtered heaps, and huge/tiny heap ids gate to h5py with a typed
+    error (far past any realistic link count for archive files)."""
+    if buf[addr : addr + 4] != b"FRHP":
+        raise Hdf5FormatError("fractal heap signature missing")
+    if buf[addr + 4] != 0:
+        raise Hdf5FormatError(f"fractal heap version {buf[addr + 4]}")
+    if _u(buf, addr + 7, 2):  # I/O filters' encoded length
+        raise Hdf5FormatError("filtered fractal heap: needs h5py")
+    flags = buf[addr + 9]
+    max_managed = _u(buf, addr + 10, 4)
+    max_heap_bits = _u(buf, addr + 128, 2)
+    root_block = _u(buf, addr + 132, 8)
+    cur_rows = _u(buf, addr + 140, 2)
+    if lookup3(buf[addr : addr + 142]) != _u(buf, addr + 142, 4):
+        raise Hdf5FormatError("fractal heap header checksum mismatch")
+    if cur_rows != 0:
+        # root is an indirect block (a doubling table of direct blocks)
+        raise Hdf5FormatError(
+            "fractal heap with an indirect root block: outside the native "
+            "subset (needs h5py)"
+        )
+    off_size = (max_heap_bits + 7) // 8
+    len_size = (max(max_managed, 1).bit_length() + 7) // 8
+    if buf[root_block : root_block + 4] != b"FHDB":
+        raise Hdf5FormatError("fractal heap direct block signature missing")
+    if _u(buf, root_block + 5, 8) != addr:
+        raise Hdf5FormatError("direct block does not point back at its heap")
+    # heap offsets address the heap's managed space, which BEGINS at the
+    # root direct block's first byte (the FHDB signature) — so for the
+    # block-offset-0 root direct case, file address = block + offset
+    block_off_pos = root_block + 13
+    if _u(buf, block_off_pos, off_size) != 0:
+        raise Hdf5FormatError("root direct block offset != 0")
+    del flags  # bit 1 = checksummed direct blocks; layout-identical here
+
+    def read(hid: bytes) -> bytes:
+        if (hid[0] >> 4) & 0x3 != 0:
+            raise Hdf5FormatError(
+                "huge/tiny fractal heap object id: outside the native subset"
+            )
+        off = _u(hid, 1, off_size)
+        ln = _u(hid, 1 + off_size, len_size)
+        return bytes(buf[root_block + off : root_block + off + ln])
+
+    return read
+
+
+def _v2_btree_heap_ids(buf: bytes, addr: int) -> list[bytes]:
+    """Heap ids from a version-2 B-tree name index (spec III.A.2), type
+    5 (group link name: lookup3 hash(4) + fractal heap id). Depth-0
+    trees — root IS the leaf — cover libhdf5's dense groups up to the
+    leaf capacity (node_size/record_size, ~185 links at the 2 KiB
+    default); deeper trees gate to h5py."""
+    if buf[addr : addr + 4] != b"BTHD":
+        raise Hdf5FormatError("v2 B-tree header signature missing")
+    if buf[addr + 4] != 0:
+        raise Hdf5FormatError(f"v2 B-tree version {buf[addr + 4]}")
+    btype = buf[addr + 5]
+    if btype != 5:
+        raise Hdf5FormatError(f"v2 B-tree type {btype}: want 5 (link names)")
+    rec_size = _u(buf, addr + 10, 2)
+    depth = _u(buf, addr + 12, 2)
+    root = _u(buf, addr + 16, 8)
+    root_nrec = _u(buf, addr + 24, 2)
+    if lookup3(buf[addr : addr + 34]) != _u(buf, addr + 34, 4):
+        raise Hdf5FormatError("v2 B-tree header checksum mismatch")
+    if depth != 0:
+        raise Hdf5FormatError(
+            "v2 B-tree depth > 0 (very large dense group): outside the "
+            "native subset (needs h5py)"
+        )
+    if buf[root : root + 4] != b"BTLF":
+        raise Hdf5FormatError("v2 B-tree leaf signature missing")
+    if buf[root + 5] != btype:
+        raise Hdf5FormatError("v2 B-tree leaf type mismatch")
+    end = root + 6 + root_nrec * rec_size
+    if lookup3(buf[root:end]) != _u(buf, end, 4):
+        raise Hdf5FormatError("v2 B-tree leaf checksum mismatch")
+    return [
+        bytes(buf[root + 6 + i * rec_size + 4 : root + 6 + (i + 1) * rec_size])
+        for i in range(root_nrec)
+    ]
+
+
+def _dense_links(buf: bytes, fheap: int, name_btree: int) -> list[tuple[str, int]]:
+    """Dense group storage (r12): the name-index v2 B-tree yields the
+    fractal heap id of every link message; the heap yields the message
+    bytes; each parses exactly like a compact Link message."""
+    if name_btree == UNDEF:
+        raise Hdf5FormatError("dense link storage without a name index")
+    read = _fractal_heap_reader(buf, fheap)
+    return [_parse_link(read(hid)) for hid in _v2_btree_heap_ids(buf, name_btree)]
 
 
 def _parse_dataspace(body: bytes) -> list[int]:
@@ -886,12 +986,34 @@ def write_minimal_h5_v2(datasets: dict[str, np.ndarray]) -> bytes:
     (h5py keeps links compact up to 8 members before going dense).
     Readable by :func:`read_h5_datasets` and by any libhdf5 >= 1.10.
     Capacity bounded at 8 datasets to stay inside the compact-link
-    regime this writer (and the native reader) models."""
+    regime this writer models; :func:`write_minimal_h5_dense` is the
+    past-8-links layout."""
+    return _write_v2_family(datasets, dense=False)
+
+
+def write_minimal_h5_dense(datasets: dict[str, np.ndarray]) -> bytes:
+    """Serialize ``datasets`` with DENSE root-group link storage (r12):
+    superblock v3 + OHDR object headers as :func:`write_minimal_h5_v2`,
+    but the links live as managed objects in a fractal heap (one
+    direct-block root, spec III.E/III.F) indexed by a type-5 version-2
+    B-tree (depth 0, records = lookup3(name) hash + 7-byte heap id,
+    hash-ordered) — the layout libhdf5 switches to when a group exceeds
+    max_compact=8 links. Capacity ~180 links (one leaf node at the 2
+    KiB default node size), matching the native reader's depth-0 /
+    direct-root subset."""
+    return _write_v2_family(datasets, dense=True)
+
+
+def _write_v2_family(datasets: dict[str, np.ndarray], dense: bool) -> bytes:
     items = sorted(
         (name, np.ascontiguousarray(arr)) for name, arr in datasets.items()
     )
-    if len(items) > 8:
+    if not dense and len(items) > 8:
         raise ValueError("v2 native writer capacity is 8 datasets (compact links)")
+    if dense and len(items) > 180:
+        raise ValueError(
+            "dense native writer capacity is 180 datasets (one v2 B-tree leaf)"
+        )
 
     # superblock v3 occupies file offsets [0, 48); the object graph is
     # built after it, so every address below is already final (the
@@ -955,18 +1077,87 @@ def write_minimal_h5_v2(datasets: dict[str, np.ndarray]) -> bytes:
             ]
         )
 
-    # root group: Link Info (compact: no fractal heap, no name index),
-    # Group Info, then one hard Link message per dataset
-    link_info = struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)
-    group_info = struct.pack("<BB", 0, 0)
-    root_msgs = [msg_v2(MSG_LINK_INFO, link_info), msg_v2(MSG_GROUP_INFO, group_info)]
-    for name, _ in items:
+    def link_body(name: str) -> bytes:
         nb = name.encode("utf-8")
         # link flags 0x00: 1-byte name length, hard link (no type field)
-        body = struct.pack("<BBB", 1, 0x00, len(nb)) + nb + struct.pack(
+        return struct.pack("<BBB", 1, 0x00, len(nb)) + nb + struct.pack(
             "<Q", obj_addr[name]
         )
-        root_msgs.append(msg_v2(MSG_LINK, body))
+
+    group_info = struct.pack("<BB", 0, 0)
+    if not dense:
+        # root group: Link Info (compact: no fractal heap, no name
+        # index), Group Info, then one hard Link message per dataset
+        link_info = struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)
+        root_msgs = [
+            msg_v2(MSG_LINK_INFO, link_info),
+            msg_v2(MSG_GROUP_INFO, group_info),
+        ]
+        root_msgs += [msg_v2(MSG_LINK, link_body(n)) for n, _ in items]
+    else:
+        # DENSE storage: link messages become managed objects in a
+        # fractal heap with a single direct-block root; a type-5 v2
+        # B-tree (depth 0) indexes them by lookup3(name)
+        bodies = [link_body(n) for n, _ in items]
+        max_heap_bits, max_managed = 32, 4096
+        off_size = (max_heap_bits + 7) // 8  # 4
+        len_size = (max_managed.bit_length() + 7) // 8  # 2
+        id_len = 1 + off_size + len_size  # 7 — libhdf5's dense-link id
+        db_header = 4 + 1 + 8 + off_size  # sig ver heap_hdr block_offset
+        need = db_header + sum(len(b) for b in bodies)
+        block_size = max(512, 1 << (need - 1).bit_length())  # doubling row 0
+        fheap = alloc(146)
+        dblock = alloc(block_size)
+        # heap ids + object placement (offsets address managed space,
+        # which starts at the direct block's first byte)
+        heap_ids: dict[str, bytes] = {}
+        pos = db_header
+        payload = bytearray()
+        for (name, _), body in zip(items, bodies):
+            heap_ids[name] = (
+                b"\x00"
+                + pos.to_bytes(off_size, "little")
+                + len(body).to_bytes(len_size, "little")
+            )
+            payload += body
+            pos += len(body)
+        put(dblock, b"FHDB" + struct.pack("<BQ", 0, fheap)
+            + (0).to_bytes(off_size, "little") + bytes(payload))
+        hdr = b"FRHP" + struct.pack(
+            "<BHHBI", 0, id_len, 0, 0, max_managed
+        )
+        hdr += struct.pack("<QQ", 0, UNDEF)  # next huge id, huge btree
+        free_space = block_size - pos
+        hdr += struct.pack("<QQ", free_space, UNDEF)  # free space, fs mgr
+        hdr += struct.pack("<QQ", block_size, block_size)  # managed, alloc
+        hdr += struct.pack("<QQ", pos, len(items))  # iterator, n managed
+        hdr += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+        hdr += struct.pack("<HQQ", 4, block_size, 65536)  # width, start, max direct
+        hdr += struct.pack("<HHQH", max_heap_bits, 1, dblock, 0)
+        hdr += struct.pack("<I", lookup3(hdr))
+        put(fheap, hdr)
+        # type-5 records (hash, heap id), hash-ordered as the index sorts
+        rec_size = 4 + id_len
+        recs = sorted(
+            (lookup3(n.encode("utf-8")), heap_ids[n]) for n, _ in items
+        )
+        leaf = b"BTLF" + struct.pack("<BB", 0, 5) + b"".join(
+            struct.pack("<I", h) + hid for h, hid in recs
+        )
+        leaf_addr = alloc(len(leaf) + 4)
+        put(leaf_addr, leaf + struct.pack("<I", lookup3(leaf)))
+        node_size = 2048
+        bt = b"BTHD" + struct.pack(
+            "<BBIHHBBQHQ", 0, 5, node_size, rec_size, 0, 100, 40,
+            leaf_addr, len(recs), len(recs),
+        )
+        bt_addr = alloc(len(bt) + 4)
+        put(bt_addr, bt + struct.pack("<I", lookup3(bt)))
+        link_info = struct.pack("<BBQQ", 0, 0, fheap, bt_addr)
+        root_msgs = [
+            msg_v2(MSG_LINK_INFO, link_info),
+            msg_v2(MSG_GROUP_INFO, group_info),
+        ]
     root = object_header_v2(root_msgs)
 
     eof = sb_size + len(buf)

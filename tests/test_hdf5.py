@@ -142,6 +142,70 @@ def test_native_chunked_gzip_round_trip():
         assert np.array_equal(back[k], v), k
 
 
+def test_native_dense_link_round_trip():
+    """r12 (VERDICT r11 item 8): DENSE group link storage — the fractal
+    heap (direct-block root) + type-5 v2 B-tree name index libhdf5
+    switches to past max_compact=8 links — round-trips through the
+    pure-Python writer/reader at 9 links (just past the compact bound)
+    and at 60 links (a multi-KB heap), values exact, ids recovered via
+    the hash-ordered index."""
+    import numpy as np
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        read_h5_datasets,
+        write_minimal_h5_dense,
+    )
+
+    for n in (9, 60):
+        data = {
+            f"ds{i:03d}": np.arange(i + 3, dtype="<f8") * (i + 1)
+            for i in range(n)
+        }
+        blob = write_minimal_h5_dense(data)
+        back = read_h5_datasets(blob)
+        assert set(back) == set(data)
+        for k, v in data.items():
+            assert back[k].dtype == v.dtype
+            assert np.array_equal(back[k], v), k
+
+
+def test_native_dense_gates_stay_typed():
+    """The dense tier's remaining escalations raise typed errors (the
+    source tier falls back to h5py, never crashes): indirect-rooted
+    heaps (cur rows > 0) and deep v2 B-trees (depth > 0)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        Hdf5FormatError,
+        lookup3,
+        read_h5_datasets,
+        write_minimal_h5_dense,
+    )
+
+    base = write_minimal_h5_dense({"a": np.arange(3, dtype="<i4")})
+
+    def repack_frhp(blob: bytearray, cur_rows: int) -> bytes:
+        i = blob.index(b"FRHP")
+        blob[i + 140 : i + 142] = struct.pack("<H", cur_rows)
+        blob[i + 142 : i + 146] = struct.pack(
+            "<I", lookup3(bytes(blob[i : i + 142]))
+        )
+        return bytes(blob)
+
+    with _pytest.raises(Hdf5FormatError, match="indirect root"):
+        read_h5_datasets(repack_frhp(bytearray(base), cur_rows=1))
+
+    blob = bytearray(base)
+    j = blob.index(b"BTHD")
+    blob[j + 12 : j + 14] = struct.pack("<H", 1)  # depth -> 1
+    blob[j + 34 : j + 38] = struct.pack("<I", lookup3(bytes(blob[j : j + 34])))
+    with _pytest.raises(Hdf5FormatError, match="depth > 0"):
+        read_h5_datasets(bytes(blob))
+
+
 def test_native_unwritten_datasets_read_as_fill_value():
     """ADVICE r11: libhdf5 legally leaves the chunk B-tree address (and
     a contiguous dataset's data address) UNDEF for a dataset that was
@@ -193,6 +257,36 @@ def test_native_chunked_archive_end_to_end_spark(spark, tmp_path):
     assert by_idx[2]["vibration_y_batch"] == [float(v) for v in y[20:25]]
     assert by_idx[1]["vibration_z_batch"] == [float(v) for v in z[10:20]]
     assert all(r["machine"] == "M02" and r["operation"] == "OP07" for r in recs)
+
+
+def test_native_dense_archive_end_to_end_spark(spark, tmp_path):
+    """A dense-link archive (9 datasets — past the compact bound, so
+    the root group stores links in the fractal heap) decodes through
+    the FULL Spark path with no h5py; the three vibration_* datasets
+    fan out to records, the extra channels are simply unused."""
+    import numpy as np
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        write_minimal_h5_dense,
+    )
+
+    x = np.arange(20, dtype="<f8") * 0.25
+    data = {
+        "vibration_x": x,
+        "vibration_y": x + 1.0,
+        "vibration_z": x * -1.0,
+    }
+    data.update({f"aux{i}": np.arange(5, dtype="<i4") for i in range(6)})
+    (tmp_path / "M03_Sep_2019_OP01_000.h5").write_bytes(
+        write_minimal_h5_dense(data)
+    )
+    files = hdf5_files(spark, str(tmp_path))
+    recs = read_vibration_records(files, samples_per_record=10).collect()
+    by_idx = {r["record_idx"]: r for r in recs}
+    assert sorted(by_idx) == [0, 1]
+    assert by_idx[0]["vibration_x_batch"] == [float(v) for v in x[:10]]
+    assert by_idx[1]["vibration_y_batch"] == [float(v) + 1.0 for v in x[10:]]
+    assert all(r["machine"] == "M03" and r["operation"] == "OP01" for r in recs)
 
 
 def test_native_reader_round_trips_all_supported_dtypes():
@@ -322,12 +416,13 @@ def test_format_matrix():
     """The HDF5 format matrix (VERDICT r8 item 6 / r9 item 7): exactly
     which layouts decode NATIVELY vs GATE to h5py. Native: superblock
     v0/v1 (classic) and v2/v3 (latest), object headers v1 and v2,
-    symbol-table and compact-link groups, contiguous/compact layout,
-    chunked layout with deflate(+shuffle) filters (r11 — libhdf5's
-    default compressed shape), LE numeric dtypes. Gated: superblock
-    v4+, dense link storage
-    (fractal heap), exotic filters (szip/lzf), non-hard links,
-    big-endian and non-numeric datatypes — each rejection is a typed
+    symbol-table, compact-link AND dense (fractal heap + v2 B-tree,
+    r12) groups, contiguous/compact layout, chunked layout with
+    deflate(+shuffle) filters (r11 — libhdf5's default compressed
+    shape), LE numeric dtypes. Gated: superblock v4+, indirect-rooted /
+    filtered fractal heaps and depth>0 v2 B-trees (dense groups past
+    ~180 links), exotic filters (szip/lzf), non-hard links, big-endian
+    and non-numeric datatypes — each rejection is a typed
     Hdf5FormatError naming the gate, so the source tier escalates
     instead of crashing."""
     import struct
@@ -363,10 +458,21 @@ def test_format_matrix():
     def msg(mtype: int, body: bytes) -> bytes:
         return struct.pack("<BHB", mtype, len(body), 0) + body
 
-    # dense link storage: Link Info with a defined fractal heap address
-    dense = v3_with_root(msg(0x02, struct.pack("<BBQQ", 0, 0, 0x1000, UNDEF)))
-    with _pytest.raises(Hdf5FormatError, match="dense link storage"):
-        read_h5_datasets(dense)
+    # dense link storage decodes NATIVELY as of r12 (fractal heap +
+    # v2 B-tree walk; full round-trip in test_native_dense_link_round_
+    # trip, residual gates in test_native_dense_gates_stay_typed); a
+    # dense group MISSING its name index is still a typed rejection
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        write_minimal_h5_dense,
+    )
+
+    dense9 = {f"d{i}": np.arange(4, dtype="<f8") + i for i in range(9)}
+    assert read_h5_datasets(write_minimal_h5_dense(dense9))["d0"].tolist() == [
+        0, 1, 2, 3,
+    ]
+    broken = v3_with_root(msg(0x02, struct.pack("<BBQQ", 0, 0, 0x1000, UNDEF)))
+    with _pytest.raises(Hdf5FormatError, match="without a name index"):
+        read_h5_datasets(broken)
     # soft link (type 1): native tier follows hard links only
     soft = v3_with_root(
         msg(0x06, struct.pack("<BBB", 1, 0x08, 1) + bytes([1]) + b"x" + b"\x00\x00")
