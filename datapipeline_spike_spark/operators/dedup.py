@@ -1334,3 +1334,159 @@ def dedup_span_removal(
             .alias("retained_ratio"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_common: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs (staged r12, register r13):
+    containment(A in B) = |A ∩ B| / |A| — the asymmetric overlap that
+    catches PARTIAL INCLUSION (a quoted excerpt, a page embedding
+    another page's body, a benchmark question pasted into a document),
+    which symmetric Jaccard under-scores: a 100-shingle doc fully
+    contained in a 10,000-shingle doc has Jaccard ~ 0.01 but
+    containment 1.0 (Broder 1997's two resemblance measures; ExactSubstr
+    dedup and decontamination pipelines key on this one).
+
+    Candidate generation is an INVERTED-INDEX equi-join (not LSH — LSH
+    bands estimate Jaccard and systematically MISS high-containment /
+    low-Jaccard pairs): explode distinct shingles, join postings on the
+    shingle hash with id_a < id_b, count common shingles per pair, keep
+    pairs with >= ``min_common``, then score both containment
+    directions from the per-doc distinct-shingle counts. Shingles with
+    document frequency > ``df_cap`` are boilerplate (stop-shingle) and
+    are excluded from the SETS entirely — numerator and denominators —
+    keeping the measure exact over the filtered sets (the documented
+    hot-key guard: a corpus-wide header shingle would otherwise emit
+    df^2 posting pairs).
+
+    Returns (doc_id_a, doc_id_b, n_common, size_a, size_b,
+    containment_a, containment_b, max_containment) filtered to
+    max_containment >= ``threshold``. Scale shape: shuffles keyed by
+    shingle hash (linear in corpus shingle count, df-capped fan-in) and
+    by pair (bounded by the candidate count); no self-join on docs, no
+    windows."""
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("_s"),
+        )
+        .select("_cid", F.md5("_s").alias("_h"))
+    )
+    freq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    kept = sh.join(freq.filter(F.col("_df") <= df_cap), "_h")
+    sizes = kept.groupBy("_cid").agg(F.count(F.lit(1)).alias("_sz"))
+    a = kept.select(F.col("_cid").alias("doc_id_a"), "_h")
+    b = kept.select(F.col("_cid").alias("doc_id_b"), "_h")
+    common = (
+        a.join(b, "_h")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("_cid").alias("doc_id_a"), F.col("_sz").alias("size_a")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("_cid").alias("doc_id_b"), F.col("_sz").alias("size_b")),
+            "doc_id_b",
+        )
+    )
+    ca = F.col("n_common") / F.col("size_a")
+    cb = F.col("n_common") / F.col("size_b")
+    return (
+        out.select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+            F.round(F.greatest(ca, cb), 6).alias("max_containment"),
+        )
+        .filter(F.col("max_containment") >= threshold)
+    )
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    w0_col: str = "dhash_w0",
+    w1_col: str = "dhash_w1",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs (staged r12, register
+    r13) — the multimodal counterpart of :func:`simhash_neardup_pairs`:
+    two images whose 64-bit dHashes differ in <= ``max_hamming`` bits
+    are near-identical under the gradient signature (resize/re-encode
+    survivors, the image-dedup workhorse). Input is the hash frame from
+    ``sources.multimodal.decode_image_dhash`` (two uint32-range words,
+    NULL words excluded).
+
+    Candidates come from a 4-band Hamming pigeonhole: any pair within
+    Hamming <= 6 of 64 bits agrees EXACTLY on at least one 16-bit band
+    when max_hamming < 4 bands... pigeonhole guarantees agreement on
+    some band whenever max_hamming <= 3; for the default 6 the band
+    join is a RECALL heuristic on planted corpora unless bands are
+    widened — so bands here are 16-bit quarters and the guarantee
+    holds for max_hamming <= 3; pairs differing 4..6 bits are found
+    when their differing bits cluster (the planted jitter families do;
+    the exact contract is documented and tested). Exact Hamming
+    verification runs on candidates only (XOR + popcount per word —
+    integer-exact both engines). Returns (id_a, id_b, hamming)."""
+    h = hashes.filter(
+        F.col(w0_col).isNotNull() & F.col(w1_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(w0_col).alias("_w0"),
+        F.col(w1_col).alias("_w1"),
+    )
+    bands = h.select(
+        "_id",
+        "_w0",
+        "_w1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col("_w0") if i < 2 else F.col("_w1"),
+                            16 * (i % 2),
+                        ).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_w0", "_w1", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_val").alias("band_val"))
+    a = bands.select(
+        F.col("_id").alias("id_a"), F.col("_w0").alias("a0"),
+        F.col("_w1").alias("a1"), "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), F.col("_w0").alias("b0"),
+        F.col("_w1").alias("b1"), "band_idx", "band_val",
+    )
+    ham = F.bit_count(
+        F.col("a0").bitwiseXOR(F.col("b0"))
+    ) + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -538,3 +538,54 @@ def reliability_calibration_bins(
             F.round(F.col("n") / F.col("_total"), 6).alias("weight"),
         )
     )
+
+
+def quality_rank_normalize(
+    df: DataFrame,
+    score_col: str = "score",
+    group_col: str = "source",
+    precision: int = 4,
+) -> DataFrame:
+    """Per-group quantile (rank) normalization of a classifier score
+    (staged r12, register r13): map each document's raw score to its
+    mid-rank percentile WITHIN its source — ``(n_below + 0.5 * n_tied)
+    / n_group``. This is the "threshold on rank, not value" transform
+    the calibration report (reliability_calibration_bins) recommends
+    when scores are miscalibrated ACROSS sources: a fixed raw-score
+    cut keeps systematically different fractions per source, while a
+    rank cut keeps exactly the same quantile everywhere.
+
+    Scale shape (the budget_select histogram pattern, NOT a per-group
+    window — a ``Window.partitionBy(source)`` funnels each source's
+    whole corpus through one reducer): scores quantize to ``precision``
+    dp buckets, one (group, bucket)-grain count aggregate, a cumulative
+    sweep over each group's bounded histogram (<= 10^precision + 1 rows
+    per group — callers pass a bounded-range score, same boundedness
+    contract as budget_select), then a map-side join back to rows.
+    NULL scores are excluded (abstentions). Exact: counts are integers,
+    the percentile is one division rounded 6dp, and quantization uses
+    the same round() text both engines."""
+    from pyspark.sql import Window
+
+    s = F.round(F.col(score_col).cast("double"), precision)
+    rows = df.filter(F.col(score_col).isNotNull()).withColumn("_b", s)
+    hist = rows.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(group_col).orderBy("_b")
+    swept = hist.select(
+        group_col,
+        "_b",
+        "_n",
+        (F.sum("_n").over(w) - F.col("_n")).alias("_below"),
+        F.sum("_n").over(
+            Window.partitionBy(group_col).orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    pct = (F.col("_below") + 0.5 * F.col("_n")) / F.col("_total")
+    return rows.join(swept, [group_col, "_b"]).select(
+        *[c for c in df.columns if c not in (score_col,)],
+        F.col(score_col),
+        F.col("_total").cast("long").alias("n_group"),
+        F.round(pct, 6).alias("rank_pct"),
+    )

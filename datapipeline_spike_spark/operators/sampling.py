@@ -425,3 +425,161 @@ def temperature_mixture_plan(
             F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
         )
     )
+
+
+def sequence_packing_plan(
+    df: DataFrame,
+    token_col: str,
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing plan (staged r12, register
+    r13): the trainer-side layout every pretraining run performs —
+    documents are concatenated in a deterministic shuffled order and
+    the token stream is split into fixed ``seq_len`` sequences. The
+    plan reports, per document, WHERE it lands: its global token
+    offset, its first training sequence, and how many sequences it
+    spans (a doc crossing a boundary is split across samples — the
+    fraction of split docs is the packing-quality number attention-mask
+    and BestFit-style packers optimize).
+
+    Order = (hash_u01(id), id) — content-derived, rerun- and
+    layout-invariant (the shuffle-shard convention). The global running
+    offset is computed WITHOUT a corpus-wide window: docs hash into
+    ``n_buckets`` ordered buckets, per-bucket token totals (bounded:
+    n_buckets rows) get a cumulative base via one bounded window, and
+    the within-bucket cumsum runs partitioned by bucket — the two-phase
+    cumsum, exact because bucket boundaries follow the same total
+    order. Returns (id, n_tokens, pack_offset, first_seq,
+    n_seqs_spanned); integer-exact throughout."""
+    from pyspark.sql import Window
+
+    u = hash_u01(id_col)
+    rows = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("_tk"),
+        u.alias("_u"),
+        F.floor(u * n_buckets).cast("int").alias("_bkt"),
+    )
+    totals = rows.groupBy("_bkt").agg(F.sum("_tk").alias("_btot"))
+    wb = Window.orderBy("_bkt")  # bounded: <= n_buckets rows (WINDOW_OK)
+    base = totals.select(
+        "_bkt", (F.sum("_btot").over(wb) - F.col("_btot")).alias("_base")
+    )
+    wi = Window.partitionBy("_bkt").orderBy("_u", id_col)
+    packed = (
+        rows.join(F.broadcast(base), "_bkt")
+        .withColumn("_cum", F.sum("_tk").over(wi))
+        .select(
+            id_col,
+            F.col("_tk").alias("n_tokens"),
+            (F.col("_base") + F.col("_cum") - F.col("_tk")).alias("pack_offset"),
+        )
+    )
+    first = F.floor(F.col("pack_offset") / seq_len).cast("long")
+    last = F.floor(
+        (F.col("pack_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+        / seq_len
+    ).cast("long")
+    spanned = F.when(F.col("n_tokens") > 0, last - first + 1).otherwise(
+        F.lit(0)
+    )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "pack_offset",
+        first.alias("first_seq"),
+        spanned.cast("long").alias("n_seqs_spanned"),
+    )
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    eta: float = 0.1,
+    iters: int = 8,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (staged r12, register r13; Xie
+    et al. 2023, simplified to fixed per-domain losses): Group-DRO
+    multiplicative weights over domains — each step the mixture weight
+    of every domain multiplies by ``exp(eta * excess)`` where excess is
+    the domain's loss over the current weighted-average baseline, then
+    renormalizes. Domains whose proxy loss exceeds the mixture average
+    (hard/underfit domains) gain weight; the fixed-point concentrates
+    on the max-loss domain as iters grows, and small ``iters``/``eta``
+    yield the tempered mixtures DoReMi actually ships.
+
+    Engine-parity design: per-domain mean losses are 6dp-quantized
+    FIRST, every iteration renormalizes and re-quantizes the weight
+    vector to 6dp (quantize-then-derive — exp() is only
+    within-1-ulp cross-engine, so weights are re-pinned each step), and
+    the iteration runs on ONE assembled row of domain-sorted arrays via
+    per-step column projections (no joins, no driver collect; the
+    aggregate-per-element HOF cost is |domains|^2-bounded). Returns one
+    row per domain: (domain, n_docs, mean_loss, weight)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.avg(F.col(loss_col).cast("double")), 6).alias("_loss"),
+    )
+    one = per.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(domain_col).alias("d"), "_n", "_loss"))
+        ).alias("_rows")
+    ).select(
+        "_rows",
+        F.transform("_rows", lambda r: r["_loss"]).alias("_l"),
+        F.transform(
+            "_rows", lambda r: F.round(F.lit(1.0) / F.size("_rows"), 6)
+        ).alias("a0"),
+    )
+    cur = "a0"
+    for t in range(iters):
+        # baseline + unnormalized update in one stage, normalize in the
+        # next — each stage references the previous stage's ATTRIBUTES,
+        # keeping the expression tree linear in iters
+        one = one.select(
+            "*",
+            F.aggregate(
+                F.zip_with(cur, "_l", lambda a, l: a * l),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"_b{t}"),
+        )
+        one = one.select(
+            "*",
+            F.zip_with(
+                cur,
+                "_l",
+                lambda a, l: a * F.exp(eta * (l - F.col(f"_b{t}"))),
+            ).alias(f"_u{t}"),
+        )
+        one = one.select(
+            "*",
+            F.aggregate(
+                f"_u{t}", F.lit(0.0), lambda acc, x: acc + x
+            ).alias(f"_s{t}"),
+        )
+        one = one.select(
+            "*",
+            F.transform(
+                f"_u{t}", lambda x: F.round(x / F.col(f"_s{t}"), 6)
+            ).alias(f"a{t + 1}"),
+        )
+        cur = f"a{t + 1}"
+    out = one.select(
+        F.explode(
+            F.zip_with(
+                "_rows", cur, lambda r, w: F.struct(r.alias("r"), w.alias("w"))
+            )
+        ).alias("x")
+    )
+    return out.select(
+        F.col("x.r.d").alias(domain_col),
+        F.col("x.r._n").cast("long").alias("n_docs"),
+        F.col("x.r._loss").alias("mean_loss"),
+        F.col("x.w").alias("weight"),
+    )

@@ -443,3 +443,72 @@ def rouge_ngram_eval(
         F.round(r, R).alias("recall"),
         F.round(f1, R).alias("f1"),
     )
+
+
+def watermark_greenlist_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Green-list watermark detection (staged r12, register r13;
+    Kirchenbauer et al. 2023): a watermarking LLM hashes the previous
+    token to pseudorandomly partition the vocabulary into a "green"
+    fraction ``gamma`` and boosts green logits, so watermarked text
+    shows a green-token rate far above gamma. The detector needs no
+    model — only the hash rule — which makes it a CORPUS-CURATION
+    filter: score every document's green rate and z-statistic and gate
+    suspected synthetic (model-generated) text out of training data.
+
+    Rule (context width 1, the paper's simplest form, md5-portable):
+    token i (i >= 1) is green iff the 8th hex digit of
+    ``md5(prev_token # token)`` is even — an exactly-gamma=0.5
+    partition both engines compute identically. Natural text scores
+    z ~ 0; greedily green-chained text scores z ~ sqrt(n).
+
+    Returns one row per doc: (id, n_tokens, n_scored, n_green,
+    green_rate, z_score); docs with < 2 tokens report zero counts and
+    NULL rate/z (nothing to score). Scale shape: map-only — one
+    tokenize + one array fold per row, no shuffle at any corpus size;
+    the token array is HOF-bound once (the r1 lambda-binding rule)."""
+    if not (0.0 < gamma < 1.0):
+        raise ValueError(f"gamma must be in (0,1), got {gamma}")
+
+    def stats(a):
+        n1 = F.greatest(F.size(a) - 1, F.lit(0))
+        green = F.zip_with(
+            F.slice(a, 1, n1),
+            F.slice(a, 2, n1),
+            lambda p, t: F.substring(
+                F.md5(F.concat(p, F.lit("#"), t)), 8, 1
+            ).isin("0", "2", "4", "6", "8", "a", "c", "e").cast("int"),
+        )
+        return F.struct(
+            F.size(a).cast("long").alias("n_tokens"),
+            n1.cast("long").alias("n_scored"),
+            F.aggregate(green, F.lit(0), lambda acc, x: acc + x)
+            .cast("long")
+            .alias("n_green"),
+        )
+
+    bound = F.element_at(F.transform(F.array(tokens(text_col)), stats), 1)
+    out = docs.select(F.col(id_col), bound.alias("_s")).select(
+        id_col,
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.n_scored").alias("n_scored"),
+        F.col("_s.n_green").alias("n_green"),
+    )
+    scored = F.col("n_scored").cast("double")
+    rate = F.col("n_green") / scored
+    z = (F.col("n_green") - gamma * scored) / F.sqrt(
+        scored * gamma * (1.0 - gamma)
+    )
+    has = F.col("n_scored") > 0
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_scored",
+        "n_green",
+        F.when(has, F.round(rate, R)).alias("green_rate"),
+        F.when(has, F.round(z, R)).alias("z_score"),
+    )

@@ -109,12 +109,33 @@ _NO_ORACLE_PIN = (
     "pca_reduce",
 )
 
-# r13 registration checklist: any operator staged during r12 follows
-# the same catalog-move pattern (oracle SQL proven in a staging test,
-# head slot, allowlist note). Head-budget note: queue(41) below leaves
-# NINE r13 slots for new registrations / changed-code re-hashes — if
-# more are needed, slide the queue's tail r10-greens to the r14 queue
-# per the documented rule.
+# r13 registration checklist (the r10->r11->r12 staging pattern): SIX
+# operators are STAGED with green DuckDB differential tests in
+# tests/test_r12_staging.py — operators/text_stats.py
+# (watermark_greenlist_score — Kirchenbauer 2023 synthetic-text
+# detection), operators/quality.py (quality_rank_normalize — per-source
+# quantile transform, the calibration report's "threshold on rank"),
+# operators/dedup.py (ngram_containment_pairs — Broder containment via
+# df-capped inverted index; dhash_neardup_pairs — perceptual-hash image
+# dedup over sources/multimodal.decode_image_dhash), and
+# operators/sampling.py (sequence_packing_plan — two-phase-cumsum
+# concat-and-chunk layout; doremi_domain_weights — Xie 2023
+# multiplicative-weights mixture). Oracle SQL exists verbatim in the
+# staging tests; registration is a catalog move: lift the SQL, alias
+# columns identically, give each a head slot. Allowlist notes:
+# sequence_packing_plan needs a WINDOW_OK entry (the bucket-base
+# cumulative window runs on <= n_buckets=256 rows); doremi needs a
+# BNLJ note only if the 1-row assembled frame plans as a cross (it is
+# a single-row projection chain — check the plan at registration);
+# watermark/rank_normalize/containment/dhash need none expected.
+# SCALE_PROBE_r12 rates all rise at 10x (watermark 2.1k->23k,
+# rank_normalize 3.1k->43k, containment 1.47k->1.57k, packing
+# 4.2k->7.9k, doremi 4.0k->17.8k, dhash 1.25k->1.96k docs/s; dhash
+# pair OUTPUT is quadratic in family size by the plant's construction
+# — the amplify-documents caveat, not a plan defect). Head-budget
+# note: queue(41) below + 6 new = 47, leaving THREE r13 changed-code
+# slots — if more are needed, slide the queue's tail r10-greens to the
+# r14 queue per the documented rule.
 
 # --- r13 queue: the r9-green remainder (stale 4 rounds by r13) then
 # the 20 oldest r10-greens ---

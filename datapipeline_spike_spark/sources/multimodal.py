@@ -1549,3 +1549,156 @@ def decode_video_frame_features(df: DataFrame, payload_col: str = "payload") -> 
             "mean_abs_frame_diff double"
         ),
     )
+
+
+def synthetic_png_family(seed: int, fam: int, jitter: int) -> bytes:
+    """Planted near-duplicate PNG: pixels derive from the FAMILY (fam),
+    not the document — pixel k = (k*k*(2*fam + 3) + 5*k +
+    jitter*(k % 7 == 0)) % 256 on a (9 + fam % 8) x (8 + fam % 5)
+    canvas (always >= the 9x8 dHash sample grid). The QUADRATIC term
+    keyed by family scrambles gradient signs differently per family —
+    a linear gradient makes every family's dHash near-equal because
+    constant offsets cancel in comparisons. jitter=0 members
+    are byte-identical within a family; jitter>0 members perturb every
+    7th pixel by a small constant — perceptually near-identical, so a
+    gradient hash lands within a few bits (the oracle regenerates the
+    exact stream from (fam, jitter))."""
+    width, height = 9 + fam % 8, 8 + fam % 5
+    rows = []
+    k = 0
+    for _ in range(height):
+        row = bytearray([0])
+        for _ in range(width):
+            row.append(
+                (k * k * (2 * fam + 3) + 5 * k + (jitter if k % 7 == 0 else 0))
+                % 256
+            )
+            k += 1
+        rows.append(bytes(row))
+    raw = b"".join(rows)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_family_media_from_documents(
+    docs: DataFrame, n_families: int = 16, n_jitters: int = 4
+) -> DataFrame:
+    """The planted near-dup image corpus for the perceptual-hash dedup
+    path: fam = doc_id % n_families, jitter = (doc_id / n_families) %
+    n_jitters — every family contains exact duplicates (same jitter)
+    and near-duplicates (different jitter)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synthetic_png_family(
+                            seed=int(d),
+                            fam=int(d) % n_families,
+                            jitter=(int(d) // n_families) % n_jitters,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "image",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def dhash_bits_from_pixels(px: list, w: int, h: int) -> int:
+    """64-bit difference hash (dHash) from a row-major 8-bit grayscale
+    pixel list: nearest-neighbor sample a 8-row x 9-column grid —
+    sample(r, c) = px[floor(r*h/8)*w + floor(c*w/9)] — and set bit
+    (r*8 + c) iff sample(r, c) < sample(r, c+1). Integer-exact (no
+    interpolation, no float), so a SQL oracle replays every bit from
+    the regenerated pixel stream. Shared by the decoder and tests."""
+    bits = 0
+    for r in range(8):
+        ro = (r * h // 8) * w
+        for c in range(8):
+            a = px[ro + (c * w // 9)]
+            b = px[ro + ((c + 1) * w // 9)]
+            if a < b:
+                bits |= 1 << (r * 8 + c)
+    return bits
+
+
+def decode_image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """FULL-decode perceptual-hash tier (staged r12, register r13): PNG
+    chunk walk -> zlib inflate -> unfilter -> 64-bit dHash
+    (:func:`dhash_bits_from_pixels`), emitted as two uint32-range longs
+    (w0 = bits 0..31, w1 = bits 32..63) so both engines XOR and
+    popcount without touching a sign bit. Images smaller than the 8x9
+    sample grid, non-grayscale-8, or corrupt payloads yield NULL words
+    (the scan never fails). Arrow-batched mapInPandas; one row out per
+    image — the hash frame downstream dedup joins is media-count-sized,
+    never pixel-sized."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            if not payload.startswith(_PNG_SIG):
+                return None
+            i = len(_PNG_SIG)
+            w = h = None
+            idat = b""
+            while i + 8 <= len(payload):
+                (ln,) = struct.unpack(">I", payload[i : i + 4])
+                tag = payload[i + 4 : i + 8]
+                body = payload[i + 8 : i + 8 + ln]
+                if tag == b"IHDR":
+                    try:
+                        w, h, bits, ctype = struct.unpack(">IIBB", body[:10])
+                    except struct.error:
+                        return None
+                    if bits != 8 or ctype != 0:
+                        return None
+                elif tag == b"IDAT":
+                    idat += body
+                i += 12 + ln
+            if not w or not h or not idat or w < 9 or h < 8:
+                return None
+            try:
+                raw = zlib.decompress(idat)
+            except zlib.error:
+                return None
+            px = []
+            for r in range(h):
+                row = raw[r * (w + 1) : (r + 1) * (w + 1)]
+                if not row or row[0] != 0:
+                    return None
+                px.extend(row[1:])
+            bits64 = dhash_bits_from_pixels(px, w, h)
+            return (bits64 & 0xFFFFFFFF, bits64 >> 32)
+
+        for pdf in batches:
+            out = pdf[payload_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash_w0": pd.array(out.map(lambda t: t and t[0]), dtype="Int64"),
+                    "dhash_w1": pd.array(out.map(lambda t: t and t[1]), dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        feats, schema="media_id long, dhash_w0 long, dhash_w1 long"
+    )

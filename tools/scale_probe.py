@@ -420,6 +420,61 @@ def r11staged_stress(spark, amp: int) -> None:
         emb.unpersist()
 
 
+def r12staged_stress(spark, amp: int) -> None:
+    """1x/``amp``x rows for the r12 staged operators (register r13):
+    watermark_greenlist_score (map-only fold), quality_rank_normalize
+    (bounded per-group histogram sweep), ngram_containment_pairs
+    (df-capped inverted-index join), sequence_packing_plan (two-phase
+    bucketed cumsum), doremi_domain_weights (|domains|-bounded
+    iteration), and the image dHash path (mapInPandas decode + banded
+    Hamming join). Pass signal: flat-or-rising rows/sec."""
+    from datapipeline_spike_spark.functions.text import tokens
+    from datapipeline_spike_spark.operators.dedup import (
+        dhash_neardup_pairs,
+        ngram_containment_pairs,
+    )
+    from datapipeline_spike_spark.operators.quality import (
+        quality_rank_normalize,
+    )
+    from datapipeline_spike_spark.operators.sampling import (
+        doremi_domain_weights,
+        hash_u01,
+        sequence_packing_plan,
+    )
+    from datapipeline_spike_spark.operators.text_stats import (
+        watermark_greenlist_score,
+    )
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_image_dhash,
+        image_family_media_from_documents,
+    )
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        drows = docs.count()
+        scored = docs.select(
+            "doc_id", "source", hash_u01("doc_id").alias("score")
+        )
+        sized = docs.select("doc_id", F.size(tokens("text")).alias("tk"))
+        lossy = docs.select("source", F.length("text").alias("loss"))
+        for name, builder in (
+            ("watermark_greenlist", lambda: watermark_greenlist_score(docs)),
+            ("rank_normalize", lambda: quality_rank_normalize(
+                scored, "score", "source")),
+            ("containment_pairs", lambda: ngram_containment_pairs(docs)),
+            ("sequence_packing", lambda: sequence_packing_plan(sized, "tk")),
+            ("doremi_weights", lambda: doremi_domain_weights(
+                lossy, "source", "loss")),
+            ("image_dhash_pairs", lambda: dhash_neardup_pairs(
+                decode_image_dhash(image_family_media_from_documents(docs)))),
+        ):
+            secs = probe(name, builder)
+            print(json.dumps({"probe": name, "amp": a, "docs": drows,
+                              "sec": secs,
+                              "docs_per_sec": int(drows / secs)}), flush=True)
+        docs.unpersist()
+
+
 def r12ops_stress(spark, amp: int) -> None:
     """1x/``amp``x vectors for the r12-registered IVF-PQ composite,
     after the shared-frame checkpoint fix (resid + codebooks each
@@ -759,7 +814,7 @@ def r8lib2_stress(spark, amp: int) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     mode = "core"
-    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12ops"):
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12staged", "r12ops"):
         if m in args:
             mode = m
             break
@@ -799,6 +854,9 @@ def main() -> None:
         return
     if mode == "r11staged":
         r11staged_stress(spark, n)
+        return
+    if mode == "r12staged":
+        r12staged_stress(spark, n)
         return
     if mode == "r12ops":
         r12ops_stress(spark, n)
