@@ -264,6 +264,30 @@ def test_stream_sink_exactly_once_kill_replay(spark, tmp_path):
     assert ids == list(range(9))  # every record exactly once
 
 
+def test_stream_consumer_reads_epoch_produced_topic(spark, tmp_path):
+    """A readStream consumer over a topic written by produce_epoch sees
+    every record exactly once (the stream source walks the epoch
+    subdirs via recursive lookup), and an epoch REPLAY adds no new
+    micro-batch rows for an already-running consumer's totals."""
+    from datapipeline_spike_spark.streaming.pipeline import run_to_memory
+
+    log = FileTopicLog(str(tmp_path / "log"), n_partitions=2)
+    log.produce_epoch(kafka_payload(_records(spark, range(5)), "id"),
+                      TOPIC_RAW, epoch_id=0)
+    log.produce_epoch(kafka_payload(_records(spark, range(5, 9)), "id"),
+                      TOPIC_RAW, epoch_id=1)
+    stream = parse_kafka_records(log.read_stream(spark, TOPIC_RAW), VALUE_SCHEMA)
+    q = run_to_memory(stream, "kafka_epoch_stream")
+    try:
+        got = {
+            r["id"]
+            for r in spark.sql("SELECT id FROM kafka_epoch_stream").collect()
+        }
+        assert got == set(range(9))
+    finally:
+        q.stop()
+
+
 def test_end_to_end_record_path_raw_to_processed(spark, tmp_path):
     """The reference's full record path, ungated (README.md:196-270):
     consume cnc.raw -> typed parse -> per-machine tumbling-window

@@ -778,3 +778,63 @@ def test_calibration_bin_conservation(spark, scores, flips):
         # mean_score is 6dp-rounded by the operator: allow the grain
         assert min(in_bin) - 1e-6 <= r["mean_score"] <= max(in_bin) + 1e-6
         assert 0.0 <= r["pass_rate"] <= 1.0
+
+
+# --- r12 staged: dHash pure-function properties ------------------------------
+
+_dims = st.tuples(
+    st.integers(min_value=9, max_value=20),   # width >= the 9-col grid
+    st.integers(min_value=8, max_value=16),   # height >= the 8-row grid
+)
+
+
+@given(
+    dims=_dims,
+    seed=st.integers(min_value=0, max_value=10_000),
+    shift=st.integers(min_value=1, max_value=50),
+)
+@PROP
+def test_dhash_brightness_invariance(dims, seed, shift):
+    """dHash compares pixel ORDER, not level: adding a constant to
+    every pixel (no wraparound) leaves every comparison — and the hash
+    — unchanged; 64-bit range holds."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        dhash_bits_from_pixels,
+    )
+
+    w, h = dims
+    px = [(seed * 31 + k * k * 7) % 200 for k in range(w * h)]  # <= 199
+    base = dhash_bits_from_pixels(px, w, h)
+    assert 0 <= base < (1 << 64)
+    shifted = dhash_bits_from_pixels([p + shift for p in px], w, h)
+    assert shifted == base
+    # a monotone re-scale preserves comparisons too
+    scaled = dhash_bits_from_pixels([p * 3 for p in px], w, h)
+    assert scaled == base
+
+
+@given(dims=_dims, seed=st.integers(min_value=0, max_value=10_000))
+@PROP
+def test_dhash_constant_image_is_zero(dims, seed):
+    """A flat image has no gradients anywhere: hash exactly 0; and the
+    hash depends only on the SAMPLED grid — perturbing a pixel no grid
+    cell samples leaves it unchanged."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        dhash_bits_from_pixels,
+    )
+
+    w, h = dims
+    assert dhash_bits_from_pixels([seed % 256] * (w * h), w, h) == 0
+    sampled = {
+        (r * h // 8) * w + (c * w // 9) for r in range(8) for c in range(9)
+    }
+    unsampled = next(
+        (k for k in range(w * h) if k not in sampled), None
+    )
+    if unsampled is not None:
+        px = [(seed * 13 + k * 5) % 256 for k in range(w * h)]
+        mut = list(px)
+        mut[unsampled] = (mut[unsampled] + 97) % 256
+        assert dhash_bits_from_pixels(px, w, h) == dhash_bits_from_pixels(
+            mut, w, h
+        )
