@@ -1376,12 +1376,18 @@ def ngram_containment_pairs(
         fan_out(df)
         .select(
             F.col(id_col).alias("_cid"),
-            F.explode(F.array_distinct(shingles(text_col, k))).alias("_s"),
+            # shingles() is already distinct per doc (its set projection)
+            F.explode(shingles(text_col, k)).alias("_s"),
         )
         .select("_cid", F.md5("_s").alias("_h"))
     )
     freq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-    kept = sh.join(freq.filter(F.col("_df") <= df_cap), "_h")
+    # FOUR consumers downstream (sizes + both posting join sides, each
+    # otherwise re-running the corpus-wide tokenize+shingle+md5 explode
+    # — no CSE across join branches, the r7 lesson)
+    kept = sh.join(freq.filter(F.col("_df") <= df_cap), "_h").localCheckpoint(
+        eager=True
+    )
     sizes = kept.groupBy("_cid").agg(F.count(F.lit(1)).alias("_sz"))
     a = kept.select(F.col("_cid").alias("doc_id_a"), "_h")
     b = kept.select(F.col("_cid").alias("doc_id_b"), "_h")

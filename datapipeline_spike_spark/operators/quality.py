@@ -562,13 +562,17 @@ def quality_rank_normalize(
     sweep over each group's bounded histogram (<= 10^precision + 1 rows
     per group — callers pass a bounded-range score, same boundedness
     contract as budget_select), then a map-side join back to rows.
-    NULL scores are excluded (abstentions). Exact: counts are integers,
-    the percentile is one division rounded 6dp, and quantization uses
-    the same round() text both engines."""
+    NULL scores (abstentions) AND NULL groups (unattributed rows — a
+    rank within no stratum is undefined; a null-unsafe join would
+    otherwise drop them SILENTLY) are excluded, explicitly. Exact:
+    counts are integers, the percentile is one division rounded 6dp,
+    and quantization uses the same round() text both engines."""
     from pyspark.sql import Window
 
     s = F.round(F.col(score_col).cast("double"), precision)
-    rows = df.filter(F.col(score_col).isNotNull()).withColumn("_b", s)
+    rows = df.filter(
+        F.col(score_col).isNotNull() & F.col(group_col).isNotNull()
+    ).withColumn("_b", s)
     hist = rows.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy(group_col).orderBy("_b")
     swept = hist.select(

@@ -470,9 +470,19 @@ def watermark_greenlist_score(
     green_rate, z_score); docs with < 2 tokens report zero counts and
     NULL rate/z (nothing to score). Scale shape: map-only — one
     tokenize + one array fold per row, no shuffle at any corpus size;
-    the token array is HOF-bound once (the r1 lambda-binding rule)."""
-    if not (0.0 < gamma < 1.0):
-        raise ValueError(f"gamma must be in (0,1), got {gamma}")
+    the token array is HOF-bound once (the r1 lambda-binding rule).
+
+    ``gamma`` must be 0.5: the even-hex-digit rule IS an exactly-half
+    partition, and scoring it against any other gamma would make the
+    z-statistic systematically wrong (natural text would score
+    ~0.58*sqrt(n) at gamma=0.25). A variable-gamma detector needs a
+    matching k-of-16-digits green rule — raise loudly rather than
+    mis-score."""
+    if gamma != 0.5:
+        raise ValueError(
+            "gamma must be 0.5 (the even-hex-digit rule is an exactly-"
+            f"half vocabulary partition), got {gamma}"
+        )
 
     def stats(a):
         n1 = F.greatest(F.size(a) - 1, F.lit(0))

@@ -658,10 +658,18 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
         if raw is None:
             continue
         n = int(np.prod(dims)) if dims else 1
-        # a never-written contiguous dataset (address UNDEF -> raw b"")
-        # reads as fill-value zeros, same as the chunked UNDEF branch
-        raw = raw[: n * dtype.itemsize].ljust(n * dtype.itemsize, b"\x00")
-        arr = np.frombuffer(raw, dtype=dtype)
+        if raw == b"":
+            # a never-written contiguous dataset (address UNDEF) reads
+            # as fill-value zeros, same as the chunked UNDEF branch
+            raw = b"\x00" * (n * dtype.itemsize)
+        elif len(raw) < n * dtype.itemsize:
+            # a short NON-empty read is file truncation/corruption —
+            # escalate loudly rather than silently zero-filling the tail
+            raise Hdf5FormatError(
+                f"dataset '{name}': {len(raw)} bytes stored, "
+                f"{n * dtype.itemsize} expected (truncated file?)"
+            )
+        arr = np.frombuffer(raw[: n * dtype.itemsize], dtype=dtype)
         out[name] = arr.reshape(dims) if dims else arr
     return out
 

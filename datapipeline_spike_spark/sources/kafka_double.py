@@ -285,8 +285,14 @@ class FileTopicLog:
         with byte-identical records at identical offsets instead of
         appending duplicates — the epoch-idempotent S7 lake pattern
         applied to the topic log, modeling Kafka's transactional
-        producer. Consumers read a duplicate-free log with no dedup
-        layer."""
+        producer. The LOG STATE is duplicate-free, so batch reads and
+        fresh streaming consumers need no dedup layer. Caveat (the
+        isolation gap a file double cannot close): a LIVE
+        ``read_stream`` consumer tracks part-FILE paths, and a replay
+        rewrites identical records under fresh file names — such a
+        consumer can re-see the replayed epoch, exactly where real
+        Kafka needs ``isolation.level=read_committed``; keyed dedup
+        (ST9) remains the belt-and-braces layer for that window."""
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             self.produce_epoch(batch_df, topic, epoch_id)

@@ -1551,7 +1551,7 @@ def decode_video_frame_features(df: DataFrame, payload_col: str = "payload") -> 
     )
 
 
-def synthetic_png_family(seed: int, fam: int, jitter: int) -> bytes:
+def synthetic_png_family(fam: int, jitter: int) -> bytes:
     """Planted near-duplicate PNG: pixels derive from the FAMILY (fam),
     not the document — pixel k = (k*k*(2*fam + 3) + 5*k +
     jitter*(k % 7 == 0)) % 256 on a (9 + fam % 8) x (8 + fam % 5)
@@ -1609,7 +1609,6 @@ def image_family_media_from_documents(
                     "media_id": pdf["doc_id"],
                     "payload": [
                         synthetic_png_family(
-                            seed=int(d),
                             fam=int(d) % n_families,
                             jitter=(int(d) // n_families) % n_jitters,
                         )
@@ -1683,7 +1682,9 @@ def decode_image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame
             px = []
             for r in range(h):
                 row = raw[r * (w + 1) : (r + 1) * (w + 1)]
-                if not row or row[0] != 0:
+                # a short final row (truncated inflate) must yield a
+                # NULL row, not an IndexError inside the sample grid
+                if len(row) != w + 1 or row[0] != 0:
                     return None
                 px.extend(row[1:])
             bits64 = dhash_bits_from_pixels(px, w, h)

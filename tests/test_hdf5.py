@@ -231,6 +231,34 @@ def test_native_unwritten_datasets_read_as_fill_value():
     assert not back["empty"].any()  # fill value = 0
 
 
+def test_native_truncated_contiguous_dataset_raises_not_zerofills():
+    """Review r12: only the UNDEF (never-written) case zero-fills; a
+    SHORT non-empty contiguous read is truncation/corruption and must
+    raise a typed error instead of silently reading a zero tail."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        Hdf5FormatError,
+        read_h5_datasets,
+        write_minimal_h5,
+    )
+
+    import struct
+
+    arr = np.arange(64, dtype="<f8")
+    blob = bytearray(write_minimal_h5({"d": arr}))
+    # shrink the contiguous layout message's stored size (version 3,
+    # class 1, address(8), size(8)) below the dataspace's n*itemsize —
+    # the read now comes back short and must raise, not zero-fill
+    pat = struct.pack("<Q", arr.nbytes)
+    i = blob.index(b"\x03\x01")
+    assert blob[i + 10 : i + 18] == pat  # the layout size field
+    blob[i + 10 : i + 18] = struct.pack("<Q", 100)
+    with _pytest.raises(Hdf5FormatError, match="truncated"):
+        read_h5_datasets(bytes(blob))
+
+
 def test_native_chunked_archive_end_to_end_spark(spark, tmp_path):
     """A chunked+gzip+shuffle archive decodes through the FULL Spark
     path with no h5py: binaryFile -> mapInPandas -> 10-sample records —

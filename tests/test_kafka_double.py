@@ -265,10 +265,13 @@ def test_stream_sink_exactly_once_kill_replay(spark, tmp_path):
 
 
 def test_stream_consumer_reads_epoch_produced_topic(spark, tmp_path):
-    """A readStream consumer over a topic written by produce_epoch sees
-    every record exactly once (the stream source walks the epoch
-    subdirs via recursive lookup), and an epoch REPLAY adds no new
-    micro-batch rows for an already-running consumer's totals."""
+    """A FRESH readStream consumer over a topic written by
+    produce_epoch sees every record exactly once (the stream source
+    walks the epoch subdirs via recursive lookup). A consumer already
+    RUNNING across a replay is the documented isolation gap (see
+    stream_sink_exactly_once's caveat): file sources track part-file
+    paths, so rewritten files can re-deliver — the read_committed
+    semantics a file double cannot model."""
     from datapipeline_spike_spark.streaming.pipeline import run_to_memory
 
     log = FileTopicLog(str(tmp_path / "log"), n_partitions=2)

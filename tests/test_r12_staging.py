@@ -546,6 +546,46 @@ def test_dhash_decode_matches_python_replay(spark):
         assert got[doc_id] == (bits & 0xFFFFFFFF, bits >> 32), doc_id
 
 
+def test_dhash_corrupt_payloads_yield_null_not_crash(spark):
+    """Review r12: a PNG whose IDAT inflates SHORT (truncated final
+    row) must yield NULL hash words, never an IndexError inside the
+    sample grid; non-PNG bytes and undersized canvases too."""
+    import struct
+    import zlib
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        _PNG_SIG,
+        decode_image_dhash,
+        synthetic_png_family,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    w, h = 10, 8
+    # last scanline present but 3 pixels short after the filter byte
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h - 1)) + b"\x00" + bytes(w - 3)
+    short = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, synthetic_png_family(0, 0)),  # healthy
+        (2, short),                        # truncated inflate
+        (3, b"not a png at all"),          # wrong container
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_image_dhash(df).collect()}
+    assert out[1]["dhash_w0"] is not None
+    assert out[2]["dhash_w0"] is None and out[2]["dhash_w1"] is None
+    assert out[3]["dhash_w0"] is None
+
+
 def test_dhash_pairs_match_duckdb(spark):
     """The full staged query — planted family PNGs -> real decode ->
     banded candidate join -> exact Hamming — vs the DuckDB replay of

@@ -497,9 +497,8 @@ def r12ops_stress(spark, amp: int) -> None:
     # the registered recall-audit form, straight off the testdata (the
     # driver-visible cost): sf0.1 once
     q = REGISTRY["ivfpq_recall_at_k"]
-    secs = probe("ivfpq_recall_at_k",
-                 lambda: q.spark(spark, "/root/testdata/sf0.1"))
-    print(json.dumps({"probe": "ivfpq_recall_at_k", "sf": 0.1,
+    secs = probe("ivfpq_recall_at_k", lambda: q.spark(spark, SF_DIR))
+    print(json.dumps({"probe": "ivfpq_recall_at_k", "sf_dir": SF_DIR,
                       "sec": secs}), flush=True)
 
 
