@@ -90,10 +90,14 @@ _R12_REFRESH = (
     "dsir_importance_weights",
     "pca_variance_profile",
     "promo_revenue_share",
-    # head fill to exactly DRIVER_SAMPLE: the next-oldest r9-green
-    # (becomes the r12 changed-code slot if a registered query's code
-    # changes this round — slide it back to the r13 queue front then)
-    "large_volume_orders",
+    # the r12 changed-code slot (fills the head to exactly
+    # DRIVER_SAMPLE): image_pixel_features' decoder gained the
+    # short-scanline truncation guard this round (r12 review — results
+    # identical on well-formed input, but the mechanical contract says
+    # changed code re-hashes the same round). The queue fill it
+    # displaced (large_volume_orders) slides to the r13 queue front
+    # per the documented rule.
+    "image_pixel_features",
 )
 
 # dominant_frequency / pca_reduce are PINNED to the permanent rotation
@@ -133,13 +137,19 @@ _NO_ORACLE_PIN = (
 # 4.2k->7.9k, doremi 4.0k->17.8k, dhash 1.25k->1.96k docs/s; dhash
 # pair OUTPUT is quadratic in family size by the plant's construction
 # — the amplify-documents caveat, not a plan defect). Head-budget
-# note: queue(41) below + 6 new = 47, leaving THREE r13 changed-code
+# note: queue(42) below + 6 new = 48, leaving TWO r13 changed-code
 # slots — if more are needed, slide the queue's tail r10-greens to the
-# r14 queue per the documented rule.
+# r14 queue per the documented rule. Deferred r13 work item: none —
+# the media-decoder truncation-hardening class closed in r12
+# (image_pixel_features took this round's changed-code slot; jpeg/
+# video/audio decoders already degrade via broad typed catches).
 
 # --- r13 queue: the r9-green remainder (stale 4 rounds by r13) then
 # the 20 oldest r10-greens ---
 _QUEUED_FOR_NEXT_HEAD = (
+    # displaced from the r12 head fill by the image_pixel_features
+    # changed-code slot
+    "large_volume_orders",
     # r9-green remainder (21)
     "branded_quantity_bands",
     "revenue_by_segment",
@@ -235,7 +245,6 @@ _R11_GREEN_TAIL = (
     "simhash_signatures",
     "bpe_merge_training",
     "audio_pcm_features",
-    "image_pixel_features",
     "bm25_ranked_retrieval",
     "session_campaign_overlap",
     "bpe_encoded_corpus_stats",

@@ -626,7 +626,10 @@ def decode_image_pixel_features(df: DataFrame, payload_col: str = "payload") -> 
             px = []
             for r in range(h):
                 row = raw[r * (w + 1) : (r + 1) * (w + 1)]
-                if not row or row[0] != 0:
+                # a short row (truncated inflate) must yield a NULL row
+                # — silently averaging a partial pixel stream is worse
+                # than a crash (r12 review, the decode_image_dhash fix)
+                if len(row) != w + 1 or row[0] != 0:
                     return None  # only filter None is supported
                 px.extend(row[1:])
             n = len(px)

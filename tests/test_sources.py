@@ -762,6 +762,26 @@ def test_full_decode_malformed_payloads_degrade_to_null_rows(spark):
     assert rows[1]["mean_px"] is None
     assert rows[2]["mean_px"] is None
 
+    # r12 review: an IDAT that inflates SHORT (truncated final row)
+    # must be a NULL row too — silently averaging a partial pixel
+    # stream is the worst failure mode (no crash, wrong values)
+    w, h = 5, 4
+    short_raw = (
+        b"".join(b"\x00" + bytes(w) for _ in range(h - 1))
+        + b"\x00" + bytes(w - 2)
+    )
+    short_png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(short_raw))
+        + chunk(b"IEND", b"")
+    )
+    sdf = spark.createDataFrame(
+        [(0, bytearray(short_png))], "media_id long, payload binary"
+    )
+    srow = decode_image_pixel_features(sdf).collect()[0]
+    assert srow["mean_px"] is None and srow["n_pixels"] is None
+
 
 def test_simhash64_quotable_id_column(spark):
     """ADVICE r6: simhash64 interpolates id_col into selectExpr — an id
