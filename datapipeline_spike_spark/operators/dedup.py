@@ -1343,7 +1343,9 @@ def ngram_containment_pairs(
     k: int = 3,
     min_common: int = 3,
     threshold: float = 0.5,
-    df_cap: int = 1000,
+    df_cap: int | None = None,
+    df_cap_frac: float = 0.02,
+    df_cap_floor: int = 16,
 ) -> DataFrame:
     """Shingle CONTAINMENT near-dup pairs (staged r12, register r13):
     containment(A in B) = |A ∩ B| / |A| — the asymmetric overlap that
@@ -1359,12 +1361,20 @@ def ngram_containment_pairs(
     low-Jaccard pairs): explode distinct shingles, join postings on the
     shingle hash with id_a < id_b, count common shingles per pair, keep
     pairs with >= ``min_common``, then score both containment
-    directions from the per-doc distinct-shingle counts. Shingles with
-    document frequency > ``df_cap`` are boilerplate (stop-shingle) and
-    are excluded from the SETS entirely — numerator and denominators —
-    keeping the measure exact over the filtered sets (the documented
-    hot-key guard: a corpus-wide header shingle would otherwise emit
-    df^2 posting pairs).
+    directions from the per-doc distinct-shingle counts. Shingles
+    above the document-frequency cap are boilerplate (stop-shingle)
+    and are excluded from the SETS entirely — numerator and
+    denominators — keeping the measure exact over the filtered sets
+    (the documented hot-key guard: a corpus-wide header shingle would
+    otherwise emit df^2 posting pairs).
+
+    The cap is SCALE-DERIVED by default (``df_cap=None``, the
+    hard_negative auto-plane posture): cap = max(``df_cap_floor``,
+    ceil(``df_cap_frac`` * n_docs)) from a 1-row broadcast count cross
+    — a FIXED absolute cap silently excludes an ever-growing share of
+    legitimately-shared shingles as the corpus grows (boilerplate df
+    scales with corpus size, so the boilerplate definition must too).
+    Pass an explicit ``df_cap`` to pin it.
 
     Returns (doc_id_a, doc_id_b, n_common, size_a, size_b,
     containment_a, containment_b, max_containment) filtered to
@@ -1382,12 +1392,27 @@ def ngram_containment_pairs(
         .select("_cid", F.md5("_s").alias("_h"))
     )
     freq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    if df_cap is None:
+        # scale-derived cap: 1-row corpus count broadcast-crossed into
+        # the df filter (BNLJ_OK at registration — the auto-plane note)
+        total = df.agg(F.count(F.lit(1)).alias("_nd"))
+        capped = (
+            freq.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("_df")
+                <= F.greatest(
+                    F.lit(df_cap_floor),
+                    F.ceil(F.lit(float(df_cap_frac)) * F.col("_nd")),
+                )
+            )
+            .select("_h")
+        )
+    else:
+        capped = freq.filter(F.col("_df") <= df_cap).select("_h")
     # FOUR consumers downstream (sizes + both posting join sides, each
     # otherwise re-running the corpus-wide tokenize+shingle+md5 explode
     # — no CSE across join branches, the r7 lesson)
-    kept = sh.join(freq.filter(F.col("_df") <= df_cap), "_h").localCheckpoint(
-        eager=True
-    )
+    kept = sh.join(capped, "_h").localCheckpoint(eager=True)
     sizes = kept.groupBy("_cid").agg(F.count(F.lit(1)).alias("_sz"))
     a = kept.select(F.col("_cid").alias("doc_id_a"), "_h")
     b = kept.select(F.col("_cid").alias("doc_id_b"), "_h")

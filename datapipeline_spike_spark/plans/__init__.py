@@ -128,15 +128,18 @@ _NO_ORACLE_PIN = (
 # staging tests; registration is a catalog move: lift the SQL, alias
 # columns identically, give each a head slot. Allowlist notes:
 # sequence_packing_plan needs a WINDOW_OK entry (the bucket-base
-# cumulative window runs on <= n_buckets=256 rows); doremi needs a
-# BNLJ note only if the 1-row assembled frame plans as a cross (it is
-# a single-row projection chain — check the plan at registration);
-# watermark/rank_normalize/containment/dhash need none expected.
-# SCALE_PROBE_r12 rates all rise at 10x (watermark 2.1k->23k,
-# rank_normalize 3.1k->43k, containment 1.47k->1.57k, packing
-# 4.2k->7.9k, doremi 4.0k->17.8k, dhash 1.25k->1.96k docs/s; dhash
-# pair OUTPUT is quadratic in family size by the plant's construction
-# — the amplify-documents caveat, not a plan defect). Head-budget
+# cumulative window runs on <= n_buckets=256 rows);
+# ngram_containment_pairs needs a BNLJ_OK entry (the scale-derived df
+# cap is a 1-row corpus-count broadcast cross — the auto-plane
+# pattern); doremi needs a BNLJ note only if the 1-row assembled frame
+# plans as a cross (it is a single-row projection chain — check the
+# plan at registration); watermark/rank_normalize/dhash need none
+# expected. SCALE_PROBE_r12 rates all rise at 10x (watermark
+# 2.1k->23k, rank_normalize 3.1k->43k, containment w/ auto cap +
+# checkpointed postings 2.6k steady -> 5.2k, packing 4.2k->7.9k,
+# doremi 4.0k->17.8k, dhash 1.25k->1.96k docs/s; dhash pair OUTPUT is
+# quadratic in family size by the plant's construction — the
+# amplify-documents caveat, not a plan defect). Head-budget
 # note: queue(42) below + 6 new = 48, leaving TWO r13 changed-code
 # slots — if more are needed, slide the queue's tail r10-greens to the
 # r14 queue per the documented rule. Deferred r13 work item: none —

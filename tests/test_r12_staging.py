@@ -207,7 +207,8 @@ _SQL_PAGES_QUOTE = """
 def test_containment_matches_duckdb(spark):
     """Planted quoting corpus: every doc_id % 7 == 3 page embeds its
     predecessor's full text — high containment, low Jaccard — vs a
-    full DuckDB replay of the inverted-index pair generation."""
+    full DuckDB replay of the inverted-index pair generation including
+    the scale-derived df cap (greatest(16, ceil(0.02 * n_docs)))."""
     from datapipeline_spike_spark.operators.dedup import (
         ngram_containment_pairs,
     )
@@ -239,8 +240,10 @@ def test_containment_matches_duckdb(spark):
         ),
         ex AS (SELECT doc_id, md5(unnest(sh)) AS h FROM t),
         freq AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
-        kept AS (SELECT doc_id, ex.h FROM ex JOIN freq USING (h)
-                 WHERE df <= 1000),
+        cap AS (SELECT greatest(16, CAST(ceil(0.02 * count(*)) AS BIGINT))
+                  AS c FROM pages),
+        kept AS (SELECT doc_id, ex.h FROM ex JOIN freq USING (h), cap
+                 WHERE df <= cap.c),
         sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
         common AS (
           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -304,6 +307,11 @@ def test_containment_planted_semantics(spark):
     # are doc-unique except the header-bridge ones (df <= cap kept)
     for r in pairs.collect():
         assert r["max_containment"] < 1.0
+    # the SCALE-DERIVED default keeps that same df=10 shingle on a tiny
+    # corpus (cap = greatest(16, ceil(0.02*10)) = 16 >= 10): boilerplate
+    # is defined RELATIVE to corpus size, not by an absolute constant
+    auto = ngram_containment_pairs(bdf, min_common=1, threshold=0.0)
+    assert auto.count() > pairs.count()  # header-bridged pairs appear
 
 
 # --- sequence_packing_plan ------------------------------------------------------
