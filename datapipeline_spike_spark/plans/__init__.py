@@ -133,7 +133,9 @@ _NO_ORACLE_PIN = (
 # cap is a 1-row corpus-count broadcast cross — the auto-plane
 # pattern); doremi needs a BNLJ note only if the 1-row assembled frame
 # plans as a cross (it is a single-row projection chain — check the
-# plan at registration); watermark/rank_normalize/dhash need none
+# plan at registration); the dhash query needs a PANDAS_OK entry
+# (media build + hash decode run via mapInPandas — the
+# image_pixel_features precedent); watermark/rank_normalize need none
 # expected. SCALE_PROBE_r12 rates all rise at 10x (watermark
 # 2.1k->23k, rank_normalize 3.1k->43k, containment w/ auto cap +
 # checkpointed postings 2.6k steady -> 5.2k, packing 4.2k->7.9k,

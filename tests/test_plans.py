@@ -536,3 +536,20 @@ def test_q16_exclusion_is_anti_join_and_size_pushdown(spark):
     plan = _plan(spark, "supplier_part_types")
     assert "LeftAnti" in plan
     assert re.search(r"PushedFilters: \[[^\]]*p_size", plan)
+
+
+def test_ivfpq_recall_shares_residuals_and_codebooks(spark):
+    """r12 regression guard for the ivfpq checkpoint fix: without the
+    eager materialization of the residual frame and the trained
+    codebooks, every consumer re-executes the coarse-assignment literal
+    and the whole Lloyd's chain (measured 2.4x on the 1x probe). The
+    executedPlan must read the embeddings parquet only for the query
+    set, the coarse-centroid collect feed, and the exact baseline —
+    the index side must come from checkpointed RDD scans."""
+    plan = _plan(spark, "ivfpq_recall_at_k")
+    assert "Scan ExistingRDD" in plan  # the checkpointed frames
+    # embeddings file scans: corpus baseline + broadcast query set on
+    # the exact side, plus the query-probe projection on the index
+    # side; the residual/codebook subtrees must NOT re-scan the file
+    n_scans = plan.count("embeddings.parquet")
+    assert n_scans <= 4, f"{n_scans} embeddings scans: checkpoint lost?"
