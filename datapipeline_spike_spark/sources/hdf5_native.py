@@ -505,6 +505,11 @@ def _read_chunked(
         raise Hdf5FormatError(
             f"chunk element size {cdims[-1]} != dtype itemsize {dtype.itemsize}"
         )
+    total = int(np.prod(dims)) * dtype.itemsize
+    if total > MAX_DATASET_BYTES:
+        raise Hdf5FormatError(
+            f"dataset claims {total} bytes (> {MAX_DATASET_BYTES} cap)"
+        )
     arr = np.zeros(dims, dtype=dtype)
     if btree == UNDEF:
         # libhdf5 legally leaves the chunk index unallocated for a
@@ -591,10 +596,46 @@ def _group_links(buf: bytes, btree_addr: int, heap_addr: int) -> list[tuple[str,
     return out
 
 
+# the decode boundary's resource guard: a crafted dataspace can claim
+# astronomically large dims (2^60 elements) and make the fill-value /
+# chunk-assembly paths attempt the allocation — lake payloads are
+# untrusted input, so materialization is capped well above any real
+# archive (the reference's vibration files are MBs)
+MAX_DATASET_BYTES = 1 << 31  # 2 GiB per dataset
+
+
 def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
     """Decode every numeric dataset in the root group of a classic-format
-    HDF5 payload. Raises :class:`Hdf5FormatError` for payloads outside
-    the documented subset (caller decides the fallback tier)."""
+    HDF5 payload. Raises :class:`Hdf5FormatError` — and ONLY that — for
+    payloads outside the documented subset or malformed/corrupt bytes
+    (caller decides the fallback tier). The boundary wrapper converts
+    stray parse-time exceptions (truncated buffers indexing short,
+    struct/zlib errors, absurd claimed sizes) into the typed error so
+    one hostile byte can never abort a whole scan stage (r12 fuzz
+    contract; the OCHK cycle guard's sibling)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    try:
+        return _read_h5_datasets(content)
+    except Hdf5FormatError:
+        raise
+    except (
+        IndexError,
+        KeyError,
+        OverflowError,
+        MemoryError,
+        UnicodeDecodeError,
+        _struct.error,
+        _zlib.error,
+        ValueError,
+    ) as exc:
+        raise Hdf5FormatError(
+            f"malformed HDF5 payload: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
     if content[:8] != SIGNATURE:
         raise Hdf5FormatError("HDF5 signature missing")
     sb_version = content[8]
@@ -658,6 +699,11 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
         if raw is None:
             continue
         n = int(np.prod(dims)) if dims else 1
+        if n * dtype.itemsize > MAX_DATASET_BYTES:
+            raise Hdf5FormatError(
+                f"dataset '{name}' claims {n * dtype.itemsize} bytes "
+                f"(> {MAX_DATASET_BYTES} cap)"
+            )
         if raw == b"":
             # a never-written contiguous dataset (address UNDEF) reads
             # as fill-value zeros, same as the chunked UNDEF branch

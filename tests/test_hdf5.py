@@ -560,3 +560,50 @@ def test_mixed_archive_dir_uses_right_tier_per_file(spark, tmp_path):
     m2 = [r for r in recs if r["machine"] == "M02"]
     assert len(m1) == 1 and m1[0]["vibration_z_batch"] == [7.0] * 10
     assert m2  # fake tier still fans out records
+
+
+def test_native_reader_fuzz_contract():
+    """r12 fuzz contract (lake payloads are untrusted input): mutating
+    ANY bytes of a valid archive — across all four writer layouts —
+    must either decode or raise Hdf5FormatError; no stray IndexError/
+    struct.error/zlib.error/OverflowError may escape the boundary and
+    abort a scan stage. Deterministic PRNG, several hundred mutants."""
+    import random
+
+    import numpy as np
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        Hdf5FormatError,
+        read_h5_datasets,
+        write_minimal_h5,
+        write_minimal_h5_chunked,
+        write_minimal_h5_dense,
+        write_minimal_h5_v2,
+    )
+
+    data = {"a": np.arange(30, dtype="<f8"), "b": np.arange(12, dtype="<i4")}
+    dense = {f"d{i}": np.arange(6, dtype="<f8") for i in range(10)}
+    blobs = [
+        write_minimal_h5(data),
+        write_minimal_h5(data, sb_version=1),
+        write_minimal_h5_v2(data),
+        write_minimal_h5_chunked(data, shuffle=True),
+        write_minimal_h5_dense(dense),
+    ]
+    rng = random.Random(12)
+    for blob in blobs:
+        for trial in range(120):
+            mut = bytearray(blob)
+            for _ in range(rng.randint(1, 8)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            try:
+                read_h5_datasets(bytes(mut))
+            except Hdf5FormatError:
+                pass  # the one allowed failure mode
+    # truncations at every granularity too
+    for blob in blobs:
+        for cut in range(8, len(blob), max(1, len(blob) // 60)):
+            try:
+                read_h5_datasets(blob[:cut])
+            except Hdf5FormatError:
+                pass
