@@ -46,7 +46,11 @@ _R12_NEW = (
 # remainder — stale 4 rounds — then the 24 oldest r9-greens) ---
 _R12_REFRESH = (
     "pii_redaction",
-    # r8-green remainder (18)
+    # r8-green remainder (18). NOTE: image_header_meta and
+    # video_header_meta below also satisfy the r12 changed-code
+    # contract in place — decode_media gained the untrusted-dimension
+    # guard this round (r12 fuzz; results identical on well-formed
+    # media, oracles re-checked PASS at sf0.01)
     "segment_dedup_profile",
     "context_pack_stats",
     "doc_fingerprint_dedup",

@@ -704,6 +704,12 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     other payloads fall back to the deterministic hash fake (the
     full-pixel tier production would route to PIL/cv2/librosa)."""
 
+    def _dim(x):
+        # a container header is untrusted input: a corrupt IHDR/tkhd can
+        # claim a 4-byte dimension past int32 — report NULL instead of
+        # failing the Arrow batch's Int32 cast (r12 fuzz contract)
+        return x if x is not None and 0 < x < (1 << 31) else None
+
     def decode_one(
         payload: bytes,
     ) -> tuple[str | None, int | None, int | None, int, int | None, list[float]]:
@@ -711,12 +717,17 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         image = parse_image_header(payload)
         if image is not None:
             fmt, w, h = image
-            return fmt, w, h, 1, None, feat
+            return fmt, _dim(w), _dim(h), 1, None, feat
         video = parse_video_header(payload)
         if video is not None:
             fmt, w, h, dur_ms, _ = video
-            n_frames = max(1, dur_ms * NOMINAL_VIDEO_FPS // 1000)
-            return fmt, w, h, n_frames, dur_ms, feat
+            dur_ms = _dim(dur_ms)  # same untrusted-field bound
+            n_frames = (
+                max(1, min(dur_ms * NOMINAL_VIDEO_FPS // 1000, (1 << 31) - 1))
+                if dur_ms is not None
+                else 1
+            )
+            return fmt, _dim(w), _dim(h), n_frames, dur_ms, feat
         audio = parse_audio_header(payload)
         if audio is not None:
             # dimensions are meaningless for audio; rate/bits live on

@@ -1021,3 +1021,57 @@ def test_bloom_indexed_write_proves_filters_and_preserves_rows(spark, tmp_path):
     # near-disjoint: each file's max <= next file's min (range partitioning)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_multimodal_decoders_fuzz_contract(spark):
+    """r12 fuzz contract (the HDF5 boundary's multimodal sibling):
+    byte-mutants of every synthetic media container must decode or
+    yield a NULL row — never raise out of the Arrow batch and abort
+    the scan stage. All mutants of one decoder batch into ONE
+    DataFrame, so the whole sweep costs six Spark jobs."""
+    import random
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_audio_pcm_features,
+        decode_image_dhash,
+        decode_image_pixel_features,
+        decode_jpeg_pixel_features,
+        decode_media,
+        decode_video_frame_features,
+        synthetic_jpeg_pattern,
+        synthetic_mjpeg_mp4,
+        synthetic_png_family,
+        synthetic_png_pattern,
+        synthetic_wav_pattern,
+    )
+
+    rng = random.Random(34)
+
+    def mutants(blob: bytes, n: int = 60) -> list[tuple[int, bytearray]]:
+        rows = [(0, bytearray(blob))]
+        for i in range(1, n):
+            m = bytearray(blob)
+            if i % 5 == 0:
+                m = m[: rng.randrange(1, len(m))]  # truncation
+            else:
+                for _ in range(rng.randint(1, 6)):
+                    m[rng.randrange(len(m))] = rng.randrange(256)
+            rows.append((i, m))
+        return rows
+
+    cases = [
+        (decode_image_pixel_features, synthetic_png_pattern(3, 6, 5)),
+        (decode_image_dhash, synthetic_png_family(2, 1)),
+        (decode_audio_pcm_features, synthetic_wav_pattern(5, 30)),
+        (decode_jpeg_pixel_features, synthetic_jpeg_pattern(4, 16, 16)),
+        (decode_video_frame_features, synthetic_mjpeg_mp4(7, 3, 16, 16)),
+        (decode_media, synthetic_png_pattern(9, 7, 4)),
+    ]
+    for decoder, blob in cases:
+        df = spark.createDataFrame(
+            mutants(blob), "media_id long, payload binary"
+        )
+        if decoder is decode_media:
+            df = df.withColumn("media_type", F.lit("image"))
+        out = decoder(df).collect()  # must not raise
+        assert len(out) == 60, decoder.__name__
