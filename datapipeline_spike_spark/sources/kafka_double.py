@@ -241,6 +241,45 @@ class FileTopicLog:
             )
         raise ValueError(f"starting_offsets: {starting_offsets!r}")
 
+    def compact(self, spark: SparkSession, topic: str) -> None:
+        """Model Kafka LOG COMPACTION for a keyed topic: keep only each
+        key's record with the highest offset per partition, PRESERVING
+        original offsets (gaps remain, exactly as on a real broker —
+        consumers must never assume dense offsets on a compacted
+        topic). This is the broker-side mechanism the reference's
+        latest-state semantics lean on (cleanup.policy=compact); the
+        engine-side equivalent is dedup_latest_state/SCD2. NULL-key
+        records are kept untouched (a real broker refuses them on
+        compacted topics; the double preserves rather than drops).
+
+        The rewrite is atomic at the directory level: compacted files
+        land beside the live log, then a rename swap — a concurrent
+        batch reader sees the old or the new log, never a mix. Epoch
+        subdirs are folded into the compacted flat log (their offsets
+        are preserved, so high-water marks continue correctly)."""
+        import shutil
+
+        from pyspark.sql import Window as W
+
+        df = self.read_batch(spark, topic)
+        w = W.partitionBy("partition", "key").orderBy(F.col("offset").desc())
+        keyed = (
+            df.filter(F.col("key").isNotNull())
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        compacted = keyed.unionByName(df.filter(F.col("key").isNull()))
+        d = self._topic_dir(topic)
+        tmp, old = d + ".compacting", d + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        compacted.select(*[f.name for f in WIRE_SCHEMA.fields]).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+
     def read_stream(self, spark: SparkSession, topic: str) -> DataFrame:
         """Wire-schema ``readStream`` over the topic log (file source:
         each appended parquet file becomes a micro-batch) — the shape

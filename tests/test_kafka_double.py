@@ -264,6 +264,49 @@ def test_stream_sink_exactly_once_kill_replay(spark, tmp_path):
     assert ids == list(range(9))  # every record exactly once
 
 
+def test_log_compaction_keeps_latest_per_key_with_original_offsets(spark, tmp_path):
+    """Kafka log-compaction semantics on the double: after compact(),
+    exactly one record per key survives — the HIGHEST-offset one —
+    with its ORIGINAL offset (gaps remain); epoch subdirs fold into
+    the flat log; produce after compact continues the high-water mark
+    (offsets never regress or repeat)."""
+    log = FileTopicLog(str(tmp_path), n_partitions=2)
+    # ids 0..9 then updated values for ids 0..5 (same keys, new vib)
+    log.produce(kafka_payload(_records(spark, range(10)), "id"), TOPIC_PROCESSED)
+    updated = _records(spark, range(6)).withColumn("vib", F.col("vib") + 100.0)
+    log.produce_epoch(kafka_payload(updated, "id"), TOPIC_PROCESSED, epoch_id=0)
+    before = log.read_batch(spark, TOPIC_PROCESSED).collect()
+    assert len(before) == 16
+    latest_off = {}
+    for r in before:
+        k = bytes(r["key"]).decode()
+        if k not in latest_off or r["offset"] > latest_off[k][0]:
+            latest_off[k] = (r["offset"], r["partition"])
+    log.compact(spark, TOPIC_PROCESSED)
+    after = log.read_batch(spark, TOPIC_PROCESSED).collect()
+    assert len(after) == 10  # one per key
+    for r in after:
+        k = bytes(r["key"]).decode()
+        assert (r["offset"], r["partition"]) == latest_off[k], k
+    back = parse_kafka_records(
+        log.read_batch(spark, TOPIC_PROCESSED), VALUE_SCHEMA
+    ).collect()
+    vals = {r["id"]: r["vib"] for r in back}
+    for i in range(6):
+        assert vals[i] == pytest.approx(i * 0.5 + 100.0)  # the update won
+    for i in range(6, 10):
+        assert vals[i] == pytest.approx(i * 0.5)
+    # post-compaction produce continues the HWM: offsets stay unique
+    log.produce(kafka_payload(_records(spark, range(10, 12)), "id"),
+                TOPIC_PROCESSED)
+    rows = log.read_batch(spark, TOPIC_PROCESSED).collect()
+    seen = set()
+    for r in rows:
+        key = (r["partition"], r["offset"])
+        assert key not in seen, key
+        seen.add(key)
+
+
 def test_stream_consumer_reads_epoch_produced_topic(spark, tmp_path):
     """A FRESH readStream consumer over a topic written by
     produce_epoch sees every record exactly once (the stream source
