@@ -455,13 +455,19 @@ def _unshuffle(raw: bytes, itemsize: int) -> bytes:
 
 
 def _apply_filters(
-    raw: bytes, filters: list[tuple[int, int, list[int]]], filter_mask: int
+    raw: bytes,
+    filters: list[tuple[int, int, list[int]]],
+    filter_mask: int,
+    max_bytes: int | None = None,
 ) -> bytes:
     """Run the decode-side filter chain (reverse of encode order; a set
     bit i in the chunk's filter mask means filter i was SKIPPED for
     that chunk). Native subset: deflate (zlib) and shuffle — the h5py
     ``compression='gzip', shuffle=True`` defaults; anything else gates
-    to h5py with a typed error."""
+    to h5py with a typed error. ``max_bytes`` BOUNDS the inflate (r12
+    fuzz contract): a deflate-bomb chunk in an untrusted payload must
+    not materialize gigabytes before the size check — the caller knows
+    the chunk's exact decoded size up front."""
     import zlib
 
     for i in range(len(filters) - 1, -1, -1):
@@ -469,7 +475,15 @@ def _apply_filters(
             continue
         fid, _flags, cvals = filters[i]
         if fid == FILTER_DEFLATE:
-            raw = zlib.decompress(raw)
+            if max_bytes is not None:
+                d = zlib.decompressobj()
+                raw = d.decompress(raw, max_bytes + 1)
+                if len(raw) > max_bytes or d.unconsumed_tail:
+                    raise Hdf5FormatError(
+                        f"chunk inflates past its {max_bytes}-byte size"
+                    )
+            else:
+                raw = zlib.decompress(raw)
         elif fid == FILTER_SHUFFLE:
             raw = _unshuffle(raw, cvals[0] if cvals else 1)
         else:
@@ -541,7 +555,12 @@ def _read_chunked(
             if level > 0:
                 walk(child, depth + 1)
                 continue
-            raw = _apply_filters(bytes(buf[child : child + nbytes]), filters, fmask)
+            raw = _apply_filters(
+                bytes(buf[child : child + nbytes]),
+                filters,
+                fmask,
+                max_bytes=chunk_elems * dtype.itemsize,
+            )
             if len(raw) < chunk_elems * dtype.itemsize:
                 raise Hdf5FormatError(
                     f"chunk at {child:#x} decodes to {len(raw)} bytes, "
@@ -572,8 +591,16 @@ def _group_links(buf: bytes, btree_addr: int, heap_addr: int) -> list[tuple[str,
         return buf[heap_data + offset : end].decode("utf-8")
 
     out: list[tuple[str, int]] = []
+    seen: set[int] = set()
 
-    def walk(addr: int) -> None:
+    def walk(addr: int, depth: int = 0) -> None:
+        # crafted payloads can point a child back at an ancestor — the
+        # same guard as the chunk-index walk (r12 fuzz contract: a
+        # cycle must be a typed error, never a RecursionError escaping
+        # the boundary)
+        if addr in seen or depth > 32:
+            raise Hdf5FormatError("group B-tree cycle or depth > 32")
+        seen.add(addr)
         if buf[addr : addr + 4] != b"TREE":
             raise Hdf5FormatError("group B-tree signature missing")
         level = buf[addr + 5]
@@ -583,7 +610,7 @@ def _group_links(buf: bytes, btree_addr: int, heap_addr: int) -> list[tuple[str,
         children = [_u(buf, p + 8 + 16 * i, 8) for i in range(n)]
         for child in children:
             if level > 0:
-                walk(child)
+                walk(child, depth + 1)
             else:
                 if buf[child : child + 4] != b"SNOD":
                     raise Hdf5FormatError("symbol node signature missing")
@@ -625,6 +652,7 @@ def read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
         KeyError,
         OverflowError,
         MemoryError,
+        RecursionError,  # defense-in-depth; walks carry their own guards
         UnicodeDecodeError,
         _struct.error,
         _zlib.error,

@@ -64,7 +64,14 @@ class FileTopicLog:
 
     def _topic_dir(self, topic: str) -> str:
         # topic names contain dots; keep them verbatim as a directory
-        return os.path.join(self.root, topic)
+        d = os.path.join(self.root, topic)
+        old = d + ".old"
+        if not os.path.isdir(d) and os.path.isdir(old):
+            # crash recovery: a compact() that died between its two
+            # renames left the whole pre-compact log at .old — restore
+            # it (the compacted .compacting dir is re-derivable)
+            os.rename(old, d)
+        return d
 
     def _wire_rows(
         self, payload: DataFrame, topic: str, base: DataFrame, ts
@@ -147,6 +154,12 @@ class FileTopicLog:
         ``timestamp_seconds(epoch_id)`` (stream time, NOT wall clock —
         a wall-clock default would break replay byte-identity; pass
         ``event_time`` to use a data-derived time instead)."""
+        if int(epoch_id) in self._folded_epochs(topic):
+            raise ValueError(
+                f"epoch {epoch_id} of '{topic}' was folded by compaction; "
+                "replaying it would append duplicates at shifted offsets "
+                "(compact() preserves only the ACTIVE epoch's replayability)"
+            )
         ts = (
             event_time
             if event_time is not None
@@ -241,6 +254,17 @@ class FileTopicLog:
             )
         raise ValueError(f"starting_offsets: {starting_offsets!r}")
 
+    _MANIFEST = "_compacted.json"  # leading _ : invisible to Spark reads
+
+    def _folded_epochs(self, topic: str) -> set[int]:
+        path = os.path.join(self._topic_dir(topic), self._MANIFEST)
+        if not os.path.isfile(path):
+            return set()
+        import json
+
+        with open(path) as fh:
+            return set(json.load(fh))
+
     def compact(self, spark: SparkSession, topic: str) -> None:
         """Model Kafka LOG COMPACTION for a keyed topic: keep only each
         key's record with the highest offset per partition, PRESERVING
@@ -252,33 +276,68 @@ class FileTopicLog:
         records are kept untouched (a real broker refuses them on
         compacted topics; the double preserves rather than drops).
 
-        The rewrite is atomic at the directory level: compacted files
-        land beside the live log, then a rename swap — a concurrent
-        batch reader sees the old or the new log, never a mix. Epoch
-        subdirs are folded into the compacted flat log (their offsets
-        are preserved, so high-water marks continue correctly)."""
+        The ACTIVE segment — the highest-id epoch subdir — is never
+        cleaned, exactly like the broker's log cleaner: the only
+        micro-batch a checkpointed stream can ever replay is its last
+        epoch, so preserving it keeps produce_epoch's replay
+        idempotency intact across compaction. Older epochs fold into
+        the compacted flat log and are recorded in a manifest;
+        produce_epoch REFUSES a folded epoch id (a stale replay would
+        otherwise append duplicates at shifted offsets — loud beats
+        silent).
+
+        Crash/concurrency posture (a maintenance op, single-writer like
+        the broker's cleaner): the swap is two renames; a crash between
+        them is healed on the next access (the pre-compact log is
+        restored from ``.old``), and the previous log directory is kept
+        until the NEXT compact so in-flight readers holding old file
+        paths never hit FileNotFound. A reader racing the swap itself
+        can observe a momentarily-empty topic — schedule compaction
+        like the maintenance window it is."""
+        import json
         import shutil
 
-        from pyspark.sql import Window as W
-
-        df = self.read_batch(spark, topic)
-        w = W.partitionBy("partition", "key").orderBy(F.col("offset").desc())
-        keyed = (
-            df.filter(F.col("key").isNotNull())
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .drop("_r")
-        )
-        compacted = keyed.unionByName(df.filter(F.col("key").isNull()))
         d = self._topic_dir(topic)
         tmp, old = d + ".compacting", d + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
-        compacted.select(*[f.name for f in WIRE_SCHEMA.fields]).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)  # deferred from last compact
+        epochs = sorted(
+            (int(e.split("-", 1)[1]), e)
+            for e in os.listdir(d)
+            if e.startswith("epoch-")
+            and os.path.isdir(os.path.join(d, e))
+            and e.split("-", 1)[1].isdigit()
+        )
+        active = epochs[-1][1] if epochs else None
+        folded = self._folded_epochs(topic) | {i for i, _ in epochs[:-1]}
+        fold_paths = [
+            p
+            for p in self._log_paths(topic)
+            if active is None or p != os.path.join(d, active)
+        ]
+        os.makedirs(tmp)
+        if fold_paths:
+            df = spark.read.schema(WIRE_SCHEMA).parquet(*fold_paths)
+            w = Window.partitionBy("partition", "key").orderBy(
+                F.col("offset").desc()
+            )
+            keyed = (
+                df.filter(F.col("key").isNotNull())
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .drop("_r")
+            )
+            compacted = keyed.unionByName(df.filter(F.col("key").isNull()))
+            compacted.select(*[f.name for f in WIRE_SCHEMA.fields]).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        with open(os.path.join(tmp, self._MANIFEST), "w") as fh:
+            json.dump(sorted(folded), fh)
         os.rename(d, old)
+        if active is not None:
+            os.rename(os.path.join(old, active), os.path.join(tmp, active))
         os.rename(tmp, d)
-        shutil.rmtree(old)
+        # .old intentionally kept until the next compact (see docstring)
 
     def read_stream(self, spark: SparkSession, topic: str) -> DataFrame:
         """Wire-schema ``readStream`` over the topic log (file source:

@@ -615,20 +615,23 @@ def decode_image_pixel_features(df: DataFrame, payload_col: str = "payload") -> 
                 elif tag == b"IDAT":
                     idat += body
                 i += 12 + ln
-            if not w or not h or not idat:
-                return None
+            if not w or not h or not idat or w * h > (1 << 26):
+                return None  # absent/absurd dims: untrusted header
             try:
                 # a corrupt IDAT must degrade to a NULL row, not fail
-                # the whole scan
-                raw = zlib.decompress(idat)
+                # the whole scan; the inflate is BOUNDED to the
+                # header-derived size so a deflate bomb cannot
+                # materialize gigabytes first (r12 fuzz contract)
+                need = (w + 1) * h
+                d = zlib.decompressobj()
+                raw = d.decompress(idat, need + 1)
+                if len(raw) != need or d.unconsumed_tail:
+                    return None
             except zlib.error:
                 return None
             px = []
             for r in range(h):
                 row = raw[r * (w + 1) : (r + 1) * (w + 1)]
-                # a short row (truncated inflate) must yield a NULL row
-                # — silently averaging a partial pixel stream is worse
-                # than a crash (r12 review, the decode_image_dhash fix)
                 if len(row) != w + 1 or row[0] != 0:
                     return None  # only filter None is supported
                 px.extend(row[1:])
@@ -721,7 +724,11 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         video = parse_video_header(payload)
         if video is not None:
             fmt, w, h, dur_ms, _ = video
-            dur_ms = _dim(dur_ms)  # same untrusted-field bound
+            # durations are Int64 and 0 is a VALID placeholder duration
+            # (empty mvhd) — only negative/past-int64 claims are the
+            # corrupt-header case, a looser bound than the dims'
+            if dur_ms is not None and not (0 <= dur_ms < (1 << 63)):
+                dur_ms = None
             n_frames = (
                 max(1, min(dur_ms * NOMINAL_VIDEO_FPS // 1000, (1 << 31) - 1))
                 if dur_ms is not None
@@ -1687,10 +1694,16 @@ def decode_image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame
                 elif tag == b"IDAT":
                     idat += body
                 i += 12 + ln
-            if not w or not h or not idat or w < 9 or h < 8:
+            if not w or not h or not idat or w < 9 or h < 8 or w * h > (1 << 26):
                 return None
             try:
-                raw = zlib.decompress(idat)
+                # bounded inflate: deflate bombs degrade to NULL rows
+                # before materializing anything (r12 fuzz contract)
+                need = (w + 1) * h
+                d = zlib.decompressobj()
+                raw = d.decompress(idat, need + 1)
+                if len(raw) != need or d.unconsumed_tail:
+                    return None
             except zlib.error:
                 return None
             px = []

@@ -562,6 +562,63 @@ def test_mixed_archive_dir_uses_right_tier_per_file(spark, tmp_path):
     assert m2  # fake tier still fans out records
 
 
+def test_native_group_btree_cycle_is_typed():
+    """r12 review: a crafted group B-tree whose child points back at
+    itself must raise Hdf5FormatError, not escape as RecursionError
+    (the chunk-index walk's guard, applied to the group walk)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        Hdf5FormatError,
+        read_h5_datasets,
+        write_minimal_h5,
+    )
+
+    blob = bytearray(write_minimal_h5({"d": np.arange(4, dtype="<f8")}))
+    i = blob.index(b"TREE\x00")  # the (type 0) group node
+    blob[i + 5] = 1  # level -> internal node
+    struct.pack_into("<Q", blob, i + 24 + 8, i)  # child0 -> itself
+    with _pytest.raises(Hdf5FormatError, match="cycle"):
+        read_h5_datasets(bytes(blob))
+
+
+def test_native_chunk_deflate_bomb_is_bounded():
+    """r12 review: a chunk whose deflate stream inflates past the
+    chunk's exact decoded size must raise the typed error WITHOUT
+    materializing the inflated bytes (the MAX_DATASET_BYTES cap's
+    per-chunk sibling)."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        Hdf5FormatError,
+        read_h5_datasets,
+        write_minimal_h5_chunked,
+    )
+
+    import struct as _s
+
+    data = {"d": np.arange(16, dtype="<f8")}
+    blob = bytearray(write_minimal_h5_chunked(data, chunk_shape={"d": (16,)}))
+    good = zlib.compress(data["d"].tobytes(), 6)
+    # append a 64 MiB-of-zeros bomb and repoint the single chunk's
+    # B-tree key (nbytes @ key, child address @ key+24 for a 1-D
+    # dataset: key = nbytes(4) mask(4) offsets(8*2)) at it
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)
+    bomb_addr = len(blob)
+    blob += bomb
+    j = blob.index(_s.pack("<II", len(good), 0))
+    _s.pack_into("<I", blob, j, len(bomb))
+    _s.pack_into("<Q", blob, j + 24, bomb_addr)
+    with _pytest.raises(Hdf5FormatError, match="inflates past"):
+        read_h5_datasets(bytes(blob))
+
+
 def test_native_reader_fuzz_contract():
     """r12 fuzz contract (lake payloads are untrusted input): mutating
     ANY bytes of a valid archive — across all four writer layouts —

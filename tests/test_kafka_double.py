@@ -265,39 +265,58 @@ def test_stream_sink_exactly_once_kill_replay(spark, tmp_path):
 
 
 def test_log_compaction_keeps_latest_per_key_with_original_offsets(spark, tmp_path):
-    """Kafka log-compaction semantics on the double: after compact(),
-    exactly one record per key survives — the HIGHEST-offset one —
-    with its ORIGINAL offset (gaps remain); epoch subdirs fold into
-    the flat log; produce after compact continues the high-water mark
-    (offsets never regress or repeat)."""
+    """Kafka log-compaction semantics on the double: folded segments
+    keep only each key's HIGHEST-offset record at its ORIGINAL offset
+    (gaps remain); the ACTIVE (max-id) epoch is never cleaned — so the
+    last micro-batch's replay stays idempotent across compaction, a
+    folded epoch's replay fails LOUDLY, and post-compaction produce
+    continues the high-water mark (offsets never regress or repeat)."""
     log = FileTopicLog(str(tmp_path), n_partitions=2)
-    # ids 0..9 then updated values for ids 0..5 (same keys, new vib)
+    # flat ids 0..9; epoch 0 updates ids 0..5; epoch 1 (ACTIVE) ids 8..11
     log.produce(kafka_payload(_records(spark, range(10)), "id"), TOPIC_PROCESSED)
     updated = _records(spark, range(6)).withColumn("vib", F.col("vib") + 100.0)
     log.produce_epoch(kafka_payload(updated, "id"), TOPIC_PROCESSED, epoch_id=0)
+    act = _records(spark, range(8, 12)).withColumn("vib", F.col("vib") + 200.0)
+    log.produce_epoch(kafka_payload(act, "id"), TOPIC_PROCESSED, epoch_id=1)
     before = log.read_batch(spark, TOPIC_PROCESSED).collect()
-    assert len(before) == 16
-    latest_off = {}
-    for r in before:
-        k = bytes(r["key"]).decode()
-        if k not in latest_off or r["offset"] > latest_off[k][0]:
-            latest_off[k] = (r["offset"], r["partition"])
+    assert len(before) == 20
     log.compact(spark, TOPIC_PROCESSED)
     after = log.read_batch(spark, TOPIC_PROCESSED).collect()
-    assert len(after) == 10  # one per key
-    for r in after:
-        k = bytes(r["key"]).decode()
-        assert (r["offset"], r["partition"]) == latest_off[k], k
+    # 10 folded-latest (keys 0..9) + 4 untouched active records
+    assert len(after) == 14
     back = parse_kafka_records(
         log.read_batch(spark, TOPIC_PROCESSED), VALUE_SCHEMA
     ).collect()
-    vals = {r["id"]: r["vib"] for r in back}
-    for i in range(6):
-        assert vals[i] == pytest.approx(i * 0.5 + 100.0)  # the update won
-    for i in range(6, 10):
-        assert vals[i] == pytest.approx(i * 0.5)
+    by_id: dict[int, list[float]] = {}
+    for r in back:
+        by_id.setdefault(r["id"], []).append(r["vib"])
+    for i in range(6):   # epoch-0 updates won the fold
+        assert by_id[i] == [pytest.approx(i * 0.5 + 100.0)]
+    for i in (6, 7):     # untouched flat records survive
+        assert by_id[i] == [pytest.approx(i * 0.5)]
+    for i in (8, 9):     # folded flat copy + active-epoch copy coexist
+        assert sorted(by_id[i]) == [
+            pytest.approx(i * 0.5), pytest.approx(i * 0.5 + 200.0)
+        ]
+    for i in (10, 11):   # active-epoch-only keys
+        assert by_id[i] == [pytest.approx(i * 0.5 + 200.0)]
+    # offsets unique across the whole compacted log
+    seen = set()
+    for r in after:
+        key = (r["partition"], r["offset"])
+        assert key not in seen, key
+        seen.add(key)
+    # the ACTIVE epoch replays idempotently across compaction
+    digest_before = sorted((r["partition"], r["offset"]) for r in after)
+    log.produce_epoch(kafka_payload(act, "id"), TOPIC_PROCESSED, epoch_id=1)
+    replayed = log.read_batch(spark, TOPIC_PROCESSED).collect()
+    assert sorted((r["partition"], r["offset"]) for r in replayed) == digest_before
+    # a FOLDED epoch's replay is refused loudly (silent dupes forbidden)
+    with pytest.raises(ValueError, match="folded by compaction"):
+        log.produce_epoch(kafka_payload(updated, "id"), TOPIC_PROCESSED,
+                          epoch_id=0)
     # post-compaction produce continues the HWM: offsets stay unique
-    log.produce(kafka_payload(_records(spark, range(10, 12)), "id"),
+    log.produce(kafka_payload(_records(spark, range(12, 14)), "id"),
                 TOPIC_PROCESSED)
     rows = log.read_batch(spark, TOPIC_PROCESSED).collect()
     seen = set()
@@ -305,6 +324,26 @@ def test_log_compaction_keeps_latest_per_key_with_original_offsets(spark, tmp_pa
         key = (r["partition"], r["offset"])
         assert key not in seen, key
         seen.add(key)
+
+
+def test_log_compaction_crash_recovery(spark, tmp_path):
+    """A compact() that died between its two renames leaves the whole
+    pre-compact log at .old; the next access restores it untouched."""
+    import os
+
+    log = FileTopicLog(str(tmp_path), n_partitions=2)
+    log.produce(kafka_payload(_records(spark, range(6)), "id"), TOPIC_RAW)
+    before = sorted(
+        (r["partition"], r["offset"], bytes(r["key"]).decode())
+        for r in log.read_batch(spark, TOPIC_RAW).collect()
+    )
+    d = os.path.join(str(tmp_path), TOPIC_RAW)
+    os.rename(d, d + ".old")  # the mid-swap crash state
+    after = sorted(
+        (r["partition"], r["offset"], bytes(r["key"]).decode())
+        for r in log.read_batch(spark, TOPIC_RAW).collect()
+    )
+    assert after == before  # healed on first access
 
 
 def test_stream_consumer_reads_epoch_produced_topic(spark, tmp_path):
