@@ -519,10 +519,23 @@ def _read_chunked(
         raise Hdf5FormatError(
             f"chunk element size {cdims[-1]} != dtype itemsize {dtype.itemsize}"
         )
-    total = int(np.prod(dims)) * dtype.itemsize
+    # math.prod on Python ints is exact — np.prod would silently WRAP
+    # int64 on crafted huge dims and bypass both caps (r12, wave 3)
+    import math
+
+    total = math.prod(dims) * dtype.itemsize
     if total > MAX_DATASET_BYTES:
         raise Hdf5FormatError(
             f"dataset claims {total} bytes (> {MAX_DATASET_BYTES} cap)"
+        )
+    chunk_elems = math.prod(chunk_shape)
+    # the chunk shape is attacker-controlled too: a tiny dataspace with
+    # a gigantic declared chunk would otherwise set the deflate-bomb
+    # inflate bound (max_bytes below) to gigabytes, defeating it
+    if chunk_elems * dtype.itemsize > MAX_DATASET_BYTES:
+        raise Hdf5FormatError(
+            f"chunk claims {chunk_elems * dtype.itemsize} bytes "
+            f"(> {MAX_DATASET_BYTES} cap)"
         )
     arr = np.zeros(dims, dtype=dtype)
     if btree == UNDEF:
@@ -531,7 +544,6 @@ def _read_chunked(
         # dataset reads as all fill-value (default 0), mirroring the
         # contiguous-layout UNDEF branch (ADVICE r11)
         return arr
-    chunk_elems = int(np.prod(chunk_shape))
     key_size = 8 + 8 * ndim
     seen: set[int] = set()
 
@@ -726,7 +738,9 @@ def _read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
             continue
         if raw is None:
             continue
-        n = int(np.prod(dims)) if dims else 1
+        import math
+
+        n = math.prod(dims) if dims else 1  # exact; np.prod wraps int64
         if n * dtype.itemsize > MAX_DATASET_BYTES:
             raise Hdf5FormatError(
                 f"dataset '{name}' claims {n * dtype.itemsize} bytes "

@@ -69,8 +69,15 @@ class FileTopicLog:
         if not os.path.isdir(d) and os.path.isdir(old):
             # crash recovery: a compact() that died between its two
             # renames left the whole pre-compact log at .old — restore
-            # it (the compacted .compacting dir is re-derivable)
-            os.rename(old, d)
+            # it (the .compacting staging dir holds only copies and is
+            # re-derivable). Two concurrent readers can both see the
+            # crash state; the rename is the atomic arbiter, and the
+            # loser just proceeds with the healed dir.
+            try:
+                os.rename(old, d)
+            except OSError:
+                if not os.path.isdir(d):
+                    raise
         return d
 
     def _wire_rows(
@@ -287,13 +294,19 @@ class FileTopicLog:
         silent).
 
         Crash/concurrency posture (a maintenance op, single-writer like
-        the broker's cleaner): the swap is two renames; a crash between
-        them is healed on the next access (the pre-compact log is
-        restored from ``.old``), and the previous log directory is kept
-        until the NEXT compact so in-flight readers holding old file
-        paths never hit FileNotFound. A reader racing the swap itself
-        can observe a momentarily-empty topic — schedule compaction
-        like the maintenance window it is."""
+        the broker's cleaner): the staging dir gets a COPY of the
+        active epoch (never a move — the ``.old`` heal source must stay
+        complete through every crash window), then two renames swap it
+        in; a crash between them is healed on the next access by
+        restoring the full pre-compact log from ``.old``, which is then
+        kept until the NEXT compact for post-mortem value. Run it in a
+        maintenance window: a reader racing the swap can observe a
+        momentarily-empty topic or a dead pre-swap file path, and a
+        LIVE checkpointed ``read_stream`` consumer will RE-RECEIVE the
+        folded records after compaction (the file source tracks
+        part-file paths; the rewrite lands under fresh names — the same
+        isolation gap as the exactly-once caveat; real consumers track
+        offsets, which compaction preserves)."""
         import json
         import shutil
 
@@ -333,9 +346,15 @@ class FileTopicLog:
             ).parquet(tmp)
         with open(os.path.join(tmp, self._MANIFEST), "w") as fh:
             json.dump(sorted(folded), fh)
-        os.rename(d, old)
         if active is not None:
-            os.rename(os.path.join(old, active), os.path.join(tmp, active))
+            # COPY, never move: until the final rename lands, the only
+            # complete log must remain at d/.old — a move would strand
+            # the active epoch's sole copy in the re-derivable staging
+            # dir, where the next compact's rmtree destroys it
+            shutil.copytree(
+                os.path.join(d, active), os.path.join(tmp, active)
+            )
+        os.rename(d, old)
         os.rename(tmp, d)
         # .old intentionally kept until the next compact (see docstring)
 

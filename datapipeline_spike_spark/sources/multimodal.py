@@ -585,56 +585,68 @@ def image_pattern_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _png_gray8_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """Shared full-decode kernel for the PNG pixel tiers (the r12 wave-3
+    dedup: the stats and dHash decoders patched this logic in lockstep
+    twice): chunk walk -> IHDR validation (grayscale-8, filter-None
+    only) -> BOUNDED zlib inflate (a deflate bomb degrades to None
+    before materializing; dims capped at 64M pixels) -> scanline
+    unfilter. Returns (w, h, row-major pixels) or None for anything
+    malformed/out-of-subset — callers emit a NULL row, never raise."""
+    if not payload.startswith(_PNG_SIG):
+        return None
+    i = len(_PNG_SIG)
+    w = h = None
+    idat = b""
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            try:
+                w, h, bits, ctype = struct.unpack(">IIBB", body[:10])
+            except struct.error:  # truncated IHDR
+                return None
+            if bits != 8 or ctype != 0:
+                return None
+        elif tag == b"IDAT":
+            idat += body
+        i += 12 + ln
+    if not w or not h or not idat or w * h > (1 << 26):
+        return None  # absent/absurd dims: untrusted header
+    try:
+        need = (w + 1) * h
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, need + 1)
+        if len(raw) != need or d.unconsumed_tail:
+            return None
+    except zlib.error:
+        return None
+    px: list[int] = []
+    for r in range(h):
+        row = raw[r * (w + 1) : (r + 1) * (w + 1)]
+        if len(row) != w + 1 or row[0] != 0:
+            return None  # only filter None is supported
+        px.extend(row[1:])
+    return w, h, px
+
+
 def decode_image_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """FULL-decode image tier: PNG chunk walk -> zlib-inflate IDAT ->
-    unfilter scanlines -> per-image pixel statistics, with integer-exact
-    accumulation (8-bit pixels; sum / min / max over exact ints; mean =
-    one division rounded 6dp) so a SQL oracle replays every number from
-    the regenerated pixel stream. Only filter-0 grayscale-8 images are
-    decoded (what the pattern builder emits); anything else yields NULL
-    features rather than failing the scan."""
+    unfilter scanlines (:func:`_png_gray8_pixels`) -> per-image pixel
+    statistics, with integer-exact accumulation (8-bit pixels; sum /
+    min / max over exact ints; mean = one division rounded 6dp) so a
+    SQL oracle replays every number from the regenerated pixel stream.
+    Only filter-0 grayscale-8 images are decoded (what the pattern
+    builder emits); anything else yields NULL features rather than
+    failing the scan."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload: bytes):
-            if not payload.startswith(_PNG_SIG):
+            decoded = _png_gray8_pixels(payload)
+            if decoded is None:
                 return None
-            i = len(_PNG_SIG)
-            w = h = None
-            idat = b""
-            while i + 8 <= len(payload):
-                (ln,) = struct.unpack(">I", payload[i : i + 4])
-                tag = payload[i + 4 : i + 8]
-                body = payload[i + 8 : i + 8 + ln]
-                if tag == b"IHDR":
-                    try:
-                        w, h, bits, ctype = struct.unpack(">IIBB", body[:10])
-                    except struct.error:  # truncated IHDR -> NULL row
-                        return None
-                    if bits != 8 or ctype != 0:
-                        return None
-                elif tag == b"IDAT":
-                    idat += body
-                i += 12 + ln
-            if not w or not h or not idat or w * h > (1 << 26):
-                return None  # absent/absurd dims: untrusted header
-            try:
-                # a corrupt IDAT must degrade to a NULL row, not fail
-                # the whole scan; the inflate is BOUNDED to the
-                # header-derived size so a deflate bomb cannot
-                # materialize gigabytes first (r12 fuzz contract)
-                need = (w + 1) * h
-                d = zlib.decompressobj()
-                raw = d.decompress(idat, need + 1)
-                if len(raw) != need or d.unconsumed_tail:
-                    return None
-            except zlib.error:
-                return None
-            px = []
-            for r in range(h):
-                row = raw[r * (w + 1) : (r + 1) * (w + 1)]
-                if len(row) != w + 1 or row[0] != 0:
-                    return None  # only filter None is supported
-                px.extend(row[1:])
+            _, _, px = decoded
             n = len(px)
             return (n, round(sum(px) / n, 6), min(px), max(px))
 
@@ -1675,45 +1687,12 @@ def decode_image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload: bytes):
-            if not payload.startswith(_PNG_SIG):
+            decoded = _png_gray8_pixels(payload)
+            if decoded is None:
                 return None
-            i = len(_PNG_SIG)
-            w = h = None
-            idat = b""
-            while i + 8 <= len(payload):
-                (ln,) = struct.unpack(">I", payload[i : i + 4])
-                tag = payload[i + 4 : i + 8]
-                body = payload[i + 8 : i + 8 + ln]
-                if tag == b"IHDR":
-                    try:
-                        w, h, bits, ctype = struct.unpack(">IIBB", body[:10])
-                    except struct.error:
-                        return None
-                    if bits != 8 or ctype != 0:
-                        return None
-                elif tag == b"IDAT":
-                    idat += body
-                i += 12 + ln
-            if not w or not h or not idat or w < 9 or h < 8 or w * h > (1 << 26):
-                return None
-            try:
-                # bounded inflate: deflate bombs degrade to NULL rows
-                # before materializing anything (r12 fuzz contract)
-                need = (w + 1) * h
-                d = zlib.decompressobj()
-                raw = d.decompress(idat, need + 1)
-                if len(raw) != need or d.unconsumed_tail:
-                    return None
-            except zlib.error:
-                return None
-            px = []
-            for r in range(h):
-                row = raw[r * (w + 1) : (r + 1) * (w + 1)]
-                # a short final row (truncated inflate) must yield a
-                # NULL row, not an IndexError inside the sample grid
-                if len(row) != w + 1 or row[0] != 0:
-                    return None
-                px.extend(row[1:])
+            w, h, px = decoded
+            if w < 9 or h < 8:
+                return None  # smaller than the 9x8 sample grid
             bits64 = dhash_bits_from_pixels(px, w, h)
             return (bits64 & 0xFFFFFFFF, bits64 >> 32)
 

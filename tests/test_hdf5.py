@@ -618,6 +618,17 @@ def test_native_chunk_deflate_bomb_is_bounded():
     with _pytest.raises(Hdf5FormatError, match="inflates past"):
         read_h5_datasets(bytes(blob))
 
+    # wave 3: the chunk SHAPE is attacker-controlled too — a tiny
+    # dataspace with a gigantic declared chunk must not set the inflate
+    # bound to gigabytes (cap the chunk's own byte claim)
+    blob2 = bytearray(write_minimal_h5_chunked(data, chunk_shape={"d": (16,)}))
+    # layout body: version(1) class(1) ndim(1) btree(8) cdims(4*ndim);
+    # the first chunk dim (16) sits at body+11
+    k = blob2.index(_s.pack("<BBB", 3, 2, 2))  # v3, chunked, ndim=2
+    _s.pack_into("<I", blob2, k + 11, 1 << 30)  # chunk dim -> 2^30 elems
+    with _pytest.raises(Hdf5FormatError, match="chunk claims"):
+        read_h5_datasets(bytes(blob2))
+
 
 def test_native_reader_fuzz_contract():
     """r12 fuzz contract (lake payloads are untrusted input): mutating

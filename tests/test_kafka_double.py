@@ -345,6 +345,33 @@ def test_log_compaction_crash_recovery(spark, tmp_path):
     )
     assert after == before  # healed on first access
 
+    # wave-3 window: crash between the renames WITH an active epoch —
+    # compact copies (never moves) the active epoch into the staging
+    # dir, so the heal restores the COMPLETE log including the last
+    # micro-batch, and the next compact still succeeds
+    import shutil
+
+    log.produce_epoch(kafka_payload(_records(spark, range(6, 9)), "id"),
+                      TOPIC_RAW, epoch_id=0)
+    full = sorted(
+        (r["partition"], r["offset"], bytes(r["key"]).decode())
+        for r in log.read_batch(spark, TOPIC_RAW).collect()
+    )
+    tmp = d + ".compacting"
+    os.makedirs(tmp)
+    shutil.copytree(os.path.join(d, "epoch-0"), os.path.join(tmp, "epoch-0"))
+    os.rename(d, d + ".old")  # crash before the final rename
+    healed = sorted(
+        (r["partition"], r["offset"], bytes(r["key"]).decode())
+        for r in log.read_batch(spark, TOPIC_RAW).collect()
+    )
+    assert healed == full  # nothing lost, active epoch included
+    log.compact(spark, TOPIC_RAW)  # stale .compacting is swept
+    assert sorted(
+        bytes(r["key"]).decode()
+        for r in log.read_batch(spark, TOPIC_RAW).collect()
+    ) == sorted(str(i) for i in range(9))
+
 
 def test_stream_consumer_reads_epoch_produced_topic(spark, tmp_path):
     """A FRESH readStream consumer over a topic written by
