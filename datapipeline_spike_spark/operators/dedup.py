@@ -1346,6 +1346,7 @@ def ngram_containment_pairs(
     df_cap: int | None = None,
     df_cap_frac: float = 0.02,
     df_cap_floor: int = 16,
+    df_cap_max: int = 65536,
 ) -> DataFrame:
     """Shingle CONTAINMENT near-dup pairs (staged r12, register r13):
     containment(A in B) = |A ∩ B| / |A| — the asymmetric overlap that
@@ -1370,11 +1371,19 @@ def ngram_containment_pairs(
 
     The cap is SCALE-DERIVED by default (``df_cap=None``, the
     hard_negative auto-plane posture): cap = max(``df_cap_floor``,
-    ceil(``df_cap_frac`` * n_docs)) from a 1-row broadcast count cross
-    — a FIXED absolute cap silently excludes an ever-growing share of
-    legitimately-shared shingles as the corpus grows (boilerplate df
-    scales with corpus size, so the boilerplate definition must too).
-    Pass an explicit ``df_cap`` to pin it.
+    min(ceil(``df_cap_frac`` * n_docs), ``df_cap_max``)) from a 1-row
+    broadcast count cross — a FIXED absolute cap silently excludes an
+    ever-growing share of legitimately-shared shingles as the corpus
+    grows (boilerplate df scales with corpus size, so the boilerplate
+    definition must too). Worst case at the cap is QUADRATIC in the
+    cap, not linear (ADVICE r12): one shingle at df = cap emits
+    O(cap^2) posting pairs, so an unbounded frac-of-n cap would make
+    per-shingle fan-out grow as (frac * n)^2. ``df_cap_max`` bounds
+    that: per-shingle pair fan-out never exceeds df_cap_max^2
+    regardless of corpus size (65536^2 ~= 4.3e9 pairs spread across
+    the shingle-keyed shuffle is the documented ceiling — lower it
+    for pathological boilerplate corpora). Pass an explicit
+    ``df_cap`` to pin the cap entirely.
 
     Returns (doc_id_a, doc_id_b, n_common, size_a, size_b,
     containment_a, containment_b, max_containment) filtered to
@@ -1402,7 +1411,10 @@ def ngram_containment_pairs(
                 F.col("_df")
                 <= F.greatest(
                     F.lit(df_cap_floor),
-                    F.ceil(F.lit(float(df_cap_frac)) * F.col("_nd")),
+                    F.least(
+                        F.ceil(F.lit(float(df_cap_frac)) * F.col("_nd")),
+                        F.lit(df_cap_max).cast("long"),
+                    ),
                 )
             )
             .select("_h")
@@ -1465,17 +1477,25 @@ def dhash_neardup_pairs(
     ``sources.multimodal.decode_image_dhash`` (two uint32-range words,
     NULL words excluded).
 
-    Candidates come from a 4-band Hamming pigeonhole: any pair within
-    Hamming <= 6 of 64 bits agrees EXACTLY on at least one 16-bit band
-    when max_hamming < 4 bands... pigeonhole guarantees agreement on
-    some band whenever max_hamming <= 3; for the default 6 the band
-    join is a RECALL heuristic on planted corpora unless bands are
-    widened — so bands here are 16-bit quarters and the guarantee
-    holds for max_hamming <= 3; pairs differing 4..6 bits are found
-    when their differing bits cluster (the planted jitter families do;
-    the exact contract is documented and tested). Exact Hamming
-    verification runs on candidates only (XOR + popcount per word —
-    integer-exact both engines). Returns (id_a, id_b, hamming)."""
+    Candidates come from an 8-band Hamming pigeonhole over 8-bit bands
+    (ADVICE r12: the earlier 4x16-bit layout only guaranteed recall to
+    Hamming <= 3, silently missing scattered 4..6-bit pairs the
+    ``max_hamming=6`` contract promises): with 8 bands, any pair
+    differing in <= 7 bits MUST agree exactly on at least one band, so
+    the candidate join is COMPLETE for every ``max_hamming <= 7`` —
+    the default 6 included. ``max_hamming > 7`` is rejected with a
+    ValueError rather than silently degrading to heuristic recall.
+    Exact Hamming verification runs on candidates only (XOR + popcount
+    per word — integer-exact both engines); 8-bit bands mean ~256
+    distinct band values, so the band join relies on AQE to split the
+    hot band-value buckets (same posture as simhash's 16-bit bands,
+    one level coarser). Returns (id_a, id_b, hamming)."""
+    if max_hamming > 7:
+        raise ValueError(
+            "dhash_neardup_pairs guarantees complete recall only for "
+            f"max_hamming <= 7 (8-band pigeonhole over 64 bits); got "
+            f"{max_hamming}"
+        )
     h = hashes.filter(
         F.col(w0_col).isNotNull() & F.col(w1_col).isNotNull()
     ).select(
@@ -1493,11 +1513,11 @@ def dhash_neardup_pairs(
                     F.struct(
                         F.lit(i).alias("band_idx"),
                         F.shiftrightunsigned(
-                            F.col("_w0") if i < 2 else F.col("_w1"),
-                            16 * (i % 2),
-                        ).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                            F.col("_w0") if i < 4 else F.col("_w1"),
+                            8 * (i % 4),
+                        ).bitwiseAND(F.lit(0xFF)).alias("band_val"),
                     )
-                    for i in range(4)
+                    for i in range(8)
                 ]
             )
         ).alias("b"),
