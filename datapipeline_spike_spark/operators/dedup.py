@@ -1391,6 +1391,16 @@ def ngram_containment_pairs(
     shingle hash (linear in corpus shingle count, df-capped fan-in) and
     by pair (bounded by the candidate count); no self-join on docs, no
     windows."""
+    if df_cap is None and df_cap_floor > df_cap_max:
+        # ADVICE r13: greatest(floor, least(...)) applies the floor
+        # OUTSIDE the min, so a floor above the max would silently
+        # override the documented df_cap_max^2 fan-out ceiling
+        raise ValueError(
+            f"df_cap_floor ({df_cap_floor}) must be <= df_cap_max "
+            f"({df_cap_max}): the floor wins over the ceiling in the "
+            "scale-derived cap, which would void the quadratic fan-out "
+            "bound"
+        )
     sh = (
         fan_out(df)
         .select(

@@ -518,7 +518,17 @@ def doremi_domain_weights(
     the iteration runs on ONE assembled row of domain-sorted arrays via
     per-step column projections (no joins, no driver collect; the
     aggregate-per-element HOF cost is |domains|^2-bounded). Returns one
-    row per domain: (domain, n_docs, mean_loss, weight)."""
+    row per domain: (domain, n_docs, mean_loss, weight).
+
+    Numerical stability (ADVICE r12): the update is computed in the
+    log-sum-exp SHIFTED form ``a * exp(eta * (loss - max_loss))`` —
+    shifting the exponent by any per-step constant (the weighted
+    baseline included) cancels under the renormalization that follows,
+    so this is algebraically the same multiplicative-weights step, but
+    the exponent is now <= 0: unbounded proxy losses (e.g. raw document
+    lengths) can no longer overflow exp() to inf and poison every
+    weight with inf/inf = NaN. Far-below-max domains underflow to +0.0
+    (weight -> 0), which is the correct limit."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     per = df.groupBy(domain_col).agg(
@@ -536,25 +546,18 @@ def doremi_domain_weights(
             "_rows", lambda r: F.round(F.lit(1.0) / F.size("_rows"), 6)
         ).alias("a0"),
     )
+    one = one.select("*", F.array_max("_l").alias("_lmax"))
     cur = "a0"
     for t in range(iters):
-        # baseline + unnormalized update in one stage, normalize in the
+        # shifted unnormalized update in one stage, normalize in the
         # next — each stage references the previous stage's ATTRIBUTES,
         # keeping the expression tree linear in iters
-        one = one.select(
-            "*",
-            F.aggregate(
-                F.zip_with(cur, "_l", lambda a, l: a * l),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"_b{t}"),
-        )
         one = one.select(
             "*",
             F.zip_with(
                 cur,
                 "_l",
-                lambda a, l: a * F.exp(eta * (l - F.col(f"_b{t}"))),
+                lambda a, l: a * F.exp(eta * (l - F.col("_lmax"))),
             ).alias(f"_u{t}"),
         )
         one = one.select(

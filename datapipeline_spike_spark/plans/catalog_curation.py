@@ -434,7 +434,10 @@ _SQL_C4_PAGES = f"""
     SELECT doc_id,
            CAST(len(alllines) AS BIGINT) AS n_lines,
            CAST(len(keptl) AS BIGINT) AS n_kept,
-           md5(array_to_string(keptl, chr(10))) AS kept_fp,
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' — a zero-kept-lines page must
+           -- fingerprint as md5('') on both engines (preflight r14)
+           md5(coalesce(array_to_string(keptl, chr(10)), '')) AS kept_fp,
            CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
                 WHEN contains(text, '{{') THEN 'curly_brace'
                 WHEN len(keptl) < 3 THEN 'too_few_sentences'

@@ -707,6 +707,7 @@ def _read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
         dims: list[int] | None = None
         dtype: np.dtype | None = None
         raw: bytes | None = None
+        contiguous_undef = False  # UNDEF address tracked explicitly
         layout_chunked: bytes | None = None
         filters: list[tuple[int, int, list[int]]] = []
         for mtype, body in _parse_object_header(content, obj_addr):
@@ -723,10 +724,17 @@ def _read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
                 if lclass == 0:  # compact: size(2) then raw data
                     raw = bytes(body[4 : 4 + _u(body, 2, 2)])
                 elif lclass == 1:  # contiguous: address(8) size(8)
+                    # ADVICE r12: a defined address with a corrupt
+                    # size-0 field must NOT alias the legitimate
+                    # UNDEF-address never-written case — track UNDEF
+                    # with its own sentinel so the b"" ambiguity can't
+                    # silently zero-fill corruption
                     address, size = _u(body, 2, 8), _u(body, 10, 8)
-                    raw = (
-                        b"" if address == UNDEF else bytes(content[address : address + size])
-                    )
+                    if address == UNDEF:
+                        contiguous_undef = True
+                        raw = b""
+                    else:
+                        raw = bytes(content[address : address + size])
                 elif lclass == 2:  # chunked: B-tree v1 index (r11)
                     layout_chunked = body
                 else:
@@ -746,7 +754,7 @@ def _read_h5_datasets(content: bytes) -> dict[str, np.ndarray]:
                 f"dataset '{name}' claims {n * dtype.itemsize} bytes "
                 f"(> {MAX_DATASET_BYTES} cap)"
             )
-        if raw == b"":
+        if contiguous_undef:
             # a never-written contiguous dataset (address UNDEF) reads
             # as fill-value zeros, same as the chunked UNDEF branch
             raw = b"\x00" * (n * dtype.itemsize)

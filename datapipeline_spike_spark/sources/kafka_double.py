@@ -311,6 +311,12 @@ class FileTopicLog:
         import shutil
 
         d = self._topic_dir(topic)
+        if not os.path.isdir(d):
+            # never-produced topic: compacting nothing is a no-op, the
+            # same fresh-topic posture as read()/offsets() (ADVICE r12
+            # — this used to escape as a bare FileNotFoundError from
+            # os.listdir)
+            return
         tmp, old = d + ".compacting", d + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)  # deferred from last compact

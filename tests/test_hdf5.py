@@ -259,6 +259,34 @@ def test_native_truncated_contiguous_dataset_raises_not_zerofills():
         read_h5_datasets(bytes(blob))
 
 
+def test_native_defined_address_size_zero_raises_not_zerofills():
+    """ADVICE r12: a DEFINED data address whose size field is a corrupt
+    0 used to alias the UNDEF never-written case (both produced
+    raw == b'') and zero-filled silently. UNDEF is now tracked with an
+    explicit sentinel, so the 0-byte read at a real address escalates
+    as truncation/corruption like any other short read."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from datapipeline_spike_spark.sources.hdf5_native import (
+        Hdf5FormatError,
+        read_h5_datasets,
+        write_minimal_h5,
+    )
+
+    arr = np.arange(64, dtype="<f8")
+    blob = bytearray(write_minimal_h5({"d": arr}))
+    pat = struct.pack("<Q", arr.nbytes)
+    i = blob.index(b"\x03\x01")
+    assert blob[i + 10 : i + 18] == pat  # the layout size field
+    assert blob[i + 2 : i + 10] != b"\xff" * 8  # address is DEFINED
+    blob[i + 10 : i + 18] = struct.pack("<Q", 0)
+    with _pytest.raises(Hdf5FormatError, match="truncated"):
+        read_h5_datasets(bytes(blob))
+
+
 def test_native_chunked_archive_end_to_end_spark(spark, tmp_path):
     """A chunked+gzip+shuffle archive decodes through the FULL Spark
     path with no h5py: binaryFile -> mapInPandas -> 10-sample records —

@@ -326,6 +326,20 @@ def test_log_compaction_keeps_latest_per_key_with_original_offsets(spark, tmp_pa
         seen.add(key)
 
 
+def test_compact_fresh_topic_is_noop(spark, tmp_path):
+    """ADVICE r12: compact() on a never-produced topic escaped as a
+    bare FileNotFoundError from os.listdir; every other method treats
+    the fresh topic gracefully — now compact does too (no-op, no dir
+    created, subsequent produce/read unaffected)."""
+    import os
+
+    log = FileTopicLog(str(tmp_path), n_partitions=2)
+    log.compact(spark, "never-produced")  # must not raise
+    assert not os.path.isdir(os.path.join(str(tmp_path), "never-produced"))
+    log.produce(kafka_payload(_records(spark, range(4)), "id"), "never-produced")
+    assert log.read_batch(spark, "never-produced").count() == 4
+
+
 def test_log_compaction_crash_recovery(spark, tmp_path):
     """A compact() that died between its two renames leaves the whole
     pre-compact log at .old; the next access restores it untouched."""

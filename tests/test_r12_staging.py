@@ -312,6 +312,10 @@ def test_containment_planted_semantics(spark):
     # is defined RELATIVE to corpus size, not by an absolute constant
     auto = ngram_containment_pairs(bdf, min_common=1, threshold=0.0)
     assert auto.count() > pairs.count()  # header-bridged pairs appear
+    # ADVICE r13: a floor above the max would silently void the
+    # df_cap_max^2 fan-out ceiling — rejected at the contract boundary
+    with pytest.raises(ValueError, match="df_cap_floor"):
+        ngram_containment_pairs(bdf, df_cap_floor=100, df_cap_max=50)
 
 
 # --- sequence_packing_plan ------------------------------------------------------
@@ -406,25 +410,20 @@ def _sql_doremi(eta: float = 0.1, iters: int = 8) -> str:
       FROM per
     ),
     s0 AS (
-      SELECT ds, ns, ls,
+      SELECT ds, ns, ls, list_max(ls) AS lm,
              list_transform(ls, x -> round(1.0 / len(ls), 6)) AS a
       FROM base
     )"""
     for t in range(iters):
         chain += f""",
-    s{t}b AS (
-      SELECT *, list_sum(list_transform(range(1, len(a) + 1),
-                 i -> a[i] * ls[i])) AS b
-      FROM s{t}
-    ),
     s{t}u AS (
       SELECT *, list_transform(range(1, len(a) + 1),
-                 i -> a[i] * exp({eta} * (ls[i] - b))) AS u
-      FROM s{t}b
+                 i -> a[i] * exp({eta} * (ls[i] - lm))) AS u
+      FROM s{t}
     ),
     s{t}s AS (SELECT *, list_sum(u) AS s FROM s{t}u),
     s{t + 1} AS (
-      SELECT ds, ns, ls, list_transform(u, x -> round(x / s, 6)) AS a
+      SELECT ds, ns, ls, lm, list_transform(u, x -> round(x / s, 6)) AS a
       FROM s{t}s
     )"""
     return chain + f"""
@@ -485,6 +484,31 @@ def test_doremi_planted_dynamics(spark):
 
     with pytest.raises(ValueError, match="iters"):
         doremi_domain_weights(solo, "source", "loss", iters=0)
+
+
+def test_doremi_huge_losses_no_overflow(spark):
+    """ADVICE r12: unbounded proxy losses (raw document lengths — the
+    sf0.1 scale probe's feed) drove exp(eta * excess) past the double
+    range, so every weight collapsed to inf/inf = NaN. The shifted
+    (log-sum-exp) update keeps the exponent <= 0: weights are finite,
+    sum to 1, and concentrate on the max-loss domain."""
+    import math
+
+    from datapipeline_spike_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    big = spark.createDataFrame(
+        [("web", 120000.0), ("code", 80000.0), ("chat", 500.0)],
+        "source string, loss double",
+    )
+    out = {r["source"]: r for r in doremi_domain_weights(big, "source", "loss").collect()}
+    for r in out.values():
+        assert r["weight"] is not None and not math.isnan(r["weight"])
+        assert 0.0 <= r["weight"] <= 1.0
+    assert sum(r["weight"] for r in out.values()) == pytest.approx(1.0, abs=1e-4)
+    assert out["web"]["weight"] > 0.999  # 4000-unit excess: winner-take-all
+    assert out["chat"]["weight"] == 0.0  # clean underflow, not NaN
 
 
 # --- image dHash near-dup path --------------------------------------------------
@@ -614,10 +638,18 @@ def test_dhash_pairs_match_duckdb(spark):
         f"""
         WITH {_sql_dhash_words()},
         bands AS (
-          SELECT doc_id, w0, w1, 0 AS band_idx, w0 & 65535 AS band_val FROM hx
-          UNION ALL SELECT doc_id, w0, w1, 1, (w0 >> 16) & 65535 FROM hx
-          UNION ALL SELECT doc_id, w0, w1, 2, w1 & 65535 FROM hx
-          UNION ALL SELECT doc_id, w0, w1, 3, (w1 >> 16) & 65535 FROM hx
+          -- 8x8-bit bands, replaying dedup.dhash_neardup_pairs'
+          -- r13 layout (band i: word i//4, shift 8*(i%4)) — the twin
+          -- must band EXACTLY like the implementation or it stops
+          -- replaying it (ADVICE r13)
+          SELECT doc_id, w0, w1, 0 AS band_idx, w0 & 255 AS band_val FROM hx
+          UNION ALL SELECT doc_id, w0, w1, 1, (w0 >> 8) & 255 FROM hx
+          UNION ALL SELECT doc_id, w0, w1, 2, (w0 >> 16) & 255 FROM hx
+          UNION ALL SELECT doc_id, w0, w1, 3, (w0 >> 24) & 255 FROM hx
+          UNION ALL SELECT doc_id, w0, w1, 4, w1 & 255 FROM hx
+          UNION ALL SELECT doc_id, w0, w1, 5, (w1 >> 8) & 255 FROM hx
+          UNION ALL SELECT doc_id, w0, w1, 6, (w1 >> 16) & 255 FROM hx
+          UNION ALL SELECT doc_id, w0, w1, 7, (w1 >> 24) & 255 FROM hx
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -634,6 +666,49 @@ def test_dhash_pairs_match_duckdb(spark):
     assert len(got) > 0
     for _, w in want.iterrows():
         assert got[(w["id_a"], w["id_b"])] == int(w["hamming"])
+
+
+def test_dhash_scattered_bits_recall(spark):
+    """ADVICE r13: the completeness claim, proven on the exact pair
+    class the old 4x16-bit layout missed. Flips at bits 3, 19, 35, 51
+    put exactly one flipped bit in EVERY 16-bit band (no 16-bit band
+    agrees -> the 4-band join had zero candidates) while 8-bit bands
+    1, 3, 5, 7 stay clean — the 8-band pigeonhole must recall this
+    Hamming-4 pair."""
+    from datapipeline_spike_spark.operators.dedup import dhash_neardup_pairs
+
+    w0, w1 = 0x5A5A5A5A, 0xA5A5A5A5
+    flip = (1 << 3) | (1 << 19)  # bits 3, 19 of each word = 3,19,35,51
+    rows = [
+        (1, w0, w1),
+        (2, w0 ^ flip, w1 ^ flip),
+        (3, 0x12345678, 0x0F0F0F0F),  # far from both (no accidental pair)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash_w0 long, dhash_w1 long")
+    # the premise: every 16-bit band of the pair differs -> the old
+    # 4x16 banding generates no candidate for (1, 2)
+    for shift in (0, 16):
+        assert (w0 >> shift) & 0xFFFF != ((w0 ^ flip) >> shift) & 0xFFFF
+        assert (w1 >> shift) & 0xFFFF != ((w1 ^ flip) >> shift) & 0xFFFF
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(df).collect()
+    }
+    assert got == {(1, 2): 4}
+
+
+def test_dhash_max_hamming_contract(spark):
+    """max_hamming > 7 exceeds what the 8-band pigeonhole can recall
+    completely — rejected loudly (dedup.py:1494), never a silent
+    heuristic; <= 7 is accepted."""
+    from datapipeline_spike_spark.operators.dedup import dhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, 7, 7)], "media_id long, dhash_w0 long, dhash_w1 long"
+    )
+    with pytest.raises(ValueError, match="max_hamming <= 7"):
+        dhash_neardup_pairs(df, max_hamming=8)
+    assert dhash_neardup_pairs(df, max_hamming=7).count() == 0
 
 
 def test_dhash_planted_families(spark):
