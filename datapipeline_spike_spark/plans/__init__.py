@@ -12,6 +12,7 @@ from datapipeline_spike_spark.plans import catalog_r9  # noqa: F401  (r8 staged 
 from datapipeline_spike_spark.plans import catalog_curation  # noqa: F401  (r9 curation funnel)
 from datapipeline_spike_spark.plans import catalog_r11  # noqa: F401  (r10 staged -> registered)
 from datapipeline_spike_spark.plans import catalog_r12  # noqa: F401  (r11 staged -> registered)
+from datapipeline_spike_spark.plans import catalog_r13  # noqa: F401  (r12 staged -> registered r14)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -29,10 +30,81 @@ from datapipeline_spike_spark.plans import catalog_r12  # noqa: F401  (r11 stage
 
 DRIVER_SAMPLE = 50
 
-# --- r12 head, slot 1: NEW r12 registrations — the six r11-staged
-# operators, registered in plans/catalog_r12 with the staging tests'
-# DuckDB oracles (ivfpq in its recall-audit form, the documented r12
-# registered shape) ---
+# --- r14 head, slot 1: NEW r14 registrations — the six r12-staged
+# operators, registered in plans/catalog_r13 with the staging tests'
+# DuckDB oracles (hardened r13/r14 pre-freeze: dhash 8x8-band
+# complete recall, doremi log-sum-exp shift, containment floor<=max
+# validation). ngram_containment_pairs and dhash_neardup_pairs changed
+# in r13 while staged, doremi_domain_weights changed in r14 while
+# staged — their registration here satisfies the changed-code re-hash
+# contract in one move. ---
+_R14_NEW = (
+    "watermark_greenlist_score",  # Kirchenbauer 2023 green-list z-score
+    "quality_rank_normalize",     # per-source mid-rank quantile transform
+    "ngram_containment_pairs",    # Broder containment, df-capped index
+    "dhash_neardup_pairs",        # perceptual-hash image dedup, 8-band
+    "sequence_packing_plan",      # two-phase-cumsum concat-and-chunk
+    "doremi_domain_weights",      # Xie 2023 multiplicative weights
+)
+# --- r14 head, slot 2: the documented r13/r14 queue, verbatim from the
+# r12 rotation (large_volume_orders displaced fill, the 21 r9-greens —
+# stale five rounds — then the 20 oldest r10-greens), plus the TWO head
+# fills (no registered-query code outside the six changed this round:
+# the r14 HDF5/kafka-double hardening touches no registry entry, and
+# the c4_line_filters fix is oracle-text-only with c4 already queued
+# below) — the next two r10-greens slide up per the documented rule ---
+_R14_REFRESH = (
+    "large_volume_orders",
+    # r9-green remainder (21)
+    "branded_quantity_bands",
+    "revenue_by_segment",
+    "shipping_priority",
+    "returned_item_losses",
+    "fixed_size_sample",
+    "cluster_balanced_sample",
+    "snapshot_delta",
+    "quality_classifier_score",
+    "minhash_lsh_candidates",
+    "simhash_neardup_pairs",
+    "dedup_corpus_assignment",
+    "doc_rolling_hash",
+    "kmeans_centroids",
+    "spectral_energy",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "language_id",
+    "token_frequencies",
+    "token_counting_methods",
+    "kmv_distinct_ngrams",
+    "heavy_hitter_tokens",
+    # oldest r10-greens (20 of 48)
+    "forecast_revenue_change",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "waiting_suppliers",
+    "global_sales_opportunity",
+    "product_type_profit",
+    "top_supplier_revenue",
+    "supplier_part_types",
+    "approx_percentile_bands",
+    "semdedup_assignment",
+    "scd2_user_state_history",
+    "repeated_substring_profile",
+    "bloom_filter_profile",
+    "prefix_filter_jaccard_join",
+    "scd2_steady_state",
+    "incremental_dedup_steady_state",
+    "embedding_topk_cosine",
+    "ann_recall_at_k",
+    "ivf_recall_at_k",
+    # the two head fills (next-oldest r10-greens)
+    "ann_ivf_flat",
+    "ann_ivf_kmeans",
+)
+
+# --- r12 head (r12+r13 driver-green block, now the freshest tail; kept
+# verbatim as the rotation history) ---
 _R12_NEW = (
     "reliability_calibration_bins",  # Guo 2017 reliability-diagram table
     "token_distribution_drift",      # unigram KL/JS between snapshots
@@ -117,98 +189,75 @@ _NO_ORACLE_PIN = (
     "pca_reduce",
 )
 
-# r13 registration checklist (the r10->r11->r12 staging pattern): SIX
-# operators are STAGED with green DuckDB differential tests in
-# tests/test_r12_staging.py — operators/text_stats.py
-# (watermark_greenlist_score — Kirchenbauer 2023 synthetic-text
-# detection), operators/quality.py (quality_rank_normalize — per-source
-# quantile transform, the calibration report's "threshold on rank"),
-# operators/dedup.py (ngram_containment_pairs — Broder containment via
-# df-capped inverted index; dhash_neardup_pairs — perceptual-hash image
-# dedup over sources/multimodal.decode_image_dhash), and
-# operators/sampling.py (sequence_packing_plan — two-phase-cumsum
-# concat-and-chunk layout; doremi_domain_weights — Xie 2023
-# multiplicative-weights mixture). Oracle SQL exists verbatim in the
-# staging tests; registration is a catalog move: lift the SQL, alias
-# columns identically, give each a head slot. Allowlist notes:
-# sequence_packing_plan needs a WINDOW_OK entry (the bucket-base
-# cumulative window runs on <= n_buckets=256 rows);
-# ngram_containment_pairs needs a BNLJ_OK entry (the scale-derived df
-# cap is a 1-row corpus-count broadcast cross — the auto-plane
-# pattern); doremi needs a BNLJ note only if the 1-row assembled frame
-# plans as a cross (it is a single-row projection chain — check the
-# plan at registration); the dhash query needs a PANDAS_OK entry
-# (media build + hash decode run via mapInPandas — the
-# image_pixel_features precedent); watermark/rank_normalize need none
-# expected. SCALE_PROBE_r12 rates all rise at 10x (watermark
-# 2.1k->23k, rank_normalize 3.1k->43k, containment w/ auto cap +
-# checkpointed postings 2.6k steady -> 5.2k, packing 4.2k->7.9k,
-# doremi 4.0k->17.8k, dhash 1.25k->1.96k docs/s; dhash pair OUTPUT is
-# quadratic in family size by the plant's construction — the
-# amplify-documents caveat, not a plan defect). Head-budget
-# note: queue(42) below + 6 new = 48, leaving TWO r13 changed-code
-# slots — if more are needed, slide the queue's tail r10-greens to the
-# r14 queue per the documented rule. Deferred r13 work item: none —
-# the media-decoder truncation-hardening class closed in r12
-# (image_pixel_features took this round's changed-code slot; jpeg/
-# video/audio decoders already degrade via broad typed catches).
+# r14 rotation status: the r12-staged six REGISTERED this round
+# (plans/catalog_r13, oracle SQL lifted from tests/test_r12_staging.py
+# with identical aliases; allowlist entries landed in
+# tools/plan_audit.py — WINDOW_OK sequence_packing_plan, BNLJ_OK
+# ngram_containment_pairs, PANDAS_OK dhash_neardup_pairs). Pre-freeze
+# hardening: doremi log-sum-exp shift (ADVICE r12 overflow), dhash
+# oracle twin ported to the 8x8-band layout + scattered-bit recall
+# proof + max_hamming contract test, containment floor<=max
+# validation. SCALE_PROBE_r12 baselines to hold (BENCH_DETAIL):
+# watermark 23k, rank_normalize 43k, containment 5.2k, packing 7.9k,
+# doremi 17.8k, dhash 1.96k docs/s at 10x.
 
-# --- r13 queue: the r9-green remainder (stale 4 rounds by r13) then
-# the 20 oldest r10-greens ---
+# --- r15 queue: the r10-green remainder (26, stale five rounds by
+# r15) then the 16 oldest r11-greens. Head-budget note: queue(42) + 6
+# expected r14-staged registrations = 48, leaving TWO r15 changed-code
+# slots — if more are needed, slide the queue's tail r11-greens to the
+# r16 queue per the documented rule. ---
 _QUEUED_FOR_NEXT_HEAD = (
-    # displaced from the r12 head fill by the image_pixel_features
-    # changed-code slot
-    "large_volume_orders",
-    # r9-green remainder (21)
-    "branded_quantity_bands",
-    "revenue_by_segment",
-    "shipping_priority",
-    "returned_item_losses",
-    "fixed_size_sample",
-    "cluster_balanced_sample",
-    "snapshot_delta",
-    "quality_classifier_score",
-    "minhash_lsh_candidates",
-    "simhash_neardup_pairs",
-    "dedup_corpus_assignment",
-    "doc_rolling_hash",
-    "kmeans_centroids",
-    "spectral_energy",
-    "tfidf_top_terms",
-    "unigram_logprob_score",
-    "language_id",
-    "token_frequencies",
-    "token_counting_methods",
-    "kmv_distinct_ngrams",
-    "heavy_hitter_tokens",
-    # oldest r10-greens (20 of 48)
-    "forecast_revenue_change",
-    "volume_shipping",
-    "market_share",
-    "customer_distribution",
-    "waiting_suppliers",
-    "global_sales_opportunity",
-    "product_type_profit",
-    "top_supplier_revenue",
-    "supplier_part_types",
-    "approx_percentile_bands",
-    "semdedup_assignment",
-    "scd2_user_state_history",
-    "repeated_substring_profile",
-    "bloom_filter_profile",
-    "prefix_filter_jaccard_join",
-    "scd2_steady_state",
-    "incremental_dedup_steady_state",
-    "embedding_topk_cosine",
-    "ann_recall_at_k",
-    "ivf_recall_at_k",
+    # r10-green remainder (26 of 48; ann_ivf_flat/ann_ivf_kmeans took
+    # the r14 head fills)
+    "ann_lsh_bucket",
+    "embedding_neardup_pairs",
+    "embedding_dedup_assignment",
+    "source_overlap_matrix",
+    "pq_distortion_profile",
+    "pq_adc_recall_at_k",
+    "text_quality_profile",
+    "record_envelope_flat",
+    "envelope_reduced_features",
+    "corpus_mixture_plan",
+    "audio_header_meta",
+    "incremental_ingest_dedup",
+    "quality_filter_decision",
+    "customer_value_ranks",
+    "source_quality_rollup",
+    "lineitem_scalar_lab",
+    "props_variant_stats",
+    "robust_outlier_mad",
+    "event_funnel_transitions",
+    "cohort_retention",
+    "monthly_revenue_growth",
+    "value_histogram",
+    "sessionization",
+    "repetition_profile",
+    "embedding_label_stats",
+    "vibration_features",
+    # oldest r11-greens (16 of 48)
+    "zipf_profile",
+    "ngram_novelty_profile",
+    "kneser_ney_bigram_score",
+    "verdict_agreement_matrix",
+    "dedup_span_removal",
+    "temperature_mixture_plan",
+    "hard_negative_pairs",
+    "curation_stage_profile",
+    "multimodal_shard_meta",
+    "machine_stream_union",
+    "maintenance_window_overlap",
+    "image_jpeg_pixel_features",
+    "simhash_signatures",
+    "bpe_merge_training",
+    "audio_pcm_features",
+    "bm25_ranked_retrieval",
 )
 # --- tail: most recently driver-green blocks, oldest first (only the
-# first 50 are hashed; the order documents the next rotations) ---
+# first 50 are hashed; the order documents the next rotations). The
+# r10/r11 names promoted into the r15 queue above are filtered out of
+# these blocks at assembly time. ---
 _R10_GREEN_TAIL = (
-    # the r10-green remainder (28 of 48)
-    "ann_ivf_flat",
-    "ann_ivf_kmeans",
     "ann_lsh_bucket",
     "embedding_neardup_pairs",
     "embedding_dedup_assignment",
@@ -288,10 +337,13 @@ _R11_GREEN_TAIL = (
     "stratified_sample",
 )
 
-_HEAD = list(_R12_NEW) + list(_R12_REFRESH)
+_HEAD = list(_R14_NEW) + list(_R14_REFRESH)
 _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     n
-    for n in list(_R10_GREEN_TAIL) + list(_R11_GREEN_TAIL)
+    for n in list(_R10_GREEN_TAIL)
+    + list(_R11_GREEN_TAIL)
+    + list(_R12_NEW)
+    + list(_R12_REFRESH)
     if n not in _HEAD
 ] + list(_NO_ORACLE_PIN)
 

@@ -74,6 +74,7 @@ BNLJ_OK = {
     "token_distribution_drift": "broadcast 1-row corpus totals crossed into the vocab-bounded divergence sums, then the two 1-row aggregates crossed into the 1-row report",
     "hubness_profile": "rides hard_negative_mining's broadcast 1-row corpus count cross (the hard_negative_pairs auto-plane argument)",
     "ivfpq_recall_at_k": "exact side of the IVF-PQ recall audit: broadcast 5-row full-vector baseline (ann_recall_at_k pattern); index side joins codes to <= m*k broadcast codebook rows",
+    "ngram_containment_pairs": "scale-derived df cap: broadcast 1-row corpus count crossed into the document-frequency filter (the auto-plane pattern, no plan-build collect)",
     # top_supplier_revenue needs no entry: Catalyst rewrites its
     # equality-filtered 1-row max cross into a BroadcastHashJoin on the
     # normalized revenue key (pinned by test_q15_max_subquery_stays_in_plan)
@@ -93,6 +94,7 @@ PANDAS_OK = {
     "video_frame_features": "full binary decode (MP4 sample-table walk + per-frame JPEG) via mapInPandas",
     "kmv_distinct_ngrams": "per-batch partial bottom-k sketch (documented wire shape)",
     "heavy_hitter_tokens": "per-batch pigeonhole candidate pass (Misra-Gries bound)",
+    "dhash_neardup_pairs": "full binary decode (PNG walk + zlib inflate + unfilter + dHash sample grid) via mapInPandas (image_pixel_features precedent)",
 }
 
 PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
@@ -107,6 +109,7 @@ WINDOW_OK = {
     "budget_selected_docs": "cumulative-mass window runs on the 4dp score-bucket histogram: <= 10^4+1 rows by the documented score-cardinality contract, never the corpus",
     "curation_stage_profile": "both unpartitioned windows are budget_select's cumulative-mass sweep over the 4dp score-bucket histogram (<= 10^4+1 rows), planned once per funnel branch (50_budget and the shard rows)",
     "zipf_profile": "rank window runs on the <= top_n (1000) post-limit frame — TakeOrderedAndProject bounds the input before the window",
+    "sequence_packing_plan": "phase-2 cumulative window runs on the bucket-base frame only: <= n_buckets=256 rows by construction, never the corpus",
 }
 
 
