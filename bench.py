@@ -134,6 +134,14 @@ EXTRAS = [
     "embedding_centroid_drift",
     "hubness_profile",
     "ivfpq_recall_at_k",
+    # round 14 registrations (the r12 staged ops) — steady-state minima
+    # recorded here are the r15 regression floor for the cohort
+    "watermark_greenlist_score",
+    "quality_rank_normalize",
+    "ngram_containment_pairs",
+    "dhash_neardup_pairs",
+    "sequence_packing_plan",
+    "doremi_domain_weights",
 ]
 
 # After this many extras the SparkSession is stopped and rebuilt so

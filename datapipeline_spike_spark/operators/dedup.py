@@ -1348,7 +1348,7 @@ def ngram_containment_pairs(
     df_cap_floor: int = 16,
     df_cap_max: int = 65536,
 ) -> DataFrame:
-    """Shingle CONTAINMENT near-dup pairs (staged r12, register r13):
+    """Shingle CONTAINMENT near-dup pairs (staged r12, registered r14):
     containment(A in B) = |A ∩ B| / |A| — the asymmetric overlap that
     catches PARTIAL INCLUSION (a quoted excerpt, a page embedding
     another page's body, a benchmark question pasted into a document),
@@ -1479,8 +1479,8 @@ def dhash_neardup_pairs(
     w1_col: str = "dhash_w1",
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Perceptual-hash near-duplicate IMAGE pairs (staged r12, register
-    r13) — the multimodal counterpart of :func:`simhash_neardup_pairs`:
+    """Perceptual-hash near-duplicate IMAGE pairs (staged r12, registered
+    r14) — the multimodal counterpart of :func:`simhash_neardup_pairs`:
     two images whose 64-bit dHashes differ in <= ``max_hamming`` bits
     are near-identical under the gradient signature (resize/re-encode
     survivors, the image-dedup workhorse). Input is the hash frame from
@@ -1550,4 +1550,225 @@ def dhash_neardup_pairs(
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def exact_substr_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_run_grams: int = 2,
+    df_cap: int | None = None,
+    df_cap_frac: float = 0.02,
+    df_cap_floor: int = 16,
+    df_cap_max: int = 65536,
+) -> DataFrame:
+    """Cross-document maximal shared token runs (staged r14, the
+    suffix-array-free ExactSubstr of Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    run of >= ``min_run_grams`` consecutive shared k-grams between two
+    documents — the verbatim-copied SPANS themselves (license
+    boilerplate, quoted passages, mirrored articles), not just a
+    doc-grain similarity score. ExactSubstr builds a suffix array over
+    the whole corpus; that is a sequential construction Spark cannot
+    shard cheaply. The equivalent relational form: positional k-gram
+    postings, a df-capped inverted-index equi-join, and the classic
+    gaps-and-islands trick — matched position pairs (pa, pb) on the
+    same DIAGONAL (pa - pb constant) with consecutive pa form exactly
+    the maximal shared runs (pa - row_number() is constant within an
+    island). Every shuffle is keyed (gram hash, then pair+diagonal);
+    the only window is partitioned by (pair, diagonal) — bounded by
+    the df-capped match count, never corpus-grain.
+
+    The df cap is scale-derived like :func:`ngram_containment_pairs`
+    (boilerplate grams are defined relative to corpus size; the same
+    floor<=max contract). NOTE the semantic consequence: runs ENTIRELY
+    inside capped (ultra-common) grams are not reported — the same
+    stop-gram posture as every banded dedup here.
+
+    Returns one row per maximal run:
+    (doc_id_a, doc_id_b, run_start_a, run_start_b, run_grams,
+    run_tokens) with run_tokens = run_grams + k - 1, positions
+    0-based token offsets."""
+    if df_cap is None and df_cap_floor > df_cap_max:
+        raise ValueError(
+            f"df_cap_floor ({df_cap_floor}) must be <= df_cap_max "
+            f"({df_cap_max}): the floor wins over the ceiling in the "
+            "scale-derived cap"
+        )
+    from datapipeline_spike_spark.functions.text import tokens
+
+    toked = fan_out(df).select(
+        F.col(id_col).alias("_cid"), tokens(text_col).alias("_toks")
+    )
+    grams = (
+        toked.filter(F.size("_toks") >= k)
+        .select(
+            "_cid",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice("_toks", i + 1, k), " ")
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("_cid", F.col("g.pos").alias("_pos"), F.col("g.h").alias("_h"))
+    )
+    freq = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    if df_cap is None:
+        total = df.agg(F.count(F.lit(1)).alias("_nd"))
+        capped = (
+            freq.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("_df")
+                <= F.greatest(
+                    F.lit(df_cap_floor),
+                    F.least(
+                        F.ceil(F.lit(float(df_cap_frac)) * F.col("_nd")),
+                        F.lit(df_cap_max).cast("long"),
+                    ),
+                )
+            )
+            .select("_h")
+        )
+    else:
+        capped = freq.filter(F.col("_df") <= df_cap).select("_h")
+    kept = grams.join(capped, "_h").localCheckpoint(eager=True)
+    a = kept.select(
+        F.col("_cid").alias("doc_id_a"), F.col("_pos").alias("_pa"), "_h"
+    )
+    b = kept.select(
+        F.col("_cid").alias("doc_id_b"), F.col("_pos").alias("_pb"), "_h"
+    )
+    matches = (
+        a.join(b, "_h")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "_pa",
+            "_pb",
+            (F.col("_pa") - F.col("_pb")).alias("_diag"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id_a", "doc_id_b", "_diag").orderBy("_pa")
+    runs = (
+        matches.withColumn(
+            "_grp", F.col("_pa") - F.row_number().over(w)
+        )
+        .groupBy("doc_id_a", "doc_id_b", "_diag", "_grp")
+        .agg(
+            F.min("_pa").alias("run_start_a"),
+            F.min("_pb").alias("run_start_b"),
+            F.count(F.lit(1)).alias("run_grams"),
+        )
+        .filter(F.col("run_grams") >= min_run_grams)
+    )
+    return runs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.col("run_start_a").cast("long").alias("run_start_a"),
+        F.col("run_start_b").cast("long").alias("run_start_b"),
+        F.col("run_grams").cast("long").alias("run_grams"),
+        (F.col("run_grams") + F.lit(k) - 1).cast("long").alias("run_tokens"),
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hex: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """Content-defined-chunking dedup profile (staged r14; the
+    FastCDC/LBFS storage-dedup idea at token grain): split every
+    document into CONTENT-DEFINED chunks — a chunk boundary falls
+    after token t iff the first hex digit of md5(t) is in
+    ``boundary_hex`` (default 2/16 -> ~8-token mean chunks) — then
+    measure how much of each document's token mass lives in chunks
+    that occur elsewhere in the corpus. Because boundaries depend only
+    on LOCAL content, an insertion near a document's head shifts every
+    byte offset but leaves all downstream chunk fingerprints intact —
+    the shift-resistance fixed-size blocking lacks, and the reason CDC
+    is the storage-layer dedup under training-data lakes.
+
+    Scale shape: one posexplode + one per-doc PARTITIONED prefix-sum
+    window (linear, keyed by doc), a (doc, chunk)-grain aggregate, a
+    chunk-fingerprint df aggregate, and a doc-grain rollup — no
+    self-joins, no unpartitioned windows, no driver state. Exact:
+    counts are integers; the only float is one division rounded 6dp.
+
+    Returns one row per document with >= 1 token:
+    (doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens,
+    dup_token_fraction) where a chunk occurrence is "dup" iff its
+    fingerprint occurs >= 2 times corpus-wide (including within one
+    document)."""
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.functions.text import tokens
+
+    toked = fan_out(df).select(
+        F.col(id_col).alias("_cid"), tokens(text_col).alias("_toks")
+    )
+    tok = toked.filter(F.size("_toks") > 0).select(
+        "_cid", F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    flag = (
+        F.substring(F.md5("_tok"), 1, 1).isin(*boundary_hex).cast("int")
+    )
+    w = Window.partitionBy("_cid").orderBy("_pos")
+    chunked = tok.select(
+        "_cid",
+        "_pos",
+        "_tok",
+        (F.sum(flag).over(w) - flag).alias("_chunk"),
+    )
+    chunks = (
+        chunked.groupBy("_cid", "_chunk")
+        .agg(
+            F.count(F.lit(1)).alias("_ctoks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_pos", "_tok"))
+                        ),
+                        lambda s: s["_tok"],
+                    ),
+                    " ",
+                )
+            ).alias("_fp"),
+        )
+    )
+    dfreq = chunks.groupBy("_fp").agg(F.count(F.lit(1)).alias("_occ"))
+    dup = F.col("_occ") >= 2
+    return (
+        chunks.join(dfreq, "_fp")
+        .groupBy("_cid")
+        .agg(
+            F.sum("_ctoks").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup.cast("long")).cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("_ctoks")).otherwise(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .select(
+            F.col("_cid").alias(id_col),
+            "n_tokens",
+            "n_chunks",
+            "n_dup_chunks",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias(
+                "dup_token_fraction"
+            ),
+        )
     )

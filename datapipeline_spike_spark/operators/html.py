@@ -126,3 +126,83 @@ def html_to_text(
     return F.when(
         c.isNotNull(), F.element_at(F.transform(F.array(x), _blocks), 1)
     )
+
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def canonical_url(c: Column | str) -> Column:
+    """RFC-3986-flavored URL canonicalization (staged r14) — the
+    normalization every web-crawl dedup runs before URL-level dedup
+    (the same page arrives as http://WWW.Site.com/path?utm_source=x
+    and https://site.com/path): lowercase scheme + host, strip a
+    leading ``www.``, strip the scheme-default port (:80 http, :443
+    https), strip one trailing slash from a non-root path (empty path
+    -> ``/``), DROP the fragment, drop tracking query params
+    (utm_*, fbclid, gclid, ref) and SORT the survivors so param order
+    never splits a group. Non-URL strings (no scheme://) return NULL.
+    Pure built-in regex/array expressions — map-only, codegen-side
+    except the bounded param-list HOFs."""
+    c = F.col(c) if isinstance(c, str) else c
+    scheme = F.lower(F.regexp_extract(c, _URL_RE, 1))
+    host0 = F.lower(F.regexp_extract(c, _URL_RE, 2))
+    host1 = F.regexp_replace(host0, r"^www\.", "")
+    host = F.when(
+        (scheme == "http") & host1.endswith(":80"),
+        F.regexp_replace(host1, ":80$", ""),
+    ).when(
+        (scheme == "https") & host1.endswith(":443"),
+        F.regexp_replace(host1, ":443$", ""),
+    ).otherwise(host1)
+    path0 = F.regexp_extract(c, _URL_RE, 3)
+    path = F.when(path0 == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path0) > 1) & path0.endswith("/"),
+            F.regexp_replace(path0, "/$", ""),
+        ).otherwise(path0)
+    )
+    qs = F.regexp_extract(c, _URL_RE, 4)
+    params = F.filter(
+        F.split(F.regexp_replace(qs, r"^\?", ""), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), host, path, query),
+    )
+
+
+def url_canonical_dedup(
+    df, url_col: str = "url", id_col: str = "doc_id"
+):
+    """URL-level dedup groups under :func:`canonical_url` (staged r14):
+    every row gets its canonical form, the size of its canonical
+    group, and whether it is the group's canonical representative
+    (lowest id — the deterministic survivor rule shared with
+    dedup_corpus). Rows whose URL fails to parse (NULL canonical) are
+    excluded — an unparseable URL belongs to no group. Scale shape:
+    map-only canonicalization + ONE canonical-keyed aggregate joined
+    back (keyed shuffles only; the group frame is group-count-sized).
+
+    Returns (id, url, canonical_url, group_size, is_canonical)."""
+    rows = df.select(
+        F.col(id_col),
+        F.col(url_col),
+        canonical_url(url_col).alias("canonical_url"),
+    ).filter(F.col("canonical_url").isNotNull())
+    groups = rows.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(id_col).alias("_rep"),
+    )
+    return rows.join(groups, "canonical_url").select(
+        id_col,
+        url_col,
+        "canonical_url",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col(id_col) == F.col("_rep")).alias("is_canonical"),
+    )

@@ -363,7 +363,7 @@ def gopher_quality_columns(
         F.array_contains(lw, sw).cast("int") for sw in GOPHER_STOPWORDS
     ).cast("int")
     lines = F.filter(
-        F.transform(F.split(t, "\n"), F.trim), lambda l: l != ""
+        F.transform(F.split(t, "\n"), lambda l0: F.trim(l0)), lambda l: l != ""
     )
     n_lines = F.size(lines).cast("long")
     has_lines = n_lines > 0
@@ -440,7 +440,7 @@ def c4_line_filters(
     100 TB, and every predicate is RE2-compatible for the oracle."""
     t = F.col(text_col)
     kept = F.filter(
-        F.transform(F.split(t, "\n"), F.trim),
+        F.transform(F.split(t, "\n"), lambda l0: F.trim(l0)),
         lambda l: l.rlike(r"[.!?]$")
         & (
             F.size(F.filter(F.split(l, r"\s+"), lambda x: x != ""))
@@ -453,7 +453,7 @@ def c4_line_filters(
             "n_lines",
             F.size(
                 F.filter(
-                    F.transform(F.split(t, "\n"), F.trim), lambda l: l != ""
+                    F.transform(F.split(t, "\n"), lambda l0: F.trim(l0)), lambda l: l != ""
                 )
             ).cast("long"),
         )
@@ -547,7 +547,7 @@ def quality_rank_normalize(
     precision: int = 4,
 ) -> DataFrame:
     """Per-group quantile (rank) normalization of a classifier score
-    (staged r12, register r13): map each document's raw score to its
+    (staged r12, registered r14): map each document's raw score to its
     mid-rank percentile WITHIN its source — ``(n_below + 0.5 * n_tied)
     / n_group``. This is the "threshold on rank, not value" transform
     the calibration report (reliability_calibration_bins) recommends
@@ -592,4 +592,96 @@ def quality_rank_normalize(
         F.col(score_col),
         F.col("_total").cast("long").alias("n_group"),
         F.round(pct, 6).alias("rank_pct"),
+    )
+
+
+def boilerplate_line_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_frac: float = 0.05,
+    df_floor: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate line stripping (staged r14; the
+    CCNet / RefinedWeb line-dedup pass): a trimmed non-empty line is
+    BOILERPLATE iff it occurs in >= max(``df_floor``,
+    ceil(``df_frac`` * n_docs)) DISTINCT documents (nav bars, cookie
+    banners, footers — the lines c4_line_filters' per-line rules
+    cannot catch because they are locally well-formed), and every
+    occurrence of a boilerplate line is removed. The threshold is
+    scale-derived from a 1-row broadcast corpus count (the
+    ngram_containment_pairs cap posture): an absolute cutoff would
+    reclassify ever more legitimately-shared lines as corpus size
+    grows.
+
+    Scale shape: one posexplode, one line-fingerprint document-
+    frequency aggregate (distinct per doc first, so an intra-doc
+    repeat does not inflate df), one fp-keyed join back, one doc-grain
+    regroup — all shuffles keyed, no windows, no self-joins.
+
+    Returns one row per document with >= 1 non-empty line:
+    (doc_id, n_lines, n_removed, removed_fraction, kept_fp) where
+    kept_fp = md5 of the surviving lines newline-joined in original
+    order ('' when everything was boilerplate — the c4 empty-join
+    convention)."""
+    from datapipeline_spike_spark.scale import fan_out
+
+    lines = fan_out(df).select(
+        F.col(id_col).alias("_cid"),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), lambda l0: F.trim(l0)),
+                lambda l: l != "",
+            )
+        ).alias("_pos", "_line"),
+    ).withColumn("_fp", F.md5("_line"))
+    dfreq = (
+        lines.select("_cid", "_fp")
+        .distinct()
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_nd"))
+    marked = dfreq.crossJoin(F.broadcast(total)).select(
+        "_fp",
+        (
+            F.col("_df")
+            >= F.greatest(
+                F.lit(df_floor).cast("long"),
+                F.ceil(F.lit(float(df_frac)) * F.col("_nd")),
+            )
+        ).alias("_bp"),
+    )
+    joined = lines.join(marked, "_fp")
+    return (
+        joined.groupBy("_cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("_bp").cast("long")).cast("long").alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("_pos", "_line", "_bp")
+                                )
+                            ),
+                            lambda s: ~s["_bp"],
+                        ),
+                        lambda s: s["_line"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_fp"),
+        )
+        .select(
+            F.col("_cid").alias(id_col),
+            "n_lines",
+            "n_removed",
+            F.round(F.col("n_removed") / F.col("n_lines"), 6).alias(
+                "removed_fraction"
+            ),
+            "kept_fp",
+        )
     )

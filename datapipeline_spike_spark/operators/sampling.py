@@ -434,8 +434,8 @@ def sequence_packing_plan(
     seq_len: int = 2048,
     n_buckets: int = 256,
 ) -> DataFrame:
-    """Concat-and-chunk sequence packing plan (staged r12, register
-    r13): the trainer-side layout every pretraining run performs —
+    """Concat-and-chunk sequence packing plan (staged r12, registered
+    r14): the trainer-side layout every pretraining run performs —
     documents are concatenated in a deterministic shuffled order and
     the token stream is split into fixed ``seq_len`` sequences. The
     plan reports, per document, WHERE it lands: its global token
@@ -501,7 +501,7 @@ def doremi_domain_weights(
     eta: float = 0.1,
     iters: int = 8,
 ) -> DataFrame:
-    """DoReMi-style domain reweighting (staged r12, register r13; Xie
+    """DoReMi-style domain reweighting (staged r12, registered r14; Xie
     et al. 2023, simplified to fixed per-domain losses): Group-DRO
     multiplicative weights over domains — each step the mixture weight
     of every domain multiplies by ``exp(eta * excess)`` where excess is

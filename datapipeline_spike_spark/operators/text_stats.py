@@ -451,7 +451,7 @@ def watermark_greenlist_score(
     id_col: str = "doc_id",
     gamma: float = 0.5,
 ) -> DataFrame:
-    """Green-list watermark detection (staged r12, register r13;
+    """Green-list watermark detection (staged r12, registered r14;
     Kirchenbauer et al. 2023): a watermarking LLM hashes the previous
     token to pseudorandomly partition the vocabulary into a "green"
     fraction ``gamma`` and boosts green logits, so watermarked text

@@ -1675,7 +1675,7 @@ def dhash_bits_from_pixels(px: list, w: int, h: int) -> int:
 
 
 def decode_image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """FULL-decode perceptual-hash tier (staged r12, register r13): PNG
+    """FULL-decode perceptual-hash tier (staged r12, registered r14): PNG
     chunk walk -> zlib inflate -> unfilter -> 64-bit dHash
     (:func:`dhash_bits_from_pixels`), emitted as two uint32-range longs
     (w0 = bits 0..31, w1 = bits 32..63) so both engines XOR and
@@ -1708,4 +1708,119 @@ def decode_image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame
 
     return df.mapInPandas(
         feats, schema="media_id long, dhash_w0 long, dhash_w1 long"
+    )
+
+
+def audio_family_media_from_documents(
+    docs: DataFrame, n_families: int = 16, n_jitters: int = 4, frame: int = 64
+) -> DataFrame:
+    """The planted near-dup AUDIO corpus for the fingerprint dedup path
+    (staged r14) — the waveform counterpart of
+    :func:`image_family_media_from_documents`: fam = doc_id %
+    n_families, jitter = (doc_id / n_families) % n_jitters, sample
+    i = ((i*i*(2*fam+3) + 5*i + jit*(i%7==0)) % 4001) - 2000 over
+    ``frame * (65 + fam % 4)`` samples (>= the 65 frames the 64-bit
+    fingerprint needs). Same jitter -> byte-identical clips (exact
+    dups); different jitter -> tiny per-sample perturbations (near
+    dups); different family -> unrelated energy contours."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def wav(doc_id: int) -> bytes:
+            fam = doc_id % n_families
+            jit = (doc_id // n_families) % n_jitters
+            n = frame * (65 + fam % 4)
+            samples = [
+                ((i * i * (2 * fam + 3) + 5 * i + (jit if i % 7 == 0 else 0))
+                 % 4001) - 2000
+                for i in range(n)
+            ]
+            data = struct.pack(f"<{n}h", *samples)
+            fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+            body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            body += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [wav(int(d)) for d in pdf["doc_id"]],
+                    "media_type": "audio",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def fingerprint_bits_from_samples(xs, frame: int = 64) -> int:
+    """64-bit energy-contour audio fingerprint from int16 samples:
+    frame f's energy e_f = sum(|x|) over samples [f*frame, (f+1)*frame)
+    — EXACT integer arithmetic — and bit f (0..63) is set iff
+    e_{f+1} > e_f. The audio analogue of the image dHash's gradient
+    signature: robust to uniform gain-ish perturbations, integer-exact
+    so a SQL oracle replays every bit from the regenerated waveform.
+    Requires >= 65 full frames. Shared by the decoder and tests."""
+    es = [
+        sum(abs(x) for x in xs[f * frame : (f + 1) * frame])
+        for f in range(65)
+    ]
+    bits = 0
+    for f in range(64):
+        if es[f + 1] > es[f]:
+            bits |= 1 << f
+    return bits
+
+
+def decode_audio_fingerprint(
+    df: DataFrame, payload_col: str = "payload", frame: int = 64
+) -> DataFrame:
+    """FULL-decode audio fingerprint tier (staged r14): RIFF chunk walk
+    -> int16 PCM -> 64-bit energy-contour fingerprint
+    (:func:`fingerprint_bits_from_samples`), emitted as two
+    uint32-range longs (fp_w0 = bits 0..31, fp_w1 = bits 32..63) so
+    the generic banded-Hamming pair join
+    (operators/dedup.dhash_neardup_pairs) XORs and popcounts without
+    touching a sign bit. Clips shorter than 65 frames, non-PCM, or
+    corrupt payloads yield NULL words (the scan never fails).
+    Arrow-batched mapInPandas; one row out per clip."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            meta = parse_audio_meta(payload)
+            if not meta or meta[1] != 1 or meta[3] != 16 or meta[4] == 0:
+                return None
+            n = meta[4]
+            if n < 65 * frame:
+                return None
+            i = payload.find(b"data")
+            if i < 0:
+                return None
+            raw = payload[i + 8 : i + 8 + 2 * n]
+            try:
+                xs = struct.unpack(f"<{n}h", raw)
+            except struct.error:
+                return None
+            bits64 = fingerprint_bits_from_samples(xs, frame)
+            return (bits64 & 0xFFFFFFFF, bits64 >> 32)
+
+        for pdf in batches:
+            out = pdf[payload_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fp_w0": pd.array(
+                        out.map(lambda t: None if t is None else t[0]),
+                        dtype="Int64",
+                    ),
+                    "fp_w1": pd.array(
+                        out.map(lambda t: None if t is None else t[1]),
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        feats, schema="media_id long, fp_w0 long, fp_w1 long"
     )

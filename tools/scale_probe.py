@@ -813,7 +813,7 @@ def r8lib2_stress(spark, amp: int) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     mode = "core"
-    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12staged", "r12ops"):
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12staged", "r12ops", "r14staged"):
         if m in args:
             mode = m
             break
@@ -856,6 +856,9 @@ def main() -> None:
         return
     if mode == "r12staged":
         r12staged_stress(spark, n)
+        return
+    if mode == "r14staged":
+        r14staged_stress(spark, n)
         return
     if mode == "r12ops":
         r12ops_stress(spark, n)
@@ -1252,6 +1255,81 @@ def r7ops_stress(spark, amp: int) -> None:
                           "sec": secs, "vecs_per_sec": int(m / secs)}),
               flush=True)
         emb.unpersist()
+
+
+def r14staged_stress(spark, amp: int) -> None:
+    """1x/``amp``x rows for the r14 staged operators (register r15):
+    exact_substr_runs (df-capped positional inverted index + diagonal
+    islands), cdc_chunk_dedup (per-doc prefix-sum window + chunk-df
+    aggregate), boilerplate_line_removal (line-df aggregate + keyed
+    join back), url_canonical_dedup (map-only canonicalize + one keyed
+    aggregate), the audio fingerprint path (mapInPandas decode +
+    generic banded-Hamming join), and bradley_terry_strengths (items-
+    grain iteration — the match LOG scales, the assembled row does
+    not). Pass signal: flat-or-rising rows/sec at amp."""
+    from datapipeline_spike_spark.operators.dedup import (
+        cdc_chunk_dedup,
+        dhash_neardup_pairs,
+        exact_substr_runs,
+    )
+    from datapipeline_spike_spark.operators.html import url_canonical_dedup
+    from datapipeline_spike_spark.operators.preference import (
+        bradley_terry_strengths,
+    )
+    from datapipeline_spike_spark.operators.quality import (
+        boilerplate_line_removal,
+    )
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_family_media_from_documents,
+        decode_audio_fingerprint,
+    )
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        drows = docs.count()
+        lined = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("common banner line\n"),
+                F.lit("section "),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" promo\n"),
+                F.col("text"),
+            ).alias("text"),
+        )
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("http://www.site"),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit(".example.com/p/"),
+                (F.col("doc_id") % 31).cast("string"),
+                F.lit("?utm_source=x&a="),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("url"),
+        )
+        matches = docs.select(
+            F.concat(F.lit("m"), (F.col("doc_id") % 16).cast("string")).alias("item_a"),
+            F.concat(F.lit("m"), ((F.col("doc_id") / 16).cast("long") % 16).cast("string")).alias("item_b"),
+            (F.col("doc_id") % 3 == 0).cast("long").alias("wins_a"),
+            (F.col("doc_id") % 3 != 0).cast("long").alias("wins_b"),
+        ).filter(F.col("item_a") != F.col("item_b"))
+        for name, builder in (
+            ("exact_substr_runs", lambda: exact_substr_runs(docs)),
+            ("cdc_chunk_dedup", lambda: cdc_chunk_dedup(docs)),
+            ("boilerplate_removal", lambda: boilerplate_line_removal(lined)),
+            ("url_canonical_dedup", lambda: url_canonical_dedup(urls)),
+            ("audio_fp_pairs", lambda: dhash_neardup_pairs(
+                decode_audio_fingerprint(
+                    audio_family_media_from_documents(docs)),
+                w0_col="fp_w0", w1_col="fp_w1")),
+            ("bradley_terry", lambda: bradley_terry_strengths(matches)),
+        ):
+            secs = probe(name, builder)
+            print(json.dumps({"probe": name, "amp": a, "docs": drows,
+                              "sec": secs,
+                              "docs_per_sec": int(drows / secs)}), flush=True)
+        docs.unpersist()
 
 
 if __name__ == "__main__":
