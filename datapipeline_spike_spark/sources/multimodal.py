@@ -1725,16 +1725,21 @@ def audio_family_media_from_documents(
     dups); different family -> unrelated energy contours."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         def wav(doc_id: int) -> bytes:
             fam = doc_id % n_families
             jit = (doc_id // n_families) % n_jitters
             n = frame * (65 + fam % 4)
-            samples = [
-                ((i * i * (2 * fam + 3) + 5 * i + (jit if i % 7 == 0 else 0))
-                 % 4001) - 2000
-                for i in range(n)
-            ]
-            data = struct.pack(f"<{n}h", *samples)
+            # vectorized, int64 throughout — identical arithmetic to
+            # the documented per-sample formula (max intermediate
+            # ~n^2*35 << 2^63)
+            i = np.arange(n, dtype=np.int64)
+            samples = (
+                (i * i * (2 * fam + 3) + 5 * i + jit * (i % 7 == 0))
+                % 4001
+            ) - 2000
+            data = samples.astype("<i2").tobytes()
             fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
             body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             body += b"data" + struct.pack("<I", len(data)) + data
@@ -1787,6 +1792,8 @@ def decode_audio_fingerprint(
     Arrow-batched mapInPandas; one row out per clip."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         def one(payload: bytes):
             meta = parse_audio_meta(payload)
             if not meta or meta[1] != 1 or meta[3] != 16 or meta[4] == 0:
@@ -1798,11 +1805,20 @@ def decode_audio_fingerprint(
             if i < 0:
                 return None
             raw = payload[i + 8 : i + 8 + 2 * n]
-            try:
-                xs = struct.unpack(f"<{n}h", raw)
-            except struct.error:
+            if len(raw) < 2 * n:
                 return None
-            bits64 = fingerprint_bits_from_samples(xs, frame)
+            # vectorized frame energies — exact int64 sums of |int16|,
+            # bit-identical to fingerprint_bits_from_samples (the
+            # pure-Python reference the tests replay)
+            xs = np.frombuffer(raw, dtype="<i2", count=65 * frame)
+            es = (
+                np.abs(xs.astype(np.int64)).reshape(65, frame).sum(axis=1)
+            )
+            up = es[1:] > es[:-1]
+            # exact Python-int bit assembly (1 << 63 overflows int64)
+            bits64 = 0
+            for f in np.nonzero(up)[0]:
+                bits64 |= 1 << int(f)
             return (bits64 & 0xFFFFFFFF, bits64 >> 32)
 
         for pdf in batches:
