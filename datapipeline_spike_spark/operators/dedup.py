@@ -1499,7 +1499,18 @@ def dhash_neardup_pairs(
     per word — integer-exact both engines); 8-bit bands mean ~256
     distinct band values, so the band join relies on AQE to split the
     hot band-value buckets (same posture as simhash's 16-bit bands,
-    one level coarser). Returns (id_a, id_b, hamming)."""
+    one level coarser). Returns (id_a, id_b, hamming).
+
+    Scale ceiling (ADVICE r13): with only ~256 values per band the
+    candidate fan-out grows ~n^2/32 on a uniformly-hashed corpus (vs
+    ~n^2/16384 for 16-bit bands) — AQE splits the hot buckets but every
+    candidate still pays one XOR-popcount. SCALE_PROBE_r12/r14 show the
+    path flat-or-rising through 50k media; past ~10^6 hashes per run,
+    either shard the corpus (the hashes frame is media-count-sized and
+    unions cheaply) or move to multi-probe over 16-bit bands (emit each
+    band value plus its 16 one-bit flips on ONE side — pigeonhole keeps
+    completeness at max_hamming <= 7 with ~512x fewer candidates).
+    Revisit when a probe regresses; correctness is unaffected."""
     if max_hamming > 7:
         raise ValueError(
             "dhash_neardup_pairs guarantees complete recall only for "

@@ -201,6 +201,35 @@ _NO_ORACLE_PIN = (
 # watermark 23k, rank_normalize 43k, containment 5.2k, packing 7.9k,
 # doremi 17.8k, dhash 1.96k docs/s at 10x.
 
+# r15 registration checklist (the r12->r13->r14 staging pattern): SIX
+# operators are STAGED with green DuckDB differential tests in
+# tests/test_r14_staging.py — operators/dedup.py (exact_substr_runs —
+# Lee 2022 ExactSubstr via df-capped positional postings + diagonal
+# islands; cdc_chunk_dedup — FastCDC-at-token-grain chunk dedup
+# profile), operators/quality.py (boilerplate_line_removal — CCNet/
+# RefinedWeb corpus-frequency line stripping), operators/html.py
+# (url_canonical_dedup — RFC-3986-flavored canonicalization + dedup
+# groups), sources/multimodal.py + operators/dedup.dhash_neardup_pairs
+# reused generically (audio fingerprint near-dup pairs — name the
+# registered query audio_fingerprint_neardup), and
+# operators/preference.py (bradley_terry_strengths — Hunter 2004 MM).
+# Oracle SQL exists verbatim in the staging tests; registration is a
+# catalog move: lift the SQL, alias columns identically, give each a
+# head slot. Allowlist notes: exact_substr_runs and
+# boilerplate_line_removal need BNLJ_OK entries (1-row corpus-count /
+# doc-count broadcast cross — the containment pattern);
+# audio_fingerprint_neardup needs a PANDAS_OK entry (mapInPandas
+# decode — the dhash precedent); cdc's per-doc window is PARTITIONED
+# (no WINDOW_OK needed); bradley_terry assembles via a broadcast 1-row
+# cross (check the plan at registration — likely BNLJ_OK).
+# SCALE_PROBE_r14 rates all rise at 10x (substr 643->4.3k, cdc
+# 1.5k->5.5k, boilerplate 4.3k->11.4k, url 4.1k->9.1k, audio
+# 1.2k->2.0k, bradley-terry 1.1k->8.7k docs/s). For the registered
+# corpora reuse the staging plants (quote pages for substr, lined
+# pages for boilerplate, deterministic URLs, doc_id-sliced audio
+# families — consider the dhash doc_id%5=3 slice if pair volume at
+# sf0.1 needs bounding).
+
 # --- r15 queue: the r10-green remainder (26, stale five rounds by
 # r15) then the 16 oldest r11-greens. Head-budget note: queue(42) + 6
 # expected r14-staged registrations = 48, leaving TWO r15 changed-code
