@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datapipeline_spike_spark.functions.text import ngrams, tokens
+from datapipeline_spike_spark.scale import fan_out
 
 R = 6
 
@@ -521,4 +522,136 @@ def watermark_greenlist_score(
         "n_green",
         F.when(has, F.round(rate, R)).alias("green_rate"),
         F.when(has, F.round(z, R)).alias("z_score"),
+    )
+
+
+def oov_rate_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1024,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary (staged r14) — the tokenizer-
+    coverage diagnostic run before committing a vocab: documents whose
+    token mass falls heavily outside the head vocabulary either carry
+    rare-domain language worth keeping or encoding garbage worth
+    dropping, and the OOV rate is the split signal (the same statistic
+    reported as "unknown-token rate" in tokenizer-fertility studies).
+
+    Vocabulary = the ``vocab_size`` most frequent corpus tokens with a
+    TOTAL deterministic order (count desc, token asc) so the boundary
+    tie never differs between engines or runs. Scale shape: one
+    tokenize pass -> vocabulary-bounded (token-keyed) count aggregate
+    -> global top-V via orderBy+limit (TakeOrderedAndProject: per-
+    partition partial top-k, never a global sort of the vocab) -> the
+    per-doc occurrence frame LEFT-joins the V-row vocab (broadcast at
+    any corpus size) -> doc-grain rollup.
+
+    Returns one row per doc with >= 1 token: (doc_id, n_tokens,
+    oov_tokens, oov_rate, distinct_oov) — oov_rate rounded 6dp."""
+    tok = fan_out(docs).select(
+        F.col(id_col).alias("_cid"), F.explode(tokens(text_col)).alias("_t")
+    )
+    occ = tok.groupBy("_cid", "_t").agg(F.count(F.lit(1)).alias("_n"))
+    vocab = (
+        occ.groupBy("_t")
+        .agg(F.sum("_n").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("_t"))
+        .limit(vocab_size)
+        .select("_t", F.lit(True).alias("_in_v"))
+    )
+    flagged = occ.join(F.broadcast(vocab), "_t", "left")
+    oov = F.when(F.col("_in_v").isNull(), F.col("_n")).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("_cid")
+        .agg(
+            F.sum("_n").cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("distinct_oov"),
+        )
+        .select(
+            F.col("_cid").alias(id_col),
+            "n_tokens",
+            "oov_tokens",
+            F.round(F.col("oov_tokens") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+            "distinct_oov",
+        )
+    )
+
+
+def char_entropy_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-BIGRAM Shannon entropy (staged r14) —
+    the cheap garbage detector corpus pipelines run before any
+    model-based scoring: natural language sits in a narrow entropy
+    band; base64/hex blobs, compressed or encrypted payloads score
+    near the uniform maximum, and degenerate repetition ("aaaa...")
+    scores near zero. Both tails are drop candidates (the CCNet/
+    Gopher-adjacent heuristic that needs no LM).
+
+    H = ln(N) - (sum n_g * ln n_g) / N over the doc's bigram counts —
+    the algebraic form whose only float reduction is one bounded sum
+    of n*ln(n) terms (6dp rounding absorbs summation order, the
+    bigram-LM precedent); counts are exact integers from a
+    (doc, bigram)-keyed aggregate. ``entropy_norm`` = H / ln(distinct)
+    in [0, 1] (NULL when distinct = 1, where H = 0 by definition).
+
+    Scale shape: one map-only bigram explode (length-bounded per row),
+    one keyed aggregate, one doc-grain rollup — no windows, no joins.
+    Returns (doc_id, n_bigrams, distinct_bigrams, entropy,
+    entropy_norm) for docs with >= 1 bigram (length >= 2)."""
+    t = F.col(text_col)
+    # the text is projected ONCE as an attribute before the HOF so the
+    # per-element lambda slices a bound column, not a re-evaluated
+    # expression (the r1 lambda-binding rule); Column.substr takes a
+    # Column start position (F.substring is literal-only)
+    grams = fan_out(docs).filter(F.length(t) >= 2).select(
+        F.col(id_col).alias("_cid"), t.alias("_txt")
+    ).select(
+        "_cid",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_txt") - 1),
+                lambda i: F.col("_txt").substr(i, F.lit(2)),
+            )
+        ).alias("_g"),
+    )
+    cnt = grams.groupBy("_cid", "_g").agg(F.count(F.lit(1)).alias("_n"))
+    nl = F.col("_n").cast("double")
+    return (
+        cnt.groupBy("_cid")
+        .agg(
+            F.sum("_n").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+            F.sum(nl * F.log(nl)).alias("_snln"),
+        )
+        .select(
+            F.col("_cid").alias(id_col),
+            "n_bigrams",
+            "distinct_bigrams",
+            F.round(
+                F.log(F.col("n_bigrams").cast("double"))
+                - F.col("_snln") / F.col("n_bigrams"),
+                6,
+            ).alias("entropy"),
+            F.when(
+                F.col("distinct_bigrams") > 1,
+                F.round(
+                    (
+                        F.log(F.col("n_bigrams").cast("double"))
+                        - F.col("_snln") / F.col("n_bigrams")
+                    )
+                    / F.log(F.col("distinct_bigrams").cast("double")),
+                    6,
+                ),
+            ).alias("entropy_norm"),
+        )
     )

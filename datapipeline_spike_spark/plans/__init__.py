@@ -201,7 +201,7 @@ _NO_ORACLE_PIN = (
 # watermark 23k, rank_normalize 43k, containment 5.2k, packing 7.9k,
 # doremi 17.8k, dhash 1.96k docs/s at 10x.
 
-# r15 registration checklist (the r12->r13->r14 staging pattern): SIX
+# r15 registration checklist (the r12->r13->r14 staging pattern): EIGHT
 # operators are STAGED with green DuckDB differential tests in
 # tests/test_r14_staging.py — operators/dedup.py (exact_substr_runs —
 # Lee 2022 ExactSubstr via df-capped positional postings + diagonal
@@ -212,10 +212,13 @@ _NO_ORACLE_PIN = (
 # groups), sources/multimodal.py + operators/dedup.dhash_neardup_pairs
 # reused generically (audio fingerprint near-dup pairs — name the
 # registered query audio_fingerprint_neardup), and
-# operators/preference.py (bradley_terry_strengths — Hunter 2004 MM).
-# Oracle SQL exists verbatim in the staging tests; registration is a
-# catalog move: lift the SQL, alias columns identically, give each a
-# head slot. Allowlist notes: exact_substr_runs and
+# operators/preference.py (bradley_terry_strengths — Hunter 2004 MM),
+# plus operators/text_stats.py (oov_rate_profile — top-V vocabulary
+# coverage with a deterministic (count desc, token asc) boundary;
+# char_entropy_profile — character-bigram Shannon entropy garbage
+# gate). Oracle SQL exists verbatim in the staging tests; registration
+# is a catalog move: lift the SQL, alias columns identically, give
+# each a head slot. Allowlist notes: exact_substr_runs and
 # boilerplate_line_removal need BNLJ_OK entries (1-row corpus-count /
 # doc-count broadcast cross — the containment pattern);
 # audio_fingerprint_neardup needs a PANDAS_OK entry (mapInPandas
@@ -231,10 +234,11 @@ _NO_ORACLE_PIN = (
 # sf0.1 needs bounding).
 
 # --- r15 queue: the r10-green remainder (26, stale five rounds by
-# r15) then the 16 oldest r11-greens. Head-budget note: queue(42) + 6
-# expected r14-staged registrations = 48, leaving TWO r15 changed-code
-# slots — if more are needed, slide the queue's tail r11-greens to the
-# r16 queue per the documented rule. ---
+# r15) then the 16 oldest r11-greens. Head-budget note: queue(42) + 8
+# staged registrations = 50, leaving ZERO r15 changed-code slots — if
+# any registered-query code changes in r15, slide the queue's tail
+# r11-greens to the r16 queue per the documented rule (they are the
+# freshest names in the queue and tolerate the extra round best). ---
 _QUEUED_FOR_NEXT_HEAD = (
     # r10-green remainder (26 of 48; ann_ivf_flat/ann_ivf_kmeans took
     # the r14 head fills)

@@ -821,3 +821,153 @@ def test_bradley_terry_planted_dynamics(spark):
     assert e["y"]["strength"] == pytest.approx(0.5, abs=1e-6)
     with pytest.raises(ValueError, match="iters"):
         bradley_terry_strengths(df, iters=0)
+
+
+# --- oov_rate_profile -----------------------------------------------------------
+
+
+def test_oov_rate_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.text_stats import oov_rate_profile
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in oov_rate_profile(
+            load(spark, SF, "documents"), vocab_size=256
+        ).collect()
+    }
+    toks = _SQL_TOKS.format(c="text")
+    want = _con().execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({toks}) AS t FROM documents
+        ),
+        occ AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY 1, 2),
+        vocab AS (
+          SELECT t FROM (
+            SELECT t, sum(n) AS c FROM occ GROUP BY 1
+            ORDER BY c DESC, t ASC LIMIT 256
+          )
+        ),
+        fl AS (
+          SELECT occ.doc_id, occ.n,
+                 vocab.t IS NOT NULL AS in_v
+          FROM occ LEFT JOIN vocab ON occ.t = vocab.t
+        )
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN in_v THEN 0 ELSE n END) AS BIGINT)
+                 AS oov_tokens,
+               round(sum(CASE WHEN in_v THEN 0 ELSE n END) * 1.0 / sum(n),
+                     6) AS oov_rate,
+               CAST(sum(CASE WHEN in_v THEN 0 ELSE 1 END) AS BIGINT)
+                 AS distinct_oov
+        FROM fl GROUP BY 1
+        """
+    ).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[w["doc_id"]]
+        for c in ("n_tokens", "oov_tokens", "distinct_oov"):
+            assert g[c] == int(w[c]), (w["doc_id"], c)
+        assert g["oov_rate"] == pytest.approx(w["oov_rate"], abs=2e-6)
+
+
+def test_oov_planted_semantics(spark):
+    """Tokens inside the top-V vocabulary score 0 OOV; a doc made of
+    corpus-unique tokens scores 1.0; the vocabulary boundary tie-break
+    is (count desc, token asc) — deterministic."""
+    from datapipeline_spike_spark.operators.text_stats import oov_rate_profile
+
+    rows = [(i, "common words everywhere always") for i in range(1, 9)]
+    rows += [(9, "zzyzx qwxyz vvvvq")]  # corpus-unique tokens
+    rows += [(10, "common words zzyzx zzyzx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in oov_rate_profile(df, vocab_size=4).collect()
+    }
+    # vocab = the 4 tokens with count 8+ (common/words/everywhere/always)
+    assert out[1]["oov_rate"] == 0.0
+    assert out[9]["oov_rate"] == 1.0 and out[9]["distinct_oov"] == 3
+    # doc 10: 2 in-vocab + 2 copies of one OOV token
+    assert out[10]["n_tokens"] == 4 and out[10]["oov_tokens"] == 2
+    assert out[10]["distinct_oov"] == 1
+    assert out[10]["oov_rate"] == pytest.approx(0.5, abs=1e-6)
+
+
+# --- char_entropy_profile -------------------------------------------------------
+
+
+def test_char_entropy_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.text_stats import (
+        char_entropy_profile,
+    )
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in char_entropy_profile(
+            load(spark, SF, "documents")
+        ).collect()
+    }
+    want = _con().execute(
+        """
+        WITH g AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, length(text)),
+                   i -> substr(text, CAST(i AS INT), 2))) AS bg
+          FROM documents WHERE length(text) >= 2
+        ),
+        cnt AS (SELECT doc_id, bg, count(*) AS n FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS distinct_bigrams,
+               round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy,
+               CASE WHEN count(*) > 1 THEN
+                 round((ln(sum(n)) - sum(n * ln(n)) / sum(n))
+                       / ln(count(*)), 6) END AS entropy_norm
+        FROM cnt GROUP BY 1
+        """
+    ).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[w["doc_id"]]
+        assert g["n_bigrams"] == int(w["n_bigrams"])
+        assert g["distinct_bigrams"] == int(w["distinct_bigrams"])
+        assert g["entropy"] == pytest.approx(w["entropy"], abs=2e-6)
+        if g["entropy_norm"] is None:
+            assert w["distinct_bigrams"] <= 1
+        else:
+            assert g["entropy_norm"] == pytest.approx(
+                w["entropy_norm"], abs=2e-6
+            )
+
+
+def test_char_entropy_planted_tails(spark):
+    """Degenerate repetition scores ~0; a base64-looking blob scores
+    near its uniform maximum (entropy_norm -> 1); natural-ish text sits
+    between; single-bigram docs get NULL entropy_norm and H = 0."""
+    import math
+
+    from datapipeline_spike_spark.operators.text_stats import (
+        char_entropy_profile,
+    )
+
+    blob = "".join(
+        "abcdefghijklmnopqrstuvwxyzABCDEF"[(7 * i * i + 3 * i) % 32]
+        for i in range(400)
+    )
+    rows = [
+        (1, "a" * 200),
+        (2, blob),
+        (3, "the cat sat on the mat and the dog sat on the log again"),
+        (4, "xy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy_profile(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["distinct_bigrams"] == 1
+    assert out[1]["entropy_norm"] is None
+    assert out[2]["entropy_norm"] > 0.9
+    assert out[2]["entropy"] > out[3]["entropy"] > out[1]["entropy"]
+    assert out[4]["n_bigrams"] == 1 and out[4]["entropy"] == 0.0
+    # absolute value check on the degenerate-uniform case: 200 'a's ->
+    # 199 identical bigrams -> H = ln(199) - 199*ln(199)/199 = 0
+    assert math.isclose(out[1]["entropy"], 0.0, abs_tol=1e-9)

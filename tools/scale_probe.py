@@ -1279,6 +1279,10 @@ def r14staged_stress(spark, amp: int) -> None:
     from datapipeline_spike_spark.operators.quality import (
         boilerplate_line_removal,
     )
+    from datapipeline_spike_spark.operators.text_stats import (
+        char_entropy_profile,
+        oov_rate_profile,
+    )
     from datapipeline_spike_spark.sources.multimodal import (
         audio_family_media_from_documents,
         decode_audio_fingerprint,
@@ -1324,6 +1328,8 @@ def r14staged_stress(spark, amp: int) -> None:
                     audio_family_media_from_documents(docs)),
                 w0_col="fp_w0", w1_col="fp_w1")),
             ("bradley_terry", lambda: bradley_terry_strengths(matches)),
+            ("oov_rate_profile", lambda: oov_rate_profile(docs)),
+            ("char_entropy", lambda: char_entropy_profile(docs)),
         ):
             secs = probe(name, builder)
             print(json.dumps({"probe": name, "amp": a, "docs": drows,
