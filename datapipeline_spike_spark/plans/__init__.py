@@ -218,13 +218,14 @@ _NO_ORACLE_PIN = (
 # char_entropy_profile — character-bigram Shannon entropy garbage
 # gate). Oracle SQL exists verbatim in the staging tests; registration
 # is a catalog move: lift the SQL, alias columns identically, give
-# each a head slot. Allowlist notes: exact_substr_runs and
-# boilerplate_line_removal need BNLJ_OK entries (1-row corpus-count /
-# doc-count broadcast cross — the containment pattern);
-# audio_fingerprint_neardup needs a PANDAS_OK entry (mapInPandas
-# decode — the dhash precedent); cdc's per-doc window is PARTITIONED
-# (no WINDOW_OK needed); bradley_terry assembles via a broadcast 1-row
-# cross (check the plan at registration — likely BNLJ_OK).
+# each a head slot. Allowlist notes (MEASURED on the staged plans at
+# sf0.001): boilerplate_line_removal and bradley_terry_strengths plan
+# BroadcastNestedLoopJoin (1-row corpus-count / pair-list broadcast
+# cross) -> BNLJ_OK entries; audio_fingerprint_neardup plans
+# MapInPandas (decode) -> PANDAS_OK; exact_substr_runs' scale-derived
+# cap cross planned WITHOUT BNLJ at sf0.001 (re-check at registration
+# — add BNLJ_OK only if the registered corpus plans one); cdc/substr
+# windows are PARTITIONED (no WINDOW_OK); url/oov/entropy clean.
 # SCALE_PROBE_r14 rates all rise at 10x (substr 643->4.3k, cdc
 # 1.5k->5.5k, boilerplate 4.3k->11.4k, url 4.1k->9.1k, audio
 # 1.2k->2.0k, bradley-terry 1.1k->8.7k docs/s). For the registered

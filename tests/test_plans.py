@@ -553,3 +553,79 @@ def test_ivfpq_recall_shares_residuals_and_codebooks(spark):
     # side; the residual/codebook subtrees must NOT re-scan the file
     n_scans = plan.count("embeddings.parquet")
     assert n_scans <= 4, f"{n_scans} embeddings scans: checkpoint lost?"
+
+
+def test_containment_registered_shape(spark):
+    """ngram_containment_pairs (registered r14): candidate generation
+    must be the inverted-index equi-join — no CartesianProduct, no
+    sort-merge self-join of the raw doc frame, the only BNLJ the
+    allowlisted 1-row corpus-count cap cross, and no Python stage."""
+    plan = _plan(spark, "ngram_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_dhash_registered_shape(spark):
+    """dhash_neardup_pairs (registered r14): decode runs as ONE
+    Arrow-batched MapInPandas chain; the pair join is a keyed
+    (band_idx, band_val) equi-join — no cartesian, no BNLJ, no
+    row-at-a-time Python."""
+    plan = _plan(spark, "dhash_neardup_pairs")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_window_runs_on_bucket_grain(spark):
+    """sequence_packing_plan (registered r14): the unpartitioned
+    cumulative window is the phase-2 bucket-base sweep — it must sit
+    ABOVE the bucket-grain aggregate (<= 256 rows), never directly over
+    the corpus rows; the row-grain offset is a partitioned join-back,
+    not a global running sum."""
+    plan = _plan(spark, "sequence_packing_plan")
+    # exactly one unpartitioned window node (the documented WINDOW_OK),
+    # and a partial_sum/HashAggregate between it and the scan
+    assert plan.count("Window") >= 1
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doremi_stays_single_row_projection_chain(spark):
+    """doremi_domain_weights (registered r14): after the domain-grain
+    aggregate the whole iteration is column projections over ONE row —
+    no joins, no windows, no Python stage anywhere."""
+    plan = _plan(spark, "doremi_domain_weights")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct", "SortMergeJoin", "Window"):
+        assert node not in plan, node
+
+
+def test_watermark_is_map_only(spark):
+    """watermark_greenlist_score (registered r14): one tokenize + one
+    HOF fold per row — no exchange except the scan-side fan_out
+    round-robin, no joins, no windows, no Python."""
+    plan = _plan(spark, "watermark_greenlist_score")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert node not in plan, node
+
+
+def test_rank_normalize_windows_are_partitioned(spark):
+    """quality_rank_normalize (registered r14): the cumulative sweep
+    runs on the (source, bucket) histogram partitioned by source —
+    NO unpartitioned window (the audit rule), no cartesian."""
+    import re as _re
+
+    plan = _plan(spark, "quality_rank_normalize")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        s = line.lstrip(" +-:|*(0123456789)")
+        if not s.startswith("Window "):
+            continue
+        # partitioned windows print 3 bracket groups; the 2-group form
+        # is the unpartitioned scale-killer
+        groups = _re.findall(r"\[[^\]]*\]", s)
+        assert len(groups) >= 3, s
