@@ -1631,7 +1631,16 @@ def exact_substr_runs(
         )
         .select("_cid", F.col("g.pos").alias("_pos"), F.col("g.h").alias("_h"))
     )
-    freq = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    # DOCUMENT frequency over distinct (doc, gram) — postings are
+    # positional (one row per occurrence), so counting rows would let a
+    # single spammy page's intra-doc repeats push a gram past the cap
+    # and silently hide its cross-document copies (r14 review)
+    freq = (
+        grams.select("_cid", "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
     if df_cap is None:
         total = df.agg(F.count(F.lit(1)).alias("_nd"))
         capped = (
@@ -1722,6 +1731,16 @@ def cdc_chunk_dedup(
     dup_token_fraction) where a chunk occurrence is "dup" iff its
     fingerprint occurs >= 2 times corpus-wide (including within one
     document)."""
+    bad = [h for h in boundary_hex if h not in set("0123456789abcdef")]
+    if bad or not boundary_hex:
+        # md5 output is lowercase hex: an uppercase or non-hex entry
+        # would match NOTHING and silently degrade the operator to
+        # whole-doc exact dedup (r14 review) — the loud-beats-silent
+        # contract every sibling operator here follows
+        raise ValueError(
+            f"boundary_hex must be non-empty lowercase hex digits, got "
+            f"{boundary_hex!r}"
+        )
     from pyspark.sql import Window
 
     from datapipeline_spike_spark.functions.text import tokens

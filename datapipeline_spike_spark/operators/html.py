@@ -129,7 +129,9 @@ def html_to_text(
 
 
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
-_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+# case-insensitive, '=' optional: real crawls carry UTM_Source=x and
+# valueless fbclid flags (r14 review)
+_TRACKING_PARAM_RE = r"(?i)^(utm_[a-z]+|fbclid|gclid|ref)(=|$)"
 
 
 def canonical_url(c: Column | str) -> Column:

@@ -128,6 +128,11 @@ def bradley_terry_strengths(
                 "_its", lambda _: F.round(F.lit(1.0) / F.size("_its"), 6)
             ).alias("s0"),
         )
+        # empty/fully-filtered match log: without this guard the
+        # assembled row survives with empty arrays and
+        # F.sequence(1, 0) (which descends to [1, 0]) manufactures two
+        # all-NULL phantom items downstream (r14 review)
+        .filter(F.size("_its") > 0)
     )
     cur = "s0"
     for t in range(iters):

@@ -98,9 +98,15 @@ _R14_REFRESH = (
     "embedding_topk_cosine",
     "ann_recall_at_k",
     "ivf_recall_at_k",
-    # the two head fills (next-oldest r10-greens)
+    # head fill (next-oldest r10-green)
     "ann_ivf_flat",
-    "ann_ivf_kmeans",
+    # r14 changed-code slot: decode_audio_pcm_features moved from the
+    # find(b"data") first-byte-match to the wav_data_offset chunk walk
+    # (r14 review — results identical on chunk-clean WAVs, but the
+    # mechanical contract says changed code re-hashes the same round).
+    # The fill it displaced (ann_ivf_kmeans) slides to the r15 queue
+    # front per the documented rule.
+    "audio_pcm_features",
 )
 
 # --- r12 head (r12+r13 driver-green block, now the freshest tail; kept
@@ -241,8 +247,11 @@ _NO_ORACLE_PIN = (
 # r11-greens to the r16 queue per the documented rule (they are the
 # freshest names in the queue and tolerate the extra round best). ---
 _QUEUED_FOR_NEXT_HEAD = (
-    # r10-green remainder (26 of 48; ann_ivf_flat/ann_ivf_kmeans took
-    # the r14 head fills)
+    # displaced from the r14 head fill by the audio_pcm_features
+    # changed-code slot
+    "ann_ivf_kmeans",
+    # r10-green remainder (26 of 48; ann_ivf_flat took the other r14
+    # head fill)
     "ann_lsh_bucket",
     "embedding_neardup_pairs",
     "embedding_dedup_assignment",
@@ -284,7 +293,8 @@ _QUEUED_FOR_NEXT_HEAD = (
     "image_jpeg_pixel_features",
     "simhash_signatures",
     "bpe_merge_training",
-    "audio_pcm_features",
+    # audio_pcm_features left this block for the r14 changed-code head
+    # slot (wav_data_offset fix)
     "bm25_ranked_retrieval",
 )
 # --- tail: most recently driver-green blocks, oldest first (only the

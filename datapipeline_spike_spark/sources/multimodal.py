@@ -150,6 +150,25 @@ def parse_audio_meta(payload: bytes) -> tuple[str, int, int, int, int] | None:
     return fmt, channels, rate, bits, n_samples
 
 
+def wav_data_offset(payload: bytes) -> int | None:
+    """Byte offset of the ``data`` chunk's PAYLOAD via the real RIFF
+    chunk walk (r14 review): ``payload.find(b"data")`` locks onto the
+    first byte-string match anywhere — a LIST/INFO chunk whose text
+    contains the substring "data" (e.g. an ICMT comment "metadata v2")
+    sits BEFORE the data chunk in real WAVs and silently misaligned
+    every sample read. Walking chunk headers like
+    :func:`parse_audio_meta` does cannot be fooled by chunk bodies.
+    None when no data chunk exists."""
+    i = 12
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if tag == b"data":
+            return i + 8
+        i += 8 + size + (size & 1)
+    return None
+
+
 AUDIO_DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -418,10 +437,10 @@ def decode_audio_pcm_features(df: DataFrame, payload_col: str = "payload") -> Da
             if not meta or meta[1] != 1 or meta[3] != 16 or meta[4] == 0:
                 return None
             n = meta[4]
-            i = payload.find(b"data")
-            if i < 0:
+            i = wav_data_offset(payload)
+            if i is None:
                 return None
-            raw = payload[i + 8 : i + 8 + 2 * n]
+            raw = payload[i : i + 2 * n]
             try:
                 # a truncated data chunk (len(raw) < 2n) must degrade to
                 # a NULL row, not fail the whole scan
@@ -488,11 +507,11 @@ def decode_audio_band_ratios(
             if not meta or meta[1] != 1 or meta[3] != 16 or meta[4] == 0:
                 return None
             n = meta[4]
-            i = payload.find(b"data")
-            if i < 0:
+            i = wav_data_offset(payload)
+            if i is None:
                 return None
             try:
-                xs = struct.unpack(f"<{n}h", payload[i + 8 : i + 8 + 2 * n])
+                xs = struct.unpack(f"<{n}h", payload[i : i + 2 * n])
             except struct.error:
                 return None
             hi = (n - 1) // 2
@@ -1801,10 +1820,10 @@ def decode_audio_fingerprint(
             n = meta[4]
             if n < 65 * frame:
                 return None
-            i = payload.find(b"data")
-            if i < 0:
+            i = wav_data_offset(payload)
+            if i is None:
                 return None
-            raw = payload[i + 8 : i + 8 + 2 * n]
+            raw = payload[i : i + 2 * n]
             if len(raw) < 2 * n:
                 return None
             # vectorized frame energies — exact int64 sums of |int16|,

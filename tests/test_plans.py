@@ -585,12 +585,26 @@ def test_packing_window_runs_on_bucket_grain(spark):
     ABOVE the bucket-grain aggregate (<= 256 rows), never directly over
     the corpus rows; the row-grain offset is a partitioned join-back,
     not a global running sum."""
+    import re as _re
+
     plan = _plan(spark, "sequence_packing_plan")
-    # exactly one unpartitioned window node (the documented WINDOW_OK),
-    # and a partial_sum/HashAggregate between it and the scan
-    assert plan.count("Window") >= 1
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+    unpart = []
+    for line in plan.splitlines():
+        s = line.lstrip(" +-:|*(0123456789)")
+        if not s.startswith("Window "):
+            continue
+        groups = _re.findall(r"\[[^\]]*\]", s)
+        if len(groups) < 3:  # 2 bracket groups = no partition spec
+            unpart.append(s)
+    # exactly one unpartitioned window — and it sums the BUCKET total
+    # (_btot, the <=256-row aggregate output), never the row-grain
+    # token column (the corpus-wide running sum this operator exists
+    # to avoid)
+    assert len(unpart) == 1, plan
+    assert "_btot" in unpart[0], unpart[0]
+    assert "_tk" not in unpart[0], unpart[0]
 
 
 def test_doremi_stays_single_row_projection_chain(spark):

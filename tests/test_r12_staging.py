@@ -240,7 +240,8 @@ def test_containment_matches_duckdb(spark):
         ),
         ex AS (SELECT doc_id, md5(unnest(sh)) AS h FROM t),
         freq AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
-        cap AS (SELECT greatest(16, CAST(ceil(0.02 * count(*)) AS BIGINT))
+        cap AS (SELECT greatest(16, least(
+                    CAST(ceil(0.02 * count(*)) AS BIGINT), 65536))
                   AS c FROM pages),
         kept AS (SELECT doc_id, ex.h FROM ex JOIN freq USING (h), cap
                  WHERE df <= cap.c),

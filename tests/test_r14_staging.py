@@ -82,8 +82,10 @@ def test_exact_substr_runs_match_duckdb(spark):
             FROM t WHERE len(toks) >= 3
           )
         ),
-        freq AS (SELECT h, count(*) AS df FROM g GROUP BY 1),
-        cap AS (SELECT greatest(16, CAST(ceil(0.02 * count(*)) AS BIGINT))
+        freq AS (SELECT h, count(*) AS df FROM
+                  (SELECT DISTINCT doc_id, h FROM g) GROUP BY 1),
+        cap AS (SELECT greatest(16, least(
+                    CAST(ceil(0.02 * count(*)) AS BIGINT), 65536))
                   AS c FROM pages),
         kept AS (SELECT doc_id, pos, g.h FROM g JOIN freq USING (h), cap
                  WHERE df <= cap.c),
@@ -462,11 +464,11 @@ _SQL_CANON = """
         (CASE WHEN len(list_filter(string_split(
                     regexp_replace(qs, '^\\?', ''), '&'),
                 p -> p != '' AND NOT regexp_matches(p,
-                    '^(utm_[a-z]+|fbclid|gclid|ref)='))) > 0
+                    '(?i)^(utm_[a-z]+|fbclid|gclid|ref)(=|$)'))) > 0
               THEN '?' || array_to_string(list_sort(list_filter(
                     string_split(regexp_replace(qs, '^\\?', ''), '&'),
                     p -> p != '' AND NOT regexp_matches(p,
-                        '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&')
+                        '(?i)^(utm_[a-z]+|fbclid|gclid|ref)(=|$)'))), '&')
               ELSE '' END) AS canonical_url
       FROM parsed
       WHERE scheme != ''
@@ -971,3 +973,77 @@ def test_char_entropy_planted_tails(spark):
     # absolute value check on the degenerate-uniform case: 200 'a's ->
     # 199 identical bigrams -> H = ln(199) - 199*ln(199)/199 = 0
     assert math.isclose(out[1]["entropy"], 0.0, abs_tol=1e-9)
+
+
+# --- r14 review regressions ------------------------------------------------------
+
+
+def test_exact_substr_df_is_document_frequency(spark):
+    """r14 review: df was counted over positional postings, so one
+    spammy page repeating a gram 20+ times pushed it past the cap even
+    at document-frequency 2, hiding its cross-document copy. df is now
+    distinct-doc; the verbatim run must be reported."""
+    from datapipeline_spike_spark.operators.dedup import exact_substr_runs
+
+    phrase = "alpha beta gamma delta"
+    rows = [
+        (1, " ".join([phrase] * 25)),          # spammy intra-doc repeats
+        (2, "intro " + phrase + " outro end"),  # one clean copy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    runs = exact_substr_runs(df, df_cap=5, min_run_grams=2).collect()
+    assert any(
+        (r["doc_id_a"], r["doc_id_b"]) == (1, 2) and r["run_tokens"] >= 4
+        for r in runs
+    ), runs
+
+
+def test_cdc_rejects_non_hex_boundary_set(spark):
+    from datapipeline_spike_spark.operators.dedup import cdc_chunk_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="boundary_hex"):
+        cdc_chunk_dedup(df, boundary_hex=("A", "B"))  # uppercase
+    with pytest.raises(ValueError, match="boundary_hex"):
+        cdc_chunk_dedup(df, boundary_hex=())
+
+
+def test_bradley_terry_empty_input_yields_empty_frame(spark):
+    """r14 review: sequence(1, 0) descends to [1, 0], which used to
+    manufacture two all-NULL phantom items from an empty match log."""
+    from datapipeline_spike_spark.operators.preference import (
+        bradley_terry_strengths,
+    )
+
+    empty = spark.createDataFrame(
+        [], "item_a string, item_b string, wins_a long, wins_b long"
+    )
+    assert bradley_terry_strengths(empty).collect() == []
+    # self-matches only -> also empty after the filter
+    selfy = spark.createDataFrame(
+        [("x", "x", 1, 0)],
+        "item_a string, item_b string, wins_a long, wins_b long",
+    )
+    assert bradley_terry_strengths(selfy).collect() == []
+
+
+def test_url_tracking_params_case_insensitive_and_valueless(spark):
+    """r14 review: UTM_Source=x (mixed case) and bare fbclid (no '=')
+    must strip like their canonical forms."""
+    from datapipeline_spike_spark.operators.html import url_canonical_dedup
+
+    rows = [
+        (1, "http://site.com/p?UTM_Source=mail&a=1"),
+        (2, "http://site.com/p?a=1&fbclid"),
+        (3, "http://site.com/p?a=1"),
+        (4, "http://site.com/p?reference=7&a=1"),  # NOT a tracking param
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_canonical_dedup(df).collect()}
+    assert (
+        out[1]["canonical_url"] == out[2]["canonical_url"]
+        == out[3]["canonical_url"] == "http://site.com/p?a=1"
+    )
+    assert out[1]["group_size"] == 3
+    # 'reference' must survive: the rule anchors on the full param name
+    assert out[4]["canonical_url"] == "http://site.com/p?a=1&reference=7"

@@ -1075,3 +1075,44 @@ def test_multimodal_decoders_fuzz_contract(spark):
             df = df.withColumn("media_type", F.lit("image"))
         out = decoder(df).collect()  # must not raise
         assert len(out) == 60, decoder.__name__
+
+
+def test_audio_decoders_survive_list_chunk_containing_data_text(spark):
+    """r14 review: the data chunk was located with payload.find(b"data")
+    — the first byte-string match ANYWHERE — so a LIST/INFO metadata
+    chunk whose text contains 'data' (ICMT 'metadata v2', common in
+    real WAVs) misaligned every sample read. The decoders now walk
+    chunk headers (wav_data_offset); features must equal the
+    plain-container decode bit for bit."""
+    import struct as _struct
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_audio_fingerprint,
+        decode_audio_pcm_features,
+        synthetic_wav_pattern,
+        wav_data_offset,
+    )
+
+    def with_list_chunk(wav: bytes) -> bytes:
+        # splice a LIST chunk (body contains the bytes 'data') between
+        # fmt and data, fixing up the RIFF size
+        body = b"INFOICMT" + _struct.pack("<I", 12) + b"metadata v2\x00"
+        chunk = b"LIST" + _struct.pack("<I", len(body)) + body
+        di = wav.find(b"data")  # plain synthetic wav: first hit IS the chunk
+        out = wav[:di] + chunk + wav[di:]
+        return out[:4] + _struct.pack("<I", len(out) - 8) + out[8:]
+
+    plain = synthetic_wav_pattern(seed=3, n_samples=65 * 64)
+    tricky = with_list_chunk(plain)
+    # the trap really exists: naive find() hits the LIST body first
+    assert tricky.find(b"data") < wav_data_offset(tricky) - 8
+    df = spark.createDataFrame(
+        [(1, plain), (2, tricky)], "media_id long, payload binary"
+    )
+    pcm = {r["media_id"]: r for r in decode_audio_pcm_features(df).collect()}
+    assert pcm[2]["rms"] == pcm[1]["rms"]
+    assert pcm[2]["peak"] == pcm[1]["peak"]
+    assert pcm[2]["mean_amplitude"] == pcm[1]["mean_amplitude"]
+    fp = {r["media_id"]: r for r in decode_audio_fingerprint(df).collect()}
+    assert fp[2]["fp_w0"] == fp[1]["fp_w0"] is not None
+    assert fp[2]["fp_w1"] == fp[1]["fp_w1"]
