@@ -1047,3 +1047,41 @@ def test_url_tracking_params_case_insensitive_and_valueless(spark):
     assert out[1]["group_size"] == 3
     # 'reference' must survive: the rule anchors on the full param name
     assert out[4]["canonical_url"] == "http://site.com/p?a=1&reference=7"
+
+
+def test_audio_fingerprint_fuzz_never_crashes(spark):
+    """Fuzz contract for the staged audio decode (the PNG/HDF5 fuzz
+    posture): truncations, bit flips, and random prefixes of a valid
+    WAV must yield a row with either a correct or NULL fingerprint —
+    never an exception inside the scan. Deterministic corpus (seeded
+    positions), one Spark pass over all ~120 mutants."""
+    import struct as _struct
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_audio_fingerprint,
+        synthetic_wav_pattern,
+    )
+
+    base = synthetic_wav_pattern(seed=11, n_samples=65 * 64)
+    mutants: list[tuple[int, bytes]] = [(0, base)]
+    mid = 1
+    for cut in range(1, 41):  # truncations across the whole container
+        mutants.append((mid, base[: len(base) * cut // 41]))
+        mid += 1
+    for k in range(40):  # deterministic single-byte corruptions
+        pos = (k * 7919 + 13) % len(base)
+        b = bytearray(base)
+        b[pos] ^= 1 << (k % 8)
+        mutants.append((mid, bytes(b)))
+        mid += 1
+    for k in range(40):  # garbage prefixes / suffixes
+        junk = bytes((k * 31 + j) % 256 for j in range(k + 1))
+        mutants.append((mid, junk + base if k % 2 else base + junk))
+        mid += 1
+    df = spark.createDataFrame(mutants, "media_id long, payload binary")
+    rows = decode_audio_fingerprint(df).collect()  # must not raise
+    assert len(rows) == len(mutants)
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[0]["fp_w0"] is not None  # the pristine clip decodes
+    for r in rows:  # NULL-ness is always PAIRED (w0 null <=> w1 null)
+        assert (r["fp_w0"] is None) == (r["fp_w1"] is None)
