@@ -261,3 +261,79 @@ def curation_profile(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def curriculum_phase_plan(
+    docs: DataFrame,
+    n_phases: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Curriculum schedule (staged r14 wave 2, register r16): split
+    each source's documents into ``n_phases`` difficulty phases and
+    emit the per-(source, phase) training plan — the table a
+    curriculum-learning run (Bengio 2009; applied to LM data ordering
+    in e.g. Sequence-Level Curriculum / DataComp-LM ablations) feeds
+    its dataloader: easy phases first, per-phase token budgets, and a
+    deterministic global interleave position.
+
+    Difficulty = mean token length of the document (6dp from an exact
+    integer length sum over the house tokenizer) — the cheap lexical-
+    complexity proxy that needs no model. Phase assignment = ntile
+    over (difficulty asc, doc_id asc) WITHIN EACH SOURCE: the window
+    partitions by source, so at 100 TB there is no global sort — each
+    source's docs shuffle once to its partition (skew bounded by the
+    largest single source, the same envelope every per-source operator
+    in this engine documents). The fully-tie-broken ORDER BY makes
+    ntile deterministic and engine-portable (Spark and DuckDB both
+    give the first n % k tiles one extra row). The final interleave
+    window orders the (source x phase)-grain plan — a bounded frame
+    (sources x phases rows), not data-grain.
+
+    Returns one row per (source, phase): n_docs, token_budget (exact
+    long sum of doc token counts), mean_difficulty (6dp),
+    schedule_pos (1-based position in the phase-major, source-minor
+    global order)."""
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    scored = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_nt"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("_sumlen"),
+    ).filter(F.col("_nt") > 0).select(
+        "source",
+        "_id",
+        "_nt",
+        F.round(F.col("_sumlen") * F.lit(1.0) / F.col("_nt"), 6).alias(
+            "_difficulty"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_difficulty").asc(), F.col("_id").asc()
+    )
+    phased = scored.withColumn("phase", F.ntile(int(n_phases)).over(w))
+    plan = phased.groupBy("source", "phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("token_budget"),
+        F.round(F.avg("_difficulty"), 6).alias("mean_difficulty"),
+    )
+    # the interleave window runs over the (sources x phases)-grain plan
+    # frame — bounded by construction, never data-grain
+    sched = Window.orderBy(F.col("phase").asc(), F.col("source").asc())
+    return plan.select(
+        "source",
+        F.col("phase").cast("long").alias("phase"),
+        "n_docs",
+        "token_budget",
+        "mean_difficulty",
+        F.row_number().over(sched).cast("long").alias("schedule_pos"),
+    )

@@ -1577,3 +1577,67 @@ def ivfpq_topk(
     )
     w = Window.partitionBy("query_id").orderBy("adc_fp", "neighbor_id")
     return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: tuple[int, ...] = (8, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati 2022) truncation audit (staged r14
+    wave 2): recall@k of exact cosine search over PREFIX-truncated
+    embeddings vs the full-dimension exact top-k. This is the table an
+    embedding-store owner reads before committing to a truncated index
+    tier (store the first m dims hot, rerank with full vectors cold) —
+    the same measure-don't-guess contract as ann_recall_at_k /
+    ivf_recall_at_k, for the dimension axis instead of the bucketing
+    axis.
+
+    Both sides reuse :func:`brute_force_topk` (rounded-score + id
+    tiebreak ranking, engine-portable); truncation is a JVM
+    ``slice(vec, 1, m)`` — no UDF. Scale shape: the query set is the
+    bounded broadcast side (house ANN-audit contract); one corpus scan
+    per truncation width, each a broadcast-join scan with only
+    k x |queries| rows surviving per width; the recall join is a tiny
+    top-k x top-k frame. Returns one row per (m_dims, query) with
+    n_exact / n_hits / recall_at_k (6dp).
+    """
+    full = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    out: DataFrame | None = None
+    for m in dims:
+        tc = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(m)).alias(vec_col)
+        )
+        tq = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(m)).alias(vec_col)
+        )
+        hits = (
+            brute_force_topk(tc, tq, k=k, id_col=id_col, vec_col=vec_col)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        rec = (
+            full.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+                F.round(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall_at_k"),
+            )
+            .select(F.lit(int(m)).alias("m_dims"), "*")
+        )
+        out = rec if out is None else out.unionByName(rec)
+    assert out is not None
+    return out

@@ -1859,3 +1859,158 @@ def decode_audio_fingerprint(
     return df.mapInPandas(
         feats, schema="media_id long, fp_w0 long, fp_w1 long"
     )
+
+
+# --- voice-activity segmentation tier (staged r14 wave 2, register r16) -------
+
+
+def synthetic_wav_vad(seed: int, n_samples: int, frame: int = 8) -> bytes:
+    """Mono 16-bit PCM WAV with a deterministic GATED waveform for the
+    VAD tier: per ``frame``-sample block b, the block is 'speech'
+    (full-amplitude pattern sample ((seed*31 + i*17) % 4001) - 2000)
+    when (seed*13 + b*7) % 3 != 0, else 'silence' (the same pattern
+    squeezed to ((seed*31 + i*17) % 64) - 32, |x| <= 32). Every modulo
+    operand is nonnegative, so Python, numpy, and SQL agree exactly and
+    an oracle can regenerate the waveform and replay segmentation."""
+    xs = []
+    for i in range(n_samples):
+        if (seed * 13 + (i // frame) * 7) % 3 != 0:
+            xs.append(((seed * 31 + i * 17) % 4001) - 2000)
+        else:
+            xs.append(((seed * 31 + i * 17) % 64) - 32)
+    data = struct.pack(f"<{n_samples}h", *xs)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def vad_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Gated-waveform WAVs (64 + (doc_id % 8) * 8 samples — always a
+    whole number of 8-sample frames): the corpus for the VAD tier."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synthetic_wav_vad(
+                            seed=int(d), n_samples=64 + int(d) % 8 * 8
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "audio",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def decode_audio_frame_energy(
+    df: DataFrame, payload_col: str = "payload", frame: int = 8
+) -> DataFrame:
+    """Frame-energy decode for the VAD tier: RIFF chunk walk -> int16
+    PCM -> per-frame exact integer energy (sum x^2 over each complete
+    ``frame``-sample block; a trailing partial block is DROPPED, so the
+    framing is unambiguous on both engines). Energies of int16 samples
+    are bounded by frame * 2^30 — exact in int64, no float anywhere.
+    Arrow-batched mapInPandas; unsupported shapes (non-PCM, not 16-bit
+    mono, no complete frame) contribute no rows rather than failing
+    the scan."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ids: list[int] = []
+        fidx: list[int] = []
+        energy: list[int] = []
+
+        def one(media_id: int, payload: bytes) -> None:
+            meta = parse_audio_meta(payload)
+            if not meta or meta[1] != 1 or meta[3] != 16 or meta[4] == 0:
+                return
+            n = meta[4]
+            i = wav_data_offset(payload)
+            if i is None:
+                return
+            raw = payload[i : i + 2 * n]
+            if len(raw) < 2 * n:
+                return
+            xs = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            n_frames = len(xs) // frame
+            if n_frames == 0:
+                return
+            sq = (xs[: n_frames * frame] ** 2).reshape(n_frames, frame)
+            e = sq.sum(axis=1)
+            ids.extend([media_id] * n_frames)
+            fidx.extend(range(n_frames))
+            energy.extend(int(v) for v in e)
+
+        for pdf in batches:
+            ids.clear(), fidx.clear(), energy.clear()
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                one(int(mid), payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(fidx, dtype="Int64"),
+                    "energy": pd.array(energy, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        feats, schema="media_id long, frame_idx long, energy long"
+    )
+
+
+def vad_segments(frames: DataFrame, threshold: int = 16384) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over a frame-energy
+    frame (staged r14 wave 2): frames with energy > ``threshold`` are
+    active; maximal runs of consecutive active frames become segments
+    (the gaps-and-islands construction — frame_idx minus the active-
+    only row_number is constant within a run). This is the standard
+    pre-ASR segmentation pass a speech corpus pipeline runs to cut raw
+    audio into utterances before transcription or dedup.
+
+    Scale shape: the window partitions by media_id (per-clip, never
+    global), the rollup is keyed by (media_id, run) — at 100 TB every
+    stage is partition-local after one clip-keyed shuffle. All segment
+    arithmetic is exact integers; mean_energy is the single 6dp-rounded
+    division. Returns (media_id, seg_start_frame, n_frames,
+    total_energy, mean_energy), one row per segment."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    act = frames.filter(F.col("energy") > threshold).select(
+        "media_id",
+        "frame_idx",
+        "energy",
+        (F.col("frame_idx") - F.row_number().over(w)).alias("_grp"),
+    )
+    return (
+        act.groupBy("media_id", "_grp")
+        .agg(
+            F.min("frame_idx").alias("seg_start_frame"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("energy").cast("long").alias("total_energy"),
+        )
+        .select(
+            "media_id",
+            "seg_start_frame",
+            "n_frames",
+            "total_energy",
+            F.round(
+                F.col("total_energy") * F.lit(1.0) / F.col("n_frames"), 6
+            ).alias("mean_energy"),
+        )
+    )
+
+
+def audio_vad_segments(media: DataFrame, frame: int = 8, threshold: int = 16384) -> DataFrame:
+    """The composed VAD tier: decode -> frame energies -> segments."""
+    return vad_segments(
+        decode_audio_frame_energy(media, frame=frame), threshold=threshold
+    )

@@ -1,0 +1,648 @@
+"""r14 staged operators, WAVE 2 (register r16 — the r15 head budget is
+fully committed, plans/__init__.py r15 notes): DuckDB differential
+tests + planted-property checks for pagerank_host_authority,
+code_detect_profile, license_detect_profile, matryoshka_recall_at_k,
+audio_vad_segments, and curriculum_phase_plan — the same
+pre-registration gauntlet every staged cohort runs (oracle parity
+proven HERE, so registration is a catalog-entry move)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_spike_spark.plans.registry import load
+
+SF = "/root/testdata/sf0.001"
+
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9'']+'),"
+    " t -> t != '')"
+)
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+# --- pagerank_host_authority --------------------------------------------------
+
+_SQL_PR_GRAPH = """
+    e AS (
+      SELECT DISTINCT doc_id % 64 AS src,
+             (doc_id * doc_id + j * 13 + 1) % 64 AS dst
+      FROM documents, (SELECT unnest(range(0, 3)) AS j)
+      WHERE doc_id % 64 != (doc_id * doc_id + j * 13 + 1) % 64
+    ),
+    v AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+    od AS (SELECT src AS host, count(*) AS outd FROM e GROUP BY 1),
+    ig AS (SELECT dst AS host, count(*) AS ind FROM e GROUP BY 1),
+    b AS (SELECT v.host, coalesce(od.outd, 0) AS outd,
+                 coalesce(ig.ind, 0) AS ind
+          FROM v LEFT JOIN od USING (host) LEFT JOIN ig USING (host)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b)
+"""
+
+
+def _sql_pr_iter(k: int) -> str:
+    """r0 -> r{k} WITH-chain layers replaying operators.graph.pagerank:
+    per iteration one dangling 1-row aggregate, one contribution
+    aggregate over in-edges, one damped update."""
+    parts = ["r0 AS (SELECT host, outd, 1.0 / nn.n AS rank FROM b, nn)"]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{p} "
+            f"WHERE outd = 0)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS host, sum(r.rank / r.outd) AS m "
+            f"FROM e JOIN r{p} r ON e.src = r.host GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT b.host, b.outd, "
+            f"(1 - 0.85) / nn.n + 0.85 * coalesce(c{i}.m, 0) "
+            f"+ 0.85 * d{i}.dang / nn.n AS rank "
+            f"FROM b LEFT JOIN c{i} USING (host), nn, d{i})"
+        )
+    return ",\n".join(parts)
+
+
+SQL_PAGERANK = f"""
+    WITH {_SQL_PR_GRAPH},
+    {_sql_pr_iter(3)}
+    SELECT b.host, round(r3.rank, 6) AS pagerank,
+           CAST(b.outd AS BIGINT) AS out_degree,
+           CAST(b.ind AS BIGINT) AS in_degree
+    FROM b JOIN r3 USING (host)
+"""
+
+
+def test_pagerank_host_authority_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        pagerank,
+    )
+
+    got = {
+        r["host"]: r.asDict()
+        for r in pagerank(host_link_graph(load(spark, SF, "documents")))
+        .collect()
+    }
+    want = _con().execute(SQL_PAGERANK).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[w["host"]]
+        assert g["pagerank"] == pytest.approx(w["pagerank"], abs=1.5e-6)
+        assert g["out_degree"] == int(w["out_degree"])
+        assert g["in_degree"] == int(w["in_degree"])
+
+
+def test_pagerank_literal_graph_vs_reference(spark):
+    """4-node hand graph WITH a dangling node (3 has no out-edges) vs a
+    pure-Python power iteration of the documented spec — proves the
+    dangling-mass redistribution path the corpus graph may not
+    exercise, and mass conservation."""
+    from datapipeline_spike_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["host"]: r for r in pagerank(df, n_iter=3).collect()}
+
+    n, d = 4, 0.85
+    out_deg = {0: 2, 1: 2, 2: 1, 3: 0}
+    rank = {h: 1.0 / n for h in range(4)}
+    for _ in range(3):
+        dang = sum(r for h, r in rank.items() if out_deg[h] == 0)
+        contrib = {h: 0.0 for h in range(4)}
+        for s, t in edges:
+            contrib[t] += rank[s] / out_deg[s]
+        rank = {
+            h: (1 - d) / n + d * contrib[h] + d * dang / n for h in range(4)
+        }
+    assert sum(rank.values()) == pytest.approx(1.0)
+    for h in range(4):
+        assert got[h]["pagerank"] == pytest.approx(round(rank[h], 6))
+    assert got[3]["out_degree"] == 0 and got[3]["in_degree"] == 2
+    # the sink accumulated the most mass; the source the least
+    assert got[3]["pagerank"] == max(r["pagerank"] for r in got.values())
+    assert got[0]["pagerank"] == min(r["pagerank"] for r in got.values())
+
+
+# --- code_detect_profile --------------------------------------------------------
+
+SNIPPET_PY = (
+    "def load(x): y = (x + 1) ; z = {\"k\": [1, 2]} ; return (y, z) ; "
+    "import os ; class App(object): pass ; lambda q: (q * 2) >= 0"
+)
+SNIPPET_JS = (
+    "function go(a) { var b = (a + 1); const c = { k: 1 }; "
+    "let d = [2]; return b + c.k + d[0]; } "
+    "function stop() { var e = 0; }"
+)
+SNIPPET_C = (
+    "#include <stdio.h> int main(void) { int x = (1 + 2); "
+    "printf(\"%d\", x); return (x == 3); }"
+)
+
+_SQL_CODE_PLANT = f"""
+    planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 2 THEN text || ' ' ||
+                  CASE doc_id % 3
+                    WHEN 0 THEN '{SNIPPET_PY}'
+                    WHEN 1 THEN '{SNIPPET_JS}'
+                    ELSE '{SNIPPET_C}' END
+                  ELSE text END AS text
+      FROM documents
+    )
+"""
+
+
+def _code_planted(spark):
+    d = load(spark, SF, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                "text",
+                F.lit(" "),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(SNIPPET_PY))
+                .when(F.col("doc_id") % 3 == 1, F.lit(SNIPPET_JS))
+                .otherwise(F.lit(SNIPPET_C)),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+SQL_CODE_DETECT = f"""
+    WITH {_SQL_CODE_PLANT},
+    per_doc AS (
+      SELECT source,
+             length(text) AS nc,
+             length(text) - length(translate(text, '{{}};=<>#()', '')) AS sym,
+             len(regexp_extract_all(lower(text),
+                 '\\b(def|import|class|lambda|elif)\\b')) AS kpy,
+             len(regexp_extract_all(lower(text),
+                 '\\b(function|var|const|let)\\b')) AS kjs,
+             len(regexp_extract_all(lower(text),
+                 '(#include|\\bprintf\\b|\\bvoid\\b|\\bint main\\b)')) AS kc
+      FROM planted
+    ),
+    fam AS (
+      SELECT source, nc, sym,
+             CASE WHEN kpy >= kjs AND kpy >= kc AND kpy >= 2 THEN 'python'
+                  WHEN kjs >= kc AND kjs >= 2 THEN 'js'
+                  WHEN kc >= 2 THEN 'c'
+                  ELSE 'none' END AS family,
+             kpy + kjs + kc AS kw
+      FROM per_doc WHERE nc > 0
+    )
+    SELECT source, family,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN family != 'none' AND sym * 50 > nc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+           round(avg(sym * 1.0 / nc), 6) AS mean_symbol_ratio,
+           CAST(sum(kw) AS BIGINT) AS total_kw_hits
+    FROM fam GROUP BY 1, 2
+"""
+
+
+def test_code_detect_profile_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.detectors import (
+        code_detect_profile,
+    )
+
+    got = {
+        (r["source"], r["family"]): r.asDict()
+        for r in code_detect_profile(_code_planted(spark)).collect()
+    }
+    want = _con().execute(SQL_CODE_DETECT).df()
+    assert len(got) == len(want)
+    fams = {f for _, f in got}
+    assert {"python", "js", "c", "none"} <= fams
+    for _, w in want.iterrows():
+        g = got[(w["source"], w["family"])]
+        assert g["n_docs"] == int(w["n_docs"])
+        assert g["n_code"] == int(w["n_code"])
+        assert g["mean_symbol_ratio"] == pytest.approx(
+            w["mean_symbol_ratio"], abs=1.5e-6
+        )
+        assert g["total_kw_hits"] == int(w["total_kw_hits"])
+
+
+def test_code_detect_planted_families(spark):
+    """Each snippet classifies to its own family; keyword-rich but
+    symbol-free prose detects the family but NOT is_code (the density
+    gate); pure prose is 'none'."""
+    from datapipeline_spike_spark.operators.detectors import (
+        code_detect_profile,
+    )
+
+    rows = [
+        (1, "s", "prose " + SNIPPET_PY),
+        (2, "s", "prose " + SNIPPET_JS),
+        (3, "s", "prose " + SNIPPET_C),
+        (4, "s", "we def import class words with no symbols at all"),
+        (5, "s", "plain prose about tables and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["family"]: r for r in code_detect_profile(df).collect()}
+    assert got["python"]["n_code"] == 1
+    assert got["js"]["n_code"] == 1
+    assert got["c"]["n_code"] == 1
+    # density gate: def/import/class fire the battery but 0 symbols
+    assert got["python"]["n_docs"] == 2  # snippet doc + symbol-free doc
+    assert got["none"]["n_docs"] == 1 and got["none"]["n_code"] == 0
+
+
+# --- license_detect_profile -----------------------------------------------------
+
+_SQL_LIC_PLANT = """
+    planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 11 IN (1, 4, 8)
+                  THEN 'spdx-license-identifier: ' ||
+                       CASE doc_id % 5
+                         WHEN 0 THEN 'mit'
+                         WHEN 1 THEN 'apache-2.0'
+                         WHEN 2 THEN 'gpl-3.0-only'
+                         WHEN 3 THEN 'bsd-3-clause'
+                         ELSE 'cc-by-4.0' END || ' | ' || text
+                  ELSE text END AS text
+      FROM documents
+    )
+"""
+
+SQL_LICENSE_DETECT = f"""
+    WITH {_SQL_LIC_PLANT},
+    det AS (
+      SELECT source,
+             CASE
+               WHEN regexp_matches(lower(text),
+                    'gpl-3\\.0|gnu general public license') THEN 'gpl-3.0'
+               WHEN regexp_matches(lower(text),
+                    'apache-2\\.0|apache license') THEN 'apache-2.0'
+               WHEN regexp_matches(lower(text),
+                    'bsd-3-clause|bsd license') THEN 'bsd-3-clause'
+               WHEN regexp_matches(lower(text),
+                    'cc-by-4\\.0|creative commons') THEN 'cc-by-4.0'
+               WHEN regexp_matches(lower(text), '\\bmit\\b') THEN 'mit'
+               ELSE 'none' END AS license
+      FROM planted
+    ),
+    lab AS (
+      SELECT source, license,
+             license IN ('apache-2.0', 'bsd-3-clause', 'cc-by-4.0', 'mit')
+               AS perm
+      FROM det
+    ),
+    per_src AS (SELECT source, count(*) AS sd FROM lab GROUP BY 1)
+    SELECT l.source, l.license,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN perm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_permissive,
+           round(count(*) * 1.0 / any_value(sd), 6) AS source_share
+    FROM lab l JOIN per_src USING (source)
+    GROUP BY 1, 2
+"""
+
+
+def _lic_planted(spark):
+    d = load(spark, SF, "documents")
+    lic = F.element_at(
+        F.array(
+            F.lit("mit"),
+            F.lit("apache-2.0"),
+            F.lit("gpl-3.0-only"),
+            F.lit("bsd-3-clause"),
+            F.lit("cc-by-4.0"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % 11).isin(1, 4, 8),
+            F.concat(
+                F.lit("spdx-license-identifier: "),
+                lic,
+                F.lit(" | "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def test_license_detect_profile_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.detectors import (
+        license_detect_profile,
+    )
+
+    got = {
+        (r["source"], r["license"]): r.asDict()
+        for r in license_detect_profile(_lic_planted(spark)).collect()
+    }
+    want = _con().execute(SQL_LICENSE_DETECT).df()
+    assert len(got) == len(want)
+    assert len({lic for _, lic in got}) == 6  # 5 licenses + none
+    for _, w in want.iterrows():
+        g = got[(w["source"], w["license"])]
+        assert g["n_docs"] == int(w["n_docs"])
+        assert g["n_permissive"] == int(w["n_permissive"])
+        assert g["source_share"] == pytest.approx(
+            w["source_share"], abs=1.5e-6
+        )
+
+
+def test_license_detect_priority_and_boundaries(spark):
+    """Dual-mention texts classify to the FIRST (copyleft-first) match;
+    'submit'/'limit' never fire the \\bmit\\b pattern."""
+    from datapipeline_spike_spark.operators.detectors import (
+        license_detect_profile,
+    )
+
+    rows = [
+        (1, "s", "dual: mit license text under gnu general public license"),
+        (2, "s", "please submit within the limit tomorrow"),
+        (3, "s", "released under the mit license"),
+        (4, "s", "see creative commons attribution"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["license"]: r["n_docs"] for r in license_detect_profile(df).collect()
+    }
+    assert got == {"gpl-3.0": 1, "none": 1, "mit": 1, "cc-by-4.0": 1}
+
+
+# --- matryoshka_recall_at_k -----------------------------------------------------
+
+SQL_MATRYOSHKA = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    bf AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                              neighbor_id) AS rnk
+            FROM c, q WHERE neighbor_id != query_id)
+      WHERE rnk <= 5
+    ),
+    ms AS (SELECT CAST(unnest([8, 16]) AS INTEGER) AS m),
+    tr AS (
+      SELECT m, query_id, neighbor_id
+      FROM (SELECT ms.m, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY ms.m, query_id
+                     ORDER BY round(list_cosine_similarity(
+                         list_slice(qv, 1, ms.m),
+                         list_slice(cv, 1, ms.m)), 6) DESC,
+                              neighbor_id) AS rnk
+            FROM c, q, ms WHERE neighbor_id != query_id)
+      WHERE rnk <= 5
+    )
+    SELECT ms.m AS m_dims, bf.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS recall_at_k
+    FROM bf CROSS JOIN ms
+    LEFT JOIN tr ON tr.m = ms.m AND tr.query_id = bf.query_id
+                AND tr.neighbor_id = bf.neighbor_id
+    GROUP BY 1, 2
+"""
+
+
+def test_matryoshka_recall_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    got = {
+        (r["m_dims"], r["query_id"]): r.asDict()
+        for r in matryoshka_recall(
+            emb, emb.filter(F.col("vec_id") < 5), k=5, dims=(8, 16)
+        ).collect()
+    }
+    want = _con().execute(SQL_MATRYOSHKA).df()
+    assert len(got) == len(want) == 10
+    for _, w in want.iterrows():
+        g = got[(w["m_dims"], w["query_id"])]
+        assert g["n_exact"] == int(w["n_exact"])
+        assert g["n_hits"] == int(w["n_hits"])
+        assert g["recall_at_k"] == pytest.approx(
+            w["recall_at_k"], abs=1.5e-6
+        )
+
+
+def test_matryoshka_full_width_is_perfect(spark):
+    """Truncating to the full embedding width must reproduce the exact
+    top-k — recall 1.0 for every query (the audit's sanity anchor)."""
+    from datapipeline_spike_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    rows = matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, dims=(64,)
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["recall_at_k"] == 1.0 and r["n_exact"] == 5 for r in rows)
+
+
+# --- audio_vad_segments ---------------------------------------------------------
+
+SQL_VAD = """
+    WITH xs AS (
+      SELECT doc_id, i, i // 8 AS b,
+             CASE WHEN (doc_id * 13 + (i // 8) * 7) % 3 != 0
+                  THEN ((doc_id * 31 + i * 17) % 4001) - 2000
+                  ELSE ((doc_id * 31 + i * 17) % 64) - 32 END AS x
+      FROM (SELECT doc_id, unnest(range(0, 64 + (doc_id % 8) * 8)) AS i
+            FROM documents)
+    ),
+    fe AS (SELECT doc_id, b, sum(x * x) AS energy FROM xs GROUP BY 1, 2),
+    act AS (
+      SELECT doc_id, b, energy,
+             b - row_number() OVER (PARTITION BY doc_id ORDER BY b) AS grp
+      FROM fe WHERE energy > 16384
+    )
+    SELECT doc_id AS media_id,
+           CAST(min(b) AS BIGINT) AS seg_start_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS total_energy,
+           round(sum(energy) * 1.0 / count(*), 6) AS mean_energy
+    FROM act GROUP BY doc_id, grp
+"""
+
+
+def test_audio_vad_segments_match_duckdb(spark):
+    """The full tier — synthesized gated WAV, REAL RIFF decode, frame
+    energies, gaps-and-islands segmentation — vs a DuckDB replay from
+    the regenerated waveform (never the container)."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_vad_segments,
+        vad_media_from_documents,
+    )
+
+    got = {
+        (r["media_id"], r["seg_start_frame"]): r.asDict()
+        for r in audio_vad_segments(
+            vad_media_from_documents(load(spark, SF, "documents"))
+        ).collect()
+    }
+    want = _con().execute(SQL_VAD).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[(w["media_id"], w["seg_start_frame"])]
+        assert g["n_frames"] == int(w["n_frames"])
+        assert g["total_energy"] == int(w["total_energy"])
+        assert g["mean_energy"] == pytest.approx(w["mean_energy"], abs=1.5e-6)
+
+
+def test_audio_vad_planted_properties(spark):
+    """Segments replay a pure-Python reference of the documented spec;
+    silence-gated frames (energy <= 8 * 32^2 = 8192 < threshold) are
+    NEVER inside a segment; a truncated payload contributes no rows."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_vad_segments,
+        synthetic_wav_vad,
+    )
+
+    seeds = [3, 10, 21]
+    media = spark.createDataFrame(
+        [(s, synthetic_wav_vad(s, 64 + s % 8 * 8), "audio") for s in seeds],
+        "media_id long, payload binary, media_type string",
+    )
+    got = sorted(
+        (r["media_id"], r["seg_start_frame"], r["n_frames"], r["total_energy"])
+        for r in audio_vad_segments(media).collect()
+    )
+
+    want = []
+    for s in seeds:
+        n = 64 + s % 8 * 8
+        xs = [
+            ((s * 31 + i * 17) % 4001) - 2000
+            if (s * 13 + (i // 8) * 7) % 3 != 0
+            else ((s * 31 + i * 17) % 64) - 32
+            for i in range(n)
+        ]
+        energies = [
+            sum(x * x for x in xs[b * 8 : b * 8 + 8]) for b in range(n // 8)
+        ]
+        b = 0
+        while b < len(energies):
+            if energies[b] > 16384:
+                start = b
+                tot = 0
+                while b < len(energies) and energies[b] > 16384:
+                    tot += energies[b]
+                    b += 1
+                want.append((s, start, b - start, tot))
+            else:
+                # the gate guarantees silence blocks stay silent
+                assert (s * 13 + b * 7) % 3 == 0
+                b += 1
+    assert got == sorted(want)
+
+    truncated = spark.createDataFrame(
+        [(99, synthetic_wav_vad(99, 64)[:40], "audio")],
+        "media_id long, payload binary, media_type string",
+    )
+    assert audio_vad_segments(truncated).count() == 0
+
+
+# --- curriculum_phase_plan ------------------------------------------------------
+
+SQL_CURRICULUM = f"""
+    WITH t AS (SELECT source, doc_id,
+                      {_SQL_TOKS.format(c='text')} AS toks FROM documents),
+    s AS (SELECT source, doc_id, len(toks) AS nt,
+                 list_sum(list_transform(toks, x -> length(x))) AS sumlen
+          FROM t WHERE len(toks) > 0),
+    d AS (SELECT source, doc_id, nt,
+                 round(sumlen * 1.0 / nt, 6) AS diff FROM s),
+    p AS (SELECT *, ntile(4) OVER (PARTITION BY source
+                  ORDER BY diff ASC, doc_id ASC) AS phase FROM d),
+    plan AS (
+      SELECT source, phase,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS token_budget,
+             round(avg(diff), 6) AS mean_difficulty
+      FROM p GROUP BY 1, 2
+    )
+    SELECT source, CAST(phase AS BIGINT) AS phase, n_docs, token_budget,
+           mean_difficulty,
+           CAST(row_number() OVER (ORDER BY phase, source) AS BIGINT)
+             AS schedule_pos
+    FROM plan
+"""
+
+
+def test_curriculum_phase_plan_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.curation import (
+        curriculum_phase_plan,
+    )
+
+    got = {
+        (r["source"], r["phase"]): r.asDict()
+        for r in curriculum_phase_plan(load(spark, SF, "documents")).collect()
+    }
+    want = _con().execute(SQL_CURRICULUM).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[(w["source"], w["phase"])]
+        assert g["n_docs"] == int(w["n_docs"])
+        assert g["token_budget"] == int(w["token_budget"])
+        assert g["mean_difficulty"] == pytest.approx(
+            w["mean_difficulty"], abs=1.5e-6
+        )
+        assert g["schedule_pos"] == int(w["schedule_pos"])
+
+
+def test_curriculum_planted_phases(spark):
+    """8 one-source docs with strictly increasing mean token length
+    split 2/2/2/2 easy-to-hard; budgets are the exact token sums;
+    schedule is phase-major."""
+    from datapipeline_spike_spark.operators.curation import (
+        curriculum_phase_plan,
+    )
+
+    rows = [
+        (i, "a", " ".join(["x" * (i + 1)] * 3)) for i in range(8)
+    ]  # doc i: 3 tokens of length i+1 -> difficulty i+1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        (r["phase"], r["n_docs"], r["token_budget"], r["mean_difficulty"])
+        for r in curriculum_phase_plan(df).collect()
+    )
+    assert got == [
+        (1, 2, 6, 1.5),
+        (2, 2, 6, 3.5),
+        (3, 2, 6, 5.5),
+        (4, 2, 6, 7.5),
+    ]
+    two = curriculum_phase_plan(
+        df.withColumn(
+            "source",
+            F.when(F.col("doc_id") < 4, F.lit("a")).otherwise(F.lit("b")),
+        )
+    ).collect()
+    pos = {(r["phase"], r["source"]): r["schedule_pos"] for r in two}
+    assert pos[(1, "a")] < pos[(1, "b")] < pos[(2, "a")]
