@@ -624,34 +624,7 @@ def boilerplate_line_removal(
     kept_fp = md5 of the surviving lines newline-joined in original
     order ('' when everything was boilerplate — the c4 empty-join
     convention)."""
-    from datapipeline_spike_spark.scale import fan_out
-
-    lines = fan_out(df).select(
-        F.col(id_col).alias("_cid"),
-        F.posexplode(
-            F.filter(
-                F.transform(F.split(F.col(text_col), "\n"), lambda l0: F.trim(l0)),
-                lambda l: l != "",
-            )
-        ).alias("_pos", "_line"),
-    ).withColumn("_fp", F.md5("_line"))
-    dfreq = (
-        lines.select("_cid", "_fp")
-        .distinct()
-        .groupBy("_fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-    )
-    total = df.agg(F.count(F.lit(1)).alias("_nd"))
-    marked = dfreq.crossJoin(F.broadcast(total)).select(
-        "_fp",
-        (
-            F.col("_df")
-            >= F.greatest(
-                F.lit(df_floor).cast("long"),
-                F.ceil(F.lit(float(df_frac)) * F.col("_nd")),
-            )
-        ).alias("_bp"),
-    )
+    lines, marked = _line_df_marked(df, text_col, id_col, df_frac, df_floor)
     joined = lines.join(marked, "_fp")
     return (
         joined.groupBy("_cid")
@@ -685,3 +658,67 @@ def boilerplate_line_removal(
             "kept_fp",
         )
     )
+
+
+def _line_df_marked(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    df_frac: float,
+    df_floor: int,
+):
+    """Shared subtree of the boilerplate pass: the per-line exploded
+    frame (with md5 fingerprints) and the (fp, is_boilerplate) marking
+    from the scale-derived document-frequency threshold."""
+    from datapipeline_spike_spark.scale import fan_out
+
+    lines = fan_out(df).select(
+        F.col(id_col).alias("_cid"),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), lambda l0: F.trim(l0)),
+                lambda l: l != "",
+            )
+        ).alias("_pos", "_line"),
+    ).withColumn("_fp", F.md5("_line"))
+    dfreq = (
+        lines.select("_cid", "_fp")
+        .distinct()
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_nd"))
+    marked = dfreq.crossJoin(F.broadcast(total)).select(
+        "_fp",
+        (
+            F.col("_df")
+            >= F.greatest(
+                F.lit(df_floor).cast("long"),
+                F.ceil(F.lit(float(df_frac)) * F.col("_nd")),
+            )
+        ).alias("_bp"),
+    )
+    return lines, marked
+
+
+def boilerplate_line_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_frac: float = 0.05,
+    df_floor: int = 2,
+) -> DataFrame:
+    """The OFFLINE artifact of the boilerplate pass: one row per
+    boilerplate line fingerprint (``line_fp``), computed on a reference
+    corpus snapshot with exactly :func:`boilerplate_line_removal`'s
+    threshold semantics. This is what the streaming deployment ships
+    to the online strip stage (CCNet's topology: frequency tables are
+    built per crawl snapshot offline, applied online).
+
+    Size bound (why the online stage may broadcast it): every
+    boilerplate fp occurs in >= df_frac * n_docs distinct docs, and a
+    corpus has at most n_docs * avg_lines distinct (doc, fp) pairs, so
+    |index| <= avg_lines_per_doc / df_frac — INDEPENDENT of corpus
+    size (~2k rows at 100 lines/doc and the default 5%)."""
+    _, marked = _line_df_marked(df, text_col, id_col, df_frac, df_floor)
+    return marked.filter(F.col("_bp")).select(F.col("_fp").alias("line_fp"))

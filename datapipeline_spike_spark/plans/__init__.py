@@ -240,6 +240,34 @@ _NO_ORACLE_PIN = (
 # families — consider the dhash doc_id%5=3 slice if pair volume at
 # sf0.1 needs bounding).
 
+# r16 staging pipeline (WAVE 2, staged r14 — the r15 head is full, so
+# these six register in r16): tests/test_r14_staging_wave2.py holds
+# green DuckDB differentials + planted-property tests for
+# pagerank_host_authority (operators/graph.py — K=3 damped power
+# iterations, dangling-mass redistribution, skewed deterministic host
+# graph; oracle = unrolled 3-layer WITH chain), code_detect_profile +
+# license_detect_profile (operators/detectors.py — map-only regex/
+# translate batteries; corpora planted: code gate doc_id%7==2 with
+# snippet family doc_id%3 — NOT %9, which is 0 mod 3 and starves two
+# families; license gate doc_id%11 in (1,4,8) with license doc_id%5),
+# matryoshka_recall (operators/similarity.py — registered-name
+# suggestion matryoshka_recall_at_k; dims (8,16), vec_id<5 queries),
+# audio_vad_segments (sources/multimodal.py — gated-WAV synth, real
+# RIFF decode, exact int frame energies, islands), and
+# curriculum_phase_plan (operators/curation.py — per-source ntile(4),
+# bounded plan-grain interleave window). Oracle SQL verbatim in the
+# staging tests. Allowlist notes (to re-measure at registration):
+# pagerank_host_authority's 1-row count/dangling crosses -> BNLJ_OK;
+# matryoshka/vad should ride the existing ANN/PANDAS precedents;
+# curriculum's schedule window is plan-grain (sources x phases) ->
+# WINDOW_OK with that bound documented. SCALE_PROBE_r14 wave-2 rows:
+# all six rise at 10x (pagerank 707->8.2k, code 2.6k->100k, license
+# 7.6k->78k, matryoshka 1.0k->8.7k vecs/s, vad 406->33.6k, curriculum
+# 2.7k->8.2k docs/s). The streaming twin for the r14-staged
+# boilerplate pass also landed (streaming/pipeline.
+# boilerplate_stripped_stream + operators/quality.
+# boilerplate_line_index; batch-twin test in tests/test_streaming.py).
+
 # --- r15 queue: the r10-green remainder (26, stale five rounds by
 # r15) then the 16 oldest r11-greens. Head-budget note: queue(42) + 8
 # staged registrations = 50, leaving ZERO r15 changed-code slots — if

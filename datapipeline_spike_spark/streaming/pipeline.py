@@ -546,3 +546,70 @@ def compact_dedup_index(
             "merged_files": n_files,
         }
     return report
+
+
+def boilerplate_stripped_stream(
+    records: DataFrame,
+    line_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming boilerplate stripping (the ST twin of
+    ``operators.quality.boilerplate_line_removal``, r14 wave 2): the
+    line-frequency INDEX is built OFFLINE on a reference corpus
+    snapshot (``operators.quality.boilerplate_line_index``) because
+    corpus document frequency is not computable on an unbounded stream
+    without unbounded state — CCNet's own topology (frequency tables
+    per crawl snapshot, applied online). The online stage is then
+    stateless MAP-ONLY: the index collapses to a one-row collect_set
+    aggregate on the STATIC side (bounded by avg_lines_per_doc /
+    df_frac independent of corpus size — see boilerplate_line_index),
+    rides in as a broadcast stream-static cross join, and each record
+    strips its matching lines with array HOFs. No shuffle, no
+    watermark, no state store; append mode per record.
+
+    Output mirrors the batch operator exactly — (id, n_lines,
+    n_removed, removed_fraction, kept_fp) for records with >= 1
+    non-empty line — so when the index snapshot covers the streamed
+    corpus the rows are byte-identical to the batch pass (twin-tested).
+    """
+    fps = line_index.agg(F.collect_set("line_fp").alias("_fps"))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l0: F.trim(l0)),
+        lambda l: l != "",
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda l: ~F.array_contains(F.col("_fps"), F.md5(l)),
+    )
+    return (
+        records.crossJoin(F.broadcast(fps))
+        .select(
+            F.col(id_col),
+            lines.alias("_lines"),
+            "_fps",
+        )
+        .filter(F.size("_lines") >= 1)
+        .select(
+            F.col(id_col),
+            F.size("_lines").cast("long").alias("n_lines"),
+            kept.alias("_kept"),
+        )
+        .select(
+            F.col(id_col),
+            "n_lines",
+            (F.col("n_lines") - F.size("_kept")).cast("long").alias(
+                "n_removed"
+            ),
+            F.md5(F.array_join(F.col("_kept"), "\n")).alias("kept_fp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "n_removed",
+            F.round(F.col("n_removed") / F.col("n_lines"), 6).alias(
+                "removed_fraction"
+            ),
+            "kept_fp",
+        )
+    )

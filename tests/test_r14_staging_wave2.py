@@ -646,3 +646,125 @@ def test_curriculum_planted_phases(spark):
     ).collect()
     pos = {(r["phase"], r["source"]): r["schedule_pos"] for r in two}
     assert pos[(1, "a")] < pos[(1, "b")] < pos[(2, "a")]
+
+
+# --- physical-plan shape pins (the registered-query plan-audit rules,
+# applied at staging time so registration can't inherit a regression) ---
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _window_groups(plan: str):
+    """Bracket-group counts for every Window node (3+ = partitioned,
+    2 = the unpartitioned scale-killer)."""
+    import re as _re
+
+    out = []
+    for line in plan.splitlines():
+        s = line.lstrip(" +-:|*(0123456789)")
+        if s.startswith("Window "):
+            out.append(len(_re.findall(r"\[[^\]]*\]", s)))
+    return out
+
+
+def test_pagerank_plan_shape(spark):
+    """Per-iteration joins are keyed (hash/sort-merge), never a
+    cartesian; the only nested-loop crosses are the documented 1-row
+    count/dangling broadcasts; no Python, no windows."""
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        pagerank,
+    )
+
+    plan = _plan_of(pagerank(host_link_graph(load(spark, SF, "documents"))))
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Window"):
+        assert node not in plan, node
+
+
+def test_detectors_plan_shape(spark):
+    """code_detect is map-only to its rollup (no joins, no windows, no
+    Python); license_detect adds only the broadcast per-source join."""
+    from datapipeline_spike_spark.operators.detectors import (
+        code_detect_profile,
+        license_detect_profile,
+    )
+
+    code = _plan_of(code_detect_profile(_code_planted(spark)))
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in code, node
+    lic = _plan_of(license_detect_profile(_lic_planted(spark)))
+    assert "BroadcastHashJoin" in lic
+    for node in ("SortMergeJoin", "CartesianProduct", "Window",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in lic, node
+
+
+def test_matryoshka_plan_shape(spark):
+    """Every corpus-side scan joins the BROADCAST query set (the ANN
+    audit contract) — no shuffled join anywhere, no Python; the top-k
+    windows are partitioned by query."""
+    from datapipeline_spike_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    plan = _plan_of(
+        matryoshka_recall(emb, emb.filter(F.col("vec_id") < 5), k=5,
+                          dims=(8, 16))
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    assert all(g >= 3 for g in _window_groups(plan))
+
+
+def test_vad_plan_shape(spark):
+    """The decode is the one Arrow stage (MapInPandas); the islands
+    window is PARTITIONED by clip; no joins."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_vad_segments,
+        vad_media_from_documents,
+    )
+
+    plan = _plan_of(
+        audio_vad_segments(
+            vad_media_from_documents(load(spark, SF, "documents"))
+        )
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, node
+    groups = _window_groups(plan)
+    assert groups and all(g >= 3 for g in groups)
+
+
+def test_curriculum_plan_windows(spark):
+    """The doc-grain ntile window is PARTITIONED by source; exactly one
+    unpartitioned window exists and it runs on the (sources x phases)
+    plan grain AFTER the aggregate (bounded by construction)."""
+    from datapipeline_spike_spark.operators.curation import (
+        curriculum_phase_plan,
+    )
+
+    plan = _plan_of(curriculum_phase_plan(load(spark, SF, "documents")))
+    groups = _window_groups(plan)
+    assert len(groups) == 2
+    assert sorted(groups) == [2, 3]
+    # the unpartitioned window must sit ABOVE the aggregate (plan grain)
+    lines = plan.splitlines()
+    win2 = next(
+        i for i, line in enumerate(lines)
+        if line.lstrip(" +-:|*(0123456789)").startswith("Window ")
+        and len(__import__("re").findall(r"\[[^\]]*\]", line)) == 2
+    )
+    assert any("HashAggregate" in line for line in lines[win2:]), (
+        "unpartitioned window not above the aggregate"
+    )

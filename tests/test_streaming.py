@@ -1387,3 +1387,50 @@ def test_streaming_curation_gate_redact_dedup_compose(spark):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_boilerplate_stripped_stream_matches_batch_twin(spark, tmp_path):
+    """ST twin of the r14-staged boilerplate pass: the line-df index is
+    built OFFLINE on the full snapshot (the CCNet topology — corpus df
+    is not streamable without unbounded state), the online strip is
+    stateless map-only, and when the snapshot covers the streamed
+    corpus the output rows are byte-identical to the batch operator."""
+    from datapipeline_spike_spark.operators.quality import (
+        boilerplate_line_index,
+        boilerplate_line_removal,
+    )
+    from datapipeline_spike_spark.streaming.pipeline import (
+        boilerplate_stripped_stream,
+        run_to_memory,
+    )
+
+    banner = "common banner line"
+    rows = [
+        (
+            i,
+            f"{banner}\nunique line {i}\n"
+            + ("promo section\n" if i % 2 == 0 else "")
+            + f"body text {i * 7}",
+        )
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = boilerplate_line_index(docs)
+    # banner (df=10) and promo (df=5) cross max(2, ceil(0.05*10)) = 2;
+    # per-doc unique lines (df=1) stay
+    assert idx.count() == 2
+
+    src = str(tmp_path / "bp_docs")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_to_memory(boilerplate_stripped_stream(stream, idx), "bp_strip")
+    got = {tuple(r) for r in spark.table("bp_strip").collect()}
+    want = {tuple(r) for r in boilerplate_line_removal(docs).collect()}
+    assert got == want
+    assert len(got) == 10
+    # the strip is real on both sides: every doc lost its banner
+    assert all(r[2] >= 1 for r in got)

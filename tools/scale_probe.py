@@ -813,7 +813,7 @@ def r8lib2_stress(spark, amp: int) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     mode = "core"
-    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12staged", "r12ops", "r14staged"):
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12staged", "r12ops", "r14staged", "r14wave2"):
         if m in args:
             mode = m
             break
@@ -859,6 +859,9 @@ def main() -> None:
         return
     if mode == "r14staged":
         r14staged_stress(spark, n)
+
+    if mode == "r14wave2":
+        r14wave2_stress(spark, n)
         return
     if mode == "r12ops":
         r12ops_stress(spark, n)
@@ -1336,6 +1339,71 @@ def r14staged_stress(spark, amp: int) -> None:
                               "sec": secs,
                               "docs_per_sec": int(drows / secs)}), flush=True)
         docs.unpersist()
+
+
+def r14wave2_stress(spark, amp: int) -> None:
+    """1x/``amp``x rows for the r14 WAVE-2 staged operators (register
+    r16): pagerank_host_authority (per-iteration edge-join + keyed
+    aggregate — the host universe scales WITH the corpus here, the
+    documented posture: a fixed-size graph would collapse under
+    distinct()), code/license detect (map-only regex batteries),
+    matryoshka_recall (two brute-force widths over a broadcast query
+    set), audio_vad_segments (mapInPandas decode + per-clip windows),
+    and curriculum_phase_plan (per-source window + bounded plan
+    window). Pass signal: flat-or-rising rows/sec at amp."""
+    from datapipeline_spike_spark.operators.curation import (
+        curriculum_phase_plan,
+    )
+    from datapipeline_spike_spark.operators.detectors import (
+        code_detect_profile,
+        license_detect_profile,
+    )
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        pagerank,
+    )
+    from datapipeline_spike_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_vad_segments,
+        vad_media_from_documents,
+    )
+
+    for a in (1, amp):
+        docs = amplify_documents(spark, a).localCheckpoint(eager=True)
+        drows = docs.count()
+        emb = amplify_embeddings(spark, a).localCheckpoint(eager=True)
+        erows = emb.count()
+        queries = emb.filter(F.col("vec_id") < 5)
+        # hosts scale with the corpus (1024 per amplification step) so
+        # the edge list keeps growing instead of saturating distinct()
+        n_hosts = 1024 * a
+        for name, builder, rows in (
+            ("pagerank_host_authority",
+             lambda: pagerank(host_link_graph(docs, n_hosts=n_hosts)),
+             drows),
+            ("code_detect_profile", lambda: code_detect_profile(docs),
+             drows),
+            ("license_detect_profile",
+             lambda: license_detect_profile(docs), drows),
+            ("matryoshka_recall",
+             lambda: matryoshka_recall(emb, queries, k=5, dims=(8, 16)),
+             erows),
+            ("audio_vad_segments",
+             lambda: audio_vad_segments(vad_media_from_documents(docs)),
+             drows),
+            ("curriculum_phase_plan",
+             lambda: curriculum_phase_plan(docs), drows),
+        ):
+            secs = probe(name, builder)
+            print(json.dumps({"probe": name, "amp": a, "docs": rows,
+                              "sec": secs,
+                              "docs_per_sec": int(rows / secs)}),
+                  flush=True)
+        docs.unpersist()
+        emb.unpersist()
+
 
 
 if __name__ == "__main__":
