@@ -166,3 +166,129 @@ def host_link_graph(
         ),
     )
     return e.filter(F.col("src") != F.col("dst"))
+
+
+def crawl_frontier_priority(
+    docs: DataFrame,
+    n_hosts: int = 64,
+    damping: float = 0.85,
+    n_iter: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-frontier prioritization (staged r14 wave 3): the schedule
+    table a focused recrawl reads — per host, combine the three signals
+    a frontier actually weighs (the Mercator/IRLbot lineage): link
+    AUTHORITY (the :func:`pagerank` over :func:`host_link_graph`),
+    observed DUPLICATION (the fraction of the host's pages whose
+    canonical URL collides with an earlier page — recrawling dup-heavy
+    hosts wastes budget), and mean crawl DEPTH (deep pages yield less).
+
+        priority = round(pagerank * (1 - dup_rate) / mean_depth, 6)
+
+    Synthetic per-doc signals follow the url_host_dedup construction:
+    path key ``doc_id % 40`` (collides within a host by design), depth
+    ``1 + doc_id % 4``. Everything except the final division/rounding
+    is exact-integer or replayed PageRank arithmetic, so DuckDB
+    reproduces the table bit-for-bit at 6dp.
+
+    Scale shape: the doc-grain work is ONE keyed aggregate to host
+    grain (dup flags via a host+path window is avoided — first-seen
+    collision detection uses min(doc_id) per (host, path) broadcast
+    back, bounded by the path-key universe); the PageRank chain adds
+    its per-iteration keyed joins; the final assembly joins three
+    host-grain frames (broadcastable at any corpus size)."""
+    pr = pagerank(
+        host_link_graph(docs, n_hosts=n_hosts),
+        damping=damping,
+        n_iter=n_iter,
+    )
+    pages = docs.select(
+        (F.col(id_col) % n_hosts).alias("host"),
+        (F.col(id_col) % 40).alias("_path"),
+        F.col(id_col).alias("_id"),
+        (1 + F.col(id_col) % 4).cast("double").alias("_depth"),
+    )
+    first_seen = pages.groupBy("host", "_path").agg(
+        F.min("_id").alias("_first")
+    )
+    flagged = pages.join(F.broadcast(first_seen), ["host", "_path"]).select(
+        "host",
+        "_depth",
+        (F.col("_id") != F.col("_first")).cast("long").alias("_dup"),
+    )
+    sig = flagged.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.round(F.sum("_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        F.round(F.avg("_depth"), 6).alias("mean_depth"),
+    )
+    return (
+        pr.join(sig, "host", "left")
+        .filter(F.col("n_pages").isNotNull())
+        .select(
+            "host",
+            "pagerank",
+            "n_pages",
+            "dup_rate",
+            "mean_depth",
+            F.round(
+                F.col("pagerank")
+                * (F.lit(1.0) - F.col("dup_rate"))
+                / F.col("mean_depth"),
+                6,
+            ).alias("priority"),
+        )
+    )
+
+
+def anchor_text_stats(
+    docs: DataFrame,
+    n_hosts: int = 64,
+    links_per_doc: int = 3,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inbound anchor-text aggregation per target host (staged r14
+    wave 3) — the classic web-graph relevance signal (anchor terms
+    describe the TARGET better than its own page text; every web-scale
+    retrieval stack aggregates them). Each synthetic link (the
+    :func:`host_link_graph` edge construction, self-loops included
+    here — a page may link its own host) carries as anchor the source
+    doc's token at position ``(doc_id + j) % n_tokens``; per target
+    host the top-``top_k`` anchors by count (count desc, token asc —
+    total deterministic order) are kept.
+
+    Scale shape: one tokenize pass, one (host, anchor)-keyed count
+    aggregate (vocabulary-bounded), one per-host top-k via a
+    PARTITIONED window over the aggregated grain. Returns (host,
+    anchor, n_links, rank)."""
+    from pyspark.sql import Window
+
+    from datapipeline_spike_spark.functions.text import tokens
+
+    j = F.explode(
+        F.sequence(F.lit(0), F.lit(int(links_per_doc) - 1))
+    ).alias("_j")
+    base = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    links = base.select("_id", "_toks", j).select(
+        ((F.col("_id") * F.col("_id") + F.col("_j") * 13 + 1) % n_hosts).alias(
+            "host"
+        ),
+        F.element_at(
+            "_toks",
+            ((F.col("_id") + F.col("_j")) % F.size("_toks") + 1).cast("int"),
+        ).alias("anchor"),
+    )
+    counts = links.groupBy("host", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_links"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select("host", "anchor", "n_links", F.col("rank").cast("long").alias("rank"))
+    )

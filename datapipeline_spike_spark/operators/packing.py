@@ -59,3 +59,74 @@ def pack_sequences(
         )
         .drop("_start")
     )
+
+
+def span_corruption_plan(
+    docs: DataFrame,
+    noise_density: float = 0.15,
+    mean_span_len: float = 3.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5 span-corruption sizing plan (staged r14 wave 3; Raffel et al.
+    2020 §3.1.4 / t5.data preprocessors.span_corruption arithmetic) —
+    the table a denoising-pretraining dataloader reads to budget
+    encoder/decoder sequence lengths BEFORE packing: per document,
+
+        noise_tokens = clamp(floor(n * density + 0.5), 1, n - 1)
+        n_spans      = max(1, floor(noise_tokens / mean_span + 0.5))
+        input_len    = n - noise_tokens + n_spans   (+1 EOS)
+        target_len   = noise_tokens + n_spans + 1   (+1 EOS)
+
+    floor(x + 0.5) is written EXPLICITLY on both engines (Python
+    round() is banker's, SQL round() is half-away — the only rounding
+    rule both replay bit-identically is the spelled-out half-up).
+    Everything is exact integer arithmetic from one token count; docs
+    with < 2 tokens are dropped (no valid split). Map-only — composes
+    with ``pack_sequences`` downstream exactly like the packing plan.
+
+    Returns (doc_id, n_tokens, noise_tokens, n_spans, input_len,
+    target_len)."""
+    from datapipeline_spike_spark.functions.text import tokens
+
+    n = F.col("_nt")
+    noise = F.greatest(
+        F.lit(1),
+        F.least(
+            F.floor(n * F.lit(float(noise_density)) + F.lit(0.5)),
+            n - 1,
+        ),
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("_nt")
+    ).filter(F.col("_nt") >= 2)
+    planned = base.select(
+        F.col(id_col),
+        F.col("_nt").alias("n_tokens"),
+        noise.alias("noise_tokens"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "noise_tokens",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.col("noise_tokens") / F.lit(float(mean_span_len))
+                + F.lit(0.5)
+            ),
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return planned.select(
+        F.col(id_col),
+        "n_tokens",
+        "noise_tokens",
+        "n_spans",
+        (F.col("n_tokens") - F.col("noise_tokens") + F.col("n_spans") + 1)
+        .cast("long")
+        .alias("input_len"),
+        (F.col("noise_tokens") + F.col("n_spans") + 1)
+        .cast("long")
+        .alias("target_len"),
+    )

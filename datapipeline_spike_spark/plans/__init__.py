@@ -98,8 +98,14 @@ _R14_REFRESH = (
     "embedding_topk_cosine",
     "ann_recall_at_k",
     "ivf_recall_at_k",
-    # head fill (next-oldest r10-green)
-    "ann_ivf_flat",
+    # r14 changed-code slot (wave 3): synthetic_mjpeg_mp4's container
+    # assembly was extracted into the shared _mp4_from_jpeg_frames so
+    # the scene-cut synth reuses it — byte-identical output (decode
+    # regression asserted), but the registered video_frame_features
+    # code path changed, so the mechanical contract gives it this
+    # round's re-hash. The fill it displaced (ann_ivf_flat) slides to
+    # the r15 queue front per the documented rule.
+    "video_frame_features",
     # r14 changed-code slot: decode_audio_pcm_features moved from the
     # find(b"data") first-byte-match to the wav_data_offset chunk walk
     # (r14 review — results identical on chunk-clean WAVs, but the
@@ -267,16 +273,37 @@ _NO_ORACLE_PIN = (
 # boilerplate pass also landed (streaming/pipeline.
 # boilerplate_stripped_stream + operators/quality.
 # boilerplate_line_index; batch-twin test in tests/test_streaming.py).
+#
+# WAVE 3 (same file, same gauntlet — differentials + planted
+# properties + plan pins + probes): video_scene_cuts
+# (sources/multimodal.py — scene-gated MJPEG synth via the shared
+# _mp4_from_jpeg_frames assembler, real sample-table walk + baseline
+# JPEG decode, per-frame diff rows, running-cut shots),
+# crawl_frontier_priority (operators/graph.py — pagerank x (1 -
+# dup_rate) / mean_depth at host grain; dup via min-doc_id-per-path
+# broadcast, no data-grain window), anchor_text_stats
+# (operators/graph.py — inbound anchor aggregation, vocabulary-bounded
+# count shuffle + partitioned top-k window), span_corruption_plan
+# (operators/packing.py — T5 denoising length arithmetic, map-only,
+# explicit floor(x+0.5) half-up on both engines). Registration notes:
+# frontier inherits pagerank's BNLJ_OK 1-row crosses; the others need
+# no new allowlist classes (scene cuts rides the PANDAS decode
+# precedent).
 
-# --- r15 queue: the r10-green remainder (26, stale five rounds by
-# r15) then the 16 oldest r11-greens. Head-budget note: queue(42) + 8
+# --- r15 queue: the two displaced r14 fills, the r10-green remainder
+# (26, stale five rounds by r15), then the 14 oldest r11-greens
+# (bm25_ranked_retrieval slid to the r16 queue front when the second
+# r14 changed-code slot landed). Head-budget note: queue(42) + 8
 # staged registrations = 50, leaving ZERO r15 changed-code slots — if
 # any registered-query code changes in r15, slide the queue's tail
 # r11-greens to the r16 queue per the documented rule (they are the
 # freshest names in the queue and tolerate the extra round best). ---
 _QUEUED_FOR_NEXT_HEAD = (
-    # displaced from the r14 head fill by the audio_pcm_features
-    # changed-code slot
+    # displaced from the r14 head fills by the video_frame_features and
+    # audio_pcm_features changed-code slots; to keep queue + 8 staged
+    # == 50 the freshest queue name (bm25_ranked_retrieval, r11-green)
+    # slid to the r16 queue front per the documented rule
+    "ann_ivf_flat",
     "ann_ivf_kmeans",
     # r10-green remainder (26 of 48; ann_ivf_flat took the other r14
     # head fill)
@@ -321,9 +348,10 @@ _QUEUED_FOR_NEXT_HEAD = (
     "image_jpeg_pixel_features",
     "simhash_signatures",
     "bpe_merge_training",
-    # audio_pcm_features left this block for the r14 changed-code head
-    # slot (wav_data_offset fix)
-    "bm25_ranked_retrieval",
+    # audio_pcm_features and video_frame_features left this block for
+    # the r14 changed-code head slots (wav_data_offset fix; shared MP4
+    # assembler); bm25_ranked_retrieval slid to the r16 queue front to
+    # hold the 50-slot r15 budget
 )
 # --- tail: most recently driver-green blocks, oldest first (only the
 # first 50 are hashed; the order documents the next rotations). The

@@ -1374,6 +1374,16 @@ def synthetic_mjpeg_mp4(
         synthetic_jpeg_pattern(seed * 131 + f * 17, width, height)
         for f in range(n_frames)
     ]
+    return _mp4_from_jpeg_frames(frames, width, height, timescale)
+
+
+def _mp4_from_jpeg_frames(
+    frames: list[bytes], width: int, height: int, timescale: int = 1000
+) -> bytes:
+    """Assemble a complete one-track MJPEG MP4 around pre-encoded JPEG
+    frames (shared by the motion-energy and scene-cut synths): full
+    sample table, absolute stco offsets, 40 ms/frame."""
+    n_frames = len(frames)
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     duration = n_frames * 40 * timescale // 1000
 
@@ -2013,4 +2023,147 @@ def audio_vad_segments(media: DataFrame, frame: int = 8, threshold: int = 16384)
     """The composed VAD tier: decode -> frame energies -> segments."""
     return vad_segments(
         decode_audio_frame_energy(media, frame=frame), threshold=threshold
+    )
+
+
+# --- video scene-cut segmentation tier (staged r14 wave 3, register r16+) -----
+
+
+def synthetic_scene_mp4(
+    seed: int, n_frames: int, width: int = 16, height: int = 8,
+    scene_len: int = 3,
+) -> bytes:
+    """Motion-JPEG MP4 with SCENE structure: frame f uses the constant-
+    block pattern seed ``seed * 131 + (f // scene_len) * 37`` — frames
+    inside a scene are pixel-identical (inter-frame diff 0), frames
+    across a scene boundary differ (the cut signal). Same integer-exact
+    JPEG round-trip as :func:`synthetic_mjpeg_mp4`, so a SQL oracle
+    regenerates every decoded pixel from (seed, f//scene_len, block)."""
+    frames = [
+        synthetic_jpeg_pattern(
+            seed * 131 + (f // scene_len) * 37, width, height
+        )
+        for f in range(n_frames)
+    ]
+    return _mp4_from_jpeg_frames(frames, width, height)
+
+
+def scene_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Scene-structured MJPEG videos (16x8, 6 + (doc_id % 2) * 3 frames
+    = 2-3 scenes of 3): the corpus for the scene-cut path."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        synthetic_scene_mp4(
+                            seed=int(d), n_frames=6 + int(d) % 2 * 3
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "video",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def decode_video_frame_diffs(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-grain decode for the scene-cut tier: sample-table walk ->
+    per-frame baseline JPEG decode -> one row per frame with the exact
+    integer |pixel diff| against the PREVIOUS frame (NULL for frame 0).
+    Arrow-batched mapInPandas; malformed containers, undecodable
+    frames, or mid-stream dimension changes contribute no rows."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        fidx: list[int] = []
+        diffs: list[int | None] = []
+
+        def one(media_id: int, payload: bytes) -> None:
+            frames = decode_mjpeg_frames(payload)
+            if not frames:
+                return
+            dims = {(w, h) for w, h, _ in frames}
+            if len(dims) != 1:
+                return
+            prev = None
+            for f, (_, _, px) in enumerate(frames):
+                ids.append(media_id)
+                fidx.append(f)
+                diffs.append(
+                    None
+                    if prev is None
+                    else sum(abs(x - y) for x, y in zip(px, prev))
+                )
+                prev = px
+
+        for pdf in batches:
+            ids.clear(), fidx.clear(), diffs.clear()
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                one(int(mid), payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(fidx, dtype="Int64"),
+                    "diff_energy": pd.array(diffs, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        feats, schema="media_id long, frame_idx long, diff_energy long"
+    )
+
+
+def video_scene_cuts(
+    media: DataFrame, threshold: int = 0
+) -> DataFrame:
+    """Scene-cut segmentation (staged r14 wave 3): a CUT opens at frame
+    0 and at every frame whose decoded |pixel diff| vs the previous
+    frame exceeds ``threshold``; the shot id is the running cut count
+    (one partitioned window), shots roll up by (clip, shot). This is
+    the frame-sampling pass a video corpus pipeline runs before
+    captioning/embedding — sample one frame per SHOT instead of per
+    fixed stride.
+
+    Scale shape mirrors audio VAD: clip-partitioned window + keyed
+    rollup, the decode is the single Arrow stage. Exact integers
+    throughout; mean_diff_energy is the one 6dp division (cut frames
+    only — frame 0's NULL diff never enters). Returns (media_id,
+    shot_idx, start_frame, n_frames, cut_energy) — cut_energy = the
+    diff that OPENED the shot (NULL for shot 0)."""
+    from pyspark.sql import Window
+
+    frames = decode_video_frame_diffs(media)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cut = (F.col("frame_idx") == 0) | (F.col("diff_energy") > threshold)
+    marked = frames.select(
+        "media_id",
+        "frame_idx",
+        "diff_energy",
+        F.sum(cut.cast("long")).over(w).alias("_shot"),
+        cut.alias("_is_cut"),
+    )
+    return (
+        marked.groupBy("media_id", "_shot")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.max(
+                F.when(F.col("_is_cut"), F.col("diff_energy"))
+            ).alias("cut_energy"),
+        )
+        .select(
+            "media_id",
+            (F.col("_shot") - 1).cast("long").alias("shot_idx"),
+            "start_frame",
+            "n_frames",
+            F.col("cut_energy").cast("long").alias("cut_energy"),
+        )
     )

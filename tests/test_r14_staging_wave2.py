@@ -768,3 +768,365 @@ def test_curriculum_plan_windows(spark):
     assert any("HashAggregate" in line for line in lines[win2:]), (
         "unpartitioned window not above the aggregate"
     )
+
+
+# ============================ WAVE 3 =============================
+# Staged later in r14 (register r16+): video_scene_cuts,
+# crawl_frontier_priority, anchor_text_stats, span_corruption_plan —
+# same gauntlet: full DuckDB differential + planted properties.
+
+
+SQL_SCENE_CUTS = """
+    WITH fb AS (
+      SELECT doc_id, f, b,
+             ((doc_id * 131 + (f // 3) * 37) * 11 + b * 29) % 256 AS v
+      FROM (SELECT doc_id, unnest(range(0, 6 + (doc_id % 2) * 3)) AS f
+            FROM documents),
+           (SELECT unnest(range(0, 2)) AS b)
+    ),
+    d AS (
+      SELECT a.doc_id, a.f, sum(64 * abs(a.v - p.v)) AS diff
+      FROM fb a JOIN fb p
+        ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.b = a.b
+      GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT fb.doc_id, fb.f, d.diff
+      FROM (SELECT DISTINCT doc_id, f FROM fb) fb
+      LEFT JOIN d ON d.doc_id = fb.doc_id AND d.f = fb.f
+    ),
+    m AS (
+      SELECT doc_id, f, diff,
+             (f = 0 OR diff > 0) AS is_cut,
+             sum(CASE WHEN f = 0 OR diff > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY f) AS shot
+      FROM fr
+    )
+    SELECT doc_id AS media_id,
+           CAST(shot - 1 AS BIGINT) AS shot_idx,
+           CAST(min(f) AS BIGINT) AS start_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(max(CASE WHEN is_cut THEN diff END) AS BIGINT)
+             AS cut_energy
+    FROM m GROUP BY doc_id, shot
+"""
+
+
+def test_video_scene_cuts_match_duckdb(spark):
+    """Scene-gated MJPEG synth -> REAL sample-table walk + baseline
+    JPEG decode -> per-frame diffs -> running-cut shots, vs a DuckDB
+    replay from the generative (seed, scene, block) pixel formula."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        scene_media_from_documents,
+        video_scene_cuts,
+    )
+
+    got = {
+        (r["media_id"], r["shot_idx"]): r.asDict()
+        for r in video_scene_cuts(
+            scene_media_from_documents(load(spark, SF, "documents"))
+        ).collect()
+    }
+    want = _con().execute(SQL_SCENE_CUTS).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[(w["media_id"], w["shot_idx"])]
+        assert g["start_frame"] == int(w["start_frame"])
+        assert g["n_frames"] == int(w["n_frames"])
+        if w["cut_energy"] != w["cut_energy"]:  # NaN = shot 0
+            assert g["cut_energy"] is None
+        else:
+            assert g["cut_energy"] == int(w["cut_energy"])
+
+
+def test_video_scene_cuts_planted(spark):
+    """3-frame scenes produce exactly n_frames/3 shots of 3 (when every
+    boundary actually changes pixels — replayed in pure Python); a
+    constant video is ONE shot; a truncated payload contributes no
+    rows."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        scene_media_from_documents,
+        synthetic_scene_mp4,
+        video_scene_cuts,
+    )
+
+    seeds = [4, 9]
+    media = scene_media_from_documents(
+        load(spark, SF, "documents").filter(F.col("doc_id").isin(seeds))
+    )
+    got = sorted(
+        (r["media_id"], r["shot_idx"], r["start_frame"], r["n_frames"])
+        for r in video_scene_cuts(media).collect()
+    )
+    want = []
+    for s in seeds:
+        n = 6 + s % 2 * 3
+        shots = 0
+        for f in range(n):
+            if f == 0 or (
+                f % 3 == 0
+                # boundary diff > 0 iff the two scene pattern values
+                # differ in at least one block
+                and any(
+                    ((s * 131 + (f // 3) * 37) * 11 + b * 29) % 256
+                    != ((s * 131 + (f // 3 - 1) * 37) * 11 + b * 29) % 256
+                    for b in range(2)
+                )
+            ):
+                shots += 1
+                want.append((s, shots - 1, f, 3))
+    assert got == sorted(want)
+
+    one_shot = spark.createDataFrame(
+        [(7, synthetic_scene_mp4(7, 6, scene_len=6), "video")],
+        "media_id long, payload binary, media_type string",
+    )
+    rows = video_scene_cuts(one_shot).collect()
+    assert len(rows) == 1 and rows[0]["n_frames"] == 6
+    truncated = spark.createDataFrame(
+        [(8, synthetic_scene_mp4(8, 6)[:64], "video")],
+        "media_id long, payload binary, media_type string",
+    )
+    assert video_scene_cuts(truncated).count() == 0
+
+
+# --- crawl_frontier_priority ----------------------------------------------------
+
+SQL_FRONTIER = f"""
+    WITH {_SQL_PR_GRAPH},
+    {_sql_pr_iter(3)},
+    pr AS (SELECT b.host, round(r3.rank, 6) AS pagerank
+           FROM b JOIN r3 USING (host)),
+    pages AS (SELECT doc_id % 64 AS host, doc_id % 40 AS path,
+                     doc_id AS id, CAST(1 + doc_id % 4 AS DOUBLE) AS depth
+              FROM documents),
+    fs AS (SELECT host, path, min(id) AS first FROM pages GROUP BY 1, 2),
+    fl AS (SELECT p.host, p.depth,
+                  CASE WHEN p.id != fs.first THEN 1 ELSE 0 END AS dup
+           FROM pages p JOIN fs USING (host, path)),
+    sig AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+                   round(sum(dup) * 1.0 / count(*), 6) AS dup_rate,
+                   round(avg(depth), 6) AS mean_depth
+            FROM fl GROUP BY 1)
+    SELECT pr.host, pr.pagerank, sig.n_pages, sig.dup_rate,
+           sig.mean_depth,
+           round(pr.pagerank * (1 - sig.dup_rate) / sig.mean_depth, 6)
+             AS priority
+    FROM pr JOIN sig USING (host)
+"""
+
+
+def test_crawl_frontier_priority_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.graph import (
+        crawl_frontier_priority,
+    )
+
+    got = {
+        r["host"]: r.asDict()
+        for r in crawl_frontier_priority(
+            load(spark, SF, "documents")
+        ).collect()
+    }
+    want = _con().execute(SQL_FRONTIER).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[w["host"]]
+        assert g["n_pages"] == int(w["n_pages"])
+        for c in ("pagerank", "dup_rate", "mean_depth", "priority"):
+            assert g[c] == pytest.approx(w[c], abs=1.5e-6), c
+
+
+def test_crawl_frontier_internal_consistency(spark):
+    """priority recomputes from the row's own published columns; dup
+    rate stays in [0, 1) (a host's first page is never a dup); depth
+    in [1, 4]."""
+    from datapipeline_spike_spark.operators.graph import (
+        crawl_frontier_priority,
+    )
+
+    rows = crawl_frontier_priority(load(spark, SF, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] < 1.0
+        assert 1.0 <= r["mean_depth"] <= 4.0
+        # Spark round() is HALF_UP; replay it explicitly (Python round
+        # is banker's and flips exact .5e-6 boundaries)
+        import math
+
+        x = r["pagerank"] * (1 - r["dup_rate"]) / r["mean_depth"]
+        assert r["priority"] == pytest.approx(
+            math.floor(x * 1e6 + 0.5) / 1e6, abs=1e-9
+        )
+
+
+# --- anchor_text_stats ----------------------------------------------------------
+
+SQL_ANCHORS = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS toks
+               FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+    l AS (
+      SELECT (doc_id * doc_id + j * 13 + 1) % 64 AS host,
+             toks[CAST((doc_id + j) % nt AS INT) + 1] AS anchor
+      FROM b, (SELECT unnest(range(0, 3)) AS j)
+    ),
+    c AS (SELECT host, anchor, CAST(count(*) AS BIGINT) AS n_links
+          FROM l GROUP BY 1, 2)
+    SELECT host, anchor, n_links, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY host
+              ORDER BY n_links DESC, anchor) AS rank FROM c)
+    WHERE rank <= 3
+"""
+
+
+def test_anchor_text_stats_match_duckdb(spark):
+    from datapipeline_spike_spark.operators.graph import anchor_text_stats
+
+    got = {
+        (r["host"], r["rank"]): r.asDict()
+        for r in anchor_text_stats(load(spark, SF, "documents")).collect()
+    }
+    want = _con().execute(SQL_ANCHORS).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[(w["host"], w["rank"])]
+        assert g["anchor"] == w["anchor"]
+        assert g["n_links"] == int(w["n_links"])
+
+
+def test_anchor_text_planted(spark):
+    """Hand corpus: every link from doc 8 carries a known token; ranks
+    are 1..k with the count-desc/anchor-asc total order."""
+    from datapipeline_spike_spark.operators.graph import anchor_text_stats
+
+    # doc 8: toks = [alpha, beta, gamma]; links j=0,1,2 -> anchors
+    # toks[(8+j) % 3 + 1] = toks[2+1]=gamma, toks[0+1]=alpha, toks[1+1]=beta
+    df = spark.createDataFrame(
+        [(8, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["host"], r["anchor"], r["n_links"], r["rank"])
+        for r in anchor_text_stats(df).collect()
+    )
+    hosts = [(8 * 8 + j * 13 + 1) % 64 for j in range(3)]
+    assert rows == sorted(
+        [
+            (hosts[0], "gamma", 1, 1),
+            (hosts[1], "alpha", 1, 1),
+            (hosts[2], "beta", 1, 1),
+        ]
+    )
+
+
+# --- span_corruption_plan -------------------------------------------------------
+
+SQL_SPAN_PLAN = f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len({_SQL_TOKS.format(c='text')}) AS BIGINT)
+                        AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens FROM t WHERE n_tokens >= 2),
+    p1 AS (SELECT doc_id, n_tokens,
+                  CAST(greatest(1, least(
+                      floor(n_tokens * 0.15 + 0.5), n_tokens - 1))
+                    AS BIGINT) AS noise_tokens
+           FROM b),
+    p2 AS (SELECT *, CAST(greatest(1,
+                  floor(noise_tokens / 3.0 + 0.5)) AS BIGINT) AS n_spans
+           FROM p1)
+    SELECT doc_id, n_tokens, noise_tokens, n_spans,
+           CAST(n_tokens - noise_tokens + n_spans + 1 AS BIGINT)
+             AS input_len,
+           CAST(noise_tokens + n_spans + 1 AS BIGINT) AS target_len
+    FROM p2
+"""
+
+
+def test_span_corruption_plan_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.packing import (
+        span_corruption_plan,
+    )
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in span_corruption_plan(load(spark, SF, "documents")).collect()
+    }
+    want = _con().execute(SQL_SPAN_PLAN).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[w["doc_id"]]
+        for c in ("n_tokens", "noise_tokens", "n_spans", "input_len",
+                  "target_len"):
+            assert g[c] == int(w[c]), c
+
+
+def test_span_corruption_hand_cases(spark):
+    """The documented arithmetic on pinned cases, incl. both clamps:
+    n=10 -> noise 2, spans 1, input 10, target 4; n=2 -> the noise
+    floor clamps up to 1 and the span floor to 1 (input 3, target 3);
+    a 1-token doc is dropped."""
+    from datapipeline_spike_spark.operators.packing import (
+        span_corruption_plan,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),
+            (2, "a b"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_corruption_plan(df).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1["noise_tokens"], r1["n_spans"], r1["input_len"],
+            r1["target_len"]) == (2, 1, 10, 4)
+    r2 = got[2]
+    assert (r2["noise_tokens"], r2["n_spans"], r2["input_len"],
+            r2["target_len"]) == (1, 1, 3, 3)
+
+
+def test_wave3_plan_shapes(spark):
+    """Wave-3 pins: scene cuts = one Arrow decode + a partitioned
+    window, no joins; frontier = keyed joins only (no cartesian, no
+    Python, no data-grain window); anchors = partitioned window on the
+    aggregated grain, no Python; span plan = strictly map-only."""
+    from datapipeline_spike_spark.operators.graph import (
+        anchor_text_stats,
+        crawl_frontier_priority,
+    )
+    from datapipeline_spike_spark.operators.packing import (
+        span_corruption_plan,
+    )
+    from datapipeline_spike_spark.sources.multimodal import (
+        scene_media_from_documents,
+        video_scene_cuts,
+    )
+
+    docs = load(spark, SF, "documents")
+
+    scene = _plan_of(video_scene_cuts(scene_media_from_documents(docs)))
+    assert "MapInPandas" in scene and "BatchEvalPython" not in scene
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in scene, node
+    assert all(g >= 3 for g in _window_groups(scene))
+
+    frontier = _plan_of(crawl_frontier_priority(docs))
+    assert "CartesianProduct" not in frontier
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Window"):
+        assert node not in frontier, node
+
+    anchors = _plan_of(anchor_text_stats(docs))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in anchors, node
+    groups = _window_groups(anchors)
+    assert groups and all(g >= 3 for g in groups)
+
+    span = _plan_of(span_corruption_plan(docs))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct", "Window"):
+        assert node not in span, node

@@ -1116,3 +1116,53 @@ def test_audio_decoders_survive_list_chunk_containing_data_text(spark):
     fp = {r["media_id"]: r for r in decode_audio_fingerprint(df).collect()}
     assert fp[2]["fp_w0"] == fp[1]["fp_w0"] is not None
     assert fp[2]["fp_w1"] == fp[1]["fp_w1"]
+
+
+def test_frame_grain_decoders_fuzz_contract(spark):
+    """r14 wave-2/3 frame-grain decoders (VAD frame energy, scene-cut
+    frame diffs) under the same fuzz contract: byte-mutants must decode
+    (fully or not at all — these emit 0..n_frames rows per clip), never
+    raise out of the Arrow batch; and the full segmentation operators
+    built on them must survive the same corpus."""
+    import random
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_vad_segments,
+        decode_audio_frame_energy,
+        decode_video_frame_diffs,
+        synthetic_scene_mp4,
+        synthetic_wav_vad,
+        video_scene_cuts,
+    )
+
+    rng = random.Random(77)
+
+    def mutants(blob: bytes, n: int = 60) -> list[tuple[int, bytearray]]:
+        rows = [(0, bytearray(blob))]
+        for i in range(1, n):
+            m = bytearray(blob)
+            if i % 5 == 0:
+                m = m[: rng.randrange(1, len(m))]
+            else:
+                for _ in range(rng.randint(1, 6)):
+                    m[rng.randrange(len(m))] = rng.randrange(256)
+            rows.append((i, m))
+        return rows
+
+    for decoder, op, blob, max_frames in (
+        (decode_audio_frame_energy, audio_vad_segments,
+         synthetic_wav_vad(5, 96), 12),
+        (decode_video_frame_diffs, video_scene_cuts,
+         synthetic_scene_mp4(7, 6), 6),
+    ):
+        df = spark.createDataFrame(
+            mutants(blob), "media_id long, payload binary"
+        )
+        frames = decoder(df).collect()  # must not raise
+        per_clip: dict[int, int] = {}
+        for r in frames:
+            per_clip[r["media_id"]] = per_clip.get(r["media_id"], 0) + 1
+        assert all(v <= max_frames for v in per_clip.values())
+        # the intact original always decodes fully
+        assert per_clip.get(0) == max_frames
+        op(df.withColumn("media_type", F.lit("x"))).collect()  # must not raise

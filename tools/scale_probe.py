@@ -1359,15 +1359,22 @@ def r14wave2_stress(spark, amp: int) -> None:
         license_detect_profile,
     )
     from datapipeline_spike_spark.operators.graph import (
+        anchor_text_stats,
+        crawl_frontier_priority,
         host_link_graph,
         pagerank,
+    )
+    from datapipeline_spike_spark.operators.packing import (
+        span_corruption_plan,
     )
     from datapipeline_spike_spark.operators.similarity import (
         matryoshka_recall,
     )
     from datapipeline_spike_spark.sources.multimodal import (
         audio_vad_segments,
+        scene_media_from_documents,
         vad_media_from_documents,
+        video_scene_cuts,
     )
 
     for a in (1, amp):
@@ -1395,6 +1402,17 @@ def r14wave2_stress(spark, amp: int) -> None:
              drows),
             ("curriculum_phase_plan",
              lambda: curriculum_phase_plan(docs), drows),
+            # wave 3
+            ("video_scene_cuts",
+             lambda: video_scene_cuts(scene_media_from_documents(docs)),
+             drows),
+            ("crawl_frontier_priority",
+             lambda: crawl_frontier_priority(docs, n_hosts=n_hosts),
+             drows),
+            ("anchor_text_stats",
+             lambda: anchor_text_stats(docs, n_hosts=n_hosts), drows),
+            ("span_corruption_plan",
+             lambda: span_corruption_plan(docs), drows),
         ):
             secs = probe(name, builder)
             print(json.dumps({"probe": name, "amp": a, "docs": rows,
