@@ -292,3 +292,56 @@ def anchor_text_stats(
         .filter(F.col("rank") <= int(top_k))
         .select("host", "anchor", "n_links", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (staged r14 wave 4; Raghavan 2007,
+    the LPA variant GraphX ships): every vertex starts as its own
+    label; each of ``n_iter`` rounds, a vertex adopts the label most
+    frequent among its UNDIRECTED neighbors, ties broken by SMALLEST
+    label (the deterministic tie rule that makes synchronous LPA
+    engine-replayable — random tie-breaking is why reference
+    implementations disagree). Community detection at web scale is the
+    spam-farm / mirror-cluster signal a crawl pipeline reads next to
+    PageRank: link farms collapse into one community.
+
+    Exact arithmetic throughout: labels are vertex ids (longs), the
+    argmax is (count desc, label asc) on integer counts — a DuckDB
+    oracle replays every round bit-for-bit. Scale shape: per round ONE
+    keyed join (undirected edge list ⋈ labels on the neighbor key) and
+    ONE two-level aggregate ((vertex, label) counts -> per-vertex
+    argmax via max_by on the (count, -label) pair — no window); the
+    label frame is vertex-grain, broadcastable under AQE when small.
+
+    Returns (host, community, n_members is NOT emitted — community
+    sizes are a trivial downstream groupBy; keeping the vertex grain
+    makes the result joinable back to pages)."""
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (
+        und.select(F.col("a").alias("host"))
+        .distinct()
+        .select("host", F.col("host").alias("label"))
+    )
+    for _ in range(int(n_iter)):
+        neigh = und.join(
+            labels.select(F.col("host").alias("b"), "label"), "b"
+        ).select("a", "label")
+        counts = neigh.groupBy("a", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        # argmax (count desc, label asc) without a window: max_by over
+        # the orderable struct (count, -label) — exact integers
+        labels = counts.groupBy("a").agg(
+            F.max_by("label", F.struct(F.col("_c"), -F.col("label"))).alias(
+                "label"
+            )
+        ).select(F.col("a").alias("host"), "label")
+    return labels.select("host", F.col("label").alias("community"))

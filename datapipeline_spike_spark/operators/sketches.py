@@ -114,3 +114,61 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .otherwise((n - F.lit(1.0)) / F.max("u"))
         .alias("kmv_estimate"),
     )
+
+
+def minhash_band_tuning(
+    spark,
+    n_hashes: int = 128,
+    s_step: float = 0.05,
+) -> "DataFrame":
+    """MinHash-LSH banding design table (staged r14 wave 4; Leskovec/
+    Rajaraman/Ullman ch.3 S-curve analysis) — the measure-don't-guess
+    companion the LSH operators cite when picking (bands, rows): for
+    every (b, r) factorization of ``n_hashes`` and every similarity s
+    on the ``s_step`` grid,
+
+        p_candidate     = 1 - (1 - s^r)^b
+        approx_threshold = (1/b)^(1/r)   (the S-curve inflection)
+
+    An operator owner reads this table to choose the banding whose
+    threshold brackets the dedup target before trusting
+    lsh_candidate_pairs at scale. Pure in-plan arithmetic over a
+    generated grid (sum of divisors x grid rows — tens of rows, no
+    input table); pow/exp differences between engines are ~1 ulp,
+    absorbed by the house 6dp rounding.
+
+    Returns (n_hashes, bands, rows_per_band, s, p_candidate,
+    approx_threshold)."""
+    bs = [b for b in range(1, int(n_hashes) + 1) if n_hashes % b == 0]
+    n_steps = int(round(1.0 / s_step)) - 1
+    grid = spark.range(1, n_steps + 1).select(
+        (F.col("id") * F.lit(float(s_step))).alias("s")
+    )
+    factor = spark.createDataFrame(
+        [(int(n_hashes), b, int(n_hashes) // b) for b in bs],
+        "n_hashes long, bands long, rows_per_band long",
+    )
+    return (
+        factor.crossJoin(grid)
+        .select(
+            "n_hashes",
+            "bands",
+            "rows_per_band",
+            F.round("s", 6).alias("s"),
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow("s", F.col("rows_per_band")),
+                    F.col("bands"),
+                ),
+                6,
+            ).alias("p_candidate"),
+            F.round(
+                F.pow(
+                    F.lit(1.0) / F.col("bands"),
+                    F.lit(1.0) / F.col("rows_per_band"),
+                ),
+                6,
+            ).alias("approx_threshold"),
+        )
+    )

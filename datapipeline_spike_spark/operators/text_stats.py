@@ -655,3 +655,78 @@ def char_entropy_profile(
             ).alias("entropy_norm"),
         )
     )
+
+
+def vocab_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard (staged r14 wave 4) — the
+    data-mixing diagnostic read next to source_overlap_matrix: that
+    operator measures shared DOCUMENTS, this one shared LANGUAGE. Two
+    sources whose top-``vocab_size`` vocabularies barely overlap
+    contribute genuinely different text (worth separate mixture
+    weights); near-identical vocabularies suggest the same upstream
+    crawl wearing two labels.
+
+    Per source the top-V tokens under the oov_rate_profile boundary
+    discipline (count desc, token asc — a TOTAL order, so the V-th
+    slot never differs between engines). Scale shape: one tokenize
+    pass, (source, token) counts, per-source top-V via a PARTITIONED
+    rank window on the aggregated (vocabulary-bounded) grain, then a
+    token-keyed self-join of the (sources x V)-row vocab frame —
+    bounded by construction, broadcastable at any corpus size.
+
+    Returns one row per unordered source pair (source_a < source_b):
+    (source_a, source_b, v_a, v_b, n_common, jaccard r6)."""
+    from datapipeline_spike_spark.functions.text import tokens as tok_fn
+
+    counts = (
+        fan_out(docs)
+        .select(
+            F.col(source_col).alias("_src"),
+            F.explode(tok_fn(text_col)).alias("_t"),
+        )
+        .groupBy("_src", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("_src").orderBy(F.desc("_c"), F.asc("_t"))
+    vocab = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(vocab_size))
+        .select("_src", "_t")
+    )
+    sizes = vocab.groupBy("_src").agg(F.count(F.lit(1)).alias("_v"))
+    inter = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "_t")
+        .filter(F.col("a._src") < F.col("b._src"))
+        .groupBy(F.col("a._src").alias("source_a"), F.col("b._src").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("_src").alias("source_a"), F.col("_v").alias("_va")
+    )
+    sb = sizes.select(
+        F.col("_src").alias("source_b"), F.col("_v").alias("_vb")
+    )
+    # all-pairs frame so zero-overlap pairs still appear (inter alone
+    # drops them); sources x sources is bounded
+    pairs = sa.crossJoin(sb).filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("_va").cast("long").alias("v_a"),
+            F.col("_vb").cast("long").alias("v_b"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("_va") + F.col("_vb") - F.coalesce("n_common", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -289,6 +289,18 @@ _NO_ORACLE_PIN = (
 # frontier inherits pagerank's BNLJ_OK 1-row crosses; the others need
 # no new allowlist classes (scene cuts rides the PANDAS decode
 # precedent).
+#
+# WAVE 4 (same file, same gauntlet): label_propagation_communities
+# (operators/graph.py — synchronous LPA, smallest-label ties, per
+# round one keyed join + a max_by argmax with NO window; the spam-farm
+# companion to pagerank), vocab_overlap_matrix
+# (operators/text_stats.py — pairwise source top-V vocabulary Jaccard,
+# partitioned rank window on the vocabulary grain, bounded
+# sources x sources pair cross), minhash_band_tuning
+# (operators/sketches.py — the LSH S-curve design table over every
+# (bands, rows) factorization; pure generated-grid projection, no
+# input table; its queries() entry would take (spark, sf_dir) and
+# ignore sf_dir — precedent for analytic tables).
 
 # --- r15 queue: the two displaced r14 fills, the r10-green remainder
 # (26, stale five rounds by r15), then the 14 oldest r11-greens

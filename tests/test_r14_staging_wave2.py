@@ -1130,3 +1130,260 @@ def test_wave3_plan_shapes(spark):
                  "SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct", "Window"):
         assert node not in span, node
+
+
+# ============================ WAVE 4 =============================
+# label_propagation_communities, vocab_overlap_matrix,
+# minhash_band_tuning — same gauntlet.
+
+
+def _sql_lpa(k: int) -> str:
+    parts = [
+        """u AS (SELECT src AS a, dst AS b FROM e
+                 UNION SELECT dst, src FROM e),
+           l0 AS (SELECT DISTINCT a AS host, a AS label FROM u)"""
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"""n{i} AS (SELECT u.a, l.label, count(*) AS c
+                 FROM u JOIN l{p} l ON u.b = l.host GROUP BY 1, 2),
+               l{i} AS (SELECT a AS host, label FROM
+                 (SELECT a, label, row_number() OVER (PARTITION BY a
+                    ORDER BY c DESC, label ASC) AS rn FROM n{i})
+                 WHERE rn = 1)"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_LPA = f"""
+    WITH {_SQL_PR_GRAPH},
+    {_sql_lpa(3)}
+    SELECT host, label AS community FROM l3
+"""
+
+
+def test_label_propagation_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        label_propagation_communities,
+    )
+
+    got = {
+        r["host"]: r["community"]
+        for r in label_propagation_communities(
+            host_link_graph(load(spark, SF, "documents"))
+        ).collect()
+    }
+    want = _con().execute(SQL_LPA).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        assert got[w["host"]] == w["community"], w["host"]
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two disjoint triangles each collapse to their min vertex id; the
+    synchronous rounds replay a pure-Python reference on a path
+    graph (deterministic smallest-label ties)."""
+    from datapipeline_spike_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(tri, "src long, dst long")
+    got = {
+        r["host"]: r["community"]
+        for r in label_propagation_communities(df).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+    path = [(1, 2), (2, 3), (3, 4)]
+    pdf = spark.createDataFrame(path, "src long, dst long")
+    und = set()
+    for a, b in path:
+        und.add((a, b))
+        und.add((b, a))
+    labels = {v: v for v in {x for e in und for x in e}}
+    for _ in range(3):
+        counts: dict = {}
+        for a, b in und:
+            counts.setdefault(a, {})
+            lab = labels[b]
+            counts[a][lab] = counts[a].get(lab, 0) + 1
+        labels = {
+            a: min(
+                (lab for lab in cs if cs[lab] == max(cs.values()))
+            )
+            for a, cs in counts.items()
+        }
+    got2 = {
+        r["host"]: r["community"]
+        for r in label_propagation_communities(pdf).collect()
+    }
+    assert got2 == labels
+
+
+# --- vocab_overlap_matrix -------------------------------------------------------
+
+SQL_VOCAB_OVERLAP = f"""
+    WITH c AS (
+      SELECT source, t, count(*) AS c
+      FROM (SELECT source, unnest({_SQL_TOKS.format(c='text')}) AS t
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    v AS (SELECT source, t FROM
+            (SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY c DESC, t ASC) AS r FROM c)
+          WHERE r <= 256),
+    sz AS (SELECT source, count(*) AS v FROM v GROUP BY 1),
+    i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n
+          FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           CAST(sa.v AS BIGINT) AS v_a, CAST(sb.v AS BIGINT) AS v_b,
+           CAST(coalesce(i.n, 0) AS BIGINT) AS n_common,
+           round(coalesce(i.n, 0) * 1.0
+                 / (sa.v + sb.v - coalesce(i.n, 0)), 6) AS jaccard
+    FROM sz sa CROSS JOIN sz sb
+    LEFT JOIN i ON i.sa = sa.source AND i.sb = sb.source
+    WHERE sa.source < sb.source
+"""
+
+
+def test_vocab_overlap_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.text_stats import (
+        vocab_overlap_matrix,
+    )
+
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in vocab_overlap_matrix(load(spark, SF, "documents")).collect()
+    }
+    want = _con().execute(SQL_VOCAB_OVERLAP).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[(w["source_a"], w["source_b"])]
+        assert g["v_a"] == int(w["v_a"]) and g["v_b"] == int(w["v_b"])
+        assert g["n_common"] == int(w["n_common"])
+        assert g["jaccard"] == pytest.approx(w["jaccard"], abs=1.5e-6)
+
+
+def test_vocab_overlap_planted(spark):
+    """Hand corpus: sources sharing half their vocab score 1/3
+    (2 common / 6 union); a disjoint pair still appears with 0."""
+    from datapipeline_spike_spark.operators.text_stats import (
+        vocab_overlap_matrix,
+    )
+
+    rows = [
+        (1, "a1", "alpha beta gamma delta"),
+        (2, "b2", "gamma delta epsilon zeta"),
+        (3, "c3", "eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in vocab_overlap_matrix(df, vocab_size=4).collect()
+    }
+    assert len(got) == 3
+    ab = got[("a1", "b2")]
+    assert (ab["n_common"], ab["jaccard"]) == (2, pytest.approx(1 / 3, abs=1e-6))
+    assert got[("a1", "c3")]["n_common"] == 0
+    assert got[("a1", "c3")]["jaccard"] == 0.0
+
+
+# --- minhash_band_tuning --------------------------------------------------------
+
+SQL_BAND_TUNING = """
+    SELECT CAST(128 AS BIGINT) AS n_hashes,
+           CAST(b.bands AS BIGINT) AS bands,
+           CAST(128 // b.bands AS BIGINT) AS rows_per_band,
+           round(i * 0.05, 6) AS s,
+           round(1 - power(1 - power(i * 0.05, 128 // b.bands), b.bands), 6)
+             AS p_candidate,
+           round(power(1.0 / b.bands, 1.0 / (128 // b.bands)), 6)
+             AS approx_threshold
+    FROM (SELECT unnest(range(1, 129)) AS bands) b,
+         (SELECT unnest(range(1, 20)) AS i)
+    WHERE 128 % b.bands = 0
+"""
+
+
+def test_minhash_band_tuning_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.sketches import (
+        minhash_band_tuning,
+    )
+
+    got = {
+        (r["bands"], r["s"]): r.asDict()
+        for r in minhash_band_tuning(spark, n_hashes=128).collect()
+    }
+    want = _con().execute(SQL_BAND_TUNING).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[(w["bands"], w["s"])]
+        assert g["rows_per_band"] == int(w["rows_per_band"])
+        assert g["p_candidate"] == pytest.approx(w["p_candidate"], abs=1.5e-6)
+        assert g["approx_threshold"] == pytest.approx(
+            w["approx_threshold"], abs=1.5e-6
+        )
+
+
+def test_minhash_band_tuning_analytic_properties(spark):
+    """The S-curve sanity anchors: b=1 -> p = s^n; r=1 (b=n) ->
+    p = 1-(1-s)^n; p monotone in s for every factorization; the
+    registered LSH default's threshold lands where its docstring
+    claims."""
+    from datapipeline_spike_spark.operators.sketches import (
+        minhash_band_tuning,
+    )
+
+    rows = minhash_band_tuning(spark, n_hashes=16).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bands"], []).append(r)
+    for b, rs in by.items():
+        rs.sort(key=lambda r: r["s"])
+        ps = [r["p_candidate"] for r in rs]
+        assert ps == sorted(ps), f"p not monotone for bands={b}"
+    one = {r["s"]: r["p_candidate"] for r in by[1]}
+    assert one[0.5] == pytest.approx(round(0.5**16, 6), abs=1e-6)
+    full = {r["s"]: r["p_candidate"] for r in by[16]}
+    assert full[0.5] == pytest.approx(round(1 - 0.5**16, 6), abs=1e-6)
+
+
+def test_wave4_plan_shapes(spark):
+    """Wave-4 pins: LPA rounds are keyed joins + two-level aggregates
+    (no windows, no cartesian, no Python); vocab overlap's rank window
+    is PARTITIONED and its only cross is the bounded sources x sources
+    pair frame; band tuning is a pure generated-grid projection."""
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        label_propagation_communities,
+    )
+    from datapipeline_spike_spark.operators.sketches import (
+        minhash_band_tuning,
+    )
+    from datapipeline_spike_spark.operators.text_stats import (
+        vocab_overlap_matrix,
+    )
+
+    docs = load(spark, SF, "documents")
+
+    lpa = _plan_of(label_propagation_communities(host_link_graph(docs)))
+    assert "CartesianProduct" not in lpa
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Window"):
+        assert node not in lpa, node
+
+    vo = _plan_of(vocab_overlap_matrix(docs))
+    assert "CartesianProduct" not in vo
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in vo, node
+    assert all(g >= 3 for g in _window_groups(vo))
+
+    bt = _plan_of(minhash_band_tuning(spark))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "SortMergeJoin", "Window", "CartesianProduct"):
+        assert node not in bt, node

@@ -1362,7 +1362,11 @@ def r14wave2_stress(spark, amp: int) -> None:
         anchor_text_stats,
         crawl_frontier_priority,
         host_link_graph,
+        label_propagation_communities,
         pagerank,
+    )
+    from datapipeline_spike_spark.operators.text_stats import (
+        vocab_overlap_matrix,
     )
     from datapipeline_spike_spark.operators.packing import (
         span_corruption_plan,
@@ -1413,6 +1417,12 @@ def r14wave2_stress(spark, amp: int) -> None:
              lambda: anchor_text_stats(docs, n_hosts=n_hosts), drows),
             ("span_corruption_plan",
              lambda: span_corruption_plan(docs), drows),
+            # wave 4
+            ("label_propagation",
+             lambda: label_propagation_communities(
+                 host_link_graph(docs, n_hosts=n_hosts)), drows),
+            ("vocab_overlap_matrix",
+             lambda: vocab_overlap_matrix(docs), drows),
         ):
             secs = probe(name, builder)
             print(json.dumps({"probe": name, "amp": a, "docs": rows,
