@@ -149,8 +149,10 @@ def host_link_graph(
     corpus (the registered-query corpus for :func:`pagerank`, the
     synth-plant house pattern — url_host_dedup's integer-arithmetic
     URL derivation, audio_pcm_features' patterned waveform): each doc
-    lives on host ``doc_id % n_hosts`` and links to ``links_per_doc``
-    hosts at ``(doc_id*doc_id + j*13 + 1) % n_hosts``; self-loops
+    lives on host ``h = doc_id % n_hosts`` and links to ``links_per_doc``
+    hosts at ``(h*h + j*13 + 1) % n_hosts`` (the residue is squared —
+    same value mod n_hosts as doc_id^2, without the int64 overflow a
+    raw square hits past doc_id ~ 3e9); self-loops
     drop. The QUADRATIC dst term concentrates in-links on quadratic
     residues, so the graph has realistic authority skew and (at small
     corpora) genuinely dangling hosts — both code paths exercise.
@@ -159,9 +161,12 @@ def host_link_graph(
     j = F.explode(
         F.sequence(F.lit(0), F.lit(int(links_per_doc) - 1))
     ).alias("_j")
-    e = docs.select(F.col(id_col).alias("_id"), j).select(
-        (F.col("_id") % n_hosts).alias("src"),
-        ((F.col("_id") * F.col("_id") + F.col("_j") * 13 + 1) % n_hosts).alias(
+    # square the RESIDUE, not the raw id: (d % n)^2 = d^2 (mod n), but
+    # d^2 itself overflows int64 past d ~ 3e9 (negative hosts on Spark,
+    # a range error on the DuckDB replay)
+    e = docs.select((F.col(id_col) % n_hosts).alias("_r"), j).select(
+        F.col("_r").alias("src"),
+        ((F.col("_r") * F.col("_r") + F.col("_j") * 13 + 1) % n_hosts).alias(
             "dst"
         ),
     )
@@ -273,9 +278,14 @@ def anchor_text_stats(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
     ).filter(F.size("_toks") > 0)
     links = base.select("_id", "_toks", j).select(
-        ((F.col("_id") * F.col("_id") + F.col("_j") * 13 + 1) % n_hosts).alias(
-            "host"
-        ),
+        (
+            (
+                (F.col("_id") % n_hosts) * (F.col("_id") % n_hosts)
+                + F.col("_j") * 13
+                + 1
+            )
+            % n_hosts
+        ).alias("host"),
         F.element_at(
             "_toks",
             ((F.col("_id") + F.col("_j")) % F.size("_toks") + 1).cast("int"),

@@ -1605,9 +1605,16 @@ def matryoshka_recall(
     top-k x top-k frame. Returns one row per (m_dims, query) with
     n_exact / n_hits / recall_at_k (6dp).
     """
-    full = brute_force_topk(
-        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
+    # eager-checkpoint the full-width exact top-k: it is joined into
+    # EVERY per-width union branch, and union branches share no
+    # subtrees (the bm25/ivfpq shared-frame rule) — without this the
+    # most expensive scan in the operator re-runs len(dims) times. The
+    # materialized frame is only k x |queries| rows.
+    full = (
+        brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     out: DataFrame | None = None
     for m in dims:
         tc = corpus.select(

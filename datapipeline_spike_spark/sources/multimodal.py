@@ -2134,8 +2134,8 @@ def video_scene_cuts(
 
     Scale shape mirrors audio VAD: clip-partitioned window + keyed
     rollup, the decode is the single Arrow stage. Exact integers
-    throughout; mean_diff_energy is the one 6dp division (cut frames
-    only — frame 0's NULL diff never enters). Returns (media_id,
+    throughout — no float column anywhere (frame 0's NULL diff opens
+    shot 0 without entering any arithmetic). Returns (media_id,
     shot_idx, start_frame, n_frames, cut_energy) — cut_energy = the
     diff that OPENED the shot (NULL for shot 0)."""
     from pyspark.sql import Window

@@ -34,9 +34,10 @@ def _con():
 _SQL_PR_GRAPH = """
     e AS (
       SELECT DISTINCT doc_id % 64 AS src,
-             (doc_id * doc_id + j * 13 + 1) % 64 AS dst
+             ((doc_id % 64) * (doc_id % 64) + j * 13 + 1) % 64 AS dst
       FROM documents, (SELECT unnest(range(0, 3)) AS j)
-      WHERE doc_id % 64 != (doc_id * doc_id + j * 13 + 1) % 64
+      WHERE doc_id % 64
+            != ((doc_id % 64) * (doc_id % 64) + j * 13 + 1) % 64
     ),
     v AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
     od AS (SELECT src AS host, count(*) AS outd FROM e GROUP BY 1),
@@ -966,7 +967,7 @@ SQL_ANCHORS = f"""
                FROM documents),
     b AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
     l AS (
-      SELECT (doc_id * doc_id + j * 13 + 1) % 64 AS host,
+      SELECT ((doc_id % 64) * (doc_id % 64) + j * 13 + 1) % 64 AS host,
              toks[CAST((doc_id + j) % nt AS INT) + 1] AS anchor
       FROM b, (SELECT unnest(range(0, 3)) AS j)
     ),

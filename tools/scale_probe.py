@@ -859,7 +859,7 @@ def main() -> None:
         return
     if mode == "r14staged":
         r14staged_stress(spark, n)
-
+        return
     if mode == "r14wave2":
         r14wave2_stress(spark, n)
         return
@@ -1342,15 +1342,24 @@ def r14staged_stress(spark, amp: int) -> None:
 
 
 def r14wave2_stress(spark, amp: int) -> None:
-    """1x/``amp``x rows for the r14 WAVE-2 staged operators (register
-    r16): pagerank_host_authority (per-iteration edge-join + keyed
-    aggregate — the host universe scales WITH the corpus here, the
-    documented posture: a fixed-size graph would collapse under
-    distinct()), code/license detect (map-only regex batteries),
-    matryoshka_recall (two brute-force widths over a broadcast query
-    set), audio_vad_segments (mapInPandas decode + per-clip windows),
-    and curriculum_phase_plan (per-source window + bounded plan
-    window). Pass signal: flat-or-rising rows/sec at amp."""
+    """1x/``amp``x rows for ALL the r14 wave-2/3/4 staged operators
+    (register r16; the mode name kept its wave-2 spelling for CLI
+    stability). Wave 2: pagerank_host_authority (per-iteration
+    edge-join + keyed aggregate — the host universe scales WITH the
+    corpus here, the documented posture: a fixed-size graph would
+    collapse under distinct()), code/license detect (map-only regex
+    batteries), matryoshka_recall (two brute-force widths over a
+    broadcast query set), audio_vad_segments (mapInPandas decode +
+    per-clip windows), curriculum_phase_plan (per-source window +
+    bounded plan window). Wave 3: video_scene_cuts (mapInPandas frame
+    decode + per-clip window), crawl_frontier_priority (pagerank +
+    host-grain aggregates), anchor_text_stats (vocabulary-bounded
+    counts + partitioned top-k), span_corruption_plan (map-only).
+    Wave 4: label_propagation (per-round keyed join + max_by argmax),
+    vocab_overlap_matrix (vocab-grain rank window + bounded pair
+    cross). minhash_band_tuning has no probe — its grid is constant
+    size by construction. Pass signal: flat-or-rising rows/sec at
+    amp."""
     from datapipeline_spike_spark.operators.curation import (
         curriculum_phase_plan,
     )
