@@ -613,3 +613,49 @@ def boilerplate_stripped_stream(
             "kept_fp",
         )
     )
+
+
+def license_gated_stream(
+    records: DataFrame,
+    text_col: str = "text",
+    allow_copyleft: bool = False,
+) -> DataFrame:
+    """Streaming license admission gate (r14 wave 4; the compliance
+    sibling of ``quality_gated_stream``): the permissive-only ingest a
+    code-corpus build runs at the front door — each record is
+    classified by the same first-match battery as
+    ``operators.detectors.license_detect_profile`` (copyleft-first
+    priority) and records carrying a copyleft license are DROPPED
+    before they cost any downstream dedup/quality work (admit them
+    with ``allow_copyleft=True`` to merely annotate). Unlicensed
+    ('none') records pass — the gate rejects known-bad, it does not
+    require known-good.
+
+    Stateless MAP-ONLY (a regex battery of Column expressions): no
+    state, no watermark, no join — runs identically in a streaming
+    select and a batch select (twin-tested). Carries the FULL input
+    schema plus ``license`` and ``license_permissive``, so it composes
+    directly in front of ``ingest_with_dedup`` like the quality gate."""
+    from datapipeline_spike_spark.operators.detectors import (
+        LICENSE_PATTERNS,
+    )
+
+    for guarded in ("license", "license_permissive"):
+        if guarded in records.columns:
+            raise ValueError(
+                f"license_gated_stream writes column '{guarded}', which "
+                "already exists on the input"
+            )
+    txt = F.lower(F.col(text_col))
+    lic = F.lit("none")
+    perm = F.lit(True)  # unlicensed passes: reject known-bad only
+    for name, pat, permissive in reversed(LICENSE_PATTERNS):
+        hit = F.regexp_count(txt, F.lit(pat)) > 0
+        lic = F.when(hit, F.lit(name)).otherwise(lic)
+        perm = F.when(hit, F.lit(permissive)).otherwise(perm)
+    out = records.withColumn("license", lic).withColumn(
+        "license_permissive", perm
+    )
+    if allow_copyleft:
+        return out
+    return out.filter(F.col("license_permissive"))

@@ -1434,3 +1434,59 @@ def test_boilerplate_stripped_stream_matches_batch_twin(spark, tmp_path):
     assert len(got) == 10
     # the strip is real on both sides: every doc lost its banner
     assert all(r[2] >= 1 for r in got)
+
+
+def test_license_gated_stream_matches_batch_and_gates(spark, tmp_path):
+    """The permissive-only ingest gate: streaming micro-batches keep
+    exactly the records the batch battery admits (copyleft dropped,
+    permissive AND unlicensed kept), carry the full schema plus the
+    two added columns, and compose like the quality gate."""
+    from datapipeline_spike_spark.streaming.pipeline import (
+        license_gated_stream,
+        run_to_memory,
+    )
+
+    rows = [
+        (1, "released under the mit license", "code"),
+        (2, "gnu general public license applies", "code"),
+        (3, "plain prose with no license at all", "web"),
+        (4, "see creative commons attribution terms", "web"),
+        (5, "spdx-license-identifier: gpl-3.0-only | body", "code"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    src = str(tmp_path / "lic_docs")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    gated = license_gated_stream(stream)
+    assert gated.columns == [
+        "doc_id", "text", "source", "license", "license_permissive",
+    ]
+    run_to_memory(gated, "lic_gate")
+    got = {
+        (r["doc_id"], r["license"]) for r in spark.table("lic_gate").collect()
+    }
+    # batch twin: same expression battery on the same frame
+    want = {
+        (r["doc_id"], r["license"])
+        for r in license_gated_stream(docs).collect()
+    }
+    assert got == want
+    assert got == {(1, "mit"), (3, "none"), (4, "cc-by-4.0")}
+    # annotate-only mode admits everything, flags copyleft
+    ann = {
+        r["doc_id"]: (r["license"], r["license_permissive"])
+        for r in license_gated_stream(docs, allow_copyleft=True).collect()
+    }
+    assert len(ann) == 5
+    assert ann[2] == ("gpl-3.0", False) and ann[5] == ("gpl-3.0", False)
+    # guarded-column collision is a typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="license"):
+        license_gated_stream(docs.withColumn("license", F.lit("x")))
