@@ -355,3 +355,77 @@ def label_propagation_communities(
             )
         ).select(F.col("a").alias("host"), "label")
     return labels.select("host", F.col("label").alias("community"))
+
+
+def triangle_clustering(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle count + local clustering coefficient
+    (staged r14 wave 5) — the third web-graph health signal next to
+    :func:`pagerank` (authority) and
+    :func:`label_propagation_communities` (communities): link farms
+    and mirror rings are near-cliques, so abnormally high local
+    clustering at high degree flags manufactured link neighborhoods
+    (the TrustRank-adjacent heuristic).
+
+    Semantics (exactly SQL-replayable): the graph is UNDIRECTED and
+    simple (direction and multi-edges collapse, self-loops drop); a
+    triangle {a, b, c} is counted via its ORIENTED form a < b < c —
+    each triangle found exactly once, then credited to all three
+    corners. clustering = round(2*T / (deg*(deg-1)), 6) for deg >= 2,
+    NULL below (no possible wedge).
+
+    Scale shape: the oriented edge list e< (a < b) joins itself TWICE
+    on vertex keys — the standard distributed triangle enumeration;
+    both joins are equi (never a cartesian) and the wedge explosion is
+    bounded by sum(deg^2), the same envelope every bucketed self-join
+    in this engine documents (degree-skewed graphs would salt the hot
+    vertex exactly like lsh hot buckets — documented, not needed at
+    the registered corpus's bounded degrees). Credit assembly is three
+    unions of the tiny per-triangle frame + one keyed count.
+
+    Returns (host, degree, triangles, clustering)."""
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    lt = und.filter(F.col("a") < F.col("b"))
+    # wedges a<b<c anchored at a, closed by the (b, c) edge
+    wedge = lt.alias("ab").join(
+        lt.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("bc"),
+        "b",
+    )
+    tri = wedge.join(
+        lt.select(F.col("a"), F.col("b").alias("c")).alias("ac"),
+        ["a", "c"],
+    ).select("a", "b", "c")
+    credit = (
+        tri.select(F.col("a").alias("host"))
+        .union(tri.select(F.col("b").alias("host")))
+        .union(tri.select(F.col("c").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.select(F.col("a").alias("host"), "degree")
+        .join(credit, "host", "left")
+        .select(
+            "host",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).alias("clustering"),
+        )
+    )

@@ -301,6 +301,13 @@ _NO_ORACLE_PIN = (
 # (bands, rows) factorization; pure generated-grid projection, no
 # input table; its queries() entry would take (spark, sf_dir) and
 # ignore sf_dir — precedent for analytic tables).
+#
+# WAVE 5: triangle_clustering (operators/graph.py — oriented a<b<c
+# triangle enumeration, two equi self-joins, per-vertex count +
+# clustering coefficient; completes the web-graph family). A
+# streaming license admission gate also landed
+# (streaming/pipeline.license_gated_stream — the quality_gated_stream
+# compliance sibling, stateless map-only, twin-tested).
 
 # --- r15 queue: the two displaced r14 fills, the r10-green remainder
 # (26, stale five rounds by r15), then the 14 oldest r11-greens

@@ -1388,3 +1388,99 @@ def test_wave4_plan_shapes(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "SortMergeJoin", "Window", "CartesianProduct"):
         assert node not in bt, node
+
+
+# ============================ WAVE 5 =============================
+# triangle_clustering — same gauntlet.
+
+SQL_TRIANGLES = f"""
+    WITH {_SQL_PR_GRAPH},
+    u AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+    deg AS (SELECT a AS host, count(*) AS degree FROM u GROUP BY 1),
+    lt AS (SELECT a, b FROM u WHERE a < b),
+    tri AS (
+      SELECT ab.a, ab.b, bc.b AS c
+      FROM lt ab JOIN lt bc ON bc.a = ab.b
+      JOIN lt ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    cr AS (
+      SELECT host, count(*) AS triangles FROM (
+        SELECT a AS host FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.host, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(coalesce(cr.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.degree >= 2 THEN
+             round(2.0 * coalesce(cr.triangles, 0)
+                   / (deg.degree * (deg.degree - 1)), 6)
+           END AS clustering
+    FROM deg LEFT JOIN cr USING (host)
+"""
+
+
+def test_triangle_clustering_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        triangle_clustering,
+    )
+
+    got = {
+        r["host"]: r.asDict()
+        for r in triangle_clustering(
+            host_link_graph(load(spark, SF, "documents"))
+        ).collect()
+    }
+    want = _con().execute(SQL_TRIANGLES).df()
+    assert len(got) == len(want) > 0
+    assert any(v["triangles"] > 0 for v in got.values())
+    for _, w in want.iterrows():
+        g = got[w["host"]]
+        assert g["degree"] == int(w["degree"])
+        assert g["triangles"] == int(w["triangles"])
+        if w["clustering"] != w["clustering"]:
+            assert g["clustering"] is None
+        else:
+            assert g["clustering"] == pytest.approx(
+                w["clustering"], abs=1.5e-6
+            )
+
+
+def test_triangle_clustering_planted(spark):
+    """A 4-clique gives every vertex 3 triangles and clustering 1.0; a
+    path vertex has clustering 0; a degree-1 leaf is NULL; direction
+    and duplicate edges collapse."""
+    from datapipeline_spike_spark.operators.graph import (
+        triangle_clustering,
+    )
+
+    clique = [
+        (a, b) for a in range(4) for b in range(4) if a != b
+    ]  # all ordered pairs: direction + dup collapse must handle
+    extra = [(3, 4), (4, 5)]  # a tail: 4 is a path vertex, 5 a leaf
+    df = spark.createDataFrame(clique + extra, "src long, dst long")
+    got = {r["host"]: r for r in triangle_clustering(df).collect()}
+    for v in range(3):
+        assert got[v]["triangles"] == 3 and got[v]["clustering"] == 1.0
+    assert got[3]["degree"] == 4 and got[3]["triangles"] == 3
+    assert got[3]["clustering"] == pytest.approx(0.5)  # 2*3/(4*3)
+    assert got[4]["triangles"] == 0 and got[4]["clustering"] == 0.0
+    assert got[5]["degree"] == 1 and got[5]["clustering"] is None
+
+
+def test_triangle_plan_shape(spark):
+    """Both triangle joins are equi joins (never cartesian/BNLJ), no
+    Python, no windows."""
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        triangle_clustering,
+    )
+
+    plan = _plan_of(
+        triangle_clustering(host_link_graph(load(spark, SF, "documents")))
+    )
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Window"):
+        assert node not in plan, node

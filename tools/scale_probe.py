@@ -1373,6 +1373,7 @@ def r14wave2_stress(spark, amp: int) -> None:
         host_link_graph,
         label_propagation_communities,
         pagerank,
+        triangle_clustering,
     )
     from datapipeline_spike_spark.operators.text_stats import (
         vocab_overlap_matrix,
@@ -1432,6 +1433,10 @@ def r14wave2_stress(spark, amp: int) -> None:
                  host_link_graph(docs, n_hosts=n_hosts)), drows),
             ("vocab_overlap_matrix",
              lambda: vocab_overlap_matrix(docs), drows),
+            # wave 5
+            ("triangle_clustering",
+             lambda: triangle_clustering(
+                 host_link_graph(docs, n_hosts=n_hosts)), drows),
         ):
             secs = probe(name, builder)
             print(json.dumps({"probe": name, "amp": a, "docs": rows,
