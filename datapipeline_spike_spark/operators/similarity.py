@@ -1648,3 +1648,86 @@ def matryoshka_recall(
         out = rec if out is None else out.unionByName(rec)
     assert out is not None
     return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    k: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion (staged r14 wave 6; Cormack/Clarke/
+    Buettcher 2009 — the fusion rule hybrid search stacks actually
+    ship): given per-system rankings (query_id, neighbor_id, rank),
+
+        rrf_score = Σ_systems 1 / (k_const + rank)
+
+    summed over the systems that returned the pair, then the fused
+    top-``k`` per query ranked by (rounded score desc, neighbor_id) —
+    the house engine-portable ranking rule. Documents surfaced by
+    SEVERAL retrievers beat documents surfaced high by one: the
+    robustness property that makes RRF the default fuser for
+    BM25 + dense hybrids.
+
+    Scale shape: one unionAll of the per-system top-k frames (each
+    k x |queries| rows — bounded by construction), one keyed
+    aggregate, one PARTITIONED rank window on the fused (still
+    bounded) grain. The 2-term float sum is commutative in IEEE;
+    wider fusions are absorbed by the 6dp rounding before ranking.
+
+    Returns (query_id, neighbor_id, n_systems, rrf_score, fused_rank).
+    """
+    u = rankings[0].select("query_id", "neighbor_id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "neighbor_id", "rank"))
+    fused = u.groupBy("query_id", "neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(int(k_const)) + F.col("rank"))), 6
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= int(k))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_systems",
+            "rrf_score",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
+
+
+def hybrid_rrf_retrieval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    fetch_k: int = 10,
+    trunc_dim: int = 8,
+    k_const: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed hybrid: RRF-fuse the EXACT full-width cosine
+    retriever with the cheap ``trunc_dim``-prefix retriever (the
+    Matryoshka hot tier) — the two-tier topology a production store
+    runs when the truncated index is the fast path and full vectors
+    the quality path. Both sides reuse :func:`brute_force_topk`
+    (rounded-score + id tiebreak), each fetching ``fetch_k``
+    candidates before fusion."""
+    full = brute_force_topk(
+        corpus, queries, k=fetch_k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", "rank")
+    tc = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, int(trunc_dim)).alias(vec_col)
+    )
+    tq = queries.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, int(trunc_dim)).alias(vec_col)
+    )
+    trunc = brute_force_topk(
+        tc, tq, k=fetch_k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", "rank")
+    return rrf_fuse([full, trunc], k_const=k_const, k=k)

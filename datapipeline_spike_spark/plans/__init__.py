@@ -309,17 +309,23 @@ _NO_ORACLE_PIN = (
 # (streaming/pipeline.license_gated_stream — the quality_gated_stream
 # compliance sibling, stateless map-only, twin-tested).
 #
-# r16 REGISTRATION BUDGET (for the r16 author): 14 operators are now
-# staged across waves 2-5. A 50-slot head cannot absorb 14
+# WAVE 6: rrf_fuse + hybrid_rrf_retrieval (operators/similarity.py —
+# reciprocal-rank fusion over bounded top-k frames; the registered
+# composition fuses the 8-dim Matryoshka prefix retriever with the
+# exact full-width path).
+#
+# r16 REGISTRATION BUDGET (for the r16 author): 15 operators are now
+# staged across waves 2-6. A 50-slot head cannot absorb 15
 # registrations + the r16 queue (bm25_ranked_retrieval front + the
 # by-then-stale tail blocks) in one round — REGISTER IN TWO COHORTS,
 # oldest-staged first: r16 takes the six wave-2 names + the r16 queue;
-# r17 takes waves 3-5 (video_scene_cuts, crawl_frontier_priority,
+# r17 takes waves 3-6 (video_scene_cuts, crawl_frontier_priority,
 # anchor_text_stats, span_corruption_plan,
 # label_propagation_communities, vocab_overlap_matrix,
-# minhash_band_tuning, triangle_clustering). Every staged operator
-# already carries its oracle SQL in tests/test_r14_staging_wave2.py;
-# each cohort is the documented catalog move.
+# minhash_band_tuning, triangle_clustering, hybrid_rrf_retrieval).
+# Every staged operator already carries its oracle SQL in
+# tests/test_r14_staging_wave2.py; each cohort is the documented
+# catalog move.
 
 # --- r15 queue: the two displaced r14 fills, the r10-green remainder
 # (26, stale five rounds by r15), then the 14 oldest r11-greens

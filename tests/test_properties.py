@@ -838,3 +838,85 @@ def test_dhash_constant_image_is_zero(dims, seed):
         assert dhash_bits_from_pixels(px, w, h) == dhash_bits_from_pixels(
             mut, w, h
         )
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10**12),
+    n_frames=st.integers(min_value=1, max_value=14),
+)
+@settings(max_examples=40, deadline=None)
+def test_vad_wav_roundtrip_matches_formula(seed, n_frames):
+    """For ANY (seed, whole-frame length): the real RIFF decode of
+    synthetic_wav_vad recovers exactly the generative gated waveform —
+    the property the VAD DuckDB oracle's replay-from-formula rests
+    on."""
+    import struct as _struct
+
+    from datapipeline_spike_spark.sources.multimodal import (
+        parse_audio_meta,
+        synthetic_wav_vad,
+        wav_data_offset,
+    )
+
+    n = n_frames * 8
+    payload = synthetic_wav_vad(seed, n)
+    meta = parse_audio_meta(payload)
+    assert meta == ("wav", 1, 16000, 16, n)
+    off = wav_data_offset(payload)
+    xs = _struct.unpack(f"<{n}h", payload[off : off + 2 * n])
+    want = [
+        ((seed * 31 + i * 17) % 4001) - 2000
+        if (seed * 13 + (i // 8) * 7) % 3 != 0
+        else ((seed * 31 + i * 17) % 64) - 32
+        for i in range(n)
+    ]
+    assert list(xs) == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    n_frames=st.integers(min_value=1, max_value=8),
+    scene_len=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_scene_mp4_roundtrip_matches_formula(seed, n_frames, scene_len):
+    """For ANY (seed, frames, scene length): the full sample-table walk
+    + baseline JPEG decode of synthetic_scene_mp4 recovers exactly the
+    (seed, f//scene_len, block) constant-block pixel pattern — the
+    property the scene-cut oracle rests on."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        decode_mjpeg_frames,
+        synthetic_scene_mp4,
+    )
+
+    frames = decode_mjpeg_frames(
+        synthetic_scene_mp4(seed, n_frames, scene_len=scene_len)
+    )
+    assert frames is not None and len(frames) == n_frames
+    for f, (w, h, px) in enumerate(frames):
+        assert (w, h) == (16, 8)
+        fseed = seed * 131 + (f // scene_len) * 37
+        for b in range(2):  # two 8x8 blocks in a 16x8 frame
+            v = (fseed * 11 + b * 29) % 256
+            block_px = [
+                px[r * 16 + b * 8 + c] for r in range(8) for c in range(8)
+            ]
+            assert block_px == [v] * 64, (f, b)
+
+
+@given(
+    n_tokens=st.integers(min_value=2, max_value=100_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_span_corruption_arithmetic_invariants(n_tokens):
+    """For ANY token count: the T5 plan's clamps hold (1 <= noise < n,
+    spans >= 1, spans <= noise), and input+target lengths conserve the
+    token budget (input + target = n + 2*spans + 2)."""
+    noise = max(1, min(int(n_tokens * 0.15 + 0.5), n_tokens - 1))
+    spans = max(1, int(noise / 3.0 + 0.5))
+    input_len = n_tokens - noise + spans + 1
+    target_len = noise + spans + 1
+    assert 1 <= noise < n_tokens
+    assert 1 <= spans <= noise
+    assert input_len + target_len == n_tokens + 2 * spans + 2
+    assert input_len >= spans + 2  # at least one sentinel + EOS + text

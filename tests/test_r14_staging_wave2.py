@@ -1484,3 +1484,116 @@ def test_triangle_plan_shape(spark):
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "Window"):
         assert node not in plan, node
+
+
+# ============================ WAVE 6 =============================
+# rrf_fuse / hybrid_rrf_retrieval — same gauntlet.
+
+SQL_HYBRID_RRF = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    full_r AS (
+      SELECT query_id, neighbor_id, rnk AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                              neighbor_id) AS rnk
+            FROM c, q WHERE neighbor_id != query_id)
+      WHERE rnk <= 10
+    ),
+    tr AS (
+      SELECT query_id, neighbor_id, rnk AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(list_cosine_similarity(
+                         list_slice(qv, 1, 8), list_slice(cv, 1, 8)), 6)
+                       DESC, neighbor_id) AS rnk
+            FROM c, q WHERE neighbor_id != query_id)
+      WHERE rnk <= 10
+    ),
+    u AS (SELECT * FROM full_r UNION ALL SELECT * FROM tr),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(count(*) AS BIGINT) AS n_systems,
+             round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, n_systems, rrf_score,
+           CAST(fr AS BIGINT) AS fused_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_score DESC, neighbor_id) AS fr FROM fused)
+    WHERE fr <= 5
+"""
+
+
+def test_hybrid_rrf_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.similarity import (
+        hybrid_rrf_retrieval,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    got = {
+        (r["query_id"], r["fused_rank"]): r.asDict()
+        for r in hybrid_rrf_retrieval(
+            emb, emb.filter(F.col("vec_id") < 5)
+        ).collect()
+    }
+    want = _con().execute(SQL_HYBRID_RRF).df()
+    assert len(got) == len(want) == 25
+    for _, w in want.iterrows():
+        g = got[(w["query_id"], w["fused_rank"])]
+        assert g["neighbor_id"] == w["neighbor_id"]
+        assert g["n_systems"] == int(w["n_systems"])
+        assert g["rrf_score"] == pytest.approx(w["rrf_score"], abs=1.5e-6)
+
+
+def test_rrf_fusion_properties(spark):
+    """Consensus beats single-system: a doc both retrievers return at
+    modest ranks outranks a doc one retriever returns at rank 1
+    (1/61+1/62 > 1/61); fusing a system with itself preserves its
+    order; ties break by neighbor id."""
+    from datapipeline_spike_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 100, 1), (0, 200, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(0, 200, 1), (0, 300, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    rows = {
+        r["neighbor_id"]: r for r in rrf_fuse([a, b], k=3).collect()
+    }
+    # 200 appears in both (ranks 2 and 1) -> top fused
+    assert rows[200]["fused_rank"] == 1 and rows[200]["n_systems"] == 2
+    assert rows[100]["fused_rank"] == 2  # rank 1 in a, absent in b
+    assert rows[300]["fused_rank"] == 3
+    assert rows[200]["rrf_score"] == pytest.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-6
+    )
+
+    self_fused = rrf_fuse([a, a], k=2).collect()
+    order = sorted(
+        (r["fused_rank"], r["neighbor_id"]) for r in self_fused
+    )
+    assert order == [(1, 100), (2, 200)]
+
+
+def test_rrf_plan_shape(spark):
+    """Both retriever scans broadcast the query set; the fusion windows
+    are partitioned; no shuffled joins, no Python."""
+    from datapipeline_spike_spark.operators.similarity import (
+        hybrid_rrf_retrieval,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    plan = _plan_of(
+        hybrid_rrf_retrieval(emb, emb.filter(F.col("vec_id") < 5))
+    )
+    for node in ("CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                 "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    assert all(g >= 3 for g in _window_groups(plan))

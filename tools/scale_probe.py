@@ -1382,6 +1382,7 @@ def r14wave2_stress(spark, amp: int) -> None:
         span_corruption_plan,
     )
     from datapipeline_spike_spark.operators.similarity import (
+        hybrid_rrf_retrieval,
         matryoshka_recall,
     )
     from datapipeline_spike_spark.sources.multimodal import (
@@ -1437,6 +1438,9 @@ def r14wave2_stress(spark, amp: int) -> None:
             ("triangle_clustering",
              lambda: triangle_clustering(
                  host_link_graph(docs, n_hosts=n_hosts)), drows),
+            # wave 6
+            ("hybrid_rrf_retrieval",
+             lambda: hybrid_rrf_retrieval(emb, queries), erows),
         ):
             secs = probe(name, builder)
             print(json.dumps({"probe": name, "amp": a, "docs": rows,
