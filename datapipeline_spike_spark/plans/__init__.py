@@ -314,15 +314,21 @@ _NO_ORACLE_PIN = (
 # composition fuses the 8-dim Matryoshka prefix retriever with the
 # exact full-width path).
 #
-# r16 REGISTRATION BUDGET (for the r16 author): 15 operators are now
-# staged across waves 2-6. A 50-slot head cannot absorb 15
+# WAVE 7: chat_turn_stats + dpo_pair_plan (operators/sft.py — the
+# instruction-tuning data family: transcript structural validation
+# and DPO preference-pair construction; both windows partitioned,
+# no self-joins).
+#
+# r16 REGISTRATION BUDGET (for the r16 author): 17 operators are now
+# staged across waves 2-7. A 50-slot head cannot absorb 17
 # registrations + the r16 queue (bm25_ranked_retrieval front + the
 # by-then-stale tail blocks) in one round — REGISTER IN TWO COHORTS,
 # oldest-staged first: r16 takes the six wave-2 names + the r16 queue;
-# r17 takes waves 3-6 (video_scene_cuts, crawl_frontier_priority,
+# r17 takes waves 3-7 (video_scene_cuts, crawl_frontier_priority,
 # anchor_text_stats, span_corruption_plan,
 # label_propagation_communities, vocab_overlap_matrix,
-# minhash_band_tuning, triangle_clustering, hybrid_rrf_retrieval).
+# minhash_band_tuning, triangle_clustering, hybrid_rrf_retrieval,
+# chat_turn_stats, dpo_pair_plan).
 # Every staged operator already carries its oracle SQL in
 # tests/test_r14_staging_wave2.py; each cohort is the documented
 # catalog move.

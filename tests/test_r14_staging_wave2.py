@@ -1597,3 +1597,267 @@ def test_rrf_plan_shape(spark):
                  "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
     assert all(g >= 3 for g in _window_groups(plan))
+
+
+# ============================ WAVE 7 =============================
+# chat_turn_stats / dpo_pair_plan (operators/sft.py) — same gauntlet.
+
+_SQL_CHAT_PLANT = """
+    chats AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, 2 + doc_id % 4),
+               i -> CASE WHEN (i + CASE WHEN doc_id % 5 = 0 THEN 1
+                                   ELSE 0 END) % 2 = 0
+                         THEN 'user: ' ELSE 'assistant: ' END
+                    || substr(text, 1 + i * 7, 40)), chr(10))
+             || CASE WHEN doc_id % 7 = 3
+                     THEN chr(10) || '### footer ad'
+                     ELSE '' END AS text
+      FROM documents
+    )
+"""
+
+
+def _chat_planted(spark):
+    d = load(spark, SF, "documents")
+    line = lambda i: F.concat(  # noqa: E731
+        F.when(
+            (i + F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)) % 2 == 0,
+            F.lit("user: "),
+        ).otherwise(F.lit("assistant: ")),
+        F.substring(F.col("text"), 1, 0).substr(F.lit(1), F.lit(0)),
+    )
+    del line
+    turns = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4 + 1).cast("int")),
+        lambda i: F.concat(
+            F.when(
+                (
+                    i
+                    + F.when(F.col("doc_id") % 5 == 0, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                % 2
+                == 0,
+                F.lit("user: "),
+            ).otherwise(F.lit("assistant: ")),
+            F.col("text").substr(i * 7 + 1, F.lit(40)),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.array_join(turns, "\n"),
+            F.when(
+                F.col("doc_id") % 7 == 3, F.lit("\n### footer ad")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+SQL_CHAT_STATS = f"""
+    WITH {_SQL_CHAT_PLANT},
+    lines AS (
+      SELECT doc_id, u.pos AS pos, u.line AS line
+      FROM (SELECT doc_id, unnest(list_transform(
+              list_filter(list_transform(
+                regexp_split_to_array(text, chr(10)), l -> trim(l)),
+                l -> l != ''),
+              (l, i) -> {{'pos': i - 1, 'line': l}})) AS u
+            FROM chats)
+    ),
+    cls AS (
+      SELECT doc_id, pos,
+             CASE WHEN lower(line) LIKE 'user: %' THEN 'user'
+                  WHEN lower(line) LIKE 'assistant: %' THEN 'assistant'
+                  ELSE 'noise' END AS role,
+             len(list_filter(regexp_split_to_array(lower(
+                 CASE WHEN lower(line) LIKE 'user: %' THEN substr(line, 7)
+                      WHEN lower(line) LIKE 'assistant: %'
+                        THEN substr(line, 12)
+                      ELSE line END),
+                 '[^a-z0-9'']+'), t -> t != '')) AS ntok
+      FROM lines
+    ),
+    seq AS (
+      SELECT doc_id, pos, role, ntok,
+             lag(role) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS tn
+      FROM cls WHERE role != 'noise'
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_user,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_assistant,
+             bool_and(CASE WHEN tn = 1 THEN role = 'user' END)
+               AS starts_with_user,
+             bool_and(CASE WHEN prev IS NOT NULL THEN role != prev
+                           ELSE true END) AS strict_alternation,
+             max_by(role, pos) AS last_role,
+             CAST(sum(ntok) AS BIGINT) AS turn_tokens,
+             CAST(sum(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END)
+               AS BIGINT) AS assistant_tokens
+      FROM seq GROUP BY 1
+    ),
+    noise AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_noise_lines
+      FROM cls WHERE role = 'noise' GROUP BY 1
+    )
+    SELECT a.doc_id, n_turns, n_user, n_assistant,
+           coalesce(noise.n_noise_lines, 0) AS n_noise_lines,
+           starts_with_user, strict_alternation,
+           last_role = 'assistant' AS ends_with_assistant,
+           turn_tokens, assistant_tokens,
+           round(assistant_tokens * 1.0 / turn_tokens, 6)
+             AS assistant_token_share,
+           starts_with_user AND strict_alternation
+             AND last_role = 'assistant' AND n_turns >= 2 AS is_valid
+    FROM agg a LEFT JOIN noise USING (doc_id)
+"""
+
+
+def test_chat_turn_stats_match_duckdb(spark):
+    from datapipeline_spike_spark.operators.sft import chat_turn_stats
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in chat_turn_stats(_chat_planted(spark)).collect()
+    }
+    want = _con().execute(SQL_CHAT_STATS).df()
+    assert len(got) == len(want) > 0
+    valid = sum(1 for _, w in want.iterrows() if w["is_valid"])
+    assert 0 < valid < len(want)  # the plant mixes valid and invalid
+    for _, w in want.iterrows():
+        g = got[w["doc_id"]]
+        for c in ("n_turns", "n_user", "n_assistant", "n_noise_lines",
+                  "turn_tokens", "assistant_tokens"):
+            assert g[c] == int(w[c]), (c, w["doc_id"])
+        for c in ("starts_with_user", "strict_alternation",
+                  "ends_with_assistant", "is_valid"):
+            assert g[c] == bool(w[c]), (c, w["doc_id"])
+        assert g["assistant_token_share"] == pytest.approx(
+            w["assistant_token_share"], abs=1.5e-6
+        )
+
+
+def test_chat_turn_stats_planted(spark):
+    """Literal transcripts: a clean 4-turn dialogue validates; an
+    assistant-first one fails starts_with_user; a double-user run
+    breaks alternation; noise lines count but never break a pair."""
+    from datapipeline_spike_spark.operators.sft import chat_turn_stats
+
+    rows = [
+        (1, "user: hi there\nassistant: hello friend\n"
+            "user: more words\nassistant: final answer"),
+        (2, "assistant: i speak first\nuser: too late"),
+        (3, "user: one\nuser: two in a row\nassistant: three"),
+        (4, "user: hi\n### system banner\nassistant: hello"),
+        (5, "no turns at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chat_turn_stats(df).collect()}
+    assert 5 not in got  # zero turns -> dropped (the doc is all noise)
+    assert got[1]["is_valid"] and got[1]["n_turns"] == 4
+    # content-only tokens: every turn carries 2 -> share 4/8
+    assert got[1]["turn_tokens"] == 8 and got[1]["assistant_tokens"] == 4
+    assert got[1]["assistant_token_share"] == pytest.approx(0.5, abs=1e-6)
+    assert not got[2]["starts_with_user"] and not got[2]["is_valid"]
+    assert not got[3]["strict_alternation"]
+    assert got[4]["n_noise_lines"] == 1 and got[4]["strict_alternation"]
+    assert got[4]["is_valid"]
+
+
+SQL_DPO = """
+    WITH cand AS (
+      SELECT doc_id % 50 AS prompt_id, doc_id AS cand_id,
+             round(((doc_id * 37) % 1000) / 1000.0, 6) AS s
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY s DESC, cand_id ASC) AS top,
+             row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY s ASC, cand_id DESC) AS bot
+      FROM cand
+    )
+    SELECT t.prompt_id, t.cand_id AS chosen_id, b.cand_id AS rejected_id,
+           t.s AS chosen_score, b.s AS rejected_score,
+           round(t.s - b.s, 6) AS margin
+    FROM (SELECT * FROM ranked WHERE top = 1) t
+    JOIN (SELECT * FROM ranked WHERE bot = 1) b
+      USING (prompt_id)
+    WHERE t.cand_id != b.cand_id AND round(t.s - b.s, 6) >= 0.1
+"""
+
+
+def test_dpo_pair_plan_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.sft import dpo_pair_plan
+
+    cand = load(spark, SF, "documents").select(
+        (F.col("doc_id") % 50).alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        (((F.col("doc_id") * 37) % 1000) / F.lit(1000.0)).alias("score"),
+    )
+    got = {
+        r["prompt_id"]: r.asDict() for r in dpo_pair_plan(cand).collect()
+    }
+    want = _con().execute(SQL_DPO).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[w["prompt_id"]]
+        assert g["chosen_id"] == w["chosen_id"]
+        assert g["rejected_id"] == w["rejected_id"]
+        assert g["margin"] == pytest.approx(w["margin"], abs=1.5e-6)
+
+
+def test_dpo_pair_plan_planted(spark):
+    """Top/bottom extremes with id tiebreaks; sub-floor margins and
+    single-candidate prompts are dropped."""
+    from datapipeline_spike_spark.operators.sft import dpo_pair_plan
+
+    rows = [
+        (1, 10, 0.9), (1, 11, 0.5), (1, 12, 0.2),   # clean pair 10 vs 12
+        (2, 20, 0.55), (2, 21, 0.5),                 # margin 0.05 < floor
+        (3, 30, 0.4),                                # single candidate
+        (4, 40, 0.8), (4, 41, 0.8), (4, 42, 0.1),    # tie at top: id wins
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, score double"
+    )
+    got = {r["prompt_id"]: r for r in dpo_pair_plan(df).collect()}
+    assert set(got) == {1, 4}
+    assert (got[1]["chosen_id"], got[1]["rejected_id"]) == (10, 12)
+    assert got[1]["margin"] == pytest.approx(0.7)
+    assert (got[4]["chosen_id"], got[4]["rejected_id"]) == (40, 42)
+
+
+def test_wave7_plan_shapes(spark):
+    """chat stats: one doc-keyed aggregate + a transcript-partitioned
+    window, no joins beyond the noise-count merge, no Python; dpo: ONE
+    window pass (no candidate self-join), prompt-partitioned."""
+    from datapipeline_spike_spark.operators.sft import (
+        chat_turn_stats,
+        dpo_pair_plan,
+    )
+
+    chat = _plan_of(chat_turn_stats(_chat_planted(spark)))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in chat, node
+    assert all(g >= 3 for g in _window_groups(chat))
+
+    cand = load(spark, SF, "documents").select(
+        (F.col("doc_id") % 50).alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        (((F.col("doc_id") * 37) % 1000) / F.lit(1000.0)).alias("score"),
+    )
+    dpo = _plan_of(dpo_pair_plan(cand))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin"):
+        assert node not in dpo, node
+    assert all(g >= 3 for g in _window_groups(dpo))

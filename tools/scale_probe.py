@@ -1381,6 +1381,10 @@ def r14wave2_stress(spark, amp: int) -> None:
     from datapipeline_spike_spark.operators.packing import (
         span_corruption_plan,
     )
+    from datapipeline_spike_spark.operators.sft import (
+        chat_turn_stats,
+        dpo_pair_plan,
+    )
     from datapipeline_spike_spark.operators.similarity import (
         hybrid_rrf_retrieval,
         matryoshka_recall,
@@ -1441,6 +1445,18 @@ def r14wave2_stress(spark, amp: int) -> None:
             # wave 6
             ("hybrid_rrf_retrieval",
              lambda: hybrid_rrf_retrieval(emb, queries), erows),
+            # wave 7
+            ("chat_turn_stats", lambda: chat_turn_stats(docs.select(
+                "doc_id",
+                F.concat(F.lit("user: "), "text",
+                         F.lit("\nassistant: "), "text",
+                         F.lit("\nuser: again\nassistant: done"),
+                         ).alias("text"))), drows),
+            ("dpo_pair_plan", lambda: dpo_pair_plan(docs.select(
+                (F.col("doc_id") % (50 * a)).alias("prompt_id"),
+                F.col("doc_id").alias("cand_id"),
+                (((F.col("doc_id") * 37) % 1000) / F.lit(1000.0))
+                .alias("score"))), drows),
         ):
             secs = probe(name, builder)
             print(json.dumps({"probe": name, "amp": a, "docs": rows,

@@ -56,6 +56,8 @@ def main() -> int:
         w2.test_minhash_band_tuning_matches_duckdb,
         w2.test_triangle_clustering_matches_duckdb,
         w2.test_hybrid_rrf_matches_duckdb,
+        w2.test_chat_turn_stats_match_duckdb,
+        w2.test_dpo_pair_plan_matches_duckdb,
     ]
     failed = []
     for t in cases:
