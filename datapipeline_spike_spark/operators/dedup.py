@@ -1487,35 +1487,37 @@ def dhash_neardup_pairs(
     ``sources.multimodal.decode_image_dhash`` (two uint32-range words,
     NULL words excluded).
 
-    Candidates come from an 8-band Hamming pigeonhole over 8-bit bands
-    (ADVICE r12: the earlier 4x16-bit layout only guaranteed recall to
-    Hamming <= 3, silently missing scattered 4..6-bit pairs the
-    ``max_hamming=6`` contract promises): with 8 bands, any pair
-    differing in <= 7 bits MUST agree exactly on at least one band, so
-    the candidate join is COMPLETE for every ``max_hamming <= 7`` —
-    the default 6 included. ``max_hamming > 7`` is rejected with a
-    ValueError rather than silently degrading to heuristic recall.
-    Exact Hamming verification runs on candidates only (XOR + popcount
-    per word — integer-exact both engines); 8-bit bands mean ~256
-    distinct band values, so the band join relies on AQE to split the
-    hot band-value buckets (same posture as simhash's 16-bit bands,
-    one level coarser). Returns (id_a, id_b, hamming).
+    Candidates come from a MULTI-PROBE Hamming pigeonhole over four
+    16-bit bands (r15; closes the r13/r14 "weak" scale ceiling of the
+    earlier 8x8-bit layout): a pair differing in <= 7 bits must have
+    SOME band differing in <= 1 bit (all four bands >= 2 would need
+    >= 8 differing bits), so the probe side emits each band value PLUS
+    its 16 one-bit flips (17 probes x 4 bands) while the other side
+    emits the 4 exact band values — any <= 1-bit band agreement is an
+    equi-join hit, and the candidate join stays COMPLETE for every
+    ``max_hamming <= 7``, the default 6 included. ``max_hamming > 7``
+    is rejected with a ValueError rather than silently degrading to
+    heuristic recall. Exact Hamming verification runs on candidates
+    only (XOR + popcount per word — integer-exact both engines).
+    Returns (id_a, id_b, hamming).
 
-    Scale ceiling (ADVICE r13): with only ~256 values per band the
-    candidate fan-out grows ~n^2/32 on a uniformly-hashed corpus (vs
-    ~n^2/16384 for 16-bit bands) — AQE splits the hot buckets but every
-    candidate still pays one XOR-popcount. SCALE_PROBE_r12/r14 show the
-    path flat-or-rising through 50k media; past ~10^6 hashes per run,
-    either shard the corpus (the hashes frame is media-count-sized and
-    unions cheaply) or move to multi-probe over 16-bit bands (emit each
-    band value plus its 16 one-bit flips on ONE side — pigeonhole keeps
-    completeness at max_hamming <= 7 with ~512x fewer candidates).
-    Revisit when a probe regresses; correctness is unaffected."""
+    Scale posture (the r13 ADVICE fan-out ceiling, closed): 8-bit
+    bands have ~256 distinct values, so that layout's candidate volume
+    grows ~n^2 * 8/256 = n^2/32 on a uniformly-hashed corpus —
+    quadratic-with-a-small-constant past ~10^6 hashes. Multi-probe
+    16-bit bands cost 17x more index rows (68n vs 8n — linear, cheap)
+    but collide at ~n^2 * 68/65536 ~= n^2/964: ~30x fewer candidate
+    XOR-popcounts and ~30x less band-join shuffle on uniform corpora
+    (measured, not guessed: tools/dhash_probe_r15.py replays both
+    layouts on uniform random hashes — see DHASH_PROBE_r15.json).
+    Planted near-dup clusters still fan out quadratically in CLUSTER
+    size on either layout — that is output volume, not index overhead.
+    AQE splits residual hot band-value buckets (simhash posture)."""
     if max_hamming > 7:
         raise ValueError(
             "dhash_neardup_pairs guarantees complete recall only for "
-            f"max_hamming <= 7 (8-band pigeonhole over 64 bits); got "
-            f"{max_hamming}"
+            f"max_hamming <= 7 (<=1-bit-per-band pigeonhole over four "
+            f"16-bit bands of 64 bits); got {max_hamming}"
         )
     h = hashes.filter(
         F.col(w0_col).isNotNull() & F.col(w1_col).isNotNull()
@@ -1524,6 +1526,7 @@ def dhash_neardup_pairs(
         F.col(w0_col).alias("_w0"),
         F.col(w1_col).alias("_w1"),
     )
+    # band i (0..3) = bits [16i, 16i+16): two per 32-bit word
     bands = h.select(
         "_id",
         "_w0",
@@ -1534,17 +1537,36 @@ def dhash_neardup_pairs(
                     F.struct(
                         F.lit(i).alias("band_idx"),
                         F.shiftrightunsigned(
-                            F.col("_w0") if i < 4 else F.col("_w1"),
-                            8 * (i % 4),
-                        ).bitwiseAND(F.lit(0xFF)).alias("band_val"),
+                            F.col("_w0") if i < 2 else F.col("_w1"),
+                            16 * (i % 2),
+                        ).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
                     )
-                    for i in range(8)
+                    for i in range(4)
                 ]
             )
         ).alias("b"),
     ).select("_id", "_w0", "_w1", F.col("b.band_idx").alias("band_idx"),
              F.col("b.band_val").alias("band_val"))
-    a = bands.select(
+    # probe side: the exact band value + its 16 one-bit flips. Emitted
+    # from BOTH rows' perspectives (every row probes, every row is
+    # probed), so each unordered pair is caught in the orientation
+    # where the smaller id holds the flip — id_a < id_b then dedups.
+    probes = bands.select(
+        "_id",
+        "_w0",
+        "_w1",
+        "band_idx",
+        F.explode(
+            F.concat(
+                F.array(F.col("band_val")),
+                F.transform(
+                    F.array(*[F.lit(1 << j) for j in range(16)]),
+                    lambda m: F.col("band_val").bitwiseXOR(m),
+                ),
+            )
+        ).alias("band_val"),
+    )
+    a = probes.select(
         F.col("_id").alias("id_a"), F.col("_w0").alias("a0"),
         F.col("_w1").alias("a1"), "band_idx", "band_val",
     )
