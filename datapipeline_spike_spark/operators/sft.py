@@ -48,9 +48,16 @@ def chat_turn_stats(
       ends_with_assistant: the three structural gates
     - assistant_token_share = round(assistant_tokens / turn_tokens, 6)
       — the share of supervised tokens, the number that decides
-      whether the transcript is worth its sequence-length budget
+      whether the transcript is worth its sequence-length budget.
+      NULL when turn_tokens = 0 (every turn's content tokenizes
+      empty, e.g. punctuation-only turns): there is no share to
+      report, and the explicit guard pins the semantics rather than
+      leaning on division-by-zero behavior (ADVICE r14)
     - is_valid = starts_with_user AND strict_alternation AND
-      ends_with_assistant AND n_turns >= 2
+      ends_with_assistant AND n_turns >= 2 AND turn_tokens >= 1 —
+      the last conjunct means a NULL share can never ride on a
+      transcript marked valid (a transcript with zero supervisable
+      tokens is structurally worthless regardless of turn shape)
 
     Scale shape: map-only until a doc-grain aggregate over the
     exploded turn frame (one shuffle keyed by transcript id); the
@@ -142,8 +149,13 @@ def chat_turn_stats(
         (F.col("_last_role") == "assistant").alias("ends_with_assistant"),
         "turn_tokens",
         "assistant_tokens",
-        F.round(
-            F.col("assistant_tokens") * F.lit(1.0) / F.col("turn_tokens"), 6
+        F.when(
+            F.col("turn_tokens") > 0,
+            F.round(
+                F.col("assistant_tokens") * F.lit(1.0)
+                / F.col("turn_tokens"),
+                6,
+            ),
         ).alias("assistant_token_share"),
     )
     return out.withColumn(
@@ -151,7 +163,8 @@ def chat_turn_stats(
         F.col("starts_with_user")
         & F.col("strict_alternation")
         & F.col("ends_with_assistant")
-        & (F.col("n_turns") >= 2),
+        & (F.col("n_turns") >= 2)
+        & (F.col("turn_tokens") >= 1),
     )
 
 

@@ -1605,15 +1605,19 @@ def matryoshka_recall(
     top-k x top-k frame. Returns one row per (m_dims, query) with
     n_exact / n_hits / recall_at_k (6dp).
     """
-    # eager-checkpoint the full-width exact top-k: it is joined into
+    # LAZY-checkpoint the full-width exact top-k: it is joined into
     # EVERY per-width union branch, and union branches share no
-    # subtrees (the bm25/ivfpq shared-frame rule) — without this the
-    # most expensive scan in the operator re-runs len(dims) times. The
-    # materialized frame is only k x |queries| rows.
+    # subtrees (the bm25/ivfpq shared-frame rule) — without the
+    # checkpoint the most expensive scan in the operator re-runs
+    # len(dims) times. eager=False (ADVICE r14): it still materializes
+    # exactly once on the first action and serves every per-width
+    # branch from the checkpoint, but BUILDING the frame (EXPLAIN,
+    # plan audits, registry wiring) stays free like every other
+    # operator here. The materialized frame is only k x |queries| rows.
     full = (
         brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out: DataFrame | None = None
     for m in dims:

@@ -634,13 +634,19 @@ def license_gated_stream(
     Stateless MAP-ONLY (a regex battery of Column expressions): no
     state, no watermark, no join — runs identically in a streaming
     select and a batch select (twin-tested). Carries the FULL input
-    schema plus ``license`` and ``license_permissive``, so it composes
-    directly in front of ``ingest_with_dedup`` like the quality gate."""
+    schema plus ``license`` and ``license_admissible``. The column is
+    deliberately NOT named ``license_permissive``: the detector
+    (``license_detect_profile``) reports permissive=False for
+    unlicensed ('none') records, while this ADMISSION gate lets them
+    through — same battery, different question (ADVICE r14: a shared
+    name invited joins that silently disagreed on the 'none' class).
+    Composes directly in front of ``ingest_with_dedup`` like the
+    quality gate."""
     from datapipeline_spike_spark.operators.detectors import (
         LICENSE_PATTERNS,
     )
 
-    for guarded in ("license", "license_permissive"):
+    for guarded in ("license", "license_admissible"):
         if guarded in records.columns:
             raise ValueError(
                 f"license_gated_stream writes column '{guarded}', which "
@@ -648,14 +654,14 @@ def license_gated_stream(
             )
     txt = F.lower(F.col(text_col))
     lic = F.lit("none")
-    perm = F.lit(True)  # unlicensed passes: reject known-bad only
+    adm = F.lit(True)  # unlicensed passes: reject known-bad only
     for name, pat, permissive in reversed(LICENSE_PATTERNS):
         hit = F.regexp_count(txt, F.lit(pat)) > 0
         lic = F.when(hit, F.lit(name)).otherwise(lic)
-        perm = F.when(hit, F.lit(permissive)).otherwise(perm)
+        adm = F.when(hit, F.lit(permissive)).otherwise(adm)
     out = records.withColumn("license", lic).withColumn(
-        "license_permissive", perm
+        "license_admissible", adm
     )
     if allow_copyleft:
         return out
-    return out.filter(F.col("license_permissive"))
+    return out.filter(F.col("license_admissible"))

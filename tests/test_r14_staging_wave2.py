@@ -1620,14 +1620,6 @@ _SQL_CHAT_PLANT = """
 
 def _chat_planted(spark):
     d = load(spark, SF, "documents")
-    line = lambda i: F.concat(  # noqa: E731
-        F.when(
-            (i + F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)) % 2 == 0,
-            F.lit("user: "),
-        ).otherwise(F.lit("assistant: ")),
-        F.substring(F.col("text"), 1, 0).substr(F.lit(1), F.lit(0)),
-    )
-    del line
     turns = F.transform(
         F.sequence(F.lit(0), (F.col("doc_id") % 4 + 1).cast("int")),
         lambda i: F.concat(
@@ -1712,10 +1704,12 @@ SQL_CHAT_STATS = f"""
            starts_with_user, strict_alternation,
            last_role = 'assistant' AS ends_with_assistant,
            turn_tokens, assistant_tokens,
-           round(assistant_tokens * 1.0 / turn_tokens, 6)
-             AS assistant_token_share,
+           CASE WHEN turn_tokens > 0
+                THEN round(assistant_tokens * 1.0 / turn_tokens, 6)
+           END AS assistant_token_share,
            starts_with_user AND strict_alternation
-             AND last_role = 'assistant' AND n_turns >= 2 AS is_valid
+             AND last_role = 'assistant' AND n_turns >= 2
+             AND turn_tokens >= 1 AS is_valid
     FROM agg a LEFT JOIN noise USING (doc_id)
 """
 
@@ -1769,6 +1763,34 @@ def test_chat_turn_stats_planted(spark):
     assert not got[3]["strict_alternation"]
     assert got[4]["n_noise_lines"] == 1 and got[4]["strict_alternation"]
     assert got[4]["is_valid"]
+
+
+def test_chat_turn_stats_zero_token_transcript(spark):
+    """The ADVICE r14 semantics, pinned before the wave-7 hash freezes:
+    a structurally-perfect transcript whose every turn tokenizes empty
+    (punctuation-only content) reports NULL assistant_token_share AND
+    is_valid=False — turn_tokens >= 1 is a validity conjunct, so the
+    NULL share can never ride on a transcript marked valid."""
+    from datapipeline_spike_spark.operators.sft import chat_turn_stats
+
+    rows = [
+        (1, "user: ???\nassistant: !!!"),       # alternating, all noise content
+        (2, "user: real words\nassistant: ..."),  # assistant side empty only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chat_turn_stats(df).collect()}
+    g1 = got[1]
+    assert g1["starts_with_user"] and g1["strict_alternation"]
+    assert g1["ends_with_assistant"] and g1["n_turns"] == 2
+    assert g1["turn_tokens"] == 0
+    assert g1["assistant_token_share"] is None
+    assert not g1["is_valid"]
+    # a zero-ASSISTANT share over nonzero turn tokens is 0.0, not NULL,
+    # and stays valid: only the all-empty case abstains
+    g2 = got[2]
+    assert g2["turn_tokens"] == 2 and g2["assistant_tokens"] == 0
+    assert g2["assistant_token_share"] == 0.0
+    assert g2["is_valid"]
 
 
 SQL_DPO = """

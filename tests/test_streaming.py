@@ -1465,7 +1465,7 @@ def test_license_gated_stream_matches_batch_and_gates(spark, tmp_path):
     )
     gated = license_gated_stream(stream)
     assert gated.columns == [
-        "doc_id", "text", "source", "license", "license_permissive",
+        "doc_id", "text", "source", "license", "license_admissible",
     ]
     run_to_memory(gated, "lic_gate")
     got = {
@@ -1480,7 +1480,7 @@ def test_license_gated_stream_matches_batch_and_gates(spark, tmp_path):
     assert got == {(1, "mit"), (3, "none"), (4, "cc-by-4.0")}
     # annotate-only mode admits everything, flags copyleft
     ann = {
-        r["doc_id"]: (r["license"], r["license_permissive"])
+        r["doc_id"]: (r["license"], r["license_admissible"])
         for r in license_gated_stream(docs, allow_copyleft=True).collect()
     }
     assert len(ann) == 5

@@ -40,7 +40,7 @@ def main() -> int:
         w1.test_bradley_terry_matches_duckdb,
         w1.test_oov_rate_matches_duckdb,
         w1.test_char_entropy_matches_duckdb,
-        # r16/r17 cohorts (waves 2-6)
+        # r16/r17 cohorts (waves 2-7)
         w2.test_pagerank_host_authority_matches_duckdb,
         w2.test_code_detect_profile_matches_duckdb,
         w2.test_license_detect_profile_matches_duckdb,
