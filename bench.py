@@ -142,6 +142,16 @@ EXTRAS = [
     "dhash_neardup_pairs",
     "sequence_packing_plan",
     "doremi_domain_weights",
+    # round 15 registrations (the r14 staged ops) — steady-state minima
+    # recorded here are the r16 regression floor for the cohort
+    "exact_substr_runs",
+    "cdc_chunk_dedup",
+    "boilerplate_line_removal",
+    "url_canonical_dedup",
+    "audio_fingerprint_neardup",
+    "bradley_terry_strengths",
+    "oov_rate_profile",
+    "char_entropy_profile",
 ]
 
 # After this many extras the SparkSession is stopped and rebuilt so

@@ -1519,13 +1519,18 @@ def dhash_neardup_pairs(
             f"max_hamming <= 7 (<=1-bit-per-band pigeonhole over four "
             f"16-bit bands of 64 bits); got {max_hamming}"
         )
+    # LAZY checkpoint: the hash frame feeds BOTH join sides (probe and
+    # exact), which share no subtree — without it the upstream decode
+    # (mapInPandas PNG/WAV walk, the expensive stage) runs twice (the
+    # r7 no-CSE-across-join-sides lesson). eager=False so building the
+    # frame stays free; it materializes once on first action.
     h = hashes.filter(
         F.col(w0_col).isNotNull() & F.col(w1_col).isNotNull()
     ).select(
         F.col(id_col).alias("_id"),
         F.col(w0_col).alias("_w0"),
         F.col(w1_col).alias("_w1"),
-    )
+    ).localCheckpoint(eager=False)
     # band i (0..3) = bits [16i, 16i+16): two per 32-bit word
     bands = h.select(
         "_id",

@@ -13,6 +13,7 @@ from datapipeline_spike_spark.plans import catalog_curation  # noqa: F401  (r9 c
 from datapipeline_spike_spark.plans import catalog_r11  # noqa: F401  (r10 staged -> registered)
 from datapipeline_spike_spark.plans import catalog_r12  # noqa: F401  (r11 staged -> registered)
 from datapipeline_spike_spark.plans import catalog_r13  # noqa: F401  (r12 staged -> registered r14)
+from datapipeline_spike_spark.plans import catalog_r15  # noqa: F401  (r14 staged -> registered r15)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -30,6 +31,86 @@ from datapipeline_spike_spark.plans import catalog_r13  # noqa: F401  (r12 stage
 
 DRIVER_SAMPLE = 50
 
+# --- r15 head, slot 1: NEW r15 registrations — the eight r14-staged
+# operators, registered in plans/catalog_r15 with the staging tests'
+# DuckDB oracles (tests/test_r14_staging.py, differential-green at
+# both sf0.001 and sf0.01 via tools/staged_preflight.py before the
+# move). Registered corpora reuse the staging plants; allowlist
+# entries measured at registration (BNLJ_OK boilerplate +
+# bradley-terry 1-row crosses, PANDAS_OK audio decode; see
+# tools/plan_audit.py). ---
+_R15_NEW = (
+    "exact_substr_runs",          # Lee 2022 ExactSubstr, gaps-and-islands
+    "cdc_chunk_dedup",            # FastCDC-at-token-grain chunk dedup
+    "boilerplate_line_removal",   # CCNet/RefinedWeb corpus-frequency lines
+    "url_canonical_dedup",        # RFC-3986-flavored canonical groups
+    "audio_fingerprint_neardup",  # WAV decode + generic banded-Hamming join
+    "bradley_terry_strengths",    # Hunter 2004 MM pairwise strengths
+    "oov_rate_profile",           # top-V vocabulary coverage
+    "char_entropy_profile",       # char-bigram Shannon entropy gate
+)
+# --- r15 head, slot 2: the r15 changed-code slot. dhash_neardup_pairs'
+# banded join was rewritten this round (8x8-bit bands -> 16-bit
+# multi-probe, closing the r13/r14 n^2/32 candidate fan-out ceiling;
+# output proven identical on the planted corpora and the registered
+# slice, 30.1x candidate reduction measured in DHASH_PROBE_r15.json)
+# — the mechanical contract says changed registered code re-hashes the
+# same round. Per the documented r15 budget rule the queue's freshest
+# r11-green (bpe_merge_training) slid to the r16 queue front to fund
+# this slot. ---
+_R15_CHANGED = ("dhash_neardup_pairs",)
+# --- r15 head, slot 3: the documented r15 queue, verbatim from the
+# r14 rotation minus the slid bpe_merge_training (the two displaced
+# r14 fills, the 26 r10-greens — stale five rounds — then the 13
+# oldest r11-greens) ---
+_R15_REFRESH = (
+    "ann_ivf_flat",
+    "ann_ivf_kmeans",
+    # r10-green remainder (26)
+    "ann_lsh_bucket",
+    "embedding_neardup_pairs",
+    "embedding_dedup_assignment",
+    "source_overlap_matrix",
+    "pq_distortion_profile",
+    "pq_adc_recall_at_k",
+    "text_quality_profile",
+    "record_envelope_flat",
+    "envelope_reduced_features",
+    "corpus_mixture_plan",
+    "audio_header_meta",
+    "incremental_ingest_dedup",
+    "quality_filter_decision",
+    "customer_value_ranks",
+    "source_quality_rollup",
+    "lineitem_scalar_lab",
+    "props_variant_stats",
+    "robust_outlier_mad",
+    "event_funnel_transitions",
+    "cohort_retention",
+    "monthly_revenue_growth",
+    "value_histogram",
+    "sessionization",
+    "repetition_profile",
+    "embedding_label_stats",
+    "vibration_features",
+    # oldest r11-greens (13; bpe_merge_training slid to the r16 queue)
+    "zipf_profile",
+    "ngram_novelty_profile",
+    "kneser_ney_bigram_score",
+    "verdict_agreement_matrix",
+    "dedup_span_removal",
+    "temperature_mixture_plan",
+    "hard_negative_pairs",
+    "curation_stage_profile",
+    "multimodal_shard_meta",
+    "machine_stream_union",
+    "maintenance_window_overlap",
+    "image_jpeg_pixel_features",
+    "simhash_signatures",
+)
+
+# --- r14 head (r14 driver-green block, now the freshest tail; kept
+# verbatim as the rotation history) ---
 # --- r14 head, slot 1: NEW r14 registrations — the six r12-staged
 # operators, registered in plans/catalog_r13 with the staging tests'
 # DuckDB oracles (hardened r13/r14 pre-freeze: dhash 8x8-band
@@ -213,6 +294,16 @@ _NO_ORACLE_PIN = (
 # watermark 23k, rank_normalize 43k, containment 5.2k, packing 7.9k,
 # doremi 17.8k, dhash 1.96k docs/s at 10x.
 
+# r15 rotation status: the r14-staged eight REGISTERED this round
+# (plans/catalog_r15, oracle SQL lifted from tests/test_r14_staging.py
+# with identical aliases; allowlist entries measured and landed in
+# tools/plan_audit.py). Pre-freeze hardening: the dhash/audio shared
+# banded join moved to 16-bit multi-probe (identical output, ~30x
+# fewer candidates — DHASH_PROBE_r15.json), and chat_turn_stats'
+# zero-token share semantics were pinned before the wave-7 hash
+# freezes (ADVICE r14). The original staging checklist follows as
+# history:
+#
 # r15 registration checklist (the r12->r13->r14 staging pattern): EIGHT
 # operators are STAGED with green DuckDB differential tests in
 # tests/test_r14_staging.py — operators/dedup.py (exact_substr_runs —
@@ -333,68 +424,63 @@ _NO_ORACLE_PIN = (
 # tests/test_r14_staging_wave2.py; each cohort is the documented
 # catalog move.
 
-# --- r15 queue: the two displaced r14 fills, the r10-green remainder
-# (26, stale five rounds by r15), then the 14 oldest r11-greens
-# (bm25_ranked_retrieval slid to the r16 queue front when the second
-# r14 changed-code slot landed). Head-budget note: queue(42) + 8
-# staged registrations = 50, leaving ZERO r15 changed-code slots — if
-# any registered-query code changes in r15, slide the queue's tail
-# r11-greens to the r16 queue per the documented rule (they are the
-# freshest names in the queue and tolerate the extra round best). ---
+# --- r16 queue (44 names: the r16 head takes the six wave-2 staged
+# registrations + these 44 = 50). Order: the name slid from the r15
+# queue to fund the dhash changed-code slot, then bm25 (slid in r14),
+# then the full r11-green remainder (green r11 — five rounds stale by
+# r16), then the 12 oldest r12/r13-greens. The remaining 13
+# r12/r13-greens queue for r17 alongside the waves-3-7 registrations
+# (r17 budget: 11 staged + 39 queue slots). Head-budget note for the
+# r16 author: queue(44) + 6 wave-2 = 50, ZERO spare slots — any r16
+# changed-code re-hash must slide the queue's tail r12-greens to the
+# r17 queue per the documented rule. ---
 _QUEUED_FOR_NEXT_HEAD = (
-    # displaced from the r14 head fills by the video_frame_features and
-    # audio_pcm_features changed-code slots; to keep queue + 8 staged
-    # == 50 the freshest queue name (bm25_ranked_retrieval, r11-green)
-    # slid to the r16 queue front per the documented rule
-    "ann_ivf_flat",
-    "ann_ivf_kmeans",
-    # r10-green remainder (26 of 48; ann_ivf_flat took the other r14
-    # head fill)
-    "ann_lsh_bucket",
-    "embedding_neardup_pairs",
-    "embedding_dedup_assignment",
-    "source_overlap_matrix",
-    "pq_distortion_profile",
-    "pq_adc_recall_at_k",
-    "text_quality_profile",
-    "record_envelope_flat",
-    "envelope_reduced_features",
-    "corpus_mixture_plan",
-    "audio_header_meta",
-    "incremental_ingest_dedup",
-    "quality_filter_decision",
-    "customer_value_ranks",
-    "source_quality_rollup",
-    "lineitem_scalar_lab",
-    "props_variant_stats",
-    "robust_outlier_mad",
-    "event_funnel_transitions",
-    "cohort_retention",
-    "monthly_revenue_growth",
-    "value_histogram",
-    "sessionization",
-    "repetition_profile",
-    "embedding_label_stats",
-    "vibration_features",
-    # oldest r11-greens (16 of 48)
-    "zipf_profile",
-    "ngram_novelty_profile",
-    "kneser_ney_bigram_score",
-    "verdict_agreement_matrix",
-    "dedup_span_removal",
-    "temperature_mixture_plan",
-    "hard_negative_pairs",
-    "curation_stage_profile",
-    "multimodal_shard_meta",
-    "machine_stream_union",
-    "maintenance_window_overlap",
-    "image_jpeg_pixel_features",
-    "simhash_signatures",
     "bpe_merge_training",
-    # audio_pcm_features and video_frame_features left this block for
-    # the r14 changed-code head slots (wav_data_offset fix; shared MP4
-    # assembler); bm25_ranked_retrieval slid to the r16 queue front to
-    # hold the 50-slot r15 budget
+    "bm25_ranked_retrieval",
+    # r11-green remainder (30, the oldest-green block by r16)
+    "session_campaign_overlap",
+    "bpe_encoded_corpus_stats",
+    "sq8_recall_at_k",
+    "priority_shipping_lag",
+    "bpe_fertility_by_lang",
+    "fuzzy_contamination",
+    "downsample_1h",
+    "status_route_counts",
+    "json_props_profile",
+    "daily_status_pivot",
+    "orders_grouping_sets",
+    "order_scalar_lab",
+    "quantity_quantiles",
+    "supplier_distinct_parts",
+    "segment_symmetric_difference",
+    "top_lineitems_global",
+    "orders_cube",
+    "lineitem_rollup",
+    "customer_order_running",
+    "top_orders_per_customer",
+    "part_size_bands",
+    "order_size_histogram",
+    "customers_without_orders",
+    "customers_with_orders",
+    "customers_per_region",
+    "pricing_summary",
+    "document_chunks",
+    "benchmark_contamination",
+    "leakage_safe_split",
+    "stratified_sample",
+    # oldest r12/r13-greens (12 of 25)
+    "reliability_calibration_bins",
+    "token_distribution_drift",
+    "rouge_ngram_eval",
+    "embedding_centroid_drift",
+    "hubness_profile",
+    "ivfpq_recall_at_k",
+    "pii_redaction",
+    "segment_dedup_profile",
+    "context_pack_stats",
+    "doc_fingerprint_dedup",
+    "dedup_latest_state",
+    "outlier_gate",
 )
 # --- tail: most recently driver-green blocks, oldest first (only the
 # first 50 are hashed; the order documents the next rotations). The
@@ -480,13 +566,20 @@ _R11_GREEN_TAIL = (
     "stratified_sample",
 )
 
-_HEAD = list(_R14_NEW) + list(_R14_REFRESH)
+_HEAD = list(_R15_NEW) + list(_R15_CHANGED) + list(_R15_REFRESH)
+# tail: the r16 queue first (the documented next head), then every
+# remaining block oldest-green first (r10/r11 leftovers are empty —
+# both blocks were fully absorbed by the r14/r15 heads and the r16
+# queue; the 13 r12/r13-green leftovers precede the freshest
+# r14-green block), pins last
 _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     n
     for n in list(_R10_GREEN_TAIL)
     + list(_R11_GREEN_TAIL)
     + list(_R12_NEW)
     + list(_R12_REFRESH)
+    + list(_R14_NEW)
+    + list(_R14_REFRESH)
     if n not in _HEAD
 ] + list(_NO_ORACLE_PIN)
 

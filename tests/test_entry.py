@@ -44,7 +44,8 @@ def test_rotation_head_invariants():
         _HEAD,
         _NO_ORACLE_PIN,
         _QUEUED_FOR_NEXT_HEAD,
-        _R14_NEW,
+        _R15_CHANGED,
+        _R15_NEW,
         rotation_preflight,
     )
 
@@ -68,8 +69,9 @@ def test_rotation_head_invariants():
     names = list(REGISTRY)
     # the head IS the driver sample, in order
     assert names[:DRIVER_SAMPLE] == [n for n in _HEAD if n in REGISTRY]
-    # every new r14 query holds a head slot this round
-    assert set(_R14_NEW) <= set(_HEAD)
+    # every new r15 query + the r15 changed-code slot holds a head
+    # slot this round
+    assert set(_R15_NEW) | set(_R15_CHANGED) <= set(_HEAD)
     # the documented next-round queue sits immediately after the head
     queue_live = [n for n in _QUEUED_FOR_NEXT_HEAD if n in REGISTRY]
     assert names[DRIVER_SAMPLE : DRIVER_SAMPLE + len(queue_live)] == queue_live

@@ -568,12 +568,17 @@ def test_containment_registered_shape(spark):
 
 
 def test_dhash_registered_shape(spark):
-    """dhash_neardup_pairs (registered r14): decode runs as ONE
-    Arrow-batched MapInPandas chain; the pair join is a keyed
-    (band_idx, band_val) equi-join — no cartesian, no BNLJ, no
+    """dhash_neardup_pairs (registered r14, multi-probe + shared-frame
+    checkpoint r15): the decoded hash frame is lazy-checkpointed so
+    the Arrow-batched MapInPandas decode materializes ONCE and feeds
+    both join sides as Scan ExistingRDD (the exact_substr kept-frame
+    precedent); the pair join is a keyed (band_idx, band_val)
+    equi-join over the 16-bit multi-probe emission (the one-bit flip
+    masks up to 32768 must appear) — no cartesian, no BNLJ, no
     row-at-a-time Python."""
     plan = _plan(spark, "dhash_neardup_pairs")
-    assert "MapInPandas" in plan
+    assert "ExistingRDD" in plan  # checkpointed decode, both sides
+    assert "32768" in plan  # the 16-bit multi-probe flip-mask array
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

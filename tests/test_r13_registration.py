@@ -48,9 +48,12 @@ def test_r13_moves_are_all_registered():
     assert not missing, missing
 
 
-def test_r14_head_leads_with_the_six():
-    head = list(REGISTRY)[:6]
-    assert head == list(R13_REGISTERED), head
+def test_r13_moves_remain_placed_by_the_rotation():
+    """The r14 'head leads with the six' pin retired with the r15
+    rotation (the r12-gate precedent); what must stay true forever:
+    all six remain registered, placed, and the rotation is sound."""
+    placed = set(REGISTRY)
+    assert set(R13_REGISTERED) <= placed
     assert rotation_preflight() == []
 
 

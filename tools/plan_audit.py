@@ -75,6 +75,14 @@ BNLJ_OK = {
     "hubness_profile": "rides hard_negative_mining's broadcast 1-row corpus count cross (the hard_negative_pairs auto-plane argument)",
     "ivfpq_recall_at_k": "exact side of the IVF-PQ recall audit: broadcast 5-row full-vector baseline (ann_recall_at_k pattern); index side joins codes to <= m*k broadcast codebook rows",
     "ngram_containment_pairs": "scale-derived df cap: broadcast 1-row corpus count crossed into the document-frequency filter (the auto-plane pattern, no plan-build collect)",
+    "boilerplate_line_removal": "scale-derived boilerplate threshold: broadcast 1-row corpus doc-count crossed into the line-df filter (the containment-cap pattern, no plan-build collect)",
+    "bradley_terry_strengths": "broadcast 1-row item/pair array assembly crossed per MM iteration (the doremi one-assembled-row posture, no plan-build collect)",
+    # exact_substr_runs needs no entry: its scale-derived cap cross
+    # plans as BroadcastHashJoin-free aggregate + broadcast filter at
+    # the registered quote-page corpus (re-measured at registration,
+    # r14 note at plans/__init__.py — audited ok without an allowlist
+    # row; if a future corpus change surfaces a BNLJ the audit will
+    # flag it loudly rather than ride a stale justification)
     # top_supplier_revenue needs no entry: Catalyst rewrites its
     # equality-filtered 1-row max cross into a BroadcastHashJoin on the
     # normalized revenue key (pinned by test_q15_max_subquery_stays_in_plan)
@@ -95,6 +103,7 @@ PANDAS_OK = {
     "kmv_distinct_ngrams": "per-batch partial bottom-k sketch (documented wire shape)",
     "heavy_hitter_tokens": "per-batch pigeonhole candidate pass (Misra-Gries bound)",
     "dhash_neardup_pairs": "full binary decode (PNG walk + zlib inflate + unfilter + dHash sample grid) via mapInPandas (image_pixel_features precedent)",
+    "audio_fingerprint_neardup": "full binary decode (RIFF walk + int16 unpack + frame energies) via mapInPandas (audio_pcm_features precedent) feeding the JVM-side banded join",
 }
 
 PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
