@@ -1686,7 +1686,15 @@ def exact_substr_runs(
         )
     else:
         capped = freq.filter(F.col("_df") <= df_cap).select("_h")
-    kept = grams.join(capped, "_h").localCheckpoint(eager=True)
+    # LAZY checkpoint (r15): the df-capped postings feed both join
+    # sides, which share no subtree — the checkpoint makes the
+    # shingle+cap pipeline materialize ONCE. eager=False so merely
+    # BUILDING the frame (EXPLAIN, plan audits, registry wiring) runs
+    # no Spark JOB (the matryoshka ADVICE class); it still
+    # materializes exactly once on the first action. The residual
+    # ~2 s build wall-clock at sf0.1 is JVM-side physical planning of
+    # the shingle chain, not execution.
+    kept = grams.join(capped, "_h").localCheckpoint(eager=False)
     a = kept.select(
         F.col("_cid").alias("doc_id_a"), F.col("_pos").alias("_pa"), "_h"
     )

@@ -138,45 +138,35 @@ def bradley_terry_strengths(
     for t in range(iters):
         # denominators for every item in one projection, then the MM
         # update + renormalize + 6dp re-pin in the next (linear
-        # expression tree in iters, the doremi stage discipline)
-        one = one.select(
+        # expression tree in iters, the doremi stage discipline).
+        # Each stage is ONE parsed SQL string (r6 lesson: every
+        # Column-API lambda costs py4j round trips at plan-BUILD time,
+        # and the driver harness builds each query fresh — the lambda
+        # form spent ~2x longer building the 20-iteration chain than
+        # executing it; selectExpr parses identically, 0.0D literals
+        # keep every intermediate a double exactly like F.lit(0.0)).
+        # _z{t} is bound as a real column BEFORE the s{t+1} transform
+        # references it, so the renormalize lambda touches only an
+        # attribute — never re-evaluating the aggregate per element.
+        one = one.selectExpr(
             "*",
-            F.transform(
-                F.sequence(F.lit(1), F.size("_its")),
-                lambda i: F.aggregate(
-                    "_pi",
-                    F.lit(0.0),
-                    lambda acc, p: acc
-                    + F.when(
-                        (p["ia"] == i) | (p["ib"] == i),
-                        p["n"]
-                        / (
-                            F.element_at(F.col(cur), p["ia"].cast("int"))
-                            + F.element_at(F.col(cur), p["ib"].cast("int"))
-                        ),
-                    ).otherwise(F.lit(0.0)),
-                ),
-            ).alias(f"_d{t}"),
+            f"transform(sequence(1, size(_its)), i -> aggregate(_pi, "
+            f"0.0D, (acc, p) -> acc + (CASE WHEN p.ia = i OR p.ib = i "
+            f"THEN p.n / (element_at({cur}, cast(p.ia as int)) + "
+            f"element_at({cur}, cast(p.ib as int))) ELSE 0.0D END))) "
+            f"AS _d{t}",
         )
-        one = one.select(
+        one = one.selectExpr(
             "*",
-            F.zip_with(
-                "_ws",
-                f"_d{t}",
-                lambda w, d: F.when(d > 0, w / d).otherwise(F.lit(0.0)),
-            ).alias(f"_u{t}"),
+            f"zip_with(_ws, _d{t}, (w, d) -> CASE WHEN d > 0 THEN w / d "
+            f"ELSE 0.0D END) AS _u{t}",
         )
-        one = one.select(
-            "*",
-            F.aggregate(
-                f"_u{t}", F.lit(0.0), lambda acc, x: acc + x
-            ).alias(f"_z{t}"),
+        one = one.selectExpr(
+            "*", f"aggregate(_u{t}, 0.0D, (acc, x) -> acc + x) AS _z{t}"
         )
-        one = one.select(
+        one = one.selectExpr(
             "*",
-            F.transform(
-                f"_u{t}", lambda x: F.round(x / F.col(f"_z{t}"), 6)
-            ).alias(f"s{t + 1}"),
+            f"transform(_u{t}, x -> round(x / _z{t}, 6)) AS s{t + 1}",
         )
         cur = f"s{t + 1}"
     out = one.select(
