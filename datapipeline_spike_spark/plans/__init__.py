@@ -423,6 +423,14 @@ _NO_ORACLE_PIN = (
 # Every staged operator already carries its oracle SQL in
 # tests/test_r14_staging_wave2.py; each cohort is the documented
 # catalog move.
+#
+# r16 changed-code slot CANDIDATE (take it only if a slot is free or
+# worth a queue slide): ngram_containment_pairs' shared kept-frame
+# checkpoint (operators/dedup.py:1437) is still eager=True — the
+# exact sibling of the r15 exact_substr_runs eager->lazy move
+# (building the frame runs the shingle job). The other eager sites
+# are inside iterative loops (BPE, dedup components) where eager is
+# REQUIRED (the r7 exponential-plan lesson) — do not blanket-convert.
 
 # --- r16 queue (44 names: the r16 head takes the six wave-2 staged
 # registrations + these 44 = 50). Order: the name slid from the r15
