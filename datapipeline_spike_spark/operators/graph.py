@@ -347,10 +347,15 @@ def label_propagation_communities(
         counts = neigh.groupBy("a", "label").agg(
             F.count(F.lit(1)).alias("_c")
         )
-        # argmax (count desc, label asc) without a window: max_by over
-        # the orderable struct (count, -label) — exact integers
+        # argmax (count desc, label asc) without a window: min_by over
+        # the orderable struct (-count, label) — minimizing (-count,
+        # label) is maximize-count-then-smallest-label. Negating the
+        # COUNT (always a long) instead of the label keeps the tie rule
+        # valid for ANY orderable label type (string hosts included) —
+        # the earlier -label form crashed on non-numeric vertex ids
+        # (r15 pre-registration review)
         labels = counts.groupBy("a").agg(
-            F.max_by("label", F.struct(F.col("_c"), -F.col("label"))).alias(
+            F.min_by("label", F.struct(-F.col("_c"), F.col("label"))).alias(
                 "label"
             )
         ).select(F.col("a").alias("host"), "label")

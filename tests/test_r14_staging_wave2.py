@@ -1224,6 +1224,31 @@ def test_label_propagation_planted_communities(spark):
     assert got2 == labels
 
 
+def test_label_propagation_string_vertex_ids(spark):
+    """r15 pre-registration review: the tie-break negated the LABEL,
+    which crashes on non-numeric vertex ids. The min_by((-count,
+    label)) form is type-generic — two string triangles collapse to
+    their lexicographically smallest member exactly like the long
+    graph."""
+    from datapipeline_spike_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    tri = [
+        ("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"),
+        ("x.org", "y.org"), ("y.org", "z.org"), ("z.org", "x.org"),
+    ]
+    df = spark.createDataFrame(tri, "src string, dst string")
+    got = {
+        r["host"]: r["community"]
+        for r in label_propagation_communities(df).collect()
+    }
+    assert got == {
+        "a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+        "x.org": "x.org", "y.org": "x.org", "z.org": "x.org",
+    }
+
+
 # --- vocab_overlap_matrix -------------------------------------------------------
 
 SQL_VOCAB_OVERLAP = f"""
