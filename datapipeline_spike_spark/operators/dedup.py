@@ -1512,7 +1512,16 @@ def dhash_neardup_pairs(
     layouts on uniform random hashes — see DHASH_PROBE_r15.json).
     Planted near-dup clusters still fan out quadratically in CLUSTER
     size on either layout — that is output volume, not index overhead.
-    AQE splits residual hot band-value buckets (simhash posture)."""
+    AQE splits residual hot band-value buckets (simhash posture).
+
+    Quadratic is still quadratic: at n = 10^6 uniform hashes the
+    multi-probe join verifies ~10^9 candidates (a routine distributed
+    pass; the old layout's ~3*10^10 was not), but at 10^8 it would be
+    ~10^13 — past roughly 10^7 hashes per run, SHARD the corpus (the
+    hashes frame is media-count-sized and unions cheaply; near-dup
+    recall within shards is the standard sharded-dedup trade, or run
+    shard-pair passes for full recall). The probe tool re-measures the
+    crossover when hash distributions change."""
     if max_hamming > 7:
         raise ValueError(
             "dhash_neardup_pairs guarantees complete recall only for "
