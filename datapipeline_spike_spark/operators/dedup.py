@@ -1254,11 +1254,17 @@ def dedup_span_removal(
     flagged spans union), flagged k-gram starts, and the post-scrub
     retention.
 
-    Scale shape: ONE positional explode feeds both the gram stats
-    (distinct (doc, gram) -> per-gram document frequency + min doc:
-    one gram-keyed map-side-combined shuffle) and the hit join — which
-    shuffles on the gram key with NO broadcast hint (distinct grams
-    scale with the corpus; AQE decides). Coverage union is an INTERVAL
+    Scale shape: one positional explode LOGICALLY feeds both the gram
+    stats (distinct (doc, gram) -> per-gram document frequency + min
+    doc: one gram-keyed map-side-combined shuffle) and the hit join —
+    which shuffles on the gram key with NO broadcast hint (distinct
+    grams scale with the corpus; AQE decides). The explode is
+    deliberately NOT checkpointed: the two consumers re-run the
+    tokenize+shingle (CPU, scan-speed) rather than materialize the
+    UNCAPPED corpus-scale posting list — the opposite call from
+    exact_substr_runs, whose checkpoint sits AFTER the df-cap shrinks
+    the frame. At 100 TB a second scan pass is cheaper than storing a
+    full positional copy of the corpus. Coverage union is an INTERVAL
     MERGE (r11): each (doc, pos) hit is unique by construction (one
     k-gram per position, one stats row per gram), so with starts
     sorted per doc the union of fixed-length-k intervals is exactly
