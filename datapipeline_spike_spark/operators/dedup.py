@@ -1439,8 +1439,21 @@ def ngram_containment_pairs(
         capped = freq.filter(F.col("_df") <= df_cap).select("_h")
     # FOUR consumers downstream (sizes + both posting join sides, each
     # otherwise re-running the corpus-wide tokenize+shingle+md5 explode
-    # — no CSE across join branches, the r7 lesson)
-    kept = sh.join(capped, "_h").localCheckpoint(eager=True)
+    # — no CSE across join branches, the r7 lesson). persist(), NOT
+    # localCheckpoint (r16, measured): under AQE even a LAZY
+    # localCheckpoint fires every upstream shuffle stage at
+    # plan-construction time (Dataset.localCheckpoint calls
+    # queryExecution.toRdd, and AdaptiveSparkPlanExec must EXECUTE its
+    # intermediate stages to finalize the plan) — 6 jobs at build for
+    # this frame, eager or not. persist() defers everything (0 build
+    # jobs, EXPLAIN stays free), the first action materializes the
+    # InMemoryRelation once, and all four branches read it
+    # (InMemoryTableScan x4 in the executed plan; recomputable on
+    # executor loss, unlike a localCheckpoint). Lineage here is
+    # one-shot (no iterative growth), so checkpoint's
+    # lineage-truncation is not needed — that is what the BPE/LPA
+    # loops use it for.
+    kept = sh.join(capped, "_h").persist()
     sizes = kept.groupBy("_cid").agg(F.count(F.lit(1)).alias("_sz"))
     a = kept.select(F.col("_cid").alias("doc_id_a"), "_h")
     b = kept.select(F.col("_cid").alias("doc_id_b"), "_h")
@@ -1513,9 +1526,20 @@ def dhash_neardup_pairs(
     quadratic-with-a-small-constant past ~10^6 hashes. Multi-probe
     16-bit bands cost 17x more index rows (68n vs 8n — linear, cheap)
     but collide at ~n^2 * 68/65536 ~= n^2/964: ~30x fewer candidate
-    XOR-popcounts and ~30x less band-join shuffle on uniform corpora
-    (measured, not guessed: tools/dhash_probe_r15.py replays both
-    layouts on uniform random hashes — see DHASH_PROBE_r15.json).
+    XOR-popcounts and ~30x fewer candidate join-output rows on uniform
+    corpora (measured, not guessed: tools/dhash_probe_r15.py replays
+    both layouts on uniform random hashes — see DHASH_PROBE_r15.json).
+    Trade-off stated precisely (ADVICE r15): the probe side carries
+    both hash words through the 17x explode so verification is a
+    column op on the join output, i.e. the MAP-SIDE shuffle write
+    grows ~17x/8x = ~2.1x in rows x width vs the old layout while the
+    join OUTPUT (the quadratic term, reduce-side) shrinks ~30x — the
+    right trade everywhere the quadratic term dominates, which is
+    exactly the >= 10^5-hash regime this operator exists for. If a
+    future probe shows the linear band-join write dominating (tiny
+    corpora, very wide ids), emit id-only probes and recover the
+    words by re-joining the checkpointed hash frame after the
+    candidate dedup — one extra keyed join, ~8.5x less shuffle write.
     Planted near-dup clusters still fan out quadratically in CLUSTER
     size on either layout — that is output volume, not index overhead.
     AQE splits residual hot band-value buckets (simhash posture).

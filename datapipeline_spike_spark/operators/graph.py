@@ -325,8 +325,12 @@ def label_propagation_communities(
     oracle replays every round bit-for-bit. Scale shape: per round ONE
     keyed join (undirected edge list ⋈ labels on the neighbor key) and
     ONE two-level aggregate ((vertex, label) counts -> per-vertex
-    argmax via max_by on the (count, -label) pair — no window); the
-    label frame is vertex-grain, broadcastable under AQE when small.
+    argmax via min_by over the struct (-count, label): minimizing
+    (-count, label) is maximize-count-then-smallest-label, and
+    negating the COUNT (always a long) instead of the label keeps the
+    tie rule valid for ANY orderable label type, string hosts included
+    — no window); the label frame is vertex-grain, broadcastable under
+    AQE when small.
 
     Returns (host, community, n_members is NOT emitted — community
     sizes are a trivial downstream groupBy; keeping the vertex grain

@@ -14,6 +14,7 @@ from datapipeline_spike_spark.plans import catalog_r11  # noqa: F401  (r10 stage
 from datapipeline_spike_spark.plans import catalog_r12  # noqa: F401  (r11 staged -> registered)
 from datapipeline_spike_spark.plans import catalog_r13  # noqa: F401  (r12 staged -> registered r14)
 from datapipeline_spike_spark.plans import catalog_r15  # noqa: F401  (r14 staged -> registered r15)
+from datapipeline_spike_spark.plans import catalog_r16  # noqa: F401  (r14 wave-2 staged -> registered r16)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -31,6 +32,93 @@ from datapipeline_spike_spark.plans import catalog_r15  # noqa: F401  (r14 stage
 
 DRIVER_SAMPLE = 50
 
+# --- r16 head, slot 1: NEW r16 registrations — the six r14-staged
+# WAVE-2 operators, registered in plans/catalog_r16 with the staging
+# tests' DuckDB oracles (tests/test_r14_staging_wave2.py,
+# differential-green at both sf0.001 and sf0.01 via
+# tools/staged_preflight.py before the move, physical-plan shape pins
+# applied at staging time). Allowlist entries measured at registration
+# (BNLJ_OK pagerank 1-row count/dangling crosses + matryoshka
+# broadcast query-set baseline, PANDAS_OK audio VAD decode, WINDOW_OK
+# curriculum plan-grain schedule window; see tools/plan_audit.py). ---
+_R16_NEW = (
+    "pagerank_host_authority",   # Page 1999 damped power iteration, K=3
+    "code_detect_profile",       # keyword/symbol-density code routing
+    "license_detect_profile",    # SPDX/copyleft-first license gate
+    "matryoshka_recall_at_k",    # Kusupati 2022 truncation recall audit
+    "audio_vad_segments",        # RIFF decode + energy-gated islands
+    "curriculum_phase_plan",     # Bengio 2009 per-source ntile schedule
+)
+# --- r16 head, slot 2: the r16 changed-code slot.
+# ngram_containment_pairs' shared kept-frame localCheckpoint(eager)
+# moved to persist() this round — MEASURED root cause: under AQE even
+# a LAZY localCheckpoint fires every upstream shuffle stage at
+# plan-construction time (toRdd finalizes the adaptive plan), so the
+# r15 eager->lazy pattern never actually removed the plan-build job;
+# persist() does (0 build jobs, EXPLAIN free, one materialization
+# shared by all four branches as InMemoryTableScan). Behavior
+# unchanged, oracle re-hashed in this head. The same conversion is
+# the measured r17 changed-code candidate for the two remaining
+# lazy-checkpoint sites (exact_substr_runs, dhash_neardup_pairs —
+# the latter re-hashes audio_fingerprint_neardup too). Per the
+# documented budget rule the queue's tail r12-green (outlier_gate)
+# slid to the r17 queue to fund this slot. ---
+_R16_CHANGED = ("ngram_containment_pairs",)
+# --- r16 head, slot 3: the documented r16 queue, verbatim from the
+# r15 rotation minus the slid outlier_gate (bpe_merge_training — slid
+# in r15 to fund the dhash slot — then bm25, the full r11-green
+# remainder, then the 12 oldest r12/r13-greens) ---
+_R16_REFRESH = (
+    "bpe_merge_training",
+    "bm25_ranked_retrieval",
+    # r11-green remainder (30, the oldest-green block by r16)
+    "session_campaign_overlap",
+    "bpe_encoded_corpus_stats",
+    "sq8_recall_at_k",
+    "priority_shipping_lag",
+    "bpe_fertility_by_lang",
+    "fuzzy_contamination",
+    "downsample_1h",
+    "status_route_counts",
+    "json_props_profile",
+    "daily_status_pivot",
+    "orders_grouping_sets",
+    "order_scalar_lab",
+    "quantity_quantiles",
+    "supplier_distinct_parts",
+    "segment_symmetric_difference",
+    "top_lineitems_global",
+    "orders_cube",
+    "lineitem_rollup",
+    "customer_order_running",
+    "top_orders_per_customer",
+    "part_size_bands",
+    "order_size_histogram",
+    "customers_without_orders",
+    "customers_with_orders",
+    "customers_per_region",
+    "pricing_summary",
+    "document_chunks",
+    "benchmark_contamination",
+    "leakage_safe_split",
+    "stratified_sample",
+    # oldest r12/r13-greens (11 of the 12 queued by r15; outlier_gate
+    # slid to the r17 queue to fund the changed-code slot)
+    "reliability_calibration_bins",
+    "token_distribution_drift",
+    "rouge_ngram_eval",
+    "embedding_centroid_drift",
+    "hubness_profile",
+    "ivfpq_recall_at_k",
+    "pii_redaction",
+    "segment_dedup_profile",
+    "context_pack_stats",
+    "doc_fingerprint_dedup",
+    "dedup_latest_state",
+)
+
+# --- r15 head (r15 driver-green block, now the freshest tail; kept
+# verbatim as the rotation history) ---
 # --- r15 head, slot 1: NEW r15 registrations — the eight r14-staged
 # operators, registered in plans/catalog_r15 with the staging tests'
 # DuckDB oracles (tests/test_r14_staging.py, differential-green at
@@ -337,6 +425,17 @@ _NO_ORACLE_PIN = (
 # families — consider the dhash doc_id%5=3 slice if pair volume at
 # sf0.1 needs bounding).
 
+# r16 rotation status: the r14-staged WAVE-2 six REGISTERED this round
+# (plans/catalog_r16, oracle SQL lifted verbatim from
+# tests/test_r14_staging_wave2.py with identical aliases; allowlist
+# entries measured at registration and landed in tools/plan_audit.py).
+# The changed-code slot went to ngram_containment_pairs' kept-frame
+# localCheckpoint -> persist() (operators/dedup.py — behavior
+# unchanged, plan-build jobs 6 -> 0; see the r16 head slot-2 comment
+# for the AQE-toRdd root cause that also corrects the r15 lazy-
+# checkpoint claim). The original staging checklist follows as
+# history:
+#
 # r16 staging pipeline (WAVE 2, staged r14 — the r15 head is full, so
 # these six register in r16): tests/test_r14_staging_wave2.py holds
 # green DuckDB differentials + planted-property tests for
@@ -410,8 +509,9 @@ _NO_ORACLE_PIN = (
 # and DPO preference-pair construction; both windows partitioned,
 # no self-joins).
 #
-# r16 REGISTRATION BUDGET (for the r16 author): 17 operators are now
-# staged across waves 2-7. A 50-slot head cannot absorb 17
+# r16 REGISTRATION BUDGET (written r15, EXECUTED r16 — wave 2 is
+# registered above; waves 3-7 remain staged for r17): 17 operators
+# were staged across waves 2-7. A 50-slot head cannot absorb 17
 # registrations + the r16 queue (bm25_ranked_retrieval front + the
 # by-then-stale tail blocks) in one round — REGISTER IN TWO COHORTS,
 # oldest-staged first: r16 takes the six wave-2 names + the r16 queue;
@@ -424,71 +524,66 @@ _NO_ORACLE_PIN = (
 # tests/test_r14_staging_wave2.py; each cohort is the documented
 # catalog move.
 #
-# r16 changed-code slot CANDIDATE (take it only if a slot is free or
-# worth a queue slide): ngram_containment_pairs' shared kept-frame
-# checkpoint (operators/dedup.py:1437) is still eager=True — the
-# exact sibling of the r15 exact_substr_runs eager->lazy move
-# (building the frame runs the shingle job). The other eager sites
-# are inside iterative loops (BPE, dedup components) where eager is
-# REQUIRED (the r7 exponential-plan lesson) — do not blanket-convert.
+# r16 changed-code slot CANDIDATE — TAKEN in r16, with a measured
+# correction: the planned eager=True -> eager=False move does NOT
+# remove the plan-build job (AQE's toRdd executes upstream shuffle
+# stages for a lazy localCheckpoint too); ngram_containment_pairs'
+# kept frame moved to persist() instead (0 build jobs, measured).
+# The other eager sites are inside iterative loops (BPE, dedup
+# components) where checkpoint lineage-truncation is REQUIRED (the r7
+# exponential-plan lesson) — do not blanket-convert.
 
-# --- r16 queue (44 names: the r16 head takes the six wave-2 staged
-# registrations + these 44 = 50). Order: the name slid from the r15
-# queue to fund the dhash changed-code slot, then bm25 (slid in r14),
-# then the full r11-green remainder (green r11 — five rounds stale by
-# r16), then the 12 oldest r12/r13-greens. The remaining 13
-# r12/r13-greens queue for r17 alongside the waves-3-7 registrations
-# (r17 budget: 11 staged + 39 queue slots). Head-budget note for the
-# r16 author: queue(44) + 6 wave-2 = 50, ZERO spare slots — any r16
-# changed-code re-hash must slide the queue's tail r12-greens to the
-# r17 queue per the documented rule. ---
+# --- r17 queue (39 names: the r17 head takes the eleven waves-3-7
+# staged registrations + these 39 = 50, ZERO spare slots — any r17
+# changed-code re-hash must slide the queue's tail to the r18 queue
+# per the documented rule). Order: the name slid from the r16 queue to
+# fund the ngram_containment_pairs changed-code slot, then the FULL
+# r12/r13-green remainder in the documented block order — mechanically
+# derived from CORRECTNESS_r*.json latest-green rounds this round:
+# exactly 39 registered non-pinned names have latest driver-green r13
+# and none older, so the r17 queue is precisely the stale block (the
+# r14/r15/r16-green blocks rotate behind it in _TAIL). ---
 _QUEUED_FOR_NEXT_HEAD = (
-    "bpe_merge_training",
-    "bm25_ranked_retrieval",
-    # r11-green remainder (30, the oldest-green block by r16)
-    "session_campaign_overlap",
-    "bpe_encoded_corpus_stats",
-    "sq8_recall_at_k",
-    "priority_shipping_lag",
-    "bpe_fertility_by_lang",
-    "fuzzy_contamination",
-    "downsample_1h",
-    "status_route_counts",
-    "json_props_profile",
-    "daily_status_pivot",
-    "orders_grouping_sets",
-    "order_scalar_lab",
-    "quantity_quantiles",
-    "supplier_distinct_parts",
-    "segment_symmetric_difference",
-    "top_lineitems_global",
-    "orders_cube",
-    "lineitem_rollup",
-    "customer_order_running",
-    "top_orders_per_customer",
-    "part_size_bands",
-    "order_size_histogram",
-    "customers_without_orders",
-    "customers_with_orders",
-    "customers_per_region",
-    "pricing_summary",
-    "document_chunks",
-    "benchmark_contamination",
-    "leakage_safe_split",
-    "stratified_sample",
-    # oldest r12/r13-greens (12 of 25)
-    "reliability_calibration_bins",
-    "token_distribution_drift",
-    "rouge_ngram_eval",
-    "embedding_centroid_drift",
-    "hubness_profile",
-    "ivfpq_recall_at_k",
-    "pii_redaction",
-    "segment_dedup_profile",
-    "context_pack_stats",
-    "doc_fingerprint_dedup",
-    "dedup_latest_state",
     "outlier_gate",
+    # r12/r13-green remainder (38, the oldest-green block by r17)
+    "quality_metrics",
+    "rolling_baseline",
+    "sliding_window_load",
+    "purchase_asof_signup",
+    "late_shipment_priority",
+    "small_quantity_revenue",
+    "table_profile",
+    "image_header_meta",
+    "video_header_meta",
+    "dominant_frequency_verified",
+    "url_host_dedup",
+    "decontamination_span_removal",
+    "winnowing_fingerprints",
+    "near_dup_cluster_stats",
+    "minhash_jaccard_estimate",
+    "ngram_jaccard_pairs",
+    "candidate_edit_distance",
+    "shuffle_shard_plan",
+    "weighted_doc_sample",
+    "skipgram_pmi",
+    "budget_selected_docs",
+    "dedup_survivor_policy",
+    "html_extract_profile",
+    "bigram_fluency",
+    "perplexity_bucket_profile",
+    "encoding_quality_profile",
+    "hamming_recall_at_k",
+    "random_projection_profile",
+    "local_supplier_volume",
+    "referential_integrity_audit",
+    "paragraph_dedup_profile",
+    "gopher_quality_rules",
+    "c4_line_filters",
+    "domain_cap_sample",
+    "dsir_importance_weights",
+    "pca_variance_profile",
+    "promo_revenue_share",
+    "image_pixel_features",
 )
 # --- tail: most recently driver-green blocks, oldest first (only the
 # first 50 are hashed; the order documents the next rotations). The
@@ -574,12 +669,12 @@ _R11_GREEN_TAIL = (
     "stratified_sample",
 )
 
-_HEAD = list(_R15_NEW) + list(_R15_CHANGED) + list(_R15_REFRESH)
-# tail: the r16 queue first (the documented next head), then every
-# remaining block oldest-green first (r10/r11 leftovers are empty —
-# both blocks were fully absorbed by the r14/r15 heads and the r16
-# queue; the 13 r12/r13-green leftovers precede the freshest
-# r14-green block), pins last
+_HEAD = list(_R16_NEW) + list(_R16_CHANGED) + list(_R16_REFRESH)
+# tail: the r17 queue first (the documented next head), then every
+# remaining block oldest-green first (r10/r11/r12 leftovers are empty
+# — those blocks were fully absorbed by the r14/r15/r16 heads and the
+# r17 queue; the r14-green block precedes the freshest r15-green
+# block), pins last
 _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     n
     for n in list(_R10_GREEN_TAIL)
@@ -588,6 +683,9 @@ _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     + list(_R12_REFRESH)
     + list(_R14_NEW)
     + list(_R14_REFRESH)
+    + list(_R15_NEW)
+    + list(_R15_CHANGED)
+    + list(_R15_REFRESH)
     if n not in _HEAD
 ] + list(_NO_ORACLE_PIN)
 

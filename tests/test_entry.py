@@ -44,8 +44,8 @@ def test_rotation_head_invariants():
         _HEAD,
         _NO_ORACLE_PIN,
         _QUEUED_FOR_NEXT_HEAD,
-        _R15_CHANGED,
-        _R15_NEW,
+        _R16_CHANGED,
+        _R16_NEW,
         rotation_preflight,
     )
 
@@ -69,9 +69,9 @@ def test_rotation_head_invariants():
     names = list(REGISTRY)
     # the head IS the driver sample, in order
     assert names[:DRIVER_SAMPLE] == [n for n in _HEAD if n in REGISTRY]
-    # every new r15 query + the r15 changed-code slot holds a head
+    # every new r16 query + the r16 changed-code slot holds a head
     # slot this round
-    assert set(_R15_NEW) | set(_R15_CHANGED) <= set(_HEAD)
+    assert set(_R16_NEW) | set(_R16_CHANGED) <= set(_HEAD)
     # the documented next-round queue sits immediately after the head
     queue_live = [n for n in _QUEUED_FOR_NEXT_HEAD if n in REGISTRY]
     assert names[DRIVER_SAMPLE : DRIVER_SAMPLE + len(queue_live)] == queue_live

@@ -556,13 +556,22 @@ def test_ivfpq_recall_shares_residuals_and_codebooks(spark):
 
 
 def test_containment_registered_shape(spark):
-    """ngram_containment_pairs (registered r14): candidate generation
-    must be the inverted-index equi-join — no CartesianProduct, no
-    sort-merge self-join of the raw doc frame, the only BNLJ the
-    allowlisted 1-row corpus-count cap cross, and no Python stage."""
+    """ngram_containment_pairs (registered r14, kept frame persist()ed
+    r16): candidate generation must be the inverted-index equi-join —
+    no CartesianProduct, no sort-merge self-join of the raw doc frame,
+    and no Python stage. The shared kept frame must be CACHED and read
+    by all four consumers (sizes x2 + both posting sides) as
+    InMemoryTableScan — the r16 persist fix (a localCheckpoint here,
+    even lazy, fires the AQE shuffle stages at plan build). The only
+    BNLJ is the allowlisted 1-row corpus-count cap cross INSIDE the
+    cached subtree; the pre-materialization plan renders that subtree
+    once per cache reference, so the count is bounded by the
+    InMemoryTableScan count, not 1."""
     plan = _plan(spark, "ngram_containment_pairs")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    n_cache = plan.count("InMemoryTableScan")
+    assert n_cache == 4, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= n_cache
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
 
@@ -582,6 +591,87 @@ def test_dhash_registered_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_decode_stages_are_arrow_batched(spark):
+    """ADVICE r15: the registered dhash/audio plans hide the decode
+    behind the lazy checkpoint's ExistingRDD scan, so the registered
+    shape test above can no longer see it — pin the Arrow-batching
+    contract on the PRE-checkpoint decode DataFrames themselves:
+    decode_image_dhash and decode_audio_fingerprint must plan exactly
+    one MapInPandas stage and never a row-at-a-time BatchEvalPython."""
+    from datapipeline_spike_spark.sources.multimodal import (
+        audio_family_media_from_documents,
+        decode_audio_fingerprint,
+        decode_image_dhash,
+        image_family_media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    for decoded in (
+        decode_image_dhash(image_family_media_from_documents(docs)),
+        decode_audio_fingerprint(audio_family_media_from_documents(docs)),
+    ):
+        plan = decoded._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") >= 1, plan
+        assert "BatchEvalPython" not in plan, plan
+
+
+def test_dhash_probe_tool_replays_the_operator_join(spark):
+    """ADVICE r15: tools/dhash_probe_r15.py reconstructs the operator's
+    band/probe expressions instead of sharing code (the operator's
+    internals are deliberately private), so this test mechanically
+    links the two: on hashes planted at every Hamming distance 0..8,
+    the probe's candidate set filtered to true hamming <= 7 must EQUAL
+    dhash_neardup_pairs(max_hamming=7) — if either side's band layout
+    or probe emission drifts, the recall contracts diverge and this
+    fails, flagging DHASH_PROBE_r15.json as stale evidence."""
+    import importlib.util
+
+    from datapipeline_spike_spark.operators.dedup import dhash_neardup_pairs
+
+    spec = importlib.util.spec_from_file_location(
+        "dhash_probe_r15", "/root/repo/tools/dhash_probe_r15.py"
+    )
+    probe_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe_mod)
+
+    base = 0x5A5A_A5A5
+    rows = [(0, (base >> 32) & 0xFFFFFFFF, base & 0xFFFFFFFF)]
+    # id d differs from id 0 in exactly d bits, spread across both
+    # words and all four 16-bit bands (bit positions 63-d*7 step 7:
+    # 63, 56, 49, ... hit every band)
+    for d in range(1, 9):
+        v = base
+        for j in range(d):
+            v ^= 1 << (63 - j * 7)
+        rows.append((d, (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF))
+    h = spark.createDataFrame(
+        rows, "media_id long, dhash_w0 long, dhash_w1 long"
+    )
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dhash_neardup_pairs(h, max_hamming=7).collect()
+    }
+
+    def popcount(x: int) -> int:
+        return bin(x).count("1")
+
+    words = {m: (w0, w1) for m, w0, w1 in rows}
+    probe_cands = set()
+    for r in probe_mod.new_multiprobe_candidates(h).collect():
+        a, b = r["id_a"], r["id_b"]
+        ham = popcount(words[a][0] ^ words[b][0]) + popcount(
+            words[a][1] ^ words[b][1]
+        )
+        if ham <= 7:
+            probe_cands.add((a, b, ham))
+    assert got == probe_cands
+    # the plant is non-trivial: pairs exist at hamming 7 (kept) and
+    # the hamming-8 pair (0, 8) is excluded by BOTH sides
+    assert any(ham == 7 for _, _, ham in got)
+    assert not any({a, b} == {0, 8} for a, b, _ in got)
 
 
 def test_packing_window_runs_on_bucket_grain(spark):

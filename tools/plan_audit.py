@@ -77,6 +77,8 @@ BNLJ_OK = {
     "ngram_containment_pairs": "scale-derived df cap: broadcast 1-row corpus count crossed into the document-frequency filter (the auto-plane pattern, no plan-build collect)",
     "boilerplate_line_removal": "scale-derived boilerplate threshold: broadcast 1-row corpus doc-count crossed into the line-df filter (the containment-cap pattern, no plan-build collect)",
     "bradley_terry_strengths": "broadcast 1-row item/pair array assembly crossed per MM iteration (the doremi one-assembled-row posture, no plan-build collect)",
+    "pagerank_host_authority": "broadcast 1-row vertex-count and per-iteration dangling-mass aggregates crossed into the damped update (no plan-build collect; measured at r16 registration)",
+    "matryoshka_recall_at_k": "exact side of the truncation recall audit: broadcast 5-row query-vector baseline per width (ann_recall_at_k pattern)",
     # exact_substr_runs needs no entry: its scale-derived cap cross
     # plans as BroadcastHashJoin-free aggregate + broadcast filter at
     # the registered quote-page corpus (re-measured at registration,
@@ -104,6 +106,7 @@ PANDAS_OK = {
     "heavy_hitter_tokens": "per-batch pigeonhole candidate pass (Misra-Gries bound)",
     "dhash_neardup_pairs": "full binary decode (PNG walk + zlib inflate + unfilter + dHash sample grid) via mapInPandas (image_pixel_features precedent)",
     "audio_fingerprint_neardup": "full binary decode (RIFF walk + int16 unpack + frame energies) via mapInPandas (audio_pcm_features precedent) feeding the JVM-side banded join",
+    "audio_vad_segments": "full binary decode (RIFF walk + int16 unpack + frame energies) via mapInPandas (audio_pcm_features precedent) feeding the JVM-side islands window",
 }
 
 PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
@@ -119,6 +122,7 @@ WINDOW_OK = {
     "curation_stage_profile": "both unpartitioned windows are budget_select's cumulative-mass sweep over the 4dp score-bucket histogram (<= 10^4+1 rows), planned once per funnel branch (50_budget and the shard rows)",
     "zipf_profile": "rank window runs on the <= top_n (1000) post-limit frame — TakeOrderedAndProject bounds the input before the window",
     "sequence_packing_plan": "phase-2 cumulative window runs on the bucket-base frame only: <= n_buckets=256 rows by construction, never the corpus",
+    "curriculum_phase_plan": "the schedule_pos window runs on the (sources x phases) plan grain AFTER the aggregate (<= |sources| x 4 rows by construction; the staging plan pin proves it sits above the HashAggregate)",
 }
 
 
