@@ -1547,11 +1547,12 @@ def dhash_neardup_pairs(
     Quadratic is still quadratic: at n = 10^6 uniform hashes the
     multi-probe join verifies ~10^9 candidates (a routine distributed
     pass; the old layout's ~3*10^10 was not), but at 10^8 it would be
-    ~10^13 — past roughly 10^7 hashes per run, SHARD the corpus (the
-    hashes frame is media-count-sized and unions cheaply; near-dup
-    recall within shards is the standard sharded-dedup trade, or run
-    shard-pair passes for full recall). The probe tool re-measures the
-    crossover when hash distributions change."""
+    ~10^13 — past roughly 10^7 hashes per run, SHARD the corpus via
+    :func:`sharded_neardup_pairs` (runnable since r16: within-shard +
+    cross-shard-pair passes with exactly-once pair emission and a
+    planted full-recall equivalence test; or within-only for the
+    sampled-recall trade). The probe tool re-measures the crossover
+    when hash distributions change."""
     if max_hamming > 7:
         raise ValueError(
             "dhash_neardup_pairs guarantees complete recall only for "
@@ -1628,6 +1629,93 @@ def dhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def sharded_neardup_pairs(
+    hashes: DataFrame,
+    n_shards: int,
+    id_col: str = "media_id",
+    w0_col: str = "dhash_w0",
+    w1_col: str = "dhash_w1",
+    max_hamming: int = 6,
+    full_recall: bool = True,
+) -> DataFrame:
+    """The :func:`dhash_neardup_pairs` sharding escape hatch, runnable
+    (VERDICT r15 item 7 — previously docstring prose): past ~10^7
+    hashes per run the multi-probe join's ~n^2/964 candidate volume
+    outgrows a single pass, so split the corpus into ``n_shards``
+    deterministic hash shards and run BOUNDED passes.
+
+    - ``full_recall=True`` (default): one within-shard pass per shard
+      plus one pass per unordered shard PAIR restricted to CROSS-shard
+      output — every unordered near-dup pair is emitted by exactly one
+      pass (within pairs by their shard's own pass; cross pairs by
+      their shard-pair pass, never by a within pass), so the union is
+      exactly ``dhash_neardup_pairs(hashes)`` (planted equivalence
+      test). Total candidate work is <= 2x the monolithic join (each
+      pair pass re-probes both shards' within-candidates before the
+      cross filter) but each pass's working set — band-join shuffle,
+      candidate buffer — shrinks by ~(n_shards/2)^2, which is the
+      point: s^2/2 + s bounded jobs instead of one unbounded one.
+      Hoisting an asymmetric probe(i) x band(j) join would remove the
+      2x — deliberately NOT done here so the band/probe expressions
+      live in exactly one function (the ADVICE r15 divergence rule);
+      it rides the dhash persist() changed-code slot planned for r17.
+    - ``full_recall=False``: within-shard passes only — 1/s of the
+      candidate work, loses cross-shard pairs (the standard sharded-
+      dedup trade; with the deterministic id-hash sharding a uniform
+      near-dup pair survives with probability 1/s, so use this only
+      for corpora where near-dups cluster under the sharding key or
+      where sampled recall is acceptable).
+
+    Shard assignment is ``pmod(xxhash64(id), n_shards)`` — stable
+    across runs and engines, id-only (near-dup PAIRS do not co-locate
+    by content; no content key can make them, since hamming-near
+    hashes differ in arbitrary bit positions).
+
+    Plan note: this builds s + s*(s-1)/2 operator subtrees into one
+    union — fine for the s <= ~8 operating range it targets (at s = 8
+    and n = 10^8 each pass handles 2.5e7 hashes, the documented
+    single-pass ceiling). For larger s, submit the passes as separate
+    jobs instead of one union plan."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if n_shards == 1:
+        return dhash_neardup_pairs(
+            hashes, id_col=id_col, w0_col=w0_col, w1_col=w1_col,
+            max_hamming=max_hamming,
+        )
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_shards)))
+    # persist, not localCheckpoint: s + s(s-1)/2 passes re-read the
+    # sharded frame; AQE fires a lazy checkpoint's stages at plan
+    # build (the r16 ngram lesson), persist defers and shares.
+    sharded = hashes.withColumn("_shard", shard).persist()
+
+    def pass_pairs(i: int, j: int) -> DataFrame:
+        if i == j:
+            part = sharded.filter(F.col("_shard") == i).drop("_shard")
+            return dhash_neardup_pairs(
+                part, id_col=id_col, w0_col=w0_col, w1_col=w1_col,
+                max_hamming=max_hamming,
+            )
+        both = sharded.filter(F.col("_shard").isin(i, j))
+        pairs = dhash_neardup_pairs(
+            both.drop("_shard"), id_col=id_col, w0_col=w0_col,
+            w1_col=w1_col, max_hamming=max_hamming,
+        )
+        # keep ONLY cross-shard pairs: within pairs belong to the
+        # diagonal passes (exactly-once emission)
+        sa = F.pmod(F.xxhash64(F.col("id_a")), F.lit(int(n_shards)))
+        sb = F.pmod(F.xxhash64(F.col("id_b")), F.lit(int(n_shards)))
+        return pairs.filter(sa != sb)
+
+    out: DataFrame | None = None
+    for i in range(int(n_shards)):
+        for j in range(i, int(n_shards)) if full_recall else [i]:
+            p = pass_pairs(i, j)
+            out = p if out is None else out.unionByName(p)
+    assert out is not None
+    return out
 
 
 def exact_substr_runs(

@@ -793,3 +793,122 @@ def test_select_canonical_keeps_best_scoring_cluster_member(spark):
     }
     assert kept[100] == 102 and kept[101] == 102 and kept[102] == 102
     assert kept[200] == 200
+
+
+def test_sharded_neardup_full_recall_equals_monolithic(spark):
+    """sharded_neardup_pairs (r16, the dhash escape hatch made
+    runnable): with full_recall=True the union of within-shard +
+    cross-pair passes must equal dhash_neardup_pairs on the whole
+    corpus EXACTLY — planted near-dup families whose members land in
+    different xxhash shards prove the cross-pair path, and the
+    exactly-once emission contract means set equality including
+    hamming values (no duplicates to collapse)."""
+    from datapipeline_spike_spark.operators.dedup import (
+        dhash_neardup_pairs,
+        sharded_neardup_pairs,
+    )
+
+    # 6 families x 4 members: member m flips m low bits of the family
+    # base -> within-family hamming |mi - mj| <= 3, cross-family far
+    rows = []
+    for fam in range(6):
+        base = (0x9E3779B97F4A7C15 * (fam + 1)) & ((1 << 64) - 1)
+        for m in range(4):
+            v = base
+            for j in range(m):
+                v ^= 1 << (j * 11)
+            rows.append(
+                (fam * 10 + m, (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF)
+            )
+    h = spark.createDataFrame(
+        rows, "media_id long, dhash_w0 long, dhash_w1 long"
+    )
+
+    mono = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dhash_neardup_pairs(h).collect()
+    }
+    assert mono  # the plant produces real pairs
+    for n_shards in (2, 3):
+        rows_sharded = sharded_neardup_pairs(
+            h, n_shards, full_recall=True
+        ).collect()
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in rows_sharded}
+        assert got == mono, n_shards
+        # exactly-once: no pair emitted by two passes
+        assert len(rows_sharded) == len(got), n_shards
+
+    # the plant actually exercises the cross-shard path (members of
+    # one family in different shards) — otherwise this test is vacuous
+    import pyspark.sql.functions as _F
+
+    shards = {
+        r["media_id"]: r["s"]
+        for r in h.select(
+            "media_id",
+            _F.pmod(_F.xxhash64("media_id"), _F.lit(2)).alias("s"),
+        ).collect()
+    }
+    assert any(shards[a] != shards[b] for a, b, _ in mono)
+
+
+def test_sharded_neardup_within_only_is_the_same_shard_subset(spark):
+    """full_recall=False keeps exactly the monolithic pairs whose
+    members share a shard (the documented sampled-recall trade)."""
+    from datapipeline_spike_spark.operators.dedup import (
+        dhash_neardup_pairs,
+        sharded_neardup_pairs,
+    )
+
+    rows = []
+    for fam in range(6):
+        base = (0xC2B2AE3D27D4EB4F * (fam + 1)) & ((1 << 64) - 1)
+        for m in range(3):
+            v = base
+            for j in range(m):  # member m flips m bits -> near pairs
+                v ^= 1 << (j * 13)
+            rows.append(
+                (fam * 10 + m, (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF)
+            )
+    h = spark.createDataFrame(
+        rows, "media_id long, dhash_w0 long, dhash_w1 long"
+    )
+    mono = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(h).collect()
+    }
+    from pyspark.sql import functions as _F
+
+    shards = {
+        r["media_id"]: r["s"]
+        for r in h.select(
+            "media_id",
+            _F.pmod(_F.xxhash64("media_id"), _F.lit(3)).alias("s"),
+        ).collect()
+    }
+    want = {
+        pair: ham
+        for pair, ham in mono.items()
+        if shards[pair[0]] == shards[pair[1]]
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in sharded_neardup_pairs(h, 3, full_recall=False).collect()
+    }
+    assert got == want
+    assert len(want) < len(mono)  # the trade is real on this plant
+
+
+def test_sharded_neardup_one_shard_is_the_operator(spark):
+    from datapipeline_spike_spark.operators.dedup import (
+        dhash_neardup_pairs,
+        sharded_neardup_pairs,
+    )
+
+    h = spark.createDataFrame(
+        [(1, 7, 9), (2, 7, 9), (3, 7, 8)],
+        "media_id long, dhash_w0 long, dhash_w1 long",
+    )
+    a = {tuple(r) for r in sharded_neardup_pairs(h, 1).collect()}
+    b = {tuple(r) for r in dhash_neardup_pairs(h).collect()}
+    assert a == b and a

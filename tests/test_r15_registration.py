@@ -52,9 +52,12 @@ def test_r15_moves_are_all_registered():
     assert not missing, missing
 
 
-def test_r15_head_leads_with_the_cohort_then_the_changed_slot():
-    head = list(REGISTRY)[:9]
-    assert head == list(_R15_NEW) + list(_R15_CHANGED), head
+def test_r15_moves_remain_placed_by_the_rotation():
+    """The r15 'head leads with the eight + dhash' pin retired with the
+    r16 rotation (the r13-gate precedent); what must stay true forever:
+    all nine remain registered, placed, and the rotation is sound."""
+    placed = set(REGISTRY)
+    assert set(_R15_NEW) | set(_R15_CHANGED) <= placed
     assert rotation_preflight() == []
 
 
