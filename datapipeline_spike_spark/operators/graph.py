@@ -64,9 +64,18 @@ def pagerank(
     vertex. ``pagerank`` is rounded only at the OUTPUT; intermediate
     iterations keep full doubles on both engines.
     """
+    # persist the corpus-reduced DISTINCT edge frame: it is referenced
+    # by the vertex/degree assembly AND by every iteration's
+    # contribution join — ~8 plan branches at n_iter=3, each otherwise
+    # re-running the full corpus scan + distinct shuffle that derived
+    # the edges. After distinct the frame is edge-universe-sized
+    # (bounded by hosts x links, not docs). persist, NOT
+    # localCheckpoint: AQE fires a lazy checkpoint's upstream stages
+    # at plan build (the r16 ngram lesson); persist keeps EXPLAIN and
+    # registry wiring job-free and materializes once on first action.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().persist()
     verts = (
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
@@ -126,6 +135,20 @@ def pagerank(
                 ).alias("rank"),
                 "_n",
             )
+            # per-iteration barrier (the r7 dual-reference lesson):
+            # iteration k+1 references ranks_k THREE times (dangling,
+            # contribution join, update left side), so an unbarriered
+            # chain recomputes ranks_k O(3^(K-k)) times — measured
+            # 7.3 s steady at sf0.01 vs ~3.1 s with a barrier. EAGER
+            # localCheckpoint (the BPE/LPA house pattern), not
+            # persist: a persist barrier nests each iteration's full
+            # cached plan inside the next (6.5 MB plan strings, 2338
+            # scan renderings at K=3), while the checkpoint truncates
+            # lineage to an ExistingRDD scan (27 KB plan). The cost is
+            # K vertex-grain jobs at plan-construction time — tiny
+            # frames (the bounded host universe), the documented
+            # trade for iterative operators.
+            .localCheckpoint(eager=True)
         )
     return (
         base.select("host", "in_degree")
