@@ -152,6 +152,14 @@ EXTRAS = [
     "bradley_terry_strengths",
     "oov_rate_profile",
     "char_entropy_profile",
+    # round 16 registrations (the r14 wave-2 staged ops) — steady-state
+    # minima recorded here are the r17 regression floor for the cohort
+    "pagerank_host_authority",
+    "code_detect_profile",
+    "license_detect_profile",
+    "matryoshka_recall_at_k",
+    "audio_vad_segments",
+    "curriculum_phase_plan",
 ]
 
 # After this many extras the SparkSession is stopped and rebuilt so
