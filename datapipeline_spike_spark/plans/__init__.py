@@ -431,10 +431,11 @@ _NO_ORACLE_PIN = (
 # entries measured at registration and landed in tools/plan_audit.py).
 # The changed-code slot went to ngram_containment_pairs' kept-frame
 # localCheckpoint -> persist() (operators/dedup.py — behavior
-# unchanged, plan-build jobs 6 -> 0; see the r16 head slot-2 comment
-# for the AQE-toRdd root cause that also corrects the r15 lazy-
-# checkpoint claim). The original staging checklist follows as
-# history:
+# unchanged; kept-frame barrier 6 -> 0 plan-build jobs, end-to-end
+# registered construction 10 -> 2, the residual 2 being load-boundary
+# schema probes; see the r16 head slot-2 comment for the AQE-toRdd
+# root cause that also corrects the r15 lazy-checkpoint claim). The
+# original staging checklist follows as history:
 #
 # r16 staging pipeline (WAVE 2, staged r14 — the r15 head is full, so
 # these six register in r16): tests/test_r14_staging_wave2.py holds
