@@ -106,7 +106,7 @@ def pagerank(
         (F.lit(1.0) / F.col("_n")).alias("rank"),
         F.col("_n"),
     )
-    for _ in range(int(n_iter)):
+    for _it in range(int(n_iter)):
         dangling = ranks.filter(F.col("out_degree") == 0).select(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
@@ -145,11 +145,15 @@ def pagerank(
             # cached plan inside the next (6.5 MB plan strings, 2338
             # scan renderings at K=3), while the checkpoint truncates
             # lineage to an ExistingRDD scan (27 KB plan). The cost is
-            # K vertex-grain jobs at plan-construction time — tiny
+            # K-1 vertex-grain jobs at plan-construction time — tiny
             # frames (the bounded host universe), the documented
-            # trade for iterative operators.
-            .localCheckpoint(eager=True)
+            # trade for iterative operators. The FINAL iteration's
+            # frame is referenced only once (the output join), so it
+            # skips the barrier: one less build-time job and the last
+            # update fuses into the output stage.
         )
+        if _it + 1 < int(n_iter):
+            ranks = ranks.localCheckpoint(eager=True)
     return (
         base.select("host", "in_degree")
         .join(ranks.select("host", "out_degree", "rank"), "host")
