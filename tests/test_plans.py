@@ -744,3 +744,19 @@ def test_rank_normalize_windows_are_partitioned(spark):
         # is the unpartitioned scale-killer
         groups = _re.findall(r"\[[^\]]*\]", s)
         assert len(groups) >= 3, s
+
+
+def test_pagerank_registered_shape(spark):
+    """pagerank_host_authority (registered r16): the DISTINCT edge
+    frame must be persist()ed and read as InMemoryTableScan (one
+    corpus scan feeds the degree assembly and every iteration), the
+    intermediate iterations must be barriered as checkpointed
+    ExistingRDD scans (the 3^k recompute guard), and the usual bans
+    hold — no cartesian, no Python, no windows (the argmax-free
+    damped update is pure joins + aggregates)."""
+    plan = _plan(spark, "pagerank_host_authority")
+    assert "InMemoryTableScan" in plan  # the persisted edge frame
+    assert "ExistingRDD" in plan        # the per-iteration barriers
+    for node in ("CartesianProduct", "BatchEvalPython",
+                 "ArrowEvalPython", "MapInPandas", "Window"):
+        assert node not in plan, node
