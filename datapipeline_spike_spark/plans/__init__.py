@@ -476,10 +476,21 @@ _NO_ORACLE_PIN = (
 # (operators/graph.py — inbound anchor aggregation, vocabulary-bounded
 # count shuffle + partitioned top-k window), span_corruption_plan
 # (operators/packing.py — T5 denoising length arithmetic, map-only,
-# explicit floor(x+0.5) half-up on both engines). Registration notes:
-# frontier inherits pagerank's BNLJ_OK 1-row crosses; the others need
-# no new allowlist classes (scene cuts rides the PANDAS decode
-# precedent).
+# explicit floor(x+0.5) half-up on both engines). Registration notes,
+# MEASURED r16 on the staging corpora at sf0.001 (all eleven staged
+# plans run through the plan_audit rules; zero unpartitioned windows
+# anywhere, so NO new WINDOW_OK class): video_scene_cuts MapInPandas
+# -> PANDAS_OK (decode precedent); crawl_frontier_priority BNLJ x1
+# (pagerank's final-iteration 1-row N/dangling cross — the earlier
+# iterations' crosses now sit inside the checkpoint barriers) ->
+# BNLJ_OK; vocab_overlap_matrix BNLJ x1 (bounded sources x sources
+# pair cross) -> BNLJ_OK; minhash_band_tuning BNLJ x1 (generated-grid
+# cross, no input table) -> BNLJ_OK; hybrid_rrf_retrieval BNLJ x2
+# (broadcast query-set baseline per retriever branch,
+# ann_recall_at_k precedent) -> BNLJ_OK; anchor_text_stats,
+# span_corruption_plan, label_propagation_communities,
+# triangle_clustering, chat_turn_stats, dpo_pair_plan all CLEAN (no
+# allowlist entries).
 #
 # WAVE 4 (same file, same gauntlet): label_propagation_communities
 # (operators/graph.py — synchronous LPA, smallest-label ties, per
