@@ -920,3 +920,178 @@ def test_span_corruption_arithmetic_invariants(n_tokens):
     assert 1 <= spans <= noise
     assert input_len + target_len == n_tokens + 2 * spans + 2
     assert input_len >= spans + 2  # at least one sentinel + EOS + text
+
+
+# --- r16 cohort property tests (registered wave-2 + the sharded helper) ---
+
+
+@given(
+    ns=st.lists(st.integers(min_value=0, max_value=400), min_size=1,
+                max_size=30)
+)
+@PROP
+def test_span_corruption_arithmetic_invariants(spark, ns):
+    """span_corruption_plan on synthetic n-token docs: the documented
+    clamps and identities hold for EVERY n — noise in [1, n-1], spans
+    in [1, noise], input_len + target_len == n_tokens + 2*n_spans + 2
+    (each span costs one sentinel on each side plus the two EOS), and
+    a pure-Python floor-half-up replay matches exactly; docs with
+    n < 2 are dropped."""
+    from datapipeline_spike_spark.operators.packing import (
+        span_corruption_plan,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(ns)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_corruption_plan(df).collect()}
+    for i, n in enumerate(ns):
+        if n < 2:
+            assert i not in got
+            continue
+        r = got[i]
+        noise = max(1, min(int(n * 0.15 + 0.5), n - 1))
+        spans = max(1, int(noise / 3.0 + 0.5))
+        assert r["n_tokens"] == n
+        assert r["noise_tokens"] == noise
+        assert r["n_spans"] == spans
+        assert 1 <= r["noise_tokens"] <= n - 1
+        assert 1 <= r["n_spans"] <= r["noise_tokens"]
+        assert r["input_len"] + r["target_len"] == n + 2 * spans + 2
+        assert r["input_len"] == n - noise + spans + 1
+        assert r["target_len"] == noise + spans + 1
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),       # prompt
+            st.integers(min_value=0, max_value=999),     # score millis
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@PROP
+def test_dpo_pair_plan_extremes_and_margin(spark, pairs):
+    """dpo_pair_plan picks per prompt the max-score and min-score
+    candidates (deterministic id tie-break), never pairs a candidate
+    with itself, and keeps only pairs whose 6dp margin clears the
+    floor — replayed in pure Python for every generated corpus."""
+    from datapipeline_spike_spark.operators.sft import dpo_pair_plan
+
+    rows = [
+        (p, i, s / 1000.0) for i, (p, s) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, score double"
+    )
+    got = {r["prompt_id"]: r for r in dpo_pair_plan(df).collect()}
+
+    by_prompt: dict[int, list[tuple[int, float]]] = {}
+    for p, i, s in rows:
+        by_prompt.setdefault(p, []).append((i, s))
+    for p, cands in by_prompt.items():
+        # the operator's documented order: top = score desc, id asc;
+        # bottom = score asc, id desc
+        top = sorted(cands, key=lambda c: (-c[1], c[0]))[0]
+        bot = sorted(cands, key=lambda c: (c[1], -c[0]))[0]
+        margin = round(top[1] - bot[1], 6)
+        if top[0] == bot[0] or margin < 0.1:
+            assert p not in got, p
+        else:
+            r = got[p]
+            assert (r["chosen_id"], r["rejected_id"]) == (top[0], bot[0])
+            assert r["margin"] == pytest.approx(margin, abs=1e-9)
+            assert r["chosen_score"] >= r["rejected_score"]
+
+
+@given(
+    fams=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**63 - 1),  # family base
+            st.integers(min_value=1, max_value=4),          # members
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+@PROP
+def test_sharded_neardup_full_recall_property(spark, fams, n_shards):
+    """Property form of the sharded-dedup equivalence: for ANY planted
+    hash corpus and ANY shard count, full-recall sharding emits
+    exactly the monolithic pair set, each pair exactly once."""
+    from datapipeline_spike_spark.operators.dedup import (
+        dhash_neardup_pairs,
+        sharded_neardup_pairs,
+    )
+
+    rows = []
+    mid = 0
+    for base, members in fams:
+        for m in range(members):
+            v = base
+            for j in range(m):
+                v ^= 1 << ((j * 9) % 64)
+            rows.append((mid, (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF))
+            mid += 1
+    h = spark.createDataFrame(
+        rows, "media_id long, dhash_w0 long, dhash_w1 long"
+    )
+    mono = sorted(
+        tuple(r) for r in dhash_neardup_pairs(h).collect()
+    )
+    sharded_rows = sharded_neardup_pairs(
+        h, n_shards, full_recall=True
+    ).collect()
+    assert sorted(tuple(r) for r in sharded_rows) == mono
+    assert len(sharded_rows) == len(mono)  # exactly-once emission
+
+
+@given(
+    picks=st.lists(
+        st.lists(st.sampled_from([
+            "gpl-3.0", "gnu general public license", "apache-2.0",
+            "apache license", "bsd-3-clause", "bsd license", "cc-by-4.0",
+            "creative commons", "mit", "submit", "limit", "plain prose",
+        ]), min_size=0, max_size=4),
+        min_size=1,
+        max_size=25,
+    )
+)
+@PROP
+def test_license_priority_is_first_match_in_battery_order(spark, picks):
+    """license_detect_profile on random marker combinations: the
+    classification is ALWAYS the first battery entry (copyleft-first
+    priority) whose pattern fires — replayed in pure Python, with the
+    \\bmit\\b boundary honored ('submit'/'limit' never fire)."""
+    import re as _re
+
+    from datapipeline_spike_spark.operators.detectors import (
+        LICENSE_PATTERNS,
+        license_detect_profile,
+    )
+
+    rows = [
+        (i, "s", " and ".join(markers) if markers else "empty filler text")
+        for i, markers in enumerate(picks)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = license_detect_profile(df).collect()
+
+    def classify(text: str) -> str:
+        low = text.lower()
+        for name, pat, _perm in LICENSE_PATTERNS:
+            if _re.search(pat, low):
+                return name
+        return "none"
+
+    want: dict[str, int] = {}
+    for _, _, text in rows:
+        lic = classify(text)
+        want[lic] = want.get(lic, 0) + 1
+    assert {r["license"]: r["n_docs"] for r in got} == want
+    # per-source shares always sum to 1 (single source here)
+    assert sum(r["source_share"] for r in got) == pytest.approx(1.0, abs=1e-4)
