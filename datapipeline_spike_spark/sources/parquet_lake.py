@@ -141,9 +141,26 @@ def read_zone(spark: SparkSession, lake_root: str, zone: str) -> DataFrame:
     one any filesystem-backed table pays; a lakehouse format's metadata
     layer is the upgrade path, same topology.)"""
     zone_root = os.path.join(lake_root, zone)
-    paths, need_listing = _zone_walk(lake_root, zone)
-    if not need_listing:
+    paths, _need_listing = _zone_walk(lake_root, zone)
+    if not paths:
+        # empty zone: keep the plain read's error semantics
+        # ("unable to infer schema" on a truly empty/absent zone)
         return spark.read.parquet(zone_root)
+    # ALWAYS read the explicit walk-time path list, even when no leaf
+    # carries a manifest (r16 race fix): the old fast path handed the
+    # DIRECTORY to Spark, deferring the listing to the JVM — which
+    # could observe a leaf mid-FIRST-compaction (generation files are
+    # renamed in one by one BEFORE the manifest lands, and a python
+    # walk that ran before the first rename reported the leaf as
+    # manifest-less and clean). A plain directory listing taken in
+    # that window counts the old loose files PLUS whichever g-files
+    # had landed — an inflated, torn view that a later consistent
+    # read then "shrinks" from. The explicit list is snapshot-
+    # consistent per leaf by construction (manifest and file list
+    # resolved together in _live_files). The py4j cost of shipping
+    # the path list is bounded by the same driver-side listing this
+    # function already performs; a lakehouse-format metadata layer
+    # remains the documented upgrade path at extreme file counts.
     return spark.read.option("basePath", zone_root).parquet(*paths)
 
 
