@@ -1452,7 +1452,10 @@ def ngram_containment_pairs(
     # executor loss, unlike a localCheckpoint). Lineage here is
     # one-shot (no iterative growth), so checkpoint's
     # lineage-truncation is not needed — that is what the BPE/LPA
-    # loops use it for.
+    # loops use it for. The cache is a DELIBERATE leak (ADVICE r16):
+    # the returned frame reads it lazily, so no in-function unpersist
+    # point exists; lifetime is bounded by session-rebuild cadence
+    # (bench.py) or executor LRU eviction.
     kept = sh.join(capped, "_h").persist()
     sizes = kept.groupBy("_cid").agg(F.count(F.lit(1)).alias("_sz"))
     a = kept.select(F.col("_cid").alias("doc_id_a"), "_h")
@@ -1548,31 +1551,56 @@ def dhash_neardup_pairs(
     multi-probe join verifies ~10^9 candidates (a routine distributed
     pass; the old layout's ~3*10^10 was not), but at 10^8 it would be
     ~10^13 — past roughly 10^7 hashes per run, SHARD the corpus via
-    :func:`sharded_neardup_pairs` (runnable since r16: within-shard +
-    cross-shard-pair passes with exactly-once pair emission and a
-    planted full-recall equivalence test; or within-only for the
-    sampled-recall trade). The probe tool re-measures the crossover
-    when hash distributions change."""
+    :func:`sharded_neardup_pairs`: that IS the documented operating
+    mode at >= 10^7 hashes, with exactly-once pair emission, a planted
+    full-recall equivalence test, and (r17) asymmetric probe(i) x
+    band(j) cross passes that keep total candidate volume EQUAL to
+    this monolithic join while bounding each pass's working set (or
+    within-only for the sampled-recall trade). The probe tool
+    re-measures the crossover when hash distributions change."""
     if max_hamming > 7:
         raise ValueError(
             "dhash_neardup_pairs guarantees complete recall only for "
             f"max_hamming <= 7 (<=1-bit-per-band pigeonhole over four "
             f"16-bit bands of 64 bits); got {max_hamming}"
         )
-    # LAZY checkpoint: the hash frame feeds BOTH join sides (probe and
-    # exact), which share no subtree — without it the upstream decode
-    # (mapInPandas PNG/WAV walk, the expensive stage) runs twice (the
-    # r7 no-CSE-across-join-sides lesson). eager=False so building the
-    # frame stays free; it materializes once on first action.
-    h = hashes.filter(
+    # persist(), NOT localCheckpoint (r17, measured on the isolate
+    # chain: 2 -> 0 plan-build jobs): the hash frame feeds BOTH join
+    # sides (probe and exact), which share no subtree — without a
+    # barrier the upstream decode (mapInPandas PNG/WAV walk, the
+    # expensive stage) runs twice (the r7 no-CSE-across-join-sides
+    # lesson). Under AQE even a LAZY localCheckpoint fires every
+    # upstream shuffle stage at plan-construction time (toRdd
+    # finalizes the adaptive plan — the r16 ngram lesson); persist()
+    # defers everything to the first action, materializes once, and
+    # stays recomputable on executor loss. Deliberately not unpersisted
+    # here (the returned frame still reads it lazily); long multi-query
+    # sessions bound the cache via session-rebuild cadence (bench.py)
+    # or LRU eviction.
+    h = _dhash_prepare(hashes, id_col, w0_col, w1_col).persist()
+    return _dhash_candidates(h, h, max_hamming, same_frame=True)
+
+
+def _dhash_prepare(
+    hashes: DataFrame, id_col: str, w0_col: str, w1_col: str
+) -> DataFrame:
+    """NULL-word filter + internal renames for the banded-Hamming join."""
+    return hashes.filter(
         F.col(w0_col).isNotNull() & F.col(w1_col).isNotNull()
     ).select(
         F.col(id_col).alias("_id"),
         F.col(w0_col).alias("_w0"),
         F.col(w1_col).alias("_w1"),
-    ).localCheckpoint(eager=False)
-    # band i (0..3) = bits [16i, 16i+16): two per 32-bit word
-    bands = h.select(
+    )
+
+
+def _dhash_bands(h: DataFrame) -> DataFrame:
+    """THE single home of the band expressions (ADVICE r15 divergence
+    rule): band i (0..3) = bits [16i, 16i+16), two per 32-bit word.
+    Both the monolithic self-join and the sharded asymmetric passes
+    build from here — recall-contract drift in one caller is
+    impossible."""
+    return h.select(
         "_id",
         "_w0",
         "_w1",
@@ -1592,11 +1620,14 @@ def dhash_neardup_pairs(
         ).alias("b"),
     ).select("_id", "_w0", "_w1", F.col("b.band_idx").alias("band_idx"),
              F.col("b.band_val").alias("band_val"))
-    # probe side: the exact band value + its 16 one-bit flips. Emitted
-    # from BOTH rows' perspectives (every row probes, every row is
-    # probed), so each unordered pair is caught in the orientation
-    # where the smaller id holds the flip — id_a < id_b then dedups.
-    probes = bands.select(
+
+
+def _dhash_probes(bands: DataFrame) -> DataFrame:
+    """Multi-probe side: the exact band value + its 16 one-bit flips
+    (17 probes per band). A pair with hamming <= 7 has SOME band
+    differing <= 1 bit (pigeonhole), so probing from EITHER member of
+    the pair reaches the other's exact band value."""
+    return bands.select(
         "_id",
         "_w0",
         "_w1",
@@ -1611,22 +1642,52 @@ def dhash_neardup_pairs(
             )
         ).alias("band_val"),
     )
-    a = probes.select(
+
+
+def _dhash_candidates(
+    probe_h: DataFrame,
+    band_h: DataFrame,
+    max_hamming: int,
+    same_frame: bool,
+) -> DataFrame:
+    """Banded candidate join + exact XOR-popcount verification.
+
+    ``same_frame=True`` (the monolithic self-join): every row probes
+    and is probed, so each unordered pair is caught in the orientation
+    where the smaller id holds the flip — ``id_a < id_b`` keeps
+    exactly that orientation before the dedup.
+
+    ``same_frame=False`` (the sharded asymmetric pass, r17 — the hoist
+    the r16 sharded docstring scheduled for this slot): ``probe_h`` and
+    ``band_h`` carry DISJOINT id sets, only ``probe_h`` pays the 17x
+    explode, and ONE orientation is complete (any qualifying pair has
+    a <= 1-bit band; the probe side's flips reach the band side's
+    exact value regardless of which id is smaller), so the pair is
+    normalized with least/greatest instead of filtered."""
+    a = _dhash_probes(_dhash_bands(probe_h)).select(
         F.col("_id").alias("id_a"), F.col("_w0").alias("a0"),
         F.col("_w1").alias("a1"), "band_idx", "band_val",
     )
-    b = bands.select(
+    b = _dhash_bands(band_h).select(
         F.col("_id").alias("id_b"), F.col("_w0").alias("b0"),
         F.col("_w1").alias("b1"), "band_idx", "band_val",
     )
     ham = F.bit_count(
         F.col("a0").bitwiseXOR(F.col("b0"))
     ) + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    j = a.join(b, ["band_idx", "band_val"])
+    if same_frame:
+        j = j.select(
+            "id_a", "id_b", ham.cast("int").alias("hamming")
+        ).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        j = j.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        j.filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -1647,20 +1708,23 @@ def sharded_neardup_pairs(
     deterministic hash shards and run BOUNDED passes.
 
     - ``full_recall=True`` (default): one within-shard pass per shard
-      plus one pass per unordered shard PAIR restricted to CROSS-shard
-      output — every unordered near-dup pair is emitted by exactly one
-      pass (within pairs by their shard's own pass; cross pairs by
-      their shard-pair pass, never by a within pass), so the union is
-      exactly ``dhash_neardup_pairs(hashes)`` (planted equivalence
-      test). Total candidate work is <= 2x the monolithic join (each
-      pair pass re-probes both shards' within-candidates before the
-      cross filter) but each pass's working set — band-join shuffle,
-      candidate buffer — shrinks by ~(n_shards/2)^2, which is the
-      point: s^2/2 + s bounded jobs instead of one unbounded one.
-      Hoisting an asymmetric probe(i) x band(j) join would remove the
-      2x — deliberately NOT done here so the band/probe expressions
-      live in exactly one function (the ADVICE r15 divergence rule);
-      it rides the dhash persist() changed-code slot planned for r17.
+      plus one ASYMMETRIC pass per unordered shard PAIR (r17, the
+      hoist the r16 version scheduled for the dhash changed-code
+      slot): the pair pass joins probe(i) x band(j) directly — only
+      shard i pays the 17x probe explode, shard j answers with its 4
+      exact bands, and one orientation is complete (see
+      :func:`_dhash_candidates`). Every unordered near-dup pair is
+      emitted by exactly one pass (within pairs by their shard's own
+      pass; cross pairs by their shard-pair pass, which by
+      construction can only emit cross pairs), so the union is exactly
+      ``dhash_neardup_pairs(hashes)`` (planted equivalence test).
+      Total candidate volume now EQUALS the monolithic join —
+      sum(|i|^2)/2 + sum_{i<j}|i||j| = n^2/2 — while each pass's
+      working set (band-join shuffle, candidate buffer) shrinks by
+      ~n_shards^2: s(s+1)/2 bounded jobs instead of one unbounded one.
+      The band/probe expressions live in exactly one place
+      (:func:`_dhash_bands` / :func:`_dhash_probes` — the ADVICE r15
+      divergence rule), shared with the monolithic operator.
     - ``full_recall=False``: within-shard passes only — 1/s of the
       candidate work, loses cross-shard pairs (the standard sharded-
       dedup trade; with the deterministic id-hash sharding a uniform
@@ -1671,9 +1735,12 @@ def sharded_neardup_pairs(
     Shard assignment is ``pmod(xxhash64(id), n_shards)`` — stable
     across runs and engines, id-only (near-dup PAIRS do not co-locate
     by content; no content key can make them, since hamming-near
-    hashes differ in arbitrary bit positions).
+    hashes differ in arbitrary bit positions). The internal shard
+    column is collision-guarded (ADVICE r16): an input frame already
+    carrying ``__sharded_neardup_shard`` is rejected loudly instead of
+    silently overwritten.
 
-    Plan note: this builds s + s*(s-1)/2 operator subtrees into one
+    Plan note: this builds s*(s+1)/2 operator subtrees into one
     union — fine for the s <= ~8 operating range it targets (at s = 8
     and n = 10^8 each pass handles 2.5e7 hashes, the documented
     single-pass ceiling). For larger s, submit the passes as separate
@@ -1685,29 +1752,45 @@ def sharded_neardup_pairs(
             hashes, id_col=id_col, w0_col=w0_col, w1_col=w1_col,
             max_hamming=max_hamming,
         )
+    if max_hamming > 7:
+        # mirror the monolithic contract up front: with n_shards > 1
+        # the per-pass construction below would raise only lazily
+        raise ValueError(
+            "sharded_neardup_pairs guarantees complete recall only for "
+            f"max_hamming <= 7; got {max_hamming}"
+        )
+    _SHARD = "__sharded_neardup_shard"
+    if _SHARD in hashes.columns:
+        raise ValueError(
+            f"input frame already carries the internal column {_SHARD!r}"
+            " — rename it before sharding"
+        )
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_shards)))
-    # persist, not localCheckpoint: s + s(s-1)/2 passes re-read the
+    # persist, not localCheckpoint: s(s+1)/2 passes re-read the
     # sharded frame; AQE fires a lazy checkpoint's stages at plan
-    # build (the r16 ngram lesson), persist defers and shares.
-    sharded = hashes.withColumn("_shard", shard).persist()
+    # build (the r16 ngram lesson), persist defers and shares. The
+    # cache is deliberately left to session-rebuild cadence / LRU
+    # (bench.py's posture) — the returned union reads it lazily.
+    sharded = hashes.withColumn(_SHARD, shard).persist()
+
+    def prepared(i: int) -> DataFrame:
+        return _dhash_prepare(
+            sharded.filter(F.col(_SHARD) == i).drop(_SHARD),
+            id_col, w0_col, w1_col,
+        )
 
     def pass_pairs(i: int, j: int) -> DataFrame:
         if i == j:
-            part = sharded.filter(F.col("_shard") == i).drop("_shard")
-            return dhash_neardup_pairs(
-                part, id_col=id_col, w0_col=w0_col, w1_col=w1_col,
-                max_hamming=max_hamming,
+            # within-shard: the monolithic self-join shape, built on
+            # the shared persisted frame (no per-pass barrier needed)
+            return _dhash_candidates(
+                prepared(i), prepared(i), max_hamming, same_frame=True
             )
-        both = sharded.filter(F.col("_shard").isin(i, j))
-        pairs = dhash_neardup_pairs(
-            both.drop("_shard"), id_col=id_col, w0_col=w0_col,
-            w1_col=w1_col, max_hamming=max_hamming,
+        # cross-shard: asymmetric, disjoint id sets by construction —
+        # emits ONLY cross pairs, so exactly-once needs no post-filter
+        return _dhash_candidates(
+            prepared(i), prepared(j), max_hamming, same_frame=False
         )
-        # keep ONLY cross-shard pairs: within pairs belong to the
-        # diagonal passes (exactly-once emission)
-        sa = F.pmod(F.xxhash64(F.col("id_a")), F.lit(int(n_shards)))
-        sb = F.pmod(F.xxhash64(F.col("id_b")), F.lit(int(n_shards)))
-        return pairs.filter(sa != sb)
 
     out: DataFrame | None = None
     for i in range(int(n_shards)):
@@ -1813,15 +1896,19 @@ def exact_substr_runs(
         )
     else:
         capped = freq.filter(F.col("_df") <= df_cap).select("_h")
-    # LAZY checkpoint (r15): the df-capped postings feed both join
-    # sides, which share no subtree — the checkpoint makes the
-    # shingle+cap pipeline materialize ONCE. eager=False so merely
-    # BUILDING the frame (EXPLAIN, plan audits, registry wiring) runs
-    # no Spark JOB (the matryoshka ADVICE class); it still
-    # materializes exactly once on the first action. The residual
-    # ~2 s build wall-clock at sf0.1 is JVM-side physical planning of
-    # the shingle chain, not execution.
-    kept = grams.join(capped, "_h").localCheckpoint(eager=False)
+    # persist(), NOT localCheckpoint (r17, measured on the isolate
+    # chain: 6 -> 0 plan-build jobs): the df-capped postings feed both
+    # join sides, which share no subtree — the barrier makes the
+    # shingle+cap pipeline materialize ONCE. Under AQE even a LAZY
+    # localCheckpoint fires every upstream shuffle stage at
+    # plan-construction time (toRdd finalizes the adaptive plan — the
+    # r16 ngram lesson, so the r15 eager->lazy move never actually
+    # removed the build jobs); persist() defers everything to the
+    # first action, shares one materialization across both sides, and
+    # stays recomputable on executor loss. Deliberately not
+    # unpersisted (the returned frame reads it lazily); cache lifetime
+    # is bounded by session-rebuild cadence (bench.py) or LRU.
+    kept = grams.join(capped, "_h").persist()
     a = kept.select(
         F.col("_cid").alias("doc_id_a"), F.col("_pos").alias("_pa"), "_h"
     )

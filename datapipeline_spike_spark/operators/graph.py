@@ -73,6 +73,10 @@ def pagerank(
     # localCheckpoint: AQE fires a lazy checkpoint's upstream stages
     # at plan build (the r16 ngram lesson); persist keeps EXPLAIN and
     # registry wiring job-free and materializes once on first action.
+    # The cache is a DELIBERATE leak (ADVICE r16): the returned frame
+    # reads it lazily, so there is no safe in-function unpersist point;
+    # lifetime is bounded by session-rebuild cadence (bench.py's
+    # posture) or executor LRU eviction.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()

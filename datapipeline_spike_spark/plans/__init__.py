@@ -15,6 +15,7 @@ from datapipeline_spike_spark.plans import catalog_r12  # noqa: F401  (r11 stage
 from datapipeline_spike_spark.plans import catalog_r13  # noqa: F401  (r12 staged -> registered r14)
 from datapipeline_spike_spark.plans import catalog_r15  # noqa: F401  (r14 staged -> registered r15)
 from datapipeline_spike_spark.plans import catalog_r16  # noqa: F401  (r14 wave-2 staged -> registered r16)
+from datapipeline_spike_spark.plans import catalog_r17  # noqa: F401  (r14 waves 3-7 staged -> registered r17)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -32,6 +33,92 @@ from datapipeline_spike_spark.plans import catalog_r16  # noqa: F401  (r14 wave-
 
 DRIVER_SAMPLE = 50
 
+# --- r17 head, slot 1: NEW r17 registrations — the eleven r14-staged
+# WAVE 3-7 operators, registered in plans/catalog_r17 with the staging
+# tests' DuckDB oracles (tests/test_r14_staging_wave2.py,
+# differential-green at both sf0.001 and sf0.01 via
+# tools/staged_preflight.py — re-verified 0 failures / 25 in r16 —
+# plus physical-plan shape pins applied at staging time). Allowlist
+# entries were MEASURED at r16 staging and are inherited, not
+# re-derived (PANDAS_OK video decode; BNLJ_OK frontier/vocab/
+# band-tuning one each, rrf two; anchor/span/LPA/triangles/chat/dpo
+# clean; see tools/plan_audit.py). ---
+_R17_NEW = (
+    "video_scene_cuts",              # MP4 walk + JPEG decode, shot islands
+    "crawl_frontier_priority",       # pagerank x (1-dup)/depth schedule
+    "anchor_text_stats",             # inbound anchor aggregation + top-k
+    "span_corruption_plan",          # Raffel 2020 T5 length arithmetic
+    "label_propagation_communities", # Raghavan 2007 synchronous LPA
+    "vocab_overlap_matrix",          # pairwise source top-V Jaccard
+    "minhash_band_tuning",           # LRU ch.3 S-curve design table
+    "triangle_clustering",           # oriented a<b<c triangle counts
+    "hybrid_rrf_retrieval",          # Cormack 2009 reciprocal-rank fusion
+    "chat_turn_stats",               # SFT transcript structural gates
+    "dpo_pair_plan",                 # Rafailov 2023 preference pairs
+)
+# --- r17 head, slot 2: the r17 changed-code slots (MEASURED r16, the
+# ngram persist mechanism): the two remaining lazy-localCheckpoint
+# sites converted to persist() — exact_substr_runs' kept frame
+# (isolate chain: 6 -> 0 plan-build jobs) and dhash_neardup_pairs'
+# hash frame (2 -> 0); the dhash edit also re-shapes
+# sharded_neardup_pairs' cross passes to the asymmetric
+# probe(i) x band(j) join over the NEW shared band/probe builders
+# (_dhash_bands/_dhash_probes — total candidate volume now equals the
+# monolithic join; full-recall equivalence property re-green), and
+# audio_fingerprint_neardup reuses dhash_neardup_pairs so it re-hashes
+# with it. Per the documented budget rule the queue's three tail names
+# (pca_variance_profile, promo_revenue_share, image_pixel_features)
+# slid to the r18 queue to fund these slots. ---
+_R17_CHANGED = (
+    "exact_substr_runs",
+    "dhash_neardup_pairs",
+    "audio_fingerprint_neardup",
+)
+# --- r17 head, slot 3: the documented r17 queue (the 39-name r13-stale
+# block, mechanically derived in r16) minus the three tail names slid
+# to the r18 queue to fund the changed-code slots ---
+_R17_REFRESH = (
+    "outlier_gate",
+    # r12/r13-green remainder (35 of 38; the 3 tail names slid to r18)
+    "quality_metrics",
+    "rolling_baseline",
+    "sliding_window_load",
+    "purchase_asof_signup",
+    "late_shipment_priority",
+    "small_quantity_revenue",
+    "table_profile",
+    "image_header_meta",
+    "video_header_meta",
+    "dominant_frequency_verified",
+    "url_host_dedup",
+    "decontamination_span_removal",
+    "winnowing_fingerprints",
+    "near_dup_cluster_stats",
+    "minhash_jaccard_estimate",
+    "ngram_jaccard_pairs",
+    "candidate_edit_distance",
+    "shuffle_shard_plan",
+    "weighted_doc_sample",
+    "skipgram_pmi",
+    "budget_selected_docs",
+    "dedup_survivor_policy",
+    "html_extract_profile",
+    "bigram_fluency",
+    "perplexity_bucket_profile",
+    "encoding_quality_profile",
+    "hamming_recall_at_k",
+    "random_projection_profile",
+    "local_supplier_volume",
+    "referential_integrity_audit",
+    "paragraph_dedup_profile",
+    "gopher_quality_rules",
+    "c4_line_filters",
+    "domain_cap_sample",
+    "dsir_importance_weights",
+)
+
+# --- r16 head (r16 driver-green block, now the freshest tail; kept
+# verbatim as the rotation history) ---
 # --- r16 head, slot 1: NEW r16 registrations — the six r14-staged
 # WAVE-2 operators, registered in plans/catalog_r16 with the staging
 # tests' DuckDB oracles (tests/test_r14_staging_wave2.py,
@@ -545,57 +632,89 @@ _NO_ORACLE_PIN = (
 # components) where checkpoint lineage-truncation is REQUIRED (the r7
 # exponential-plan lesson) — do not blanket-convert.
 
-# --- r17 queue (39 names: the r17 head takes the eleven waves-3-7
-# staged registrations + these 39 = 50, ZERO spare slots — any r17
-# changed-code re-hash must slide the queue's tail to the r18 queue
-# per the documented rule). Order: the name slid from the r16 queue to
-# fund the ngram_containment_pairs changed-code slot, then the FULL
-# r12/r13-green remainder in the documented block order — mechanically
-# derived from CORRECTNESS_r*.json latest-green rounds this round:
-# exactly 39 registered non-pinned names have latest driver-green r13
-# and none older, so the r17 queue is precisely the stale block (the
-# r14/r15/r16-green blocks rotate behind it in _TAIL). ---
+# r17 rotation status: the r14-staged WAVE 3-7 eleven REGISTERED this
+# round (plans/catalog_r17, oracle SQL lifted verbatim from
+# tests/test_r14_staging_wave2.py with identical aliases; the
+# plan-audit allowlist entries measured at r16 staging inherited, not
+# re-derived). The changed-code slots went to the two remaining
+# lazy-localCheckpoint sites, converted to persist() per the r16
+# measured mechanism (exact_substr_runs kept frame 6 -> 0 plan-build
+# jobs; dhash_neardup_pairs hash frame 2 -> 0 — re-hashing
+# audio_fingerprint_neardup with it), and the dhash slot also carried
+# the scheduled sharded-pass hoist: band/probe expressions now live in
+# the shared _dhash_bands/_dhash_probes builders and
+# sharded_neardup_pairs' cross passes join probe(i) x band(j)
+# asymmetrically (total candidate volume now EQUALS the monolithic
+# join; full-recall equivalence property tests re-green; the internal
+# shard column is collision-guarded per ADVICE r16). Head budget: 11
+# new + 3 changed + 36 queue = 50, zero spare — the queue's three tail
+# names slid to the r18 queue per the documented rule. After r17 no
+# registered name's latest driver-green is older than r14.
+
+# --- r18 queue (50 names, ZERO spare slots — any r18 changed-code
+# re-hash or new registration must slide the queue's tail to the r19
+# queue per the documented rule). Order: the three names slid from the
+# r17 queue to fund the r17 changed-code slots, then the r14-green
+# stale block in the documented block order (_R14_NEW then
+# _R14_REFRESH, minus names re-hashed r15/r16) — mechanically derived
+# from CORRECTNESS_r*.json latest-green rounds this round: after the
+# r17 head drains the r13 block, exactly 48 registered non-pinned
+# names have latest driver-green r14 and the 3 slid names r13; 3 + 48
+# = 51 > 50, so the BLOCK-ORDER TAIL r14-green (audio_pcm_features)
+# slides to the r19 queue front per the budget rule. ---
 _QUEUED_FOR_NEXT_HEAD = (
-    "outlier_gate",
-    # r12/r13-green remainder (38, the oldest-green block by r17)
-    "quality_metrics",
-    "rolling_baseline",
-    "sliding_window_load",
-    "purchase_asof_signup",
-    "late_shipment_priority",
-    "small_quantity_revenue",
-    "table_profile",
-    "image_header_meta",
-    "video_header_meta",
-    "dominant_frequency_verified",
-    "url_host_dedup",
-    "decontamination_span_removal",
-    "winnowing_fingerprints",
-    "near_dup_cluster_stats",
-    "minhash_jaccard_estimate",
-    "ngram_jaccard_pairs",
-    "candidate_edit_distance",
-    "shuffle_shard_plan",
-    "weighted_doc_sample",
-    "skipgram_pmi",
-    "budget_selected_docs",
-    "dedup_survivor_policy",
-    "html_extract_profile",
-    "bigram_fluency",
-    "perplexity_bucket_profile",
-    "encoding_quality_profile",
-    "hamming_recall_at_k",
-    "random_projection_profile",
-    "local_supplier_volume",
-    "referential_integrity_audit",
-    "paragraph_dedup_profile",
-    "gopher_quality_rules",
-    "c4_line_filters",
-    "domain_cap_sample",
-    "dsir_importance_weights",
+    # slid from the r17 queue (the oldest-green names by r18)
     "pca_variance_profile",
     "promo_revenue_share",
     "image_pixel_features",
+    # r14-green stale block (47 of 48; audio_pcm_features slid to r19)
+    "watermark_greenlist_score",
+    "quality_rank_normalize",
+    "sequence_packing_plan",
+    "doremi_domain_weights",
+    "large_volume_orders",
+    "branded_quantity_bands",
+    "revenue_by_segment",
+    "shipping_priority",
+    "returned_item_losses",
+    "fixed_size_sample",
+    "cluster_balanced_sample",
+    "snapshot_delta",
+    "quality_classifier_score",
+    "minhash_lsh_candidates",
+    "simhash_neardup_pairs",
+    "dedup_corpus_assignment",
+    "doc_rolling_hash",
+    "kmeans_centroids",
+    "spectral_energy",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "language_id",
+    "token_frequencies",
+    "token_counting_methods",
+    "kmv_distinct_ngrams",
+    "heavy_hitter_tokens",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "waiting_suppliers",
+    "global_sales_opportunity",
+    "product_type_profit",
+    "top_supplier_revenue",
+    "supplier_part_types",
+    "approx_percentile_bands",
+    "semdedup_assignment",
+    "scd2_user_state_history",
+    "repeated_substring_profile",
+    "bloom_filter_profile",
+    "prefix_filter_jaccard_join",
+    "scd2_steady_state",
+    "incremental_dedup_steady_state",
+    "embedding_topk_cosine",
+    "ann_recall_at_k",
+    "ivf_recall_at_k",
+    "video_frame_features",
 )
 # --- tail: most recently driver-green blocks, oldest first (only the
 # first 50 are hashed; the order documents the next rotations). The
@@ -681,12 +800,13 @@ _R11_GREEN_TAIL = (
     "stratified_sample",
 )
 
-_HEAD = list(_R16_NEW) + list(_R16_CHANGED) + list(_R16_REFRESH)
-# tail: the r17 queue first (the documented next head), then every
-# remaining block oldest-green first (r10/r11/r12 leftovers are empty
-# — those blocks were fully absorbed by the r14/r15/r16 heads and the
-# r17 queue; the r14-green block precedes the freshest r15-green
-# block), pins last
+_HEAD = list(_R17_NEW) + list(_R17_CHANGED) + list(_R17_REFRESH)
+# tail: the r18 queue first (the documented next head), then every
+# remaining block oldest-green first (r10/r11/r12/r13 leftovers are
+# empty — those blocks were fully absorbed by the r14..r17 heads and
+# the r18 queue; the single r14-green slid past the r18 budget
+# (audio_pcm_features) heads the remainder, then the r15-green block,
+# then the freshest r16-green block), pins last
 _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     n
     for n in list(_R10_GREEN_TAIL)
@@ -698,6 +818,9 @@ _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     + list(_R15_NEW)
     + list(_R15_CHANGED)
     + list(_R15_REFRESH)
+    + list(_R16_NEW)
+    + list(_R16_CHANGED)
+    + list(_R16_REFRESH)
     if n not in _HEAD
 ] + list(_NO_ORACLE_PIN)
 

@@ -572,27 +572,38 @@ def test_containment_registered_shape(spark):
     n_cache = plan.count("InMemoryTableScan")
     assert n_cache >= 4, plan
     # every BNLJ line comes from the cached subtree's rendering, which
-    # prints once per cache reference — and TWICE per reference when
-    # the CacheManager resolved this plan against an InMemoryRelation
-    # cached earlier in the session (the stored cachedPlan renders
-    # nested). Bound it relative to the cache references instead of
-    # pinning an absolute count.
-    assert plan.count("BroadcastNestedLoopJoin") <= 2 * n_cache
+    # prints once per cache reference (and can render nested when the
+    # CacheManager resolved against an earlier InMemoryRelation), so
+    # raw occurrence counts are unstable. Pin the DISTINCT normalized
+    # BNLJ shapes instead (ADVICE r16: a raw <= 2*n_cache bound could
+    # mask a genuinely new unallowlisted BNLJ): every BNLJ line in the
+    # plan, with expression ids stripped, must be the ONE allowlisted
+    # 1-row build-right cap cross.
+    import re
+
+    bnlj_shapes = {
+        re.sub(r"#\d+[A-Za-z]*", "#", ln.strip().lstrip(":+- "))
+        for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln
+    }
+    assert len(bnlj_shapes) == 1, bnlj_shapes
+    assert "BuildRight" in next(iter(bnlj_shapes)), bnlj_shapes
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
 
 
 def test_dhash_registered_shape(spark):
-    """dhash_neardup_pairs (registered r14, multi-probe + shared-frame
-    checkpoint r15): the decoded hash frame is lazy-checkpointed so
-    the Arrow-batched MapInPandas decode materializes ONCE and feeds
-    both join sides as Scan ExistingRDD (the exact_substr kept-frame
-    precedent); the pair join is a keyed (band_idx, band_val)
+    """dhash_neardup_pairs (registered r14, multi-probe r15, hash
+    frame persist()ed r17): the decoded hash frame is CACHED so the
+    Arrow-batched MapInPandas decode materializes ONCE and feeds both
+    join sides as InMemoryTableScan (the r16 ngram persist precedent —
+    a localCheckpoint here, even lazy, fires the AQE shuffle stages at
+    plan build); the pair join is a keyed (band_idx, band_val)
     equi-join over the 16-bit multi-probe emission (the one-bit flip
     masks up to 32768 must appear) — no cartesian, no BNLJ, no
     row-at-a-time Python."""
     plan = _plan(spark, "dhash_neardup_pairs")
-    assert "ExistingRDD" in plan  # checkpointed decode, both sides
+    assert plan.count("InMemoryTableScan") >= 2  # cached decode, both sides
     assert "32768" in plan  # the 16-bit multi-probe flip-mask array
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan

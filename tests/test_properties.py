@@ -930,7 +930,7 @@ def test_span_corruption_arithmetic_invariants(n_tokens):
                 max_size=30)
 )
 @PROP
-def test_span_corruption_arithmetic_invariants(spark, ns):
+def test_span_corruption_operator_matches_replay(spark, ns):
     """span_corruption_plan on synthetic n-token docs: the documented
     clamps and identities hold for EVERY n — noise in [1, n-1], spans
     in [1, noise], input_len + target_len == n_tokens + 2*n_spans + 2

@@ -1,0 +1,72 @@
+"""Round-start three-run headline bench protocol (VERDICT r15 item 2 /
+r16 item 7): run the frozen 18-query headline THREE times on the
+same code, each pass in a fresh SparkSession, and record all three in
+BENCH_LOCAL_r{N}.json so the round's floor is a minimum over a
+measured same-code envelope rather than a single sample. The r16
+adjudication showed a 1.30x same-code spread from hypervisor host
+contention — one run is not evidence.
+
+Usage: python tools/bench_protocol.py r17 [note...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "rX"
+    note = " ".join(sys.argv[2:]) if len(sys.argv) > 2 else ""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    all_runs = []
+    curation = None
+    for i in range(3):
+        spark = bench._fresh_session(f"protocol-{tag}-{i}")
+        timings, runs, errors = bench.run_queries(spark, bench.HEADLINE, sf_dir)
+        qmin = {n: min(p) for n, p in runs.items()}
+        rec = {
+            "value": round(sum(timings.values()), 3),
+            "value_min": round(sum(qmin.values()), 3),
+            "queries": timings,
+            "queries_min": qmin,
+        }
+        if errors:
+            rec["errors"] = errors
+        all_runs.append(rec)
+        print(
+            f"protocol run {i + 1}/3: {rec['value']} s (min {rec['value_min']})",
+            file=sys.stderr,
+        )
+        try:
+            spark.stop()
+        except Exception as exc:  # noqa: BLE001
+            print(f"protocol: stop failed ({exc})", file=sys.stderr)
+    best = min(all_runs, key=lambda r: r["value"])
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": best["value"],
+        "unit": "sec",
+        "value_min": best["value_min"],
+        "queries": best["queries"],
+        "sf": sf,
+        "note": note,
+        "all_runs": all_runs,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"BENCH_LOCAL_{tag}.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in ("value", "value_min")}))
+
+
+if __name__ == "__main__":
+    main()

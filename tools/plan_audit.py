@@ -79,6 +79,10 @@ BNLJ_OK = {
     "bradley_terry_strengths": "broadcast 1-row item/pair array assembly crossed per MM iteration (the doremi one-assembled-row posture, no plan-build collect)",
     "pagerank_host_authority": "broadcast 1-row vertex-count and per-iteration dangling-mass aggregates crossed into the damped update (no plan-build collect; measured at r16 registration)",
     "matryoshka_recall_at_k": "exact side of the truncation recall audit: broadcast 5-row query-vector baseline per width (ann_recall_at_k pattern)",
+    "crawl_frontier_priority": "pagerank's final-iteration broadcast 1-row N/dangling cross (earlier iterations sit inside the checkpoint barriers; measured at r16 staging)",
+    "vocab_overlap_matrix": "bounded |sources| x |sources| pair cross of the per-source vocabulary-size aggregates (measured at r16 staging)",
+    "minhash_band_tuning": "generated-grid cross (bands factorization x similarity grid) — no input table at all (measured at r16 staging)",
+    "hybrid_rrf_retrieval": "both retriever branches broadcast the 5-row query set against the corpus scan (ann_recall_at_k pattern, x2; measured at r16 staging)",
     # exact_substr_runs needs no entry: its scale-derived cap cross
     # plans as BroadcastHashJoin-free aggregate + broadcast filter at
     # the registered quote-page corpus (re-measured at registration,
@@ -107,6 +111,7 @@ PANDAS_OK = {
     "dhash_neardup_pairs": "full binary decode (PNG walk + zlib inflate + unfilter + dHash sample grid) via mapInPandas (image_pixel_features precedent)",
     "audio_fingerprint_neardup": "full binary decode (RIFF walk + int16 unpack + frame energies) via mapInPandas (audio_pcm_features precedent) feeding the JVM-side banded join",
     "audio_vad_segments": "full binary decode (RIFF walk + int16 unpack + frame energies) via mapInPandas (audio_pcm_features precedent) feeding the JVM-side islands window",
+    "video_scene_cuts": "full binary decode (MP4 sample-table walk + per-frame JPEG diffs) via mapInPandas (video_frame_features precedent) feeding the JVM-side running-cut window",
 }
 
 PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
