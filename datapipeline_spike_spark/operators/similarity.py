@@ -1735,3 +1735,90 @@ def hybrid_rrf_retrieval(
         tc, tq, k=fetch_k, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id", "rank")
     return rrf_fuse([full, trunc], k_const=k_const, k=k)
+
+
+def knn_graph_edges(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_bucket: int = 64,
+) -> DataFrame:
+    """Approximate kNN-GRAPH construction over the whole corpus
+    (staged r17 wave 8) — the substrate graph-based curation stages
+    consume: SemDeDup-style cluster refinement, NN-Descent seeding,
+    graph-connectivity diversity audits, and kNN-classifier label
+    propagation all start from "every vector's k nearest neighbors",
+    not from a handful of query probes (Dong et al. 2011 NN-Descent;
+    Abbas et al. 2023 SemDeDup both presuppose this table).
+
+    For EVERY corpus vector: the k most-similar same-LSH-bucket
+    candidates by 6dp-rounded cosine with an id tie-break (the house
+    ANN ranking contract), plus ``is_mutual`` — whether the reverse
+    edge also made the neighbor's own top-k (mutual-kNN is the edge
+    set graph-clustering actually keeps; one-directional edges are the
+    hubness symptom). Returns (src_id, dst_id, cos_sim, rank,
+    is_mutual).
+
+    Scale shape: candidates come from the sign-LSH bucket equi-join
+    with the DATA-DERIVED plane count (:func:`lsh_bucket_assign_auto`
+    — expected bucket size ~``target_bucket`` at any corpus scale, so
+    in-bucket pair work stays ~n * target_bucket, never n²); norms are
+    precomputed at the ROW grain before the self-join (the r10
+    3x lesson); Spark 4's WindowGroupLimit bounds the rank shuffle to
+    k rows per src per partition. The mutuality check is ONE
+    self-equi-join of the k*n edge frame on the reversed key — edge-
+    grain, not candidate-grain. The 1-row corpus-count cross rides the
+    BNLJ_OK totals precedent; the edge frame is persist()ed so the
+    top-k pass materializes once for both the output and the reversed
+    probe (deliberate cache leak, session-rebuild/LRU bounded)."""
+    coded = lsh_bucket_assign_auto(
+        fan_out(corpus), dim, vec_col, target_bucket=target_bucket
+    ).drop("n_planes")
+    vcast = F.col(vec_col).cast("array<double>")
+    a = coded.select(
+        F.col(id_col).alias("src_id"), vcast.alias("_av"),
+        l2_norm(vcast).alias("_an"), "bucket",
+    )
+    b = coded.select(
+        F.col(id_col).alias("dst_id"), vcast.alias("_bv"),
+        l2_norm(vcast).alias("_bn"), "bucket",
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos_sim").desc(), F.col("dst_id")
+    )
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .persist()
+    )
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"),
+        F.col("src_id").alias("dst_id"),
+        F.lit(True).alias("_rev"),
+    )
+    return (
+        edges.join(rev, ["src_id", "dst_id"], "left")
+        .select(
+            "src_id",
+            "dst_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+            F.coalesce("_rev", F.lit(False)).alias("is_mutual"),
+        )
+    )

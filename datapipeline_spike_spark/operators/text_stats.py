@@ -730,3 +730,85 @@ def vocab_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def min_k_prob_profile(
+    docs: DataFrame,
+    k_frac: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Min-K% Prob membership/contamination signal (staged r17 wave 8;
+    Shi et al. 2023 "Detecting Pretraining Data from Large Language
+    Models"): per document, the mean log-probability of its
+    ``k_frac``-fraction LOWEST-probability tokens under a corpus LM —
+    the outlier-token tail a member document lacks and a non-member
+    document carries. The published method uses the target model's
+    own token logprobs; this corpus-side form scores with the same
+    add-one smoothed unigram LM the registered
+    ``unigram_logprob_score`` fits (fit on the corpus itself), which
+    is the engine-side signal available BEFORE any model exists —
+    the same substitution the perplexity-bucket filter makes for
+    CCNet. Next to ``avg_logprob`` it gives curation the tail-vs-mean
+    gap: near-duplicate-of-corpus pages have a thin tail (small gap),
+    template/spam pages a heavy one.
+
+    Determinism contract: the selected bottom-k SET is ranked on
+    (token count asc, token asc, position asc) — logprob is MONOTONE
+    in the integer count, so this integer/string ordering selects
+    exactly the k lowest-probability tokens with a total tie-break
+    that replays on any engine; no float ever enters the ORDER BY.
+    k_tokens = greatest(1, ceil(k_frac * n_tokens)) with the SAME
+    double multiply both engines. Returns (doc_id, n_tokens, k_tokens,
+    avg_logprob, min_k_avg_logprob), logprobs 6dp-rounded.
+
+    Scale shape: one tokenize+posexplode pass; vocabulary-bounded
+    count shuffle; the token->count probe join is hint-free (AQE
+    broadcasts while the vocabulary is small); the rank window is
+    PARTITIONED by document; the 1-row smoothing totals ride the
+    broadcast-cross totals precedent (BNLJ_OK). No self-joins, no
+    Python."""
+    ex = fan_out(docs).select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("_pos", "_tok"),
+    )
+    vocab = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = vocab.agg(
+        F.sum("_c").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    scored = (
+        ex.join(vocab, "_tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "_pos",
+            "_tok",
+            "_c",
+            F.log(
+                (F.col("_c") + 1.0) / (F.col("_total") + F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    part = Window.partitionBy(id_col)
+    w = part.orderBy(F.col("_c").asc(), F.col("_tok").asc(), F.col("_pos").asc())
+    ranked = scored.select(
+        id_col,
+        "_lp",
+        F.row_number().over(w).alias("_rnk"),
+        F.count(F.lit(1)).over(part).alias("_n"),
+    ).withColumn(
+        "_k",
+        F.greatest(
+            F.lit(1), F.ceil(F.lit(float(k_frac)) * F.col("_n")).cast("int")
+        ),
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.max("_k").cast("long").alias("k_tokens"),
+        F.round(F.avg("_lp"), R).alias("avg_logprob"),
+        F.round(
+            F.sum(F.when(F.col("_rnk") <= F.col("_k"), F.col("_lp")))
+            / F.max("_k"),
+            R,
+        ).alias("min_k_avg_logprob"),
+    )

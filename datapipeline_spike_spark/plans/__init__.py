@@ -650,6 +650,28 @@ _NO_ORACLE_PIN = (
 # new + 3 changed + 36 queue = 50, zero spare — the queue's three tail
 # names slid to the r18 queue per the documented rule. After r17 no
 # registered name's latest driver-green is older than r14.
+#
+# r18 staging pipeline (WAVE 8, staged r17): tests/test_r17_staging.py
+# holds green DuckDB differentials + planted-property tests + plan
+# pins for hits_hub_authority (operators/graph.py — Kleinberg 1999
+# L1-normalized half-steps, K=3, the hub/authority split PageRank
+# conflates; oracle = unrolled 6-layer-per-iteration WITH chain over
+# the shared _SQL_PR_GRAPH), knn_graph_edges
+# (operators/similarity.py — corpus-wide approximate kNN graph over
+# the auto-plane LSH buckets with per-edge mutuality, the SemDeDup/
+# NN-Descent substrate; oracle replays the hard_negative_pairs
+# auto-plane derivation), and min_k_prob_profile
+# (operators/text_stats.py — Shi 2023 Min-K% Prob under the corpus
+# add-one unigram LM; bottom-k selection ranked on INTEGER
+# (count, token, position) so no float enters the ORDER BY). Both-SF
+# preflight: pytest at sf0.001 + tools/staged_preflight.py at sf0.01,
+# 0 failures / 28. Allowlist notes (MEASURED on the staged plans):
+# all three plan the 1-row broadcast crosses only -> BNLJ_OK entries
+# at registration (pagerank / hard_negative_pairs /
+# unigram_logprob_score precedents, respectively); knn/min_k windows
+# PARTITIONED; hits windows: none. The r18 head is fully budgeted by
+# the 50-name queue, so registering wave 8 in r18 slides 3 queue
+# tails to the r19 queue per the budget rule (the r17 precedent).
 
 # --- r18 queue (50 names, ZERO spare slots — any r18 changed-code
 # re-hash or new registration must slide the queue's tail to the r19

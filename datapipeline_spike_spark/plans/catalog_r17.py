@@ -132,13 +132,19 @@ def register_r17(
     tags=("multimodal", "video", "scene-cut", "pandas", "staged-r14-wave3"),
 )
 def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_spike_spark.scale import fan_out
     from datapipeline_spike_spark.sources.multimodal import (
         scene_media_from_documents,
         video_scene_cuts,
     )
 
+    # fan_out before the Python decode stage: the testdata single-split
+    # scan otherwise serializes the whole JPEG decode on ONE task (the
+    # r1 lesson; video_frame_features precedent). Measured at r17
+    # registration: 21.8 s -> ~2 s extras floor at sf0.1. Row-order
+    # only — the driver hash is order-insensitive.
     return video_scene_cuts(
-        scene_media_from_documents(load(spark, sf_dir, "documents"))
+        scene_media_from_documents(fan_out(load(spark, sf_dir, "documents")))
     )
 
 
@@ -402,7 +408,7 @@ def q_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(128 AS BIGINT) AS n_hashes,
            CAST(b.bands AS BIGINT) AS bands,
            CAST(128 // b.bands AS BIGINT) AS rows_per_band,
-           round(i * 0.05, 6) AS s,
+           round(CAST(i * 0.05 AS DOUBLE), 6) AS s,
            round(1 - power(1 - power(i * 0.05, 128 // b.bands), b.bands), 6)
              AS p_candidate,
            round(power(1.0 / b.bands, 1.0 / (128 // b.bands)), 6)

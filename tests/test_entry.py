@@ -44,8 +44,8 @@ def test_rotation_head_invariants():
         _HEAD,
         _NO_ORACLE_PIN,
         _QUEUED_FOR_NEXT_HEAD,
-        _R16_CHANGED,
-        _R16_NEW,
+        _R17_CHANGED,
+        _R17_NEW,
         rotation_preflight,
     )
 
@@ -69,9 +69,9 @@ def test_rotation_head_invariants():
     names = list(REGISTRY)
     # the head IS the driver sample, in order
     assert names[:DRIVER_SAMPLE] == [n for n in _HEAD if n in REGISTRY]
-    # every new r16 query + the r16 changed-code slot holds a head
-    # slot this round
-    assert set(_R16_NEW) | set(_R16_CHANGED) <= set(_HEAD)
+    # every new r17 query + the three r17 changed-code slots hold head
+    # slots this round
+    assert set(_R17_NEW) | set(_R17_CHANGED) <= set(_HEAD)
     # the documented next-round queue sits immediately after the head
     queue_live = [n for n in _QUEUED_FOR_NEXT_HEAD if n in REGISTRY]
     assert names[DRIVER_SAMPLE : DRIVER_SAMPLE + len(queue_live)] == queue_live

@@ -582,7 +582,11 @@ def test_containment_registered_shape(spark):
     import re
 
     bnlj_shapes = {
-        re.sub(r"#\d+[A-Za-z]*", "#", ln.strip().lstrip(":+- "))
+        re.sub(
+            r"#\d+[A-Za-z]*",
+            "#",
+            ln[ln.index("BroadcastNestedLoopJoin"):].strip(),
+        )
         for ln in plan.splitlines()
         if "BroadcastNestedLoopJoin" in ln
     }

@@ -1325,7 +1325,7 @@ SQL_BAND_TUNING = """
     SELECT CAST(128 AS BIGINT) AS n_hashes,
            CAST(b.bands AS BIGINT) AS bands,
            CAST(128 // b.bands AS BIGINT) AS rows_per_band,
-           round(i * 0.05, 6) AS s,
+           round(CAST(i * 0.05 AS DOUBLE), 6) AS s,
            round(1 - power(1 - power(i * 0.05, 128 // b.bands), b.bands), 6)
              AS p_candidate,
            round(power(1.0 / b.bands, 1.0 / (128 // b.bands)), 6)

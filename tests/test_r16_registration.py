@@ -53,9 +53,13 @@ def test_r16_moves_are_all_registered():
     assert not missing, missing
 
 
-def test_r16_head_leads_with_the_cohort_then_the_changed_slot():
-    head = list(REGISTRY)[:7]
-    assert head == list(_R16_NEW) + list(_R16_CHANGED), head
+def test_r16_moves_remain_placed_by_the_rotation():
+    """The r16 'head leads with the six + ngram' pin retired with the
+    r17 rotation (the r13/r15-gate precedent); what must stay true
+    forever: all seven remain registered, placed, and the rotation is
+    sound."""
+    placed = set(REGISTRY)
+    assert set(_R16_NEW) | set(_R16_CHANGED) <= placed
     assert rotation_preflight() == []
 
 

@@ -83,12 +83,7 @@ BNLJ_OK = {
     "vocab_overlap_matrix": "bounded |sources| x |sources| pair cross of the per-source vocabulary-size aggregates (measured at r16 staging)",
     "minhash_band_tuning": "generated-grid cross (bands factorization x similarity grid) — no input table at all (measured at r16 staging)",
     "hybrid_rrf_retrieval": "both retriever branches broadcast the 5-row query set against the corpus scan (ann_recall_at_k pattern, x2; measured at r16 staging)",
-    # exact_substr_runs needs no entry: its scale-derived cap cross
-    # plans as BroadcastHashJoin-free aggregate + broadcast filter at
-    # the registered quote-page corpus (re-measured at registration,
-    # r14 note at plans/__init__.py — audited ok without an allowlist
-    # row; if a future corpus change surfaces a BNLJ the audit will
-    # flag it loudly rather than ride a stale justification)
+    "exact_substr_runs": "scale-derived df cap: broadcast 1-row corpus count crossed into the posting-frequency filter (the ngram_containment_pairs pattern). Through r16 the localCheckpoint truncated this subtree out of the rendered plan; the r17 persist() conversion renders the cached child plan, surfacing the same allowlisted cross (re-measured r17)",
     # top_supplier_revenue needs no entry: Catalyst rewrites its
     # equality-filtered 1-row max cross into a BroadcastHashJoin on the
     # normalized revenue key (pinned by test_q15_max_subquery_stays_in_plan)

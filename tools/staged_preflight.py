@@ -26,9 +26,11 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 def main() -> int:
     import tests.test_r14_staging as w1
     import tests.test_r14_staging_wave2 as w2
+    import tests.test_r17_staging as w3
 
     w1.SF = SF_DIR
     w2.SF = SF_DIR
+    w3.SF = SF_DIR
     spark = get_session("staged-preflight", cpus=8, shuffle_partitions=8)
     cases = [
         # r15 cohort (staged r14 wave 1)
@@ -58,6 +60,10 @@ def main() -> int:
         w2.test_hybrid_rrf_matches_duckdb,
         w2.test_chat_turn_stats_match_duckdb,
         w2.test_dpo_pair_plan_matches_duckdb,
+        # r18 cohort (staged r17 wave 8)
+        w3.test_hits_matches_duckdb,
+        w3.test_knn_graph_matches_duckdb,
+        w3.test_min_k_prob_matches_duckdb,
     ]
     failed = []
     for t in cases:
