@@ -369,7 +369,20 @@ def label_propagation_communities(
     e = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # persist the corpus-reduced DISTINCT undirected frame (r17, the
+    # triangle_clustering/pagerank posture): it feeds the initial
+    # label derivation AND every round's neighbor join (n_iter + 1
+    # references, each otherwise re-running the corpus scan + union +
+    # distinct — ReusedExchange measured 0 under AQE). MEASURED trade
+    # at sf0.1: steady-state 0.86 -> 1.27 s (cache-read overhead on a
+    # tiny corpus) vs 4 corpus passes -> 1 at scale, where the scan is
+    # the cost. The labels chain itself is single-reference per round
+    # (linear plan growth — no barrier needed at small n_iter; a
+    # deep-iteration caller would checkpoint like the BPE loop).
+    # Deliberate cache leak, session-rebuild/LRU bounded.
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
     labels = (
         und.select(F.col("a").alias("host"))
         .distinct()
@@ -430,9 +443,21 @@ def triangle_clustering(
     e = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).filter(F.col("a") != F.col("b"))
+    # persist the corpus-reduced DISTINCT undirected frame (r17, found
+    # in the registration plan gallery): it feeds the degree frame and
+    # all THREE oriented-join branches — unpersisted, each branch
+    # re-ran the full corpus scan + union + distinct (~6 independent
+    # file scans; ReusedExchange measured 0 under AQE). After distinct
+    # it is edge-universe-sized. MEASURED trade at sf0.1 (tiny corpus):
+    # steady-state 0.71 -> 1.40 s — cache-read overhead dominates when
+    # the scan is a 500-row parquet; at corpus scale the scan IS the
+    # cost and 6 passes -> 1 is the 100 TB fix (the pagerank
+    # precedent, which took the same trade). persist, not
+    # localCheckpoint (the AQE toRdd lesson); deliberate cache leak,
+    # session-rebuild/LRU bounded.
     und = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).distinct().persist()
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
     lt = und.filter(F.col("a") < F.col("b"))
     # wedges a<b<c anchored at a, closed by the (b, c) edge
@@ -514,6 +539,11 @@ def hits_hub_authority(
     previous frame through the raw join AND the normalization sum, so
     an unbarriered chain recomputes exponentially); the final
     iteration fuses into the output join unbarriered."""
+    if int(n_iter) < 1:
+        # the authority vector is undefined before the first half-step
+        # (hub-only initial state), so there is no meaningful n_iter=0
+        # result to return — unlike pagerank, whose r0 = 1/N is complete
+        raise ValueError(f"hits_hub_authority needs n_iter >= 1, got {n_iter}")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()

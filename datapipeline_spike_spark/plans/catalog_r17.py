@@ -329,9 +329,11 @@ def _sql_lpa(k: int) -> str:
     The link-farm / community detector next to PageRank in the
     web-corpus family. Scale shape: per round ONE keyed join
     (undirected edges x labels) + a two-level aggregate — NO window,
-    no cartesian; iteration frames are checkpoint-barriered
-    (lineage-truncation, the BPE-loop posture). Clean audit (measured
-    at r16 staging).""",
+    no cartesian; the persisted undirected edge frame feeds every
+    round from one corpus scan, and the labels chain is
+    single-reference per round (linear plan growth — no barrier
+    needed at K=3; deep-iteration callers checkpoint like the BPE
+    loop). Clean audit (measured at r16 staging).""",
     tags=("graph", "web", "communities", "staged-r14-wave4"),
 )
 def q_label_propagation_communities(

@@ -590,8 +590,12 @@ def test_containment_registered_shape(spark):
         for ln in plan.splitlines()
         if "BroadcastNestedLoopJoin" in ln
     }
-    assert len(bnlj_shapes) == 1, bnlj_shapes
-    assert "BuildRight" in next(iter(bnlj_shapes)), bnlj_shapes
+    # <= 1: zero is a strict improvement (Catalyst already rewrites
+    # top_supplier_revenue's 1-row cross into a BroadcastHashJoin —
+    # the same could happen here)
+    assert len(bnlj_shapes) <= 1, bnlj_shapes
+    if bnlj_shapes:
+        assert "BuildRight" in next(iter(bnlj_shapes)), bnlj_shapes
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
 

@@ -382,36 +382,12 @@ def test_min_k_prob_tail_vs_mean_on_corpus(spark):
 # --- plan pins ---------------------------------------------------------------------
 
 
-def _plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _window_groups(plan: str):
-    """Partition-column counts of each Window node (0 = unpartitioned);
-    mirrors the wave2 helper."""
-    groups = []
-    for line in plan.splitlines():
-        s = line.lstrip(" +-:|*(0123456789)")
-        if not s.startswith("Window "):
-            continue
-        bracket_groups, buf, depth = [], [], 0
-        for ch in s:
-            if ch == "[":
-                depth += 1
-                if depth == 1:
-                    buf = []
-                    continue
-            elif ch == "]":
-                depth -= 1
-                if depth == 0:
-                    bracket_groups.append("".join(buf))
-                    continue
-            if depth >= 1:
-                buf.append(ch)
-        if len(bracket_groups) >= 2:
-            part = bracket_groups[1]
-            groups.append(len([p for p in part.split(",") if p.strip()]))
-    return groups
+# one home for the nontrivial plan-text parsers (review r17: a second
+# copy would drift when a Spark upgrade changes node rendering)
+from tests.test_r14_staging_wave2 import (  # noqa: E402
+    _plan_of,
+    _window_groups,
+)
 
 
 def test_wave8_plan_shapes(spark):

@@ -48,7 +48,13 @@ def main() -> None:
             spark.stop()
         except Exception as exc:  # noqa: BLE001
             print(f"protocol: stop failed ({exc})", file=sys.stderr)
-    best = min(all_runs, key=lambda r: r["value"])
+    # the floor is the min over CLEAN runs only: a run that dropped an
+    # errored query sums fewer queries and would always win the min,
+    # recording a fake-fast floor the next round's regression check can
+    # never legitimately reach (the run_queries failure-isolation
+    # contract drops failed queries from timings)
+    clean = [r for r in all_runs if not r.get("errors")]
+    best = min(clean or all_runs, key=lambda r: r["value"])
     out = {
         "metric": "headline_queries_total_runtime",
         "value": best["value"],
@@ -59,6 +65,10 @@ def main() -> None:
         "note": note,
         "all_runs": all_runs,
     }
+    if not clean:
+        out["errors_in_every_run"] = True
+    elif len(clean) < len(all_runs):
+        out["runs_with_errors"] = len(all_runs) - len(clean)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"BENCH_LOCAL_{tag}.json",
