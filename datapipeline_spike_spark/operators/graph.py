@@ -628,3 +628,113 @@ def hits_hub_authority(
             F.col("in_degree").cast("long").alias("in_degree"),
         )
     )
+
+
+class KCoreNotConverged(RuntimeError):
+    """k-core peeling exhausted its round budget before the survivor
+    set stabilized — the honest failure mode (the
+    ComponentsNotConverged posture: raise, never silently emit a
+    half-peeled core)."""
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core membership via iterative peeling (staged r17 wave 9;
+    Seidman 1983 "Network structure and minimum degree"; the
+    Batagelj-Zaversnik peel expressed as Spark rounds) — the densest-
+    region extractor a web-graph pipeline reads next to PageRank /
+    LPA / clustering: the k-core is the maximal subgraph where every
+    vertex keeps degree >= k AFTER all lower-degree vertices are
+    removed, so raw-degree spam (a hub pointed at by throwaway pages)
+    falls out while genuinely dense cores (link farms, true hub
+    clusters) survive — the classic core-vs-periphery split.
+
+    Semantics (engine-replayable): the graph is UNDIRECTED and simple
+    (direction/multi-edges collapse, self-loops drop). s_0 = all
+    vertices; round i keeps v in s_{i-1} with >= k neighbors INSIDE
+    s_{i-1} (induced-subgraph degree). The fixpoint is the k-core;
+    peeling is monotone-decreasing so a stable survivor COUNT is the
+    fixpoint. Integer-only arithmetic throughout — a DuckDB oracle
+    unrolls R rounds as a WITH chain and the differential proves
+    convergence within R on the tested corpus.
+
+    Scale shape: per round TWO keyed semi-joins (edge endpoints
+    against the survivor set — vertex-grain build sides, AQE
+    broadcastable) + ONE keyed degree aggregate; survivor frames are
+    EAGER-localCheckpoint barriered (ITERATIVE lineage — the BPE/LPA
+    truncation case, not the shared-subtree persist case) and the
+    convergence check is a 1-row count per round (the
+    connected-components driver-guard precedent — bounded driver
+    data, never row collection). Raises :class:`KCoreNotConverged`
+    past ``max_rounds`` instead of silently emitting a half-peeled
+    core. Rounds needed = the graph's degeneracy-peel depth, in
+    practice O(diameter)-ish — tiny for web host graphs.
+
+    Returns (host, degree, in_kcore) — one row per ORIGINAL vertex:
+    its full-graph degree and whether it survives in the k-core."""
+    if k < 1:
+        raise ValueError(f"kcore_membership needs k >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"kcore_membership needs max_rounds >= 1, got {max_rounds}")
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    # the shared-subtree persist (pagerank/triangle posture): the
+    # distinct undirected frame feeds every round's two semi-joins.
+    # Deliberate cache leak, session-rebuild/LRU bounded.
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    deg0 = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    survivors = deg0.filter(F.col("degree") >= k).select(
+        F.col("a").alias("host")
+    )
+    survivors = survivors.localCheckpoint(eager=True)
+    prev = survivors.count()
+    for _ in range(int(max_rounds)):
+        if prev == 0:
+            break
+        # induced degree: both endpoints must survive
+        alive = (
+            und.join(
+                survivors.select(F.col("host").alias("a")), "a"
+            )
+            .join(survivors.select(F.col("host").alias("b")), "b")
+        )
+        survivors = (
+            alive.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select(F.col("a").alias("host"))
+            # iterative barrier: round i+1 references round i through
+            # BOTH semi-joins — the dual-reference exponential class;
+            # checkpoint (lineage truncation), not persist
+            .localCheckpoint(eager=True)
+        )
+        n = survivors.count()
+        if n == prev:
+            break
+        prev = n
+    else:
+        raise KCoreNotConverged(
+            f"k-core peel still shrinking after {max_rounds} rounds "
+            f"(k={k}); raise max_rounds"
+        )
+    return (
+        deg0.select(F.col("a").alias("host"), "degree")
+        .join(
+            survivors.select("host", F.lit(True).alias("in_kcore")),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("in_kcore", F.lit(False)).alias("in_kcore"),
+        )
+    )

@@ -231,3 +231,61 @@ def dpo_pair_plan(
         )
         .filter(F.col("margin") >= float(margin_floor))
     )
+
+
+def best_of_n_selection(
+    candidates: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Best-of-n (rejection-sampling) selection table (staged r17
+    wave 9; the WebGPT / Llama-2 rejection-sampling data-prep step):
+    per prompt, the reward-model argmax candidate plus the pool
+    statistics the sampling report publishes — how many candidates
+    were drawn, the selected score, the pool mean, the population
+    standard deviation, and the selection gap (best - mean, the
+    quantity that tells you whether drawing more candidates still
+    buys reward). The DPO sibling (:func:`dpo_pair_plan`) keeps the
+    extremes as a PAIR; this keeps only the winner — the SFT-on-best
+    construction.
+
+    Determinism contract: the winner is max_by over the struct
+    (6dp-rounded score, -cand_id) — highest score, smallest id on
+    ties (rounding first so the argmax replays across engines; the
+    dpo_pair_plan convention). stddev is the POPULATION form
+    (sqrt(E[x^2] - E[x]^2 computed as avg of squares minus square of
+    avg would be catastrophic — both engines' stddev_pop is the
+    numerically-stable Welford form and agrees at 6dp on bounded
+    scores). Single-candidate prompts are kept (gap 0, std 0) — the
+    report needs them visible, unlike DPO which must drop them.
+
+    Scale shape: ONE prompt-keyed aggregate — no window, no join, no
+    Python; map-side partial aggregation makes it a single shuffle of
+    prompt-grain rows.
+
+    Returns (prompt_id, n_candidates, best_id, best_score, mean_score,
+    std_score, selection_gap), floats 6dp."""
+    s6 = F.round(F.col(score_col), 6)
+    agg = candidates.groupBy(F.col(prompt_col).alias("prompt_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.max_by(
+            F.col(cand_col), F.struct(s6, -F.col(cand_col))
+        ).alias("best_id"),
+        F.max(s6).alias("best_score"),
+        F.round(F.avg(s6), 6).alias("mean_score"),
+        F.round(F.coalesce(F.stddev_pop(s6), F.lit(0.0)), 6).alias(
+            "std_score"
+        ),
+    )
+    return agg.select(
+        "prompt_id",
+        "n_candidates",
+        "best_id",
+        "best_score",
+        "mean_score",
+        "std_score",
+        F.round(F.col("best_score") - F.col("mean_score"), 6).alias(
+            "selection_gap"
+        ),
+    )

@@ -812,3 +812,91 @@ def min_k_prob_profile(
             R,
         ).alias("min_k_avg_logprob"),
     )
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Distinct-n lexical diversity per source (staged r17 wave 9; Li
+    et al. 2016 "A Diversity-Promoting Objective Function for Neural
+    Conversation Models" — distinct-1/distinct-2): the ratio of
+    DISTINCT unigrams/bigrams to total unigram/bigram occurrences.
+    The standard mode-collapse detector for SYNTHETIC training data —
+    a model-generated corpus that loops on stock phrases shows normal
+    unigram stats but a collapsed distinct-2; curation stacks that mix
+    generated data read this table next to the Zipf profile (natural
+    text) and the repetition profile (per-document loops): distinct-n
+    is the CORPUS-level counterpart a per-doc metric cannot see.
+
+    Exact integer counts on both engines; the two ratios are the only
+    floats (6dp). Bigrams use the same zip_with adjacency as the
+    bigram LM (``_word_bigrams``), at token grain (multiset — repeats
+    count, the published definition). Scale shape: one tokenize pass,
+    two vocabulary-bounded count-distinct aggregates at (source,
+    gram) grain — no windows, no joins beyond the final source-grain
+    assembly (broadcastable at any corpus size).
+
+    Returns (source, n_docs, total_unigrams, distinct_unigrams,
+    distinct_1, total_bigrams, distinct_bigrams, distinct_2)."""
+    toks = docs.select(
+        F.col(source_col).alias("_src"),
+        F.col(text_col),
+        tokens(text_col).alias("_t"),
+    )
+    uni = toks.select(
+        "_src", F.explode("_t").alias("_g")
+    )
+    uni_stats = uni.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("total_unigrams"),
+        F.count_distinct("_g").alias("distinct_unigrams"),
+    )
+    bi = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            "_src",
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("_g"),
+        )
+    )
+    bi_stats = bi.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("total_bigrams"),
+        F.count_distinct("_g").alias("distinct_bigrams"),
+    )
+    n_docs = toks.groupBy("_src").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.join(uni_stats, "_src", "left")
+        .join(bi_stats, "_src", "left")
+        .select(
+            F.col("_src").alias("source"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("total_unigrams", F.lit(0)).cast("long").alias(
+                "total_unigrams"
+            ),
+            F.coalesce("distinct_unigrams", F.lit(0)).cast("long").alias(
+                "distinct_unigrams"
+            ),
+            F.round(
+                F.coalesce("distinct_unigrams", F.lit(0))
+                / F.coalesce("total_unigrams", F.lit(0)),
+                6,
+            ).alias("distinct_1"),
+            F.coalesce("total_bigrams", F.lit(0)).cast("long").alias(
+                "total_bigrams"
+            ),
+            F.coalesce("distinct_bigrams", F.lit(0)).cast("long").alias(
+                "distinct_bigrams"
+            ),
+            F.round(
+                F.coalesce("distinct_bigrams", F.lit(0))
+                / F.coalesce("total_bigrams", F.lit(0)),
+                6,
+            ).alias("distinct_2"),
+        )
+    )

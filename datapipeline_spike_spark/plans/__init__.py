@@ -672,6 +672,24 @@ _NO_ORACLE_PIN = (
 # PARTITIONED; hits windows: none. The r18 head is fully budgeted by
 # the 50-name queue, so registering wave 8 in r18 slides 3 queue
 # tails to the r19 queue per the budget rule (the r17 precedent).
+#
+# WAVE 9 (same file, same gauntlet — register r19): kcore_membership
+# (operators/graph.py — Seidman 1983 iterative peeling to a stable
+# fixpoint with the connected-components driver-count convergence
+# guard and KCoreNotConverged past the round budget; register at k=4
+# on the host graph — k=3 keeps all 64 hosts, k=4 splits 21/64 with
+# fixpoint in 4 rounds, measured; the staging oracle unrolls 8 rounds
+# and the differential equality proves convergence within the
+# unroll), distinct_ngram_diversity (operators/text_stats.py — Li
+# 2016 distinct-1/distinct-2 per source, the synthetic-data
+# mode-collapse detector; exact integer counts, two vocabulary-
+# bounded aggregates), and best_of_n_selection (operators/sft.py —
+# rejection-sampling stats: argmax by (rounded score, smallest
+# NUMERIC id), pool mean/stddev_pop, selection gap; singletons kept,
+# unlike DPO). Allowlist notes (measured at staging): kcore clean
+# (ExistingRDD barriers, driver-side 1-row convergence counts —
+# documented bounded collects); diversity and best-of-n clean (pure
+# keyed aggregates).
 
 # --- r18 queue (50 names, ZERO spare slots — any r18 changed-code
 # re-hash or new registration must slide the queue's tail to the r19

@@ -1,13 +1,17 @@
-"""r17 staged operators, WAVE 8 (register r18 — the r18 head budget is
-the fully-documented 50-name queue, so these register by sliding queue
-tails per the budget rule, or ride r19): DuckDB differential tests +
-planted-property checks + plan pins for hits_hub_authority (Kleinberg
-1999 — the hub/authority split PageRank conflates),
-knn_graph_edges (the corpus-wide kNN-graph table SemDeDup/NN-Descent
-curation stages consume), and min_k_prob_profile (Shi 2023 Min-K% Prob
-membership signal under the corpus unigram LM) — the same
-pre-registration gauntlet every staged cohort runs (oracle parity
-proven HERE, so registration is a catalog-entry move).
+"""r17 staged operators, WAVES 8 and 9 (wave 8 registers r18 — the
+r18 head budget is the fully-documented 50-name queue, so it registers
+by sliding queue tails per the budget rule; wave 9 registers r19):
+DuckDB differential tests + planted-property checks + plan pins for
+hits_hub_authority (Kleinberg 1999 — the hub/authority split PageRank
+conflates), knn_graph_edges (the corpus-wide kNN-graph table
+SemDeDup/NN-Descent curation stages consume), min_k_prob_profile (Shi
+2023 Min-K% Prob membership signal under the corpus unigram LM),
+kcore_membership (Seidman 1983 peeling — the core-vs-periphery
+split), distinct_ngram_diversity (Li 2016 distinct-n — the synthetic-
+data mode-collapse detector), and best_of_n_selection (the
+rejection-sampling prep table) — the same pre-registration gauntlet
+every staged cohort runs (oracle parity proven HERE, so registration
+is a catalog-entry move).
 
 Registration notes (measured on these staged plans at sf0.001):
 - hits_hub_authority: BNLJ x(2K+1) — the 1-row vertex-count cross +
@@ -428,3 +432,289 @@ def test_wave8_plan_shapes(spark):
         assert node not in mk, node
     groups = _window_groups(mk)
     assert groups and all(g >= 1 for g in groups)
+
+
+# ============================ WAVE 9 =============================
+# kcore_membership, distinct_ngram_diversity, best_of_n_selection —
+# same gauntlet (register r19; the r18 head takes wave 8 + the queue).
+#
+# Registration notes (measured on these staged plans at sf0.001):
+# - kcore_membership: driver-side 1-row count per peel round (the
+#   connected-components convergence-guard precedent, documented
+#   bounded collect) + ExistingRDD iteration barriers; no BNLJ, no
+#   windows, no Python -> clean audit.
+# - distinct_ngram_diversity / best_of_n_selection: pure keyed
+#   aggregates -> clean audit (no allowlist entries).
+
+
+def _sql_kcore_iter(k: int, rounds: int) -> str:
+    """s0 -> s{rounds} peel layers replaying
+    operators.graph.kcore_membership: s_i = vertices of s_{i-1} with
+    >= k neighbors inside s_{i-1} (induced degree). The differential
+    asserting engine == s{rounds} PROVES the peel converges within
+    `rounds` on the tested corpus (the engine iterates to a stable
+    fixpoint; a corpus needing more rounds fails the equality
+    loudly)."""
+    parts = [
+        """u AS (SELECT src AS a, dst AS b FROM e
+                 UNION SELECT dst, src FROM e),
+           d0 AS (SELECT a, count(*) AS deg FROM u GROUP BY 1)""",
+        f"s0 AS (SELECT a AS host FROM d0 WHERE deg >= {k})",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""s{i} AS (SELECT u.a AS host FROM u
+                 JOIN s{p} x ON u.a = x.host
+                 JOIN s{p} y ON u.b = y.host
+                 GROUP BY 1 HAVING count(*) >= {k})"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_KCORE = f"""
+    WITH {_SQL_PR_GRAPH},
+    {_sql_kcore_iter(4, 8)}
+    SELECT d0.a AS host, CAST(d0.deg AS BIGINT) AS degree,
+           (s8.host IS NOT NULL) AS in_kcore
+    FROM d0 LEFT JOIN s8 ON d0.a = s8.host
+"""
+
+
+def test_kcore_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        kcore_membership,
+    )
+
+    got = {
+        r["host"]: r.asDict()
+        for r in kcore_membership(
+            host_link_graph(load(spark, SF, "documents")), k=4
+        ).collect()
+    }
+    want = _con().execute(SQL_KCORE).df()
+    assert len(got) == len(want) > 0
+    # the peel must actually split the graph (core and periphery both
+    # non-empty) for the differential to be informative
+    in_core = sum(1 for _, w in want.iterrows() if w["in_kcore"])
+    assert 0 < in_core < len(want)
+    for _, w in want.iterrows():
+        g = got[w["host"]]
+        assert g["degree"] == int(w["degree"])
+        assert g["in_kcore"] == bool(w["in_kcore"]), w["host"]
+
+
+def test_kcore_planted_peel(spark):
+    """A 4-clique with a path tail: the k=2 peel removes the leaf,
+    then the exposed path vertex, and keeps exactly the clique (plus
+    the clique-attached vertex 3 keeps its full degree); k above the
+    max degree empties the core; a long path with a tiny round budget
+    raises KCoreNotConverged instead of emitting a half-peeled core."""
+    from datapipeline_spike_spark.operators.graph import (
+        KCoreNotConverged,
+        kcore_membership,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 4), (4, 5)]
+    df = spark.createDataFrame(clique + tail, "src long, dst long")
+    got = {r["host"]: r for r in kcore_membership(df, k=2).collect()}
+    assert {h for h, r in got.items() if r["in_kcore"]} == {0, 1, 2, 3}
+    assert got[5]["degree"] == 1 and not got[5]["in_kcore"]
+    assert got[4]["degree"] == 2 and not got[4]["in_kcore"]  # exposed by the peel
+
+    none = kcore_membership(df, k=10).collect()
+    assert none and not any(r["in_kcore"] for r in none)
+
+    path = [(i, i + 1) for i in range(12)]
+    pdf = spark.createDataFrame(path, "src long, dst long")
+    import pytest as _pt
+
+    with _pt.raises(KCoreNotConverged):
+        kcore_membership(pdf, k=2, max_rounds=2)
+    # with budget the same path empties completely (a path has no 2-core)
+    full = kcore_membership(pdf, k=2).collect()
+    assert full and not any(r["in_kcore"] for r in full)
+
+
+SQL_DIVERSITY = f"""
+    WITH t AS (SELECT source, {_SQL_TOKS.format(c='text')} AS toks
+               FROM documents),
+    us AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS total_unigrams,
+             CAST(count(DISTINCT g) AS BIGINT) AS distinct_unigrams
+      FROM (SELECT source, unnest(toks) AS g FROM t) GROUP BY 1
+    ),
+    bis AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS total_bigrams,
+             CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+      FROM (SELECT source,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS g
+            FROM t) GROUP BY 1
+    ),
+    nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1)
+    SELECT nd.source, nd.n_docs,
+           coalesce(us.total_unigrams, 0) AS total_unigrams,
+           coalesce(us.distinct_unigrams, 0) AS distinct_unigrams,
+           round(coalesce(us.distinct_unigrams, 0) * 1.0
+                 / coalesce(us.total_unigrams, 0), 6) AS distinct_1,
+           coalesce(bis.total_bigrams, 0) AS total_bigrams,
+           coalesce(bis.distinct_bigrams, 0) AS distinct_bigrams,
+           round(coalesce(bis.distinct_bigrams, 0) * 1.0
+                 / coalesce(bis.total_bigrams, 0), 6) AS distinct_2
+    FROM nd LEFT JOIN us USING (source) LEFT JOIN bis USING (source)
+"""
+
+
+def test_distinct_ngram_diversity_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.text_stats import (
+        distinct_ngram_diversity,
+    )
+
+    got = {
+        r["source"]: r.asDict()
+        for r in distinct_ngram_diversity(
+            load(spark, SF, "documents")
+        ).collect()
+    }
+    want = _con().execute(SQL_DIVERSITY).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[w["source"]]
+        for c in ("n_docs", "total_unigrams", "distinct_unigrams",
+                  "total_bigrams", "distinct_bigrams"):
+            assert g[c] == int(w[c]), (c, w["source"])
+        assert g["distinct_1"] == pytest.approx(w["distinct_1"], abs=1.5e-6)
+        assert g["distinct_2"] == pytest.approx(w["distinct_2"], abs=1.5e-6)
+
+
+def test_distinct_ngram_diversity_planted(spark):
+    """A looping source shows collapsed distinct-2 next to a diverse
+    one: 'a b a b ...' has distinct_1 = 2/n but only 2 distinct
+    bigrams; fully-unique text scores 1.0 on both."""
+    from datapipeline_spike_spark.operators.text_stats import (
+        distinct_ngram_diversity,
+    )
+
+    rows = [
+        (1, "loopy", "a b " * 8),          # 16 tokens, 2 types, 2 bigram types
+        (2, "fresh", "q w e r t y u i"),   # 8 tokens, all unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in distinct_ngram_diversity(df).collect()}
+    lo = got["loopy"]
+    assert (lo["total_unigrams"], lo["distinct_unigrams"]) == (16, 2)
+    assert lo["distinct_1"] == pytest.approx(2 / 16, abs=1e-6)
+    assert (lo["total_bigrams"], lo["distinct_bigrams"]) == (15, 2)
+    hi = got["fresh"]
+    assert hi["distinct_1"] == 1.0 and hi["distinct_2"] == 1.0
+    assert lo["distinct_2"] < hi["distinct_2"]
+
+
+SQL_BEST_OF_N = """
+    WITH cand AS (
+      SELECT doc_id % 50 AS prompt_id, doc_id AS cand_id,
+             round(((doc_id * 37) % 1000) / 1000.0, 6) AS s
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY s DESC, cand_id ASC) AS rn FROM cand
+    ),
+    agg AS (
+      SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             max(s) AS best_score, round(avg(s), 6) AS mean_score,
+             round(coalesce(stddev_pop(s), 0), 6) AS std_score
+      FROM cand GROUP BY 1
+    )
+    SELECT a.prompt_id, a.n_candidates, r.cand_id AS best_id,
+           a.best_score, a.mean_score, a.std_score,
+           round(a.best_score - a.mean_score, 6) AS selection_gap
+    FROM agg a JOIN ranked r ON r.prompt_id = a.prompt_id AND r.rn = 1
+"""
+
+
+def test_best_of_n_matches_duckdb(spark):
+    from datapipeline_spike_spark.operators.sft import best_of_n_selection
+
+    cand = load(spark, SF, "documents").select(
+        (F.col("doc_id") % 50).alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        (((F.col("doc_id") * 37) % 1000) / F.lit(1000.0)).alias("score"),
+    )
+    got = {
+        r["prompt_id"]: r.asDict()
+        for r in best_of_n_selection(cand).collect()
+    }
+    want = _con().execute(SQL_BEST_OF_N).df()
+    assert len(got) == len(want) > 0
+    for _, w in want.iterrows():
+        g = got[w["prompt_id"]]
+        assert g["n_candidates"] == int(w["n_candidates"])
+        assert g["best_id"] == w["best_id"]
+        for c in ("best_score", "mean_score", "std_score", "selection_gap"):
+            assert g[c] == pytest.approx(w[c], abs=1.5e-6), c
+
+
+def test_best_of_n_planted(spark):
+    """Ties pick the smallest id; single-candidate prompts are KEPT
+    (gap 0, std 0) — the report needs them visible, unlike DPO."""
+    from datapipeline_spike_spark.operators.sft import best_of_n_selection
+
+    rows = [
+        (1, 10, 0.9), (1, 11, 0.5), (1, 12, 0.1),
+        (2, 20, 0.7), (2, 21, 0.7),          # tie -> id 20
+        (3, 30, 0.4),                         # singleton kept
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, score double"
+    )
+    got = {r["prompt_id"]: r for r in best_of_n_selection(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["best_id"] == 10 and got[1]["n_candidates"] == 3
+    assert got[1]["selection_gap"] == pytest.approx(0.9 - 0.5, abs=1e-6)
+    assert got[2]["best_id"] == 20
+    assert got[3]["n_candidates"] == 1
+    assert got[3]["std_score"] == 0.0 and got[3]["selection_gap"] == 0.0
+
+
+def test_wave9_plan_shapes(spark):
+    """kcore: semi-joins + keyed aggregates + ExistingRDD barriers, no
+    BNLJ/window/Python (the 1-row convergence counts are driver-side,
+    documented); diversity and best-of-n: pure keyed aggregates."""
+    from datapipeline_spike_spark.operators.graph import (
+        host_link_graph,
+        kcore_membership,
+    )
+    from datapipeline_spike_spark.operators.sft import best_of_n_selection
+    from datapipeline_spike_spark.operators.text_stats import (
+        distinct_ngram_diversity,
+    )
+
+    docs = load(spark, SF, "documents")
+
+    kc = _plan_of(kcore_membership(host_link_graph(docs), k=4))
+    assert "ExistingRDD" in kc  # the peel barriers
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Window", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in kc, node
+
+    dv = _plan_of(distinct_ngram_diversity(docs))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin"):
+        assert node not in dv, node
+
+    cand = docs.select(
+        (F.col("doc_id") % 50).alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        (((F.col("doc_id") * 37) % 1000) / F.lit(1000.0)).alias("score"),
+    )
+    bo = _plan_of(best_of_n_selection(cand))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in bo, node

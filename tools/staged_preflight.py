@@ -64,6 +64,10 @@ def main() -> int:
         w3.test_hits_matches_duckdb,
         w3.test_knn_graph_matches_duckdb,
         w3.test_min_k_prob_matches_duckdb,
+        # r19 cohort (staged r17 wave 9)
+        w3.test_kcore_matches_duckdb,
+        w3.test_distinct_ngram_diversity_matches_duckdb,
+        w3.test_best_of_n_matches_duckdb,
     ]
     failed = []
     for t in cases:
