@@ -1095,3 +1095,95 @@ def test_license_priority_is_first_match_in_battery_order(spark, picks):
     assert {r["license"]: r["n_docs"] for r in got} == want
     # per-source shares always sum to 1 (single source here)
     assert sum(r["source_share"] for r in got) == pytest.approx(1.0, abs=1e-4)
+
+
+# --- r17 wave-9 staged-operator property batteries ---------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@PROP
+def test_kcore_matches_pure_python_peel(spark, edges, k):
+    """kcore_membership on ARBITRARY random multigraphs (self-loops,
+    duplicates, both directions) equals a pure-Python peel to the
+    fixpoint: same surviving set, same full-graph degrees — for every
+    k. Pins the convergent-loop semantics before the r19 registration
+    freezes the hash."""
+    from datapipeline_spike_spark.operators.graph import kcore_membership
+
+    simple = {(a, b) for a, b in edges if a != b}
+    und = set()
+    for a, b in simple:
+        und.add((a, b))
+        und.add((b, a))
+    if not und:
+        return  # all self-loops: the operator would see zero vertices
+    verts = {v for e in und for v in e}
+    deg0 = {v: sum(1 for (a, _) in und if a == v) for v in verts}
+    surv = set(verts)
+    while True:
+        deg = {v: 0 for v in surv}
+        for a, b in und:
+            if a in surv and b in surv:
+                deg[a] += 1
+        new = {v for v in surv if deg[v] >= k}
+        if new == surv:
+            break
+        surv = new
+
+    df = spark.createDataFrame(list(simple), "src long, dst long")
+    got = {r["host"]: r for r in kcore_membership(df, k=k).collect()}
+    assert set(got) == verts
+    for v in verts:
+        assert got[v]["degree"] == deg0[v], v
+        assert got[v]["in_kcore"] == (v in surv), (v, k)
+
+
+@given(
+    pools=st.lists(
+        st.tuples(
+            st.integers(0, 5),                       # prompt
+            st.integers(0, 999),                     # candidate id
+            st.integers(0, 1000),                    # score in milli-units
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+@PROP
+def test_best_of_n_matches_pure_python(spark, pools):
+    """best_of_n_selection equals a pure-Python replay on arbitrary
+    pools: the (score desc, id asc) argmax, the pool mean, the
+    POPULATION stddev, and the gap — duplicate (prompt, cand) rows
+    count as separate candidates (the multiset contract)."""
+    from datapipeline_spike_spark.operators.sft import best_of_n_selection
+
+    rows = [(p, c, s / 1000.0) for p, c, s in pools]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, score double"
+    )
+    got = {r["prompt_id"]: r for r in best_of_n_selection(df).collect()}
+    by_p: dict[int, list] = {}
+    for p, c, s in rows:
+        by_p.setdefault(p, []).append((c, round(s, 6)))
+    assert set(got) == set(by_p)
+    for p, cands in by_p.items():
+        g = got[p]
+        assert g["n_candidates"] == len(cands)
+        best = max(cands, key=lambda cs: (cs[1], -cs[0]))
+        assert g["best_id"] == best[0], p
+        scores = [s for _, s in cands]
+        mean = sum(scores) / len(scores)
+        var = sum((s - mean) ** 2 for s in scores) / len(scores)
+        assert g["best_score"] == pytest.approx(best[1], abs=1e-9)
+        assert g["mean_score"] == pytest.approx(round(mean, 6), abs=1.5e-6)
+        assert g["std_score"] == pytest.approx(
+            round(math.sqrt(var), 6), abs=1.5e-6
+        )
+        assert g["selection_gap"] == pytest.approx(
+            round(best[1] - round(mean, 6), 6), abs=1.5e-6
+        )
