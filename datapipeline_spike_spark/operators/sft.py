@@ -250,10 +250,13 @@ def best_of_n_selection(
     extremes as a PAIR; this keeps only the winner — the SFT-on-best
     construction.
 
-    Determinism contract: the winner is max_by over the struct
-    (6dp-rounded score, -cand_id) — highest score, smallest id on
-    ties (rounding first so the argmax replays across engines; the
-    dpo_pair_plan convention). stddev is the POPULATION form
+    Determinism contract: the winner is min_by over the struct
+    (negated 6dp-rounded score, cand_id) — highest score, smallest id
+    on ties (rounding first so the argmax replays across engines; the
+    dpo_pair_plan convention). The negation sits on the SCORE (numeric
+    by contract), never on the id, so string candidate ids work —
+    ADVICE r17 flagged the earlier -cand_id form as narrower than the
+    dpo sibling it cites. stddev is the POPULATION form
     (sqrt(E[x^2] - E[x]^2 computed as avg of squares minus square of
     avg would be catastrophic — both engines' stddev_pop is the
     numerically-stable Welford form and agrees at 6dp on bounded
@@ -269,8 +272,8 @@ def best_of_n_selection(
     s6 = F.round(F.col(score_col), 6)
     agg = candidates.groupBy(F.col(prompt_col).alias("prompt_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
-        F.max_by(
-            F.col(cand_col), F.struct(s6, -F.col(cand_col))
+        F.min_by(
+            F.col(cand_col), F.struct(-s6, F.col(cand_col))
         ).alias("best_id"),
         F.max(s6).alias("best_score"),
         F.round(F.avg(s6), 6).alias("mean_score"),

@@ -768,6 +768,12 @@ def min_k_prob_profile(
     PARTITIONED by document; the 1-row smoothing totals ride the
     broadcast-cross totals precedent (BNLJ_OK). No self-joins, no
     Python."""
+    if not 0.0 < k_frac <= 1.0:
+        # ADVICE r17: k_frac > 1 would make k_tokens exceed n_tokens and
+        # silently understate the tail mean (sum of n logprobs / larger
+        # k); k_frac <= 0 would silently clamp to 1 — both are caller
+        # bugs, not profiles.
+        raise ValueError(f"min_k_prob_profile needs 0 < k_frac <= 1, got {k_frac}")
     ex = fan_out(docs).select(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("_pos", "_tok"),
@@ -882,9 +888,16 @@ def distinct_ngram_diversity(
             F.coalesce("distinct_unigrams", F.lit(0)).cast("long").alias(
                 "distinct_unigrams"
             ),
+            # ADVICE r17: a source whose docs all tokenize empty (or to
+            # <2 tokens for bigrams) has total 0 — emit NULL, not 0/0 =
+            # NaN (the house F.when(denominator > 0) guard; the staging
+            # oracle mirrors with CASE WHEN)
             F.round(
-                F.coalesce("distinct_unigrams", F.lit(0))
-                / F.coalesce("total_unigrams", F.lit(0)),
+                F.when(
+                    F.coalesce("total_unigrams", F.lit(0)) > 0,
+                    F.coalesce("distinct_unigrams", F.lit(0))
+                    / F.col("total_unigrams"),
+                ),
                 6,
             ).alias("distinct_1"),
             F.coalesce("total_bigrams", F.lit(0)).cast("long").alias(
@@ -894,8 +907,11 @@ def distinct_ngram_diversity(
                 "distinct_bigrams"
             ),
             F.round(
-                F.coalesce("distinct_bigrams", F.lit(0))
-                / F.coalesce("total_bigrams", F.lit(0)),
+                F.when(
+                    F.coalesce("total_bigrams", F.lit(0)) > 0,
+                    F.coalesce("distinct_bigrams", F.lit(0))
+                    / F.col("total_bigrams"),
+                ),
                 6,
             ).alias("distinct_2"),
         )

@@ -559,12 +559,14 @@ SQL_DIVERSITY = f"""
     SELECT nd.source, nd.n_docs,
            coalesce(us.total_unigrams, 0) AS total_unigrams,
            coalesce(us.distinct_unigrams, 0) AS distinct_unigrams,
-           round(coalesce(us.distinct_unigrams, 0) * 1.0
-                 / coalesce(us.total_unigrams, 0), 6) AS distinct_1,
+           round(CASE WHEN coalesce(us.total_unigrams, 0) > 0
+                 THEN coalesce(us.distinct_unigrams, 0) * 1.0
+                      / us.total_unigrams END, 6) AS distinct_1,
            coalesce(bis.total_bigrams, 0) AS total_bigrams,
            coalesce(bis.distinct_bigrams, 0) AS distinct_bigrams,
-           round(coalesce(bis.distinct_bigrams, 0) * 1.0
-                 / coalesce(bis.total_bigrams, 0), 6) AS distinct_2
+           round(CASE WHEN coalesce(bis.total_bigrams, 0) > 0
+                 THEN coalesce(bis.distinct_bigrams, 0) * 1.0
+                      / bis.total_bigrams END, 6) AS distinct_2
     FROM nd LEFT JOIN us USING (source) LEFT JOIN bis USING (source)
 """
 
@@ -612,6 +614,30 @@ def test_distinct_ngram_diversity_planted(spark):
     hi = got["fresh"]
     assert hi["distinct_1"] == 1.0 and hi["distinct_2"] == 1.0
     assert lo["distinct_2"] < hi["distinct_2"]
+
+
+def test_distinct_ngram_diversity_empty_source_is_null(spark):
+    """ADVICE r17: a source whose docs all tokenize empty (or to a
+    single token, for bigrams) emits NULL ratios, never NaN — the
+    engine guard and the staging oracle's CASE WHEN agree."""
+    from datapipeline_spike_spark.operators.text_stats import (
+        distinct_ngram_diversity,
+    )
+
+    rows = [
+        (1, "blank", "!!! ??? ..."),   # tokenizes to nothing
+        (2, "mono", "solo"),           # 1 token -> no bigrams
+        (3, "full", "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in distinct_ngram_diversity(df).collect()}
+    assert got["blank"]["total_unigrams"] == 0
+    assert got["blank"]["distinct_1"] is None
+    assert got["blank"]["distinct_2"] is None
+    assert got["mono"]["distinct_1"] == 1.0
+    assert got["mono"]["total_bigrams"] == 0
+    assert got["mono"]["distinct_2"] is None
+    assert got["full"]["distinct_2"] == 1.0
 
 
 SQL_BEST_OF_N = """
@@ -679,6 +705,41 @@ def test_best_of_n_planted(spark):
     assert got[2]["best_id"] == 20
     assert got[3]["n_candidates"] == 1
     assert got[3]["std_score"] == 0.0 and got[3]["selection_gap"] == 0.0
+
+
+def test_best_of_n_string_ids(spark):
+    """ADVICE r17: the tie-break negates the SCORE, not the id, so
+    string candidate ids (the dpo_pair_plan contract) analyze fine —
+    ties pick the lexicographically smallest id."""
+    from datapipeline_spike_spark.operators.sft import best_of_n_selection
+
+    rows = [
+        (1, "cand-b", 0.7), (1, "cand-a", 0.7), (1, "cand-c", 0.2),
+        (2, "only", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id string, score double"
+    )
+    got = {r["prompt_id"]: r for r in best_of_n_selection(df).collect()}
+    assert got[1]["best_id"] == "cand-a"
+    assert got[2]["best_id"] == "only"
+
+
+def test_min_k_prob_rejects_bad_k_frac(spark):
+    """ADVICE r17: k_frac outside (0, 1] raises instead of silently
+    understating the tail mean (k > n) or clamping (k <= 0)."""
+    from datapipeline_spike_spark.operators.text_stats import (
+        min_k_prob_profile,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0.0, -0.2, 1.5):
+        with pytest.raises(ValueError):
+            min_k_prob_profile(df, k_frac=bad)
+    # the boundary is inclusive: k_frac = 1 scores the whole doc
+    full = min_k_prob_profile(df, k_frac=1.0).collect()[0]
+    assert full["k_tokens"] == full["n_tokens"] == 3
+    assert full["min_k_avg_logprob"] == full["avg_logprob"]
 
 
 def test_wave9_plan_shapes(spark):
