@@ -16,6 +16,7 @@ from datapipeline_spike_spark.plans import catalog_r13  # noqa: F401  (r12 stage
 from datapipeline_spike_spark.plans import catalog_r15  # noqa: F401  (r14 staged -> registered r15)
 from datapipeline_spike_spark.plans import catalog_r16  # noqa: F401  (r14 wave-2 staged -> registered r16)
 from datapipeline_spike_spark.plans import catalog_r17  # noqa: F401  (r14 waves 3-7 staged -> registered r17)
+from datapipeline_spike_spark.plans import catalog_r18  # noqa: F401  (r17 wave-8 staged -> registered r18)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -32,6 +33,84 @@ from datapipeline_spike_spark.plans import catalog_r17  # noqa: F401  (r14 waves
 # silently.
 
 DRIVER_SAMPLE = 50
+
+# --- r18 head, slot 1: NEW r18 registrations — the three r17-staged
+# WAVE 8 operators, registered in plans/catalog_r18 with the staging
+# tests' DuckDB oracles (tests/test_r17_staging.py — the oracle SQL
+# now single-sourced in catalog_r18 and imported BACK by the staging
+# module so the two can never drift; differential-green at both
+# sf0.001 and sf0.01 via tools/staged_preflight.py, 0 failures / 31
+# re-verified this round after the ADVICE r17 edge-case hardening of
+# min_k_prob_profile's k_frac domain). Allowlist entries were MEASURED
+# at r17 staging and are inherited, not re-derived (BNLJ_OK all three:
+# hits' per-half-step 1-row L1-total crosses, knn's auto-plane 1-row
+# corpus count, min_k's 1-row smoothing totals; knn/min_k windows
+# PARTITIONED, hits windowless; see tools/plan_audit.py). ---
+_R18_NEW = (
+    "hits_hub_authority",   # Kleinberg 1999 L1-normalized half-steps, K=3
+    "knn_graph_edges",      # corpus-wide mutual-kNN over auto-plane LSH
+    "min_k_prob_profile",   # Shi 2023 Min-K% Prob, integer-ranked tail
+)
+# --- r18 head, slot 2: the documented r18 queue (plans/__init__ r17
+# edition, 50 names, zero spare) minus its three tail names
+# (ann_recall_at_k, ivf_recall_at_k, video_frame_features) slid to the
+# r19 queue to fund the wave-8 slots per the budget rule (the r17
+# precedent). No registered-query code changed this round outside the
+# wave-8 registrations themselves (the ADVICE fixes touched only
+# staged operators; the unpersist mechanism is a NEW helper that
+# leaves every registered query's plan byte-identical), so there is no
+# changed-code slot. After r18 no registered name's latest
+# driver-green is older than r15. ---
+_R18_REFRESH = (
+    "pca_variance_profile",
+    "promo_revenue_share",
+    "image_pixel_features",
+    "watermark_greenlist_score",
+    "quality_rank_normalize",
+    "sequence_packing_plan",
+    "doremi_domain_weights",
+    "large_volume_orders",
+    "branded_quantity_bands",
+    "revenue_by_segment",
+    "shipping_priority",
+    "returned_item_losses",
+    "fixed_size_sample",
+    "cluster_balanced_sample",
+    "snapshot_delta",
+    "quality_classifier_score",
+    "minhash_lsh_candidates",
+    "simhash_neardup_pairs",
+    "dedup_corpus_assignment",
+    "doc_rolling_hash",
+    "kmeans_centroids",
+    "spectral_energy",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "language_id",
+    "token_frequencies",
+    "token_counting_methods",
+    "kmv_distinct_ngrams",
+    "heavy_hitter_tokens",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "waiting_suppliers",
+    "global_sales_opportunity",
+    "product_type_profit",
+    "top_supplier_revenue",
+    "supplier_part_types",
+    "approx_percentile_bands",
+    "semdedup_assignment",
+    "scd2_user_state_history",
+    "repeated_substring_profile",
+    "bloom_filter_profile",
+    "prefix_filter_jaccard_join",
+    "scd2_steady_state",
+    "incremental_dedup_steady_state",
+    "embedding_topk_cosine",
+)
+
 
 # --- r17 head, slot 1: NEW r17 registrations — the eleven r14-staged
 # WAVE 3-7 operators, registered in plans/catalog_r17 with the staging
@@ -691,70 +770,70 @@ _NO_ORACLE_PIN = (
 # documented bounded collects); diversity and best-of-n clean (pure
 # keyed aggregates).
 
-# --- r18 queue (50 names, ZERO spare slots — any r18 changed-code
-# re-hash or new registration must slide the queue's tail to the r19
-# queue per the documented rule). Order: the three names slid from the
-# r17 queue to fund the r17 changed-code slots, then the r14-green
-# stale block in the documented block order (_R14_NEW then
-# _R14_REFRESH, minus names re-hashed r15/r16) — mechanically derived
-# from CORRECTNESS_r*.json latest-green rounds this round: after the
-# r17 head drains the r13 block, exactly 48 registered non-pinned
-# names have latest driver-green r14 and the 3 slid names r13; 3 + 48
-# = 51 > 50, so the BLOCK-ORDER TAIL r14-green (audio_pcm_features)
-# slides to the r19 queue front per the budget rule. ---
+# --- r19 queue (50 names, ZERO spare slots — wave 9 registers r19,
+# so its three new names slide the queue's 3 tail names to the r20
+# queue per the budget rule). Order: mechanically derived from the
+# rotation history this round (latest-green per name across the
+# r14..r18 heads, oldest-green first, block order within a round):
+# the 3 names slid from the r18 queue + the single r14-green past the
+# r18 budget (audio_pcm_features) are the only r14-greens left, then
+# the r15-green block (the r15 head minus names re-hashed r16/r17),
+# truncated at 50 — the r15-green tail (simhash_signatures onward)
+# stays in the rotation tail for the r20 queue. ---
 _QUEUED_FOR_NEXT_HEAD = (
-    # slid from the r17 queue (the oldest-green names by r18)
-    "pca_variance_profile",
-    "promo_revenue_share",
-    "image_pixel_features",
-    # r14-green stale block (47 of 48; audio_pcm_features slid to r19)
-    "watermark_greenlist_score",
-    "quality_rank_normalize",
-    "sequence_packing_plan",
-    "doremi_domain_weights",
-    "large_volume_orders",
-    "branded_quantity_bands",
-    "revenue_by_segment",
-    "shipping_priority",
-    "returned_item_losses",
-    "fixed_size_sample",
-    "cluster_balanced_sample",
-    "snapshot_delta",
-    "quality_classifier_score",
-    "minhash_lsh_candidates",
-    "simhash_neardup_pairs",
-    "dedup_corpus_assignment",
-    "doc_rolling_hash",
-    "kmeans_centroids",
-    "spectral_energy",
-    "tfidf_top_terms",
-    "unigram_logprob_score",
-    "language_id",
-    "token_frequencies",
-    "token_counting_methods",
-    "kmv_distinct_ngrams",
-    "heavy_hitter_tokens",
-    "forecast_revenue_change",
-    "volume_shipping",
-    "market_share",
-    "customer_distribution",
-    "waiting_suppliers",
-    "global_sales_opportunity",
-    "product_type_profit",
-    "top_supplier_revenue",
-    "supplier_part_types",
-    "approx_percentile_bands",
-    "semdedup_assignment",
-    "scd2_user_state_history",
-    "repeated_substring_profile",
-    "bloom_filter_profile",
-    "prefix_filter_jaccard_join",
-    "scd2_steady_state",
-    "incremental_dedup_steady_state",
-    "embedding_topk_cosine",
+    # slid from the r18 queue + the r14-green past the r18 budget
     "ann_recall_at_k",
     "ivf_recall_at_k",
     "video_frame_features",
+    "audio_pcm_features",
+    # r15-green stale block (r15 head minus r16/r17 re-hashes), oldest
+    # 46 in head order
+    "cdc_chunk_dedup",
+    "boilerplate_line_removal",
+    "url_canonical_dedup",
+    "bradley_terry_strengths",
+    "oov_rate_profile",
+    "char_entropy_profile",
+    "ann_ivf_flat",
+    "ann_ivf_kmeans",
+    "ann_lsh_bucket",
+    "embedding_neardup_pairs",
+    "embedding_dedup_assignment",
+    "source_overlap_matrix",
+    "pq_distortion_profile",
+    "pq_adc_recall_at_k",
+    "text_quality_profile",
+    "record_envelope_flat",
+    "envelope_reduced_features",
+    "corpus_mixture_plan",
+    "audio_header_meta",
+    "incremental_ingest_dedup",
+    "quality_filter_decision",
+    "customer_value_ranks",
+    "source_quality_rollup",
+    "lineitem_scalar_lab",
+    "props_variant_stats",
+    "robust_outlier_mad",
+    "event_funnel_transitions",
+    "cohort_retention",
+    "monthly_revenue_growth",
+    "value_histogram",
+    "sessionization",
+    "repetition_profile",
+    "embedding_label_stats",
+    "vibration_features",
+    "zipf_profile",
+    "ngram_novelty_profile",
+    "kneser_ney_bigram_score",
+    "verdict_agreement_matrix",
+    "dedup_span_removal",
+    "temperature_mixture_plan",
+    "hard_negative_pairs",
+    "curation_stage_profile",
+    "multimodal_shard_meta",
+    "machine_stream_union",
+    "maintenance_window_overlap",
+    "image_jpeg_pixel_features",
 )
 # --- tail: most recently driver-green blocks, oldest first (only the
 # first 50 are hashed; the order documents the next rotations). The
@@ -840,13 +919,11 @@ _R11_GREEN_TAIL = (
     "stratified_sample",
 )
 
-_HEAD = list(_R17_NEW) + list(_R17_CHANGED) + list(_R17_REFRESH)
-# tail: the r18 queue first (the documented next head), then every
-# remaining block oldest-green first (r10/r11/r12/r13 leftovers are
-# empty — those blocks were fully absorbed by the r14..r17 heads and
-# the r18 queue; the single r14-green slid past the r18 budget
-# (audio_pcm_features) heads the remainder, then the r15-green block,
-# then the freshest r16-green block), pins last
+_HEAD = list(_R18_NEW) + list(_R18_REFRESH)
+# tail: the r19 queue first (the documented next head), then every
+# remaining block oldest-green first (the r15-green tail past the
+# r19 budget — simhash_signatures onward — surfaces here for the
+# r20 queue, then the r16/r17-green blocks), pins last
 _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     n
     for n in list(_R10_GREEN_TAIL)
@@ -861,6 +938,9 @@ _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     + list(_R16_NEW)
     + list(_R16_CHANGED)
     + list(_R16_REFRESH)
+    + list(_R17_NEW)
+    + list(_R17_CHANGED)
+    + list(_R17_REFRESH)
     if n not in _HEAD
 ] + list(_NO_ORACLE_PIN)
 

@@ -50,54 +50,16 @@ def _con():
 
 # --- hits_hub_authority ---------------------------------------------------------
 
-# the deterministic host link graph, shared with the registered
-# pagerank oracle (single source: plans/catalog_r16)
-from datapipeline_spike_spark.plans.catalog_r16 import _SQL_PR_GRAPH  # noqa: E402
-
-
-def _sql_hits_iter(k: int) -> str:
-    """h0 -> h{k}/a{k} WITH-chain layers replaying
-    operators.graph.hits_hub_authority: per iteration one in-edge
-    aggregate + L1 normalization (authority), then one out-edge
-    aggregate + L1 normalization (hub)."""
-    parts = ["h0 AS (SELECT host, 1.0 / nn.n AS h FROM b, nn)"]
-    for i in range(1, k + 1):
-        p = i - 1
-        parts.append(
-            f"ar{i} AS (SELECT e.dst AS host, sum(h.h) AS x "
-            f"FROM e JOIN h{p} h ON e.src = h.host GROUP BY 1)"
-        )
-        parts.append(
-            f"as{i} AS (SELECT coalesce(sum(x), 0) AS s FROM ar{i})"
-        )
-        parts.append(
-            f"a{i} AS (SELECT b.host, CASE WHEN s.s > 0 "
-            f"THEN coalesce(ar.x, 0) / s.s ELSE 0 END AS a "
-            f"FROM b LEFT JOIN ar{i} ar USING (host), as{i} s)"
-        )
-        parts.append(
-            f"hr{i} AS (SELECT e.src AS host, sum(a.a) AS x "
-            f"FROM e JOIN a{i} a ON e.dst = a.host GROUP BY 1)"
-        )
-        parts.append(
-            f"hs{i} AS (SELECT coalesce(sum(x), 0) AS s FROM hr{i})"
-        )
-        parts.append(
-            f"h{i} AS (SELECT b.host, CASE WHEN s.s > 0 "
-            f"THEN coalesce(hr.x, 0) / s.s ELSE 0 END AS h "
-            f"FROM b LEFT JOIN hr{i} hr USING (host), hs{i} s)"
-        )
-    return ",\n".join(parts)
-
-
-SQL_HITS = f"""
-    WITH {_SQL_PR_GRAPH},
-    {_sql_hits_iter(3)}
-    SELECT b.host, round(h3.h, 6) AS hub, round(a3.a, 6) AS authority,
-           CAST(b.outd AS BIGINT) AS out_degree,
-           CAST(b.ind AS BIGINT) AS in_degree
-    FROM b JOIN h3 USING (host) JOIN a3 USING (host)
-"""
+# registered r18: the oracle SQL is single-sourced in
+# plans/catalog_r18 (the registration lifted it verbatim from this
+# module; the import direction flipped so staging and registration
+# can never drift)
+from datapipeline_spike_spark.plans.catalog_r18 import (  # noqa: E402
+    SQL_HITS,
+    SQL_KNN_GRAPH,
+    SQL_MIN_K,
+)
+from datapipeline_spike_spark.plans.catalog_r16 import _SQL_PR_GRAPH  # noqa: E402,F401
 
 
 def test_hits_matches_duckdb(spark):
@@ -168,43 +130,6 @@ def test_hits_literal_graph_vs_reference(spark):
 
 # --- knn_graph_edges -------------------------------------------------------------
 
-from datapipeline_spike_spark.plans.catalog_r9 import (  # noqa: E402
-    _AUTO_MAX_PLANES,
-    _AUTO_MIN_PLANES,
-    _AUTO_TARGET_BUCKET,
-    _SQL_BUCKET16,
-)
-
-SQL_KNN_GRAPH = f"""
-    WITH np AS (
-      SELECT least({_AUTO_MAX_PLANES}, greatest({_AUTO_MIN_PLANES},
-             CAST(ceil(log2(count(*) / {float(_AUTO_TARGET_BUCKET)}))
-                  AS INT))) AS n
-      FROM embeddings
-    ),
-    v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS ev,
-             ({_SQL_BUCKET16}) & ((1 << n) - 1) AS bucket
-      FROM embeddings, np
-    ),
-    scored AS (
-      SELECT a.vec_id AS src_id, c.vec_id AS dst_id,
-             round(list_cosine_similarity(a.ev, c.ev), 6) AS cos_sim
-      FROM v a JOIN v c USING (bucket)
-      WHERE a.vec_id != c.vec_id
-    ),
-    edges AS (
-      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY src_id
-                     ORDER BY cos_sim DESC, dst_id) AS rank FROM scored)
-      WHERE rank <= 5
-    )
-    SELECT e.src_id, e.dst_id, e.cos_sim, CAST(e.rank AS INT) AS rank,
-           (r.src_id IS NOT NULL) AS is_mutual
-    FROM edges e LEFT JOIN edges r
-      ON r.src_id = e.dst_id AND r.dst_id = e.src_id
-"""
-
-
 def test_knn_graph_matches_duckdb(spark):
     from datapipeline_spike_spark.operators.similarity import (
         knn_graph_edges,
@@ -259,39 +184,6 @@ def test_knn_graph_planted_clusters(spark):
 
 
 # --- min_k_prob_profile -----------------------------------------------------------
-
-SQL_MIN_K = f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS toks
-               FROM documents),
-    ex AS (
-      SELECT doc_id, u.pos AS pos, u.tok AS tok
-      FROM (SELECT doc_id, unnest(list_transform(toks,
-              (x, i) -> {{'pos': i - 1, 'tok': x}})) AS u FROM t)
-    ),
-    vocab AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
-    tot AS (SELECT sum(c) AS total, count(*) AS v FROM vocab),
-    scored AS (
-      SELECT ex.doc_id, ex.pos, ex.tok, vocab.c,
-             ln((vocab.c + 1.0) / (tot.total + tot.v)) AS lp
-      FROM ex JOIN vocab USING (tok) CROSS JOIN tot
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY doc_id
-                 ORDER BY c ASC, tok ASC, pos ASC) AS rnk,
-             count(*) OVER (PARTITION BY doc_id) AS n
-      FROM scored
-    ),
-    kk AS (SELECT *, greatest(1, CAST(ceil(0.2 * n) AS INT)) AS k
-           FROM ranked)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(max(k) AS BIGINT) AS k_tokens,
-           round(avg(lp), 6) AS avg_logprob,
-           round(sum(CASE WHEN rnk <= k THEN lp END) / max(k), 6)
-             AS min_k_avg_logprob
-    FROM kk GROUP BY 1
-"""
-
 
 def test_min_k_prob_matches_duckdb(spark):
     from datapipeline_spike_spark.operators.text_stats import (

@@ -84,6 +84,9 @@ BNLJ_OK = {
     "minhash_band_tuning": "generated-grid cross (bands factorization x similarity grid) — no input table at all (measured at r16 staging)",
     "hybrid_rrf_retrieval": "both retriever branches broadcast the 5-row query set against the corpus scan (ann_recall_at_k pattern, x2; measured at r16 staging)",
     "exact_substr_runs": "scale-derived df cap: broadcast 1-row corpus count crossed into the posting-frequency filter (the ngram_containment_pairs pattern). Through r16 the localCheckpoint truncated this subtree out of the rendered plan; the r17 persist() conversion renders the cached child plan, surfacing the same allowlisted cross (re-measured r17)",
+    "hits_hub_authority": "broadcast 1-row vertex-count + per-half-step L1-total crosses kept in-plan (the pagerank BNLJ_OK precedent; measured at r17 staging)",
+    "knn_graph_edges": "broadcast 1-row corpus count crossed into the auto-plane bucket assignment (the hard_negative_pairs precedent; measured at r17 staging)",
+    "min_k_prob_profile": "broadcast 1-row smoothing-totals cross kept in-plan (the unigram_logprob_score precedent; measured at r17 staging)",
     # top_supplier_revenue needs no entry: Catalyst rewrites its
     # equality-filtered 1-row max cross into a BroadcastHashJoin on the
     # normalized revenue key (pinned by test_q15_max_subquery_stays_in_plan)
