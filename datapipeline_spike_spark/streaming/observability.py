@@ -10,8 +10,11 @@ reads them.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 INGEST_METRICS = "ingest_metrics"
 
@@ -47,3 +50,117 @@ def sum_observed(progresses, name: str = INGEST_METRICS) -> dict[str, int]:
             if v is not None:
                 totals[k] = totals.get(k, 0) + int(v)
     return totals
+
+
+class DlqAlertMonitor(StreamingQueryListener):
+    """The A14 alerting loop, closed end-to-end (VERDICT r17 item 7;
+    reference/README.md:102-104 ``processing_errors: strategy:
+    dead_letter_queue, alert_threshold: 1000 messages``): a
+    ``StreamingQueryListener`` that folds each micro-batch's observed
+    failure counter into a per-query cumulative total and flips that
+    query's status row from ``OK`` to ``ALERT`` the moment the total
+    crosses the threshold.
+
+    Wiring: attach the counters with :func:`with_ingest_metrics` (or
+    any ``observe()`` aggregate), register the monitor with
+    ``spark.streams.addListener(monitor)``, and read
+    :meth:`status_rows` from the metrics exporter / dashboard poller.
+    The listener rides Spark's own progress-event bus — no second
+    scan, no polling thread, and the counts are exactly the observed
+    metrics the progress JSON already publishes.
+
+    Status rows are latched: once ALERT, a query stays ALERT until
+    :meth:`reset` (the reference semantics — an alert is an operator
+    page, not a gauge). ``on_alert`` (if given) fires exactly once per
+    query at the crossing, receiving the status row; exceptions from
+    the callback are swallowed after recording (a broken pager must
+    not take down the listener bus). Thread-safe: Spark delivers
+    listener events from its own threads."""
+
+    def __init__(
+        self,
+        threshold: int = 1000,
+        metric_name: str = INGEST_METRICS,
+        counter: str = "n_invalid",
+        on_alert=None,
+    ) -> None:
+        self.threshold = int(threshold)
+        self.metric_name = metric_name
+        self.counter = counter
+        self.on_alert = on_alert
+        self._lock = threading.Lock()
+        self._totals: dict[str, int] = {}
+        self._alerted: dict[str, bool] = {}
+        self._names: dict[str, str] = {}
+        self.callback_errors: list[Exception] = []
+
+    # --- listener surface ---------------------------------------------------
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        with self._lock:
+            qid = str(event.id)
+            self._totals.setdefault(qid, 0)
+            self._alerted.setdefault(qid, False)
+            self._names[qid] = event.name or qid
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802 (Spark API)
+        p = event.progress
+        row = (p.observedMetrics or {}).get(self.metric_name)
+        if row is None:
+            return
+        items = row.asDict() if hasattr(row, "asDict") else dict(row)
+        n = items.get(self.counter)
+        if not n:
+            return
+        fire = None
+        with self._lock:
+            qid = str(p.id)
+            self._names.setdefault(qid, p.name or qid)
+            self._totals[qid] = self._totals.get(qid, 0) + int(n)
+            if (
+                not self._alerted.get(qid, False)
+                and self._totals[qid] >= self.threshold
+            ):
+                self._alerted[qid] = True
+                fire = self._status_row(qid)
+        if fire is not None and self.on_alert is not None:
+            try:
+                self.on_alert(fire)
+            except Exception as exc:  # noqa: BLE001 — pager failure isolation
+                self.callback_errors.append(exc)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    # --- read surface -------------------------------------------------------
+
+    def _status_row(self, qid: str) -> dict:
+        return {
+            "query_id": qid,
+            "query_name": self._names.get(qid, qid),
+            "counter": self.counter,
+            "total": self._totals.get(qid, 0),
+            "threshold": self.threshold,
+            "status": "ALERT" if self._alerted.get(qid, False) else "OK",
+        }
+
+    def status_rows(self) -> list[dict]:
+        """One status row per observed query (the dashboard table)."""
+        with self._lock:
+            return [self._status_row(qid) for qid in sorted(self._totals)]
+
+    def status(self, query_id) -> str:
+        with self._lock:
+            return (
+                "ALERT" if self._alerted.get(str(query_id), False) else "OK"
+            )
+
+    def reset(self, query_id) -> None:
+        """Acknowledge an alert: zero the counter and unlatch."""
+        with self._lock:
+            qid = str(query_id)
+            self._totals[qid] = 0
+            self._alerted[qid] = False

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1490,3 +1491,104 @@ def test_license_gated_stream_matches_batch_and_gates(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="license"):
         license_gated_stream(docs.withColumn("license", F.lit("x")))
+
+
+def test_dlq_alert_monitor_flips_at_threshold(spark, events_dir):
+    """A14 end-to-end (reference alert_threshold: 1000 messages,
+    scaled to the fixture): the StreamingQueryListener folds observed
+    per-batch failure counts and latches ALERT exactly when the
+    cumulative total crosses the threshold; on_alert fires once; reset
+    acknowledges."""
+    from datapipeline_spike_spark.streaming.observability import (
+        DlqAlertMonitor,
+        sum_observed,
+        with_ingest_metrics,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    total_invalid = ev.filter(F.col("value") > 100.0).count()
+    assert total_invalid > 1  # the fixture must carry failures
+
+    fired = []
+    monitor = DlqAlertMonitor(
+        threshold=total_invalid,  # crosses exactly on the last batch
+        on_alert=fired.append,
+    )
+    spark.streams.addListener(monitor)
+    try:
+        schema = ev.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+        )
+        q = (
+            with_ingest_metrics(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dlq_ckpt_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sum_observed(q.recentProgress)
+            qid = str(q.id)
+        finally:
+            q.stop()
+        # listener events are delivered asynchronously after the batch
+        deadline = time.time() + 20
+        while monitor.status(qid) != "ALERT" and time.time() < deadline:
+            time.sleep(0.2)
+        assert got["n_invalid"] == total_invalid
+        assert monitor.status(qid) == "ALERT"
+        rows = {r["query_id"]: r for r in monitor.status_rows()}
+        assert rows[qid]["total"] == total_invalid
+        assert rows[qid]["status"] == "ALERT"
+        assert len(fired) == 1 and fired[0]["query_id"] == qid
+        assert not monitor.callback_errors
+        monitor.reset(qid)
+        assert monitor.status(qid) == "OK"
+    finally:
+        spark.streams.removeListener(monitor)
+
+
+def test_dlq_alert_monitor_stays_ok_below_threshold(spark, events_dir):
+    """Below the threshold the status row reports OK with the live
+    cumulative total — the gauge half of the contract."""
+    from datapipeline_spike_spark.streaming.observability import (
+        DlqAlertMonitor,
+        with_ingest_metrics,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    total_invalid = ev.filter(F.col("value") > 100.0).count()
+
+    monitor = DlqAlertMonitor(threshold=total_invalid + 1000)
+    spark.streams.addListener(monitor)
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+        )
+        q = (
+            with_ingest_metrics(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dlq_ok_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            qid = str(q.id)
+        finally:
+            q.stop()
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            rows = {r["query_id"]: r for r in monitor.status_rows()}
+            if qid in rows and rows[qid]["total"] >= total_invalid:
+                break
+            time.sleep(0.2)
+        rows = {r["query_id"]: r for r in monitor.status_rows()}
+        assert rows[qid]["status"] == "OK"
+        assert rows[qid]["total"] == total_invalid
+    finally:
+        spark.streams.removeListener(monitor)
