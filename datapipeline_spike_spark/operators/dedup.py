@@ -2051,3 +2051,97 @@ def cdc_chunk_dedup(
             ),
         )
     )
+
+
+def exact_substr_char_runs(
+    df: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-grain ExactSubstr spans (staged r18 wave 10; Lee et
+    al. 2022's EXACT byte-level form — the k-gram/token form is
+    :func:`exact_substr_runs`): every maximal character span of a
+    document whose every position lies inside some length-``min_len``
+    window that occurs >= 2 times in the corpus (any document, any
+    position — self-repeats count, per the paper). This is exactly the
+    set ExactSubstr's suffix array marks for removal: a substring of
+    length >= L is corpus-duplicated iff each of its length-L windows
+    is, so the union of duplicated windows IS the dedup span set.
+
+    The suffix array is a sequential single-node construction (Lee's
+    Rust implementation memory-maps the whole corpus); the
+    shuffle-native equivalent: (1) slide a stride-1 length-L window
+    over every document (one generate pass), (2) count occurrences per
+    window CONTENT corpus-wide (a keyed aggregate — map-side partial
+    combine absorbs hot boilerplate windows before the shuffle),
+    (3) mark the positions of windows with count >= 2 (an equi-join
+    back on the content key; AQE skew-join splits the hot-content
+    keys the combine cannot — the boilerplate window that appears 10^6
+    times), and (4) merge marked positions into maximal contiguous
+    runs per document (the gaps-and-islands window, partitioned by
+    document). Shuffle volume is ~L x corpus bytes — the honest cost
+    of stride-1 exactness (the suffix array's sort moves the same
+    bytes single-node); a stride-s variant detects only runs >=
+    L+s-1 at s-fold less volume, the documented relaxation knob.
+
+    Determinism: everything is integer/string — no floats anywhere.
+    Returns run-grain rows (doc_id, run_idx, run_start, run_end,
+    run_len), positions 1-based inclusive, run_idx 1-based in
+    document order; documents with no duplicated span emit nothing.
+    Docs shorter than ``min_len`` cannot carry a duplicated window and
+    are filtered before the window generate."""
+    if min_len < 2:
+        raise ValueError(f"exact_substr_char_runs needs min_len >= 2, got {min_len}")
+    from pyspark.sql import Window
+
+    base = fan_out(df).select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_len")
+    )
+    wins = base.filter(F.col("_len") >= min_len).select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.col("_len") - F.lit(min_len) + 1)
+        ).alias("_pos"),
+        "_t",
+    ).select(
+        id_col,
+        "_pos",
+        F.expr(f"substring(_t, _pos, {int(min_len)})").alias("_win"),
+    )
+    dup = (
+        wins.groupBy("_win")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_win")
+    )
+    marked = wins.join(dup, "_win").select(id_col, "_pos")
+    wdoc = Window.partitionBy(id_col).orderBy("_pos")
+    cov_end = F.col("_pos") + F.lit(min_len - 1)
+    prev_end = F.max(cov_end).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.select(
+        id_col,
+        "_pos",
+        cov_end.alias("_end"),
+        F.when(
+            F.col("_pos") > F.coalesce(prev_end, F.lit(-1)) + 1, 1
+        ).otherwise(0).alias("_new"),
+    ).select(
+        id_col,
+        "_pos",
+        "_end",
+        F.sum("_new").over(wdoc).alias("_run"),
+    )
+    return islands.groupBy(id_col, "_run").agg(
+        F.min("_pos").cast("long").alias("run_start"),
+        F.max("_end").cast("long").alias("run_end"),
+        (F.max("_end") - F.min("_pos") + 1).cast("long").alias("run_len"),
+    ).select(
+        id_col,
+        F.col("_run").cast("long").alias("run_idx"),
+        "run_start",
+        "run_end",
+        "run_len",
+    )

@@ -768,7 +768,37 @@ _NO_ORACLE_PIN = (
 # unlike DPO). Allowlist notes (measured at staging): kcore clean
 # (ExistingRDD barriers, driver-side 1-row convergence counts —
 # documented bounded collects); diversity and best-of-n clean (pure
-# keyed aggregates).
+# keyed aggregates). Wave 9's tie-break/NULL-guard hardening landed
+# r18 (ADVICE r17) — BEFORE the r19 hash freeze, per the rule.
+#
+# WAVE 10 (staged r18 in tests/test_r18_staging.py, same gauntlet —
+# register r20, or r19 if the queue math funds more than three new
+# slots): nn_descent_refine (operators/similarity.py — Dong 2011
+# NN-Descent local joins over a MULTI-PROBE two-family LSH seed; a
+# single-bucketing seed can never cross buckets, so the second
+# splitmix plane family at seeds 101.. is load-bearing — the planted
+# bridge test proves a pair split by BOTH bucketings is recovered
+# through a shared neighbor; monotone-refinement property vs
+# knn_graph_edges, 494/500 vectors strictly improved at sf0.001),
+# exact_substr_char_runs (operators/dedup.py — Lee 2022's EXACT
+# byte/char-grain ExactSubstr via stride-1 window counting + the
+# gaps-and-islands merge; the oracle replays it content-grain with no
+# hash prefilter, proving the engine's count-then-verify pipeline
+# content-exact), and epoch_aware_domain_weights
+# (operators/sampling.py — the DoReMi MW loop iterated through
+# Muennighoff 2023 repeated-epoch value decay; decay=1 reduces
+# EXACTLY to the registered doremi_domain_weights sequence, pinned by
+# a staged equality test; the over-epoch self-limiting property is
+# planted). Both-SF preflight: 0 failures / 34. Allowlist notes
+# (MEASURED at r18 staging): nn_descent BNLJ x8 rendered — all the
+# same 1-row auto-plane corpus-count cross repeated per
+# InMemoryTableScan reference of the persisted coded frame ->
+# BNLJ_OK at registration; char_runs and epoch_weights clean (keyed
+# aggregate + equi-join + partitioned windows / 1-row assembled-array
+# posture). Oracle NOTE: the epoch oracle's CTE chain must stay AS
+# MATERIALIZED — default DuckDB CTE inlining duplicates each
+# doubly-referenced layer per reference = 2^iters base-scan
+# expansions (the r7 exponential-plan lesson, oracle edition).
 
 # --- r19 queue (50 names, ZERO spare slots — wave 9 registers r19,
 # so its three new names slide the queue's 3 tail names to the r20

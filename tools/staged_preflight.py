@@ -27,10 +27,12 @@ def main() -> int:
     import tests.test_r14_staging as w1
     import tests.test_r14_staging_wave2 as w2
     import tests.test_r17_staging as w3
+    import tests.test_r18_staging as w4
 
     w1.SF = SF_DIR
     w2.SF = SF_DIR
     w3.SF = SF_DIR
+    w4.SF = SF_DIR
     spark = get_session("staged-preflight", cpus=8, shuffle_partitions=8)
     cases = [
         # r15 cohort (staged r14 wave 1)
@@ -68,6 +70,10 @@ def main() -> int:
         w3.test_kcore_matches_duckdb,
         w3.test_distinct_ngram_diversity_matches_duckdb,
         w3.test_best_of_n_matches_duckdb,
+        # r19/r20 cohort (staged r18 wave 10)
+        w4.test_nn_descent_matches_duckdb,
+        w4.test_char_runs_match_duckdb,
+        w4.test_epoch_weights_match_duckdb,
     ]
     failed = []
     for t in cases:
