@@ -44,8 +44,7 @@ def test_rotation_head_invariants():
         _HEAD,
         _NO_ORACLE_PIN,
         _QUEUED_FOR_NEXT_HEAD,
-        _R17_CHANGED,
-        _R17_NEW,
+        _R18_NEW,
         rotation_preflight,
     )
 
@@ -69,9 +68,10 @@ def test_rotation_head_invariants():
     names = list(REGISTRY)
     # the head IS the driver sample, in order
     assert names[:DRIVER_SAMPLE] == [n for n in _HEAD if n in REGISTRY]
-    # every new r17 query + the three r17 changed-code slots hold head
-    # slots this round
-    assert set(_R17_NEW) | set(_R17_CHANGED) <= set(_HEAD)
+    # every new r18 query holds a head slot this round (no
+    # changed-code slot in r18: the ADVICE fixes touched staged
+    # operators only and the cache mechanism is plan-neutral)
+    assert set(_R18_NEW) <= set(_HEAD)
     # the documented next-round queue sits immediately after the head
     queue_live = [n for n in _QUEUED_FOR_NEXT_HEAD if n in REGISTRY]
     assert names[DRIVER_SAMPLE : DRIVER_SAMPLE + len(queue_live)] == queue_live

@@ -54,9 +54,13 @@ def test_r17_moves_are_all_registered():
     assert not missing, missing
 
 
-def test_r17_head_leads_with_the_cohort_then_the_changed_slots():
-    head = list(REGISTRY)[:14]
-    assert head == list(_R17_NEW) + list(_R17_CHANGED), head
+def test_r17_moves_remain_placed_by_the_rotation():
+    """The r17 'head leads with the eleven + the changed slots' pin
+    retired with the r18 rotation (the r13/r15/r16-gate precedent);
+    what must stay true forever: all fourteen remain registered,
+    placed, and the rotation is sound."""
+    placed = set(REGISTRY)
+    assert set(_R17_NEW) | set(_R17_CHANGED) <= placed
     assert rotation_preflight() == []
 
 
