@@ -31,8 +31,6 @@ Registration notes (MEASURED on these staged plans at sf0.001):
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 from pyspark.sql import functions as F
