@@ -80,12 +80,19 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    from datapipeline_spike_spark.cache import scoped_cache
+
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            # bound each query's deliberate persist()/checkpoint pins —
+            # 200+ queries in ONE session otherwise accumulate cached
+            # frames and their shuffle-file fds (the r18 staging
+            # fd-exhaustion class)
+            with scoped_cache(spark):
+                sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
