@@ -30,6 +30,30 @@ def test_oracle_keys_subset():
         assert sql.strip(), name
 
 
+def test_every_oracle_parses_in_duckdb():
+    """Every registered oracle EXPLAINs in DuckDB against empty-typed
+    views — a syntax/table-reference break surfaces in CI, not at the
+    driver's compare (which only runs once per round). EXPLAIN plans
+    without executing, so this is seconds for the whole registry."""
+    import duckdb
+
+    from datapipeline_spike_spark.plans.registry import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet' LIMIT 0"
+        )
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 — collect all breaks
+            bad.append((name, str(exc).splitlines()[0]))
+    assert not bad, bad
+
+
 def test_rotation_head_invariants():
     """The driver samples the FIRST ``DRIVER_SAMPLE`` registry entries.
     The mechanical capacity check lives in plans.rotation_preflight()
