@@ -611,10 +611,19 @@ def hits_hub_authority(
         auth = _half_step(hub, "hub", "src", "dst", "authority")
         hub = _half_step(auth, "authority", "dst", "src", "hub")
         # barrier all but the last iteration (the pagerank trade:
-        # vertex-grain frames, K-1 tiny build jobs vs exponential
-        # lazy-plan recompute; persist would nest cached plans)
+        # vertex-grain frames, tiny build jobs vs exponential
+        # lazy-plan recompute; persist would nest cached plans).
+        # ONE checkpoint per iteration: a non-final auth_i is consumed
+        # exactly once (by hub_i's chain, which this checkpoint
+        # materializes) and never referenced again, so barriering it
+        # separately just doubled the build jobs — the dual-reference
+        # growth the barrier exists for is _raw's total/value split
+        # INSIDE a half-step (x4 per iteration between barriers,
+        # bounded). Measured r18: 4 -> 2 checkpoint jobs, 12-14 ->
+        # 9-10 s steady at sf0.1, identical output (differential
+        # green; the residual cost is half-step stage scheduling on
+        # the 64-host toy graph, which amortizes at real host counts).
         if _it + 1 < int(n_iter):
-            auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
     assert auth is not None
     return (
