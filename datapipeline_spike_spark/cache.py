@@ -1,5 +1,5 @@
 """Session-level cache release for the deliberate persist() pins
-(VERDICT r17 item 4 / ADVICE r16-b).
+(VERDICT r17 item 4 / ADVICE r16-b, hardened per ADVICE r18).
 
 Several operators deliberately ``persist()`` a shared frame so two
 consumers read one materialization instead of recomputing an expensive
@@ -28,17 +28,35 @@ This module is that release path, deliberately OUTSIDE the operators:
   ``localCheckpoint`` population (checkpoint RDDs are pinned at the
   RDD layer and invisible to the SQL cache);
 - :func:`scoped_cache` bounds ONE unit of work: frames pinned inside
-  the ``with`` block are released at exit, frames pinned before it
-  survive — so a long-lived session can wrap each query/operator call
-  and never accumulate.
+  the ``with`` block are released at exit — BOTH their storage and
+  their CacheManager registrations (ADVICE r18: releasing only the
+  RDD storage leaves the entry registered, so a later query whose
+  analyzed plan matches silently re-materializes the cache outside
+  any scope, and dead entries accumulate as metadata); frames pinned
+  before the block survive untouched, keeping their cache semantics.
 
-Correctness note: releasing a frame is always safe AFTER the actions
-that consumed it have run — an unpersisted frame recomputes on the
-next action instead of reading cache (Spark semantics), so the worst
-case is recomputation cost, never wrong answers. Releasing a
-localCheckpoint'd RDD mid-loop WOULD break the loop's lineage
-truncation, which is why the drain lives at the session/work-unit
-grain rather than inside operators.
+Safety contract (corrected per ADVICE r18 — the earlier "worst case
+is recomputation" claim was wrong for checkpoints): releasing a
+plain ``persist()`` frame is always safe — the next action recomputes
+from lineage instead of reading cache (Spark semantics), so the worst
+case is recomputation cost, never wrong answers. A
+``localCheckpoint()`` frame is DIFFERENT: the checkpoint truncates
+lineage, so once its blocks are dropped there is nothing to recompute
+FROM — a held DataFrame returned by an iterative operator (pagerank,
+hits, kcore, scd2/incremental steady-state, ...) raises "Checkpoint
+block rdd_N_M not found" on its next action after a drain. Two safe
+usage shapes:
+
+1. **Consume-then-drain** (the default, what ``check_oracle`` and the
+   bench loop do): run the actions that consume the result INSIDE the
+   scope (or before the drain), then release everything. Results
+   already collected/written are plain data — always safe.
+2. **Hold-across-drain**: pass ``keep_checkpoints=True`` so the drain
+   skips every RDD whose checkpoint flag is set and releases only the
+   recomputable population. Held DataFrames over checkpoints stay
+   valid; the trade is that checkpoint storage is only reclaimed at
+   session teardown (or a later full drain once the frames are no
+   longer referenced).
 """
 
 from __future__ import annotations
@@ -57,54 +75,135 @@ def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(jid) for jid in jmap.keySet().toArray()}
 
 
+def _is_checkpoint_rdd(jrdd) -> bool:
+    """True when the pinned RDD's blocks are a checkpoint (local or
+    reliable) — i.e. dropping them removes the only copy, because the
+    checkpoint already truncated the lineage that could rebuild
+    them."""
+    try:
+        return bool(jrdd.isCheckpointed() or jrdd.isLocallyCheckpointed())
+    except Exception:  # noqa: BLE001 — conservative: treat unknown as droppable
+        return False
+
+
 def _unpersist_rdd_ids(
-    spark: SparkSession, ids: set[int], blocking: bool = False
+    spark: SparkSession,
+    ids: set[int],
+    blocking: bool = False,
+    keep_checkpoints: bool = False,
 ) -> int:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     released = 0
     for jid in list(jmap.keySet().toArray()):
-        if int(jid) in ids:
-            jmap.get(jid).rdd().unpersist(blocking)
-            released += 1
+        if int(jid) not in ids:
+            continue
+        jrdd = jmap.get(jid).rdd()
+        if keep_checkpoints and _is_checkpoint_rdd(jrdd):
+            continue
+        jrdd.unpersist(blocking)
+        released += 1
     return released
 
 
-def unpersist_all(spark: SparkSession, blocking: bool = False) -> int:
+def _cached_plans(spark: SparkSession) -> list:
+    """The CacheManager's registered logical plans (JVM objects), one
+    per cached entry. Used to diff which entries a scope added."""
+    out = []
+    it = (
+        spark._jsparkSession.sharedState().cacheManager().cachedData().iterator()
+    )
+    while it.hasNext():
+        out.append(it.next().plan())
+    return out
+
+
+def _uncache_plans(spark: SparkSession, plans, blocking: bool = False) -> int:
+    """Drop specific CacheManager entries (registration AND storage)
+    by logical plan, leaving every other entry untouched. cascade is
+    False: a pre-existing entry built ON a dropped one keeps its own
+    cache (it re-materializes from source on next use, which is the
+    plain-persist safety contract)."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    jss = spark._jsparkSession
+    dropped = 0
+    for plan in plans:
+        try:
+            cm.uncacheQuery(jss, plan, False, blocking)
+            dropped += 1
+        except Exception:  # noqa: BLE001 — entry already gone is fine
+            pass
+    return dropped
+
+
+def unpersist_all(
+    spark: SparkSession,
+    blocking: bool = False,
+    keep_checkpoints: bool = False,
+) -> int:
     """Release EVERY pinned frame in the session: the SQL cache (all
     persist()ed DataFrames/tables, dropped from the CacheManager so
     plans stop compiling to InMemoryTableScan) and any remaining
     persistent RDDs (the localCheckpoint population). Returns the
-    number of storage-pinned RDDs that were released. Call between
-    jobs in a long-lived session, or at teardown; every operator
-    result remains valid and recomputable afterward."""
+    number of storage-pinned RDDs seen at entry.
+
+    Call between jobs in a long-lived session, or at teardown.
+    SAFETY (see module docstring): plain-persist results remain valid
+    and recomputable afterward; a DataFrame over a localCheckpoint
+    does NOT — consume results before draining, or pass
+    ``keep_checkpoints=True`` to skip the checkpoint population and
+    release only the recomputable storage."""
     before = _persistent_rdd_ids(spark)
+    # clearCache() also drops cached frames whose plans sit ON
+    # checkpoints — safe either way: those frames recompute from the
+    # checkpoint blocks, and with keep_checkpoints=True the blocks
+    # themselves (the only non-recomputable storage) are skipped below
     spark.catalog.clearCache()
-    _unpersist_rdd_ids(spark, _persistent_rdd_ids(spark), blocking)
+    _unpersist_rdd_ids(
+        spark,
+        _persistent_rdd_ids(spark),
+        blocking,
+        keep_checkpoints=keep_checkpoints,
+    )
     return len(before)
 
 
 @contextmanager
 def scoped_cache(
-    spark: SparkSession, blocking: bool = False
+    spark: SparkSession,
+    blocking: bool = False,
+    keep_checkpoints: bool = False,
 ) -> Iterator[None]:
     """Bound one unit of work: any frame pinned DURING the block
     (operator persist(), localCheckpoint, manual cache()) is released
-    at exit; frames pinned BEFORE the block survive untouched.
+    at exit — CacheManager registration and storage both; frames
+    pinned BEFORE the block survive untouched with their cache
+    semantics intact (ADVICE r18 closed the warm-path half: the
+    block's own cache ENTRIES are now dropped per-plan via
+    ``CacheManager.uncacheQuery``, not just their RDD storage, so a
+    later matching query cannot silently re-materialize a dead entry
+    and no metadata accumulates).
 
-    When the session enters the block with a cold cache (the common
-    long-lived-worker shape: drain after every unit), exit also clears
-    the SQL-cache bookkeeping outright so CacheManager entries don't
-    accumulate as dead metadata; with pre-existing cache entries it
-    releases only the block's own RDD storage — the pre-existing
-    entries keep their cache semantics."""
-    before = _persistent_rdd_ids(spark)
+    SAFETY (see module docstring): consume results inside the block
+    (the check_oracle/bench shape), or pass ``keep_checkpoints=True``
+    when holding an iterative operator's result DataFrame across the
+    exit — its localCheckpoint blocks are then kept."""
+    before_rdds = _persistent_rdd_ids(spark)
+    before_plans = _cached_plans(spark)
     try:
         yield
     finally:
-        if before:
-            _unpersist_rdd_ids(
-                spark, _persistent_rdd_ids(spark) - before, blocking
-            )
-        else:
-            spark.catalog.clearCache()
-            _unpersist_rdd_ids(spark, _persistent_rdd_ids(spark), blocking)
+        after_plans = _cached_plans(spark)
+        new_plans = [
+            p
+            for p in after_plans
+            if not any(p.equals(b) for b in before_plans)
+        ]
+        _uncache_plans(spark, new_plans, blocking)
+        # the non-SQL remainder the scope added (localCheckpoint
+        # blocks, raw persisted RDDs)
+        _unpersist_rdd_ids(
+            spark,
+            _persistent_rdd_ids(spark) - before_rdds,
+            blocking,
+            keep_checkpoints=keep_checkpoints,
+        )

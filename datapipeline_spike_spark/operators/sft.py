@@ -256,7 +256,15 @@ def best_of_n_selection(
     dpo_pair_plan convention). The negation sits on the SCORE (numeric
     by contract), never on the id, so string candidate ids work —
     ADVICE r17 flagged the earlier -cand_id form as narrower than the
-    dpo sibling it cites. stddev is the POPULATION form
+    dpo sibling it cites. NULL scores are coalesced to -inf INSIDE the
+    ordering struct (ADVICE r18: a struct comparison sorts a NULL
+    field FIRST, so under min_by a bare NULL negation would let a
+    NULL-score candidate win best_id while best_score/mean_score skip
+    NULLs — an internally inconsistent row); with the coalesce a
+    NULL-score candidate loses to any scored one, and an all-NULL
+    prompt falls back to the smallest id with NULL best_score, which
+    is exactly the oracle's NULLS-LAST row_number. stddev is the
+    POPULATION form
     (sqrt(E[x^2] - E[x]^2 computed as avg of squares minus square of
     avg would be catastrophic — both engines' stddev_pop is the
     numerically-stable Welford form and agrees at 6dp on bounded
@@ -270,10 +278,13 @@ def best_of_n_selection(
     Returns (prompt_id, n_candidates, best_id, best_score, mean_score,
     std_score, selection_gap), floats 6dp."""
     s6 = F.round(F.col(score_col), 6)
+    # NULL-proof argmax key: -inf for a NULL score so it can never win
+    # (struct comparison would otherwise rank the NULL field first)
+    s6_key = -F.coalesce(s6, F.lit(float("-inf")))
     agg = candidates.groupBy(F.col(prompt_col).alias("prompt_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
         F.min_by(
-            F.col(cand_col), F.struct(-s6, F.col(cand_col))
+            F.col(cand_col), F.struct(s6_key, F.col(cand_col))
         ).alias("best_id"),
         F.max(s6).alias("best_score"),
         F.round(F.avg(s6), 6).alias("mean_score"),

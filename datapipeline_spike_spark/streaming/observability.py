@@ -75,7 +75,16 @@ class DlqAlertMonitor(StreamingQueryListener):
     query at the crossing, receiving the status row; exceptions from
     the callback are swallowed after recording (a broken pager must
     not take down the listener bus). Thread-safe: Spark delivers
-    listener events from its own threads."""
+    listener events from its own threads.
+
+    Replay-safe (ADVICE r18): progress events carry ``batchId``, and a
+    micro-batch replayed after a failure/restart from checkpoint
+    re-observes the same rows — folding it again would double-count
+    toward the threshold and page spuriously on recovery. The monitor
+    tracks the last-seen batchId per query id and skips any progress
+    event whose batchId is not strictly newer (Spark batchIds are
+    monotone per checkpoint lineage, so a replay re-delivers an
+    already-folded id)."""
 
     def __init__(
         self,
@@ -92,6 +101,7 @@ class DlqAlertMonitor(StreamingQueryListener):
         self._totals: dict[str, int] = {}
         self._alerted: dict[str, bool] = {}
         self._names: dict[str, str] = {}
+        self._last_batch: dict[str, int] = {}
         self.callback_errors: list[Exception] = []
 
     # --- listener surface ---------------------------------------------------
@@ -116,6 +126,12 @@ class DlqAlertMonitor(StreamingQueryListener):
         with self._lock:
             qid = str(p.id)
             self._names.setdefault(qid, p.name or qid)
+            batch = getattr(p, "batchId", None)
+            if batch is not None:
+                last = self._last_batch.get(qid)
+                if last is not None and int(batch) <= last:
+                    return  # checkpoint replay: already folded
+                self._last_batch[qid] = int(batch)
             self._totals[qid] = self._totals.get(qid, 0) + int(n)
             if (
                 not self._alerted.get(qid, False)

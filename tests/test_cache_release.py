@@ -75,6 +75,81 @@ def test_scoped_cache_releases_only_the_blocks_pins(spark, sf_dir):
     unpersist_all(spark)
 
 
+def _cached_entry_count(spark) -> int:
+    it = (
+        spark._jsparkSession.sharedState().cacheManager().cachedData().iterator()
+    )
+    n = 0
+    while it.hasNext():
+        it.next()
+        n += 1
+    return n
+
+
+def test_scoped_cache_warm_path_drops_blocks_cache_entries(spark, sf_dir):
+    """ADVICE r18 (warm path): with a PRE-EXISTING pin, exiting the
+    scope must drop the block's own CacheManager ENTRIES — not just
+    their RDD storage — or a later query with a matching analyzed plan
+    silently re-materializes the dead entry outside any scope and the
+    metadata accumulates. The pre-existing entry keeps registration
+    AND storage."""
+    unpersist_all(spark)
+    keeper = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3).alias("thrice")
+    ).persist()
+    keeper.count()
+    assert _cached_entry_count(spark) == 1
+
+    with scoped_cache(spark):
+        _run(spark, sf_dir, "knn_graph_edges")
+        assert _cached_entry_count(spark) > 1, "block should register entries"
+
+    # registration drained back to exactly the keeper's entry
+    assert _cached_entry_count(spark) == 1
+    assert keeper.storageLevel.useMemory
+    # and a re-run of the same query re-registers fresh (no dead-entry
+    # re-materialization path left behind)
+    with scoped_cache(spark):
+        _run(spark, sf_dir, "knn_graph_edges")
+    assert _cached_entry_count(spark) == 1
+    keeper.unpersist()
+    unpersist_all(spark)
+
+
+def test_drain_keep_checkpoints_preserves_held_results(spark, sf_dir):
+    """ADVICE r18 (safety contract): a held DataFrame from an
+    iterative operator sits on localCheckpoint blocks with truncated
+    lineage — a full drain makes its next action raise
+    'Checkpoint block not found' instead of recomputing. The
+    hold-across-drain shape passes keep_checkpoints=True: the
+    recomputable storage is released, the checkpoint blocks survive,
+    and the held result stays collectable."""
+    unpersist_all(spark)
+    held = REGISTRY["pagerank_host_authority"].spark(spark, sf_dir)
+    before = {tuple(r) for r in held.collect()}
+    assert before
+    assert _persistent_rdd_ids(spark), "iteration should pin checkpoints"
+
+    unpersist_all(spark, keep_checkpoints=True)
+    # the checkpoint population survives; the held frame still answers
+    after = {tuple(r) for r in held.collect()}
+    assert after == before
+    # a later full drain (result consumed, frame dropped) clears it all
+    unpersist_all(spark)
+    assert _persistent_rdd_ids(spark) == set()
+
+
+def test_scoped_cache_keep_checkpoints(spark, sf_dir):
+    """The same hold-across-exit shape at the scope grain."""
+    unpersist_all(spark)
+    with scoped_cache(spark, keep_checkpoints=True):
+        held = REGISTRY["pagerank_host_authority"].spark(spark, sf_dir)
+        before = {tuple(r) for r in held.collect()}
+    after = {tuple(r) for r in held.collect()}
+    assert after == before
+    unpersist_all(spark)
+
+
 def test_scoped_cache_cold_entry_drains_bookkeeping(spark, sf_dir):
     """Entering with a cold cache (the long-lived-worker shape) exits
     with BOTH storage and CacheManager empty."""

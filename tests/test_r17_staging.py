@@ -617,6 +617,31 @@ def test_best_of_n_string_ids(spark):
     assert got[2]["best_id"] == "only"
 
 
+def test_best_of_n_null_scores_never_win(spark):
+    """ADVICE r18: a NULL-score candidate must not win best_id (the
+    bare min_by(struct(-s6, id)) form let it — struct comparison
+    sorts a NULL field first). With the -inf coalesce inside the
+    ordering struct, a NULL loses to ANY scored candidate; an
+    all-NULL prompt falls back to the smallest id with NULL
+    best_score — the oracle's NULLS-LAST row_number on both counts."""
+    from datapipeline_spike_spark.operators.sft import best_of_n_selection
+
+    rows = [
+        (1, 10, None), (1, 11, 0.2), (1, 12, 0.8),   # NULL must lose
+        (2, 20, None), (2, 21, None),                # all-NULL prompt
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, score double"
+    )
+    got = {r["prompt_id"]: r for r in best_of_n_selection(df).collect()}
+    assert got[1]["best_id"] == 12
+    assert got[1]["best_score"] == pytest.approx(0.8, abs=1e-6)
+    # best_id's score IS best_score — the internally-consistent row
+    assert got[2]["best_id"] == 20
+    assert got[2]["best_score"] is None and got[2]["mean_score"] is None
+    assert got[2]["n_candidates"] == 2
+
+
 def test_min_k_prob_rejects_bad_k_frac(spark):
     """ADVICE r17: k_frac outside (0, 1] raises instead of silently
     understating the tail mean (k > n) or clamping (k <= 0)."""

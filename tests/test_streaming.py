@@ -1551,6 +1551,51 @@ def test_dlq_alert_monitor_flips_at_threshold(spark, events_dir):
         spark.streams.removeListener(monitor)
 
 
+def test_dlq_alert_monitor_dedups_replayed_batches():
+    """ADVICE r18: micro-batches replayed after a checkpoint restart
+    re-observe the same rows; the monitor must fold each batchId once
+    per query, or a recovering query pages spuriously. Driven directly
+    through the listener surface with fake progress events (the same
+    shape Spark delivers), no cluster needed."""
+    from types import SimpleNamespace
+
+    from datapipeline_spike_spark.streaming.observability import (
+        DlqAlertMonitor,
+        INGEST_METRICS,
+    )
+
+    def prog(qid, batch, n_invalid):
+        return SimpleNamespace(
+            progress=SimpleNamespace(
+                id=qid,
+                name="q",
+                batchId=batch,
+                observedMetrics={
+                    INGEST_METRICS: {"n_invalid": n_invalid}
+                },
+            )
+        )
+
+    monitor = DlqAlertMonitor(threshold=10)
+    monitor.onQueryProgress(prog("q1", 0, 4))
+    monitor.onQueryProgress(prog("q1", 1, 4))
+    # restart from checkpoint: batches 0 and 1 replayed — must be skipped
+    monitor.onQueryProgress(prog("q1", 0, 4))
+    monitor.onQueryProgress(prog("q1", 1, 4))
+    rows = {r["query_id"]: r for r in monitor.status_rows()}
+    assert rows["q1"]["total"] == 8
+    assert monitor.status("q1") == "OK"  # no spurious page
+    # a genuinely new batch still folds and can cross the threshold
+    monitor.onQueryProgress(prog("q1", 2, 4))
+    assert monitor.status("q1") == "ALERT"
+    rows = {r["query_id"]: r for r in monitor.status_rows()}
+    assert rows["q1"]["total"] == 12
+    # per-query tracking: another query's batch 0 is independent
+    monitor.onQueryProgress(prog("q2", 0, 3))
+    rows = {r["query_id"]: r for r in monitor.status_rows()}
+    assert rows["q2"]["total"] == 3 and rows["q2"]["status"] == "OK"
+
+
 def test_dlq_alert_monitor_stays_ok_below_threshold(spark, events_dir):
     """Below the threshold the status row reports OK with the live
     cumulative total — the gauge half of the contract."""
