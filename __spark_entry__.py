@@ -16,6 +16,23 @@ centroids), and, for ``incremental_dedup_steady_state`` /
 the STORED index/table those queries exist to exercise. All are
 per-invocation, deterministic, and cleaned or pid-scoped — safe under
 a harness that builds each query fresh or concurrently.
+
+Cache-release decision (r19, VERDICT r18 item 5 — recorded, not
+implicit): this entry surface does NOT wrap callables in
+``datapipeline_spike_spark.cache.scoped_cache`` by default. The
+driver's contract is fresh-build-per-query in a bounded session: each
+callable's persist()/localCheckpoint pins are consumed by the
+driver's own collect and the session ends with the round, so there is
+no accumulation window — and an unconditional wrap here would drain
+checkpoint blocks out from under the returned (lazy) DataFrame before
+the driver collects it, which is exactly the unsafe
+hold-across-drain shape the cache module documents. The long-lived
+loops that DO accumulate are the in-repo sweeps, and they already
+wrap: ``tools/check_oracle.py`` scopes every query (r18) and
+``bench.py`` drains between queries. A deployment embedding this
+registry in a long-lived service should wrap each call site with
+``scoped_cache(spark)`` (consume-then-release) or
+``scoped_cache(spark, keep_checkpoints=True)`` when holding results.
 """
 
 from __future__ import annotations

@@ -39,6 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from datapipeline_spike_spark.cache import unpersist_all  # noqa: E402
 from datapipeline_spike_spark.plans import REGISTRY  # noqa: E402
 from datapipeline_spike_spark.session import get_session  # noqa: E402
 
@@ -173,6 +174,16 @@ EXTRAS = [
     "hybrid_rrf_retrieval",
     "chat_turn_stats",
     "dpo_pair_plan",
+    # round 18 registrations (the r17 wave-8 staged ops) —
+    # steady-state minima recorded here are the r19 regression floor
+    "hits_hub_authority",
+    "knn_graph_edges",
+    "min_k_prob_profile",
+    # round 19 registrations (the r17 wave-9 staged ops) —
+    # steady-state minima recorded here are the r20 regression floor
+    "kcore_membership",
+    "distinct_ngram_diversity",
+    "best_of_n_selection",
 ]
 
 # After this many extras the SparkSession is stopped and rebuilt so
@@ -250,8 +261,12 @@ def run_queries(
         # localCheckpoint/persist shared frames at plan-build; left in
         # place they pile executor memory across the sweep and inflate
         # later queries' timings (r8: semdedup measured 10.5 s inside
-        # the sweep vs 3.1 s standalone — GC pressure, not plan)
-        spark.catalog.clearCache()
+        # the sweep vs 3.1 s standalone — GC pressure, not plan).
+        # unpersist_all (r19) also drains the localCheckpoint RDD
+        # population clearCache() cannot see; safe here because the
+        # noop write consumed the result before the drain
+        # (consume-then-drain, the documented contract).
+        unpersist_all(spark)
         gc.collect()
     return timings, runs, errors
 

@@ -17,6 +17,7 @@ from datapipeline_spike_spark.plans import catalog_r15  # noqa: F401  (r14 stage
 from datapipeline_spike_spark.plans import catalog_r16  # noqa: F401  (r14 wave-2 staged -> registered r16)
 from datapipeline_spike_spark.plans import catalog_r17  # noqa: F401  (r14 waves 3-7 staged -> registered r17)
 from datapipeline_spike_spark.plans import catalog_r18  # noqa: F401  (r17 wave-8 staged -> registered r18)
+from datapipeline_spike_spark.plans import catalog_r19  # noqa: F401  (r17 wave-9 staged -> registered r19)
 
 # The driver's per-round correctness harness samples the FIRST 50
 # registry entries, so raw registration order (module import order, new
@@ -34,6 +35,93 @@ from datapipeline_spike_spark.plans import catalog_r18  # noqa: F401  (r17 wave-
 
 DRIVER_SAMPLE = 50
 
+# --- r19 head, slot 1: NEW r19 registrations — the three r17-staged
+# WAVE 9 operators, registered in plans/catalog_r19 with the staging
+# tests' DuckDB oracles (tests/test_r17_staging.py — the oracle SQL
+# now single-sourced in catalog_r19 and imported BACK by the staging
+# module so the two can never drift; differential-green at both
+# sf0.001 and sf0.01 via tools/staged_preflight.py). The wave's
+# tie-break/NULL-guard hardening landed BEFORE this hash freeze per
+# the rule: the ADVICE r17 string-id fix in r18 and the ADVICE r18
+# NULL-score -inf coalesce in r19 itself (best_of_n_selection's
+# min_by struct — a NULL-score candidate can never win best_id).
+# Audit notes MEASURED at r17 staging: kcore is allowlist-CLEAN
+# (ExistingRDD peel barriers + documented driver-side 1-row
+# convergence counts; no BNLJ, no windows, no Python); diversity and
+# best-of-n are pure keyed aggregates (clean — no allowlist
+# entries). ---
+_R19_NEW = (
+    "kcore_membership",         # Seidman 1983 k=4 peel, 21/64 split
+    "distinct_ngram_diversity", # Li 2016 distinct-1/distinct-2
+    "best_of_n_selection",      # rejection-sampling argmax + pool stats
+)
+# --- r19 head, slot 2: the documented r19 queue (50 names, zero
+# spare) minus its three tail names (machine_stream_union,
+# maintenance_window_overlap, image_jpeg_pixel_features) slid to the
+# r20 queue to fund the wave-9 slots per the budget rule (the
+# r17/r18 precedent). No registered-query code changed this round
+# outside the wave-9 registrations themselves (the ADVICE r18 fixes:
+# the best_of_n NULL guard freezes WITH its first registration here;
+# cache.py and streaming/observability.py are plan-neutral — no
+# registered plan bytes change), so there is no changed-code slot.
+# After r19 no registered name's latest driver-green is older than
+# r15 (exactly four r15-greens remain: the three slid tails +
+# simhash_signatures, heading the r20 queue). ---
+_R19_REFRESH = (
+    # slid from the r18 queue + the r14-green past the r18 budget
+    "ann_recall_at_k",
+    "ivf_recall_at_k",
+    "video_frame_features",
+    "audio_pcm_features",
+    # r15-green stale block (r15 head minus r16/r17 re-hashes), oldest
+    # 43 in head order
+    "cdc_chunk_dedup",
+    "boilerplate_line_removal",
+    "url_canonical_dedup",
+    "bradley_terry_strengths",
+    "oov_rate_profile",
+    "char_entropy_profile",
+    "ann_ivf_flat",
+    "ann_ivf_kmeans",
+    "ann_lsh_bucket",
+    "embedding_neardup_pairs",
+    "embedding_dedup_assignment",
+    "source_overlap_matrix",
+    "pq_distortion_profile",
+    "pq_adc_recall_at_k",
+    "text_quality_profile",
+    "record_envelope_flat",
+    "envelope_reduced_features",
+    "corpus_mixture_plan",
+    "audio_header_meta",
+    "incremental_ingest_dedup",
+    "quality_filter_decision",
+    "customer_value_ranks",
+    "source_quality_rollup",
+    "lineitem_scalar_lab",
+    "props_variant_stats",
+    "robust_outlier_mad",
+    "event_funnel_transitions",
+    "cohort_retention",
+    "monthly_revenue_growth",
+    "value_histogram",
+    "sessionization",
+    "repetition_profile",
+    "embedding_label_stats",
+    "vibration_features",
+    "zipf_profile",
+    "ngram_novelty_profile",
+    "kneser_ney_bigram_score",
+    "verdict_agreement_matrix",
+    "dedup_span_removal",
+    "temperature_mixture_plan",
+    "hard_negative_pairs",
+    "curation_stage_profile",
+    "multimodal_shard_meta",
+)
+
+# --- r18 head (r18 driver-green block, now the freshest tail; kept
+# verbatim as the rotation history) ---
 # --- r18 head, slot 1: NEW r18 registrations — the three r17-staged
 # WAVE 8 operators, registered in plans/catalog_r18 with the staging
 # tests' DuckDB oracles (tests/test_r17_staging.py — the oracle SQL
@@ -772,8 +860,18 @@ _NO_ORACLE_PIN = (
 # r18 (ADVICE r17) — BEFORE the r19 hash freeze, per the rule.
 #
 # WAVE 10 (staged r18 in tests/test_r18_staging.py, same gauntlet —
-# register r20, or r19 if the queue math funds more than three new
-# slots): nn_descent_refine (operators/similarity.py — Dong 2011
+# REGISTRATION DECIDED r19 per VERDICT r18 item 3: wave 10 registers
+# r20. The r19 queue carried 50 names with ZERO spare slots, so the
+# queue math does NOT fund more than wave 9's three new slots this
+# round; registering six would have displaced three additional
+# r15-green queue names past the horizon unverified. r20's head is
+# budgeted below as the r20 queue (50 names) minus the three tails
+# its wave-10 slots will slide — since r20 is the final round that
+# slide is recorded in the queue comment, not re-queued. Oracle SQL
+# single-sources from tests/test_r18_staging.py into a
+# plans/catalog_r20.py at the move; nn_descent needs BNLJ_OK per the
+# measured note below; mind the AS MATERIALIZED oracle rule.):
+# nn_descent_refine (operators/similarity.py — Dong 2011
 # NN-Descent local joins over a MULTI-PROBE two-family LSH seed; a
 # single-bucketing seed can never cross buckets, so the second
 # splitmix plane family at seeds 101.. is load-bearing — the planted
@@ -800,70 +898,70 @@ _NO_ORACLE_PIN = (
 # doubly-referenced layer per reference = 2^iters base-scan
 # expansions (the r7 exponential-plan lesson, oracle edition).
 
-# --- r19 queue (50 names, ZERO spare slots — wave 9 registers r19,
-# so its three new names slide the queue's 3 tail names to the r20
-# queue per the budget rule). Order: mechanically derived from the
+# --- r20 queue (50 names, ZERO spare slots — wave 10 registers r20,
+# so its three new names slide the queue's 3 tail names off the
+# budget per the rule; since r20 is the final round the slide is
+# recorded, not re-queued). Order: mechanically derived from the
 # rotation history this round (latest-green per name across the
-# r14..r18 heads, oldest-green first, block order within a round):
-# the 3 names slid from the r18 queue + the single r14-green past the
-# r18 budget (audio_pcm_features) are the only r14-greens left, then
-# the r15-green block (the r15 head minus names re-hashed r16/r17),
-# truncated at 50 — the r15-green tail (simhash_signatures onward)
-# stays in the rotation tail for the r20 queue. ---
+# r14..r19 heads, oldest-green first, block order within a round):
+# the 3 names slid from the r19 queue + the single r15-green past
+# the r19 budget (simhash_signatures) are the only r15-greens left,
+# then the r16-green block (the r16 head in head order), truncated
+# at 50 — the r16-green tail (segment_dedup_profile onward) stays in
+# the rotation tail. ---
 _QUEUED_FOR_NEXT_HEAD = (
-    # slid from the r18 queue + the r14-green past the r18 budget
-    "ann_recall_at_k",
-    "ivf_recall_at_k",
-    "video_frame_features",
-    "audio_pcm_features",
-    # r15-green stale block (r15 head minus r16/r17 re-hashes), oldest
-    # 46 in head order
-    "cdc_chunk_dedup",
-    "boilerplate_line_removal",
-    "url_canonical_dedup",
-    "bradley_terry_strengths",
-    "oov_rate_profile",
-    "char_entropy_profile",
-    "ann_ivf_flat",
-    "ann_ivf_kmeans",
-    "ann_lsh_bucket",
-    "embedding_neardup_pairs",
-    "embedding_dedup_assignment",
-    "source_overlap_matrix",
-    "pq_distortion_profile",
-    "pq_adc_recall_at_k",
-    "text_quality_profile",
-    "record_envelope_flat",
-    "envelope_reduced_features",
-    "corpus_mixture_plan",
-    "audio_header_meta",
-    "incremental_ingest_dedup",
-    "quality_filter_decision",
-    "customer_value_ranks",
-    "source_quality_rollup",
-    "lineitem_scalar_lab",
-    "props_variant_stats",
-    "robust_outlier_mad",
-    "event_funnel_transitions",
-    "cohort_retention",
-    "monthly_revenue_growth",
-    "value_histogram",
-    "sessionization",
-    "repetition_profile",
-    "embedding_label_stats",
-    "vibration_features",
-    "zipf_profile",
-    "ngram_novelty_profile",
-    "kneser_ney_bigram_score",
-    "verdict_agreement_matrix",
-    "dedup_span_removal",
-    "temperature_mixture_plan",
-    "hard_negative_pairs",
-    "curation_stage_profile",
-    "multimodal_shard_meta",
+    # slid from the r19 queue + the r15-green past the r19 budget
     "machine_stream_union",
     "maintenance_window_overlap",
     "image_jpeg_pixel_features",
+    "simhash_signatures",
+    # r16-green stale block (the r16 head in head order), oldest 46
+    "pagerank_host_authority",
+    "code_detect_profile",
+    "license_detect_profile",
+    "matryoshka_recall_at_k",
+    "audio_vad_segments",
+    "curriculum_phase_plan",
+    "ngram_containment_pairs",
+    "bpe_merge_training",
+    "bm25_ranked_retrieval",
+    "session_campaign_overlap",
+    "bpe_encoded_corpus_stats",
+    "sq8_recall_at_k",
+    "priority_shipping_lag",
+    "bpe_fertility_by_lang",
+    "fuzzy_contamination",
+    "downsample_1h",
+    "status_route_counts",
+    "json_props_profile",
+    "daily_status_pivot",
+    "orders_grouping_sets",
+    "order_scalar_lab",
+    "quantity_quantiles",
+    "supplier_distinct_parts",
+    "segment_symmetric_difference",
+    "top_lineitems_global",
+    "orders_cube",
+    "lineitem_rollup",
+    "customer_order_running",
+    "top_orders_per_customer",
+    "part_size_bands",
+    "order_size_histogram",
+    "customers_without_orders",
+    "customers_with_orders",
+    "customers_per_region",
+    "pricing_summary",
+    "document_chunks",
+    "benchmark_contamination",
+    "leakage_safe_split",
+    "stratified_sample",
+    "reliability_calibration_bins",
+    "token_distribution_drift",
+    "rouge_ngram_eval",
+    "embedding_centroid_drift",
+    "hubness_profile",
+    "ivfpq_recall_at_k",
+    "pii_redaction",
 )
 # --- tail: most recently driver-green blocks, oldest first (only the
 # first 50 are hashed; the order documents the next rotations). The
@@ -949,11 +1047,11 @@ _R11_GREEN_TAIL = (
     "stratified_sample",
 )
 
-_HEAD = list(_R18_NEW) + list(_R18_REFRESH)
-# tail: the r19 queue first (the documented next head), then every
-# remaining block oldest-green first (the r15-green tail past the
-# r19 budget — simhash_signatures onward — surfaces here for the
-# r20 queue, then the r16/r17-green blocks), pins last
+_HEAD = list(_R19_NEW) + list(_R19_REFRESH)
+# tail: the r20 queue first (the documented next head), then every
+# remaining block oldest-green first (the r16-green tail past the
+# r20 budget — segment_dedup_profile onward — surfaces first, then
+# the r17/r18-green blocks), pins last
 _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     n
     for n in list(_R10_GREEN_TAIL)
@@ -971,6 +1069,8 @@ _TAIL = list(_QUEUED_FOR_NEXT_HEAD) + [
     + list(_R17_NEW)
     + list(_R17_CHANGED)
     + list(_R17_REFRESH)
+    + list(_R18_NEW)
+    + list(_R18_REFRESH)
     if n not in _HEAD
 ] + list(_NO_ORACLE_PIN)
 

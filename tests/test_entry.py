@@ -68,7 +68,7 @@ def test_rotation_head_invariants():
         _HEAD,
         _NO_ORACLE_PIN,
         _QUEUED_FOR_NEXT_HEAD,
-        _R18_NEW,
+        _R19_NEW,
         rotation_preflight,
     )
 
@@ -92,10 +92,11 @@ def test_rotation_head_invariants():
     names = list(REGISTRY)
     # the head IS the driver sample, in order
     assert names[:DRIVER_SAMPLE] == [n for n in _HEAD if n in REGISTRY]
-    # every new r18 query holds a head slot this round (no
-    # changed-code slot in r18: the ADVICE fixes touched staged
-    # operators only and the cache mechanism is plan-neutral)
-    assert set(_R18_NEW) <= set(_HEAD)
+    # every new r19 query holds a head slot this round (no
+    # changed-code slot in r19: the best_of_n NULL guard freezes with
+    # its first registration, and the cache/observability ADVICE fixes
+    # are plan-neutral)
+    assert set(_R19_NEW) <= set(_HEAD)
     # the documented next-round queue sits immediately after the head
     queue_live = [n for n in _QUEUED_FOR_NEXT_HEAD if n in REGISTRY]
     assert names[DRIVER_SAMPLE : DRIVER_SAMPLE + len(queue_live)] == queue_live

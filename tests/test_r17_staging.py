@@ -339,38 +339,15 @@ def test_wave8_plan_shapes(spark):
 #   aggregates -> clean audit (no allowlist entries).
 
 
-def _sql_kcore_iter(k: int, rounds: int) -> str:
-    """s0 -> s{rounds} peel layers replaying
-    operators.graph.kcore_membership: s_i = vertices of s_{i-1} with
-    >= k neighbors inside s_{i-1} (induced degree). The differential
-    asserting engine == s{rounds} PROVES the peel converges within
-    `rounds` on the tested corpus (the engine iterates to a stable
-    fixpoint; a corpus needing more rounds fails the equality
-    loudly)."""
-    parts = [
-        """u AS (SELECT src AS a, dst AS b FROM e
-                 UNION SELECT dst, src FROM e),
-           d0 AS (SELECT a, count(*) AS deg FROM u GROUP BY 1)""",
-        f"s0 AS (SELECT a AS host FROM d0 WHERE deg >= {k})",
-    ]
-    for i in range(1, rounds + 1):
-        p = i - 1
-        parts.append(
-            f"""s{i} AS (SELECT u.a AS host FROM u
-                 JOIN s{p} x ON u.a = x.host
-                 JOIN s{p} y ON u.b = y.host
-                 GROUP BY 1 HAVING count(*) >= {k})"""
-        )
-    return ",\n".join(parts)
-
-
-SQL_KCORE = f"""
-    WITH {_SQL_PR_GRAPH},
-    {_sql_kcore_iter(4, 8)}
-    SELECT d0.a AS host, CAST(d0.deg AS BIGINT) AS degree,
-           (s8.host IS NOT NULL) AS in_kcore
-    FROM d0 LEFT JOIN s8 ON d0.a = s8.host
-"""
+# registered r19: the wave-9 oracle SQL is single-sourced in
+# plans/catalog_r19 (the registration lifted it verbatim from this
+# module; the import direction flipped so staging and registration
+# can never drift — the catalog_r18 precedent)
+from datapipeline_spike_spark.plans.catalog_r19 import (  # noqa: E402
+    SQL_BEST_OF_N,
+    SQL_DIVERSITY,
+    SQL_KCORE,
+)
 
 
 def test_kcore_matches_duckdb(spark):
@@ -428,39 +405,6 @@ def test_kcore_planted_peel(spark):
     # with budget the same path empties completely (a path has no 2-core)
     full = kcore_membership(pdf, k=2).collect()
     assert full and not any(r["in_kcore"] for r in full)
-
-
-SQL_DIVERSITY = f"""
-    WITH t AS (SELECT source, {_SQL_TOKS.format(c='text')} AS toks
-               FROM documents),
-    us AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS total_unigrams,
-             CAST(count(DISTINCT g) AS BIGINT) AS distinct_unigrams
-      FROM (SELECT source, unnest(toks) AS g FROM t) GROUP BY 1
-    ),
-    bis AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS total_bigrams,
-             CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
-      FROM (SELECT source,
-                   unnest(list_transform(range(1, len(toks)),
-                          i -> toks[i] || ' ' || toks[i + 1])) AS g
-            FROM t) GROUP BY 1
-    ),
-    nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-           FROM documents GROUP BY 1)
-    SELECT nd.source, nd.n_docs,
-           coalesce(us.total_unigrams, 0) AS total_unigrams,
-           coalesce(us.distinct_unigrams, 0) AS distinct_unigrams,
-           round(CASE WHEN coalesce(us.total_unigrams, 0) > 0
-                 THEN coalesce(us.distinct_unigrams, 0) * 1.0
-                      / us.total_unigrams END, 6) AS distinct_1,
-           coalesce(bis.total_bigrams, 0) AS total_bigrams,
-           coalesce(bis.distinct_bigrams, 0) AS distinct_bigrams,
-           round(CASE WHEN coalesce(bis.total_bigrams, 0) > 0
-                 THEN coalesce(bis.distinct_bigrams, 0) * 1.0
-                      / bis.total_bigrams END, 6) AS distinct_2
-    FROM nd LEFT JOIN us USING (source) LEFT JOIN bis USING (source)
-"""
 
 
 def test_distinct_ngram_diversity_matches_duckdb(spark):
@@ -530,29 +474,6 @@ def test_distinct_ngram_diversity_empty_source_is_null(spark):
     assert got["mono"]["total_bigrams"] == 0
     assert got["mono"]["distinct_2"] is None
     assert got["full"]["distinct_2"] == 1.0
-
-
-SQL_BEST_OF_N = """
-    WITH cand AS (
-      SELECT doc_id % 50 AS prompt_id, doc_id AS cand_id,
-             round(((doc_id * 37) % 1000) / 1000.0, 6) AS s
-      FROM documents
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY prompt_id
-                 ORDER BY s DESC, cand_id ASC) AS rn FROM cand
-    ),
-    agg AS (
-      SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates,
-             max(s) AS best_score, round(avg(s), 6) AS mean_score,
-             round(coalesce(stddev_pop(s), 0), 6) AS std_score
-      FROM cand GROUP BY 1
-    )
-    SELECT a.prompt_id, a.n_candidates, r.cand_id AS best_id,
-           a.best_score, a.mean_score, a.std_score,
-           round(a.best_score - a.mean_score, 6) AS selection_gap
-    FROM agg a JOIN ranked r ON r.prompt_id = a.prompt_id AND r.rn = 1
-"""
 
 
 def test_best_of_n_matches_duckdb(spark):

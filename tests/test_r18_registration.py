@@ -51,9 +51,13 @@ def test_r18_moves_are_all_registered():
     assert not missing, missing
 
 
-def test_r18_head_leads_with_the_cohort():
-    head = list(REGISTRY)[:3]
-    assert head == list(_R18_NEW), head
+def test_r18_moves_remain_placed_by_the_rotation():
+    """The r18 'head leads with the cohort' pin retired at the r19
+    rotation (the r16->r17->r18 precedent): the durable invariant is
+    that every r18 move stays registered and placed, and the rotation
+    is sound."""
+    placed = set(REGISTRY)
+    assert set(_R18_NEW) <= placed
     assert rotation_preflight() == []
 
 

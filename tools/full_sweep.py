@@ -33,6 +33,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from datapipeline_spike_spark.cache import unpersist_all  # noqa: E402
 from datapipeline_spike_spark.plans import REGISTRY  # noqa: E402
 from datapipeline_spike_spark.session import get_session  # noqa: E402
 
@@ -74,7 +75,8 @@ def main() -> int:
                 slow.append((name, dt))
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"{type(e).__name__}: {e}"[:200]))
-        spark.catalog.clearCache()
+        # r19: also drain the localCheckpoint population (see bench.py)
+        unpersist_all(spark)
         gc.collect()
     with open(args.out, "w") as fh:
         json.dump(
