@@ -839,46 +839,63 @@ def distinct_ngram_diversity(
     Exact integer counts on both engines; the two ratios are the only
     floats (6dp). Bigrams use the same zip_with adjacency as the
     bigram LM (``_word_bigrams``), at token grain (multiset — repeats
-    count, the published definition). Scale shape: one tokenize pass,
-    two vocabulary-bounded count-distinct aggregates at (source,
-    gram) grain — no windows, no joins beyond the final source-grain
-    assembly (broadcastable at any corpus size).
+    count, the published definition). Scale shape (single-pass,
+    re-shaped at registration r19 — the pre-freeze window): ONE
+    tokenize+explode pass emits every gram tagged with its grain
+    (unigram/bigram), then ONE vocabulary-bounded two-level aggregate
+    — level 1 keyed (source, grain, gram) counts occurrences with
+    map-side partials, level 2 collapses to source grain with
+    conditional sums (the hand-rolled count-distinct, so the grain
+    split costs no second tokenize of the corpus — the staged shape's
+    separate unigram/bigram aggregates each re-scanned and
+    re-tokenized the text, a 2x on the operator's dominant cost at
+    scale). No windows; the only join is the final source-grain
+    assembly against the n_docs aggregate (bounded, broadcastable at
+    any corpus size; n_docs scans only the pruned source column).
 
     Returns (source, n_docs, total_unigrams, distinct_unigrams,
     distinct_1, total_bigrams, distinct_bigrams, distinct_2)."""
     toks = docs.select(
         F.col(source_col).alias("_src"),
-        F.col(text_col),
         tokens(text_col).alias("_t"),
     )
-    uni = toks.select(
-        "_src", F.explode("_t").alias("_g")
-    )
-    uni_stats = uni.groupBy("_src").agg(
-        F.count(F.lit(1)).alias("total_unigrams"),
-        F.count_distinct("_g").alias("distinct_unigrams"),
-    )
-    bi = (
-        toks.filter(F.size("_t") >= 2)
-        .select(
-            "_src",
-            F.explode(
+    # one generate: unigrams tagged grain 0, adjacent bigrams grain 1
+    grams = toks.filter(F.size("_t") >= 1).select(
+        "_src",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "_t", lambda x: F.struct(F.lit(0).alias("_gr"), x.alias("_g"))
+                ),
                 F.zip_with(
-                    F.slice("_t", 1, F.size("_t") - 1),
-                    F.slice("_t", 2, F.size("_t") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("_g"),
-        )
+                    F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(
+                        F.lit(1).alias("_gr"),
+                        F.concat(a, F.lit(" "), b).alias("_g"),
+                    ),
+                ),
+            )
+        ).alias("_e"),
+    ).select("_src", F.col("_e._gr").alias("_gr"), F.col("_e._g").alias("_g"))
+    per_gram = grams.groupBy("_src", "_gr", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
     )
-    bi_stats = bi.groupBy("_src").agg(
-        F.count(F.lit(1)).alias("total_bigrams"),
-        F.count_distinct("_g").alias("distinct_bigrams"),
+    stats = per_gram.groupBy("_src").agg(
+        F.sum(F.when(F.col("_gr") == 0, F.col("_c"))).alias("total_unigrams"),
+        F.count(F.when(F.col("_gr") == 0, F.lit(1))).alias(
+            "distinct_unigrams"
+        ),
+        F.sum(F.when(F.col("_gr") == 1, F.col("_c"))).alias("total_bigrams"),
+        F.count(F.when(F.col("_gr") == 1, F.lit(1))).alias(
+            "distinct_bigrams"
+        ),
     )
-    n_docs = toks.groupBy("_src").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = docs.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     return (
-        n_docs.join(uni_stats, "_src", "left")
-        .join(bi_stats, "_src", "left")
+        n_docs.join(stats, "_src", "left")
         .select(
             F.col("_src").alias("source"),
             F.col("n_docs").cast("long").alias("n_docs"),

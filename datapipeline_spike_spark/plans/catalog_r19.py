@@ -189,10 +189,13 @@ SQL_DIVERSITY = f"""
     repetition profile, this is the CORPUS-grain counterpart. Exact
     integer counts both engines; the two ratios are the only floats
     (6dp); empty/mono-token sources emit NULL ratios, never NaN
-    (ADVICE r17 guard). Scale shape: one tokenize+explode pass, two
-    source-keyed aggregates (map-side partial distinct via
-    two-level agg), no window, no join wider than source-grain. Audit:
-    clean.""",
+    (ADVICE r17 guard). Scale shape (re-shaped single-pass at this
+    registration, pre-freeze): ONE tokenize+explode pass emits
+    grain-tagged grams, ONE two-level aggregate — (source, grain,
+    gram) counts then conditional source-grain sums — so the text is
+    scanned and tokenized exactly once (the staged two-aggregate form
+    re-tokenized per grain, 2x the dominant cost); no window, no join
+    wider than the bounded source-grain assembly. Audit: clean.""",
     tags=("text", "diversity", "synthetic-data", "staged-r17-wave9"),
 )
 def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:

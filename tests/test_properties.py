@@ -1424,3 +1424,88 @@ def test_nn_descent_matches_pure_python(spark, vecs, k):
         assert r["rank"] == ranked[(i, j)], (i, j)
         assert r["cos_sim"] == pytest.approx(cos(i, j), abs=1.5e-6)
         assert r["is_mutual"] == ((j, i) in ranked), (i, j)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=8, max_size=8)
+        .filter(lambda v: any(v)),
+        min_size=2, max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+    thr_pct=st.integers(min_value=-50, max_value=100),
+)
+@PROP
+def test_knn_prune_matches_pure_python(spark, vecs, k, thr_pct):
+    """knn_prune_assignment (staged r19 wave 11) equals a pure-Python
+    replay of the whole derivation on arbitrary small vector sets:
+    the auto-plane bucketing, (cos desc, id asc) top-k, mutuality,
+    and the EXISTS-lower-mutual-similar-id prune — across thresholds
+    including degenerate ones (everything kept / everything below 1.0
+    prunable)."""
+    import math as _m
+
+    from datapipeline_spike_spark.operators.similarity import (
+        _plane,
+        knn_prune_assignment,
+    )
+
+    dim = 8
+    n = len(vecs)
+    threshold = thr_pct / 100.0
+    n_planes = min(16, max(4, _m.ceil(_m.log2(n / 64.0)) if n > 64 else 4))
+
+    def bucket(v):
+        b = 0
+        for p in range(16):
+            pl = _plane(dim, p + 1)
+            if sum(a * c for a, c in zip(v, pl)) >= 0:
+                b |= 1 << p
+        return b & ((1 << n_planes) - 1)
+
+    ids = list(range(n))
+    bk = {i: bucket(vecs[i]) for i in ids}
+
+    def cos(i, j):
+        a, b = vecs[i], vecs[j]
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    edges: dict[int, list] = {}
+    for i in ids:
+        cands = [j for j in ids if j != i and bk[i] == bk[j]]
+        cands.sort(key=lambda j: (-cos(i, j), j))
+        edges[i] = cands[:k]
+    dup_of: dict[int, int] = {}
+    best_sim: dict[int, float] = {}
+    for i in ids:
+        quals = [
+            j
+            for j in edges[i]
+            if j < i and i in edges[j] and cos(i, j) >= threshold
+        ]
+        if quals:
+            dup_of[i] = min(quals)
+            best_sim[i] = max(cos(i, j) for j in quals)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in knn_prune_assignment(
+            df, dim=dim, k=k, threshold=threshold
+        ).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        if i in dup_of:
+            assert not got[i]["kept"], i
+            assert got[i]["dup_of"] == dup_of[i], i
+            assert got[i]["best_dup_sim"] == pytest.approx(
+                best_sim[i], abs=1.5e-6
+            )
+        else:
+            assert got[i]["kept"] and got[i]["dup_of"] is None, i

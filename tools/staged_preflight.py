@@ -28,11 +28,13 @@ def main() -> int:
     import tests.test_r14_staging_wave2 as w2
     import tests.test_r17_staging as w3
     import tests.test_r18_staging as w4
+    import tests.test_r19_staging as w5
 
     w1.SF = SF_DIR
     w2.SF = SF_DIR
     w3.SF = SF_DIR
     w4.SF = SF_DIR
+    w5.SF = SF_DIR
     spark = get_session("staged-preflight", cpus=8, shuffle_partitions=8)
     cases = [
         # r15 cohort (staged r14 wave 1)
@@ -74,6 +76,9 @@ def main() -> int:
         w4.test_nn_descent_matches_duckdb,
         w4.test_char_runs_match_duckdb,
         w4.test_epoch_weights_match_duckdb,
+        # r20+ cohort (staged r19 wave 11)
+        w5.test_knn_prune_matches_duckdb,
+        w5.test_membership_triage_matches_duckdb,
     ]
     failed = []
     for t in cases:
