@@ -100,26 +100,30 @@ def _curation_stages(
     cleaned = cleaned.filter(F.length(F.col(text_col)) > 0).select(
         id_col, text_col
     )
-    stages.append(("10_paragraph_dedup", cleaned))
 
     t = tokens(text_col)
-    scored = cleaned.select(
+    # score BEFORE the floor and persist the pre-floor frame (r19):
+    # the stage-10 frame and the post-floor scored frame are now both
+    # views of ONE persisted computation, so the paragraph-dedup +
+    # tokenize + scoring subtree runs once instead of once per stage
+    # consumer (the profile's stage-10 aggregate used to re-run the
+    # whole paragraph pipeline). The extra columns on the stage-10
+    # frame are harmless: the profile aggregates (n_docs, n_tokens)
+    # and curate_corpus only consumes the LAST stage. Lifecycle:
+    # appended to ``cache_handle`` when given so the caller can
+    # unpersist exactly this frame (see module docstring);
+    # curate_corpus_scoped wraps that pattern as a context manager.
+    prefloor = cleaned.select(
         F.col(id_col),
         F.col(text_col),
         F.round(quality_score_from_tokens(t, text_col), 6).alias("quality"),
         F.size(t).alias("n_tokens"),
-    ).filter(F.col("quality") >= min_quality)
-    # three consumers below (dedup input, survivor scoring, final join)
-    # would each re-run the paragraph-dedup + scoring subtree; lazy
-    # persist computes it once — dedup_corpus's own eager materialize
-    # is the first action, so the cache fills there (spills to disk at
-    # corpus scale rather than pinning memory). Lifecycle: appended to
-    # ``cache_handle`` when given so the caller can unpersist exactly
-    # this frame (see module docstring); curate_corpus_scoped wraps
-    # that pattern as a context manager.
-    scored = scored.persist()
+    ).persist()
     if cache_handle is not None:
-        cache_handle.append(scored)
+        cache_handle.append(prefloor)
+    stages.append(("10_paragraph_dedup", prefloor))
+
+    scored = prefloor.filter(F.col("quality") >= min_quality)
     stages.append(("20_quality_floor", scored))
 
     # near-dup collapse keeping the highest-quality copy per cluster
@@ -135,11 +139,25 @@ def _curation_stages(
     )
     stages.append(("30_neardup_best_copy", survivors))
 
-    out = survivors.withColumn(text_col, redact(text_col))
+    # the redaction regex chain is the most expensive map stage in the
+    # tail, and the 40-frame has up to three consumers (the profile's
+    # stage-40 aggregate, the budget selection, the shard split) —
+    # persist so redact runs once per document, not once per consumer
+    # (r19; same lifecycle as the pre-floor frame above)
+    out = survivors.withColumn(text_col, redact(text_col)).persist()
+    if cache_handle is not None:
+        cache_handle.append(out)
     stages.append(("40_redacted", out))
 
     if token_budget is not None:
+        # the budget histogram + threshold pipeline would re-run for
+        # each consumer (the profile's stage-50 aggregate and the shard
+        # stage); the selected frame is budget-bounded — persist (r19)
         out = budget_select(out, "quality", "n_tokens", token_budget, id_col)
+        if n_shards is not None:
+            out = out.persist()
+            if cache_handle is not None:
+                cache_handle.append(out)
         stages.append(("50_budget", out))
     if n_shards is not None:
         out = deterministic_shuffle(out, id_col, n_shards, seed=seed)
@@ -249,12 +267,20 @@ def curation_profile(
                 )
             )
             continue
+        # stages 10/20/30 carry the n_tokens column computed from the
+        # SAME text the stage frame holds (paragraph-dedup output;
+        # redaction only rewrites text at stage 40) — summing it is
+        # bit-identical to re-tokenizing and skips a regex split per
+        # row per stage (r19). Stages 00/40/50 tokenize their current
+        # text: 00 has no token column, 40/50 rewrote the text.
+        if name.split("_")[0] in ("10", "20", "30"):
+            nt = F.col("n_tokens").cast("bigint")
+        else:
+            nt = F.size(tokens(text_col)).cast("bigint")
         rows.append(
             frame.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.coalesce(
-                    F.sum(F.size(tokens(text_col)).cast("bigint")), F.lit(0)
-                ).alias("n_tokens"),
+                F.coalesce(F.sum(nt), F.lit(0)).alias("n_tokens"),
             ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
         )
     out = rows[0]

@@ -598,7 +598,7 @@ def dedup_corpus(
     # big as the data every consumer actually reads
     sh = reps.select(
         F.col(id_col).alias("sid"), shingles(text_col, k=3).alias("sh")
-    ).persist()
+    ).withColumn("n_sh", F.size("sh")).persist()
     sig = minhash_signature_from_shingles(sh, "sid", "sh", n_hashes).withColumnRenamed(
         "sid", id_col
     )
@@ -606,10 +606,20 @@ def dedup_corpus(
         reps, text_col, id_col, n_hashes, band_rows, sig=sig,
         bucket_cap=lsh_bucket_cap,
     )
-    sha = sh.select(F.col("sid").alias("aid"), F.col("sh").alias("a_sh"))
-    shb = sh.select(F.col("sid").alias("bid"), F.col("sh").alias("b_sh"))
+    sha = sh.select(
+        F.col("sid").alias("aid"), F.col("sh").alias("a_sh"),
+        F.col("n_sh").alias("an"),
+    )
+    shb = sh.select(
+        F.col("sid").alias("bid"), F.col("sh").alias("b_sh"),
+        F.col("n_sh").alias("bn"),
+    )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    # shingle arrays are array_distinct sets, so |A u B| = |A| + |B| -
+    # |A n B| exactly — integer arithmetic instead of materializing a
+    # union array per verified candidate pair (r19; the prefix-filter
+    # join has used this identity since r5)
+    union = F.col("an") + F.col("bn") - inter
     edges = (
         cand.join(sha, cand["doc_id_a"] == sha["aid"])
         .join(shb, cand["doc_id_b"] == shb["bid"])
@@ -968,7 +978,10 @@ def jaccard_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    # distinct shingle sets: |A u B| = |A| + |B| - |A n B| — size()
+    # reads the array header, array_union would materialize a merged
+    # array per pair (r19)
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     return (
         joined.select(
             F.col(f"a.{id_col}").alias("doc_id_a"),
@@ -1057,10 +1070,20 @@ def build_dedup_index(
 
     base = df.select(F.col(id_col), F.col(text_col))
     fp = base.select(fingerprint_md5(text_col).alias("f"), F.col(id_col))
+    # ONE tokenize+shingle pass (r19, the staged-build shape the
+    # steady-state registry query measured 2x on): the shingle frame is
+    # materialized once and the band tier derives from it, instead of
+    # the signature pipeline re-shingling the corpus. Eager
+    # localCheckpoint = lineage-free blocks drained by
+    # cache.unpersist_all; in the streaming admission path the three
+    # index writes likewise share the one materialized scan.
+    sh = base.select(
+        F.col(id_col).alias("ex_id"), shingles(text_col, k=3).alias("ex_sh")
+    ).localCheckpoint(eager=True)
     bands = band_values(
-        minhash_signature(base, text_col, id_col, n_hashes), id_col, n_hashes, band_rows
-    ).select(F.col(id_col).alias("ex_id"), "band_idx", "band_val")
-    sh = base.select(F.col(id_col).alias("ex_id"), shingles(text_col, k=3).alias("ex_sh"))
+        minhash_signature_from_shingles(sh, "ex_id", "ex_sh", n_hashes),
+        "ex_id", n_hashes, band_rows,
+    )
     return fp, bands, sh
 
 
@@ -1119,20 +1142,27 @@ def incremental_dedup(
         .groupBy(id_col)
         .agg(F.min("_ex_id").alias("exact_match"))
     )
-    # near tier: asymmetric band join (incoming bands x stored bands)
+    # near tier: asymmetric band join (incoming bands x stored bands).
+    # The incoming shingle frame is materialized ONCE and the band
+    # derivation reads it (r19) — previously the signature pipeline and
+    # the verify side each re-shingled the batch.
+    sh_inc = inc.select(
+        F.col(id_col).alias("inc_id"), shingles(text_col, k=3).alias("inc_sh")
+    ).localCheckpoint(eager=True)
     bands_inc = band_values(
-        minhash_signature(inc, text_col, id_col, n_hashes), id_col, n_hashes, band_rows
-    ).select(F.col(id_col).alias("inc_id"), "band_idx", "band_val")
+        minhash_signature_from_shingles(sh_inc, "inc_id", "inc_sh", n_hashes),
+        "inc_id", n_hashes, band_rows,
+    )
     cand = (
         bands_inc.join(bands_ex, ["band_idx", "band_val"])
         .select("inc_id", "ex_id")
         .distinct()
     )
-    sh_inc = inc.select(
-        F.col(id_col).alias("inc_id"), shingles(text_col, k=3).alias("inc_sh")
-    )
     inter = F.size(F.array_intersect(F.col("inc_sh"), F.col("ex_sh")))
-    union = F.size(F.array_union(F.col("inc_sh"), F.col("ex_sh")))
+    # shingle arrays are distinct sets: |A u B| = |A| + |B| - |A n B| —
+    # size() reads the array header, array_union would materialize a
+    # merged array per candidate pair (r19)
+    union = F.size("inc_sh") + F.size("ex_sh") - inter
     near = (
         cand.join(sh_inc, "inc_id")
         .join(sh_ex, "ex_id")

@@ -926,16 +926,23 @@ def semdedup(
         return _typed_empty(
             corpus, id_col, "cent_id bigint, dup_of bigint, kept boolean"
         )
-    # norms at the row grain before the cluster self-join (r10): see
+    # materialize the assignment ONCE (r19): the 16-centroid argmax is
+    # an interpreted HOF over every vector, and three consumers (both
+    # self-join sides + the final left join) would each re-run it;
+    # norms are likewise computed once at the row grain (r10:
     # cosine_with_norms — bit-identical scores, 1 interpreted array
-    # fold per pair instead of 3
+    # fold per pair instead of 3). Eager localCheckpoint = lineage-free
+    # blocks, drained by cache.unpersist_all (the LSH bucket-frame
+    # convention); at 100 TB this is the (id, cent, vec, norm) frame an
+    # index build materializes anyway.
+    asg = asg.withColumn("_n", l2_norm(F.col("_v"))).localCheckpoint(eager=True)
     a = asg.select(
         F.col(id_col).alias("_ida"), "cent_id", F.col("_v").alias("_va"),
-        l2_norm(F.col("_v")).alias("_na"),
+        F.col("_n").alias("_na"),
     )
     b = asg.select(
         F.col(id_col).alias("_idb"), "cent_id", F.col("_v").alias("_vb"),
-        l2_norm(F.col("_v")).alias("_nb"),
+        F.col("_n").alias("_nb"),
     )
     dup = (
         a.join(b, "cent_id")

@@ -208,20 +208,43 @@ _SQL_LSH_CANDS = f"""
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.functions.text import shingles
+    from datapipeline_spike_spark.operators.dedup import (
+        minhash_signature_from_shingles,
+    )
 
     d = fan_out(load(spark, sf_dir, "documents"))
-    cand = lsh_candidate_pairs(d)
-    sh = d.select(F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh"))
+    # ONE shingling pass (r19): the LSH signature and BOTH verify join
+    # sides read the same materialized shingle frame — previously the
+    # tokenize+shingle HOF ran three times (inside minhash_signature
+    # and once per join side). Eager localCheckpoint = lineage-free
+    # blocks drained by cache.unpersist_all (the dedup_corpus shape).
+    sh = (
+        d.select(F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sig = minhash_signature_from_shingles(sh, "sid", "sh").withColumnRenamed(
+        "sid", "doc_id"
+    )
+    cand = lsh_candidate_pairs(d, sig=sig)
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    # shingle sets are distinct: |A u B| = |A| + |B| - |A n B| (integer
+    # arithmetic, no union array per candidate pair)
+    union = F.col("an") + F.col("bn") - inter
     jac = inter.cast("double") / union
     return (
         cand.join(
-            sh.select(F.col("sid").alias("aid"), F.col("sh").alias("a_sh")),
+            sh.select(
+                F.col("sid").alias("aid"), F.col("sh").alias("a_sh"),
+                F.col("n_sh").alias("an"),
+            ),
             cand["doc_id_a"] == F.col("aid"),
         )
         .join(
-            sh.select(F.col("sid").alias("bid"), F.col("sh").alias("b_sh")),
+            sh.select(
+                F.col("sid").alias("bid"), F.col("sh").alias("b_sh"),
+                F.col("n_sh").alias("bn"),
+            ),
             cand["doc_id_b"] == F.col("bid"),
         )
         .filter(jac >= 0.5)
@@ -1573,24 +1596,35 @@ _MH_EQ = " + ".join(
 )
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.functions.text import shingles
-    from datapipeline_spike_spark.operators.dedup import minhash_signature
+    from datapipeline_spike_spark.operators.dedup import (
+        minhash_signature_from_shingles,
+    )
 
     d = fan_out(load(spark, sf_dir, "documents"))
-    # the signature frame feeds the banding AND both agreement joins;
-    # Catalyst compiles each consumer's subtree independently (no
-    # ReusedExchange), so without the checkpoint the explode+md5 stream
-    # would run 3x. Post-groupBy the frame is ~1 row/doc — materializing
-    # it is cheap at any scale (the pre-shuffle shingle stream, by
-    # contrast, is corpus-token-sized and cheaper to recompute than to
-    # materialize, so the two exact-Jaccard sides stay lineage-backed).
-    sig = minhash_signature(d).localCheckpoint(eager=True)
+    # ONE tokenize+shingle pass (r19): the materialized shingle frame
+    # (1 row/doc, the distinct shingle arrays every consumer reads)
+    # feeds the signature derivation AND both exact-Jaccard join sides
+    # — previously the corpus was shingled three times (once inside
+    # minhash_signature, once per Jaccard side). The signature frame is
+    # checkpointed too: it feeds the banding and both agreement joins,
+    # and Catalyst compiles each consumer's subtree independently (no
+    # ReusedExchange).
+    sh = d.select(
+        F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh")
+    ).withColumn("n_sh", F.size("sh")).localCheckpoint(eager=True)
+    sig = (
+        minhash_signature_from_shingles(sh, "sid", "sh")
+        .withColumnRenamed("sid", "doc_id")
+        .localCheckpoint(eager=True)
+    )
     cand = lsh_candidate_pairs(d, sig=sig).select("doc_id_a", "doc_id_b")
-    sh = d.select(F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh"))
     agree = sum(
         (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int") for i in range(8)
     )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    # distinct shingle sets: |A u B| = |A| + |B| - |A n B| (integer
+    # arithmetic instead of a union array per candidate pair)
+    union = F.col("an") + F.col("bn") - inter
     exact = inter.cast("double") / union
     est = agree / F.lit(8.0)
     return (
@@ -1609,11 +1643,17 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand["doc_id_b"] == F.col("bid"),
         )
         .join(
-            sh.select(F.col("sid").alias("said"), F.col("sh").alias("a_sh")),
+            sh.select(
+                F.col("sid").alias("said"), F.col("sh").alias("a_sh"),
+                F.col("n_sh").alias("an"),
+            ),
             cand["doc_id_a"] == F.col("said"),
         )
         .join(
-            sh.select(F.col("sid").alias("sbid"), F.col("sh").alias("b_sh")),
+            sh.select(
+                F.col("sid").alias("sbid"), F.col("sh").alias("b_sh"),
+                F.col("n_sh").alias("bn"),
+            ),
             cand["doc_id_b"] == F.col("sbid"),
         )
         .select(
@@ -2655,7 +2695,15 @@ def _prefix_bucket_pairs(
     from pyspark.sql import Window
 
     wg = Window.partitionBy("g")
-    pm = prefix.withColumn("m", F.count(F.lit(1)).over(wg)).filter(F.col("m") > 1)
+    # the small/hot branch split consumes pm twice; materialize it so
+    # the upstream prefix pipeline (df-count join + rank window) runs
+    # once, not once per branch (r19). Prefix rows are ~n/5 of the
+    # exploded shingles — a bounded frame.
+    pm = (
+        prefix.withColumn("m", F.count(F.lit(1)).over(wg))
+        .filter(F.col("m") > 1)
+        .localCheckpoint(eager=True)
+    )
 
     ids = F.col("ids")
     small_pairs = (
@@ -2784,10 +2832,16 @@ def prefix_filter_join(d: DataFrame) -> DataFrame:
     (including the hot-bucket guard in ``_prefix_bucket_pairs``)."""
     from pyspark.sql import Window
 
+    # materialize the shingle frame ONCE (r19): three consumers — the
+    # prefix pipeline below and both verify join sides — would each
+    # re-run the tokenize+shingle HOF over the corpus. Eager
+    # localCheckpoint = lineage-free blocks drained by
+    # cache.unpersist_all (the dedup_corpus / LSH bucket-frame shape).
     s = (
         d.select("doc_id", Tx.shingles("text", k=3).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", "sh", F.size("sh").alias("n"))
+        .localCheckpoint(eager=True)
     )
     ex = s.select("doc_id", "n", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -3579,11 +3633,21 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_spike_spark.operators.dedup import (
         band_values,
-        minhash_signature,
+        minhash_signature_from_shingles,
     )
 
     d = fan_out(load(spark, sf_dir, "documents"))
-    bands = band_values(minhash_signature(d)).localCheckpoint(eager=True)
+    # ONE tokenize+shingle pass (r19): the materialized shingle frame
+    # feeds the band derivation AND both verify join sides —
+    # previously the corpus was shingled three times.
+    sh = d.select(
+        F.col("doc_id").alias("sid"), Tx.shingles("text", k=3).alias("sh")
+    ).withColumn("n_sh", F.size("sh")).localCheckpoint(eager=True)
+    bands = band_values(
+        minhash_signature_from_shingles(sh, "sid", "sh").withColumnRenamed(
+            "sid", "doc_id"
+        )
+    ).localCheckpoint(eager=True)
     corpus_b = bands.filter(F.col("doc_id") % 7 != 0)
     bench_b = (
         bands.filter(F.col("doc_id") % 7 == 0)
@@ -3601,11 +3665,17 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "benchmark_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    sh = d.select("doc_id", Tx.shingles("text", k=3).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("aid"), F.col("sh").alias("a_sh"))
-    b = sh.select(F.col("doc_id").alias("bid"), F.col("sh").alias("b_sh"))
+    a = sh.select(
+        F.col("sid").alias("aid"), F.col("sh").alias("a_sh"),
+        F.col("n_sh").alias("an"),
+    )
+    b = sh.select(
+        F.col("sid").alias("bid"), F.col("sh").alias("b_sh"),
+        F.col("n_sh").alias("bn"),
+    )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    # distinct shingle sets: |A u B| = |A| + |B| - |A n B|
+    union = F.col("an") + F.col("bn") - inter
     jac = inter.cast("double") / union
     return (
         cand.join(a, cand["doc_id"] == F.col("aid"))

@@ -112,21 +112,25 @@ def test_curate_corpus_scoped_frees_exactly_its_cache(spark):
     unrelated = spark.range(10).withColumn("v", F.col("id") * 2).persist()
     unrelated.count()
 
-    # handle path: exactly one frame is registered, cached after the
-    # action, and freed by unpersisting the handle — no clearCache()
+    # handle path: exactly the pipeline's persisted frames (the
+    # pre-floor scoring frame and the redacted 40-frame, r19) are
+    # registered, cached after the action, and freed by unpersisting
+    # the handle — no clearCache()
     handle = []
     out = curate_corpus(
         _corpus(spark), min_quality=0.35, jaccard_threshold=0.5,
         cache_handle=handle,
     )
     assert len(out.collect()) >= 3
-    assert len(handle) == 1
-    lvl = handle[0].storageLevel
-    assert lvl.useMemory or lvl.useDisk
+    assert len(handle) == 2
+    for f in handle:
+        lvl = f.storageLevel
+        assert lvl.useMemory or lvl.useDisk
     for f in handle:
         f.unpersist()
-    lvl = handle[0].storageLevel
-    assert not lvl.useMemory and not lvl.useDisk
+    for f in handle:
+        lvl = f.storageLevel
+        assert not lvl.useMemory and not lvl.useDisk
 
     # scoped form does the same automatically
     with curate_corpus_scoped(
