@@ -1314,11 +1314,19 @@ def dedup_span_removal(
         token_count(text_col).cast("long").alias("n_tokens"),
         ngrams(text_col, k=k).alias("_ngs"),
     )
-    pos = t.select(id_col, F.posexplode("_ngs").alias("pos", "ng"))
+    # shuffle the 16-byte md5 digest of each gram, not the gram string
+    # (~45 bytes for k=8 word grams): gram identity via md5 is the
+    # repo-wide fingerprint convention (fingerprint_md5), and every
+    # downstream key — the df aggregate and the hit join — only needs
+    # identity, so the posting-list shuffles move ~3x fewer bytes (r19,
+    # guide §2.3 narrower types). Output is unchanged.
+    pos = t.select(
+        id_col, F.posexplode("_ngs").alias("pos", "ng")
+    ).select(id_col, "pos", F.unhex(F.md5("ng")).alias("_h"))
     stats = (
-        pos.select(id_col, "ng")
+        pos.select(id_col, "_h")
         .distinct()
-        .groupBy("ng")
+        .groupBy("_h")
         .agg(
             F.count(F.lit(1)).alias("_df"),
             F.min(id_col).alias("_canon"),
@@ -1326,7 +1334,7 @@ def dedup_span_removal(
         .filter(F.col("_df") >= 2)
     )
     hits = (
-        pos.join(stats, "ng")
+        pos.join(stats, "_h")
         .filter(F.col(id_col) != F.col("_canon"))
         .select(id_col, "pos")
     )

@@ -694,7 +694,13 @@ def pq_adc_topk(
 
     Returns (query_id, neighbor_id, adc_fp, rank)."""
     width = dim // m
-    cents = pq_codebooks(corpus, dim, m, k_codebook, iters, id_col, vec_col)
+    # m x k_codebook rows; checkpointing collapses the fixed-point
+    # Lloyd's training chain to ONE execution — it is referenced by two
+    # broadcasts (the encode join and the ADC pair join) and would
+    # otherwise replay per reference (r19; the ivfpq_topk precedent)
+    cents = pq_codebooks(
+        corpus, dim, m, k_codebook, iters, id_col, vec_col
+    ).localCheckpoint(eager=True)
 
     def subspaces(df: DataFrame, out_id: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")

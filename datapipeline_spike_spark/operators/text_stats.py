@@ -202,8 +202,24 @@ def kneser_ney_bigram_score(
     bounded broadcast.
     """
     bg = _word_bigrams(docs, text_col, id_col)
-    doc_bg = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_n"))
-    corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("_n").alias("_c"))
+    # materialize the two count frames ONCE (r19): doc_bg feeds the
+    # corpus model AND the scoring join; corpus_bg feeds FOUR consumers
+    # (ctx, cont, the 1-row T, the scoring join). Catalyst compiles
+    # each consumer's subtree independently, so without the barriers
+    # the tokenize+bigram pipeline replayed ~5x per run. doc_bg is the
+    # (doc, bigram) count frame an n-gram LM fit materializes anyway;
+    # corpus_bg is vocabulary-bounded. Eager localCheckpoint =
+    # lineage-free blocks drained by cache.unpersist_all.
+    doc_bg = (
+        bg.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    corpus_bg = (
+        doc_bg.groupBy("w1", "w2")
+        .agg(F.sum("_n").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     ctx = corpus_bg.groupBy("w1").agg(
         F.sum("_c").alias("_ctx"),
         F.count(F.lit(1)).alias("_fanout"),  # N1+(w1 .)
