@@ -134,9 +134,17 @@ def _curation_stages(
         jaccard_threshold=jaccard_threshold,
     )
     keep = select_canonical(assign, scored, score_col="quality", id_col=id_col)
-    survivors = scored.join(
-        keep.filter(F.col(id_col) == F.col("keep_id")).select(id_col), id_col
+    # the survivor id set is consumed by every downstream stage frame
+    # (the profile's stage-30 aggregate AND the redaction branch) —
+    # checkpoint the tiny id frame once so the select_canonical joins
+    # don't replay per consumer (r19; eager localCheckpoint =
+    # lineage-free, drained by cache.unpersist_all)
+    keep_ids = (
+        keep.filter(F.col(id_col) == F.col("keep_id"))
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
+    survivors = scored.join(keep_ids, id_col)
     stages.append(("30_neardup_best_copy", survivors))
 
     # the redaction regex chain is the most expensive map stage in the

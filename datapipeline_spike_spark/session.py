@@ -49,6 +49,13 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §3.1: let the planner pick shuffled-hash over sort-merge
+        # when its size conditions hold — skips both sort passes on
+        # mid-size equi-joins (dedup assignment maps, verify joins).
+        # Physical-plan-only: results and the DuckDB oracle unchanged;
+        # AQE can still demote to SMJ, and a cluster deployment can
+        # override via extra_conf like every other setting here.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
         # timestamp type — read as long, converted in plans.registry.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
