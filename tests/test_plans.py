@@ -779,3 +779,33 @@ def test_pagerank_registered_shape(spark):
     for node in ("CartesianProduct", "BatchEvalPython",
                  "ArrowEvalPython", "MapInPandas", "Window"):
         assert node not in plan, node
+
+
+def test_lsh_verify_family_shingles_once(spark):
+    """r19 optimization pin: every MinHash-LSH verify-family query
+    materializes ONE shingle frame (eager localCheckpoint ->
+    ExistingRDD scans) and derives signatures/bands from it. The
+    regression tell is a tokenize regex-split expression rendered in
+    the FINAL plan — it means a consumer grew its own shingle pipeline
+    back (the pre-r19 shape ran it 2-3x per query: 16 renderings in
+    prefix_filter's before-plan, plans/r19/*_before.txt)."""
+    for name in (
+        "ngram_jaccard_pairs",
+        "prefix_filter_jaccard_join",
+        "minhash_jaccard_estimate",
+        "fuzzy_contamination",
+    ):
+        plan = _plan(spark, name)
+        assert "split(lower" not in plan, f"{name} re-grew a tokenize pipeline"
+        assert "ExistingRDD" in plan, f"{name} lost its materialized shingle frame"
+        # the union-size identity: no per-pair union array either
+        assert "array_union" not in plan, f"{name} re-grew array_union"
+
+
+def test_kneser_ney_counts_materialize_once(spark):
+    """r19 optimization pin: the bigram count frames are checkpointed;
+    the final plan reads ExistingRDD scans and renders no tokenize
+    split (the before-plan rendered it 10x across consumers)."""
+    plan = _plan(spark, "kneser_ney_bigram_score")
+    assert "split(lower" not in plan
+    assert "ExistingRDD" in plan
