@@ -469,9 +469,14 @@ def embedding_dedup(
     are near-dup-subgraph-sized, not corpus-sized."""
     from datapipeline_spike_spark.operators.dedup import connected_components_star
 
+    # materialize the verified edge set once (r19 — the dedup_corpus
+    # shape): the vertex derivation reads it twice (src/dst branches)
+    # and star contraction re-references it per round; without the
+    # checkpoint the whole LSH + cosine-verify pipeline replays per
+    # consumer (measured 38 jobs / 5.1 s -> see OPTIMIZATION_r19.md)
     edges = cosine_neardup_pairs(corpus, dim, threshold, n_planes, id_col, vec_col).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     edge_verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
