@@ -102,9 +102,19 @@ def pagerank(
     n = base.select(F.count(F.lit(1)).alias("_n"))
     d = float(damping)
 
-    # r0 = 1/N (the 1-row count crosses in as a broadcast-able literal
-    # frame — bounded by construction, the BNLJ_OK precedent)
-    ranks = base.crossJoin(F.broadcast(n)).select(
+    # ONE eager checkpoint of the degree-annotated vertex frame with the
+    # 1-row vertex count attached (r20, guide §2.4): the frame is STATIC
+    # across iterations and referenced by the r0 seed, every iteration's
+    # update (below), and the final output join — before the barrier,
+    # each reference re-rendered the verts-union-distinct + two degree
+    # joins (~3 exchanges) against the cached edge frame, ~6 renders per
+    # action (measured: pagerank_host_authority 42 jobs/run steady).
+    # Vertex-grain rows, the documented iterative-operator trade. The
+    # 1-row count crosses in as a broadcast (BNLJ_OK precedent).
+    base = base.crossJoin(F.broadcast(n)).localCheckpoint(eager=True)
+
+    # r0 = 1/N over the checkpointed vertex frame
+    ranks = base.select(
         "host",
         "out_degree",
         (F.lit(1.0) / F.col("_n")).alias("rank"),
@@ -125,8 +135,17 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("_share").alias("_in_mass"))
         )
+        # update left side is the STATIC checkpointed vertex frame, not
+        # ranks_k (r20): the damped update never reads the old rank
+        # directly — only contrib and dangling do — so joining base
+        # instead of ranks drops the per-iteration references to ranks_k
+        # from 3 to 2 and reads the checkpoint instead of replaying the
+        # update chain. Same rows (ranks_k is host-grain over exactly
+        # base's hosts), same float expression — and the same shape as
+        # the oracle's own update (FROM b LEFT JOIN c_i).
         ranks = (
-            ranks.join(contrib, ranks.host == contrib.dst, "left")
+            base.select("host", "out_degree", "_n")
+            .join(contrib, F.col("host") == contrib.dst, "left")
             .drop("dst")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -140,21 +159,17 @@ def pagerank(
                 "_n",
             )
             # per-iteration barrier (the r7 dual-reference lesson):
-            # iteration k+1 references ranks_k THREE times (dangling,
-            # contribution join, update left side), so an unbarriered
-            # chain recomputes ranks_k O(3^(K-k)) times — measured
-            # 7.3 s steady at sf0.01 vs ~3.1 s with a barrier. EAGER
-            # localCheckpoint (the BPE/LPA house pattern), not
-            # persist: a persist barrier nests each iteration's full
-            # cached plan inside the next (6.5 MB plan strings, 2338
-            # scan renderings at K=3), while the checkpoint truncates
-            # lineage to an ExistingRDD scan (27 KB plan). The cost is
-            # K-1 vertex-grain jobs at plan-construction time — tiny
-            # frames (the bounded host universe), the documented
-            # trade for iterative operators. The FINAL iteration's
-            # frame is referenced only once (the output join), so it
-            # skips the barrier: one less build-time job and the last
-            # update fuses into the output stage.
+            # iteration k+1 references ranks_k TWICE (dangling,
+            # contribution join), so an unbarriered chain recomputes
+            # ranks_k O(2^(K-k)) times. EAGER localCheckpoint (the
+            # BPE/LPA house pattern), not persist: a persist barrier
+            # nests each iteration's full cached plan inside the next,
+            # while the checkpoint truncates lineage to an ExistingRDD
+            # scan. The cost is K-1 vertex-grain jobs at
+            # plan-construction time — tiny frames (the bounded host
+            # universe), the documented trade for iterative operators.
+            # The FINAL iteration's frame is referenced only once (the
+            # output join), so it skips the barrier.
         )
         if _it + 1 < int(n_iter):
             ranks = ranks.localCheckpoint(eager=True)
@@ -566,9 +581,15 @@ def hits_hub_authority(
         )
     )
     n = base.select(F.count(F.lit(1)).alias("_n"))
-    hub = base.crossJoin(F.broadcast(n)).select(
-        "host", (F.lit(1.0) / F.col("_n")).alias("hub")
-    )
+    # ONE eager checkpoint of the static vertex frame (r20, guide §2.4
+    # — the pagerank posture): base is referenced by the hub seed, by
+    # every half-step's left join (6 renders at n_iter=3), and by the
+    # final output join; unbarriered, each render re-ran the
+    # verts-union-distinct + two degree joins. Measured r20 isolate:
+    # 105 -> ~30 jobs/run together with the per-half-step raw barrier
+    # below.
+    base = base.crossJoin(F.broadcast(n)).localCheckpoint(eager=True)
+    hub = base.select("host", (F.lit(1.0) / F.col("_n")).alias("hub"))
 
     def _half_step(
         scores: DataFrame, score_col: str, edge_key: str, group_key: str,
@@ -576,6 +597,17 @@ def hits_hub_authority(
     ) -> DataFrame:
         """One HITS half-step: push ``score_col`` across the edge set
         from ``edge_key`` to ``group_key``, then L1-normalize."""
+        # EAGER checkpoint of the vertex-grain raw-mass frame (r20):
+        # _raw is the half-step's dual reference — the L1 total AND the
+        # normalization join both read it, so an unbarriered _raw
+        # re-renders the edge join (and through it the whole previous
+        # half-step chain) twice per half-step, compounding across the
+        # 2*n_iter half-steps (measured 105 jobs/run at n_iter=3).
+        # With raw barriered per half-step, the r18 per-iteration hub
+        # checkpoint is redundant — every frame between barriers is now
+        # referenced at most once, so the chain replay it guarded
+        # against cannot occur (each half-step's lineage is one join +
+        # one 1-row cross over ExistingRDD scans).
         raw = (
             e.join(
                 scores.select(
@@ -586,6 +618,7 @@ def hits_hub_authority(
             )
             .groupBy(group_key)
             .agg(F.sum("_s").alias("_raw"))
+            .localCheckpoint(eager=True)
         )
         total = raw.select(
             F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot")
@@ -610,21 +643,6 @@ def hits_hub_authority(
     for _it in range(int(n_iter)):
         auth = _half_step(hub, "hub", "src", "dst", "authority")
         hub = _half_step(auth, "authority", "dst", "src", "hub")
-        # barrier all but the last iteration (the pagerank trade:
-        # vertex-grain frames, tiny build jobs vs exponential
-        # lazy-plan recompute; persist would nest cached plans).
-        # ONE checkpoint per iteration: a non-final auth_i is consumed
-        # exactly once (by hub_i's chain, which this checkpoint
-        # materializes) and never referenced again, so barriering it
-        # separately just doubled the build jobs — the dual-reference
-        # growth the barrier exists for is _raw's total/value split
-        # INSIDE a half-step (x4 per iteration between barriers,
-        # bounded). Measured r18: 4 -> 2 checkpoint jobs, 12-14 ->
-        # 9-10 s steady at sf0.1, identical output (differential
-        # green; the residual cost is half-step stage scheduling on
-        # the 64-host toy graph, which amortizes at real host counts).
-        if _it + 1 < int(n_iter):
-            hub = hub.localCheckpoint(eager=True)
     assert auth is not None
     return (
         base.join(hub, "host")
@@ -672,9 +690,11 @@ def kcore_membership(
     unrolls R rounds as a WITH chain and the differential proves
     convergence within R on the tested corpus.
 
-    Scale shape: per round TWO keyed semi-joins (edge endpoints
-    against the survivor set — vertex-grain build sides, AQE
-    broadcastable) + ONE keyed degree aggregate; survivor frames are
+    Scale shape: per round ONE keyed semi-join (the NEIGHBOR endpoint
+    against the survivor set — vertex-grain build side, AQE
+    broadcastable; the a-side join is provably redundant because
+    peeling is monotone, see the loop comment) + ONE keyed degree
+    aggregate; survivor frames are
     EAGER-localCheckpoint barriered (ITERATIVE lineage — the BPE/LPA
     truncation case, not the shared-subtree persist case) and the
     convergence check is a 1-row count per round (the
@@ -708,21 +728,26 @@ def kcore_membership(
     for _ in range(int(max_rounds)):
         if prev == 0:
             break
-        # induced degree: both endpoints must survive
-        alive = (
-            und.join(
-                survivors.select(F.col("host").alias("a")), "a"
-            )
-            .join(survivors.select(F.col("host").alias("b")), "b")
-        )
+        # induced degree: ONE semi-join on the NEIGHBOR endpoint only
+        # (r20, guide §2.4 — remove the redundant a-side join the r19
+        # form carried): peeling is monotone, so a vertex outside
+        # s_{i-1} can never re-qualify — if a was peeled at round j
+        # (|N(a) ∩ s_{j-1}| < k) then s_{i-1} ⊆ s_{j-1} gives
+        # |N(a) ∩ s_{i-1}| <= |N(a) ∩ s_{j-1}| < k, and at round 0
+        # deg(a) < k bounds the induced count the same way. Counting
+        # alive neighbors for EVERY a therefore reproduces exactly
+        # {a ∈ s_{i-1} : induced_deg >= k} — one edge-frame pass and
+        # one survivor broadcast per round instead of two.
+        alive = und.join(survivors.select(F.col("host").alias("b")), "b")
         survivors = (
             alive.groupBy("a")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") >= k)
             .select(F.col("a").alias("host"))
             # iterative barrier: round i+1 references round i through
-            # BOTH semi-joins — the dual-reference exponential class;
-            # checkpoint (lineage truncation), not persist
+            # the semi-join AND the convergence count — the
+            # dual-reference class; checkpoint (lineage truncation),
+            # not persist
             .localCheckpoint(eager=True)
         )
         n = survivors.count()

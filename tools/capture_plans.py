@@ -1,10 +1,11 @@
 """Capture .explain("formatted") for a list of queries into
-plans/r19/<query>_<tag>.txt — the optimization round's before/after
+plans/<round>/<query>_<tag>.txt — the optimization round's before/after
 plan evidence (guide §1: measure first; §7.2: read the plan).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
 Defaults to the 18 headline queries + the curation flagship when no
-names are given. Tag is e.g. "before" or "after".
+names are given. Tag is e.g. "before" or "after". The round directory
+comes from $PLANS_ROUND (default r20).
 """
 
 from __future__ import annotations
@@ -33,7 +34,11 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r19")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r20"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("capture-plans")
     for name in names:
