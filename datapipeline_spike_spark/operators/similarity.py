@@ -154,6 +154,42 @@ def _lit_double_array(vals) -> Column:
     )
 
 
+def _cmat_literal(cents) -> Column:
+    """Centroid matrix as ONE JVM-parsed literal array of
+    named_struct('cid', id, 'cvec', array<double>) — the shared home of
+    the expression ivf_topk / kmeans_assign / ivfpq_topk each built
+    inline (the r6 plan-build fix: one ``F.expr`` string, not k x dim
+    py4j ``F.lit`` calls; CAST from ``repr`` round-trips every double
+    exactly, so downstream math is bit-identical). ``cents`` is a list
+    of (cent_id, cvec) pairs."""
+    return F.expr(
+        "array(" + ", ".join(
+            "named_struct('cid', {id}L, 'cvec', array({vs}))".format(
+                id=int(c[0]),
+                vs=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c[1]),
+            )
+            for c in cents
+        ) + ")"
+    )
+
+
+def _pq_cmat_literal(cents) -> Column:
+    """Product-quantization codebook matrix as ONE JVM-parsed literal
+    array of named_struct('s', subspace, 'cid', id, 'cvec', ...) —
+    the subspace-keyed sibling of :func:`_cmat_literal`. ``cents`` is a
+    list of (s, cent_id, cvec) triples."""
+    return F.expr(
+        "array(" + ", ".join(
+            "named_struct('s', {s}, 'cid', {id}L, 'cvec', array({vs}))".format(
+                s=int(c[0]),
+                id=int(c[1]),
+                vs=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c[2]),
+            )
+            for c in cents
+        ) + ")"
+    )
+
+
 def _plane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (no numpy RNG so the test
     fixture and any SQL replay can regenerate it): values in [-1, 1)
@@ -285,18 +321,8 @@ def ivf_topk(
     # The centroid matrix is ONE F.expr string parsed JVM-side, not a
     # tree of per-component F.lit calls: building 2 x 16 x 64 literal
     # Columns through py4j cost ~4 s of DRIVER time per invocation
-    # (measured r6 — more than the query's whole execution). CAST from
-    # repr() strings round-trips every double exactly, so results are
-    # bit-identical to the literal-tree form.
-    cmat = F.expr(
-        "array(" + ", ".join(
-            "named_struct('cid', {id}L, 'cvec', array({vs}))".format(
-                id=int(c[0]),
-                vs=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c[1]),
-            )
-            for c in cents
-        ) + ")"
-    )
+    # (measured r6 — more than the query's whole execution).
+    cmat = _cmat_literal(cents)
 
     def nearest(v):  # array<struct<cos, negid>>; lexicographic max = best
         return F.array_sort(
@@ -357,7 +383,8 @@ def kmeans_quantizer(
     float-summed k-means could never hash-match a SQL replay):
     - init: the k lowest-id corpus vectors (RNG-free);
     - assign: argmax of 6dp-ROUNDED cosine with centroid-id tiebreak
-      (broadcast join of k rows against the corpus — map-only);
+      (the k centroids fold into a 1-row array broadcast-crossed into
+      the corpus; the argmax is an in-row HOF — truly map-only, r20);
     - update: component sums in FIXED-POINT — each component quantizes
       to round(x * 2^20) as int64, and integer addition is associative,
       so the per-dimension sum is identical under ANY reduction order
@@ -365,11 +392,19 @@ def kmeans_quantizer(
       rounding boundary would eventually flip); the centroid component
       is sum / (n * 2^20) — one exact division.
 
-    Scale posture: assignment is a broadcast join (no shuffle of the
-    corpus); the update shuffles (cent_id, dim) partial sums — map-side
-    combine caps the wire volume at k x dim rows per map partition,
-    independent of corpus size. Empty centroids drop out (both engines
-    drop them identically)."""
+    Scale posture (r20): assignment is a 1-row broadcast cross of the
+    folded centroid array + an in-row HOF argmax — no shuffle of the
+    corpus, no per-vector rank window (the pre-r20 join+window form
+    sort-shuffled k rows per vector per iteration); the update shuffles
+    (cent_id, dim) partial sums — map-side combine caps the wire volume
+    at k x dim rows per map partition, independent of corpus size.
+    Empty centroids drop out (both engines drop them identically).
+    (The collect-and-inline-literal variant pq_codebooks uses was
+    measured here too: k=16 x dim=64 literal arrays repeated across the
+    per-invocation plans cost ~1 s MORE at bench scale than the in-plan
+    cross — the 1024-double expression tree taxes every optimizer pass
+    — so kmeans keeps training in-plan; PQ's literals are 4x smaller
+    and measured faster. OPTIMIZATION_r20.md has both numbers.)"""
     emb = fan_out(corpus).select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -377,17 +412,33 @@ def kmeans_quantizer(
         F.col("vid").alias("cent_id"), F.col("v").alias("cvec")
     )
     for _ in range(iters):
-        scored = emb.join(F.broadcast(cents)).select(
-            "vid",
-            "v",
-            "cent_id",
-            F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("cos"),
+        # assignment is MAP-ONLY (r20, guide §2.4): the k centroids are
+        # folded into ONE 1-row array frame and broadcast-crossed in
+        # (BNLJ_OK 1-row precedent), and each vector picks its centroid
+        # with the same rounded-cosine + lowest-cent-id argmax the
+        # post-training assigners (ivf_topk / kmeans_assign / ivfpq)
+        # already use — bit-identical selection to the old broadcast
+        # join + per-vid rank window, which shuffled and sorted k rows
+        # per vector per iteration. array_max over struct(cos,
+        # -cent_id) = max cos, ties to the smallest id; NULL cos
+        # (zero-norm) structs order below non-null exactly like the
+        # window's DESC NULLS LAST.
+        cmat = cents.agg(
+            F.collect_list(F.struct("cent_id", "cvec")).alias("_cmat")
         )
-        w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cent_id"))
+        best = F.array_max(
+            F.transform(
+                F.col("_cmat"),
+                lambda c: F.struct(
+                    F.round(cosine(F.col("v"), c["cvec"]), 6).alias("cos"),
+                    (-c["cent_id"]).alias("negid"),
+                ),
+            )
+        )
         assigned = (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("vid", "v", "cent_id")
+            emb.crossJoin(F.broadcast(cmat))
+            .select("vid", "v", (-best["negid"]).alias("cent_id"))
+            .filter(F.col("cent_id").isNotNull())
         )
         fixed = assigned.select(
             "cent_id",
@@ -556,10 +607,15 @@ def pq_codebooks(
     oracle replays every number): lowest-id init, argmin of 6dp-ROUNDED
     squared-L2 with centroid-id tiebreak, fixed-point int64 component
     sums. All ``m`` subspace trainings run in ONE plan: subvectors
-    explode to (subspace, vid) rows, assignment is a broadcast join on
-    the subspace key, the update shuffles (subspace, cent, dim) partial
-    sums — map-side combined, wire volume m*k*(dim/m) rows per map
-    partition regardless of corpus size.
+    explode to (subspace, vid) rows; each iteration's m*k codebook rows
+    are collected (bounded — the documented ivf_topk index-build
+    posture) and inlined as ONE parsed literal so assignment is an
+    in-row HOF argmin, truly map-only (r20; the pre-r20 join+window
+    form sort-shuffled k rows per subvector per iteration); the update
+    shuffles (subspace, cent, dim) partial sums — map-side combined,
+    wire volume m*k*(dim/m) rows per map partition regardless of corpus
+    size. Training is EAGER (iters bounded collects at call time); the
+    returned frame is the final iteration's lazy update chain.
 
     Returns (s, cent_id, cvec, n_assigned)."""
     width = dim // m
@@ -579,20 +635,43 @@ def pq_codebooks(
             ])
         ).alias("x"),
     ).select("vid", F.col("x.s").alias("s"), F.col("x.sv").alias("v"))
-    cents = sub.filter(F.col("vid") < k).select(
-        "s", F.col("vid").alias("cent_id"), F.col("v").alias("cvec")
+    cur = sorted(
+        (
+            (r["s"], r["cent_id"], r["cvec"])
+            for r in sub.filter(F.col("vid") < k)
+            .select("s", F.col("vid").alias("cent_id"), F.col("v").alias("cvec"))
+            .collect()
+        ),
+        key=lambda r: (r[0], r[1]),
     )
-    for _ in range(iters):
-        scored = sub.join(F.broadcast(cents), "s").select(
-            "s", "vid", "v", "cent_id",
-            F.round(l2_sq(F.col("v"), F.col("cvec")), 6).alias("dist"),
+    # typed-empty result for the no-init-vectors corpus
+    cents = sub.limit(0).select(
+        "s",
+        F.col("vid").alias("cent_id"),
+        F.col("v").alias("cvec"),
+        F.lit(0).cast("long").alias("n_assigned"),
+    )
+    for _it in range(iters):
+        if not cur:
+            break
+        # assignment is MAP-ONLY (the kmeans_quantizer posture): each
+        # (subspace, vector) row argmins 6dp-rounded squared-L2 over
+        # ITS subspace's literal centroids in-row — bit-identical
+        # selection to the pre-r20 broadcast join + (s, vid) rank
+        # window.
+        cmat = _pq_cmat_literal(cur)
+        best = F.array_min(
+            F.transform(
+                F.filter(cmat, lambda c: c["s"] == F.col("s")),
+                lambda c: F.struct(
+                    F.round(l2_sq(F.col("v"), c["cvec"]), 6).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
-        w = Window.partitionBy("s", "vid").orderBy("dist", "cent_id")
-        assigned = (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("s", "vid", "v", "cent_id")
-        )
+        assigned = sub.select(
+            "s", "vid", "v", best["cid"].alias("cent_id")
+        ).filter(F.col("cent_id").isNotNull())
         fixed = assigned.select(
             "s", "cent_id",
             F.posexplode(
@@ -609,6 +688,13 @@ def pq_codebooks(
             ).alias("cvec"),
             F.max("n").alias("n_assigned"),
         )
+        # the next iteration's literal (bounded m*k-row collect); the
+        # FINAL iteration's frame stays lazy for its consumer
+        if _it + 1 < iters:
+            cur = sorted(
+                ((r["s"], r["cent_id"], r["cvec"]) for r in cents.collect()),
+                key=lambda r: (r[0], r[1]),
+            )
     return cents
 
 
@@ -645,18 +731,40 @@ def pq_distortion_profile(
             ])
         ).alias("x"),
     ).select("vid", F.col("x.s").alias("s"), F.col("x.sv").alias("v"))
-    scored = sub.join(F.broadcast(cents), "s").select(
-        "s", "vid", "cent_id",
-        F.round(l2_sq(F.col("v"), F.col("cvec")), 6).alias("dist"),
+    # encode pass: MAP-ONLY in-row HOF argmin over the trained codebook
+    # inlined as ONE parsed literal (r20; bounded m*k-row collect, the
+    # ivf_topk index-build posture) — the old broadcast join + (s, vid)
+    # rank window sort-shuffled k rows per subvector just to pick the
+    # argmin, and a 1-row-cross variant would add a BNLJ node for the
+    # same values
+    trained = sorted(
+        ((r["s"], r["cent_id"], r["cvec"]) for r in cents.collect()),
+        key=lambda r: (r[0], r[1]),
     )
-    w = Window.partitionBy("s", "vid").orderBy("dist", "cent_id")
-    coded = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select(
-            "s", "cent_id",
-            F.round(F.col("dist") * 1_000_000).cast("bigint").alias("err_fp"),
+    if not trained:
+        return sub.limit(0).select(
+            "s",
+            F.col("vid").alias("cent_id"),
+            F.lit(0).cast("bigint").alias("n_assigned"),
+            F.lit(0.0).alias("avg_sq_error"),
         )
+    cmat = _pq_cmat_literal(trained)
+    best = F.array_min(
+        F.transform(
+            F.filter(cmat, lambda c: c["s"] == F.col("s")),
+            lambda c: F.struct(
+                F.round(l2_sq(F.col("v"), c["cvec"]), 6).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    coded = (
+        sub.select(
+            "s",
+            best["cid"].alias("cent_id"),
+            F.round(best["dist"] * 1_000_000).cast("bigint").alias("err_fp"),
+        )
+        .filter(F.col("cent_id").isNotNull())
     )
     return coded.groupBy("s", "cent_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
@@ -687,10 +795,10 @@ def pq_adc_topk(
     Plan shape (all deterministic, SQL-replayable):
     - codebooks: :func:`pq_codebooks` (fixed-point Lloyd's);
     - encode: per (subspace, vector) argmin of 6dp-rounded squared-L2,
-      via a broadcast join + ``min_by`` hash aggregate — partial
-      aggregation collapses to one row per (s, vid) MAP-SIDE, so the
-      only wire traffic is the m-codes-per-vector stream (a window-rank
-      formulation would sort-shuffle every scored row);
+      via a 1-row broadcast cross of the codebook array + an in-row HOF
+      argmin (r20) — map-only, no shuffle at all (the earlier min_by
+      hash aggregate still exchanged one row per (s, vid); a
+      window-rank formulation would sort-shuffle every scored row);
     - ADC: codes join the 32-row broadcast codebook for centroid
       vectors, then the broadcast query subvectors; per-subspace
       distances are 6dp-rounded then fixed-pointed to int64 micro-units
@@ -723,12 +831,25 @@ def pq_adc_topk(
         ).select(out_id, F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
 
     sub = subspaces(fan_out(corpus), "nid")
-    scored = sub.join(F.broadcast(cents), "s").select(
-        "nid", "s", "cent_id",
-        F.round(l2_sq(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+    # encode: map-only 1-row-cross + in-row HOF argmin (r20) — the
+    # min_by hash aggregate still exchanged one row per (nid, s); the
+    # HOF picks the same (dist, cent_id) minimum with no shuffle at all
+    enc_cmat = cents.agg(
+        F.collect_list(F.struct("s", "cent_id", "cvec")).alias("_cmat")
     )
-    codes = scored.groupBy("nid", "s").agg(
-        F.min_by("cent_id", F.struct("dist", "cent_id")).alias("cent_id")
+    enc_best = F.array_min(
+        F.transform(
+            F.filter(F.col("_cmat"), lambda c: c["s"] == F.col("s")),
+            lambda c: F.struct(
+                F.round(l2_sq(F.col("sv"), c["cvec"]), 6).alias("dist"),
+                c["cent_id"].alias("cid"),
+            ),
+        )
+    )
+    codes = (
+        sub.crossJoin(F.broadcast(enc_cmat))
+        .select("nid", "s", enc_best["cid"].alias("cent_id"))
+        .filter(F.col("cent_id").isNotNull())
     )
     qsub = subspaces(queries, "query_id").select(
         "query_id", "s", F.col("sv").alias("qv")
@@ -873,15 +994,7 @@ def kmeans_assign(
     )
     if not cents:
         return None
-    cmat = F.expr(
-        "array(" + ", ".join(
-            "named_struct('cid', {id}L, 'cvec', array({vs}))".format(
-                id=int(c[0]),
-                vs=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c[1]),
-            )
-            for c in cents
-        ) + ")"
-    )
+    cmat = _cmat_literal(cents)
     cv = F.col(vec_col).cast("array<double>")
     nearest = F.array_sort(
         F.transform(
@@ -1468,7 +1581,8 @@ def ivfpq_topk(
     squared L2 with centroid-id tiebreak; residuals are exact
     elementwise doubles; PQ codebooks train on residuals with the
     fixed-point Lloyd's machinery (:func:`pq_codebooks`); encode =
-    per (subspace, vector) ``min_by`` argmin; ADC distances 6dp-rounded
+    per (subspace, vector) in-row HOF argmin over the 1-row-crossed
+    codebook array (map-only, r20); ADC distances 6dp-rounded
     then int64 fixed-pointed so the cross-subspace sum is reduction-
     order-insensitive; final rank ascending (adc_fp, neighbor_id).
 
@@ -1490,15 +1604,7 @@ def ivfpq_topk(
     )
     n_probe = min(n_probe, len(cents))
     # one JVM-parsed literal (the r6 plan-build lesson)
-    cmat = F.expr(
-        "array(" + ", ".join(
-            "named_struct('cid', {id}L, 'cvec', array({vs}))".format(
-                id=int(c[0]),
-                vs=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c[1]),
-            )
-            for c in cents
-        ) + ")"
-    )
+    cmat = _cmat_literal(cents)
 
     def scored_cents(v):
         # struct comparison is lexicographic: (dist, cid) decides before
@@ -1544,12 +1650,25 @@ def ivfpq_topk(
             ])
         ).alias("x"),
     ).select("vid", "list_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
-    scored = sub.join(F.broadcast(cb), "s").select(
-        "vid", "list_id", "s", "cent_id",
-        F.round(l2_sq(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+    # encode: map-only 1-row-cross + in-row HOF argmin (r20) — the
+    # min_by hash aggregate still exchanged one row per (vid, s); the
+    # HOF picks the same (dist, cent_id) minimum with no shuffle at all
+    enc_cmat = cb.agg(
+        F.collect_list(F.struct("s", "cent_id", "cvec")).alias("_cmat")
     )
-    codes = scored.groupBy("vid", "list_id", "s").agg(
-        F.min_by("cent_id", F.struct("dist", "cent_id")).alias("cent_id")
+    enc_best = F.array_min(
+        F.transform(
+            F.filter(F.col("_cmat"), lambda c: c["s"] == F.col("s")),
+            lambda c: F.struct(
+                F.round(l2_sq(F.col("sv"), c["cvec"]), 6).alias("dist"),
+                c["cent_id"].alias("cid"),
+            ),
+        )
+    )
+    codes = (
+        sub.crossJoin(F.broadcast(enc_cmat))
+        .select("vid", "list_id", "s", enc_best["cid"].alias("cent_id"))
+        .filter(F.col("cent_id").isNotNull())
     )
 
     qv = F.col(vec_col).cast("array<double>")
