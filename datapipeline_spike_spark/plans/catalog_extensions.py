@@ -2244,22 +2244,49 @@ def q_decontamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.explode(Tx.shingles("text", k=_CONTAM_K)).alias("ng"))
         .distinct()
     )
+    # materialize the matched (doc_id, pos) pairs ONCE (r20, the r19
+    # shared-pass class): the frame is tiny (contaminated positions
+    # only) but its producer — tokenize + positional explode + the
+    # broadcast bench join over the whole corpus — was re-rendered by
+    # BOTH consumers (the covered-position count and the flagged-ngram
+    # count; Catalyst does no CSE across aggregate branches). Eager
+    # localCheckpoint = lineage-free blocks drained by
+    # cache.unpersist_all (the LSH shingle-frame convention).
     hits = (
         corpus.select("doc_id", F.posexplode("ngs").alias("pos", "ng"))
         .join(F.broadcast(bench), "ng")
         .select("doc_id", "pos")
+        .localCheckpoint(eager=True)
     )
-    cov = hits.select(
-        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + _CONTAM_K - 1)).alias("cp")
-    ).distinct()
-    agg = (
-        cov.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_removed"))
-        .join(
-            hits.groupBy("doc_id").agg(
-                F.count_distinct("pos").alias("n_flagged_ngrams")
+    # ONE aggregate replaces explode(sequence)+distinct+count, the
+    # separate count_distinct aggregate, and the join between them
+    # (r20, guide §2.3/§2.4): over the sorted DISTINCT hit positions
+    # p_1 < ... < p_m, the union of the covered intervals
+    # [p_i, p_i+K-1] has exactly sum_i min(p_{i+1}-p_i, K) + K
+    # positions — each hit contributes the positions before the next
+    # interval starts (capped at K), the last contributes K. Integer
+    # arithmetic, identical to counting the exploded distinct cover
+    # positions (the oracle still counts them explicitly).
+    _ps = F.col("_ps")
+    covered = (
+        F.aggregate(
+            F.zip_with(
+                F.slice(_ps, 1, F.size(_ps) - 1),
+                F.slice(_ps, 2, F.size(_ps) - 1),
+                lambda a, b: F.least(b - a, F.lit(_CONTAM_K)),
             ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        + F.lit(_CONTAM_K)
+    )
+    agg = (
+        hits.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("_ps"))
+        .select(
             "doc_id",
+            covered.alias("n_removed"),
+            F.size("_ps").alias("n_flagged_ngrams"),
         )
     )
     return (
@@ -2355,16 +2382,27 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = kg.select(
         "doc_id", "n_kgrams", "pos", F.min("h").over(w).alias("fp")
     ).filter(F.col("pos") <= F.col("n_kgrams") - _WINNOW_W)
-    return sel.groupBy("doc_id", "n_kgrams").agg(
-        F.count_distinct("fp").alias("n_fingerprints"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_set("fp")), lambda x: x.cast("string")
-                ),
-            )
-        ).alias("fp_digest"),
+    # ONE collect_set aggregate feeds both outputs (r20): the previous
+    # count_distinct + collect_set pair planned the 4-level distinct-
+    # aggregate stack (partial/final x merge-distinct) — deriving the
+    # count as size() of the already-needed sorted distinct set halves
+    # the aggregate passes; values identical (count(DISTINCT fp) ==
+    # size(collect_set(fp)) by definition). The aggregate reuses the
+    # window's hashpartitioning(doc_id) — no extra exchange.
+    return (
+        sel.groupBy("doc_id", "n_kgrams")
+        .agg(F.array_sort(F.collect_set("fp")).alias("_fps"))
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("_fps").cast("long").alias("n_fingerprints"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(F.col("_fps"), lambda x: x.cast("string")),
+                )
+            ).alias("fp_digest"),
+        )
     )
 
 
