@@ -64,7 +64,57 @@ from __future__ import annotations
 from contextlib import contextmanager
 from typing import Iterator
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def materialize_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Config-gated materialization barrier for shared-subtree and
+    iterative frames (r20, VERDICT r19 item 3: the eager-localCheckpoint
+    house pattern is a LOCAL-MODE assumption — lineage is truncated, so
+    at cluster scale an executor loss after the barrier kills the job
+    with no recompute path). Every operator barrier routes through
+    here; the session conf ``spark.datapipeline.materialize`` picks the
+    implementation:
+
+    - ``localCheckpoint`` (default): executor-local checkpoint blocks —
+      the cheapest barrier, right for ``local[*]`` runs and bounded
+      batch jobs (bench.py's posture). NOT fault-tolerant: blocks are
+      the only copy.
+    - ``persist``: ``MEMORY_AND_DISK`` persist — cluster-safe (an
+      executor loss recomputes from lineage), shares one
+      materialization across consumers exactly like the checkpoint.
+      Lineage is kept, so very deep iterative chains pay plan-size
+      growth (the r7 lesson) — prefer ``checkpoint`` for those.
+    - ``checkpoint``: reliable ``DataFrame.checkpoint`` — cluster-safe
+      AND lineage-truncating; requires
+      ``spark.sparkContext.setCheckpointDir`` (HDFS/object store) to
+      have been called, the standard cluster deployment step.
+
+    The default keeps local plans and bench numbers bit-identical to
+    the pre-policy code (``transform(materialize_barrier)`` is exactly
+    ``localCheckpoint(eager=True)``); a cluster deployment flips ONE
+    conf instead of auditing ~40 call sites. Frames pinned by any mode
+    are drained by :func:`unpersist_all` between jobs (checkpoint-mode
+    files are reclaimed at checkpoint-dir cleanup)."""
+    mode = df.sparkSession.conf.get(
+        "spark.datapipeline.materialize", "localCheckpoint"
+    )
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    if mode == "checkpoint":
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def lazy_barrier(df: DataFrame) -> DataFrame:
+    """:func:`materialize_barrier` with ``eager=False`` in a
+    ``DataFrame.transform``-friendly single-argument form."""
+    return materialize_barrier(df, eager=False)
 
 
 def _persistent_rdd_ids(spark: SparkSession) -> set[int]:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datapipeline_spike_spark.cache import materialize_barrier
 from datapipeline_spike_spark.functions.text import tokens
 
 
@@ -126,7 +127,7 @@ def _train(
             "w", "f", _merge_fold(F.col("s"), F.col("p1"), F.col("p2")).alias("s")
         )
         if n_merges > lazy_rounds and step < n_merges:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(materialize_barrier)
     return steps, cur
 
 

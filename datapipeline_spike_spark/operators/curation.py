@@ -51,6 +51,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datapipeline_spike_spark.cache import materialize_barrier
 from datapipeline_spike_spark.functions.text import (
     quality_score_from_tokens,
     tokens,
@@ -142,7 +143,7 @@ def _curation_stages(
     keep_ids = (
         keep.filter(F.col(id_col) == F.col("keep_id"))
         .select(id_col)
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     survivors = scored.join(keep_ids, id_col)
     stages.append(("30_neardup_best_copy", survivors))

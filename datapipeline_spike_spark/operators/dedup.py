@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datapipeline_spike_spark.cache import materialize_barrier
 from datapipeline_spike_spark.functions.text import fingerprint_md5, shingles
 from datapipeline_spike_spark.scale import fan_out
 
@@ -223,7 +224,7 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") > 1)
     )
     buckets = (
-        buckets.localCheckpoint(eager=True) if materialize else buckets.persist()
+        buckets.transform(materialize_barrier) if materialize else buckets.persist()
     )
     ids = F.col("ids")
     pair_structs = F.flatten(
@@ -325,11 +326,11 @@ def connected_components(
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     # Structural fixed-point probe: labels only ever decrease, so the
     # label assignment changed iff any (id, comp) pair changed — detected
     # by an order-insensitive xxhash64 xor-fold over the checkpointed
@@ -353,7 +354,7 @@ def connected_components(
         )
         labels = (
             labels.unionByName(neigh).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize_barrier)
         new_digest = _label_digest(labels)
         if new_digest == digest:
             return labels
@@ -396,7 +397,7 @@ def connected_components_star(
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .filter(u != v)
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     from pyspark.sql import Window
 
@@ -422,7 +423,7 @@ def connected_components_star(
         und = (
             ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize_barrier)
         )
         # small-star: orient toward the larger endpoint; the larger node
         # and its smaller neighbors all hook to the neighborhood minimum
@@ -441,7 +442,7 @@ def connected_components_star(
         und = (
             ss.union(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize_barrier)
         )
         nd = digest(und)
         if nd == d:
@@ -584,7 +585,7 @@ def dedup_corpus(
         F.min(id_col)
         .over(Window.partitionBy(fingerprint_md5(text_col)))
         .alias("exact_rep"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     # three consumers (LSH candidates, shingle verification, component
     # vertices) — persist so the scan+fingerprint+join runs once; spills
     # to disk rather than pinning memory at corpus scale
@@ -635,7 +636,7 @@ def dedup_corpus(
         # materialize the verified edges once; the count is then a
         # metadata-cheap job and every component algorithm reuses the
         # checkpointed rows instead of re-running LSH + verification
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.transform(materialize_barrier)
         component_algorithm = (
             "driver" if edges.count() <= max_driver_edges else "star"
         )
@@ -874,7 +875,7 @@ def simhash_neardup_pairs(
     sized = chunks.withColumn(
         "m", F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
     )
-    sized = sized.localCheckpoint(eager=True) if materialize else sized.persist()
+    sized = sized.transform(materialize_barrier) if materialize else sized.persist()
 
     def _ham(lhs: str, rhs: str) -> Column:
         return F.aggregate(
@@ -1079,7 +1080,7 @@ def build_dedup_index(
     # index writes likewise share the one materialized scan.
     sh = base.select(
         F.col(id_col).alias("ex_id"), shingles(text_col, k=3).alias("ex_sh")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     bands = band_values(
         minhash_signature_from_shingles(sh, "ex_id", "ex_sh", n_hashes),
         "ex_id", n_hashes, band_rows,
@@ -1148,7 +1149,7 @@ def incremental_dedup(
     # the verify side each re-shingled the batch.
     sh_inc = inc.select(
         F.col(id_col).alias("inc_id"), shingles(text_col, k=3).alias("inc_sh")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     bands_inc = band_values(
         minhash_signature_from_shingles(sh_inc, "inc_id", "inc_sh", n_hashes),
         "inc_id", n_hashes, band_rows,

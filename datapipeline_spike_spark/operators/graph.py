@@ -34,6 +34,7 @@ per-iteration cost is a single pass over the edge list.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from datapipeline_spike_spark.cache import materialize_barrier
 from pyspark.sql import functions as F
 
 R = 6
@@ -111,7 +112,7 @@ def pagerank(
     # action (measured: pagerank_host_authority 42 jobs/run steady).
     # Vertex-grain rows, the documented iterative-operator trade. The
     # 1-row count crosses in as a broadcast (BNLJ_OK precedent).
-    base = base.crossJoin(F.broadcast(n)).localCheckpoint(eager=True)
+    base = base.crossJoin(F.broadcast(n)).transform(materialize_barrier)
 
     # r0 = 1/N over the checkpointed vertex frame
     ranks = base.select(
@@ -172,7 +173,7 @@ def pagerank(
             # output join), so it skips the barrier.
         )
         if _it + 1 < int(n_iter):
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(materialize_barrier)
     return (
         base.select("host", "in_degree")
         .join(ranks.select("host", "out_degree", "rank"), "host")
@@ -588,7 +589,7 @@ def hits_hub_authority(
     # verts-union-distinct + two degree joins. Measured r20 isolate:
     # 105 -> ~30 jobs/run together with the per-half-step raw barrier
     # below.
-    base = base.crossJoin(F.broadcast(n)).localCheckpoint(eager=True)
+    base = base.crossJoin(F.broadcast(n)).transform(materialize_barrier)
     hub = base.select("host", (F.lit(1.0) / F.col("_n")).alias("hub"))
 
     def _half_step(
@@ -618,7 +619,7 @@ def hits_hub_authority(
             )
             .groupBy(group_key)
             .agg(F.sum("_s").alias("_raw"))
-            .localCheckpoint(eager=True)
+            .transform(materialize_barrier)
         )
         total = raw.select(
             F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot")
@@ -723,7 +724,7 @@ def kcore_membership(
     survivors = deg0.filter(F.col("degree") >= k).select(
         F.col("a").alias("host")
     )
-    survivors = survivors.localCheckpoint(eager=True)
+    survivors = survivors.transform(materialize_barrier)
     prev = survivors.count()
     for _ in range(int(max_rounds)):
         if prev == 0:
@@ -748,7 +749,7 @@ def kcore_membership(
             # the semi-join AND the convergence count — the
             # dual-reference class; checkpoint (lineage truncation),
             # not persist
-            .localCheckpoint(eager=True)
+            .transform(materialize_barrier)
         )
         n = survivors.count()
         if n == prev:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datapipeline_spike_spark.cache import materialize_barrier, lazy_barrier
 from datapipeline_spike_spark.functions.vectors import (
     cosine,
     cosine_with_norms,
@@ -527,7 +528,7 @@ def embedding_dedup(
     # consumer (measured 38 jobs / 5.1 s -> see OPTIMIZATION_r19.md)
     edges = cosine_neardup_pairs(corpus, dim, threshold, n_planes, id_col, vec_col).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     edge_verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -813,7 +814,7 @@ def pq_adc_topk(
     # otherwise replay per reference (r19; the ivfpq_topk precedent)
     cents = pq_codebooks(
         corpus, dim, m, k_codebook, iters, id_col, vec_col
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
 
     def subspaces(df: DataFrame, out_id: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
@@ -1059,7 +1060,7 @@ def semdedup(
     # blocks, drained by cache.unpersist_all (the LSH bucket-frame
     # convention); at 100 TB this is the (id, cent, vec, norm) frame an
     # index build materializes anyway.
-    asg = asg.withColumn("_n", l2_norm(F.col("_v"))).localCheckpoint(eager=True)
+    asg = asg.withColumn("_n", l2_norm(F.col("_v"))).transform(materialize_barrier)
     a = asg.select(
         F.col(id_col).alias("_ida"), "cent_id", F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
@@ -1629,14 +1630,14 @@ def ivfpq_topk(
         F.col(id_col).alias("vid"),
         best["cid"].alias("list_id"),
         F.zip_with(v, best["cvec"], lambda a, b: a - b).alias("rv"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     # m x k_codebook rows; checkpointing collapses the whole fixed-point
     # training chain to one execution (it is otherwise replayed per use:
     # the encode join AND the ADC pair join)
     cb = pq_codebooks(
         resid.select(F.col("vid").alias(id_col), F.col("rv").alias(vec_col)),
         dim, m, k_codebook, iters, id_col, vec_col,
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     sub = resid.select(
         "vid",
         "list_id",
@@ -1754,7 +1755,7 @@ def matryoshka_recall(
     full = (
         brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .transform(lazy_barrier)
     )
     out: DataFrame | None = None
     for m in dims:
@@ -2108,7 +2109,7 @@ def nn_descent_refine(
         F.col("_n").alias("_bn"),
     )
     for _ in range(rounds):
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.transform(materialize_barrier)
         und = edges.select(
             F.col("src_id").alias("_node"), F.col("dst_id").alias("_nb")
         ).unionByName(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datapipeline_spike_spark.cache import materialize_barrier
 from datapipeline_spike_spark.functions.text import ngrams, tokens
 from datapipeline_spike_spark.scale import fan_out
 
@@ -213,12 +214,12 @@ def kneser_ney_bigram_score(
     doc_bg = (
         bg.groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     corpus_bg = (
         doc_bg.groupBy("w1", "w2")
         .agg(F.sum("_n").alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     ctx = corpus_bg.groupBy("w1").agg(
         F.sum("_c").alias("_ctx"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datapipeline_spike_spark.cache import materialize_barrier
 from datapipeline_spike_spark.functions import text as Tx
 from datapipeline_spike_spark.operators.dedup import (
     exact_dedup,
@@ -221,7 +222,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select(F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     sig = minhash_signature_from_shingles(sh, "sid", "sh").withColumnRenamed(
         "sid", "doc_id"
@@ -1611,11 +1612,11 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReusedExchange).
     sh = d.select(
         F.col("doc_id").alias("sid"), shingles("text", k=3).alias("sh")
-    ).withColumn("n_sh", F.size("sh")).localCheckpoint(eager=True)
+    ).withColumn("n_sh", F.size("sh")).transform(materialize_barrier)
     sig = (
         minhash_signature_from_shingles(sh, "sid", "sh")
         .withColumnRenamed("sid", "doc_id")
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     cand = lsh_candidate_pairs(d, sig=sig).select("doc_id_a", "doc_id_b")
     agree = sum(
@@ -2256,7 +2257,7 @@ def q_decontamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFram
         corpus.select("doc_id", F.posexplode("ngs").alias("pos", "ng"))
         .join(F.broadcast(bench), "ng")
         .select("doc_id", "pos")
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     # ONE aggregate replaces explode(sequence)+distinct+count, the
     # separate count_distinct aggregate, and the join between them
@@ -2740,7 +2741,7 @@ def _prefix_bucket_pairs(
     pm = (
         prefix.withColumn("m", F.count(F.lit(1)).over(wg))
         .filter(F.col("m") > 1)
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
 
     ids = F.col("ids")
@@ -2879,7 +2880,7 @@ def prefix_filter_join(d: DataFrame) -> DataFrame:
         d.select("doc_id", Tx.shingles("text", k=3).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", "sh", F.size("sh").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(materialize_barrier)
     )
     ex = s.select("doc_id", "n", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -3015,7 +3016,7 @@ def bm25_ranked_retrieval(d: DataFrame) -> DataFrame:
     # runs once, not per branch
     base = toks.select(
         "doc_id", F.size("toks").alias("dl"), *tf_cols
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
@@ -3680,12 +3681,12 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previously the corpus was shingled three times.
     sh = d.select(
         F.col("doc_id").alias("sid"), Tx.shingles("text", k=3).alias("sh")
-    ).withColumn("n_sh", F.size("sh")).localCheckpoint(eager=True)
+    ).withColumn("n_sh", F.size("sh")).transform(materialize_barrier)
     bands = band_values(
         minhash_signature_from_shingles(sh, "sid", "sh").withColumnRenamed(
             "sid", "doc_id"
         )
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_barrier)
     corpus_b = bands.filter(F.col("doc_id") % 7 != 0)
     bench_b = (
         bands.filter(F.col("doc_id") % 7 == 0)

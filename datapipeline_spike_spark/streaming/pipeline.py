@@ -18,6 +18,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datapipeline_spike_spark.cache import materialize_barrier
 from datapipeline_spike_spark.functions import features as feat
 
 WATERMARK = "2 minutes"  # ST2: 2x the 1-minute feature window (SURVEY §2.9)
@@ -381,11 +382,11 @@ def ingest_with_dedup(
             )
         # one classification per batch: the six sinks below must not
         # re-execute the index joins
-        verdict = verdict.localCheckpoint(eager=True)
+        verdict = verdict.transform(materialize_barrier)
 
         admitted = batch_df.join(
             verdict.filter(F.col("status") == "new").select(id_col), id_col
-        ).localCheckpoint(eager=True)
+        ).transform(materialize_barrier)
         rep_rejected = batch_df.join(
             verdict.filter(F.col("status") != "new"), id_col
         ).select(id_col, text_col, "status", "match_id")
