@@ -133,7 +133,19 @@ def quality_score_from_tokens(t: Column, c: Column | str) -> Column:
 def fingerprint_md5(c: Column | str) -> Column:
     """Deterministic document fingerprint = md5 of the normalized text.
     md5 yields identical lowercase hex in Spark and DuckDB, making exact
-    dedup oracle-checkable."""
+    dedup oracle-checkable.
+
+    Shared assumption (ADVICE r19, repo-wide convention): every md5
+    identity key in the engine — this fingerprint, the span-removal
+    posting digests (``dedup.dedup_span_removal``), the paragraph
+    fingerprints — treats 128 bits as collision-free, which is true for
+    RANDOM collisions at any corpus size (2^64 birthday bound) but not
+    against ADVERSARIALLY crafted inputs (md5 is collision-broken: an
+    attacker can construct two texts with one digest and merge their
+    dedup identities). Adversarial dedup-poisoning is out of scope for
+    this engine; a deployment that must resist it swaps this one
+    function (and the posting-key expression) to sha2-256-truncated or
+    xxhash64-pair digests — both engines support each."""
     return F.md5(normalize_text(c))
 
 

@@ -51,7 +51,6 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datapipeline_spike_spark.cache import materialize_barrier
 from datapipeline_spike_spark.functions.text import (
     quality_score_from_tokens,
     tokens,
@@ -137,14 +136,23 @@ def _curation_stages(
     keep = select_canonical(assign, scored, score_col="quality", id_col=id_col)
     # the survivor id set is consumed by every downstream stage frame
     # (the profile's stage-30 aggregate AND the redaction branch) —
-    # checkpoint the tiny id frame once so the select_canonical joins
-    # don't replay per consumer (r19; eager localCheckpoint =
-    # lineage-free, drained by cache.unpersist_all)
+    # pin the tiny id frame once so the select_canonical joins don't
+    # replay per consumer. persist(), not the r19 eager localCheckpoint
+    # (ADVICE r19: the checkpoint's blocks were pinned OUTSIDE
+    # cache_handle — DataFrame.unpersist cannot release checkpoint
+    # blocks, so curate_corpus_scoped's 'nothing leaks' contract was
+    # quietly false until a session-wide drain). persist registers in
+    # the handle like the other two frames, shares one materialization
+    # across consumers the same way, stays recomputable, and its plan
+    # is shallow anyway (dedup_corpus's internals are barrier-
+    # truncated), so the checkpoint's plan-size argument doesn't apply.
     keep_ids = (
         keep.filter(F.col(id_col) == F.col("keep_id"))
         .select(id_col)
-        .transform(materialize_barrier)
+        .persist()
     )
+    if cache_handle is not None:
+        cache_handle.append(keep_ids)
     survivors = scored.join(keep_ids, id_col)
     stages.append(("30_neardup_best_copy", survivors))
 
@@ -214,10 +222,12 @@ def curate_corpus(
 @contextmanager
 def curate_corpus_scoped(df: DataFrame, **kwargs):
     """``with curate_corpus_scoped(df, ...) as out:`` — consume ``out``
-    (collect/write) INSIDE the block; the internal persisted scoring
-    frame is unpersisted on exit, so nothing leaks into the session
-    cache and no other cache is touched. Using the lazy ``out`` after
-    the block still works but recomputes the scoring subtree."""
+    (collect/write) INSIDE the block; every internal pinned frame (the
+    persisted scoring/redact frames AND the survivor-id frame — ADVICE
+    r19 closed: all three ride the handle now, none is a checkpoint)
+    is unpersisted on exit, so nothing leaks into the session cache and
+    no other cache is touched. Using the lazy ``out`` after the block
+    still works but recomputes the scoring subtree."""
     if "cache_handle" in kwargs:
         # forwarding it verbatim would collide with the internal handle
         # below (duplicate keyword); callers who want to own the

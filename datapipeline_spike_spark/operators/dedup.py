@@ -1078,7 +1078,12 @@ def build_dedup_index(
     # localCheckpoint = lineage-free blocks drained by
     # cache.unpersist_all; in the streaming admission path the three
     # index writes likewise share the one materialized scan.
-    sh = base.select(
+    # fan_out BEFORE the CPU-heavy shingle pass (ADVICE r19: the r19
+    # shared-pass refactor dropped the fan_out minhash_signature had
+    # applied, so an under-split input ran tokenize+shingle on very few
+    # tasks AND pinned that layout into the materialized frame for all
+    # downstream consumers)
+    sh = fan_out(base).select(
         F.col(id_col).alias("ex_id"), shingles(text_col, k=3).alias("ex_sh")
     ).transform(materialize_barrier)
     bands = band_values(
@@ -1147,7 +1152,7 @@ def incremental_dedup(
     # The incoming shingle frame is materialized ONCE and the band
     # derivation reads it (r19) — previously the signature pipeline and
     # the verify side each re-shingled the batch.
-    sh_inc = inc.select(
+    sh_inc = fan_out(inc).select(
         F.col(id_col).alias("inc_id"), shingles(text_col, k=3).alias("inc_sh")
     ).transform(materialize_barrier)
     bands_inc = band_values(
@@ -2121,8 +2126,26 @@ def exact_substr_char_runs(
     runs per document (the gaps-and-islands window, partitioned by
     document). Shuffle volume is ~L x corpus bytes — the honest cost
     of stride-1 exactness (the suffix array's sort moves the same
-    bytes single-node); a stride-s variant detects only runs >=
-    L+s-1 at s-fold less volume, the documented relaxation knob.
+    bytes single-node).
+
+    Stride decision (r20, closing VERDICT r19 item 8 with the measured
+    trade): the relaxation was probed as CONTENT-mod-s window sampling
+    (keep a window iff xxhash64(content) % s == 0 — alignment-
+    independent, so kept contents keep their EXACT corpus counts;
+    tools/substr_stride_probe.py, results in PLANS_r19.md and
+    SCALE_PROBE_r19.jsonl ``exact_substr_content_mod_s``). Measured at
+    sf0.1 / L=30: shuffle volume tracks 1/s exactly and the count
+    stage speeds up proportionally, but covered-character recall
+    erodes to 92.1% at s=2, 85.1% at s=4, 78.0% at s=8 — run
+    boundaries and short runs near min_len lose their only selected
+    windows. DECISION: stride-1 stays the implementation. The
+    operator's contract is Lee 2022 exactness (its staged oracle
+    replays the span set bit-for-bit; a lossy default would silently
+    change results), and the probe shows the knob buys volume only by
+    giving up exactly the guarantee this operator exists to provide.
+    A deployment wanting the trade applies the probe's one-line filter
+    after step (1) with its own recall budget — the table above is the
+    sizing data.
 
     Determinism: everything is integer/string — no floats anywhere.
     Returns run-grain rows (doc_id, run_idx, run_start, run_end,
