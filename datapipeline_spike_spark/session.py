@@ -52,9 +52,25 @@ def get_session(
         # guide §3.1: let the planner pick shuffled-hash over sort-merge
         # when its size conditions hold — skips both sort passes on
         # mid-size equi-joins (dedup assignment maps, verify joins).
-        # Physical-plan-only: results and the DuckDB oracle unchanged;
-        # AQE can still demote to SMJ, and a cluster deployment can
-        # override via extra_conf like every other setting here.
+        # Physical-plan-only: results and the DuckDB oracle unchanged.
+        #
+        # SKEW/OOM ENVELOPE (r20, probed — VERDICT r19 item 4 /
+        # SCALE_PROBE_r20.jsonl `shj_skew_build_side`): SHJ's per-task
+        # hash map must hold its partition of the build side, the
+        # planner's gate (estimate < autoBroadcastJoinThreshold x
+        # shuffle partitions) reads the TOTAL estimated size, and AQE's
+        # skew-join splitting CANNOT split an SHJ build side. Measured:
+        # a build side whose hot key holds 50% of ~900 MB fails hard
+        # ("Can't acquire ... bytes memory to build hash relation")
+        # under this default while plain SMJ completes the same join.
+        # The default is kept because every shuffle-join build side in
+        # THIS engine is id/md5/band-keyed (near-uniform by
+        # construction, hot LSH buckets capped upstream) and the flip
+        # measurably removed both sort passes from those joins (r19).
+        # A deployment joining skewed mid-size keys overrides this ONE
+        # conf via extra_conf (preferSortMergeJoin=true), or hints
+        # MERGE on the offending join — do NOT rely on AQE to rescue a
+        # skewed SHJ build partition; it will not.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
         # timestamp type — read as long, converted in plans.registry.load

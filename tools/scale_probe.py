@@ -810,10 +810,96 @@ def r8lib2_stress(spark, amp: int) -> None:
         docs.unpersist()
 
 
+def shj_skew_probe(spark, n: int) -> None:
+    """VERDICT r19 item 4: probe the session-wide
+    spark.sql.join.preferSortMergeJoin=false default under a
+    deliberately SKEWED build side — the stated risk is a hot build
+    partition whose hash map outgrows task memory where SMJ would have
+    sorted/spilled. The probe joins a uniform stream side against a
+    build side whose hot key holds ~half the rows (payload-carrying, so
+    the hash map holds real bytes), once with the repo default (SHJ
+    eligible) and once with preferSortMergeJoin=true (SMJ), and records
+    the statically chosen join node, wall time, output rows, and
+    success. AQE skew-join handling stays on (the session default) —
+    whether it rescues the hot partition is exactly what the probe
+    measures."""
+    n_build = n * 1_000_000
+    pay = "x" * 96
+    # Build side: half the rows on key 0 (the hot hash-map partition —
+    # the key exists ONLY here, so the join OUTPUT does not explode and
+    # the probe isolates build-map memory, not output volume), half
+    # unique keys 1..n/2; ~110 B payload per row, so the hot partition
+    # holds ~n/2 rows of real bytes in one task's hash map.
+    build = spark.range(n_build).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise((F.col("id") + 1) / 2)
+        .cast("long")
+        .alias("k"),
+        F.concat(F.lit(pay), F.col("id").cast("string")).alias("payload"),
+    )
+    # Stream side: 4x the rows (so the planner's muchSmaller(build,
+    # stream) condition holds and the SKEWED side is the SHJ build
+    # side), uniform over the build's unique keys — ~8 matches per key,
+    # zero on the hot key.
+    stream = spark.range(n_build * 4).select(
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n_build // 2)) + 1).alias("k"),
+        F.concat(F.lit(pay), F.col("id").cast("string")).alias("spayload"),
+    )
+    # NOTE: do NOT set autoBroadcastJoinThreshold=-1 here — the SHJ
+    # size gate is canBuildLocalHashMap = size < threshold x
+    # numShufflePartitions, so disabling broadcast would disable SHJ
+    # selection entirely (measured: both modes fell back to SMJ). Both
+    # sides' estimates sit above the 64 MB session threshold, so no
+    # broadcast fires anyway.
+    def _node(plan: str) -> str:
+        if "ShuffledHashJoin" in plan:
+            return "ShuffledHashJoin"
+        return "SortMergeJoin" if "SortMergeJoin" in plan else "other"
+
+    for pref in ("false", "true"):
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+        j = stream.join(build, "k")
+        qe = j._jdf.queryExecution()
+        initial = _node(qe.executedPlan().toString())
+        # execute the dataset's OWN QueryExecution (JVM-side RDD count,
+        # all columns materialized, nothing crosses to Python) so the
+        # FINAL adaptive plan — where AQE re-picks the join strategy
+        # with real sizes — is readable afterwards
+        t0 = time.time()
+        ok, err, rows = True, None, None
+        try:
+            rows = qe.toRdd().count()
+        except Exception as exc:  # noqa: BLE001
+            ok, err = False, f"{type(exc).__name__}: {exc}"[:300]
+        sec = round(time.time() - t0, 2)
+        final = _node(qe.executedPlan().toString())
+        print(
+            json.dumps(
+                {
+                    "probe": "shj_skew_build_side",
+                    "preferSortMergeJoin": pref,
+                    "join_node_initial": initial,
+                    "join_node_final": final,
+                    "build_rows": n_build,
+                    "hot_key_share": 0.5,
+                    "payload_bytes": len(pay),
+                    "sec": sec,
+                    "rows_out": rows,
+                    "ok": ok,
+                    "err": err,
+                }
+            )
+        )
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     mode = "core"
-    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12staged", "r12ops", "r14staged", "r14wave2"):
+    for m in ("dedup", "newops", "r7ops", "r7", "r8ops", "r8lib2", "r8lib", "r10ops", "r10tpch", "r10staged", "r11staged", "r12staged", "r12ops", "r14staged", "r14wave2", "shjskew"):
         if m in args:
             mode = m
             break
@@ -821,6 +907,9 @@ def main() -> None:
     n = nums[0] if nums else (10 if mode != "core" else 8)
     spark = get_session("scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if mode == "shjskew":
+        shj_skew_probe(spark, n if nums else 4)
+        return
     if mode == "dedup":
         dedup_ann_stress(spark, n)
         return
