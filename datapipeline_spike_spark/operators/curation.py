@@ -96,7 +96,10 @@ def _curation_stages(
 
     # corpus-wide boilerplate removal at paragraph grain; empty docs
     # (all-boilerplate or empty extraction) drop here
-    cleaned = paragraph_dedup(df, text_col=text_col, id_col=id_col, sep="\n")
+    cleaned = paragraph_dedup(
+        df, text_col=text_col, id_col=id_col, sep="\n",
+        cache_handle=cache_handle,
+    )
     cleaned = cleaned.filter(F.length(F.col(text_col)) > 0).select(
         id_col, text_col
     )

@@ -1194,6 +1194,7 @@ def paragraph_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n\n",
+    cache_handle: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Paragraph-grain exact dedup across the corpus (the MassiveText /
     Gopher boilerplate-removal step — Rae et al. 2021 run dedup at
@@ -1227,9 +1228,25 @@ def paragraph_dedup(
             "_pd_pos", "_pd_para"
         ),
     ).filter(F.trim("_pd_para") != "")
+    # persist the fingerprinted paragraph frame ONCE (r20, closing the
+    # r19 store-vs-recompute item with a re-priced decision): the frame
+    # feeds BOTH the winner aggregate and the join back, so unpinned,
+    # the split + posexplode + trim + md5 pass ran twice over the
+    # corpus. Unlike dedup_span_removal's posting list (a k=8-gram
+    # positional copy, ~8x corpus bytes — recompute stays the right
+    # call there), this frame is ~1x corpus bytes (each paragraph
+    # appears once, plus a 16-byte digest), and persist() is
+    # MEMORY_AND_DISK — it spills rather than evicting execution
+    # memory at scale. A digest-only frame cannot serve both consumers
+    # (the reassembly aggregate needs the paragraph TEXT). Lifecycle:
+    # appended to ``cache_handle`` when given (curation threads its
+    # handle through); otherwise the deliberate session-bounded leak
+    # every shared-subtree persist in this module documents.
     fp = parts.withColumn(
         "_pd_fp", F.md5(F.trim(F.lower(F.col("_pd_para"))))
-    )
+    ).persist()
+    if cache_handle is not None:
+        cache_handle.append(fp)
     winners = fp.groupBy("_pd_fp").agg(
         F.min(F.struct(F.col(id_col).alias("wid"), F.col("_pd_pos").alias("wpos"))).alias("_pd_w")
     )

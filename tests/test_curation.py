@@ -113,16 +113,17 @@ def test_curate_corpus_scoped_frees_exactly_its_cache(spark):
     unrelated.count()
 
     # handle path: exactly the pipeline's persisted frames (the
-    # pre-floor scoring frame, the survivor-id frame — ADVICE r19 —
-    # and the redacted 40-frame) are registered, cached after the
-    # action, and freed by unpersisting the handle — no clearCache()
+    # paragraph-fingerprint frame — r20 — the pre-floor scoring frame,
+    # the survivor-id frame — ADVICE r19 — and the redacted 40-frame)
+    # are registered, cached after the action, and freed by
+    # unpersisting the handle — no clearCache()
     handle = []
     out = curate_corpus(
         _corpus(spark), min_quality=0.35, jaccard_threshold=0.5,
         cache_handle=handle,
     )
     assert len(out.collect()) >= 3
-    assert len(handle) == 3
+    assert len(handle) == 4
     for f in handle:
         lvl = f.storageLevel
         assert lvl.useMemory or lvl.useDisk
