@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from datapipeline_spike_spark.cache import materialize_barrier
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -200,18 +201,29 @@ def bigram_logprob_score(
             )
         ).alias("_bl_bg"),
     ).select(id_col, F.col("_bl_bg.w1").alias("_bl_w1"), F.col("_bl_bg.w2").alias("_bl_w2"))
+    # materialize the (doc, bigram) count frame ONCE (r20 — the r19
+    # kneser_ney class): unbarriered, the tokenize + zip-explode
+    # subtree re-rendered per consumer — doc_bg feeds the scoring join,
+    # corpus_bg, and (through it) ctx, and vocab added two more renders
+    # through its union branches: 5 tokenize renderings per run. The
+    # frame is the aggregated (doc, bigram) grain an n-gram LM fit
+    # materializes anyway.
     doc_bg = bigrams.groupBy(id_col, "_bl_w1", "_bl_w2").agg(
         F.count(F.lit(1)).alias("_bl_n")
-    )
+    ).transform(materialize_barrier)
+    # corpus_bg feeds ctx AND the scoring join — vocabulary-bounded
     corpus_bg = doc_bg.groupBy("_bl_w1", "_bl_w2").agg(
         F.sum("_bl_n").alias("_bl_c")
-    )
+    ).transform(materialize_barrier)
     ctx = corpus_bg.groupBy("_bl_w1").agg(F.sum("_bl_c").alias("_bl_ctx"))
     # V = distinct unigrams (both positions; last token of a doc appears
-    # in w2, first in w1 — the union covers every token)
+    # in w2, first in w1 — the union covers every token). Derived from
+    # the CHECKPOINTED doc_bg, not the raw bigram stream: doc_bg holds
+    # every distinct (w1, w2) key, so the distinct-unigram set is
+    # identical and the tokenize pass is not re-rendered (r20).
     vocab = (
-        bigrams.select(F.col("_bl_w1").alias("w"))
-        .unionByName(bigrams.select(F.col("_bl_w2").alias("w")))
+        doc_bg.select(F.col("_bl_w1").alias("w"))
+        .unionByName(doc_bg.select(F.col("_bl_w2").alias("w")))
         .agg(F.count_distinct("w").alias("_bl_v"))
     )
     lp = F.log(
