@@ -2510,14 +2510,23 @@ def repeated_substring_profile(d: DataFrame) -> DataFrame:
         Tx.token_count("text").cast("long").alias("n_tokens"),
         Tx.ngrams("text", k=_CONTAM_K).alias("ngs"),
     )
-    p = t.select("doc_id", "n_tokens", F.posexplode("ngs").alias("pos", "ng"))
+    # shuffle the 16-byte md5 digest of each gram, not the ~45-byte
+    # k=8 gram string (r20 — the r19 dedup_span_removal narrowing,
+    # guide §2.3): the count-distinct aggregate and the hit join only
+    # need gram IDENTITY, so both gram-keyed shuffles move ~3x fewer
+    # bytes; 128-bit digests are collision-safe at any corpus gram
+    # count (the fingerprint_md5 convention and its documented
+    # adversarial caveat).
+    p = t.select(
+        "doc_id", "n_tokens", F.posexplode("ngs").alias("pos", "ng")
+    ).select("doc_id", "n_tokens", "pos", F.unhex(F.md5("ng")).alias("_h"))
     rep = (
-        p.groupBy("ng")
+        p.groupBy("_h")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
         .filter(F.col("ndocs") >= 2)
-        .select("ng")
+        .select("_h")
     )
-    hits = p.join(rep, "ng").select("doc_id", "pos")
+    hits = p.join(rep, "_h").select("doc_id", "pos")
     # Covered-token counting WITHOUT the 5x explode + distinct shuffle
     # (r5 verdict item 6): each hit covers the interval
     # [pos, pos + k - 1]; over hits sorted per doc, a hit's NEW coverage
@@ -3116,6 +3125,17 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_overlap_matrix(d: DataFrame) -> DataFrame:
     """DataFrame-level core of ``source_overlap_matrix`` — split out so
     the scale probe measures exactly the production plan."""
+    # Examined r20, deliberately NOT materialized: the tokenize +
+    # explode + distinct subtree has three consumers (totals + both
+    # self-join sides), which makes it LOOK like the r19 shared-pass
+    # class — but an eager checkpoint of the set frame (with md5-digest
+    # keys) MEASURED 2.83 -> 3.96 s at sf0.1 in the same load window:
+    # the three consumers' subtrees are identical up to the distinct
+    # (AQE can reuse the exchange at runtime) and the post-distinct set
+    # is the expensive thing to write/read as checkpoint blocks, so
+    # materialization only added a build job plus block I/O. Recompute
+    # stays the right call here; re-probe if the consumers' subtrees
+    # ever diverge before the distinct.
     sg = (
         d.select("source", Tx.ngrams("text", k=_CONTAM_K).alias("ngs"))
         .filter(F.size("ngs") > 0)
